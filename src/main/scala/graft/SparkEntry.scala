@@ -1,13 +1,571 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{WeightedMean, EnsembleStats, FillMissing, Dedup, Similarity}
+import graft.functions.{Physics, TextFunctions}
+import graft.streaming.EventPipeline
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline extensions), each paired
+  * with equivalent DuckDB SQL in `oracleSql`.
+  *
+  * Determinism policy (drives every query below):
+  *  - integer outputs and single-pass column arithmetic are bit-exact in
+  *    both engines — no rounding needed;
+  *  - money sums go through DECIMAL(18,2) then cast back to double —
+  *    exact regardless of aggregation order;
+  *  - floating-point reductions whose order Spark may permute
+  *    (weighted means, value sums) are rounded (4–6 dp) in BOTH engines;
+  *  - HOF folds (`aggregate`) are left-to-right and mirrored by DuckDB
+  *    `list_reduce`, so hash/cosine values match bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents/embeddings arrive as ONE small parquet file → one input
+    * partition, which serializes the CPU-heavy per-row text/vector work
+    * (hashing, shingling, folds). Spread rows across the cluster first —
+    * the shuffle is tiny relative to the per-row compute it unlocks, and
+    * it is exactly what a 100 TB pipeline does between a coalesced scan
+    * and a compute-bound stage. */
+  private def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(col(key))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents"), "doc_id")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "embeddings"), "vec_id")
+
+  /** The events table carries nanosecond timestamps, which Spark's
+    * parquet reader only surfaces as long (nanosAsLong); normalize to
+    * microsecond TimestampType — lossless here, and identical to the
+    * oracle's CAST(ts AS TIMESTAMP). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer DIV, not `/1000`: the ns epoch (~1.7e18) exceeds a
+        // double's 53-bit mantissa, so float division drifts by ±1 µs
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Exact money sum: decimal-accumulate, surface as double. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ---- derived gridmet-shaped inputs over the synthetic tables ----
+  // The synthetic star schema stands in for the staged grid + weight
+  // tables (same shapes as FIXTURES.md §1–2): lineitem rows are "cells",
+  // part rows define the cell→feature weight map.
+
+  private def gridFromLineitem(li: DataFrame, nullify: Boolean): DataFrame = {
+    val pr =
+      if (nullify) when(col("l_discount") > 0.07, lit(null)).otherwise(col("l_extendedprice"))
+      else col("l_extendedprice")
+    li.select(
+      date_trunc("month", col("l_shipdate")).cast("date").as("time"),
+      (col("l_partkey") % 25).as("i"),
+      (col("l_suppkey") % 10).as("j"),
+      pr.as("pr"))
+  }
+
+  private def weightsFromPart(part: DataFrame): DataFrame =
+    part.select(
+      (col("p_partkey") % 40).as("fid"),
+      (col("p_partkey") % 25).as("i"),
+      (col("p_size").cast("long") % 10).as("j"),
+      round(col("p_retailprice") / 1000, 6).as("wght"))
+
+  private val gridSql =
+    """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS time,
+      |       l_partkey % 25 AS i, l_suppkey % 10 AS j,
+      |       @PR@ AS pr FROM lineitem""".stripMargin
+  private val gridSqlPlain = gridSql.replace("@PR@", "l_extendedprice")
+  private val gridSqlNull = gridSql.replace("@PR@",
+    "CASE WHEN l_discount > 0.07 THEN NULL ELSE l_extendedprice END")
+  private val weightsSql =
+    """SELECT p_partkey % 40 AS fid, p_partkey % 25 AS i,
+      |       CAST(p_size AS BIGINT) % 10 AS j,
+      |       round(p_retailprice/1000, 6) AS wght FROM part""".stripMargin
+
+  /** DuckDB rendering of [[graft.functions.PortableHash]] for ASCII
+    * strings: left fold (acc*31 + byte) mod 1e9+7. */
+  private def hashSql(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($expr)+1), ch_i -> ascii($expr[ch_i]))), " +
+      s"(acc, c) -> (acc*31 + c) % 1000000007)"
+
+  // ======================================================================
+
+  /** Flagship: the area-weighted-mean pipeline (A1+J1) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_weighted_mean")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- A1/J1: area-weighted mean (the reference's core operator) ----
+    "q01_weighted_mean" -> ((s, dir) => {
+      val g = gridFromLineitem(t(s, dir, "lineitem"), nullify = false)
+      val w = weightsFromPart(t(s, dir, "part"))
+      WeightedMean(g, w, Seq("pr"), preCombine = true)
+        .select(col("fid"), col("time"), round(col("pr"), 4).as("wmean_pr"))
+    }),
+
+    // ---- A2: masked weighted mean (`--partial`) ----
+    "q02_masked_mean" -> ((s, dir) => {
+      val g = gridFromLineitem(t(s, dir, "lineitem"), nullify = true)
+      val w = weightsFromPart(t(s, dir, "part"))
+      WeightedMean(g, w, Seq("pr"), masked = true, preCombine = true)
+        .select(col("fid"), col("time"), round(col("pr"), 4).as("masked_pr"))
+    }),
+
+    // ---- A1 null-propagation: plain mean poisons on any missing cell ----
+    "q03_mean_null_propagation" -> ((s, dir) => {
+      val g = gridFromLineitem(t(s, dir, "lineitem"), nullify = true)
+      val w = weightsFromPart(t(s, dir, "part"))
+      WeightedMean(g, w, Seq("pr"), masked = false, preCombine = true)
+        .select(col("fid"), col("time"), round(col("pr"), 4).as("mean_pr"))
+    }),
+
+    // ---- A3: exact ensemble median per cell ----
+    "q04_ensemble_median" -> ((s, dir) => {
+      val g = events(s, dir).select(
+        col("ts").cast("date").as("time"),
+        (col("user_id") % 10).as("j"), (col("user_id") % 7).as("i"),
+        col("value"))
+      EnsembleStats.ensembleMedian(g, Seq("value"))
+        .select(col("time"), col("j"), col("i"), round(col("value"), 6).as("med_value"))
+    }),
+
+    // ---- J2: nearest-neighbor arg-min join ----
+    "q05_nn_argmin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val miss = c.filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("fid"), col("c_acctbal").as("lat"), lit(0.0).as("lon"))
+      val donors = c.filter(col("c_acctbal") >= 0)
+        .select(col("c_custkey").as("fid"), col("c_acctbal").as("lat"), lit(0.0).as("lon"))
+      FillMissing.nearestMapping(miss, donors)
+        .select(col("miss_fid"), col("fill_fid"), round(col("distance"), 6).as("distance"))
+    }),
+
+    // ---- J3: fill scatter-update (series overwrite by donor) ----
+    "q06_fill_series" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val ts = ev.groupBy((col("user_id") % 50).as("fid"), col("ts").cast("date").as("time"))
+        .agg(round(sum(col("value")), 4).as("v0"))
+        .withColumn("v", when(col("fid") % 7 === 0, lit(null)).otherwise(col("v0")))
+        .select("fid", "time", "v")
+      val fids = ts.select("fid").distinct()
+      val miss = fids.filter(col("fid") % 7 === 0)
+        .select(col("fid"), col("fid").cast("double").as("lat"), lit(0.0).as("lon"))
+      val pres = fids.filter(col("fid") % 7 =!= 0)
+        .select(col("fid"), col("fid").cast("double").as("lat"), lit(0.0).as("lon"))
+      val mapping = FillMissing.nearestMapping(miss, pres)
+      FillMissing.fillSeries(ts, mapping, Seq("v"))
+    }),
+
+    // ---- F1: catalog lookup (conjunctive equality + take-first) ----
+    "q07_catalog_lookup" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_size") < 20)
+        .groupBy(col("p_type"))
+        .agg(min(struct(col("p_partkey"), col("p_name"))).as("f"))
+        .select(col("p_type"), col("f.p_partkey").as("first_key"),
+          col("f.p_name").as("first_name"))
+    }),
+
+    // ---- F2/F3: buffered bbox + time-range subset with pushdown ----
+    "q08_bbox_time_subset" -> ((s, dir) => {
+      val g = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").as("time"),
+        (lit(49.4) - (col("l_suppkey") % 40) * 0.04167).as("lat"),
+        (lit(-124.76667) + (col("l_partkey") % 60) * 0.04167).as("lon"),
+        col("l_extendedprice").as("pr"))
+      g.filter(
+          col("lon").between(-124.0 - 0.04167, -122.5 + 0.04167) &&
+            col("lat").between(48.3 - 0.04167, 49.0 + 0.04167) &&
+            col("time").between(lit("1994-01-01").cast("timestamp"),
+              lit("1996-12-31").cast("timestamp")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("lat"), col("lon"), col("pr"))
+    }),
+
+    // ---- C1-C5: unit conversion + physics columns ----
+    "q09_physics" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val tmaxK = col("l_quantity") + 273.15
+      val tminK = col("l_quantity") + 262.85
+      val elev = (col("l_suppkey") % 3000).cast("double")
+      val sph = col("l_discount") / 10
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(Physics.kelvinToCelsius(tmaxK), 6).as("tmax_c"),
+        round(Physics.gridmetHumidity(col("l_discount") * 100, col("l_tax") * 100), 6).as("gm_humidity"),
+        round(Physics.pressureAtElevation(elev, (tmaxK + tminK) / 2), 4).as("pressure_mb"),
+        round(Physics.satVaporPressure(tmaxK), 4).as("e_s"),
+        round(Physics.relativeHumidity(sph, tmaxK, tminK, elev), 4).as("rh"))
+    }),
+
+    // ---- classic wide aggregation (TPC-H Q1 shape) ----
+    "q10_agg_lineitem" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- multi-way broadcast join + agg ----
+    "q11_revenue_by_region" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- window top-k ----
+    "q12_topk_orders_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank"))
+    }),
+
+    // ---- dedup: exact ----
+    "q13_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val doubled = d.unionAll(d.select(col("doc_id") + 100000, col("text")))
+      Dedup.exact(doubled, "doc_id", "text")
+    }),
+
+    // ---- dedup: minhash LSH + exact-jaccard verification ----
+    "q14_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.8)),
+
+    // ---- dedup: simhash signatures ----
+    "q15_simhash" -> ((s, dir) =>
+      Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // ---- dedup: simhash near-dup pairs ----
+    "q16_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)),
+
+    // ---- dedup: blocked n-gram jaccard ----
+    "q17_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        blockCol = "lang", n = 2, threshold = 0.4)),
+
+    // ---- winnowing fingerprints ----
+    "q18_fingerprints" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          explode(TextFunctions.winnowingFingerprints(col("text"), 8, 4)).as("fp"))),
+
+    // ---- language-ID heuristic ----
+    "q19_langid" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.stopwordRatio(col("text"), TextFunctions.LangProfiles("en")).as("en_score"),
+        TextFunctions.stopwordRatio(col("text"), TextFunctions.LangProfiles("de")).as("de_score"),
+        TextFunctions.stopwordRatio(col("text"), TextFunctions.LangProfiles("fr")).as("fr_score"),
+        TextFunctions.langIdPrediction(col("text")).as("pred_lang"))),
+
+    // ---- quality scoring + token counting ----
+    "q20_text_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.whitespaceTokenCount(col("text")).as("ws_tokens"),
+        TextFunctions.regexTokenCount(col("text")).as("re_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"))),
+
+    // ---- ANN: brute-force cosine top-k ----
+    "q21_ann_cosine_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    // ---- ANN: LSH-bucketed variant (scale path; rows-only check) ----
+    "q22_ann_lsh_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, nPlanes = 6)
+    }),
+
+    // ---- streaming shape: tumbling-window counts (batch-equivalent) ----
+    "q23_tumbling_window" -> ((s, dir) =>
+      EventPipeline.tumblingCounts(events(s, dir))),
+
+    // ---- streaming shape: gap sessionization ----
+    "q24_sessionize" -> ((s, dir) =>
+      EventPipeline.sessionize(events(s, dir), gapMinutes = 30))
+  )
+
+  // ======================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_weighted_mean" ->
+      s"""WITH g AS ($gridSqlPlain), w AS ($weightsSql)
+         |SELECT w.fid AS fid, g.time AS time,
+         |       round(sum(w.wght*g.pr)/sum(w.wght), 4) AS wmean_pr
+         |FROM g JOIN w ON g.i = w.i AND g.j = w.j
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q02_masked_mean" ->
+      s"""WITH g AS ($gridSqlNull), w AS ($weightsSql)
+         |SELECT w.fid AS fid, g.time AS time,
+         |       round(sum(CASE WHEN g.pr IS NOT NULL THEN w.wght*g.pr END)
+         |             / sum(CASE WHEN g.pr IS NOT NULL THEN w.wght END), 4) AS masked_pr
+         |FROM g JOIN w ON g.i = w.i AND g.j = w.j
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q03_mean_null_propagation" ->
+      s"""WITH g AS ($gridSqlNull), w AS ($weightsSql)
+         |SELECT w.fid AS fid, g.time AS time,
+         |       CASE WHEN count(CASE WHEN g.pr IS NULL THEN 1 END) > 0 THEN NULL
+         |            ELSE round(sum(w.wght*g.pr)/sum(w.wght), 4) END AS mean_pr
+         |FROM g JOIN w ON g.i = w.i AND g.j = w.j
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q04_ensemble_median" ->
+      """SELECT CAST(ts AS DATE) AS time, user_id % 10 AS j, user_id % 7 AS i,
+        |       round(median(value), 6) AS med_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q05_nn_argmin" ->
+      """WITH m AS (SELECT c_custkey AS miss_fid, c_acctbal AS v FROM customer WHERE c_acctbal < 0),
+        |     d AS (SELECT c_custkey AS fill_fid, c_acctbal AS v FROM customer WHERE c_acctbal >= 0),
+        |     p AS (SELECT m.miss_fid, d.fill_fid,
+        |             sqrt((m.v-d.v)*(m.v-d.v) + 0.0*0.0) AS dist,
+        |             row_number() OVER (PARTITION BY m.miss_fid
+        |               ORDER BY sqrt((m.v-d.v)*(m.v-d.v) + 0.0*0.0), d.fill_fid) AS rn
+        |           FROM m CROSS JOIN d)
+        |SELECT miss_fid, fill_fid, round(dist, 6) AS distance FROM p WHERE rn = 1""".stripMargin,
+
+    "q06_fill_series" ->
+      """WITH ts AS (
+        |  SELECT user_id % 50 AS fid, CAST(ts AS DATE) AS time,
+        |         CASE WHEN (user_id % 50) % 7 = 0 THEN NULL ELSE round(sum(value), 4) END AS v
+        |  FROM events GROUP BY 1, 2),
+        | miss AS (SELECT DISTINCT fid FROM ts WHERE fid % 7 = 0),
+        | pres AS (SELECT DISTINCT fid FROM ts WHERE fid % 7 <> 0),
+        | map AS (SELECT miss_fid, fill_fid FROM (
+        |   SELECT m.fid AS miss_fid, p.fid AS fill_fid,
+        |     row_number() OVER (PARTITION BY m.fid
+        |       ORDER BY sqrt(CAST((m.fid-p.fid)*(m.fid-p.fid) AS DOUBLE) + 0.0*0.0), p.fid) AS rn
+        |   FROM miss m CROSS JOIN pres p) WHERE rn = 1)
+        |SELECT t.fid AS fid, t.time AS time, coalesce(d.v, t.v) AS v
+        |FROM ts t LEFT JOIN map ON t.fid = map.miss_fid
+        |LEFT JOIN ts d ON map.fill_fid = d.fid AND t.time = d.time""".stripMargin,
+
+    "q07_catalog_lookup" ->
+      """SELECT p_type, p_partkey AS first_key, p_name AS first_name FROM (
+        |  SELECT p_type, p_partkey, p_name,
+        |         row_number() OVER (PARTITION BY p_type ORDER BY p_partkey, p_name) AS rn
+        |  FROM part WHERE p_size < 20) WHERE rn = 1""".stripMargin,
+
+    "q08_bbox_time_subset" ->
+      """SELECT l_orderkey, l_linenumber, lat, lon, pr FROM (
+        |  SELECT l_orderkey, l_linenumber, l_shipdate AS time,
+        |         CAST(49.4 AS DOUBLE) - (l_suppkey % 40) * CAST(0.04167 AS DOUBLE) AS lat,
+        |         CAST(-124.76667 AS DOUBLE) + (l_partkey % 60) * CAST(0.04167 AS DOUBLE) AS lon,
+        |         l_extendedprice AS pr
+        |  FROM lineitem)
+        |WHERE lon BETWEEN CAST(-124.0 AS DOUBLE) - CAST(0.04167 AS DOUBLE)
+        |              AND CAST(-122.5 AS DOUBLE) + CAST(0.04167 AS DOUBLE)
+        |  AND lat BETWEEN CAST(48.3 AS DOUBLE) - CAST(0.04167 AS DOUBLE)
+        |              AND CAST(49.0 AS DOUBLE) + CAST(0.04167 AS DOUBLE)
+        |  AND time BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1996-12-31'""".stripMargin,
+
+    "q09_physics" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round((l_quantity + 273.15) - 273.15, 6) AS tmax_c,
+        |  round(l_discount*100 + (l_tax*100)/2.0, 6) AS gm_humidity,
+        |  round(1013.25 * exp(-9.80665 * CAST(l_suppkey % 3000 AS DOUBLE)
+        |        / (287.05 * (((l_quantity+273.15)+(l_quantity+262.85))/2.0))), 4) AS pressure_mb,
+        |  round(6.1094 * exp(17.625 * ((l_quantity+273.15)-273.15)
+        |        / (((l_quantity+273.15)-273.15)+243.04)), 4) AS e_s,
+        |  round((l_discount/10) * (1013.25 * exp(-9.80665 * CAST(l_suppkey % 3000 AS DOUBLE)
+        |          / (287.05 * (((l_quantity+273.15)+(l_quantity+262.85))/2.0)))) / 0.622
+        |        / (6.1094 * exp(17.625 * ((((l_quantity+273.15)+(l_quantity+262.85))/2.0)-273.15)
+        |           / (((((l_quantity+273.15)+(l_quantity+262.85))/2.0)-273.15)+243.04)))
+        |        * 100.0, 4) AS rh
+        |FROM lineitem""".stripMargin,
+
+    "q10_agg_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q11_revenue_by_region" ->
+      """SELECT r_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q12_topk_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders) WHERE rank <= 3""".stripMargin,
+
+    "q13_dedup_exact" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM doubled GROUP BY text""".stripMargin,
+
+    "q14_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+
+    "q15_simhash" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), tok -> ${hashSql("tok")}) AS hashes
+         |  FROM documents)
+         |SELECT doc_id, CAST(list_sum(list_transform(range(0, 30), j ->
+         |  CASE WHEN list_sum(list_transform(hashes,
+         |         h2 -> (CAST(floor(h2 / power(2, j)) AS BIGINT) % 2) * 2 - 1)) > 0
+         |       THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM h""".stripMargin,
+
+    "q16_simhash_pairs" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), tok -> ${hashSql("tok")}) AS hashes
+         |  FROM documents),
+         |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 30), j ->
+         |  CASE WHEN list_sum(list_transform(hashes,
+         |         h2 -> (CAST(floor(h2 / power(2, j)) AS BIGINT) % 2) * 2 - 1)) > 0
+         |       THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM h)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+
+    "q17_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, list_distinct(list_transform(range(1, len(t)),
+        |           sh_i -> t[sh_i] || '_' || t[sh_i+1])) AS s
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 2)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.4""".stripMargin,
+
+    "q18_fingerprints" ->
+      s"""WITH g AS (SELECT doc_id,
+         |  CASE WHEN length(text) < 8 THEN [] ELSE
+         |    list_transform(range(1, length(text) - 6),
+         |      g_i -> ${hashSql("substring(text, g_i, 8)")}) END AS grams
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  CASE WHEN len(grams) < 4 THEN grams ELSE
+         |    list_transform(range(1, len(grams) - 2),
+         |      p -> list_min(grams[p:p+3])) END AS mins
+         |  FROM g)
+         |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM m""".stripMargin,
+
+    "q19_langid" ->
+      """SELECT doc_id,
+        |  round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t), 6) AS en_score,
+        |  round(CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS DOUBLE)/len(t), 6) AS de_score,
+        |  round(CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est','un'))) AS DOUBLE)/len(t), 6) AS fr_score,
+        |  CASE
+        |    WHEN round(CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est','un'))) AS DOUBLE)/len(t), 6)
+        |      >= round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t), 6)
+        |     AND round(CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est','un'))) AS DOUBLE)/len(t), 6)
+        |      >= round(CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS DOUBLE)/len(t), 6)
+        |    THEN 'fr'
+        |    WHEN round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t), 6)
+        |      >= round(CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS DOUBLE)/len(t), 6)
+        |    THEN 'en' ELSE 'de' END AS pred_lang
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin,
+
+    "q20_text_quality" ->
+      """SELECT doc_id,
+        |  len(t) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS re_tokens,
+        |  round(0.4 * least(CAST(len(t) AS DOUBLE)/200.0, 1.0)
+        |      + 0.3 * least(round((length(text) - (CAST(len(t) AS DOUBLE) - 1))/len(t), 6)/8.0, 1.0)
+        |      + 0.3 * least(round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t), 6)*5.0, 1.0), 6) AS quality
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)""".stripMargin,
+
+    "q21_ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, embedding AS cv FROM embeddings),
+        |s AS (SELECT q_id, n_id,
+        |  round(
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv)+1),
+        |      zi -> CAST(qv[zi] AS DOUBLE) * CAST(cv[zi] AS DOUBLE))), (a, x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv)+1),
+        |         zi -> CAST(qv[zi] AS DOUBLE) * CAST(qv[zi] AS DOUBLE))), (a, x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(cv)+1),
+        |         zi -> CAST(cv[zi] AS DOUBLE) * CAST(cv[zi] AS DOUBLE))), (a, x) -> a + x))), 6) AS sim
+        |  FROM q CROSS JOIN c WHERE q_id <> n_id)
+        |SELECT q_id, n_id, sim, rank FROM (
+        |  SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    // q22_ann_lsh_topk: intentionally omitted → rows-only check
+    // (LSH recall < 1 makes an exact-SQL oracle misleading).
+
+    "q23_tumbling_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q24_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, sess_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin
+  )
 }

@@ -1,0 +1,98 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{WeightedMean, FillMissing, EnsembleStats}
+import graft.functions.Physics
+
+/** End-to-end pipeline composition — the reference's three stages
+  * (`initialize` → `run_weights` → `finalize` [→ `_fill_missing`],
+  * `etl.py:589-791`) as ONE Spark DAG with no disk barriers
+  * (SURVEY.md §3, §7.1).
+  */
+object GridmetPipeline {
+
+  /** F2 — buffered-bbox spatial subset (`etl.py:307-340`): restrict the
+    * grid to the features' total bounds ± one cell (buffer const
+    * `etl.py:321`). In relational form the descending-lat slice order is
+    * irrelevant; this is a pushed-down range predicate on (lon, lat). */
+  def bboxSubset(grid: DataFrame, features: DataFrame, buffer: Double = 0.04167): DataFrame = {
+    val b = features.agg(
+      min(col("minx")).as("minx"), min(col("miny")).as("miny"),
+      max(col("maxx")).as("maxx"), max(col("maxy")).as("maxy")).first()
+    grid.filter(
+      col("lon").between(b.getDouble(0) - buffer, b.getDouble(2) + buffer) &&
+        col("lat").between(b.getDouble(1) - buffer, b.getDouble(3) + buffer))
+  }
+
+  /** F3 — time-range subset (`etl.py:407`, `etl.py:670`). */
+  def timeSubset(grid: DataFrame, start: String, end: String): DataFrame =
+    grid.filter(col("time").between(lit(start).cast("timestamp"), lit(end).cast("timestamp")))
+
+  /** Full gridMET pipeline: subset → area-weighted mean (A1/A2) →
+    * finalize (rename/units/humidity) → optional NN fill.
+    *
+    * @param grid     staged long-form grid (time, j, i, lat, lon, vars…)
+    * @param weights  (fid, i, j, wght)
+    * @param features (fid, lat, lon, minx..maxy) — bbox + NN centroids
+    * @param partial  masked_mean when true (`--partial`)
+    * @param fillMissing run the NN fill stage (`--fill-missing`)
+    */
+  def gridmet(
+      grid: DataFrame, weights: DataFrame, features: DataFrame,
+      vars: Seq[String] = Seq("tmmx", "tmmn", "pr", "rmax", "rmin", "vs"),
+      start: String, end: String,
+      partial: Boolean = false, fillMissing: Boolean = false): DataFrame = {
+    val subset = timeSubset(bboxSubset(grid, features), start, end)
+    val agg = WeightedMean(subset, weights, vars, masked = partial)
+    val out = Convert.gridmetFinalize(agg)
+    if (!fillMissing) out
+    else {
+      val outVars = Seq("tmax", "tmin", "prcp", "rhmax", "rhmin", "ws", "humidity")
+      val (miss, present) = FillMissing.splitMissing(
+        out.withColumnRenamed("nhru", "fid"), "tmax")
+      if (miss.isEmpty) out // early-exit (`helper.py:48-50`)
+      else {
+        val missF = miss.join(features, "fid").select("fid", "lat", "lon")
+        val presF = present.join(features, "fid").select("fid", "lat", "lon")
+        val mapping = FillMissing.nearestMapping(missF, presF)
+        FillMissing.fillSeries(out.withColumnRenamed("nhru", "fid"), mapping, outVars)
+          .withColumnRenamed("fid", "nhru")
+      }
+    }
+  }
+
+  /** CFSv2 method 1: per-cell 48-member ensemble median, then weighted
+    * mean + finalize + RH from specific humidity (`etl.py:210-303`). */
+  def cfsv2Median(
+      grid: DataFrame, weights: DataFrame, features: DataFrame,
+      elev: DataFrame,
+      vars: Seq[String] = Seq("tmmx", "tmmn", "pr", "sph")): DataFrame = {
+    val med = EnsembleStats.ensembleMedian(bboxSubset(grid, features), vars)
+    val agg = WeightedMean(med, weights, vars)
+    withRelativeHumidity(Convert.cfsv2Finalize(agg), elev)
+  }
+
+  /** CFSv2 method 2: all 48 members — `ens` stays a grouping key
+    * end-to-end, replacing the reference's member loop + concat
+    * (`etl.py:354-383`). */
+  def cfsv2Ensemble(
+      grid: DataFrame, weights: DataFrame, features: DataFrame,
+      elev: DataFrame,
+      vars: Seq[String] = Seq("tmmx", "tmmn", "pr", "sph")): DataFrame = {
+    val agg = WeightedMean(bboxSubset(grid, features), weights, vars, extraKeys = Seq("ens"))
+    withRelativeHumidity(Convert.cfsv2Finalize(agg), elev)
+  }
+
+  /** C3/C4/C5 + J4: derive relative humidity from specific humidity,
+    * elevation and the (already °C) temperature columns
+    * (`helper.py:204-227` — reads tmax/tmin AFTER finalize, so converts
+    * back to K for the physics). */
+  private def withRelativeHumidity(ts: DataFrame, elev: DataFrame): DataFrame = {
+    val joined = ts.join(broadcast(elev), "nhru")
+    joined.withColumn("humidity",
+        Physics.relativeHumidity(col("sph"),
+          col("tmax") + lit(273.15), col("tmin") + lit(273.15), col("elev")))
+      .drop("elev")
+  }
+}

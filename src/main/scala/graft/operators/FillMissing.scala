@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J2/J3/F5 — nearest-neighbor gap filling (SURVEY.md §2.5).
+  *
+  * Reference (`helper.py:9-122`): split the feature set into missing vs
+  * present using the FIRST timestep of one variable (`helper.py:45`,
+  * var = "tmax" at call sites `etl.py:484`, `etl.py:763`); for each
+  * missing feature find the nearest present feature by planar centroid
+  * distance (`sjoin_nearest`, `helper.py:72`); overwrite the missing
+  * feature's ENTIRE time series with its donor's (`helper.py:85-90`).
+  *
+  * Spark-first: the missing side is tiny (early-exit when empty,
+  * `helper.py:48-50`), so the NN search is a broadcast nested-loop join +
+  * arg-min — `min(struct(distance, fid))` gives a deterministic
+  * tie-break on the smaller donor fid. The series overwrite (a scatter
+  * update in xarray) becomes a left join + per-variable `coalesce`.
+  */
+object FillMissing {
+
+  /** J2: nearest-donor mapping. Inputs carry (fid, lat, lon); output is
+    * (miss_fid, fill_fid, distance) with distance = planar euclidean on
+    * (lon, lat), ties broken by smallest donor fid. */
+  def nearestMapping(missing: DataFrame, donors: DataFrame): DataFrame = {
+    // Repartition the streamed side: the NN scan is O(|miss|·|donors|)
+    // compute against a broadcast donor table, so CPU balance matters
+    // more than the (tiny) shuffle this costs.
+    val m = missing.select(
+      col("fid").as("miss_fid"), col("lat").as("m_lat"), col("lon").as("m_lon"))
+      .repartition(col("miss_fid"))
+    val d = donors.select(
+      col("fid").as("fill_fid"), col("lat").as("d_lat"), col("lon").as("d_lon"))
+    val dx = col("m_lon") - col("d_lon")
+    val dy = col("m_lat") - col("d_lat")
+    m.join(broadcast(d)) // cross join; donor side broadcast
+      // dx*dx, not pow(dx,2): Math.pow in an |miss|·|donors| loop is the
+      // hot path, and multiplication is also what the oracle computes
+      .withColumn("distance", sqrt(dx * dx + dy * dy))
+      .groupBy(col("miss_fid"))
+      .agg(min(struct(col("distance"), col("fill_fid"))).as("best"))
+      .select(col("miss_fid"), col("best.fill_fid").as("fill_fid"),
+        col("best.distance").as("distance"))
+  }
+
+  /** F5: split the feature ids of `ts` into (missing, present) based on
+    * nullness of `probeVar` at the earliest timestep — the reference's
+    * exact convention (`helper.py:43-61`: `isel(time=[0])` on tmax). */
+  def splitMissing(ts: DataFrame, probeVar: String): (DataFrame, DataFrame) = {
+    val t0 = ts.agg(min(col("time"))).first().get(0)
+    val slice = ts.filter(col("time") === lit(t0))
+    (slice.filter(col(probeVar).isNull).select("fid"),
+      slice.filter(col(probeVar).isNotNull).select("fid"))
+  }
+
+  /** J3: overwrite each missing feature's whole series with its donor's.
+    * `ts` is (fid, time, vars…); `mapping` is (miss_fid, fill_fid, …).
+    * Donor values are fetched with a join on (donor fid, time) and applied
+    * with per-variable coalesce — non-missing features pass through. */
+  def fillSeries(ts: DataFrame, mapping: DataFrame, vars: Seq[String]): DataFrame = {
+    val donor = ts.select(
+      Seq(col("fid").as("__donor_fid"), col("time").as("__donor_time")) ++
+        vars.map(v => col(v).as(s"__donor_$v")): _*)
+    val map2 = mapping.select(col("miss_fid"), col("fill_fid").as("__fill_fid"))
+    val withDonor = ts
+      .join(broadcast(map2), ts("fid") === map2("miss_fid"), "left")
+      .join(broadcast(donor),
+        col("__fill_fid") === col("__donor_fid") &&
+          ts("time") === col("__donor_time"),
+        "left")
+    val filled = vars.foldLeft(withDonor) { (df, v) =>
+      df.withColumn(v, coalesce(col(s"__donor_$v"), col(v)))
+    }
+    filled.select(Seq(ts("fid"), ts("time")) ++ vars.map(col): _*)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A1/A2 — the engine's core operator: per-feature area-weighted mean of
+  * gridded values (SURVEY.md §2.4).
+  *
+  * Reference semantics (`etl.py:425-433`, `etl.py:686-709`, weight format
+  * `data/nhru_01a/gm_nhru01_weights.csv`):
+  *
+  *  - `mean`        : out(f,t) = Σ w·x / Σ w over all cells of f; if any
+  *                    contributing cell is missing, the result is missing
+  *                    (NaN propagation of the plain numpy mean).
+  *  - `masked_mean` : renormalizes over non-missing cells only
+  *                    (`--partial`, `etl.py:686-696`).
+  *
+  * Spark-first design: the weight table is tiny (≈28k rows for 2,462
+  * features) so the grid⋈weights equi-join on (i,j) is a broadcast hash
+  * join — no shuffle of the (huge) grid for the join; the only shuffle is
+  * the final hash aggregation on (fid, time[, ens]), which is partial
+  * (map-side combined) by construction. All variables aggregate in ONE
+  * pass, where the reference loops per variable with a disk barrier
+  * between each (`etl.py:224`).
+  *
+  * At 100 TB: the grid scan parallelizes over parquet row-groups; the
+  * broadcast keeps the join shuffle-free; the group-by key cardinality is
+  * |features| × |timesteps| (× |ens|) which is far smaller than the input,
+  * so partial aggregation collapses most rows before the single shuffle.
+  */
+object WeightedMean {
+
+  /** Weighted-mean aggregate columns for one variable. */
+  private def meanCol(v: String, masked: Boolean): Column = {
+    if (masked) {
+      // masked_mean: Σ w·x over valid / Σ w over valid  (A2)
+      (sum(when(col(v).isNotNull, col("wght") * col(v))) /
+        sum(when(col(v).isNotNull, col("wght")))).as(v)
+    } else {
+      // mean: NaN/null propagates — any missing cell poisons the feature
+      // (plain numpy weighted mean over the full cell set).
+      when(max(col(v).isNull.cast("int")) === 1, lit(null).cast("double"))
+        .otherwise(sum(col("wght") * col(v)) / sum(col("wght")))
+        .as(v)
+    }
+  }
+
+  /** Aggregate `grid` (long form: time[, ens], j, i, <valueCols…>) against
+    * `weights` (fid, i, j, wght) → one row per (fid, time[, ens]).
+    *
+    * @param masked    A2 `masked_mean` when true (reference `--partial`).
+    * @param extraKeys extra grouping keys (e.g. "ens" for CFSv2 method 2 —
+    *                  replaces the reference's 48-iteration member loop,
+    *                  `etl.py:374-380`, with one grouped aggregation).
+    * @param preCombine collapse duplicate (time[,ens],i,j) rows to
+    *                  (sum, count, null-count) BEFORE the weight join.
+    *                  When the grid has many rows per cell this shrinks
+    *                  the join output by the duplication factor (eager
+    *                  aggregation below the join — each cell's sum
+    *                  distributes over the weights: Σ_pairs w·x =
+    *                  Σ_cells w·Σx). Leave OFF for a true raster (one
+    *                  row per cell): it would add a full-grid shuffle
+    *                  for nothing — the broadcast-join path has no
+    *                  pre-agg shuffle at all.
+    */
+  def apply(
+      grid: DataFrame,
+      weights: DataFrame,
+      valueCols: Seq[String],
+      masked: Boolean = false,
+      extraKeys: Seq[String] = Nil,
+      preCombine: Boolean = false): DataFrame = {
+    require(valueCols.nonEmpty, "at least one value column")
+    val keys = (Seq("fid", "time") ++ extraKeys).map(col)
+    if (!preCombine) {
+      val aggs = valueCols.map(meanCol(_, masked))
+      grid
+        .join(broadcast(weights), Seq("i", "j"), "inner") // J1
+        .groupBy(keys: _*)
+        .agg(aggs.head, aggs.tail: _*)
+    } else {
+      val cellKeys = (Seq("time") ++ extraKeys ++ Seq("i", "j")).map(col)
+      val cellAggs = count(lit(1)).as("__n") +: valueCols.flatMap(v => Seq(
+        sum(col(v)).as(s"__s_$v"),           // sum over non-null
+        count(col(v)).as(s"__c_$v"),         // non-null count
+        max(col(v).isNull.cast("int")).as(s"__has_null_$v")))
+      val cells = grid.groupBy(cellKeys: _*).agg(cellAggs.head, cellAggs.tail: _*)
+      val aggs = valueCols.map { v =>
+        if (masked)
+          (sum(col("wght") * col(s"__s_$v")) /
+            sum(col("wght") * col(s"__c_$v"))).as(v)
+        else
+          when(max(col(s"__has_null_$v")) === 1, lit(null).cast("double"))
+            .otherwise(sum(col("wght") * col(s"__s_$v")) /
+              sum(col("wght") * col("__n"))).as(v)
+      }
+      cells
+        .join(broadcast(weights), Seq("i", "j"), "inner")
+        .groupBy(keys: _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+  }
+}

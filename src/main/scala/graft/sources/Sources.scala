@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source readers (SURVEY.md §2.1). The data plane is Parquet-first:
+  * gridded rasters are staged as long-form parquet (S1 — the
+  * OPeNDAP/NetCDF fetch is a driver-side staging step outside the Spark
+  * data plane by design, SURVEY.md §7.3); the small control tables below
+  * have dedicated readers.
+  */
+object Sources {
+
+  /** S3 — weight-table CSV `(fid, i, j, wght)`.
+    * Handles both committed layouts: with a leading unnamed pandas index
+    * column (`data/nhru_01a/gm_nhru01_weights.csv:1`) and without
+    * (`cfsv2_nhru01a_weights.csv:1`). `fidCol` is the `--fid` CLI arg
+    * (`cli.py:76-82`), e.g. "nhru_v1_1". */
+  def weightsCsv(spark: SparkSession, path: String, fidCol: String): DataFrame = {
+    val raw = spark.read.option("header", "true").option("inferSchema", "false").csv(path)
+    val cols = raw.columns
+    require(cols.contains(fidCol) && cols.contains("i") && cols.contains("j")
+      && cols.contains("wght"), s"weights file must have ($fidCol,i,j,wght), got ${cols.mkString(",")}")
+    raw.select(
+      col(fidCol).cast(LongType).as("fid"),
+      col("i").cast(IntegerType).as("i"),
+      col("j").cast(IntegerType).as("j"),
+      col("wght").cast(DoubleType).as("wght"))
+  }
+
+  /** S6 — PRMS parameter-file scan (`helper.py:124-173`): find the
+    * `hru_elev` marker line, skip 4 header lines, read one float per
+    * line until the `####` terminator. The file is tiny (one value per
+    * HRU) so this parses driver-side and returns (nhru, elev) with
+    * nhru = 1-based position, matching the reference's positional
+    * ordering. */
+  def prmsElevations(spark: SparkSession, path: String): DataFrame = {
+    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    val start = lines.indexWhere(_.trim == "hru_elev")
+    require(start >= 0, s"no hru_elev section in $path")
+    val body = lines.drop(start + 1 + 4) // marker + 4 header lines
+    val values = body.takeWhile(l => !l.trim.startsWith("####"))
+      .map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+    import spark.implicits._
+    values.zipWithIndex
+      .map { case (v, idx) => (idx.toLong + 1L, v) }
+      .toDF("nhru", "elev")
+  }
+
+  /** S4/S5 — catalog loaders. The catalog is a small control table;
+    * F1 lookups (conjunctive equality + take-first) happen at
+    * plan-build time. */
+  def catalogParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+  def catalogJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
+  /** F1 — catalog lookup: first record for (id, variable), deterministic
+    * take-first via min over a struct ordered by varname
+    * (`etl.py:169-176`, `etl.py:657-664`). Returns one row per requested
+    * variable. */
+  def catalogLookup(catalog: DataFrame, dataId: String, vars: Seq[String]): DataFrame =
+    catalog.filter(col("id") === dataId && col("variable").isin(vars: _*))
+      .groupBy(col("variable"))
+      .agg(min(struct(col("varname"), col("URL"))).as("first"))
+      .select(col("variable"), col("first.varname").as("varname"),
+        col("first.URL").as("URL"))
+
+  /** S7 — NN-mapping CSV (`helper.py:79`). */
+  def fillMappingCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true")
+      .schema(StructType(Seq(
+        StructField("miss_fid", LongType), StructField("fill_fid", LongType),
+        StructField("distance", DoubleType))))
+      .csv(path)
+}

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+Reads outdir/<name>/ parquet (written by graft.Verify) and
+outdir/oracle_sql.json, runs each oracle against the sfdir tables in
+DuckDB, and compares (columns sorted by name, rows sorted by all
+columns, exact value equality after normalizing to pandas objects).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+names = sorted(d for d in os.listdir(outdir)
+               if os.path.isdir(os.path.join(outdir, d)))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("float64")  # unify int widths for compare
+    return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
+
+fails = []
+for name in names:
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"SKIP {name}: no parquet written"); fails.append(name); continue
+    got = canon(con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df())
+    if name not in oracle:
+        print(f"ROWS-ONLY {name}: {len(got)} rows " + ("OK" if len(got) else "EMPTY!"))
+        if not len(got): fails.append(name)
+        continue
+    try:
+        exp = canon(con.sql(oracle[name]).df())
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}"); fails.append(name); continue
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+        fails.append(name); continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails.append(name); continue
+    try:
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+        print(f"OK   {name}: {len(got)} rows")
+    except AssertionError as e:
+        print(f"FAIL {name}: value mismatch: {str(e).splitlines()[-1] if str(e) else e}")
+        # show first differing rows
+        neq = (got != exp) & ~(got.isna() & exp.isna())
+        bad = neq.any(axis=1)
+        if bad.any():
+            i = bad.idxmax()
+            print("  got:", got.loc[i].to_dict())
+            print("  exp:", exp.loc[i].to_dict())
+        fails.append(name)
+
+print(f"\n{len(names)-len(fails)}/{len(names)} pass" + (f"; FAILURES: {fails}" if fails else ""))
+sys.exit(1 if fails else 0)
