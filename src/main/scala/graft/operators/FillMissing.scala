@@ -22,7 +22,18 @@ object FillMissing {
 
   /** J2: nearest-donor mapping. Inputs carry (fid, lat, lon); output is
     * (miss_fid, fill_fid, distance) with distance = planar euclidean on
-    * (lon, lat), ties broken by smallest donor fid. */
+    * (lon, lat), ties broken by smallest donor fid.
+    *
+    * Physical-plan notes (from `.explain` + profiling at sf0.1):
+    *  - argmin via `min(struct(dist, fid))` forces SortAggregate (struct
+    *    buffers can't hash-aggregate) — a full sort of the |miss|·|donors|
+    *    pair stream. Two chained HASH aggregates (min distance, then min
+    *    fid among exact minima) compute the same winner sort-free.
+    *  - the argmin runs on SQUARED distance — sqrt is strictly monotonic,
+    *    so winners and ties are identical; sqrt runs only on the winners.
+    *  - `dx*dx`, not `pow(dx,2)`: Math.pow is the hot path at
+    *    |miss|·|donors| scale, and multiplication matches the oracle.
+    */
   def nearestMapping(missing: DataFrame, donors: DataFrame): DataFrame = {
     // Repartition the streamed side: the NN scan is O(|miss|·|donors|)
     // compute against a broadcast donor table, so CPU balance matters
@@ -34,14 +45,16 @@ object FillMissing {
       col("fid").as("fill_fid"), col("lat").as("d_lat"), col("lon").as("d_lon"))
     val dx = col("m_lon") - col("d_lon")
     val dy = col("m_lat") - col("d_lat")
-    m.join(broadcast(d)) // cross join; donor side broadcast
-      // dx*dx, not pow(dx,2): Math.pow in an |miss|·|donors| loop is the
-      // hot path, and multiplication is also what the oracle computes
-      .withColumn("distance", sqrt(dx * dx + dy * dy))
-      .groupBy(col("miss_fid"))
-      .agg(min(struct(col("distance"), col("fill_fid"))).as("best"))
-      .select(col("miss_fid"), col("best.fill_fid").as("fill_fid"),
-        col("best.distance").as("distance"))
+    val scored = m.join(broadcast(d)) // cross join; donor side broadcast
+      .select(col("miss_fid"), col("fill_fid"), (dx * dx + dy * dy).as("d2"))
+    val best = scored.groupBy(col("miss_fid").as("best_fid"))
+      .agg(min(col("d2")).as("best_d2"))
+    scored
+      .join(broadcast(best),
+        col("miss_fid") === col("best_fid") && col("d2") === col("best_d2"))
+      .groupBy(col("miss_fid"), col("d2"))
+      .agg(min(col("fill_fid")).as("fill_fid"))
+      .select(col("miss_fid"), col("fill_fid"), sqrt(col("d2")).as("distance"))
   }
 
   /** F5: split the feature ids of `ts` into (missing, present) based on
