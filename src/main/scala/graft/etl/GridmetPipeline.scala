@@ -29,6 +29,25 @@ object GridmetPipeline {
   def timeSubset(grid: DataFrame, start: String, end: String): DataFrame =
     grid.filter(col("time").between(lit(start).cast("timestamp"), lit(end).cast("timestamp")))
 
+  /** Reindex the aggregated series to the FULL feature × time (× ens)
+    * domain: the weighted mean's inner join drops features whose weight
+    * cells fall outside the (subset) grid, but the reference's output
+    * array always contains every target feature, NaN-filled
+    * (`gm_header.md:10` — nhru spans the whole geometry; AggGen builds
+    * the dense feature×time array). The fill stage depends on those
+    * all-null rows existing. Domain tables are tiny (features ×
+    * timesteps), so this is a broadcast left join, no extra shuffle of
+    * the data plane. */
+  private def reindex(
+      agg: DataFrame, features: DataFrame, extraKeys: Seq[String]): DataFrame = {
+    val keyCols = Seq("fid", "time") ++ extraKeys
+    val domain = (Seq("time") ++ extraKeys)
+      .foldLeft(features.select(col("fid"))) { (d, k) =>
+        d.crossJoin(agg.select(col(k)).distinct())
+      }
+    broadcast(domain).join(agg, keyCols, "left")
+  }
+
   /** Full gridMET pipeline: subset → area-weighted mean (A1/A2) →
     * finalize (rename/units/humidity) → optional NN fill.
     *
@@ -44,7 +63,8 @@ object GridmetPipeline {
       start: String, end: String,
       partial: Boolean = false, fillMissing: Boolean = false): DataFrame = {
     val subset = timeSubset(bboxSubset(grid, features), start, end)
-    val agg = WeightedMean(subset, weights, vars, masked = partial)
+    val agg = reindex(
+      WeightedMean(subset, weights, vars, masked = partial), features, Nil)
     val out = Convert.gridmetFinalize(agg)
     if (!fillMissing) out
     else {
@@ -69,7 +89,7 @@ object GridmetPipeline {
       elev: DataFrame,
       vars: Seq[String] = Seq("tmmx", "tmmn", "pr", "sph")): DataFrame = {
     val med = EnsembleStats.ensembleMedian(bboxSubset(grid, features), vars)
-    val agg = WeightedMean(med, weights, vars)
+    val agg = reindex(WeightedMean(med, weights, vars), features, Nil)
     withRelativeHumidity(Convert.cfsv2Finalize(agg), elev)
   }
 
@@ -80,7 +100,9 @@ object GridmetPipeline {
       grid: DataFrame, weights: DataFrame, features: DataFrame,
       elev: DataFrame,
       vars: Seq[String] = Seq("tmmx", "tmmn", "pr", "sph")): DataFrame = {
-    val agg = WeightedMean(bboxSubset(grid, features), weights, vars, extraKeys = Seq("ens"))
+    val agg = reindex(
+      WeightedMean(bboxSubset(grid, features), weights, vars, extraKeys = Seq("ens")),
+      features, Seq("ens"))
     withRelativeHumidity(Convert.cfsv2Finalize(agg), elev)
   }
 

@@ -69,8 +69,10 @@ object FillMissing {
 
   /** J3: overwrite each missing feature's whole series with its donor's.
     * `ts` is (fid, time, vars…); `mapping` is (miss_fid, fill_fid, …).
-    * Donor values are fetched with a join on (donor fid, time) and applied
-    * with per-variable coalesce — non-missing features pass through. */
+    * Donor values are fetched with a join on (donor fid, time). Mapped
+    * features take the donor value UNCONDITIONALLY — the reference's
+    * aligned assignment (`helper.py:85-90`) copies the donor array
+    * verbatim, NaNs included; non-mapped features pass through. */
   def fillSeries(ts: DataFrame, mapping: DataFrame, vars: Seq[String]): DataFrame = {
     val donor = ts.select(
       Seq(col("fid").as("__donor_fid"), col("time").as("__donor_time")) ++
@@ -83,7 +85,8 @@ object FillMissing {
           ts("time") === col("__donor_time"),
         "left")
     val filled = vars.foldLeft(withDonor) { (df, v) =>
-      df.withColumn(v, coalesce(col(s"__donor_$v"), col(v)))
+      df.withColumn(v,
+        when(col("__fill_fid").isNotNull, col(s"__donor_$v")).otherwise(col(v)))
     }
     filled.select(Seq(ts("fid"), ts("time")) ++ vars.map(col): _*)
   }

@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq("x").toDF("dummy").select(c).collect().head.get(0).asInstanceOf[T]
+
+  test("portable_hash equals the reference fold for ASCII strings") {
+    def fold(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    for (s <- Seq("", "a", "hello world", "Zyzzyva!42")) {
+      val h = Seq(s).toDF("s")
+        .select(PortableHash.portable_hash($"s")).as[Long].head()
+      assert(h == fold(s), s"hash('$s')")
+    }
+  }
+
+  test("shingles: n-grams, distinct, short-doc guard") {
+    val sh = Seq("a b c b a b").toDF("t")
+      .select(shingles($"t", 2)).as[Seq[String]].head()
+    assert(sh == Seq("a_b", "b_c", "c_b", "b_a")) // distinct, order of first occurrence
+    val short = Seq("only two").toDF("t")
+      .select(shingles($"t", 3)).as[Seq[String]].head()
+    assert(short == Seq.empty)
+  }
+
+  test("minhash signature has k slots, each the min over shingle hashes") {
+    val sig = Seq("a b c d e").toDF("t")
+      .select(minhashSignature(shingleHashes($"t", 2), 8)).as[Seq[Long]].head()
+    assert(sig.length == 8)
+    assert(sig.forall(v => v >= 0 && v < PortableHash.Mod))
+  }
+
+  test("winnowing fingerprints: sorted distinct window minima; short-doc guards") {
+    val fp = Seq("abcdefghij").toDF("t")
+      .select(winnowingFingerprints($"t", 4, 3)).as[Seq[Long]].head()
+    assert(fp.nonEmpty && fp == fp.sorted && fp.distinct == fp)
+    // shorter than k → empty; grams shorter than window → the grams themselves
+    assert(Seq("abc").toDF("t")
+      .select(winnowingFingerprints($"t", 4, 3)).as[Seq[Long]].head().isEmpty)
+    val tiny = Seq("abcde").toDF("t") // 2 grams < w=3
+      .select(winnowingFingerprints($"t", 4, 3)).as[Seq[Long]].head()
+    assert(tiny.length == 2)
+  }
+
+  test("language id picks the profile with most stopwords") {
+    val df = Seq(
+      ("the cat and the dog is in the house", "en"),
+      ("der hund und die katze ist ein tier", "de"),
+      ("le chat et la maison est un endroit", "fr")
+    ).toDF("text", "expected")
+    val out = df.select($"expected", langIdPrediction($"text").as("got"))
+      .as[(String, String)].collect()
+    out.foreach { case (exp, got) => assert(got == exp) }
+  }
+
+  test("token counts and quality score bounds") {
+    val row = Seq("The quick brown fox! It is one of the best foxes.").toDF("t")
+      .select(
+        whitespaceTokenCount($"t"), regexTokenCount($"t"), qualityScore($"t"))
+      .collect().head
+    assert(row.getInt(0) == 11)
+    assert(row.getInt(1) == 11)
+    val q = row.getDouble(2)
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("bindOnce preserves values (single-eval rewrite is semantics-free)") {
+    val direct = Seq("w x y z").toDF("t")
+      .select(size(split($"t", " "))).as[Int].head()
+    val bound = Seq("w x y z").toDF("t")
+      .select(bindOnce(split($"t", " "))(size(_))).as[Int].head()
+    assert(direct == bound)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup family: exact, MinHash+LSH, SimHash, n-gram Jaccard. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsDF = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (4L, "completely different text with nothing shared here at all"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id and counts copies") {
+    val out = Dedup.exact(docsDF, "doc_id", "text")
+      .orderBy("keep_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docsDF, "doc_id", "text",
+      n = 2, k = 32, bands = 16, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))            // exact dup always collides
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash jaccard value matches the exact shingle jaccard") {
+    val j = Dedup.minhashLsh(docsDF, "doc_id", "text",
+      n = 2, k = 32, bands = 16, threshold = 0.0)
+      .filter($"a_id" === 1 && $"b_id" === 3)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs same signature; near-dups within distance") {
+    val sigs = Dedup.simhashSignatures(docsDF, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(3L))
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 30)))
+    val pairs = Dedup.simhashPairs(docsDF, "doc_id", "text", maxHamming = 0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard (inverted index) matches brute-force values") {
+    import graft.functions.TextFunctions
+    val blocked = docsDF.withColumn("lang", lit("en"))
+    val fast = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "lang",
+      n = 2, threshold = 0.01)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over all pairs with the same shingle definition
+    val sh = blocked.select($"doc_id", TextFunctions.shingles($"text", 2).as("sh"))
+      .filter(size($"sh") > 0)
+    val a = sh.select($"doc_id".as("a_id"), $"sh".as("sh_a"))
+    val b = sh.select($"doc_id".as("b_id"), $"sh".as("sh_b"))
+    val brute = a.join(b, $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        round(TextFunctions.jaccard($"sh_a", $"sh_b"), 6).as("j"))
+      .filter($"j" >= 0.01)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == brute)
+    assert(fast.exists { case (x, y, j) => x == 1L && y == 3L && j == 1.0 })
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import java.nio.file.Files
+
+/** Sessionization + tumbling windows; the streaming form must agree
+  * with the batch form on static input (AvailableNow + memory sink). */
+class EventPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize: gap > threshold starts a new session") {
+    val ev = Seq(
+      (1L, ts("2021-01-01 10:00:00"), 1L, 1.0),
+      (1L, ts("2021-01-01 10:10:00"), 2L, 2.0),  // same session (10 min)
+      (1L, ts("2021-01-01 11:00:00"), 3L, 4.0),  // 50 min gap → new session
+      (2L, ts("2021-01-01 10:05:00"), 4L, 8.0)   // other user
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = EventPipeline.sessionize(ev, gapMinutes = 30)
+      .orderBy("user_id", "sess_id")
+      .as[(Long, Long, Timestamp, Long, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 1L, ts("2021-01-01 10:00:00"), 2L, 3.0),
+      (1L, 2L, ts("2021-01-01 11:00:00"), 1L, 4.0),
+      (2L, 1L, ts("2021-01-01 10:05:00"), 1L, 8.0)))
+  }
+
+  test("sessionize: exact-gap boundary stays in the session") {
+    val ev = Seq(
+      (1L, ts("2021-01-01 10:00:00"), 1L, 1.0),
+      (1L, ts("2021-01-01 10:30:00"), 2L, 1.0)   // exactly 30 min → NOT new
+    ).toDF("user_id", "ts", "event_id", "value")
+    val n = EventPipeline.sessionize(ev, gapMinutes = 30).count()
+    assert(n == 1)
+  }
+
+  test("streaming tumbling counts (AvailableNow + memory sink) == batch form") {
+    val ev = Seq(
+      (ts("2021-01-01 10:05:00"), "click", 1.0),
+      (ts("2021-01-01 10:55:00"), "click", 2.0),
+      (ts("2021-01-01 10:30:00"), "view", 8.0),
+      (ts("2021-01-01 11:05:00"), "view", 4.0)
+    ).toDF("ts", "event_type", "value")
+    val dir = Files.createTempDirectory("graft-stream").toString
+    ev.write.mode("overwrite").parquet(dir)
+
+    val q = EventPipeline.tumblingCountsStream(spark, dir)
+      .format("memory").queryName("tumbling_test").start()
+    q.awaitTermination(60000)
+
+    val streamed = rows(spark.table("tumbling_test"))
+    val batch = rows(EventPipeline.tumblingCounts(spark.read.parquet(dir))
+      .select($"hour_start".cast("timestamp"), $"event_type", $"n_events", $"sum_value"))
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
+}
