@@ -42,6 +42,19 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     spread(t(s, dir, "embeddings"), "vec_id")
 
+  /** Synthetic media table: documents as opaque binary payloads + typed
+    * metadata (the multimodal column model — payload bytes stay an
+    * uninterpreted BINARY column; dims/frame metadata ride beside). */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("bytes"),
+      ((col("doc_id") % 16 + 1) * 8).cast("int").as("width"),
+      ((col("doc_id") % 9 + 1) * 8).cast("int").as("height"),
+      (col("doc_id") % 7 + 1).cast("int").as("n_frames"))
+
   /** The events table carries nanosecond timestamps, which Spark's
     * parquet reader only surfaces as long (nanosAsLong); normalize to
     * microsecond TimestampType — lossless here, and identical to the
@@ -312,7 +325,27 @@ object SparkEntry {
 
     // ---- streaming shape: gap sessionization ----
     "q24_sessionize" -> ((s, dir) =>
-      EventPipeline.sessionize(events(s, dir), gapMinutes = 30))
+      EventPipeline.sessionize(events(s, dir), gapMinutes = 30)),
+
+    // ---- multimodal: batch decode (mapInPandas-shaped seam) ----
+    "q25_media_decode" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val ds = media(s, dir).as[Multimodal.Media](
+        org.apache.spark.sql.Encoders.product[Multimodal.Media])
+      Multimodal.mapDecodeBatches(ds, batchSize = 64).toDF()
+        .select(col("media_id"), col("modality"), col("byte_len"),
+          col("checksum"), round(col("mean_byte"), 6).as("mean_byte"))
+    }),
+
+    // ---- multimodal: frame sampling over video payload byte ranges ----
+    "q26_frame_sample" -> ((s, dir) =>
+      graft.operators.Multimodal.sampleFrames(
+        media(s, dir).filter(length(col("bytes")) > lit(16) + col("n_frames")),
+        stride = 2)),
+
+    // ---- embedding-cosine near-duplicate pairs (exact) ----
+    "q27_embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(embs(s, dir), threshold = 0.35))
   )
 
   // ======================================================================
@@ -550,6 +583,40 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q25_media_decode" ->
+      s"""SELECT doc_id AS media_id,
+         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS modality,
+         |  CAST(length(text) AS INT) AS byte_len,
+         |  ${hashSql("text")} AS checksum,
+         |  round(CAST(list_sum(list_transform(range(1, length(text)+1),
+         |          mb_i -> ascii(text[mb_i]))) AS DOUBLE) / length(text), 6) AS mean_byte
+         |FROM documents""".stripMargin,
+
+    "q26_frame_sample" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, text, doc_id % 7 + 1 AS n_frames,
+         |         CAST(floor((length(text) - 16) / (doc_id % 7 + 1)) AS INT) AS frame_len
+         |  FROM documents WHERE length(text) > 16 + (doc_id % 7 + 1)),
+         |f AS (SELECT media_id, text, frame_len,
+         |        CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx FROM m)
+         |SELECT media_id, frame_idx,
+         |  16 + frame_idx * frame_len AS frame_offset, frame_len,
+         |  ${hashSql("substring(text, 16 + frame_idx * frame_len + 1, frame_len)")} AS frame_checksum
+         |FROM f""".stripMargin,
+
+    "q27_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(embedding)+1),
+        |    ni -> CAST(embedding[ni] AS DOUBLE) * CAST(embedding[ni] AS DOUBLE))), (a, x) -> a + x)) AS nrm
+        |  FROM embeddings)
+        |SELECT a_id, b_id, sim FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(a.embedding)+1),
+        |      zi -> CAST(a.embedding[zi] AS DOUBLE) * CAST(b.embedding[zi] AS DOUBLE))), (p, x) -> p + x)
+        |      / (a.nrm * b.nrm), 6) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.35""".stripMargin,
 
     "q24_sessionize" ->
       """WITH flagged AS (

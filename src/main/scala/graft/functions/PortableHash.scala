@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -35,8 +36,21 @@ case class PortableHash(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "portable_hash"
 
+  /** Accepts strings (hashes UTF-8 bytes) and raw binary (same fold over
+    * the byte array — a text-cast blob hashes identically to the text). */
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.StringType | BinaryType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"portable_hash needs STRING or BINARY input, got ${other.catalogString}")
+    }
+
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val bytes = input match {
+      case s: UTF8String => s.getBytes
+      case b: Array[Byte] => b
+    }
     var h = 0L
     var k = 0
     while (k < bytes.length) {
@@ -51,8 +65,12 @@ case class PortableHash(child: Expression)
       val bytes = ctx.freshName("bytes")
       val h = ctx.freshName("h")
       val k = ctx.freshName("k")
+      val src = child.dataType match {
+        case BinaryType => c          // already byte[]
+        case _ => s"$c.getBytes()"    // UTF8String
+      }
       s"""
-         |byte[] $bytes = $c.getBytes();
+         |byte[] $bytes = $src;
          |long $h = 0L;
          |for (int $k = 0; $k < $bytes.length; $k++) {
          |  $h = ($h * 31L + ($bytes[$k] & 0xffL)) % 1000000007L;

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash.portable_hash
+
+/** Multimodal columns for the training-data pipeline: media payloads are
+  * opaque `binary` columns with a typed metadata struct riding beside
+  * them. Decode / feature-extract / resize / frame-sample are modeled so
+  * the Spark-side plumbing — schema, partitioning, batch shape — is real
+  * and tested, while the codec call itself is STUBBED with a
+  * deterministic byte-level computation (no image/audio libraries exist
+  * in this environment; a real deployment swaps [[DecodeStub]] for a
+  * JNI/javacv codec without touching any plan shape).
+  *
+  * Scale design: payload bytes never shuffle for metadata-only work
+  * (decode/meta/fingerprint are per-row projections); the per-batch
+  * decode path ([[mapDecodeBatches]]) mirrors PySpark's `mapInPandas`
+  * contract — partition iterator → fixed-size batches → per-batch codec
+  * invocation — which is how an expensive vectorized decoder (GPU,
+  * native) wants to be fed at 100 TB.
+  */
+object Multimodal {
+
+  /** Media row: payload + typed metadata (the `binary`-column model). */
+  final case class Media(
+      media_id: Long, modality: String, bytes: Array[Byte],
+      width: Int, height: Int, n_frames: Int)
+
+  /** Decoded per-row features produced by the (stub) codec. */
+  final case class MediaFeatures(
+      media_id: Long, modality: String, byte_len: Int,
+      checksum: Long, mean_byte: Double)
+
+  // ---------------------------------------------------------------------
+  // DECODE STUB — the single seam where a real codec plugs in.
+  // Deterministic byte arithmetic stands in for pixel decoding so tests
+  // and oracles can verify the plumbing end-to-end.
+  // ---------------------------------------------------------------------
+  object DecodeStub {
+    /** Batch decode: one call per batch (the mapInPandas-shaped seam).
+      * A real implementation hands `batch.map(_.bytes)` to a vectorized
+      * decoder; the stub derives features from the raw bytes. */
+    def decodeBatch(batch: Seq[Media]): Seq[MediaFeatures] =
+      batch.map { m =>
+        var h = 0L
+        var s = 0L
+        var k = 0
+        while (k < m.bytes.length) {
+          h = (h * 31L + (m.bytes(k) & 0xffL)) % 1000000007L
+          s += (m.bytes(k) & 0xffL)
+          k += 1
+        }
+        MediaFeatures(m.media_id, m.modality, m.bytes.length, h,
+          if (m.bytes.isEmpty) 0.0 else s.toDouble / m.bytes.length)
+      }
+  }
+
+  /** Column-level metadata decode (no UDF — pure projections over the
+    * binary payload; stays inside whole-stage codegen). */
+  def decodeMeta(bytes: Column): Column = struct(
+    length(bytes).as("byte_len"),
+    portable_hash(bytes).as("checksum"))
+
+  /** Per-batch decode over a typed Dataset — the Scala analog of
+    * `mapInPandas`: partition iterator → `batchSize` groups → ONE codec
+    * call per batch. Batching shape is what matters; the stub is the
+    * codec. */
+  def mapDecodeBatches(media: Dataset[Media], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => DecodeStub.decodeBatch(b.toSeq))
+    }
+  }
+
+  /** Frame sampling for video-shaped payloads: every `stride`-th frame
+    * index of `n_frames`, with the byte range each frame occupies
+    * (fixed-size frames after `headerLen`). Pure relational explode —
+    * the payload itself is NOT exploded; downstream decode reads
+    * (offset, frame_len) slices. */
+  def sampleFrames(
+      media: DataFrame, stride: Int,
+      headerLen: Int = 16): DataFrame = {
+    require(stride > 0)
+    val frameLen = (length(col("bytes")) - headerLen) / greatest(col("n_frames"), lit(1))
+    media
+      .withColumn("frame_len", frameLen.cast("int"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("n_frames"), lit(1)) - 1, lit(stride))))
+      .select(
+        col("media_id"), col("frame_idx"),
+        (lit(headerLen) + col("frame_idx") * col("frame_len")).as("frame_offset"),
+        col("frame_len"),
+        // stub "frame decode": checksum of the frame's byte slice
+        portable_hash(
+          col("bytes").substr(lit(headerLen) + col("frame_idx") * col("frame_len") + 1,
+            col("frame_len"))).as("frame_checksum"))
+  }
+
+  /** Resize stub: recompute target dims preserving aspect ratio; payload
+    * passes through untouched (a real resize rewrites bytes — dims math
+    * and schema are the tested plumbing). */
+  def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(
+      lit(maxDim.toDouble) / greatest(col("width"), lit(1)),
+      lit(maxDim.toDouble) / greatest(col("height"), lit(1)), lit(1.0))
+    media
+      .withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
+}
