@@ -1,0 +1,118 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.GridmetPipeline
+import graft.sources.Sources
+import graft.sinks.Sinks
+
+/** CLI argument surface mirroring the reference (`cli.py:27-239`):
+  * gridmet-etl and cfsv2-etl subcommands with the same parameter names,
+  * retargeted at staged-parquet inputs (S1 staging is outside the data
+  * plane, SURVEY.md §7.3).
+  *
+  * Usage:
+  *   graft.cli.Jobs gridmet-etl --start-date 2021-01-01 --end-date ...
+  *     --grid-path g.parquet --target-file feats.parquet
+  *     --weights-file w.csv --fid nhru_v1_1 --output-path out/
+  *     [--file-prefix p_] [--partial] [--fill-missing]
+  *   graft.cli.Jobs cfsv2-etl ... --method 1|2 --model-param-file params
+  */
+object Jobs {
+
+  final case class Args(m: Map[String, String], flags: Set[String]) {
+    def apply(k: String): String =
+      m.getOrElse(k, sys.error(s"missing required --$k"))
+    def get(k: String): Option[String] = m.get(k)
+    def has(k: String): Boolean = flags.contains(k)
+  }
+
+  /** cyclopts-style parse: `--key value` pairs + boolean flags. */
+  def parseArgs(argv: Seq[String]): Args = {
+    val boolFlags = Set("partial", "fill-missing", "verbose")
+    @annotation.tailrec
+    def loop(rest: List[String], m: Map[String, String], f: Set[String]): Args =
+      rest match {
+        case Nil => Args(m, f)
+        case k :: tail if k.startsWith("--") =>
+          val key = k.drop(2)
+          if (boolFlags(key)) loop(tail, m, f + key)
+          else tail match {
+            case v :: t2 => loop(t2, m + (key -> v), f)
+            case Nil => sys.error(s"missing value for --$key")
+          }
+        case other :: _ => sys.error(s"unexpected argument: $other")
+      }
+    loop(argv.toList, Map.empty, Set.empty)
+  }
+
+  /** Date check mirroring `cli.py:14-19`. */
+  def validDate(s: String): String = {
+    java.time.LocalDate.parse(s) // throws on bad format
+    s
+  }
+
+  private def session(): SparkSession =
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+  private def readFeatures(spark: SparkSession, path: String, fid: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    if (raw.columns.contains("fid")) raw else raw.withColumnRenamed(fid, "fid")
+  }
+
+  def runGridmet(spark: SparkSession, a: Args): String = {
+    val start = validDate(a("start-date")); val end = validDate(a("end-date"))
+    val grid = spark.read.parquet(a("grid-path"))
+    val weights = Sources.weightsCsv(spark, a("weights-file"), a("fid"))
+    val features = readFeatures(spark, a("target-file"), a("fid"))
+    val filled = a.has("fill-missing")
+    val out = GridmetPipeline.gridmet(grid, weights, features,
+      start = start, end = end,
+      partial = a.has("partial"), fillMissing = filled)
+    val name = a.get("file-prefix").getOrElse("") + Sinks.outputName(start, filled)
+    val path = s"${a("output-path")}/$name"
+    Sinks.writeContract(Sinks.ordered(out, "time", "nhru"), path)
+    path
+  }
+
+  def runCfsv2(spark: SparkSession, a: Args): String = {
+    val grid = spark.read.parquet(a("grid-path"))
+    val weights = Sources.weightsCsv(spark, a("weights-file"), a("fid"))
+    val features = readFeatures(spark, a("target-file"), a("fid"))
+    val elev = Sources.prmsElevations(spark, a("model-param-file"))
+    // S9/A5 — date range probed from the grid's own time coordinate
+    val start = grid.agg(min(col("time"))).first().get(0).toString.take(10)
+    val method = a.get("method").getOrElse("1").toInt
+    val (out, parts, name) = method match {
+      case 1 =>
+        (GridmetPipeline.cfsv2Median(grid, weights, features, elev),
+          Nil, Sinks.outputName(start, filled = false, median = true))
+      case 2 =>
+        (GridmetPipeline.cfsv2Ensemble(grid, weights, features, elev),
+          Seq("ens"), Sinks.outputName(start, filled = false))
+      case other => sys.error(s"--method must be 1 or 2, got $other")
+    }
+    val path = s"${a("output-path")}/${a.get("file-prefix").getOrElse("")}$name"
+    Sinks.writeContract(out, path, partitionBy = parts)
+    path
+  }
+
+  def main(argv: Array[String]): Unit = {
+    require(argv.nonEmpty, "subcommand required: gridmet-etl | cfsv2-etl")
+    val a = parseArgs(argv.tail.toSeq)
+    val spark = session()
+    try {
+      val path = argv.head match {
+        case "gridmet-etl" => runGridmet(spark, a)
+        case "cfsv2-etl" => runCfsv2(spark, a)
+        case other => sys.error(s"unknown subcommand: $other")
+      }
+      println(s"WROTE $path")
+    } finally spark.stop()
+  }
+}

@@ -17,9 +17,13 @@ object GridmetPipeline {
     * `etl.py:321`). In relational form the descending-lat slice order is
     * irrelevant; this is a pushed-down range predicate on (lon, lat). */
   def bboxSubset(grid: DataFrame, features: DataFrame, buffer: Double = 0.04167): DataFrame = {
+    // cast → double: feature tables written by other engines may carry
+    // DECIMAL bounds, which Row.getDouble would reject
     val b = features.agg(
-      min(col("minx")).as("minx"), min(col("miny")).as("miny"),
-      max(col("maxx")).as("maxx"), max(col("maxy")).as("maxy")).first()
+      min(col("minx").cast("double")).as("minx"),
+      min(col("miny").cast("double")).as("miny"),
+      max(col("maxx").cast("double")).as("maxx"),
+      max(col("maxy").cast("double")).as("maxy")).first()
     grid.filter(
       col("lon").between(b.getDouble(0) - buffer, b.getDouble(2) + buffer) &&
         col("lat").between(b.getDouble(1) - buffer, b.getDouble(3) + buffer))

@@ -1,0 +1,92 @@
+package graft.cli
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.{ZonedDateTime, ZoneOffset, LocalDate}
+
+/** CLI surface end-to-end: parse → pipeline → contract sink on disk. */
+class JobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseArgs: values, boolean flags, errors") {
+    val a = Jobs.parseArgs(Seq("--start-date", "2021-01-01", "--partial",
+      "--fid", "nhru_v1_1"))
+    assert(a("start-date") == "2021-01-01")
+    assert(a.has("partial") && !a.has("fill-missing"))
+    intercept[RuntimeException](Jobs.parseArgs(Seq("--end-date")))
+    intercept[RuntimeException](Jobs.parseArgs(Seq("stray")))
+    intercept[Exception](Jobs.validDate("01/02/2021"))
+  }
+
+  test("gridmet-etl job: staged grid → contract parquet + attrs sidecar") {
+    val dir = Files.createTempDirectory("graft-job").toString
+    val t1 = Timestamp.valueOf("2021-01-01 00:00:00")
+    // stage inputs
+    (for { i <- 0 to 1; j <- 0 to 1 } yield
+      (t1, j, i, 40.0 + j, -100.0 + i, 285.0 + i, 275.0 + i, 1.0, 80.0, 40.0, 3.0))
+      .toDF("time", "j", "i", "lat", "lon", "tmmx", "tmmn", "pr", "rmax", "rmin", "vs")
+      .write.parquet(s"$dir/grid")
+    Seq((1L, 40.0, -99.5, -100.0, 40.0, -99.0, 41.0))
+      .toDF("nhru_v1_1", "lat", "lon", "minx", "miny", "maxx", "maxy")
+      .write.parquet(s"$dir/feats")
+    Files.writeString(java.nio.file.Paths.get(dir, "w.csv"),
+      "nhru_v1_1,i,j,wght\n1,0,0,0.5\n1,1,0,0.5\n")
+
+    val a = Jobs.parseArgs(Seq(
+      "--start-date", "2021-01-01", "--end-date", "2021-01-01",
+      "--grid-path", s"$dir/grid", "--target-file", s"$dir/feats",
+      "--weights-file", s"$dir/w.csv", "--fid", "nhru_v1_1",
+      "--output-path", s"$dir/out"))
+    val path = Jobs.runGridmet(spark, a)
+    assert(path.endsWith("2021-01-01_converted"))
+    val out = spark.read.parquet(path)
+    assert(out.columns.toSet ==
+      Set("nhru", "time", "tmax", "tmin", "prcp", "rhmax", "rhmin", "ws", "humidity"))
+    val tmax = out.select("tmax").as[Double].head()
+    assert(approx(tmax, 285.5 - 273.15)) // mean of 285,286 K → °C
+    val attrs = Files.readString(java.nio.file.Paths.get(path, "_attrs.json"))
+    assert(attrs.contains("CF-1.8") && attrs.contains("degree_Celsius"))
+  }
+
+  test("cfsv2-etl method 2: ens-partitioned ensemble output") {
+    val dir = Files.createTempDirectory("graft-job2").toString
+    val t1 = Timestamp.valueOf("2021-02-01 00:00:00")
+    (for { e <- 0 to 1; i <- 0 to 1 } yield
+      (t1, e, 0, i, 40.0, -100.0 + i, 285.0 + e, 275.0 + e, 1.0, 0.008))
+      .toDF("time", "ens", "j", "i", "lat", "lon", "tmmx", "tmmn", "pr", "sph")
+      .write.parquet(s"$dir/grid")
+    Seq((1L, 40.0, -99.5, -101.0, 39.0, -99.0, 41.0))
+      .toDF("nhru_v1_1", "lat", "lon", "minx", "miny", "maxx", "maxy")
+      .write.parquet(s"$dir/feats")
+    Files.writeString(java.nio.file.Paths.get(dir, "w.csv"),
+      "nhru_v1_1,i,j,wght\n1,0,0,1.0\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "params"),
+      "hru_elev\nx\nnhru\n1\n2\n150.0\n####\n")
+
+    val a = Jobs.parseArgs(Seq(
+      "--grid-path", s"$dir/grid", "--target-file", s"$dir/feats",
+      "--weights-file", s"$dir/w.csv", "--fid", "nhru_v1_1",
+      "--model-param-file", s"$dir/params",
+      "--method", "2", "--output-path", s"$dir/out"))
+    val path = Jobs.runCfsv2(spark, a)
+    assert(path.endsWith("2021-02-01_converted"))
+    val out = spark.read.parquet(path)
+    assert(out.select("ens").distinct().count() == 2)
+    assert(out.columns.contains("humidity"))
+    // partitionBy("ens") produced the ensemble directory layout (K4)
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("ens=")))
+  }
+
+  test("availability gate: stale variable blocks the run") {
+    // 2021-06-02 01:00 UTC = 2021-06-01 18:00 UTC-7 → yesterday = 05-31
+    val now = ZonedDateTime.of(2021, 6, 2, 1, 0, 0, 0, ZoneOffset.UTC)
+    assert(AvailabilityGate.yesterday(now) == LocalDate.parse("2021-05-31"))
+    val fresh = Map("tmmx" -> "2021-05-31", "pr" -> "2021-06-01")
+      .withDefaultValue("2021-05-31")
+    assert(AvailabilityGate.isCurrent(now)(v => LocalDate.parse(fresh(v))))
+    val stale = fresh.updated("vs", "2021-05-30")
+    assert(!AvailabilityGate.isCurrent(now)(v => LocalDate.parse(stale(v))))
+  }
+}
