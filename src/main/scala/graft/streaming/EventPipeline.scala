@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
 /** Event-stream operators. The reference is strictly batch (SURVEY.md
@@ -61,5 +61,84 @@ object EventPipeline {
         round(sum(col("value")), 4).as("sum_value"))
       .select(col("user_id"), col("sess_id"), col("session_start"),
         col("n_events"), col("sum_value"))
+  }
+
+  /** Input/accumulator/output rows for the stateful streaming form. */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+  final case class SessState(
+      sessId: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
+  final case class Session(
+      user_id: Long, sess_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Streaming sessionization with CUSTOM STATE — the
+    * `flatMapGroupsWithState` form of [[sessionize]]: per-user state
+    * holds the open session; a processing-time timeout flushes sessions
+    * whose gap has passed. Produces identical sessions to the batch form
+    * when each user's events arrive in order (the memory-sink test feeds
+    * one sorted batch).
+    *
+    * State size is O(users), not O(events) — the aggregate (start, count,
+    * sum) is folded incrementally, which is what lets this run
+    * indefinitely on an unbounded stream where the batch window-sort
+    * cannot. */
+  def sessionizeStateful(
+      events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    implicit val se = Encoders.product[Session]
+    implicit val ste = Encoders.product[SessState]
+    def emit(userId: Long, s: SessState): Session =
+      Session(userId, s.sessId, new java.sql.Timestamp(s.startUs / 1000),
+        s.n, math.rint(s.sum * 1e4) / 1e4)
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+        (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            // fold this batch's events into the single open session;
+            // sort within the batch (cross-batch order is the source's
+            // responsibility — file streams deliver in file order)
+            val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = Vector.newBuilder[SessState]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000
+              open match {
+                case Some(cur) if us - cur.lastUs <= gapUs =>
+                  open = Some(cur.copy(lastUs = us, n = cur.n + 1, sum = cur.sum + e.value))
+                case Some(cur) =>
+                  closed += cur
+                  open = Some(SessState(cur.sessId + 1, us, us, 1, e.value))
+                case None =>
+                  open = Some(SessState(1, us, us, 1, e.value))
+              }
+            }
+            open.foreach(state.update)
+            state.setTimeoutDuration(s"$gapMinutes minutes")
+            closed.result().iterator.map(emit(userId, _))
+          }
+        })
+  }
+
+  /** [[sessionizeStateful]] over a bounded parquet stream (AvailableNow).
+    * Emits CLOSED sessions (append mode); sessions still open when the
+    * bounded stream ends stay in state — on an unbounded stream the
+    * processing-time timeout flushes them after the gap elapses. */
+  def sessionizeStream(
+      spark: SparkSession, sourceDir: String,
+      gapMinutes: Int): DataStreamWriter[Session] = {
+    val schema = spark.read.parquet(sourceDir).schema
+    implicit val ee = Encoders.product[Ev]
+    val events = spark.readStream.schema(schema).parquet(sourceDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[Ev]
+    sessionizeStateful(events, gapMinutes)
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
   }
 }

@@ -37,6 +37,32 @@ class EventPipelineSpec extends SparkSpec {
     assert(n == 1)
   }
 
+  test("stateful streaming sessionization (flatMapGroupsWithState) == batch closed sessions") {
+    // sentinel far-future events force every real session closed before
+    // the bounded stream ends (append mode emits closed sessions only)
+    val ev = Seq(
+      (1L, ts("2021-01-01 10:00:00"), 1L, 1.5),
+      (1L, ts("2021-01-01 10:10:00"), 2L, 2.25),
+      (1L, ts("2021-01-01 11:00:00"), 3L, 4.0),
+      (2L, ts("2021-01-01 10:05:00"), 4L, 8.0),
+      (1L, ts("2031-01-01 00:00:00"), 98L, 0.0),  // sentinels
+      (2L, ts("2031-01-01 00:00:00"), 99L, 0.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    ev.write.mode("overwrite").parquet(dir)
+
+    val q = EventPipeline.sessionizeStream(spark, dir, gapMinutes = 30)
+      .format("memory").queryName("sess_test").start()
+    q.awaitTermination(60000)
+    q.stop()
+
+    val streamed = rows(spark.table("sess_test"))
+    val batch = rows(EventPipeline.sessionize(spark.read.parquet(dir), gapMinutes = 30)
+      .filter($"session_start" < ts("2030-01-01 00:00:00"))) // drop sentinel sessions
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
+
   test("streaming tumbling counts (AvailableNow + memory sink) == batch form") {
     val ev = Seq(
       (ts("2021-01-01 10:05:00"), "click", 1.0),
@@ -50,6 +76,7 @@ class EventPipelineSpec extends SparkSpec {
     val q = EventPipeline.tumblingCountsStream(spark, dir)
       .format("memory").queryName("tumbling_test").start()
     q.awaitTermination(60000)
+    q.stop()
 
     val streamed = rows(spark.table("tumbling_test"))
     val batch = rows(EventPipeline.tumblingCounts(spark.read.parquet(dir))
