@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators.{WeightedMean, EnsembleStats, FillMissing, Dedup, Similarity}
+import graft.etl.GridmetPipeline
 import graft.functions.{Physics, TextFunctions}
 import graft.streaming.EventPipeline
 
@@ -345,7 +346,72 @@ object SparkEntry {
 
     // ---- embedding-cosine near-duplicate pairs (exact) ----
     "q27_embedding_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(embs(s, dir), threshold = 0.35))
+      Similarity.nearDupPairs(embs(s, dir), threshold = 0.35)),
+
+    // ---- full gridmet pipeline (F2+F3+A1+reindex+F7+C1+C2) ----
+    "q28_gridmet_pipeline" -> ((s, dir) => {
+      val grid = t(s, dir, "lineitem").select(
+        date_trunc("month", col("l_shipdate")).as("time"),
+        (col("l_partkey") % 25).cast("int").as("i"),
+        (col("l_suppkey") % 10).cast("int").as("j"),
+        (lit(40.0) + (col("l_suppkey") % 10) * 0.1).as("lat"),
+        (lit(-100.0) + (col("l_partkey") % 25) * 0.1).as("lon"),
+        (lit(270.0) + col("l_quantity") % 40).as("tmmx"),
+        (lit(258.0) + col("l_quantity") % 40).as("tmmn"),
+        (col("l_discount") * 100).as("pr"),
+        (lit(50.0) + col("l_tax") * 100).as("rmax"),
+        (lit(20.0) + col("l_tax") * 50).as("rmin"),
+        (lit(1.0) + col("l_linenumber") % 5).as("vs"))
+      val w = weightsFromPart(t(s, dir, "part"))
+      val feats = t(s, dir, "customer")
+        .select((col("c_custkey") % 40).as("fid")).distinct()
+        .select(col("fid"),
+          (lit(40.0) + col("fid") % 10 * 0.1).as("lat"),
+          (lit(-100.0) + col("fid") % 25 * 0.1).as("lon"),
+          lit(-100.0).as("minx"), lit(40.0).as("miny"),
+          lit(-98.6).as("maxx"), lit(40.9).as("maxy"))
+      val out = GridmetPipeline.gridmet(grid, w, feats,
+        start = "1994-01-01", end = "1996-12-01", preCombine = true)
+      out.select(col("nhru"), col("time"),
+        round(col("tmax"), 4).as("tmax"), round(col("tmin"), 4).as("tmin"),
+        round(col("prcp"), 4).as("prcp"), round(col("rhmax"), 4).as("rhmax"),
+        round(col("rhmin"), 4).as("rhmin"), round(col("ws"), 4).as("ws"),
+        round(col("humidity"), 4).as("humidity"))
+    }),
+
+    // ---- A4/A5/S9: bounds + time-extent aggregates ----
+    "q29_extent" -> ((s, dir) => {
+      val g = t(s, dir, "lineitem").select(
+        col("l_shipdate").as("time"),
+        (lit(40.0) + (col("l_suppkey") % 10) * 0.1).as("lat"),
+        (lit(-100.0) + (col("l_partkey") % 25) * 0.1).as("lon"))
+      g.agg(
+        min(col("lon")).as("minx"), min(col("lat")).as("miny"),
+        max(col("lon")).as("maxx"), max(col("lat")).as("maxy"),
+        min(col("time")).as("time_first"), max(col("time")).as("time_last"))
+    }),
+
+    // ---- C7: int64 days-since-origin time encoding ----
+    "q30_time_encode" -> ((s, dir) => {
+      val df = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderdate").cast("date").as("time"))
+      graft.etl.Convert.encodeTimeDays(df, "1992-01-01")
+        .withColumn("decoded", date_add(to_date(lit("1992-01-01")), col("time").cast("int")))
+        .select(col("o_orderkey"), col("time").as("days"), col("decoded"))
+    }),
+
+    // ---- U2/F10: ensemble concat of member frames ----
+    "q31_ensemble_concat" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val members = Seq(
+        o.filter(col("o_orderkey") % 3 === 0),
+        o.filter(col("o_orderkey") % 3 === 1),
+        o.filter(col("o_orderkey") % 3 === 2))
+        .map(_.select(col("o_custkey"), col("o_totalprice")))
+      graft.operators.EnsembleStats.concatMembers(members)
+        .groupBy(col("ens"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+    })
   )
 
   // ======================================================================
@@ -617,6 +683,69 @@ object SparkEntry {
         |      / (a.nrm * b.nrm), 6) AS sim
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |WHERE sim >= 0.35""".stripMargin,
+
+    "q28_gridmet_pipeline" ->
+      """WITH grid AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS time,
+        |         CAST(l_partkey % 25 AS INT) AS i, CAST(l_suppkey % 10 AS INT) AS j,
+        |         40.0 + (l_suppkey % 10) * 0.1 AS lat,
+        |         -100.0 + (l_partkey % 25) * 0.1 AS lon,
+        |         270.0 + (l_quantity % 40) AS tmmx, 258.0 + (l_quantity % 40) AS tmmn,
+        |         l_discount * 100 AS pr, 50.0 + l_tax * 100 AS rmax,
+        |         20.0 + l_tax * 50 AS rmin, 1.0 + (l_linenumber % 5) AS vs
+        |  FROM lineitem),
+        |w AS (SELECT p_partkey % 40 AS fid, p_partkey % 25 AS i,
+        |             CAST(p_size AS BIGINT) % 10 AS j,
+        |             round(p_retailprice/1000, 6) AS wght FROM part),
+        |feats AS (SELECT DISTINCT c_custkey % 40 AS fid FROM customer),
+        |sub AS (SELECT * FROM grid
+        |        WHERE lon BETWEEN -100.0 - 0.04167 AND -98.6 + 0.04167
+        |          AND lat BETWEEN 40.0 - 0.04167 AND 40.9 + 0.04167
+        |          AND time BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1996-12-01'),
+        |agg AS (
+        |  SELECT w.fid, g.time,
+        |         sum(w.wght*g.tmmx)/sum(w.wght) AS tmmx,
+        |         sum(w.wght*g.tmmn)/sum(w.wght) AS tmmn,
+        |         sum(w.wght*g.pr)/sum(w.wght) AS pr,
+        |         sum(w.wght*g.rmax)/sum(w.wght) AS rmax,
+        |         sum(w.wght*g.rmin)/sum(w.wght) AS rmin,
+        |         sum(w.wght*g.vs)/sum(w.wght) AS vs
+        |  FROM sub g JOIN w ON g.i = w.i AND g.j = w.j
+        |  GROUP BY 1, 2),
+        |domain AS (SELECT f.fid, t.time FROM feats f
+        |           CROSS JOIN (SELECT DISTINCT time FROM agg) t)
+        |SELECT d.fid AS nhru, d.time AS time,
+        |  round(a.tmmx - 273.15, 4) AS tmax, round(a.tmmn - 273.15, 4) AS tmin,
+        |  round(a.pr, 4) AS prcp, round(a.rmax, 4) AS rhmax,
+        |  round(a.rmin, 4) AS rhmin, round(a.vs, 4) AS ws,
+        |  round(a.rmin + a.rmax / 2.0, 4) AS humidity
+        |FROM domain d LEFT JOIN agg a ON d.fid = a.fid AND d.time = a.time""".stripMargin,
+
+    "q29_extent" ->
+      """SELECT min(-100.0 + (l_partkey % 25) * 0.1) AS minx,
+        |       min(40.0 + (l_suppkey % 10) * 0.1) AS miny,
+        |       max(-100.0 + (l_partkey % 25) * 0.1) AS maxx,
+        |       max(40.0 + (l_suppkey % 10) * 0.1) AS maxy,
+        |       min(l_shipdate) AS time_first, max(l_shipdate) AS time_last
+        |FROM lineitem""".stripMargin,
+
+    "q30_time_encode" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days,
+        |  CAST(DATE '1992-01-01' + INTERVAL (date_diff('day', DATE '1992-01-01',
+        |       CAST(o_orderdate AS DATE))) DAY AS DATE) AS decoded
+        |FROM orders""".stripMargin,
+
+    "q31_ensemble_concat" ->
+      """SELECT ens, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT 0 AS ens, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 1, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT 2, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 2)
+        |GROUP BY ens""".stripMargin,
 
     "q24_sessionize" ->
       """WITH flagged AS (

@@ -65,10 +65,12 @@ object GridmetPipeline {
       grid: DataFrame, weights: DataFrame, features: DataFrame,
       vars: Seq[String] = Seq("tmmx", "tmmn", "pr", "rmax", "rmin", "vs"),
       start: String, end: String,
-      partial: Boolean = false, fillMissing: Boolean = false): DataFrame = {
+      partial: Boolean = false, fillMissing: Boolean = false,
+      preCombine: Boolean = false): DataFrame = {
     val subset = timeSubset(bboxSubset(grid, features), start, end)
     val agg = reindex(
-      WeightedMean(subset, weights, vars, masked = partial), features, Nil)
+      WeightedMean(subset, weights, vars, masked = partial, preCombine = preCombine),
+      features, Nil)
     val out = Convert.gridmetFinalize(agg)
     if (!fillMissing) out
     else {

@@ -29,4 +29,16 @@ object EnsembleStats {
     grid.groupBy(col("time"), col("j"), col("i"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** U2/F10 — ensemble concat: stack per-member frames along a new `ens`
+    * axis (`xr.concat` + `assign_coords`, `etl.py:354-358`). Preferred
+    * form keeps `ens` a grouping key end-to-end ([[graft.operators.WeightedMean]]
+    * `extraKeys`); this exists for sources that genuinely arrive as
+    * separate member tables. */
+  def concatMembers(members: Seq[DataFrame]): DataFrame = {
+    require(members.nonEmpty)
+    members.zipWithIndex
+      .map { case (df, n) => df.withColumn("ens", lit(n)) }
+      .reduce(_ unionByName _)
+  }
 }
