@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Physical-plan shape assertions — the 100 TB design intent, pinned:
+  * filters reach the parquet scan, small sides broadcast, aggregates
+  * hash (not sort), per-row math stays inside whole-stage codegen.
+  * A regression here can pass every value test and still be 100× slower
+  * at scale. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private val t1 = Timestamp.valueOf("2021-01-01 00:00:00")
+
+  private def weights = Seq((1L, 0, 0, 0.5), (1L, 1, 0, 0.5))
+    .toDF("fid", "i", "j", "wght")
+  private def grid = Seq((t1, 0, 0, 1.0), (t1, 1, 0, 2.0))
+    .toDF("time", "i", "j", "v")
+
+  test("weighted mean: broadcast hash join + hash aggregate, no sort-merge") {
+    val p = plan(graft.operators.WeightedMean(grid, weights, Seq("v")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("NN argmin: hash aggregates only — the SortAggregate regression guard") {
+    val miss = Seq((1L, 0.0, 0.0)).toDF("fid", "lat", "lon")
+    val donors = Seq((2L, 1.0, 1.0), (3L, 2.0, 2.0)).toDF("fid", "lat", "lon")
+    val p = plan(graft.operators.FillMissing.nearestMapping(miss, donors))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    Seq((1L, 10.0, "x"), (2L, -5.0, "y")).toDF("k", "v", "s")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter($"v" > 0).select("k", "v")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,0.0)"), p)
+    assert(p.contains("ReadSchema: struct<k:bigint,v:double>"), p)
+  }
+
+  test("portable_hash and fold_dot run inside whole-stage codegen") {
+    import graft.functions.PortableHash.portable_hash
+    import graft.functions.VecFunctions.foldDot
+    // parquet-backed input: a local relation would be constant-folded
+    // into a LocalTableScan with no codegen stage to observe
+    val dir = java.nio.file.Files.createTempDirectory("graft-cg").toString
+    Seq(("abc", Seq(1.0f, 2.0f))).toDF("s", "v")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(portable_hash($"s").as("h"), foldDot($"v", $"v").as("d"))
+    assert(df.as[(Long, Double)].head() ==
+      (("abc".getBytes.foldLeft(0L)((h, b) => (h * 31 + b) % 1000000007L), 5.0)))
+    // `*(n)` marks operators inside WholeStageCodegen stage n — the
+    // Project carrying both custom expressions must be codegen'd
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("portable_hash") && l.contains("fold_dot")), p)
+  }
+
+  test("pipeline keeps the weight join broadcast at every stage") {
+    val features = Seq((1L, 40.0, -99.5, -101.0, 39.0, -99.0, 41.0))
+      .toDF("fid", "lat", "lon", "minx", "miny", "maxx", "maxy")
+    val g = Seq((t1, 0, 0, 40.0, -100.0, 285.0, 275.0, 1.0, 80.0, 40.0, 3.0))
+      .toDF("time", "j", "i", "lat", "lon", "tmmx", "tmmn", "pr", "rmax", "rmin", "vs")
+    val p = plan(graft.etl.GridmetPipeline.gridmet(
+      g, weights, features, start = "2021-01-01", end = "2021-01-02"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+}
