@@ -13,6 +13,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM before timing: codegen compiler, parquet footers,
+    // shuffle machinery. JIT warmup is not query cost — the oracle
+    // baseline is likewise timed on a warm connection.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "customer", "part", "events",
+      "documents", "embeddings", "nation", "region")
+      .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => () })
     // noop sink, not count(): count() lets Catalyst prune every computed
     // column, which would "bench" map-heavy queries as bare row counts.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -43,14 +43,12 @@ object TextFunctions {
 
   /** k-function minhash signature over shingle hashes.
     * minhash_k = min over shingles of ((2k+3)·(h+1) + 1000003·k) mod P.
-    * Coefficients are fixed integers so the oracle can replicate them. */
+    * Coefficients are fixed integers so the oracle can replicate them.
+    * Delegates to the codegen'd [[MinhashSignature]] expression — the
+    * HOF form (k·|shingles| interpreted lambda frames per row) was the
+    * dominant cost of the LSH query. */
   def minhashSignature(hashes: Column, k: Int): Column =
-    bindOnce(hashes) { hs =>
-      transform(sequence(lit(0), lit(k - 1)), kk =>
-        aggregate(hs, lit(Long.MaxValue),
-          (acc, h) => least(acc,
-            ((kk * 2 + 3) * (h + 1) + kk * 1000003L) % PortableHash.Mod)))
-    }
+    MinhashSignature.minhash_signature(hashes, k)
 
   /** LSH band key: fold one band (r consecutive signature slots) into a
     * single long. `sig` is the minhash signature array; band b covers
@@ -72,18 +70,7 @@ object TextFunctions {
     * bit is "random"; uses only div/mod arithmetic → oracle-expressible
     * without engine bit-op differences. */
   def simhash(text: Column): Column =
-    bindOnce(transform(tokens(text), t => portable_hash(t))) { hashes =>
-      aggregate(
-        transform(sequence(lit(0), lit(29)), j => {
-          val p2 = pow(lit(2.0), j).cast("long")
-          // floor(h / 2^j) % 2 — Column `/` is true division, so take
-          // floor explicitly; exact in double for h < 2^30.
-          val votes = aggregate(hashes, lit(0L),
-            (acc, h) => acc + (floor(h / p2).cast("long") % 2L) * 2L - 1L)
-          when(votes > 0, p2).otherwise(lit(0L))
-        }),
-        lit(0L), (acc, x) => acc + x)
-    }
+    SimhashBits.simhash_bits(transform(tokens(text), t => portable_hash(t)))
 
   /** Hamming distance between two simhash values (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column =

@@ -36,6 +36,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sig.forall(v => v >= 0 && v < PortableHash.Mod))
   }
 
+  test("codegen minhash == the HOF formulation bit-for-bit") {
+    val df = Seq("the quick brown fox jumps over the lazy dog", "a b", "x y z w")
+      .toDF("t").select(shingleHashes($"t", 2).as("hs"))
+    val native = df.select(minhashSignature($"hs", 16)).as[Seq[Long]].collect()
+    val hof = df.select(
+      bindOnce($"hs") { hs =>
+        transform(sequence(lit(0), lit(15)), kk =>
+          aggregate(hs, lit(Long.MaxValue),
+            (acc, h) => least(acc,
+              ((kk * 2 + 3) * (h + 1) + kk * 1000003L) % PortableHash.Mod)))
+      }).as[Seq[Long]].collect()
+    assert(native.toSeq == hof.toSeq)
+  }
+
   test("winnowing fingerprints: sorted distinct window minima; short-doc guards") {
     val fp = Seq("abcdefghij").toDF("t")
       .select(winnowingFingerprints($"t", 4, 3)).as[Seq[Long]].head()
