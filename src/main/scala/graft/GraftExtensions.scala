@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{FoldDot, MinhashSignature, PortableHash, SimhashBits}
+
+/** SQL registration of the engine's custom codegen expressions, so the
+  * full surface is usable from `spark.sql(...)` as well as the Column
+  * API. Two entry points:
+  *
+  *  - session config (new sessions):
+  *    `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  *    `.withExtensions(new GraftExtensions)`
+  *  - an existing session: `GraftFunctions.register(spark)`
+  */
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("portable_hash"),
+      info("portable_hash", "portable_hash(str_or_bin) - byte fold (h*31+b) mod 1e9+7"),
+      args => { require(args.length == 1, "portable_hash takes 1 argument")
+        PortableHash(args.head) }),
+    (FunctionIdentifier("fold_dot"),
+      info("fold_dot", "fold_dot(arr, arr) - left-to-right dot product in double"),
+      args => { require(args.length == 2, "fold_dot takes 2 arguments")
+        FoldDot(args(0), args(1)) }),
+    (FunctionIdentifier("simhash_bits"),
+      info("simhash_bits", "simhash_bits(array<bigint>) - 30-bit simhash of token hashes"),
+      args => { require(args.length == 1, "simhash_bits takes 1 argument")
+        SimhashBits(args.head) }),
+    (FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(array<bigint>, k) - k-slot minhash signature"),
+      args => { require(args.length == 2, "minhash_signature takes 2 arguments")
+        args(1) match {
+          case Literal(k: Int, _) => MinhashSignature(args(0), k)
+          case other => sys.error(s"minhash_signature k must be an int literal, got $other")
+        } }))
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(GraftFunctions.getClass.getName, null, name, usage, "")
+
+  /** Register into an already-running session's function registry. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, b)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

@@ -411,6 +411,42 @@ object SparkEntry {
       graft.operators.EnsembleStats.concatMembers(members)
         .groupBy(col("ens"))
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+    }),
+
+    // ---- hopping (sliding) window aggregate ----
+    "q32_hopping_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+
+    // ---- distinct aggregation ----
+    "q33_distinct_daily_users" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("events"))),
+
+    // ---- rollup (hierarchical grouping sets) ----
+    "q34_rollup_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+    }),
+
+    // ---- running (cumulative) windowed sum ----
+    "q35_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("run_total"))
     })
   )
 
@@ -746,6 +782,40 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 2, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 2)
         |GROUP BY ens""".stripMargin,
+
+    "q32_hopping_window" ->
+      """WITH f AS (
+        |  SELECT value, event_type,
+        |    date_trunc('hour', ts) + to_minutes(CASE WHEN minute(ts) >= 30
+        |        THEN 30 ELSE 0 END) AS floor30
+        |  FROM events),
+        |w AS (SELECT value, event_type,
+        |        CAST(unnest([floor30, floor30 - to_minutes(30)]) AS TIMESTAMP) AS win_start
+        |      FROM f)
+        |SELECT win_start, event_type, count(*) AS n,
+        |       round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q33_distinct_daily_users" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |       count(DISTINCT user_id) AS users, count(*) AS events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q34_rollup_revenue" ->
+      """SELECT n_name, yr,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr, o_totalprice
+        |      FROM orders JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey)
+        |GROUP BY ROLLUP (n_name, yr)""".stripMargin,
+
+    "q35_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
+        |FROM orders""".stripMargin,
 
     "q24_sessionize" ->
       """WITH flagged AS (

@@ -1,0 +1,29 @@
+package graft
+
+/** The SQL surface: custom expressions callable from spark.sql(...). */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("registered functions evaluate correctly from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT portable_hash('abc') AS h,
+        |       portable_hash(CAST('abc' AS BINARY)) AS hb,
+        |       fold_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       simhash_bits(array(portable_hash('a'), portable_hash('b'))) AS sh,
+        |       minhash_signature(array(portable_hash('a')), 4) AS mh""".stripMargin)
+      .collect().head
+    def fold(x: String) =
+      x.getBytes.foldLeft(0L)((h, b) => (h * 31 + b) % 1000000007L)
+    assert(r.getLong(0) == fold("abc"))
+    assert(r.getLong(1) == fold("abc")) // binary input: identical fold
+    assert(r.getDouble(2) == 11.0)
+    assert(r.getLong(3) >= 0 && r.getLong(3) < (1L << 30))
+    assert(r.getSeq[Long](4).length == 4)
+  }
+
+  test("SQL type errors are analysis-time, not runtime") {
+    GraftFunctions.register(spark)
+    intercept[Exception](spark.sql("SELECT portable_hash(42)").collect())
+    intercept[Exception](spark.sql("SELECT fold_dot(array('a'), array('b'))").collect())
+  }
+}
