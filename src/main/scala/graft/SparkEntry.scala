@@ -438,6 +438,14 @@ object SparkEntry {
         .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
     }),
 
+    // ---- ANN: IVF (inverted-file) variant; rows-only (recall < 1,
+    // centroid averages are FP-order dependent) ----
+    "q36_ann_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        nLists = 16, nProbe = 4)
+    }),
+
     // ---- running (cumulative) windowed sum ----
     "q35_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))

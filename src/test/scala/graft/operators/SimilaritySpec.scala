@@ -31,6 +31,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._4).toSeq == Seq(1, 2))
   }
 
+  test("IVF top-k: clustered corpus, exact sims, high recall on planted clusters") {
+    val rnd = new scala.util.Random(7)
+    // two tight clusters far apart + noise dims
+    def near(base: Array[Float]) = base.map(x => x + rnd.nextFloat() * 0.05f)
+    val c1 = Array(10f, 0f, 0f, 0f)
+    val c2 = Array(0f, 10f, 0f, 0f)
+    val data = (0 until 20).map(i => (i.toLong, near(c1).toSeq)) ++
+      (20 until 40).map(i => (i.toLong, near(c2).toSeq))
+    val corpus = data.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id".isin(0L, 20L))
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 3, nLists = 4, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .select($"q_id", $"n_id", $"sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // every returned sim is the exact cosine
+    ivf.foreach { case (q, n, s, _) => assert(brute((q, n)) == s) }
+    // neighbors of query 0 come from cluster 1, of query 20 from cluster 2
+    ivf.foreach { case (q, n, _, _) =>
+      if (q == 0L) assert(n < 20) else assert(n >= 20)
+    }
+    assert(ivf.count(_._1 == 0L) == 3 && ivf.count(_._1 == 20L) == 3)
+  }
+
   test("LSH top-k returns only same-bucket candidates with correct sims") {
     val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0), k = 3, nPlanes = 2)
       .as[(Long, Long, Double, Int)].collect()
