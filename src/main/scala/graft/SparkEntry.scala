@@ -644,30 +644,31 @@ object SparkEntry {
          |  FROM g)
          |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM m""".stripMargin,
 
-    "q19_langid" ->
-      """SELECT doc_id,
-        |  round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t), 6) AS en_score,
-        |  round(CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS DOUBLE)/len(t), 6) AS de_score,
-        |  round(CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est','un'))) AS DOUBLE)/len(t), 6) AS fr_score,
-        |  CASE
-        |    WHEN round(CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est','un'))) AS DOUBLE)/len(t), 6)
-        |      >= round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t), 6)
-        |     AND round(CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est','un'))) AS DOUBLE)/len(t), 6)
-        |      >= round(CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS DOUBLE)/len(t), 6)
-        |    THEN 'fr'
-        |    WHEN round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t), 6)
-        |      >= round(CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS DOUBLE)/len(t), 6)
-        |    THEN 'en' ELSE 'de' END AS pred_lang
-        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin,
+    "q19_langid" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      val en = r6("CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t)")
+      val de = r6("CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS DOUBLE)/len(t)")
+      val fr = r6("CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est','un'))) AS DOUBLE)/len(t)")
+      s"""SELECT doc_id,
+         |  $en AS en_score, $de AS de_score, $fr AS fr_score,
+         |  CASE
+         |    WHEN $fr >= $en AND $fr >= $de THEN 'fr'
+         |    WHEN $en >= $de THEN 'en' ELSE 'de' END AS pred_lang
+         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
+    },
 
-    "q20_text_quality" ->
-      """SELECT doc_id,
-        |  len(t) AS ws_tokens,
-        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS re_tokens,
-        |  round(0.4 * least(CAST(len(t) AS DOUBLE)/200.0, 1.0)
-        |      + 0.3 * least(round((length(text) - (CAST(len(t) AS DOUBLE) - 1))/len(t), 6)/8.0, 1.0)
-        |      + 0.3 * least(round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t), 6)*5.0, 1.0), 6) AS quality
-        |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)""".stripMargin,
+    "q20_text_quality" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      val meanLen = r6("(length(text) - (CAST(len(t) AS DOUBLE) - 1))/len(t)")
+      val stopR = r6("CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t)")
+      s"""SELECT doc_id,
+         |  len(t) AS ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS re_tokens,
+         |  ${r6(s"""0.4 * least(CAST(len(t) AS DOUBLE)/200.0, 1.0)
+         |      + 0.3 * least($meanLen/8.0, 1.0)
+         |      + 0.3 * least($stopR*5.0, 1.0)""")} AS quality
+         |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)""".stripMargin
+    },
 
     "q21_ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
@@ -686,8 +687,36 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
         |  FROM s) WHERE rank <= 5""".stripMargin,
 
-    // q22_ann_lsh_topk: intentionally omitted → rows-only check
-    // (LSH recall < 1 makes an exact-SQL oracle misleading).
+    // q22: the sign-bit LSH is fully deterministic (integer hyperplane
+    // formula + left-fold dots), so the bucketed result has an EXACT
+    // oracle — including its recall loss. plane(p,d) =
+    // (((p·2654435761 + d·40503) mod 1009 + 1009) mod 1009 − 504)/1009.
+    "q22_ann_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |b AS (SELECT vec_id, embedding,
+        |  CAST(list_sum(list_transform(range(0, 6), p ->
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(0, len(embedding)), d ->
+        |        CAST(embedding[CAST(d AS INT)+1] AS DOUBLE) *
+        |        (CAST((((p*2654435761 + d*40503) % 1009) + 1009) % 1009 - 504 AS DOUBLE) / 1009.0))),
+        |      (acc, x) -> acc + x) > 0
+        |    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM e),
+        |q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM b WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, embedding AS cv, bucket FROM b),
+        |s AS (SELECT q_id, n_id,
+        |  round(
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv)+1),
+        |      zi -> CAST(qv[zi] AS DOUBLE) * CAST(cv[zi] AS DOUBLE))), (a, x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv)+1),
+        |         zi -> CAST(qv[zi] AS DOUBLE) * CAST(qv[zi] AS DOUBLE))), (a, x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(cv)+1),
+        |         zi -> CAST(cv[zi] AS DOUBLE) * CAST(cv[zi] AS DOUBLE))), (a, x) -> a + x))), 6) AS sim
+        |  FROM q JOIN c ON q.bucket = c.bucket AND q_id <> n_id)
+        |SELECT q_id, n_id, sim, rank FROM (
+        |  SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
 
     "q23_tumbling_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,

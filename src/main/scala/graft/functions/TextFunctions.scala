@@ -97,11 +97,23 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un"))
 
+  /** Portable 6-dp half-up round: `floor(x·1e6 + 0.5)/1e6`. Engine
+    * `round()` functions disagree at decimal midpoints (Spark rounds the
+    * canonical decimal string, DuckDB the binary double — found when a
+    * quality score landed exactly on 0.5026875); floor on the identical
+    * double is deterministic in both. Non-negative inputs only. */
+  def round6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)
+
+  /** DuckDB rendering of [[round6]] for oracle SQL. */
+  def round6Sql(expr: String): String =
+    s"(floor(($expr)*1000000.0 + 0.5)/1000000.0)"
+
   /** Stopword ratio over an already-bound token array. */
   private def ratioOf(toks: Column, words: Seq[String]): Column =
-    round(
+    round6(
       size(filter(toks, t => t.isin(words.map(lit): _*))).cast("double") /
-        size(toks).cast("double"), 6)
+        size(toks).cast("double"))
 
   /** Fraction of tokens that are in `words` (rounded to 6 dp). */
   def stopwordRatio(text: Column, words: Seq[String]): Column =
@@ -125,11 +137,11 @@ object TextFunctions {
   def qualityScore(text: Column): Column =
     bindOnce(tokens(text)) { toks =>
       val nTok = size(toks).cast("double")
-      val meanLen = round((length(text) - (nTok - 1)) / nTok, 6)
+      val meanLen = round6((length(text) - (nTok - 1)) / nTok)
       val stopR = ratioOf(toks, LangProfiles("en"))
       val lenTerm = least(nTok / lit(200.0), lit(1.0))
-      round(lit(0.4) * lenTerm + lit(0.3) * least(meanLen / lit(8.0), lit(1.0)) +
-        lit(0.3) * least(stopR * lit(5.0), lit(1.0)), 6)
+      round6(lit(0.4) * lenTerm + lit(0.3) * least(meanLen / lit(8.0), lit(1.0)) +
+        lit(0.3) * least(stopR * lit(5.0), lit(1.0)))
     }
 
   /** Token counts: whitespace and a BPE-ish regex ([a-z0-9]+ runs after
