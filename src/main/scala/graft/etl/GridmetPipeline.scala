@@ -39,9 +39,10 @@ object GridmetPipeline {
     * array always contains every target feature, NaN-filled
     * (`gm_header.md:10` — nhru spans the whole geometry; AggGen builds
     * the dense feature×time array). The fill stage depends on those
-    * all-null rows existing. Domain tables are tiny (features ×
-    * timesteps), so this is a broadcast left join, no extra shuffle of
-    * the data plane. */
+    * all-null rows existing. Both sides are POST-aggregation (features ×
+    * timesteps), far smaller than the data plane — a plain shuffle join.
+    * (The preserved side of an outer join can't be the broadcast build
+    * side; Spark ignores such a hint with a warning.) */
   private def reindex(
       agg: DataFrame, features: DataFrame, extraKeys: Seq[String]): DataFrame = {
     val keyCols = Seq("fid", "time") ++ extraKeys
@@ -49,7 +50,7 @@ object GridmetPipeline {
       .foldLeft(features.select(col("fid"))) { (d, k) =>
         d.crossJoin(agg.select(col(k)).distinct())
       }
-    broadcast(domain).join(agg, keyCols, "left")
+    domain.join(agg, keyCols, "left")
   }
 
   /** Full gridMET pipeline: subset → area-weighted mean (A1/A2) →
