@@ -281,7 +281,8 @@ object SparkEntry {
     "q16_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)),
 
-    // ---- dedup: blocked n-gram jaccard ----
+    // ---- dedup: blocked n-gram jaccard (inverted index; the dense
+    // sorted-merge variant measured 12x slower at sf0.1 - see Dedup) ----
     "q17_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
         blockCol = "lang", n = 2, threshold = 0.4)),

@@ -47,6 +47,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("dense (sorted-merge) ngram jaccard == inverted-index results") {
+    val blocked = docsDF.withColumn("lang", lit("en"))
+    val inv = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "lang",
+      n = 2, threshold = 0.01).as[(Long, Long, Double)].collect().toSet
+    val dense = Dedup.ngramJaccardPairsDense(blocked, "doc_id", "text", "lang",
+      n = 2, threshold = 0.01).as[(Long, Long, Double)].collect().toSet
+    assert(inv == dense)
+    assert(dense.nonEmpty)
+  }
+
   test("ngram jaccard (inverted index) matches brute-force values") {
     import graft.functions.TextFunctions
     val blocked = docsDF.withColumn("lang", lit("en"))
