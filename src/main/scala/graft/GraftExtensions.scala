@@ -40,7 +40,7 @@ object GraftFunctions {
         } }))
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(GraftFunctions.getClass.getName, null, name, usage, "")
+    new ExpressionInfo(GraftFunctions.getClass.getName, name, usage)
 
   /** Register into an already-running session's function registry. */
   def register(spark: SparkSession): Unit =
