@@ -447,6 +447,31 @@ object SparkEntry {
         nLists = 16, nProbe = 4)
     }),
 
+    // ---- semi / anti joins ----
+    "q37_semi_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o95 = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+      val active = c.join(o95, c("c_custkey") === o95("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("active").as("status"))
+      val inactive = c.join(o95, c("c_custkey") === o95("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("inactive").as("status"))
+      active.unionByName(inactive)
+    }),
+
+    // ---- KMV distinct-count sketch (custom TypedImperativeAggregate;
+    // deterministic, so even the ESTIMATE is oracle-checked) ----
+    "q38_kmv_distinct" -> ((s, dir) => {
+      import graft.functions.KmvDistinct.kmv_distinct
+      import graft.functions.PortableHash.portable_hash
+      t(s, dir, "lineitem")
+        .select(date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+          portable_hash(col("l_orderkey").cast("string")).as("h"))
+        .groupBy(col("month"))
+        .agg(kmv_distinct(col("h"), 64).as("orders_est"),
+          count(lit(1)).as("rows"))
+    }),
+
     // ---- running (cumulative) windowed sum ----
     "q35_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -854,6 +879,31 @@ object SparkEntry {
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
         |FROM orders""".stripMargin,
+
+    "q37_semi_anti_join" ->
+      """SELECT c_custkey, 'active' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+        |UNION ALL
+        |SELECT c_custkey, 'inactive' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)""".stripMargin,
+
+    "q38_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         |         (1566083941 * ((${hashSql("CAST(l_orderkey AS VARCHAR)")}) + 1))
+         |           % 1000000007 AS g
+         |  FROM lineitem),
+         |g AS (SELECT month, count(*) AS rows,
+         |        list_sort(list_distinct(list(g))) AS hs
+         |      FROM h GROUP BY month)
+         |SELECT month,
+         |  CASE WHEN len(hs) < 64 THEN CAST(len(hs) AS DOUBLE)
+         |       ELSE floor((63.0 * 1000000007.0 / hs[64] - 1.0) * 10000 + 0.5) / 10000
+         |  END AS orders_est,
+         |  rows
+         |FROM g""".stripMargin,
 
     "q24_sessionize" ->
       """WITH flagged AS (
