@@ -418,7 +418,8 @@ object SparkEntry {
     "q32_hopping_window" -> ((s, dir) =>
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n"), col("sum_value"))),
 
@@ -746,7 +747,8 @@ object SparkEntry {
 
     "q23_tumbling_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
-        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q25_media_decode" ->
@@ -856,7 +858,7 @@ object SparkEntry {
         |        CAST(unnest([floor30, floor30 - to_minutes(30)]) AS TIMESTAMP) AS win_start
         |      FROM f)
         |SELECT win_start, event_type, count(*) AS n,
-        |       round(sum(value), 4) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2""".stripMargin,
 
     "q33_distinct_daily_users" ->
@@ -919,7 +921,8 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS sess_id
         |  FROM flagged)
         |SELECT user_id, sess_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
-        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, sess_id""".stripMargin
   )
 }

@@ -22,7 +22,8 @@ object EventPipeline {
     events.groupBy(
         date_trunc("hour", col("ts")).as("hour_start"),
         col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
 
   /** Streaming form of [[tumblingCounts]]: watermark + windowed agg.
     * Returns a writer ready to `.start()`; tested with the memory sink. */
@@ -32,7 +33,8 @@ object EventPipeline {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
       .writeStream.outputMode(OutputMode.Complete())
@@ -58,7 +60,12 @@ object EventPipeline {
     flagged.groupBy(col("user_id"), col("sess_id"))
       .agg(min(col("ts")).as("session_start"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"))
+        // decimal accumulation: order-independent and exact (every input
+        // value round-trips double↔DECIMAL(18,6)), so the result is
+        // bit-identical regardless of how Spark permutes the per-session
+        // partial sums — a double sum + round(4) is not (the partials
+        // land on different sides of rounding boundaries per run)
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("user_id"), col("sess_id"), col("session_start"),
         col("n_events"), col("sum_value"))
   }
@@ -66,7 +73,7 @@ object EventPipeline {
   /** Input/accumulator/output rows for the stateful streaming form. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   final case class SessState(
-      sessId: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
+      sessId: Long, startUs: Long, lastUs: Long, n: Long, sumMicros: Long)
   final case class Session(
       user_id: Long, sess_id: Long, session_start: java.sql.Timestamp,
       n_events: Long, sum_value: Double)
@@ -87,9 +94,14 @@ object EventPipeline {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     implicit val se = Encoders.product[Session]
     implicit val ste = Encoders.product[SessState]
+    // state holds the sum as an exact scaled long (micro-units), the
+    // incremental mirror of the batch form's DECIMAL(18,6) accumulator:
+    // order-independent, and sumMicros/1e6 is the correctly-rounded
+    // double of the same decimal value the batch cast produces
     def emit(userId: Long, s: SessState): Session =
       Session(userId, s.sessId, new java.sql.Timestamp(s.startUs / 1000),
-        s.n, math.rint(s.sum * 1e4) / 1e4)
+        s.n, s.sumMicros / 1e6)
+    def micros(v: Double): Long = math.rint(v * 1e6).toLong
     events
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessState, Session](
@@ -110,12 +122,13 @@ object EventPipeline {
               val us = e.ts.getTime * 1000
               open match {
                 case Some(cur) if us - cur.lastUs <= gapUs =>
-                  open = Some(cur.copy(lastUs = us, n = cur.n + 1, sum = cur.sum + e.value))
+                  open = Some(cur.copy(lastUs = us, n = cur.n + 1,
+                    sumMicros = cur.sumMicros + micros(e.value)))
                 case Some(cur) =>
                   closed += cur
-                  open = Some(SessState(cur.sessId + 1, us, us, 1, e.value))
+                  open = Some(SessState(cur.sessId + 1, us, us, 1, micros(e.value)))
                 case None =>
-                  open = Some(SessState(1, us, us, 1, e.value))
+                  open = Some(SessState(1, us, us, 1, micros(e.value)))
               }
             }
             open.foreach(state.update)
