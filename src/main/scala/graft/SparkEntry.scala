@@ -117,6 +117,38 @@ object SparkEntry {
       s"list_transform(range(1, length($expr)+1), ch_i -> ascii($expr[ch_i]))), " +
       s"(acc, c) -> (acc*31 + c) % 1000000007)"
 
+  /** DuckDB rendering of [[graft.functions.FoldDot]] over two DOUBLE
+    * lists: left fold Σ a[i]·b[i], 0.0 init, ascending i. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a)+1), zi -> $a[zi] * $b[zi])), " +
+      s"(a0, x0) -> a0 + x0)"
+
+  /** One unrolled Lloyd iteration of the q36 IVF quantizer: assignment
+    * under centroids `prev` (argmin of the −2·v·c+‖c‖² partial, ties →
+    * lowest cid), then the per-(cid,dim) two-level deterministic fold
+    * mean (fold x by id within 1024-id blocks, fold block sums by blk)
+    * — the exact SQL mirror of Similarity.ivfCentroids' update. */
+  private def ivfIterSql(n: Int, prev: String): String =
+    s"""s$n AS (SELECT e.id, e.v, c.cid,
+       |  ${dotSql("e.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+       |  FROM e CROSS JOIN $prev c),
+       |a$n AS (SELECT id, v, cid FROM (
+       |  SELECT id, v, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+       |  FROM s$n) WHERE rn = 1),
+       |u$n AS (SELECT cid, id, unnest(v) AS x,
+       |  unnest(range(0, len(v))) AS pos FROM a$n),
+       |b$n AS (SELECT cid, pos, id // 1024 AS blk,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x ORDER BY id)),
+       |    (a0, x0) -> a0 + x0) AS bsum,
+       |  count(*) AS bn FROM u$n GROUP BY cid, pos, blk),
+       |d$n AS (SELECT cid, pos,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(bsum ORDER BY blk)),
+       |    (a0, x0) -> a0 + x0) / CAST(sum(bn) AS DOUBLE) AS x
+       |  FROM b$n GROUP BY cid, pos),
+       |c$n AS (SELECT cid, list(x ORDER BY pos) AS c FROM d$n GROUP BY cid)""".stripMargin
+
   // ======================================================================
 
   /** Flagship: the area-weighted-mean pipeline (A1+J1) on sf0.001. */
@@ -440,8 +472,10 @@ object SparkEntry {
         .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
     }),
 
-    // ---- ANN: IVF (inverted-file) variant; rows-only (recall < 1,
-    // centroid averages are FP-order dependent) ----
+    // ---- ANN: IVF (inverted-file) variant. Fully deterministic
+    // (literal-centroid argmin + two-level ordered-fold Lloyd means),
+    // so the bucketed result has an EXACT oracle including its recall
+    // loss — same property as q22. ----
     "q36_ann_ivf_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
@@ -881,6 +915,45 @@ object SparkEntry {
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
         |FROM orders""".stripMargin,
+
+    // q36: the whole IVF chain is deterministic — seeds are the first
+    // 16 vectors by id (cid = id), assignment argmin uses the same
+    // −2·v·c+‖c‖² partial and the same fold order as the Spark plan,
+    // Lloyd means are two-level ordered folds (by id within 1024-id
+    // blocks, then by blk) — so three unrolled iterations reproduce the
+    // engine's centroids bit-for-bit, and the final probe/rank stages
+    // are exact.
+    "q36_ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id AS id,
+         |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
+         |${ivfIterSql(1, "c0")},
+         |${ivfIterSql(2, "c1")},
+         |${ivfIterSql(3, "c2")},
+         |s4 AS (SELECT e.id, e.v, c.cid,
+         |  ${dotSql("e.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM e CROSS JOIN c3 c),
+         |a4 AS (SELECT id, v, cid FROM (
+         |  SELECT id, v, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |  FROM s4) WHERE rn = 1),
+         |q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 8),
+         |ps AS (SELECT q.q_id, q.qv, c.cid,
+         |  ${dotSql("q.qv", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM q CROSS JOIN c3 c),
+         |pr AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn
+         |  FROM ps) WHERE rn <= 4),
+         |sc AS (SELECT pr.q_id, a4.id AS n_id,
+         |  round(${dotSql("pr.qv", "a4.v")}
+         |    / (sqrt(${dotSql("pr.qv", "pr.qv")}) * sqrt(${dotSql("a4.v", "a4.v")})), 6) AS sim
+         |  FROM pr JOIN a4 ON pr.cid = a4.cid AND pr.q_id <> a4.id)
+         |SELECT q_id, n_id, sim, rank FROM (
+         |  SELECT q_id, n_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+         |  FROM sc) WHERE rank <= 5""".stripMargin,
 
     "q37_semi_anti_join" ->
       """SELECT c_custkey, 'active' AS status FROM customer
