@@ -66,6 +66,30 @@ class PlanSpec extends SparkSpec {
       l.contains("*(") && l.contains("portable_hash") && l.contains("fold_dot")), p)
   }
 
+  test("IVF top-k: corpus never shuffles or broadcasts — query-side exchanges only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-plan").toString
+    (0 until 200).map(i => (i.toLong, Seq.tabulate(8)(d => (i % 7 + d).toFloat)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val df = graft.operators.Similarity.ivfTopK(
+      corpus, corpus.filter($"vec_id" < 4), k = 3, nLists = 4, nProbe = 2)
+    val p = plan(df)
+    // exactly one broadcast: the tiny probe table (|Q|·nProbe rows) —
+    // round 1 broadcast a one-row-per-corpus-vector argmin table
+    assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
+    // both shuffles hash-partition by q_id (probe-rank + final-rank
+    // windows); the corpus list side is a pure map over its scan
+    val shuffles = "hashpartitioning\\(([A-Za-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(shuffles == Seq("q_id", "q_id"), p)
+    // every window is partitioned — a global window would single-task
+    // the corpus (partitioned Window prints 3 bracket groups: exprs,
+    // partition spec, order spec)
+    p.linesIterator.filter(_.contains("Window [")).foreach { l =>
+      assert("\\], \\[".r.findAllIn(l).size >= 2, l)
+    }
+  }
+
   test("pipeline keeps the weight join broadcast at every stage") {
     val features = Seq((1L, 40.0, -99.5, -101.0, 39.0, -99.0, 41.0))
       .toDF("fid", "lat", "lon", "minx", "miny", "maxx", "maxy")
