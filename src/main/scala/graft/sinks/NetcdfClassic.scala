@@ -1,0 +1,238 @@
+package graft.sinks
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.file.{Files, Paths}
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal pure-JVM NetCDF classic writer + reader, CDF-5 variant
+  * (magic `CDF\x05`) — the classic-model format extension that adds
+  * NC_INT64, which the reference's output contract needs for its
+  * `int64 time(time)` / `int64 nhru(nhru)` coordinates
+  * (`gm_header.md:63-68`, encoding control `helper.py:103-121`).
+  *
+  * Format follows the published classic/CDF-5 file-format
+  * specification (netcdf-c docs appendix / PnetCDF CDF-5 spec):
+  *
+  *   file    = header data
+  *   header  = magic numrecs dim_list gatt_list var_list
+  *   magic   = 'C' 'D' 'F' \x05
+  *   tags    = NC_DIMENSION \x0A, NC_VARIABLE \x0B, NC_ATTRIBUTE \x0C
+  *             (4-byte, big-endian), nc_type 4-byte
+  *   NON_NEG = 8-byte big-endian in CDF-5 (numrecs, list counts, name
+  *             lengths, dim lengths, attr nelems, var ndims, dimids,
+  *             vsize); `begin` offsets 8-byte
+  *   names and attribute values are padded to 4-byte boundaries;
+  *   vsize = nelems·sizeof(type) rounded up to 4; fixed-size variable
+  *   data lives at `begin` in declaration order.
+  *
+  * Everything here is fixed-size (no unlimited dimension): the contract
+  * files are dense (time, nhru) matrices of the AGGREGATED output, the
+  * same in-memory array the reference hands to xarray's to_netcdf
+  * (`etl.py:465`, `etl.py:749-750`). Writing them is a driver-side
+  * post-step over output-sized data; the 100 TB data plane stays in
+  * parquet ([[Sinks.writeContract]]), and larger-than-memory outputs
+  * chunk by time range into one file per chunk (the reference's own
+  * per-day/per-ensemble file layout, K4).
+  */
+object NetcdfClassic {
+
+  val NcChar = 2
+  val NcInt = 4
+  val NcDouble = 6
+  val NcInt64 = 10
+
+  final case class Dim(name: String, length: Long)
+
+  sealed trait AttVal
+  final case class AttText(s: String) extends AttVal
+  final case class AttDoubles(v: Seq[Double]) extends AttVal
+  final case class AttLongs(v: Seq[Long]) extends AttVal
+  object AttVal {
+    def apply(s: String): AttVal = AttText(s)
+    def apply(d: Double): AttVal = AttDoubles(Seq(d))
+    def apply(l: Long): AttVal = AttLongs(Seq(l))
+  }
+  final case class Att(name: String, value: AttVal)
+
+  sealed trait VarData { def ncType: Int; def nelems: Long }
+  final case class DoubleData(v: Array[Double]) extends VarData {
+    def ncType = NcDouble; def nelems = v.length.toLong
+  }
+  final case class LongData(v: Array[Long]) extends VarData {
+    def ncType = NcInt64; def nelems = v.length.toLong
+  }
+
+  /** dimIds index into the file's dim list; data length must equal the
+    * product of the referenced dim lengths (checked at write). */
+  final case class Var(name: String, dimIds: Seq[Int], atts: Seq[Att], data: VarData)
+
+  final case class Nc(dims: Seq[Dim], gatts: Seq[Att], vars: Seq[Var])
+
+  private def typeSize(t: Int): Int = t match {
+    case NcChar => 1
+    case NcInt => 4
+    case NcDouble => 8
+    case NcInt64 => 8
+    case other => throw new IllegalArgumentException(s"unsupported nc_type $other")
+  }
+
+  private def pad4(n: Long): Long = (n + 3) & ~3L
+
+  def write(path: String, nc: Nc): Unit = {
+    nc.vars.foreach { v =>
+      val expect = v.dimIds.map(i => nc.dims(i).length).product
+      require(v.data.nelems == expect,
+        s"${v.name}: data has ${v.data.nelems} elems, dims imply $expect")
+    }
+    // pass 1 with zeroed begins to learn the header length (begins are
+    // fixed-width, so the length is final), then assign data offsets in
+    // declaration order and re-serialize
+    val headerLen = serializeHeader(nc, nc.vars.map(_ => 0L)).length.toLong
+    var off = headerLen
+    val begins = nc.vars.map { v =>
+      val b = off
+      off += pad4(v.data.nelems * typeSize(v.data.ncType))
+      b
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(serializeHeader(nc, begins))
+    val d = new DataOutputStream(out)
+    nc.vars.foreach { v =>
+      val start = d.size()
+      v.data match {
+        case DoubleData(a) => a.foreach(d.writeDouble)
+        case LongData(a) => a.foreach(d.writeLong)
+      }
+      (0 until (pad4(d.size() - start) - (d.size() - start)).toInt)
+        .foreach(_ => d.writeByte(0))
+    }
+    d.flush()
+    Files.write(Paths.get(path), out.toByteArray)
+  }
+
+  private def serializeHeader(nc: Nc, begins: Seq[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    def name(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      d.writeLong(b.length.toLong)
+      d.write(b)
+      (0 until (pad4(b.length) - b.length).toInt).foreach(_ => d.writeByte(0))
+    }
+    def attList(atts: Seq[Att]): Unit = {
+      if (atts.isEmpty) { d.writeInt(0); d.writeLong(0L) } // ABSENT
+      else {
+        d.writeInt(0x0C) // NC_ATTRIBUTE
+        d.writeLong(atts.length.toLong)
+        atts.foreach { a =>
+          name(a.name)
+          a.value match {
+            case AttText(s) =>
+              val b = s.getBytes("UTF-8")
+              d.writeInt(NcChar); d.writeLong(b.length.toLong); d.write(b)
+              (0 until (pad4(b.length) - b.length).toInt).foreach(_ => d.writeByte(0))
+            case AttDoubles(v) =>
+              d.writeInt(NcDouble); d.writeLong(v.length.toLong)
+              v.foreach(d.writeDouble)
+            case AttLongs(v) =>
+              d.writeInt(NcInt64); d.writeLong(v.length.toLong)
+              v.foreach(d.writeLong)
+          }
+        }
+      }
+    }
+    d.writeBytes("CDF"); d.writeByte(5)
+    d.writeLong(0L) // numrecs: no unlimited dimension
+    if (nc.dims.isEmpty) { d.writeInt(0); d.writeLong(0L) }
+    else {
+      d.writeInt(0x0A) // NC_DIMENSION
+      d.writeLong(nc.dims.length.toLong)
+      nc.dims.foreach { dim => name(dim.name); d.writeLong(dim.length) }
+    }
+    attList(nc.gatts)
+    if (nc.vars.isEmpty) { d.writeInt(0); d.writeLong(0L) }
+    else {
+      d.writeInt(0x0B) // NC_VARIABLE
+      d.writeLong(nc.vars.length.toLong)
+      nc.vars.zip(begins).foreach { case (v, begin) =>
+        name(v.name)
+        d.writeLong(v.dimIds.length.toLong)
+        v.dimIds.foreach(i => d.writeLong(i.toLong))
+        attList(v.atts)
+        d.writeInt(v.data.ncType)
+        d.writeLong(pad4(v.data.nelems * typeSize(v.data.ncType))) // vsize
+        d.writeLong(begin)
+      }
+    }
+    d.flush()
+    bos.toByteArray
+  }
+
+  /** Reader for the same subset (golden-header specs + any JVM consumer
+    * of the emitted files). */
+  def read(path: String): Nc = {
+    val buf = ByteBuffer.wrap(Files.readAllBytes(Paths.get(path)))
+      .order(ByteOrder.BIG_ENDIAN)
+    require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
+      "not a NetCDF classic file")
+    require(buf.get() == 5, "not CDF-5")
+    require(buf.getLong() == 0L, "unexpected record count")
+    def name(): String = {
+      val n = buf.getLong().toInt
+      val b = new Array[Byte](n)
+      buf.get(b)
+      buf.position(buf.position() + (pad4(n) - n).toInt)
+      new String(b, "UTF-8")
+    }
+    def attList(): Seq[Att] = {
+      val tag = buf.getInt()
+      val n = buf.getLong().toInt
+      require(tag == 0x0C || (tag == 0 && n == 0), s"bad att tag $tag")
+      (0 until n).map { _ =>
+        val nm = name()
+        val t = buf.getInt()
+        val k = buf.getLong().toInt
+        val v = t match {
+          case NcChar =>
+            val b = new Array[Byte](k)
+            buf.get(b)
+            buf.position(buf.position() + (pad4(k) - k).toInt)
+            AttText(new String(b, "UTF-8"))
+          case NcDouble => AttDoubles((0 until k).map(_ => buf.getDouble()))
+          case NcInt64 => AttLongs((0 until k).map(_ => buf.getLong()))
+          case other => throw new IllegalArgumentException(s"att type $other")
+        }
+        Att(nm, v)
+      }
+    }
+    val dimTag = buf.getInt()
+    val nDims = buf.getLong().toInt
+    require(dimTag == 0x0A || (dimTag == 0 && nDims == 0), s"bad dim tag $dimTag")
+    val dims = (0 until nDims).map(_ => Dim(name(), buf.getLong()))
+    val gatts = attList()
+    val varTag = buf.getInt()
+    val nVars = buf.getLong().toInt
+    require(varTag == 0x0B || (varTag == 0 && nVars == 0), s"bad var tag $varTag")
+    val headers = (0 until nVars).map { _ =>
+      val nm = name()
+      val nd = buf.getLong().toInt
+      val dimIds = (0 until nd).map(_ => buf.getLong().toInt)
+      val atts = attList()
+      val t = buf.getInt()
+      val vsize = buf.getLong()
+      val begin = buf.getLong()
+      (nm, dimIds, atts, t, vsize, begin)
+    }
+    val vars = headers.map { case (nm, dimIds, atts, t, _, begin) =>
+      val nelems = dimIds.map(dims(_).length).product.toInt
+      buf.position(begin.toInt)
+      val data: VarData = t match {
+        case NcDouble => DoubleData(Array.fill(nelems)(buf.getDouble()))
+        case NcInt64 => LongData(Array.fill(nelems)(buf.getLong()))
+        case other => throw new IllegalArgumentException(s"var type $other")
+      }
+      Var(nm, dimIds, atts, data)
+    }
+    Nc(dims, gatts, vars)
+  }
+}

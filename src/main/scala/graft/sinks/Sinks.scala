@@ -8,11 +8,108 @@ import graft.model.Model
 /** Sinks (SURVEY.md §2.7). Parquet-first: the reference's CF-NetCDF
   * contract (`gm_header.md`) maps to partitioned parquet in the contract
   * schema + a JSON attrs sidecar; `_FillValue` ↔ parquet nulls; zlib ↔
-  * column compression. Literal `.nc` emission would be a driver-side
-  * post-step outside the data plane (SURVEY.md §7.3) — not implemented
-  * here by design.
+  * column compression. Literal `.nc` emission is the driver-side
+  * post-step [[writeNetcdf]] over the (output-sized) contract table —
+  * the 100 TB data plane stays parquet.
   */
 object Sinks {
+
+  /** K1 (full form) — emit a `gm_header.md`-conformant CF-1.8 NetCDF
+    * (CDF-5) file from the finalized contract table (`etl.py:749-750`,
+    * encodings `helper.py:103-121`): dims (time, nhru); double data
+    * vars with `_FillValue` 9.96920996838687e+36 (humidity: NaN, as the
+    * reference leaves xarray's default); int64 `time` as days since
+    * `start`; int64 `nhru`; lat/lon centroid coordinate vars; the WGS-84
+    * `crs` scalar. Collects the AGGREGATED output — the same array the
+    * reference materializes in xarray before to_netcdf; chunk by time
+    * range (one call per file, K4 naming) when outputs outgrow the
+    * driver.
+    *
+    * @param ts       finalized series: (nhru, time, tmax tmin prcp
+    *                 rhmax rhmin ws [humidity])
+    * @param features (fid, lat, lon) centroids for the coordinate vars
+    * @param start    time origin, "YYYY-MM-DD"
+    */
+  def writeNetcdf(
+      ts: DataFrame, features: DataFrame, path: String, start: String,
+      featureIdName: String = "nhru_v1_1"): Unit = {
+    import NetcdfClassic._
+    val dataVars = Seq("tmax", "tmin", "prcp", "rhmax", "rhmin", "ws", "humidity")
+      .filter(ts.columns.contains)
+    val rows = ts.select(
+      col("nhru").cast("long"),
+      datediff(col("time").cast("date"), lit(start).cast("date")).cast("long"),
+      struct(dataVars.map(v => col(v).cast("double")): _*)).collect()
+    val days = rows.map(_.getLong(1)).distinct.sorted
+    val hrus = rows.map(_.getLong(0)).distinct.sorted
+    val dayIdx = days.zipWithIndex.toMap
+    val hruIdx = hrus.zipWithIndex.toMap
+    val centroid = features
+      .select(col("fid").cast("long"), col("lat").cast("double"),
+        col("lon").cast("double"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def grid(vi: Int, fill: Double): Array[Double] = {
+      val a = Array.fill(days.length * hrus.length)(fill)
+      rows.foreach { r =>
+        val s = r.getStruct(2)
+        if (!s.isNullAt(vi))
+          a(dayIdx(r.getLong(1)) * hrus.length + hruIdx(r.getLong(0))) =
+            s.getDouble(vi)
+      }
+      a
+    }
+    val crsAtts = Seq(
+      Att("_FillValue", AttVal(Double.NaN)),
+      Att("crs_wkt", AttVal(Model.CrsWkt)),
+      Att("semi_major_axis", AttVal(6378137.0)),
+      Att("semi_minor_axis", AttVal(6356752.31424518)),
+      Att("inverse_flattening", AttVal(298.257223563)),
+      Att("reference_ellipsoid_name", AttVal("WGS 84")),
+      Att("longitude_of_prime_meridian", AttVal(0.0)),
+      Att("prime_meridian_name", AttVal("Greenwich")),
+      Att("geographic_crs_name", AttVal("WGS 84")),
+      Att("horizontal_datum_name", AttVal("World Geodetic System 1984 ensemble")),
+      Att("grid_mapping_name", AttVal("latitude_longitude")))
+    def dataVar(v: String): Var = {
+      val fill = if (v == "humidity") Double.NaN else Model.FillValue
+      Var(v, Seq(0, 1),
+        Seq(Att("_FillValue", AttVal(fill)),
+          Att("long_name", AttVal(Model.OutputLongNames(v))),
+          Att("grid_mapping", AttVal("crs")),
+          Att("units", AttVal(Model.OutputUnits(v))),
+          Att("coordinates", AttVal("time lat lon"))),
+        DoubleData(grid(dataVars.indexOf(v), fill)))
+    }
+    // declaration order mirrors gm_header.md: tmax, crs, the remaining
+    // data vars, then coordinates, then humidity
+    val vars =
+      Seq(dataVar("tmax"),
+        Var("crs", Nil, crsAtts, DoubleData(Array(Double.NaN)))) ++
+      dataVars.filter(v => v != "tmax" && v != "humidity").map(dataVar) ++
+      Seq(
+        Var("time", Seq(0),
+          Seq(Att("units", AttVal(s"days since $start 00:00:00")),
+            Att("calendar", AttVal("proleptic_gregorian"))),
+          LongData(days)),
+        Var("nhru", Seq(1),
+          Seq(Att("feature_id", AttVal(featureIdName))), LongData(hrus)),
+        Var("lat", Seq(1),
+          Seq(Att("long_name", AttVal("Latitude of HRU centroid")),
+            Att("standard_name", AttVal("latitude")),
+            Att("axis", AttVal("Y"))),
+          DoubleData(hrus.map(h => centroid.get(h).map(_._1).getOrElse(Double.NaN)))),
+        Var("lon", Seq(1),
+          Seq(Att("long_name", AttVal("Longitude of HRU centroid")),
+            Att("standard_name", AttVal("longitude")),
+            Att("axis", AttVal("X"))),
+          DoubleData(hrus.map(h => centroid.get(h).map(_._2).getOrElse(Double.NaN))))) ++
+      (if (dataVars.contains("humidity")) Seq(dataVar("humidity")) else Nil)
+    NetcdfClassic.write(path, Nc(
+      dims = Seq(Dim("time", days.length.toLong), Dim("nhru", hrus.length.toLong)),
+      gatts = Model.GlobalAttrs.toSeq.sortBy(_._1)
+        .map { case (k, v) => Att(k, AttVal(v)) },
+      vars = vars))
+  }
 
   /** K1 — contract sink: CF metadata (global attrs + per-var units from
     * column metadata) lands in `<path>/_attrs.json`; data is parquet,
