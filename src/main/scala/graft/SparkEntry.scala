@@ -526,6 +526,31 @@ object SparkEntry {
         col("o_custkey"), col("o_orderkey"),
         sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
           .cast("double").as("run_total"))
+    }),
+
+    // ---- S2 full: WKB geometry ingestion. An irregular CCW quad per
+    // customer is WKB-serialized in-engine (WkbPolygon) and parsed back
+    // (WkbEnvelopeCentroid) into the feature table; the oracle computes
+    // bbox + shoelace centroid DIRECTLY from the same coordinates, so
+    // the round-trip checks both the builder and the parser against an
+    // engine-independent formula. ----
+    "q39_wkb_features" -> ((s, dir) => {
+      import graft.functions.WkbGeom.wkbPolygon
+      import graft.functions.TextFunctions.round6
+      val x0 = (col("c_custkey") % 100).cast("double") * lit(0.1)
+      val y0 = (col("c_custkey") % 73).cast("double") * lit(0.1)
+      val w = lit(1.0) + (col("c_custkey") % 7).cast("double") * lit(0.1)
+      val h = lit(1.0) + (col("c_custkey") % 5).cast("double") * lit(0.1)
+      val geo = t(s, dir, "customer").select(
+        col("c_custkey").as("fid"),
+        wkbPolygon(
+          array(x0, x0 + w, x0 + lit(1.0), x0),
+          array(y0, y0, y0 + lit(1.0), y0 + h)).as("geometry"))
+      val f = graft.sources.Sources.featuresFromWkb(geo, "fid")
+      f.select(col("fid"),
+        round6(col("lat")).as("lat"), round6(col("lon")).as("lon"),
+        round6(col("minx")).as("minx"), round6(col("miny")).as("miny"),
+        round6(col("maxx")).as("maxx"), round6(col("maxy")).as("maxy"))
     })
   )
 
@@ -974,6 +999,43 @@ object SparkEntry {
          |  SELECT q_id, n_id, sim,
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
          |  FROM sc) WHERE rank <= 5""".stripMargin,
+
+    // q39: bbox + shoelace centroid computed directly from the quad's
+    // coordinates — same fold order (edges in vertex order, 0.0-seeded
+    // left folds) as the WKB parser, so the WKB build→parse round trip
+    // must reproduce it bit-for-bit before 6dp rounding.
+    "q39_wkb_features" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      s"""WITH v AS (
+         |  SELECT c_custkey AS fid,
+         |    (c_custkey % 100) * 0.1 AS x0, (c_custkey % 73) * 0.1 AS y0,
+         |    1.0 + (c_custkey % 7) * 0.1 AS w, 1.0 + (c_custkey % 5) * 0.1 AS h
+         |  FROM customer),
+         |e AS (
+         |  SELECT fid, x0, y0, w, h,
+         |    x0*y0 - (x0+w)*y0 AS c1,
+         |    (x0+w)*(y0+1.0) - (x0+1.0)*y0 AS c2,
+         |    (x0+1.0)*(y0+h) - x0*(y0+1.0) AS c3,
+         |    x0*y0 - x0*(y0+h) AS c4
+         |  FROM v),
+         |g AS (
+         |  SELECT fid, x0, y0, w, h,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), [c1, c2, c3, c4]),
+         |      (a0, z) -> a0 + z) AS a2,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      [(x0+(x0+w))*c1, ((x0+w)+(x0+1.0))*c2, ((x0+1.0)+x0)*c3, (x0+x0)*c4]),
+         |      (a0, z) -> a0 + z) AS sx,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      [(y0+y0)*c1, (y0+(y0+1.0))*c2, ((y0+1.0)+(y0+h))*c3, ((y0+h)+y0)*c4]),
+         |      (a0, z) -> a0 + z) AS sy
+         |  FROM e)
+         |SELECT fid,
+         |  ${r6("sy/(3.0*a2)")} AS lat, ${r6("sx/(3.0*a2)")} AS lon,
+         |  ${r6("x0")} AS minx, ${r6("y0")} AS miny,
+         |  ${r6("greatest(x0+w, x0+1.0)")} AS maxx,
+         |  ${r6("greatest(y0+h, y0+1.0)")} AS maxy
+         |FROM g""".stripMargin
+    },
 
     "q37_semi_anti_join" ->
       """SELECT c_custkey, 'active' AS status FROM customer

@@ -74,4 +74,29 @@ object Sources {
         StructField("miss_fid", LongType), StructField("fill_fid", LongType),
         StructField("distance", DoubleType))))
       .csv(path)
+
+  /** S2 (full form) — GeoParquet feature ingestion: derive the engine's
+    * `(fid, lat, lon, minx, miny, maxx, maxy)` feature table from a raw
+    * WKB geometry column in-engine (the reference does this with
+    * geopandas: `etl.py:549-567` read, `etl.py:322` total_bounds,
+    * centroid lat/lon per `gm_header.md:69-75`). Accepts the
+    * reference's own GeoParquet inputs — no pre-extracted fixture
+    * needed. */
+  def geoParquetFeatures(
+      spark: SparkSession, path: String,
+      fidCol: String, geomCol: String = "geometry"): DataFrame =
+    featuresFromWkb(spark.read.parquet(path), fidCol, geomCol)
+
+  /** WKB → feature-table derivation, for any DataFrame with a WKB
+    * geometry column. */
+  def featuresFromWkb(df: DataFrame, fidCol: String,
+      geomCol: String = "geometry"): DataFrame = {
+    import graft.functions.WkbGeom.wkbEnvelopeCentroid
+    df.select(col(fidCol).cast(LongType).as("fid"),
+        wkbEnvelopeCentroid(col(geomCol)).as("g"))
+      .select(col("fid"),
+        col("g.cy").as("lat"), col("g.cx").as("lon"),
+        col("g.minx").as("minx"), col("g.miny").as("miny"),
+        col("g.maxx").as("maxx"), col("g.maxy").as("maxy"))
+  }
 }
