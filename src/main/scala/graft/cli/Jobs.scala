@@ -29,7 +29,7 @@ object Jobs {
 
   /** cyclopts-style parse: `--key value` pairs + boolean flags. */
   def parseArgs(argv: Seq[String]): Args = {
-    val boolFlags = Set("partial", "fill-missing", "verbose")
+    val boolFlags = Set("partial", "fill-missing", "verbose", "genmap")
     @annotation.tailrec
     def loop(rest: List[String], m: Map[String, String], f: Set[String]): Args =
       rest match {
@@ -71,9 +71,26 @@ object Jobs {
     val weights = Sources.weightsCsv(spark, a("weights-file"), a("fid"))
     val features = readFeatures(spark, a("target-file"), a("fid"))
     val filled = a.has("fill-missing")
+    // genmap protocol (`helper.py:13-14,43,77-79`): --genmap derives the
+    // NN mapping and persists it to --mapping-file (default name as the
+    // reference's mfile); without --genmap an existing --mapping-file is
+    // consumed instead of recomputing the mapping.
+    val mappingPath = s"${a("output-path")}/" +
+      a.get("mapping-file").getOrElse("fill_missing_nearest.csv")
+    val mapping: Option[DataFrame] =
+      if (!filled) None
+      else if (a.has("genmap")) {
+        val unfilled = GridmetPipeline.gridmet(grid, weights, features,
+          start = start, end = end, partial = a.has("partial"))
+        val m = GridmetPipeline.fillMapping(unfilled, features)
+        m.foreach(Sinks.writeMappingCsv(_, mappingPath))
+        m
+      } else if (a.get("mapping-file").isDefined)
+        Some(Sources.fillMappingCsv(spark, mappingPath))
+      else None
     val out = GridmetPipeline.gridmet(grid, weights, features,
       start = start, end = end,
-      partial = a.has("partial"), fillMissing = filled)
+      partial = a.has("partial"), fillMissing = filled, mapping = mapping)
     val name = a.get("file-prefix").getOrElse("") + Sinks.outputName(start, filled)
     val path = s"${a("output-path")}/$name"
     Sinks.writeContract(Sinks.ordered(out, "time", "nhru"), path)

@@ -33,6 +33,52 @@ object GridmetPipeline {
   def timeSubset(grid: DataFrame, start: String, end: String): DataFrame =
     grid.filter(col("time").between(lit(start).cast("timestamp"), lit(end).cast("timestamp")))
 
+  /** Catalog-driven coordinate-name indirection (`etl.py:329-331`,
+    * `etl.py:399-408`): staged grids keep whatever coordinate names the
+    * remote dataset used; the catalog's T_name/X_name/Y_name say which
+    * they are, and this normalizes them to the engine's canonical
+    * time/lon/lat before the pipeline runs. No-op for names already
+    * canonical. */
+  def normalizeCoords(
+      grid: DataFrame, tName: String, xName: String, yName: String): DataFrame =
+    Seq(tName -> "time", xName -> "lon", yName -> "lat")
+      .foldLeft(grid) { case (g, (from, to)) =>
+        if (from == to || !g.columns.contains(from)) g
+        else g.withColumnRenamed(from, to)
+      }
+
+  /** [[normalizeCoords]] driven by a catalog row (S4/F1 completion):
+    * takes the first record for `dataId` and reads its T_name/X_name/
+    * Y_name fields. */
+  def normalizeCoordsFromCatalog(
+      grid: DataFrame, catalog: DataFrame, dataId: String): DataFrame = {
+    val row = catalog.filter(col("id") === dataId)
+      .select(col("T_name"), col("X_name"), col("Y_name"))
+      .orderBy(col("T_name")).limit(1).collect()
+    require(row.nonEmpty, s"catalog has no record for id=$dataId")
+    normalizeCoords(grid, row(0).getString(0), row(0).getString(1), row(0).getString(2))
+  }
+
+  /** NN fill mapping for a finalized series — the genmap=True side of
+    * `helper.py:43-77`: split on the probe var's first timestep, map
+    * each missing feature to its nearest present donor. None when
+    * nothing is missing (`helper.py:48-50`). Persist with
+    * [[graft.sinks.Sinks.writeMappingCsv]] and reuse on later runs via
+    * [[graft.sources.Sources.fillMappingCsv]] (genmap=False,
+    * `helper.py:79`). */
+  def fillMapping(
+      out: DataFrame, features: DataFrame,
+      probeVar: String = "tmax"): Option[DataFrame] = {
+    val (miss, present) = FillMissing.splitMissing(
+      out.withColumnRenamed("nhru", "fid"), probeVar)
+    if (miss.isEmpty) None
+    else {
+      val missF = miss.join(features, "fid").select("fid", "lat", "lon")
+      val presF = present.join(features, "fid").select("fid", "lat", "lon")
+      Some(FillMissing.nearestMapping(missF, presF))
+    }
+  }
+
   /** Reindex the aggregated series to the FULL feature × time (× ens)
     * domain: the weighted mean's inner join drops features whose weight
     * cells fall outside the (subset) grid, but the reference's output
@@ -61,13 +107,18 @@ object GridmetPipeline {
     * @param features (fid, lat, lon, minx..maxy) — bbox + NN centroids
     * @param partial  masked_mean when true (`--partial`)
     * @param fillMissing run the NN fill stage (`--fill-missing`)
+    * @param mapping  pre-computed NN fill mapping (miss_fid, fill_fid,
+    *                 distance) — the genmap=False reuse path
+    *                 (`helper.py:79`); None derives it inline
+    *                 (genmap=True, `etl.py:488`)
     */
   def gridmet(
       grid: DataFrame, weights: DataFrame, features: DataFrame,
       vars: Seq[String] = Seq("tmmx", "tmmn", "pr", "rmax", "rmin", "vs"),
       start: String, end: String,
       partial: Boolean = false, fillMissing: Boolean = false,
-      preCombine: Boolean = false): DataFrame = {
+      preCombine: Boolean = false,
+      mapping: Option[DataFrame] = None): DataFrame = {
     val subset = timeSubset(bboxSubset(grid, features), start, end)
     val agg = reindex(
       WeightedMean(subset, weights, vars, masked = partial, preCombine = preCombine),
@@ -76,15 +127,11 @@ object GridmetPipeline {
     if (!fillMissing) out
     else {
       val outVars = Seq("tmax", "tmin", "prcp", "rhmax", "rhmin", "ws", "humidity")
-      val (miss, present) = FillMissing.splitMissing(
-        out.withColumnRenamed("nhru", "fid"), "tmax")
-      if (miss.isEmpty) out // early-exit (`helper.py:48-50`)
-      else {
-        val missF = miss.join(features, "fid").select("fid", "lat", "lon")
-        val presF = present.join(features, "fid").select("fid", "lat", "lon")
-        val mapping = FillMissing.nearestMapping(missF, presF)
-        FillMissing.fillSeries(out.withColumnRenamed("nhru", "fid"), mapping, outVars)
-          .withColumnRenamed("fid", "nhru")
+      mapping.orElse(fillMapping(out, features)) match {
+        case None => out // early-exit (`helper.py:48-50`)
+        case Some(m) =>
+          FillMissing.fillSeries(out.withColumnRenamed("nhru", "fid"), m, outVars)
+            .withColumnRenamed("fid", "nhru")
       }
     }
   }

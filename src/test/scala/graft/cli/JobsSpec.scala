@@ -50,6 +50,57 @@ class JobsSpec extends SparkSpec {
     assert(attrs.contains("CF-1.8") && attrs.contains("degree_Celsius"))
   }
 
+  test("genmap round-trip: --genmap persists the NN mapping; a rerun consumes it") {
+    val dir = Files.createTempDirectory("graft-genmap").toString
+    val t1 = Timestamp.valueOf("2021-01-01 00:00:00")
+    // feature 1 covered by weights, feature 2 NOT → missing, NN-filled from 1
+    (for { i <- 0 to 1; j <- 0 to 1 } yield
+      (t1, j, i, 40.0 + j, -100.0 + i, 285.0 + i, 275.0 + i, 1.0, 80.0, 40.0, 3.0))
+      .toDF("time", "j", "i", "lat", "lon", "tmmx", "tmmn", "pr", "rmax", "rmin", "vs")
+      .write.parquet(s"$dir/grid")
+    Seq((1L, 40.0, -99.5, -100.0, 40.0, -99.0, 41.0),
+        (2L, 40.4, -99.4, -100.0, 40.0, -99.0, 41.0))
+      .toDF("nhru_v1_1", "lat", "lon", "minx", "miny", "maxx", "maxy")
+      .write.parquet(s"$dir/feats")
+    Files.writeString(java.nio.file.Paths.get(dir, "w.csv"),
+      "nhru_v1_1,i,j,wght\n1,0,0,0.5\n1,1,0,0.5\n")
+    val base = Seq(
+      "--start-date", "2021-01-01", "--end-date", "2021-01-01",
+      "--grid-path", s"$dir/grid", "--target-file", s"$dir/feats",
+      "--weights-file", s"$dir/w.csv", "--fid", "nhru_v1_1",
+      "--output-path", s"$dir/out", "--fill-missing")
+    // run 1: generate + persist the mapping
+    val p1 = Jobs.runGridmet(spark, Jobs.parseArgs(base :+ "--genmap"))
+    val csv = spark.read.option("header", "true")
+      .csv(s"$dir/out/fill_missing_nearest.csv")
+    assert(csv.select("miss_fid", "fill_fid").as[(String, String)]
+      .collect().toSeq == Seq(("2", "1")))
+    // run 2: consume the persisted mapping (genmap=False, helper.py:79)
+    val p2 = Jobs.runGridmet(spark, Jobs.parseArgs(
+      base ++ Seq("--mapping-file", "fill_missing_nearest.csv")))
+    val r1 = rows(spark.read.parquet(p1))
+    val r2 = rows(spark.read.parquet(p2))
+    assert(r1 == r2 && r1.nonEmpty)
+    // filled: feature 2's series equals feature 1's
+    val out = spark.read.parquet(p2)
+    val byF = out.select($"nhru", $"tmax").as[(Long, Double)].collect().toMap
+    assert(byF(2L) == byF(1L))
+  }
+
+  test("catalog T/X/Y-name indirection normalizes staged coordinates") {
+    import graft.etl.GridmetPipeline
+    val g = Seq((Timestamp.valueOf("2021-01-01 00:00:00"), 40.0, -100.0, 1.0))
+      .toDF("day", "latitude", "longitude", "pr")
+    val cat = Seq(("gridmet", "day", "longitude", "latitude"),
+        ("other", "t", "x", "y"))
+      .toDF("id", "T_name", "X_name", "Y_name")
+    val out = GridmetPipeline.normalizeCoordsFromCatalog(g, cat, "gridmet")
+    assert(out.columns.toSet == Set("time", "lat", "lon", "pr"))
+    // already-canonical names pass through untouched
+    val same = GridmetPipeline.normalizeCoords(out, "time", "lon", "lat")
+    assert(same.columns.toSet == out.columns.toSet)
+  }
+
   test("cfsv2-etl method 2: ens-partitioned ensemble output") {
     val dir = Files.createTempDirectory("graft-job2").toString
     val t1 = Timestamp.valueOf("2021-02-01 00:00:00")
