@@ -190,38 +190,59 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int, threshold: Double,
       hotDf: Int = 4096, salts: Int = 8): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      shingles(col(textCol), n).as("sh")).filter(size(col("sh")) > 0)
-    // postings keyed by the 64-bit shingle hash: the join exchange
-    // carries 8-byte longs instead of n-gram strings; a collision that
+    // postings keyed by 64-bit shingle hashes computed in ONE codegen
+    // pass (graft.functions.NgramHashes) — no per-shingle string
+    // materialization, and cheap enough that the three evaluations (two
+    // join legs + the hot-key scan) stop mattering. A collision that
     // miscounts one pair's intersection needs two of ITS shingles to
-    // collide (~2^-64 · |union|² — below any FP noise floor)
-    val inv = sh.select(col("id"), col("blk"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("shingle"))
-      .select(col("id"), col("blk"), col("n_sh"),
-        xxhash64(col("shingle")).as("h"))
+    // collide (~2^-64 · |union|² — below any FP noise floor).
+    import graft.functions.NgramHashes.ngram_hashes
+    val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      ngram_hashes(col(textCol), n).as("hs")).filter(size(col("hs")) > 0)
+    // repartition AFTER the hash computation: the exchange's child now
+    // contains the scan+shingle work, so ReuseExchange evaluates it
+    // ONCE and both self-join legs read the same shuffle output (and
+    // arrive pre-partitioned on the join keys — no further exchange)
+    val inv = sh.select(col("id"), col("blk"), size(col("hs")).as("n_sh"),
+        explode(col("hs")).as("h"))
+      .repartition(col("blk"), col("h"))
     // HOT-SHINGLE GUARD: a stock phrase with document frequency d makes
     // the join emit d² rows under ONE key — a single pinned reducer at
-    // 100 TB. Keys with df > hotDf (a list bounded by |postings|/hotDf,
-    // so always broadcastable) get salted: the left leg replicates its
-    // postings over `salts` sub-keys, the right leg routes by
-    // pmod(id, salts) — every (a,b) co-occurrence appears exactly once,
-    // but a hot key's d² work spreads over `salts` reducers.
-    val hot = inv.groupBy(col("blk").as("blk_h"), col("h").as("h_h"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > hotDf)
-      .select(col("blk_h"), col("h_h"))
-    val tagged = inv.join(broadcast(hot),
-      col("blk") === col("blk_h") && col("h") === col("h_h"), "left")
-    val a = tagged.select(col("blk"), col("h"),
-      col("id").as("a_id"), col("n_sh").as("n_a"),
-      explode(sequence(lit(0),
-        when(col("h_h").isNotNull, salts - 1).otherwise(0))).as("salt"))
-    val b = tagged.select(col("blk").as("blk_b"), col("h").as("h_b"),
-      col("id").as("b_id"), col("n_sh").as("n_b"),
-      when(col("h_h").isNotNull, pmod(col("id"), lit(salts.toLong)))
-        .otherwise(lit(0L)).cast("int").as("salt_b"))
-    a.join(b, col("blk") === col("blk_b") && col("h") === col("h_b") &&
-        col("salt") === col("salt_b") && col("a_id") < col("b_id"))
+    // 100 TB. Keys with df > hotDf form a list bounded by
+    // |postings|/hotDf, so it is ALWAYS driver-collectable — it rides
+    // into the plan as a literal InSet (the bounded-plan-parameter
+    // pattern, like IVF's centroids); a DataFrame hot-list would
+    // re-execute its aggregation once per join leg. Hot keys get
+    // salted: the left leg replicates its postings over `salts`
+    // sub-keys, the right leg routes by pmod(id, salts) — every (a,b)
+    // co-occurrence appears exactly once, but a hot key's d² work
+    // spreads over `salts` reducers. No hot keys (the common case) →
+    // the plain two-leg equi-join, zero overhead.
+    val hotSet = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotDf).select(col("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val (a, b, joinCond) =
+      if (hotSet.isEmpty) (
+        inv.select(col("blk"), col("h"),
+          col("id").as("a_id"), col("n_sh").as("n_a")),
+        inv.select(col("blk").as("blk_b"), col("h").as("h_b"),
+          col("id").as("b_id"), col("n_sh").as("n_b")),
+        col("blk") === col("blk_b") && col("h") === col("h_b") &&
+          col("a_id") < col("b_id"))
+      else {
+        val isHot = col("h").isInCollection(hotSet)
+        (inv.select(col("blk"), col("h"),
+            col("id").as("a_id"), col("n_sh").as("n_a"),
+            explode(sequence(lit(0),
+              when(isHot, salts - 1).otherwise(0))).as("salt")),
+          inv.select(col("blk").as("blk_b"), col("h").as("h_b"),
+            col("id").as("b_id"), col("n_sh").as("n_b"),
+            when(isHot, pmod(col("id"), lit(salts.toLong)))
+              .otherwise(lit(0L)).cast("int").as("salt_b")),
+          col("blk") === col("blk_b") && col("h") === col("h_b") &&
+            col("salt") === col("salt_b") && col("a_id") < col("b_id"))
+      }
+    a.join(b, joinCond)
       .groupBy(col("a_id"), col("b_id"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") /

@@ -19,7 +19,7 @@ class ConvertSpec extends SparkSpec {
     val r = out.select("tmax", "tmin", "humidity").as[(Double, Double, Double)].head()
     assert(approx(r._1, 16.85) && approx(r._2, 6.85))
     assert(r._3 == 80.0) // rhmin + rhmax/2 quirk, not the average
-    assert(out.schema("prcp").metadata.getString("units") == "mm")
+    assert(out.schema("prcp").metadata.getString("units") == "millimeter")
   }
 
   test("gridmetFinalize is lenient to missing variables (F6 guard)") {
