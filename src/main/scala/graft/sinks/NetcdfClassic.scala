@@ -36,8 +36,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object NetcdfClassic {
 
+  val NcByte = 1
   val NcChar = 2
+  val NcShort = 3
   val NcInt = 4
+  val NcFloat = 5
   val NcDouble = 6
   val NcInt64 = 10
 
@@ -168,17 +171,27 @@ object NetcdfClassic {
     bos.toByteArray
   }
 
-  /** Reader for the same subset (golden-header specs + any JVM consumer
-    * of the emitted files). */
+  /** Reader for all three classic variants — CDF-1 (`CDF\x01`, 32-bit
+    * sizes/offsets), CDF-2 (`CDF\x02`, 64-bit offsets) and CDF-5
+    * (`CDF\x05`, 64-bit everything + int64 data). Covers golden-header
+    * specs, re-ingest of this engine's own outputs, and reference-era
+    * classic files. No unlimited-dimension (record) support — the
+    * engine's contract files are fixed-size. */
   def read(path: String): Nc = {
     val buf = ByteBuffer.wrap(Files.readAllBytes(Paths.get(path)))
       .order(ByteOrder.BIG_ENDIAN)
     require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
       "not a NetCDF classic file")
-    require(buf.get() == 5, "not CDF-5")
-    require(buf.getLong() == 0L, "unexpected record count")
+    val version = buf.get()
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported classic variant $version")
+    // CDF-5 widens every non-negative size field to 8 bytes; begin
+    // offsets are 8 bytes from CDF-2 up
+    def nonNeg(): Long = if (version == 5) buf.getLong() else buf.getInt().toLong
+    def offset(): Long = if (version >= 2) buf.getLong() else buf.getInt().toLong
+    require(nonNeg() == 0L, "unexpected record count (record vars unsupported)")
     def name(): String = {
-      val n = buf.getLong().toInt
+      val n = nonNeg().toInt
       val b = new Array[Byte](n)
       buf.get(b)
       buf.position(buf.position() + (pad4(n) - n).toInt)
@@ -186,12 +199,12 @@ object NetcdfClassic {
     }
     def attList(): Seq[Att] = {
       val tag = buf.getInt()
-      val n = buf.getLong().toInt
+      val n = nonNeg().toInt
       require(tag == 0x0C || (tag == 0 && n == 0), s"bad att tag $tag")
       (0 until n).map { _ =>
         val nm = name()
         val t = buf.getInt()
-        val k = buf.getLong().toInt
+        val k = nonNeg().toInt
         val v = t match {
           case NcChar =>
             val b = new Array[Byte](k)
@@ -199,28 +212,36 @@ object NetcdfClassic {
             buf.position(buf.position() + (pad4(k) - k).toInt)
             AttText(new String(b, "UTF-8"))
           case NcDouble => AttDoubles((0 until k).map(_ => buf.getDouble()))
+          case NcFloat =>
+            val v = (0 until k).map(_ => buf.getFloat().toDouble)
+            buf.position(buf.position() + (pad4(4L * k) - 4L * k).toInt)
+            AttDoubles(v)
           case NcInt64 => AttLongs((0 until k).map(_ => buf.getLong()))
+          case NcInt =>
+            val v = (0 until k).map(_ => buf.getInt().toLong)
+            buf.position(buf.position() + (pad4(4L * k) - 4L * k).toInt)
+            AttLongs(v)
           case other => throw new IllegalArgumentException(s"att type $other")
         }
         Att(nm, v)
       }
     }
     val dimTag = buf.getInt()
-    val nDims = buf.getLong().toInt
+    val nDims = nonNeg().toInt
     require(dimTag == 0x0A || (dimTag == 0 && nDims == 0), s"bad dim tag $dimTag")
-    val dims = (0 until nDims).map(_ => Dim(name(), buf.getLong()))
+    val dims = (0 until nDims).map(_ => Dim(name(), nonNeg()))
     val gatts = attList()
     val varTag = buf.getInt()
-    val nVars = buf.getLong().toInt
+    val nVars = nonNeg().toInt
     require(varTag == 0x0B || (varTag == 0 && nVars == 0), s"bad var tag $varTag")
     val headers = (0 until nVars).map { _ =>
       val nm = name()
-      val nd = buf.getLong().toInt
-      val dimIds = (0 until nd).map(_ => buf.getLong().toInt)
+      val nd = nonNeg().toInt
+      val dimIds = (0 until nd).map(_ => nonNeg().toInt)
       val atts = attList()
       val t = buf.getInt()
-      val vsize = buf.getLong()
-      val begin = buf.getLong()
+      val vsize = nonNeg()
+      val begin = offset()
       (nm, dimIds, atts, t, vsize, begin)
     }
     val vars = headers.map { case (nm, dimIds, atts, t, _, begin) =>
@@ -228,7 +249,9 @@ object NetcdfClassic {
       buf.position(begin.toInt)
       val data: VarData = t match {
         case NcDouble => DoubleData(Array.fill(nelems)(buf.getDouble()))
+        case NcFloat => DoubleData(Array.fill(nelems)(buf.getFloat().toDouble))
         case NcInt64 => LongData(Array.fill(nelems)(buf.getLong()))
+        case NcInt => LongData(Array.fill(nelems)(buf.getInt().toLong))
         case other => throw new IllegalArgumentException(s"var type $other")
       }
       Var(nm, dimIds, atts, data)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -74,6 +74,57 @@ object Sources {
         StructField("miss_fid", LongType), StructField("fill_fid", LongType),
         StructField("distance", DoubleType))))
       .csv(path)
+
+  /** S10 (full form) — re-ingest a contract NetCDF file (this engine's
+    * [[graft.sinks.Sinks.writeNetcdf]] output, or any classic-model
+    * CDF-1/2/5 file with the same (time, feature) layout) back into the
+    * long-form series DataFrame: one row per (feature, time), data vars
+    * as columns, `_FillValue` sentinels back to nulls, the int64
+    * days-since time axis decoded to timestamps. The reference re-opens
+    * its own intermediates the same way (`etl.py:476-478`,
+    * `helper.py:33-37`); file contents are output-sized by contract. */
+  def netcdfSeries(
+      spark: SparkSession, path: String,
+      featureDim: String = "nhru"): DataFrame = {
+    import graft.sinks.NetcdfClassic
+    import graft.sinks.NetcdfClassic._
+    val nc = NetcdfClassic.read(path)
+    val byName = nc.vars.map(v => v.name -> v).toMap
+    val dimId = nc.dims.zipWithIndex.map { case (d, i) => d.name -> i }.toMap
+    require(dimId.contains("time") && dimId.contains(featureDim),
+      s"expected dims (time, $featureDim), got ${nc.dims.map(_.name)}")
+    val timeVar = byName("time")
+    val units = timeVar.atts.find(_.name == "units").map {
+      case Att(_, AttText(s)) => s
+      case other => sys.error(s"unexpected time units attr $other")
+    }.getOrElse(sys.error("time var has no units attr"))
+    require(units.startsWith("days since "),
+      s"unsupported time encoding: $units")
+    val origin = java.time.LocalDate.parse(units.drop("days since ".length).take(10))
+    val days = timeVar.data.asInstanceOf[LongData].v
+    val times = days.map(d => java.sql.Timestamp.valueOf(
+      origin.plusDays(d).atStartOfDay()))
+    val fids = byName(featureDim).data.asInstanceOf[LongData].v
+    val dataVars = nc.vars.filter(v =>
+      v.dimIds == Seq(dimId("time"), dimId(featureDim)))
+    val rows = for {
+      ti <- times.indices
+      hi <- fids.indices
+    } yield Row.fromSeq(
+      Seq(fids(hi), times(ti)) ++ dataVars.map { v =>
+        val fill = v.atts.collectFirst {
+          case Att("_FillValue", AttDoubles(Seq(f))) => f
+        }
+        val x = v.data.asInstanceOf[DoubleData].v(ti * fids.length + hi)
+        if (x.isNaN || fill.contains(x)) null else x
+      })
+    val schema = StructType(
+      Seq(StructField(featureDim, LongType, nullable = false),
+        StructField("time", TimestampType, nullable = false)) ++
+        dataVars.map(v => StructField(v.name, DoubleType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+  }
 
   /** S2 (full form) — GeoParquet feature ingestion: derive the engine's
     * `(fid, lat, lon, minx, miny, maxx, maxy)` feature table from a raw

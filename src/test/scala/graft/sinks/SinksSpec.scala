@@ -105,6 +105,22 @@ class SinksSpec extends SparkSpec {
     assert(back.vars.head.atts == nc.vars.head.atts)
   }
 
+  test("netcdfSeries re-ingests the sink's file back to the contract table") {
+    val path = java.nio.file.Files.createTempDirectory("graft-nc")
+      .resolve("reingest.nc").toString
+    Sinks.writeNetcdf(contractDf, featuresDf, path, start = "1980-01-01")
+    val back = graft.sources.Sources.netcdfSeries(spark, path)
+    assert(back.columns.toSeq == Seq("nhru", "time", "tmax", "tmin", "prcp",
+      "rhmax", "rhmin", "ws", "humidity"))
+    // value-identical to the original series, including the null cell
+    // (fill sentinel → null on the way back)
+    val expect = rows(contractDf.select(
+      $"nhru", $"time", $"tmax", $"tmin", $"prcp",
+      $"rhmax", $"rhmin", $"ws", $"humidity"))
+    assert(rows(back) == expect)
+    assert(back.filter($"tmax".isNull).count() == 1)
+  }
+
   test("writeNetcdf of the pipeline output (end-to-end shape)") {
     val t1 = Timestamp.valueOf("2021-01-01 00:00:00")
     val weights = Seq((1L, 0, 0, 0.5), (1L, 1, 0, 0.5)).toDF("fid", "i", "j", "wght")
