@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FoldDot, MinhashSignature, PortableHash, SimhashBits}
+import graft.functions.{FoldDot, MinhashSignature, NgramHashes, PortableHash,
+  SimhashBits, SortedIntersectCount, WkbEnvelopeCentroid, WkbPolygon}
 
 /** SQL registration of the engine's custom codegen expressions, so the
   * full surface is usable from `spark.sql(...)` as well as the Column
@@ -37,7 +38,27 @@ object GraftFunctions {
         args(1) match {
           case Literal(k: Int, _) => MinhashSignature(args(0), k)
           case other => sys.error(s"minhash_signature k must be an int literal, got $other")
-        } }))
+        } }),
+    (FunctionIdentifier("ngram_hashes"),
+      info("ngram_hashes", "ngram_hashes(text, n) - sorted distinct 64-bit word-n-gram hashes"),
+      args => { require(args.length == 2, "ngram_hashes takes 2 arguments")
+        args(1) match {
+          case Literal(n: Int, _) => NgramHashes(args(0), n)
+          case other => sys.error(s"ngram_hashes n must be an int literal, got $other")
+        } }),
+    (FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count", "sorted_intersect_count(arr, arr) - |A∩B| of two sorted arrays"),
+      args => { require(args.length == 2, "sorted_intersect_count takes 2 arguments")
+        SortedIntersectCount(args(0), args(1)) }),
+    (FunctionIdentifier("wkb_envelope_centroid"),
+      info("wkb_envelope_centroid",
+        "wkb_envelope_centroid(binary) - struct(minx,miny,maxx,maxy,cx,cy) of a WKB geometry"),
+      args => { require(args.length == 1, "wkb_envelope_centroid takes 1 argument")
+        WkbEnvelopeCentroid(args.head) }),
+    (FunctionIdentifier("wkb_polygon"),
+      info("wkb_polygon", "wkb_polygon(xs, ys) - single-ring polygon WKB from coordinate arrays"),
+      args => { require(args.length == 2, "wkb_polygon takes 2 arguments")
+        WkbPolygon(args(0), args(1)) }))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(GraftFunctions.getClass.getName, name, usage)

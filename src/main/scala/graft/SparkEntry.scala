@@ -528,6 +528,19 @@ object SparkEntry {
           .cast("double").as("run_total"))
     }),
 
+    // ---- native session windows: Spark's built-in session_window
+    // operator (merge-on-overlap state machine). NOTE the boundary
+    // differs from q24's lag-based form by design: [start, start+gap)
+    // intervals merge on OVERLAP, so a gap of exactly 30min starts a
+    // NEW session (q24's `> gap` keeps it) — the oracle mirrors `>=`. ----
+    "q40_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("sum_value"))),
+
     // ---- S2 full: WKB geometry ingestion. An irregular CCW quad per
     // customer is WKB-serialized in-engine (WkbPolygon) and parsed back
     // (WkbEnvelopeCentroid) into the feature table; the oracle computes
@@ -999,6 +1012,27 @@ object SparkEntry {
          |  SELECT q_id, n_id, sim,
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
          |  FROM sc) WHERE rank <= 5""".stripMargin,
+
+    // q40: session_window boundary is >= (interval overlap), unlike
+    // q24's >; session_end = max(ts) + gap.
+    "q40_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     // q39: bbox + shoelace centroid computed directly from the quad's
     // coordinates — same fold order (edges in vertex order, 0.0-seeded

@@ -9,23 +9,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graftbridge.Bridge
 
-/** |A ∩ B| of two SORTED, DISTINCT string arrays via a two-pointer
-  * merge — O(|A|+|B|) per pair inside codegen. Exact string compares
-  * (no hashing → no collision risk against the oracle's
-  * `list_intersect` count). Caller must pass `array_sort`ed distinct
-  * arrays; unsorted input silently undercounts. */
+/** |A ∩ B| of two SORTED, DISTINCT string or bigint arrays via a
+  * two-pointer merge — O(|A|+|B|) per pair inside codegen. On strings:
+  * exact compares (no hashing → no collision risk against the oracle's
+  * `list_intersect` count); on bigints: the long-compare path for
+  * hashed shingle sets ([[NgramHashes]] output is already sorted
+  * distinct). Caller must pass sorted distinct arrays; unsorted input
+  * silently undercounts. */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
 
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count needs ARRAY<STRING> inputs, got " +
+        s"sorted_intersect_count needs two ARRAY<STRING> or two " +
+          s"ARRAY<BIGINT> inputs, got " +
           s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
     }
 
@@ -33,8 +43,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     val (na, nb) = (a.numElements(), b.numElements())
     var i = 0; var j = 0; var n = 0L
+    val long = isLong
     while (i < na && j < nb) {
-      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      val c =
+        if (long) java.lang.Long.compare(a.getLong(i), b.getLong(j))
+        else a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { n += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -47,11 +60,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val cmp =
+        if (isLong) s"java.lang.Long.compare($l.getLong($i), $r.getLong($j))"
+        else s"$l.getUTF8String($i).compareTo($r.getUTF8String($j))"
       s"""
          |int $na = $l.numElements(); int $nb = $r.numElements();
          |int $i = 0; int $j = 0; long $n = 0L;
          |while ($i < $na && $j < $nb) {
-         |  int $c = $l.getUTF8String($i).compareTo($r.getUTF8String($j));
+         |  int $c = $cmp;
          |  if ($c == 0) { $n++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}

@@ -21,6 +21,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](4).length == 4)
   }
 
+  test("round-2 functions evaluate correctly from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT ngram_hashes('a b c', 2) AS ng,
+        |       sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS ic,
+        |       wkb_envelope_centroid(
+        |         wkb_polygon(array(0.0d, 2.0d, 2.0d, 0.0d),
+        |                     array(0.0d, 0.0d, 2.0d, 2.0d))) AS env""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Long](0).length == 2) // "a_b", "b_c"
+    assert(r.getLong(1) == 2L)
+    val env = r.getStruct(2)
+    assert(env.getDouble(2) == 2.0 && env.getDouble(4) == 1.0) // maxx, cx
+  }
+
   test("SQL type errors are analysis-time, not runtime") {
     GraftFunctions.register(spark)
     intercept[Exception](spark.sql("SELECT portable_hash(42)").collect())
