@@ -340,13 +340,15 @@ object SparkEntry {
         TextFunctions.stopwordRatio(col("text"), TextFunctions.LangProfiles("fr")).as("fr_score"),
         TextFunctions.langIdPrediction(col("text")).as("pred_lang"))),
 
-    // ---- quality scoring + token counting ----
+    // ---- quality scoring + token counting (one-pass TextStats kernel;
+    // equality-pinned against the Column-API forms in
+    // TextFunctionsSpec) ----
     "q20_text_quality" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextFunctions.whitespaceTokenCount(col("text")).as("ws_tokens"),
-        TextFunctions.regexTokenCount(col("text")).as("re_tokens"),
-        TextFunctions.qualityScore(col("text")).as("quality"))),
+      docs(s, dir).select(col("doc_id"),
+          graft.functions.TextKernels.text_stats(col("text"),
+            TextFunctions.LangProfiles("en")).as("st"))
+        .select(col("doc_id"), col("st.ws_tokens").as("ws_tokens"),
+          col("st.re_tokens").as("re_tokens"), col("st.quality").as("quality"))),
 
     // ---- ANN: brute-force cosine top-k ----
     "q21_ann_cosine_topk" -> ((s, dir) => {

@@ -79,8 +79,16 @@ object TextFunctions {
   /** Winnowing document fingerprints (MOSS-style): hash all char k-grams,
     * then keep the minimum of each sliding window of w hashes; distinct
     * sorted mins are the fingerprint set. Deterministic and
-    * oracle-expressible. Returns array<long>. */
+    * oracle-expressible. Returns array<long>. Runs as the one-pass
+    * codegen kernel ([[TextKernels.winnowFingerprints]]); the HOF
+    * reference form below is equality-pinned in TextFunctionsSpec. */
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
+    TextKernels.winnow_fingerprints(text, k, w)
+
+  /** Column-API reference implementation of [[winnowingFingerprints]]
+    * (interpreted HOFs — slow; kept as the independently-derived
+    * verifier of the kernel). */
+  def winnowingFingerprintsRef(text: Column, k: Int, w: Int): Column =
     bindOnce(
       when(length(text) < k, array().cast("array<long>")).otherwise(
         transform(sequence(lit(1), length(text) - (k - 1)),

@@ -1,0 +1,253 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass codegen kernels for the two remaining interpreted-HOF text
+  * pipelines, value-identical to their Column-API definitions (so every
+  * existing oracle keeps matching bit-for-bit):
+  *
+  *  - [[NgramPortableHashes]] ≡ sorted distinct
+  *    `transform(shingles(text, n), portable_hash)` — the minhash base.
+  *    Minhash takes a min per slot, so losing first-occurrence order is
+  *    value-neutral.
+  *  - [[WinnowFingerprints]] ≡ [[TextFunctions.winnowingFingerprints]] —
+  *    per-CHARACTER k-gram portable hashes (UTF-8 char boundaries
+  *    honored, matching `substr`'s character semantics), sliding-window
+  *    minima, sorted distinct.
+  *
+  * Both ride the static-helper codegen pattern (one call per row; the
+  * surrounding stage stays whole-stage compiled). */
+case class NgramPortableHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_portable_hashes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_portable_hashes needs STRING, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.ngramPortableHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.ngramPortableHashes($s, $n);")
+  override protected def withNewChildInternal(newChild: Expression): NgramPortableHashes =
+    copy(child = newChild)
+}
+
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints needs STRING, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnowFingerprints(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.winnowFingerprints($s, $k, $w);")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+/** One-pass quality/token stats: struct(ws_tokens int, re_tokens int,
+  * quality double), value-identical to the Column-API trio
+  * (whitespaceTokenCount, regexTokenCount, qualityScore) — same split
+  * semantics, same round6 arithmetic in the same order. The regex token
+  * count reproduces `[a-z0-9]+` over `lower(text)` by counting maximal
+  * [A-Za-z0-9] byte runs — identical for ASCII text (exotic case
+  * mappings like U+212A→k would differ; the corpus contract is ASCII). */
+case class TextStats(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("ws_tokens", IntegerType, nullable = false),
+    StructField("re_tokens", IntegerType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
+  override def prettyName: String = "text_stats"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text_stats needs STRING, got ${other.catalogString}")
+  }
+  @transient private lazy val stopBytes: Array[Array[Byte]] =
+    stopwords.map(_.getBytes("UTF-8")).toArray
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.textStats(input.asInstanceOf[UTF8String], stopBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sw = ctx.addReferenceObj("stop", stopBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.textStats($s, $sw);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+object TextKernels {
+
+  private final val Mod = 1000000007L
+
+  /** Static entry for [[TextStats]]. */
+  def textStats(
+      text: UTF8String,
+      stop: Array[Array[Byte]]): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val bytes = text.getBytes
+    // whitespace tokens: maximal runs between 0x20 (empties included)
+    var nTok = 1
+    var nChars = 0
+    var reTokens = 0
+    var inRun = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == ' '.toByte) nTok += 1
+      if ((b & 0xC0) != 0x80) nChars += 1
+      val alnum = (b >= 'a'.toByte && b <= 'z'.toByte) ||
+        (b >= 'A'.toByte && b <= 'Z'.toByte) ||
+        (b >= '0'.toByte && b <= '9'.toByte)
+      if (alnum && !inRun) reTokens += 1
+      inRun = alnum
+      i += 1
+    }
+    // stopword occurrences: token-by-token byte equality
+    var stopCount = 0
+    var start = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        val len = i - start
+        var s = 0
+        var hit = false
+        while (s < stop.length && !hit) {
+          val w = stop(s)
+          if (w.length == len) {
+            var j = 0
+            while (j < len && w(j) == bytes(start + j)) j += 1
+            hit = j == len
+          }
+          s += 1
+        }
+        if (hit) stopCount += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val nTokD = nTok.toDouble
+    val meanLen = round6((nChars.toDouble - (nTokD - 1.0)) / nTokD)
+    val stopR = round6(stopCount.toDouble / nTokD)
+    val lenTerm = math.min(nTokD / 200.0, 1.0)
+    val quality = round6(
+      0.4 * lenTerm + 0.3 * math.min(meanLen / 8.0, 1.0) +
+        0.3 * math.min(stopR * 5.0, 1.0))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, reTokens, quality))
+  }
+
+  private def sortedDistinct(a: Array[Long], len: Int): GenericArrayData = {
+    val arr = java.util.Arrays.copyOf(a, len)
+    java.util.Arrays.sort(arr)
+    var uniq = 0
+    var i = 0
+    while (i < arr.length) {
+      if (i == 0 || arr(i) != arr(i - 1)) { arr(uniq) = arr(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(arr, uniq))
+  }
+
+  /** Sorted distinct portable_hash values of the word n-grams ("_"-joined,
+    * split on every 0x20 — the [[TextFunctions.shingles]] string). */
+  def ngramPortableHashes(text: UTF8String, n: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    var nTokens = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) nTokens += 1; i += 1 }
+    if (nTokens < n) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = bytes.length + 1
+    val out = new Array[Long](nTokens - n + 1)
+    var w = 0
+    while (w <= nTokens - n) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) h = (h * 31L + ('_'.toByte & 0xffL)) % Mod
+        var p = starts(w + j)
+        val end = starts(w + j + 1) - 1
+        while (p < end) { h = (h * 31L + (bytes(p) & 0xffL)) % Mod; p += 1 }
+        j += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    sortedDistinct(out, out.length)
+  }
+
+  /** Winnowing fingerprints: portable_hash of every char k-gram (char
+    * boundaries per UTF-8, matching `substr`), min of each w-window
+    * (all grams when fewer than w), sorted distinct. */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    // char start offsets (UTF-8: a char starts at any byte not 10xxxxxx)
+    var nChars = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) nChars += 1
+      i += 1
+    }
+    if (nChars < k) return new GenericArrayData(Array.emptyLongArray)
+    val offs = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(c) = i; c += 1 }
+      i += 1
+    }
+    offs(nChars) = bytes.length
+    val nGrams = nChars - k + 1
+    val grams = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      var h = 0L
+      var p = offs(g)
+      val end = offs(g + k)
+      while (p < end) { h = (h * 31L + (bytes(p) & 0xffL)) % Mod; p += 1 }
+      grams(g) = h
+      g += 1
+    }
+    if (nGrams < w) return sortedDistinct(grams, nGrams)
+    val mins = new Array[Long](nGrams - w + 1)
+    var m = 0
+    while (m <= nGrams - w) {
+      var mn = grams(m)
+      var j = 1
+      while (j < w) { if (grams(m + j) < mn) mn = grams(m + j); j += 1 }
+      mins(m) = mn
+      m += 1
+    }
+    sortedDistinct(mins, mins.length)
+  }
+
+  def ngram_portable_hashes(text: Column, n: Int): Column =
+    Bridge.column(NgramPortableHashes(Bridge.expression(text), n))
+
+  def text_stats(text: Column, stopwords: Seq[String]): Column =
+    Bridge.column(TextStats(Bridge.expression(text), stopwords))
+
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w))
+}

@@ -48,11 +48,15 @@ object Dedup {
     val r = k / bands
     require(bands * r == k, "k must be divisible by bands")
 
+    // sorted distinct portable_hash shingle sets in ONE codegen pass
+    // (TextKernels) — same values the string pipeline produced, so the
+    // signatures, candidates and jaccards are unchanged; minhash takes
+    // a min per slot, so the sort is value-neutral
+    import graft.functions.TextKernels.ngram_portable_hashes
     val sh = docs.select(
       col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hashes", transform(col("sh"), s => graft.functions.PortableHash.portable_hash(s)))
+      ngram_portable_hashes(col(textCol), n).as("hashes"))
+      .filter(size(col("hashes")) > 0)
     val sig = sh.withColumn("sig", minhashSignature(col("hashes"), k))
 
     // explode band keys → bucket join
@@ -67,12 +71,18 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
 
-    // exact verification on the candidate set only
-    val shA = sh.select(col("id").as("a_id"), col("sh").as("sh_a"))
-    val shB = sh.select(col("id").as("b_id"), col("sh").as("sh_b"))
+    // exact verification on the candidate set only: two-pointer merge
+    // over the sorted hash sets (|A∪B| = |A|+|B|−|A∩B|)
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    val shA = sh.select(col("id").as("a_id"), col("hashes").as("hs_a"),
+      size(col("hashes")).as("n_a"))
+    val shB = sh.select(col("id").as("b_id"), col("hashes").as("hs_b"),
+      size(col("hashes")).as("n_b"))
     candidates
       .join(shA, "a_id").join(shB, "b_id")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("inter", sorted_intersect_count(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }

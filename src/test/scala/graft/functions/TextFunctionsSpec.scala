@@ -62,6 +62,45 @@ class TextFunctionsSpec extends SparkSpec {
     assert(tiny.length == 2)
   }
 
+  test("winnowing kernel == HOF reference (incl. non-ASCII, boundary lengths)") {
+    val docs = Seq("abcdefghij", "abc", "abcde", "the quick brown fox",
+      "naïve café über döner straße", "aaaaaaaaaa", "",
+      "日本語のテキストです、これは").toDF("t")
+    for ((k, w) <- Seq((4, 3), (8, 4), (2, 2))) {
+      val fast = docs.select(winnowingFingerprints($"t", k, w))
+        .as[Seq[Long]].collect().toSeq
+      val ref = docs.select(winnowingFingerprintsRef($"t", k, w))
+        .as[Seq[Long]].collect().toSeq
+      assert(fast == ref, s"k=$k w=$w")
+    }
+  }
+
+  test("ngram portable hashes kernel == sorted distinct shingle portable_hash") {
+    import graft.functions.TextKernels.ngram_portable_hashes
+    val docs = Seq("the quick brown fox", "a b", "a", "",
+      "x  y", " lead", "trail ", "a_b c", "naïve café über").toDF("t")
+    for (n <- Seq(2, 3)) {
+      val fast = docs.select(ngram_portable_hashes($"t", n))
+        .as[Seq[Long]].collect().toSeq
+      val ref = docs.select(array_sort(array_distinct(shingleHashes($"t", n))))
+        .as[Seq[Long]].collect().toSeq
+      assert(fast == ref, s"n=$n")
+    }
+  }
+
+  test("TextStats kernel == whitespace/regex/quality Column forms") {
+    import graft.functions.TextKernels.text_stats
+    val docs = Seq("the quick brown fox is a fox", "", "a", "x  y ",
+      "UPPER Case 123 mix3d t0kens!", "punct,only.?!",
+      (1 to 300).map(_ => "the").mkString(" ")).toDF("t")
+    val fast = docs.select(text_stats($"t", LangProfiles("en")).as("st"))
+      .select($"st.ws_tokens", $"st.re_tokens", $"st.quality")
+      .as[(Int, Int, Double)].collect().toSeq
+    val ref = docs.select(whitespaceTokenCount($"t"), regexTokenCount($"t"),
+      qualityScore($"t")).as[(Int, Int, Double)].collect().toSeq
+    assert(fast == ref)
+  }
+
   test("language id picks the profile with most stopwords") {
     val df = Seq(
       ("the cat and the dog is in the house", "en"),
