@@ -171,15 +171,50 @@ object NetcdfClassic {
     bos.toByteArray
   }
 
-  /** Reader for all three classic variants — CDF-1 (`CDF\x01`, 32-bit
-    * sizes/offsets), CDF-2 (`CDF\x02`, 64-bit offsets) and CDF-5
-    * (`CDF\x05`, 64-bit everything + int64 data). Covers golden-header
+  /** Parsed variable header: everything needed to locate and type its
+    * data without reading it (the DSv2 scan seeks per slice). */
+  final case class VarHeader(
+      name: String, dimIds: Seq[Int], atts: Seq[Att],
+      ncType: Int, vsize: Long, begin: Long)
+  final case class Header(dims: Seq[Dim], gatts: Seq[Att], vars: Seq[VarHeader])
+
+  def elemSize(t: Int): Int = typeSize(t)
+
+  /** Header-only parse of all three classic variants — CDF-1
+    * (`CDF\x01`, 32-bit sizes/offsets), CDF-2 (`CDF\x02`, 64-bit
+    * offsets) and CDF-5 (`CDF\x05`, 64-bit everything + int64 data).
+    * No unlimited-dimension (record) support — the engine's contract
+    * files are fixed-size. */
+  def readHeader(path: String): Header = {
+    // headers are small; reading the file once here is fine for the
+    // output-sized contract files (the DSv2 scan re-opens with seeks)
+    parseHeader(ByteBuffer.wrap(Files.readAllBytes(Paths.get(path)))
+      .order(ByteOrder.BIG_ENDIAN))
+  }
+
+  /** Full reader: header + all variable data. Covers golden-header
     * specs, re-ingest of this engine's own outputs, and reference-era
-    * classic files. No unlimited-dimension (record) support — the
-    * engine's contract files are fixed-size. */
+    * classic files. */
   def read(path: String): Nc = {
     val buf = ByteBuffer.wrap(Files.readAllBytes(Paths.get(path)))
       .order(ByteOrder.BIG_ENDIAN)
+    val h = parseHeader(buf.duplicate().order(ByteOrder.BIG_ENDIAN))
+    val vars = h.vars.map { vh =>
+      val nelems = vh.dimIds.map(h.dims(_).length).product.toInt
+      buf.position(vh.begin.toInt)
+      val data: VarData = vh.ncType match {
+        case NcDouble => DoubleData(Array.fill(nelems)(buf.getDouble()))
+        case NcFloat => DoubleData(Array.fill(nelems)(buf.getFloat().toDouble))
+        case NcInt64 => LongData(Array.fill(nelems)(buf.getLong()))
+        case NcInt => LongData(Array.fill(nelems)(buf.getInt().toLong))
+        case other => throw new IllegalArgumentException(s"var type $other")
+      }
+      Var(vh.name, vh.dimIds, vh.atts, data)
+    }
+    Nc(h.dims, h.gatts, vars)
+  }
+
+  private def parseHeader(buf: ByteBuffer): Header = {
     require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
       "not a NetCDF classic file")
     val version = buf.get()
@@ -242,20 +277,8 @@ object NetcdfClassic {
       val t = buf.getInt()
       val vsize = nonNeg()
       val begin = offset()
-      (nm, dimIds, atts, t, vsize, begin)
+      VarHeader(nm, dimIds, atts, t, vsize, begin)
     }
-    val vars = headers.map { case (nm, dimIds, atts, t, _, begin) =>
-      val nelems = dimIds.map(dims(_).length).product.toInt
-      buf.position(begin.toInt)
-      val data: VarData = t match {
-        case NcDouble => DoubleData(Array.fill(nelems)(buf.getDouble()))
-        case NcFloat => DoubleData(Array.fill(nelems)(buf.getFloat().toDouble))
-        case NcInt64 => LongData(Array.fill(nelems)(buf.getLong()))
-        case NcInt => LongData(Array.fill(nelems)(buf.getInt().toLong))
-        case other => throw new IllegalArgumentException(s"var type $other")
-      }
-      Var(nm, dimIds, atts, data)
-    }
-    Nc(dims, gatts, vars)
+    Header(dims, gatts, headers)
   }
 }
