@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.sinks.NetcdfClassic
@@ -83,19 +83,54 @@ class NetcdfTable(path: String, featureDim: String, rowsPerPartition: Int)
 class NetcdfScanBuilder(
     path: String, featureDim: String, rowsPerPartition: Int,
     header: Header, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = full
+  private var timeBounds: (Long, Long) = (Long.MinValue, Long.MaxValue)
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Time-range pruning, the file-format analogue of parquet row-group
+    * min/max skipping: range predicates on `time` narrow the scanned
+    * time-index window (the axis is sorted in contract files). Every
+    * filter is still returned as post-scan residual — pruning is an
+    * I/O optimization, not the evaluation of record semantics. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def micros(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp => Some(t.getTime * 1000L + t.getNanos / 1000 % 1000)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
+      case _ => None
+    }
+    accepted = filters.filter {
+      case GreaterThan("time", v) => micros(v).exists { m =>
+        timeBounds = (timeBounds._1 max (m + 1), timeBounds._2); true }
+      case GreaterThanOrEqual("time", v) => micros(v).exists { m =>
+        timeBounds = (timeBounds._1 max m, timeBounds._2); true }
+      case LessThan("time", v) => micros(v).exists { m =>
+        timeBounds = (timeBounds._1, timeBounds._2 min (m - 1)); true }
+      case LessThanOrEqual("time", v) => micros(v).exists { m =>
+        timeBounds = (timeBounds._1, timeBounds._2 min m); true }
+      case EqualTo("time", v) => micros(v).exists { m =>
+        timeBounds = (timeBounds._1 max m, timeBounds._2 min m); true }
+      case _ => false
+    }
+    filters // all residual: Spark re-applies them post-scan
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
   override def build(): Scan = new NetcdfScan(
-    path, featureDim, rowsPerPartition, header, required)
+    path, featureDim, rowsPerPartition, header, required, timeBounds)
 }
 
 final case class NetcdfInputPartition(tiStart: Int, tiEnd: Int) extends InputPartition
 
 class NetcdfScan(
     path: String, featureDim: String, rowsPerPartition: Int,
-    header: Header, required: StructType)
+    header: Header, required: StructType,
+    timeBounds: (Long, Long) = (Long.MinValue, Long.MaxValue))
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -107,10 +142,27 @@ class NetcdfScan(
     header.dims(fid.dimIds.head).length.toInt
   }
 
+  /** Time-index window satisfying the pushed bounds. The contract time
+    * axis is ascending; when it isn't, pruning is skipped (correctness
+    * never depends on it — filters are residual). */
+  private def timeWindow(): (Int, Int) = {
+    if (timeBounds == (Long.MinValue, Long.MaxValue)) return (0, nTimes)
+    val times = NetcdfPartitionReader.timeAxisMicros(path, header)
+    if (!times.indices.drop(1).forall(i => times(i - 1) <= times(i)))
+      return (0, nTimes)
+    val lo = times.indexWhere(_ >= timeBounds._1) match {
+      case -1 => nTimes
+      case i => i
+    }
+    val hi = times.lastIndexWhere(_ <= timeBounds._2) + 1
+    (lo, math.max(lo, hi))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
+    val (lo, hi) = timeWindow()
     val timesPerPart = math.max(1, rowsPerPartition / math.max(1, nFeat))
-    (0 until nTimes by timesPerPart).map { t0 =>
-      NetcdfInputPartition(t0, math.min(nTimes, t0 + timesPerPart))
+    (lo until hi by timesPerPart).map { t0 =>
+      NetcdfInputPartition(t0, math.min(hi, t0 + timesPerPart))
     }.toArray
   }
 
@@ -165,17 +217,8 @@ class NetcdfPartitionReader(
   }
 
   private val fids = readLongs1D(featureDim)
-  private val timesUs: Array[Long] = {
-    val tv = byName("time")
-    val units = tv.atts.collectFirst { case Att("units", AttText(s)) => s }
-      .getOrElse(sys.error("time var has no units"))
-    require(units.startsWith("days since "), s"unsupported time units: $units")
-    val origin = java.time.LocalDate
-      .parse(units.drop("days since ".length).take(10))
-      .atStartOfDay(java.time.ZoneOffset.UTC)
-    readLongs1D("time").map(d =>
-      origin.plusDays(d).toInstant.toEpochMilli * 1000L)
-  }
+  private val timesUs: Array[Long] =
+    NetcdfPartitionReader.timeAxisMicros(path, header)
   private val dataCols: Array[(Int, Array[Double], Option[Double])] =
     required.fields.zipWithIndex.collect {
       case (f, i) if f.name != featureDim && f.name != "time" =>
@@ -213,4 +256,32 @@ class NetcdfPartitionReader(
   }
 
   override def close(): Unit = raf.close()
+}
+
+object NetcdfPartitionReader {
+  /** The decoded time axis in epoch micros — shared by the scan's
+    * partition pruning (driver) and each reader. Small (nTimes longs). */
+  def timeAxisMicros(path: String, header: Header): Array[Long] = {
+    val tv = header.vars.find(_.name == "time")
+      .getOrElse(sys.error("no time variable"))
+    val units = tv.atts.collectFirst { case Att("units", AttText(s)) => s }
+      .getOrElse(sys.error("time var has no units"))
+    require(units.startsWith("days since "), s"unsupported time units: $units")
+    val origin = java.time.LocalDate
+      .parse(units.drop("days since ".length).take(10))
+      .atStartOfDay(java.time.ZoneOffset.UTC)
+    val n = header.dims(tv.dimIds.head).length.toInt
+    val w = NetcdfClassic.elemSize(tv.ncType)
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val bytes = new Array[Byte](n * w)
+      raf.seek(tv.begin); raf.readFully(bytes)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Array.tabulate(n) { i =>
+        val d = if (tv.ncType == NetcdfClassic.NcInt64) bb.getLong(i * 8)
+          else bb.getInt(i * 4).toLong
+        origin.plusDays(d).toInstant.toEpochMilli * 1000L
+      }
+    } finally raf.close()
+  }
 }

@@ -54,4 +54,25 @@ class NetcdfDataSourceSpec extends SparkSpec {
     val timeOnly = v2.select($"time").distinct()
     assert(timeOnly.count() == 4)
   }
+
+  test("time-range filters prune input partitions (and stay residual)") {
+    val path = writeFixture()
+    val v2 = spark.read.format("netcdf-classic")
+      .option("rowsPerPartition", "3").load(path) // 1 timestep per split
+    val filtered = v2.filter(
+      $"time" >= Timestamp.valueOf("1980-01-02 00:00:00") &&
+        $"time" < Timestamp.valueOf("1980-01-04 00:00:00"))
+    // only the 2 qualifying timesteps are planned (4 without pruning)
+    assert(filtered.rdd.getNumPartitions == 2)
+    assert(filtered.count() == 6)
+    assert(rows(filtered.select($"time").distinct()).size == 2)
+    // values identical to post-hoc filtering of the unpruned scan
+    val ref = Sources.netcdfSeries(spark, path).filter(
+      $"time" >= Timestamp.valueOf("1980-01-02 00:00:00") &&
+        $"time" < Timestamp.valueOf("1980-01-04 00:00:00"))
+    assert(rows(filtered) == rows(ref))
+    // an empty window plans zero partitions
+    val none = v2.filter($"time" > Timestamp.valueOf("1990-01-01 00:00:00"))
+    assert(none.count() == 0)
+  }
 }
