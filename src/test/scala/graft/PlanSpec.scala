@@ -90,6 +90,53 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exact dedup: exchange keyed on (xxhash64, length), not document text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-plan").toString
+    (1 to 50).map(i => (i.toLong, s"document body $i"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val p = plan(graft.operators.Dedup.exact(
+      spark.read.parquet(dir), "doc_id", "text"))
+    assert(p.contains("xxhash64"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // the aggregate keys are the hash and length — text appears only
+    // below the partial aggregate (as the hash input), never as a key
+    val keyLists = "HashAggregate\\(keys=\\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keyLists.nonEmpty && keyLists.forall(k => !k.contains("text#")), p)
+  }
+
+  test("blocked simhash pairs: hash equi-join, no nested-loop product") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sim-plan").toString
+    (1 to 50).map(i => (i.toLong, s"some words repeated $i times over"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val p = plan(graft.operators.Dedup.simhashPairsBlocked(
+      spark.read.parquet(dir), "doc_id", "text", maxHamming = 3))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // and no distinct re-aggregation of the joined pairs: the
+    // first-matching-band filter dedups per-row
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && !p.substring(0, joinIdx).contains("HashAggregate"), p)
+  }
+
+  test("ngram jaccard: both self-join legs reuse ONE postings exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ngram-plan").toString
+    (1 to 50).map(i => (i.toLong, "en", s"shared vocabulary words $i and more"))
+      .toDF("doc_id", "lang", "text").write.mode("overwrite").parquet(dir)
+    val df = graft.operators.Dedup.ngramJaccardPairs(
+      spark.read.parquet(dir), "doc_id", "text", "lang", 2, 0.3)
+    // exchange reuse is an AQE runtime decision: execute THIS
+    // queryExecution (collect mutates the adaptive plan in place), then
+    // inspect the final plan — the identical postings exchange below
+    // both legs must appear once, its twin replaced by a reuse node
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      "REPARTITION_BY_COL".r.findAllIn(p).size == 1, p)
+  }
+
   test("pipeline keeps the weight join broadcast at every stage") {
     val features = Seq((1L, 40.0, -99.5, -101.0, 39.0, -99.0, 41.0))
       .toDF("fid", "lat", "lon", "minx", "miny", "maxx", "maxy")
