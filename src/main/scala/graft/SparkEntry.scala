@@ -531,17 +531,12 @@ object SparkEntry {
     }),
 
     // ---- native session windows: Spark's built-in session_window
-    // operator (merge-on-overlap state machine). NOTE the boundary
-    // differs from q24's lag-based form by design: [start, start+gap)
-    // intervals merge on OVERLAP, so a gap of exactly 30min starts a
-    // NEW session (q24's `> gap` keeps it) — the oracle mirrors `>=`. ----
+    // operator. Its merge boundary is CLOSED (a gap of exactly 30min
+    // still merges — pinned by EventPipelineSpec's exact-gap fixture),
+    // i.e. the same split rule as q24's lag-based `> gap`; the output
+    // shape differs (start/end window instead of a session ordinal). ----
     "q40_session_window" -> ((s, dir) =>
-      events(s, dir)
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-        .select(col("user_id"), col("sw.start").as("session_start"),
-          col("sw.end").as("session_end"), col("n_events"), col("sum_value"))),
+      EventPipeline.sessionWindows(events(s, dir), gapMinutes = 30)),
 
     // ---- S2 full: WKB geometry ingestion. An irregular CCW quad per
     // customer is WKB-serialized in-engine (WkbPolygon) and parsed back
@@ -1015,13 +1010,15 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
          |  FROM sc) WHERE rank <= 5""".stripMargin,
 
-    // q40: session_window boundary is >= (interval overlap), unlike
-    // q24's >; session_end = max(ts) + gap.
+    // q40: session_window merges on gap <= gapDuration (closed
+    // boundary — verified by EventPipelineSpec's exact-30m fixture), so
+    // the session split rule is the same `>` as q24; session_end =
+    // max(ts) + gap.
     "q40_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -70,6 +70,40 @@ object EventPipeline {
         col("n_events"), col("sum_value"))
   }
 
+  /** Session-window aggregate (batch form): Spark's native
+    * `session_window` operator. Its merge boundary is CLOSED — a gap
+    * of exactly `gapMinutes` still merges (spec-pinned), so the split
+    * rule matches [[sessionize]]'s `> gap`; only the output shape
+    * differs (start/end window vs a session ordinal). */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Streaming form of [[sessionWindows]]: watermark + session-window
+    * agg — Spark maintains the merge state. Complete/update semantics
+    * via the returned writer; tested against the batch form on a
+    * bounded stream. */
+  def sessionWindowsStream(
+      spark: SparkSession, sourceDir: String,
+      gapMinutes: Int = 30): DataStreamWriter[Row] = {
+    val schema = spark.read.parquet(sourceDir).schema
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Input/accumulator/output rows for the stateful streaming form. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   final case class SessState(

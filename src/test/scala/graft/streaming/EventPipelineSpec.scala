@@ -63,6 +63,32 @@ class EventPipelineSpec extends SparkSpec {
     assert(streamed.size == 3)
   }
 
+  test("streaming session_window == batch form; exact-gap boundary MERGES") {
+    val ev = Seq(
+      (1L, ts("2021-01-01 10:00:00"), 1L, 1.0),
+      (1L, ts("2021-01-01 10:10:00"), 2L, 2.0),  // merges (gap 10m)
+      (1L, ts("2021-01-01 10:40:00"), 3L, 4.0),  // EXACTLY 30m: merges too
+      (1L, ts("2021-01-01 11:10:01"), 4L, 16.0), // 30m01s → NEW session
+      (2L, ts("2021-01-01 12:00:00"), 5L, 8.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val dir = Files.createTempDirectory("graft-sw-stream").toString
+    ev.write.mode("overwrite").parquet(dir)
+
+    val q = EventPipeline.sessionWindowsStream(spark, dir, gapMinutes = 30)
+      .format("memory").queryName("sw_test").start()
+    q.awaitTermination(60000)
+    q.stop()
+
+    val streamed = rows(spark.table("sw_test"))
+    val batch = rows(EventPipeline.sessionWindows(
+      spark.read.parquet(dir), gapMinutes = 30))
+    assert(streamed == batch)
+    // session_window's closed merge boundary == the lag-based `> gap`
+    // rule: user 1 → [10:00..10:40] then [11:10:01], user 2 → one
+    assert(streamed.size == 3)
+    assert(EventPipeline.sessionize(spark.read.parquet(dir), 30).count() == 3)
+  }
+
   test("streaming tumbling counts (AvailableNow + memory sink) == batch form") {
     val ev = Seq(
       (ts("2021-01-01 10:05:00"), "click", 1.0),
