@@ -108,4 +108,73 @@ class PropertySpec extends SparkSpec {
       if (x == y) assert(j == 1.0)
     }
   }
+
+  private def randomDocs(nDocs: Int, vocab: Int, maxLen: Int) =
+    (0 until nDocs).map { i =>
+      val len = 1 + rnd.nextInt(maxLen)
+      (i.toLong, (0 until len).map(_ => s"w${rnd.nextInt(vocab)}").mkString(" "))
+    }.toDF("doc_id", "text")
+
+  test("pigeonhole simhash blocking == all-pairs on random corpora") {
+    import graft.operators.Dedup
+    for (h <- Seq(1, 3, 5)) {
+      val docs = randomDocs(60, vocab = 30, maxLen = 20)
+      val all = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = h)
+        .collect().map(_.toSeq).toSet
+      val blocked = Dedup.simhashPairsBlocked(docs, "doc_id", "text", maxHamming = h)
+        .collect().map(_.toSeq).toSet
+      assert(blocked == all, s"h=$h")
+    }
+  }
+
+  test("ngram kernel hash sets group documents exactly like string shingles") {
+    import graft.functions.NgramHashes.ngram_hashes
+    import graft.functions.TextFunctions.shingles
+    val docs = randomDocs(80, vocab = 6, maxLen = 6) // small vocab → collisions
+    val byHash = docs.select($"doc_id", ngram_hashes($"text", 2).as("k"))
+      .groupBy($"k").agg(collect_set($"doc_id").as("g"))
+      .select(sort_array($"g")).as[Seq[Long]].collect().toSet
+    val byString = docs.select($"doc_id", array_sort(shingles($"text", 2)).as("k"))
+      .groupBy($"k").agg(collect_set($"doc_id").as("g"))
+      .select(sort_array($"g")).as[Seq[Long]].collect().toSet
+    assert(byHash == byString)
+  }
+
+  test("WKB round-trip: random convex polygons recover bbox and centroid") {
+    import graft.functions.WkbGeom.{wkbPolygon, wkbEnvelopeCentroid}
+    // random rectangles (centroid/bbox closed-form) built as columns
+    val fixtures = (0 until 40).map { i =>
+      val x0 = rnd.nextDouble() * 100 - 50
+      val y0 = rnd.nextDouble() * 100 - 50
+      val w = 0.5 + rnd.nextDouble() * 10
+      val h = 0.5 + rnd.nextDouble() * 10
+      (i.toLong, x0, y0, w, h)
+    }.toDF("id", "x0", "y0", "w", "h")
+    val out = fixtures.select($"id", $"x0", $"y0", $"w", $"h",
+        wkbEnvelopeCentroid(wkbPolygon(
+          array($"x0", $"x0" + $"w", $"x0" + $"w", $"x0"),
+          array($"y0", $"y0", $"y0" + $"h", $"y0" + $"h"))).as("e"))
+      .as[(Long, Double, Double, Double, Double,
+        (Double, Double, Double, Double, Double, Double))].collect()
+    out.foreach { case (_, x0, y0, w, h, (minx, miny, maxx, maxy, cx, cy)) =>
+      assert(minx == x0 && miny == y0 && maxx == x0 + w && maxy == y0 + h)
+      assert(approx(cx, x0 + w / 2, 1e-12) && approx(cy, y0 + h / 2, 1e-12))
+    }
+  }
+
+  test("session forms agree on random event streams (closed-boundary rule)") {
+    import graft.streaming.EventPipeline
+    val events = (0 until 300).map { i =>
+      val user = rnd.nextInt(8).toLong
+      val t = new Timestamp(t0.getTime + rnd.nextInt(6 * 3600) * 1000L)
+      (user, t, i.toLong, (rnd.nextInt(10000) / 100.0))
+    }.toDF("user_id", "ts", "event_id", "value")
+    val lag = EventPipeline.sessionize(events, gapMinutes = 30)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"),
+        sum($"n_events").as("ev"), round(sum($"sum_value"), 6).as("v"))
+    val sw = EventPipeline.sessionWindows(events, gapMinutes = 30)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"),
+        sum($"n_events").as("ev"), round(sum($"sum_value"), 6).as("v"))
+    assert(rows(lag) == rows(sw))
+  }
 }
