@@ -55,6 +55,27 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.count(_._1 == 0L) == 3 && ivf.count(_._1 == 20L) == 3)
   }
 
+  test("IVF with sampled quantizer training: exact sims, clusters still found") {
+    val rnd = new scala.util.Random(7)
+    def near(base: Array[Float]) = base.map(x => x + rnd.nextFloat() * 0.05f)
+    val c1 = Array(10f, 0f, 0f, 0f)
+    val c2 = Array(0f, 10f, 0f, 0f)
+    val data = (0 until 40).map(i =>
+      (i.toLong, (if (i % 2 == 0) near(c1) else near(c2)).toSeq))
+    val corpus = data.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id".isin(0L, 1L))
+    // train on 1/4 of the corpus; assign + search over all of it
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 3, nLists = 4,
+      nProbe = 2, trainSampleMod = 4).as[(Long, Long, Double, Int)].collect()
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .select($"q_id", $"n_id", $"sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    ivf.foreach { case (q, n, s, _) => assert(brute((q, n)) == s) }
+    // even-id query stays in the even (c1) cluster, odd in c2
+    ivf.foreach { case (q, n, _, _) => assert(n % 2 == q % 2) }
+    assert(ivf.count(_._1 == 0L) == 3 && ivf.count(_._1 == 1L) == 3)
+  }
+
   test("LSH near-dup pairs ⊆ exact pairs with identical sims; bucket-complete") {
     val rnd = new scala.util.Random(11)
     val base = (0 until 60).map(_ => Seq.fill(16)(rnd.nextFloat() - 0.5f))
