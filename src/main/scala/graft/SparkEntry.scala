@@ -530,6 +530,19 @@ object SparkEntry {
           .cast("double").as("run_total"))
     }),
 
+    // ---- multimodal feature extraction → ANN composition: media
+    // payloads through the batched encoder seam (integer byte-histogram
+    // stub — exact floats, so the downstream cosine top-k is
+    // oracle-exact), fed straight into the similarity operator ----
+    "q41_media_embed_topk" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val ds = media(s, dir).as[Multimodal.Media](
+        org.apache.spark.sql.Encoders.product[Multimodal.Media])
+      val embs = Multimodal.mapEmbedBatches(ds, dim = 16, batchSize = 64)
+        .toDF().select(col("media_id").as("vec_id"), col("embedding"))
+      Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 4), k = 3)
+    }),
+
     // ---- native session windows: Spark's built-in session_window
     // operator. Its merge boundary is CLOSED (a gap of exactly 30min
     // still merges — pinned by EventPipelineSpec's exact-gap fixture),
@@ -1009,6 +1022,34 @@ object SparkEntry {
          |  SELECT q_id, n_id, sim,
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
          |  FROM sc) WHERE rank <= 5""".stripMargin,
+
+    // q41: the embedding stub is an integer byte histogram (bucket j
+    // sums ascii+1 over chars with ascii % 16 == j) — order-independent
+    // exact sums, exact as floats — so the cosine top-k over media
+    // embeddings reproduces bit-for-bit.
+    "q41_media_embed_topk" ->
+      """WITH e AS (
+        |  SELECT doc_id AS id,
+        |    list_transform(range(0, 16), j ->
+        |      CAST(list_sum(list_transform(range(1, length(text)+1),
+        |        ci -> CASE WHEN ascii(text[ci]) % 16 = j
+        |              THEN ascii(text[ci]) + 1 ELSE 0 END)) AS DOUBLE)) AS v
+        |  FROM documents),
+        |q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 4),
+        |c AS (SELECT id AS n_id, v AS cv FROM e),
+        |s AS (SELECT q_id, n_id,
+        |  round(
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv)+1),
+        |      zi -> qv[zi] * cv[zi])), (a, x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv)+1),
+        |         zi -> qv[zi] * qv[zi])), (a, x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(cv)+1),
+        |         zi -> cv[zi] * cv[zi])), (a, x) -> a + x))), 6) AS sim
+        |  FROM q CROSS JOIN c WHERE q_id <> n_id)
+        |SELECT q_id, n_id, sim, rank FROM (
+        |  SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |  FROM s) WHERE rank <= 3""".stripMargin,
 
     // q40: session_window merges on gap <= gapDuration (closed
     // boundary — verified by EventPipelineSpec's exact-30m fixture), so

@@ -56,6 +56,44 @@ object Multimodal {
       }
   }
 
+  /** Media embedding row (feature extraction output — feeds the
+    * Similarity operators). */
+  final case class MediaEmbedding(media_id: Long, embedding: Seq[Float])
+
+  object EmbedStub {
+    /** Batch feature extraction — the encoder seam (a real deployment
+      * hands the batch to a vision/audio model). The stub is a byte
+      * histogram folded into `dim` buckets: bucket j sums (b&0xff)+1
+      * over bytes with b % dim == j. INTEGER sums (order-independent,
+      * exact) cast to float (exact below 2^24), so downstream cosine
+      * similarities are bit-reproducible by an oracle — cosine is
+      * scale-invariant, so no lossy normalization is needed. */
+    def embedBatch(batch: Seq[Media], dim: Int): Seq[MediaEmbedding] =
+      batch.map { m =>
+        val hist = new Array[Long](dim)
+        var k = 0
+        while (k < m.bytes.length) {
+          val b = m.bytes(k) & 0xff
+          hist(b % dim) += b + 1
+          k += 1
+        }
+        MediaEmbedding(m.media_id, hist.toSeq.map(_.toFloat))
+      }
+  }
+
+  /** Per-batch feature extraction (mapInPandas-shaped, like
+    * [[mapDecodeBatches]]): partition iterator → `batchSize` groups →
+    * one encoder call per batch. Output plugs straight into
+    * [[graft.operators.Similarity]] (vec_id=media_id, embedding). */
+  def mapEmbedBatches(
+      media: Dataset[Media], dim: Int = 16,
+      batchSize: Int = 64): Dataset[MediaEmbedding] = {
+    implicit val enc = Encoders.product[MediaEmbedding]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => EmbedStub.embedBatch(b.toSeq, dim))
+    }
+  }
+
   /** Column-level metadata decode (no UDF — pure projections over the
     * binary payload; stays inside whole-stage codegen). */
   def decodeMeta(bytes: Column): Column = struct(

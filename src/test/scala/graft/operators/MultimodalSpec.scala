@@ -28,6 +28,22 @@ class MultimodalSpec extends SparkSpec {
       "hello world".getBytes.map(_ & 0xff).sum.toDouble / 11))
   }
 
+  test("mapEmbedBatches: histogram embedding, exact ints, feeds Similarity") {
+    val ds = spark.createDataset(
+      Seq(mk(1L, "aab"), mk(2L, "aab"), mk(3L, "zzzz")))(Encoders.product[Media])
+    val out = Multimodal.mapEmbedBatches(ds, dim = 4, batchSize = 2)
+      .collect().map(e => e.media_id -> e.embedding).toMap
+    // 'a'=97 → bucket 1, contributes 98 each; 'b'=98 → bucket 2, 99
+    assert(out(1L)(1) == 196f && out(1L)(2) == 99f && out(1L)(0) == 0f)
+    assert(out(1L) == out(2L)) // identical payloads → identical vectors
+    // identical vectors → cosine 1.0 through the similarity operator
+    val embs = Multimodal.mapEmbedBatches(ds, dim = 4).toDF()
+      .select($"media_id".as("vec_id"), $"embedding")
+    val top = Similarity.bruteForceTopK(embs, embs.filter($"vec_id" === 1), k = 1)
+      .as[(Long, Long, Double, Int)].head()
+    assert(top._2 == 2L && top._3 == 1.0)
+  }
+
   test("sampleFrames: offsets tile the payload after the header") {
     // 16-byte header + 4 frames of 3 bytes
     val payload = "HHHHHHHHHHHHHHHH" + "aaabbbcccddd"
