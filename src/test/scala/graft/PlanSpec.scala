@@ -137,6 +137,17 @@ class PlanSpec extends SparkSpec {
       "REPARTITION_BY_COL".r.findAllIn(p).size == 1, p)
   }
 
+  test("LSH near-dup: bucket equi-join, never a nested-loop pair scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshnd-plan").toString
+    (0 until 60).map(i => (i.toLong, Seq.tabulate(8)(d => ((i + d) % 5).toFloat)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val p = plan(graft.operators.Similarity.nearDupPairsLsh(
+      spark.read.parquet(dir), threshold = 0.5, nPlanes = 4))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join [bucket") || p.contains("bucket"), p)
+  }
+
   test("pipeline keeps the weight join broadcast at every stage") {
     val features = Seq((1L, 40.0, -99.5, -101.0, 39.0, -99.0, 41.0))
       .toDF("fid", "lat", "lon", "minx", "miny", "maxx", "maxy")
