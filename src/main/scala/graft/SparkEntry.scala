@@ -331,14 +331,15 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
           explode(TextFunctions.winnowingFingerprints(col("text"), 8, 4)).as("fp"))),
 
-    // ---- language-ID heuristic ----
+    // ---- language-ID heuristic (one-pass LangScores kernel;
+    // equality-pinned against the Column forms in TextFunctionsSpec) ----
     "q19_langid" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextFunctions.stopwordRatio(col("text"), TextFunctions.LangProfiles("en")).as("en_score"),
-        TextFunctions.stopwordRatio(col("text"), TextFunctions.LangProfiles("de")).as("de_score"),
-        TextFunctions.stopwordRatio(col("text"), TextFunctions.LangProfiles("fr")).as("fr_score"),
-        TextFunctions.langIdPrediction(col("text")).as("pred_lang"))),
+      docs(s, dir).select(col("doc_id"),
+          graft.functions.TextKernels.lang_scores(col("text"),
+            TextFunctions.LangProfiles.toSeq.sortBy(_._1)).as("ls"))
+        .select(col("doc_id"),
+          col("ls.en_score").as("en_score"), col("ls.de_score").as("de_score"),
+          col("ls.fr_score").as("fr_score"), col("ls.pred_lang").as("pred_lang"))),
 
     // ---- quality scoring + token counting (one-pass TextStats kernel;
     // equality-pinned against the Column-API forms in

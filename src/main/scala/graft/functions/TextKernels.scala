@@ -90,9 +90,99 @@ case class TextStats(child: Expression, stopwords: Seq[String]) extends UnaryExp
     copy(child = newChild)
 }
 
+/** One-pass language-ID: per-profile stopword ratios + argmax
+  * prediction, value-identical to [[TextFunctions.stopwordRatio]] ×
+  * profiles + [[TextFunctions.langIdPrediction]] (same round6 division,
+  * same highest-score / lexicographically-largest-language tie rule as
+  * `greatest` over (score, lang) structs). Output:
+  * struct(<lang>_score double ..., pred_lang string), profiles in the
+  * given order. */
+case class LangScores(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+  override def dataType: DataType = StructType(
+    profiles.map { case (l, _) =>
+      StructField(s"${l}_score", DoubleType, nullable = false)
+    } :+ StructField("pred_lang", StringType, nullable = false))
+  override def prettyName: String = "lang_scores"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lang_scores needs STRING, got ${other.catalogString}")
+  }
+  @transient private lazy val langs: Array[UTF8String] =
+    profiles.map(p => UTF8String.fromString(p._1)).toArray
+  @transient private lazy val words: Array[Array[Array[Byte]]] =
+    profiles.map(_._2.map(_.getBytes("UTF-8")).toArray).toArray
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.langScores(input.asInstanceOf[UTF8String], langs, words)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ls = ctx.addReferenceObj("langs", langs,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val ws = ctx.addReferenceObj("words", words, "byte[][][]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.langScores($s, $ls, $ws);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangScores =
+    copy(child = newChild)
+}
+
 object TextKernels {
 
   private final val Mod = 1000000007L
+
+  /** Static entry for [[LangScores]]. */
+  def langScores(
+      text: UTF8String, langs: Array[UTF8String],
+      words: Array[Array[Array[Byte]]]): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val bytes = text.getBytes
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) nTok += 1; i += 1 }
+    val counts = new Array[Int](langs.length)
+    var start = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        val len = i - start
+        var p = 0
+        while (p < langs.length) {
+          val ws = words(p)
+          var s = 0
+          var hit = false
+          while (s < ws.length && !hit) {
+            val w = ws(s)
+            if (w.length == len) {
+              var j = 0
+              while (j < len && w(j) == bytes(start + j)) j += 1
+              hit = j == len
+            }
+            s += 1
+          }
+          if (hit) counts(p) += 1
+          p += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val nTokD = nTok.toDouble
+    val scores = counts.map(c => math.floor(c.toDouble / nTokD * 1e6 + 0.5) / 1e6)
+    // greatest over (score, lang) structs: highest score, then
+    // lexicographically LARGEST language string
+    var best = 0
+    var p = 1
+    while (p < langs.length) {
+      if (scores(p) > scores(best) ||
+        (scores(p) == scores(best) && langs(p).compareTo(langs(best)) > 0)) best = p
+      p += 1
+    }
+    val out = new Array[Any](langs.length + 1)
+    p = 0
+    while (p < langs.length) { out(p) = scores(p); p += 1 }
+    out(langs.length) = langs(best)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
 
   /** Static entry for [[TextStats]]. */
   def textStats(
@@ -247,6 +337,9 @@ object TextKernels {
 
   def text_stats(text: Column, stopwords: Seq[String]): Column =
     Bridge.column(TextStats(Bridge.expression(text), stopwords))
+
+  def lang_scores(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+    Bridge.column(LangScores(Bridge.expression(text), profiles))
 
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w))

@@ -101,6 +101,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fast == ref)
   }
 
+  test("LangScores kernel == stopwordRatio/langIdPrediction Column forms") {
+    import graft.functions.TextKernels.lang_scores
+    val docs = Seq("the cat of the house is a cat", "der hund und die katze ist",
+      "le chat et la maison est un", "", "no stopwords here whatsoever",
+      "the der le a die la").toDF("t") // last row: engineered ratio ties
+    val profs = LangProfiles.toSeq.sortBy(_._1)
+    val fast = docs.select(lang_scores($"t", profs).as("ls"))
+      .select($"ls.en_score", $"ls.de_score", $"ls.fr_score", $"ls.pred_lang")
+      .as[(Double, Double, Double, String)].collect().toSeq
+    val ref = docs.select(
+      stopwordRatio($"t", LangProfiles("en")), stopwordRatio($"t", LangProfiles("de")),
+      stopwordRatio($"t", LangProfiles("fr")), langIdPrediction($"t"))
+      .as[(Double, Double, Double, String)].collect().toSeq
+    assert(fast == ref)
+  }
+
   test("language id picks the profile with most stopwords") {
     val df = Seq(
       ("the cat and the dog is in the house", "en"),
