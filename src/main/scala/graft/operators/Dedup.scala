@@ -228,8 +228,18 @@ object Dedup {
     // co-occurrence appears exactly once, but a hot key's d² work
     // spreads over `salts` reducers. No hot keys (the common case) →
     // the plain two-leg equi-join, zero overhead.
-    val hotSet = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > hotDf).select(col("h"))
+    // detection runs on a deterministic 1-in-8 doc sample (textbook
+    // heavy-hitter estimation: a key at the hotDf scale appears in the
+    // sample with overwhelming probability; the threshold is halved on
+    // top of the expected-value scaling so borderline keys are salted
+    // rather than missed — salting a non-hot key costs almost nothing,
+    // missing a hot one pins a reducer)
+    val sampleMod = 8
+    val hotSet = sh
+      .filter(pmod(col("id"), lit(sampleMod.toLong)) === 0)
+      .select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotDf / sampleMod / 2).select(col("h"))
       .collect().map(_.getLong(0)).toSeq
     val (a, b, joinCond) =
       if (hotSet.isEmpty) (
