@@ -77,20 +77,31 @@ object Jobs {
     // consumed instead of recomputing the mapping.
     val mappingPath = s"${a("output-path")}/" +
       a.get("mapping-file").getOrElse("fill_missing_nearest.csv")
-    val mapping: Option[DataFrame] =
-      if (!filled) None
-      else if (a.has("genmap")) {
+    val out =
+      if (filled && a.has("genmap")) {
+        // build the unfilled series ONCE, derive + persist the mapping,
+        // and fill that same series — no second aggregation DAG
         val unfilled = GridmetPipeline.gridmet(grid, weights, features,
           start = start, end = end, partial = a.has("partial"))
-        val m = GridmetPipeline.fillMapping(unfilled, features)
-        m.foreach(Sinks.writeMappingCsv(_, mappingPath))
-        m
-      } else if (a.get("mapping-file").isDefined)
-        Some(Sources.fillMappingCsv(spark, mappingPath))
-      else None
-    val out = GridmetPipeline.gridmet(grid, weights, features,
-      start = start, end = end,
-      partial = a.has("partial"), fillMissing = filled, mapping = mapping)
+        GridmetPipeline.fillMapping(unfilled, features) match {
+          case None => unfilled
+          case Some(m) =>
+            Sinks.writeMappingCsv(m, mappingPath)
+            // fill from the persisted CSV: truncates the NN-join lineage
+            // so the output job broadcasts a tiny file-backed table
+            // instead of re-running the mapping computation
+            GridmetPipeline.applyFill(unfilled,
+              Sources.fillMappingCsv(spark, mappingPath))
+        }
+      } else {
+        val mapping =
+          if (filled && a.get("mapping-file").isDefined)
+            Some(Sources.fillMappingCsv(spark, mappingPath))
+          else None
+        GridmetPipeline.gridmet(grid, weights, features,
+          start = start, end = end,
+          partial = a.has("partial"), fillMissing = filled, mapping = mapping)
+      }
     val name = a.get("file-prefix").getOrElse("") + Sinks.outputName(start, filled)
     val path = s"${a("output-path")}/$name"
     Sinks.writeContract(Sinks.ordered(out, "time", "nhru"), path)

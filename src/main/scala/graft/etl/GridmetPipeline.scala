@@ -40,12 +40,24 @@ object GridmetPipeline {
     * time/lon/lat before the pipeline runs. No-op for names already
     * canonical. */
   def normalizeCoords(
-      grid: DataFrame, tName: String, xName: String, yName: String): DataFrame =
-    Seq(tName -> "time", xName -> "lon", yName -> "lat")
-      .foldLeft(grid) { case (g, (from, to)) =>
-        if (from == to || !g.columns.contains(from)) g
-        else g.withColumnRenamed(from, to)
-      }
+      grid: DataFrame, tName: String, xName: String, yName: String): DataFrame = {
+    // simultaneous rename (one select), not sequential withColumnRenamed:
+    // catalogs can name coordinates crosswise (X_name="lat", Y_name="lon"),
+    // where a step-by-step fold would collide mid-way and duplicate columns
+    val renames = Seq(tName -> "time", xName -> "lon", yName -> "lat")
+      .filter { case (from, to) => from != to && grid.columns.contains(from) }
+      .toMap
+    if (renames.isEmpty) grid
+    else {
+      val targets = renames.values.toSeq
+      val kept = grid.columns.filterNot(renames.contains)
+      val clash = kept.filter(targets.contains)
+      require(clash.isEmpty,
+        s"coordinate rename would collide with existing column(s) ${clash.mkString(",")}")
+      grid.select(grid.columns.toIndexedSeq.map(c =>
+        col(c).as(renames.getOrElse(c, c))): _*)
+    }
+  }
 
   /** [[normalizeCoords]] driven by a catalog row (S4/F1 completion):
     * takes the first record for `dataId` and reads its T_name/X_name/
@@ -125,15 +137,20 @@ object GridmetPipeline {
       features, Nil)
     val out = Convert.gridmetFinalize(agg)
     if (!fillMissing) out
-    else {
-      val outVars = Seq("tmax", "tmin", "prcp", "rhmax", "rhmin", "ws", "humidity")
-      mapping.orElse(fillMapping(out, features)) match {
-        case None => out // early-exit (`helper.py:48-50`)
-        case Some(m) =>
-          FillMissing.fillSeries(out.withColumnRenamed("nhru", "fid"), m, outVars)
-            .withColumnRenamed("fid", "nhru")
-      }
+    else mapping.orElse(fillMapping(out, features)) match {
+      case None => out // early-exit (`helper.py:48-50`)
+      case Some(m) => applyFill(out, m)
     }
+  }
+
+  /** Apply an NN fill mapping to a finalized series (the J3 stage on
+    * its own — lets callers that already hold the unfilled series fill
+    * it without re-running the aggregation DAG). */
+  def applyFill(out: DataFrame, mapping: DataFrame): DataFrame = {
+    val outVars = Seq("tmax", "tmin", "prcp", "rhmax", "rhmin", "ws", "humidity")
+      .filter(out.columns.contains)
+    FillMissing.fillSeries(out.withColumnRenamed("nhru", "fid"), mapping, outVars)
+      .withColumnRenamed("fid", "nhru")
   }
 
   /** CFSv2 method 1: per-cell 48-member ensemble median, then weighted

@@ -49,13 +49,17 @@ object Dedup {
     require(bands * r == k, "k must be divisible by bands")
 
     // sorted distinct portable_hash shingle sets in ONE codegen pass
-    // (TextKernels) — same values the string pipeline produced, so the
-    // signatures, candidates and jaccards are unchanged; minhash takes
-    // a min per slot, so the sort is value-neutral
+    // (TextKernels) — same VALUE SET the string pipeline fed the
+    // signature (minhash takes a min per slot, so sorting and collision
+    // dedup are value-neutral for the signature). The ~30-bit portable
+    // hash is NOT collision-safe for set cardinalities though, so the
+    // verification stage below uses the 64-bit NgramHashes identities.
     import graft.functions.TextKernels.ngram_portable_hashes
+    import graft.functions.NgramHashes.ngram_hashes
     val sh = docs.select(
       col(idCol).as("id"),
-      ngram_portable_hashes(col(textCol), n).as("hashes"))
+      ngram_portable_hashes(col(textCol), n).as("hashes"),
+      ngram_hashes(col(textCol), n).as("h64"))
       .filter(size(col("hashes")) > 0)
     val sig = sh.withColumn("sig", minhashSignature(col("hashes"), k))
 
@@ -72,12 +76,15 @@ object Dedup {
       .distinct()
 
     // exact verification on the candidate set only: two-pointer merge
-    // over the sorted hash sets (|A∪B| = |A|+|B|−|A∩B|)
+    // over the sorted 64-BIT hash sets (|A∪B| = |A|+|B|−|A∩B|) —
+    // hash-equality ≡ string-equality at ~2^-64 per pair, whereas the
+    // mod-1e9+7 signature base collides at birthday rates for large
+    // shingle sets and would skew the jaccard against the string oracle
     import graft.functions.SortedIntersectCount.sorted_intersect_count
-    val shA = sh.select(col("id").as("a_id"), col("hashes").as("hs_a"),
-      size(col("hashes")).as("n_a"))
-    val shB = sh.select(col("id").as("b_id"), col("hashes").as("hs_b"),
-      size(col("hashes")).as("n_b"))
+    val shA = sh.select(col("id").as("a_id"), col("h64").as("hs_a"),
+      size(col("h64")).as("n_a"))
+    val shB = sh.select(col("id").as("b_id"), col("h64").as("hs_b"),
+      size(col("h64")).as("n_b"))
     candidates
       .join(shA, "a_id").join(shB, "b_id")
       .withColumn("inter", sorted_intersect_count(col("hs_a"), col("hs_b")))
@@ -250,15 +257,23 @@ object Dedup {
         col("blk") === col("blk_b") && col("h") === col("h_b") &&
           col("a_id") < col("b_id"))
       else {
+        // the legs MUST re-shuffle on (blk, h, salt): the inherited
+        // (blk, h) partitioning already satisfies the join's clustering
+        // requirement (partition keys ⊆ join keys), so without this
+        // explicit exchange Spark would happily co-partition on
+        // (blk, h) alone and every salt of a hot key would land back in
+        // ONE reducer — silently defeating the whole guard
         val isHot = col("h").isInCollection(hotSet)
         (inv.select(col("blk"), col("h"),
             col("id").as("a_id"), col("n_sh").as("n_a"),
             explode(sequence(lit(0),
-              when(isHot, salts - 1).otherwise(0))).as("salt")),
+              when(isHot, salts - 1).otherwise(0))).as("salt"))
+            .repartition(col("blk"), col("h"), col("salt")),
           inv.select(col("blk").as("blk_b"), col("h").as("h_b"),
             col("id").as("b_id"), col("n_sh").as("n_b"),
             when(isHot, pmod(col("id"), lit(salts.toLong)))
-              .otherwise(lit(0L)).cast("int").as("salt_b")),
+              .otherwise(lit(0L)).cast("int").as("salt_b"))
+            .repartition(col("blk_b"), col("h_b"), col("salt_b")),
           col("blk") === col("blk_b") && col("h") === col("h_b") &&
             col("salt") === col("salt_b") && col("a_id") < col("b_id"))
       }

@@ -184,12 +184,27 @@ object NetcdfClassic {
     * (`CDF\x01`, 32-bit sizes/offsets), CDF-2 (`CDF\x02`, 64-bit
     * offsets) and CDF-5 (`CDF\x05`, 64-bit everything + int64 data).
     * No unlimited-dimension (record) support — the engine's contract
-    * files are fixed-size. */
+    * files are fixed-size.
+    *
+    * Reads only the header bytes (64 KiB first, doubling on underflow)
+    * — per-partition readers in the DSv2 scan call this, and loading a
+    * multi-GB data file whole just to parse its header would break the
+    * scan's "only requested byte ranges are touched" contract. */
   def readHeader(path: String): Header = {
-    // headers are small; reading the file once here is fine for the
-    // output-sized contract files (the DSv2 scan re-opens with seeks)
-    parseHeader(ByteBuffer.wrap(Files.readAllBytes(Paths.get(path)))
-      .order(ByteOrder.BIG_ENDIAN))
+    val fileLen = Files.size(Paths.get(path))
+    var attempt = 64L * 1024
+    while (true) {
+      val n = math.min(attempt, fileLen).toInt
+      val bytes = new Array[Byte](n)
+      val raf = new java.io.RandomAccessFile(path, "r")
+      try raf.readFully(bytes) finally raf.close()
+      try return parseHeader(ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN))
+      catch {
+        case _: java.nio.BufferUnderflowException if n < fileLen =>
+          attempt *= 8 // header larger than the guess: retry bigger
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Full reader: header + all variable data. Covers golden-header

@@ -81,10 +81,11 @@ object Sinks {
         DoubleData(grid(dataVars.indexOf(v), fill)))
     }
     // declaration order mirrors gm_header.md: tmax, crs, the remaining
-    // data vars, then coordinates, then humidity
+    // data vars, then coordinates, then humidity — but every data var
+    // is optional (the pipeline is lenient to missing variables, F6)
     val vars =
-      Seq(dataVar("tmax"),
-        Var("crs", Nil, crsAtts, DoubleData(Array(Double.NaN)))) ++
+      dataVars.filter(_ == "tmax").map(dataVar) ++
+      Seq(Var("crs", Nil, crsAtts, DoubleData(Array(Double.NaN)))) ++
       dataVars.filter(v => v != "tmax" && v != "humidity").map(dataVar) ++
       Seq(
         Var("time", Seq(0),

@@ -100,10 +100,14 @@ object Sources {
     }.getOrElse(sys.error("time var has no units attr"))
     require(units.startsWith("days since "),
       s"unsupported time encoding: $units")
+    // decode in UTC explicitly — Timestamp.valueOf(LocalDateTime) would
+    // use the JVM default zone and disagree with the writer (UTC
+    // session tz) and the DSv2 reader on any non-UTC machine
     val origin = java.time.LocalDate.parse(units.drop("days since ".length).take(10))
     val days = timeVar.data.asInstanceOf[LongData].v
-    val times = days.map(d => java.sql.Timestamp.valueOf(
-      origin.plusDays(d).atStartOfDay()))
+    val times = days.map(d => new java.sql.Timestamp(
+      origin.plusDays(d).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli))
     val fids = byName(featureDim).data.asInstanceOf[LongData].v
     val dataVars = nc.vars.filter(v =>
       v.dimIds == Seq(dimId("time"), dimId(featureDim)))

@@ -135,7 +135,14 @@ object EventPipeline {
     def emit(userId: Long, s: SessState): Session =
       Session(userId, s.sessId, new java.sql.Timestamp(s.startUs / 1000),
         s.n, s.sumMicros / 1e6)
-    def micros(v: Double): Long = math.rint(v * 1e6).toLong
+    // match Spark's double→DECIMAL(18,6) cast exactly: HALF_UP on the
+    // SHORTEST decimal representation (math.rint is half-even on the
+    // binary product and can differ by 1e-6 at .5-at-6dp inputs)
+    def micros(v: Double): Long =
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .movePointRight(6)
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .longValueExact()
     events
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessState, Session](

@@ -120,6 +120,20 @@ class PlanSpec extends SparkSpec {
     assert(joinIdx >= 0 && !p.substring(0, joinIdx).contains("HashAggregate"), p)
   }
 
+  test("ngram jaccard hot path: legs exchange on (blk, h, SALT)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-salt-plan").toString
+    (1 to 50).map(i => (i.toLong, "en", s"common phrase here $i"))
+      .toDF("doc_id", "lang", "text").write.mode("overwrite").parquet(dir)
+    // hotDf=0 → every shingle hot → the salted legs must re-shuffle on
+    // the salt, or every salt of a key collapses back into one reducer
+    // (the (blk,h) partitioning already satisfies the join requirement,
+    // so only an explicit repartition forces the spread)
+    val p = plan(graft.operators.Dedup.ngramJaccardPairs(
+      spark.read.parquet(dir), "doc_id", "text", "lang", 2, 0.3,
+      hotDf = 0, salts = 4))
+    assert("hashpartitioning\\(blk[^)]*salt".r.findFirstIn(p).isDefined, p)
+  }
+
   test("ngram jaccard: both self-join legs reuse ONE postings exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ngram-plan").toString
     (1 to 50).map(i => (i.toLong, "en", s"shared vocabulary words $i and more"))
