@@ -130,14 +130,39 @@ object Jobs {
     path
   }
 
+  /** S1 staging: gridded NetCDF file → long-form staged parquet, with
+    * the coordinate names taken from the catalog record when given
+    * (`--catalog-path` + `--data-id`) or from explicit
+    * `--t-name/--x-name/--y-name` args (gridMET defaults otherwise). */
+  def runStageNetcdf(spark: SparkSession, a: Args): String = {
+    val (t, x, y) = a.get("catalog-path") match {
+      case Some(cat) =>
+        val row = Sources.catalogParquet(spark, cat)
+          .filter(col("id") === a("data-id"))
+          .select(col("T_name"), col("X_name"), col("Y_name"))
+          .limit(1).collect()
+        require(row.nonEmpty, s"catalog has no record for id=${a("data-id")}")
+        (row(0).getString(0), row(0).getString(1), row(0).getString(2))
+      case None => (a.get("t-name").getOrElse("day"),
+        a.get("x-name").getOrElse("lon"), a.get("y-name").getOrElse("lat"))
+    }
+    val grid = Sources.netcdfGrid(spark, a("nc-file"),
+      tName = t, yName = y, xName = x)
+    val path = a("output-path")
+    grid.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    path
+  }
+
   def main(argv: Array[String]): Unit = {
-    require(argv.nonEmpty, "subcommand required: gridmet-etl | cfsv2-etl")
+    require(argv.nonEmpty,
+      "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf")
     val a = parseArgs(argv.tail.toSeq)
     val spark = session()
     try {
       val path = argv.head match {
         case "gridmet-etl" => runGridmet(spark, a)
         case "cfsv2-etl" => runCfsv2(spark, a)
+        case "stage-netcdf" => runStageNetcdf(spark, a)
         case other => sys.error(s"unknown subcommand: $other")
       }
       println(s"WROTE $path")

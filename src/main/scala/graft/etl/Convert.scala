@@ -29,10 +29,16 @@ object Convert {
       case (df, (from, to)) =>
         if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
     }
-    val converted = renamed
-      .withColumn("tmax", Physics.kelvinToCelsius(col("tmax")))
-      .withColumn("tmin", Physics.kelvinToCelsius(col("tmin")))
-      .withColumn("humidity", Physics.gridmetHumidity(col("rhmin"), col("rhmax")))
+    // conversions are as lenient as the renames (F6 — the reference
+    // processes whatever variables are present, `etl.py:728-736`):
+    // humidity derives only when both inputs exist
+    val has = renamed.columns.toSet
+    val withTemps = Seq("tmax", "tmin").filter(has).foldLeft(renamed)(
+      (df, c) => df.withColumn(c, Physics.kelvinToCelsius(col(c))))
+    val converted = (if (has("rhmin") && has("rhmax"))
+        withTemps.withColumn("humidity",
+          Physics.gridmetHumidity(col("rhmin"), col("rhmax")))
+      else withTemps)
       .withColumnRenamed("fid", "nhru")
     Model.OutputUnits.foldLeft(converted) { case (df, (c, u)) =>
       if (df.columns.contains(c)) withUnits(df, c, u) else df

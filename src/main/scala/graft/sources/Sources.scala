@@ -130,6 +130,68 @@ object Sources {
       spark.sparkContext.parallelize(rows.toSeq), schema)
   }
 
+  /** S1 (local full form) — stage a GRIDDED NetCDF classic file (the
+    * reference's actual input shape: dims (T, Y, X), e.g. gridMET's
+    * (day, lat, lon) with 1-D coordinate vars) into the engine's
+    * long-form staged grid `(time, j, i, lat, lon, vars…)`
+    * (FIXTURES.md §1, `Model.gridSchema`). Coordinate names come from
+    * the catalog record (T_name/X_name/Y_name — `etl.py:329-331`,
+    * `etl.py:399-408`); only the remote OPeNDAP fetch itself stays
+    * outside the engine (zero-egress environment). Driver-side
+    * materialization, one file per call — stage big archives one
+    * time-chunk file at a time, exactly the reference's per-day pulls. */
+  def netcdfGrid(
+      spark: SparkSession, path: String,
+      tName: String = "day", yName: String = "lat",
+      xName: String = "lon"): DataFrame = {
+    import graft.sinks.NetcdfClassic
+    import graft.sinks.NetcdfClassic._
+    val nc = NetcdfClassic.read(path)
+    val byName = nc.vars.map(v => v.name -> v).toMap
+    val dimId = nc.dims.zipWithIndex.map { case (d, i) => d.name -> i }.toMap
+    require(Seq(tName, yName, xName).forall(dimId.contains),
+      s"expected dims ($tName, $yName, $xName), got ${nc.dims.map(_.name)}")
+    def coord(name: String): Array[Double] = byName(name).data match {
+      case DoubleData(v) => v
+      case LongData(v) => v.map(_.toDouble)
+    }
+    val lats = coord(yName)
+    val lons = coord(xName)
+    val timeVar = byName(tName)
+    val units = timeVar.atts.collectFirst { case Att("units", AttText(s)) => s }
+      .getOrElse(sys.error(s"$tName var has no units attr"))
+    require(units.startsWith("days since "), s"unsupported time encoding: $units")
+    val origin = java.time.LocalDate.parse(units.drop("days since ".length).take(10))
+    val times = timeVar.data.asInstanceOf[LongData].v.map(d =>
+      new java.sql.Timestamp(
+        origin.plusDays(d).atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.toEpochMilli))
+    val wantDims = Seq(dimId(tName), dimId(yName), dimId(xName))
+    val dataVars = nc.vars.filter(_.dimIds == wantDims)
+    require(dataVars.nonEmpty, s"no ($tName, $yName, $xName) data variables")
+    val rows = for {
+      ti <- times.indices
+      j <- lats.indices
+      i <- lons.indices
+    } yield Row.fromSeq(
+      Seq(times(ti), j, i, lats(j), lons(i)) ++ dataVars.map { v =>
+        val fill = v.atts.collectFirst {
+          case Att("_FillValue", AttDoubles(Seq(f))) => f
+        }
+        val x = v.data.asInstanceOf[DoubleData]
+          .v((ti * lats.length + j) * lons.length + i)
+        if (x.isNaN || fill.contains(x)) null else x
+      })
+    val schema = StructType(
+      Seq(StructField("time", TimestampType, nullable = false),
+        StructField("j", IntegerType, nullable = false),
+        StructField("i", IntegerType, nullable = false),
+        StructField("lat", DoubleType, nullable = false),
+        StructField("lon", DoubleType, nullable = false)) ++
+        dataVars.map(v => StructField(v.name, DoubleType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+  }
+
   /** S2 (full form) — GeoParquet feature ingestion: derive the engine's
     * `(fid, lat, lon, minx, miny, maxx, maxy)` feature table from a raw
     * WKB geometry column in-engine (the reference does this with

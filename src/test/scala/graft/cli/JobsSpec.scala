@@ -101,6 +101,56 @@ class JobsSpec extends SparkSpec {
     assert(same.columns.toSet == out.columns.toSet)
   }
 
+  test("stage-netcdf: gridded .nc → staged parquet → gridmet → contract (full lifecycle)") {
+    import graft.sinks.NetcdfClassic
+    import graft.sinks.NetcdfClassic._
+    val dir = Files.createTempDirectory("graft-stage").toString
+    // a gridMET-shaped 3-D file: dims (day, lat, lon) + 1-D coords,
+    // tmmx/tmmn/... data vars, one fill-value hole
+    val (nT, nY, nX) = (2, 2, 3)
+    val fill = graft.model.Model.FillValue
+    def cube(f: (Int, Int, Int) => Double): Array[Double] =
+      (for { t <- 0 until nT; j <- 0 until nY; i <- 0 until nX }
+        yield f(t, j, i)).toArray
+    val ncPath = s"$dir/gridmet_day.nc"
+    NetcdfClassic.write(ncPath, Nc(
+      dims = Seq(Dim("day", nT), Dim("lat", nY), Dim("lon", nX)),
+      gatts = Seq(Att("Conventions", AttText("CF-1.8"))),
+      vars = Seq(
+        Var("day", Seq(0), Seq(Att("units", AttText("days since 1900-01-01 00:00:00"))),
+          LongData(Array(44195L, 44196L))), // 2021-01-01, 2021-01-02
+        Var("lat", Seq(1), Nil, DoubleData(Array(40.0, 41.0))),
+        Var("lon", Seq(2), Nil, DoubleData(Array(-100.0, -99.9, -99.8))),
+        Var("tmmx", Seq(0, 1, 2),
+          Seq(Att("_FillValue", AttVal(fill))),
+          DoubleData(cube((t, j, i) =>
+            if (t == 0 && j == 0 && i == 2) fill else 285.0 + t + j + i))),
+        Var("pr", Seq(0, 1, 2), Nil, DoubleData(cube((t, j, i) => t + 0.5))))))
+    // stage it
+    val staged = Jobs.runStageNetcdf(spark, Jobs.parseArgs(Seq(
+      "--nc-file", ncPath, "--output-path", s"$dir/staged")))
+    val grid = spark.read.parquet(staged)
+    assert(grid.columns.toSet ==
+      Set("time", "j", "i", "lat", "lon", "tmmx", "pr"))
+    assert(grid.count() == nT * nY * nX)
+    assert(grid.filter($"tmmx".isNull).count() == 1) // the fill hole
+    assert(grid.filter($"j" === 1 && $"i" === 1)
+      .select($"lat", $"lon").distinct()
+      .as[(Double, Double)].head() == ((41.0, -99.9)))
+    // and the staged grid drives the pipeline end-to-end
+    val weights = Seq((1L, 0, 0, 0.5), (1L, 1, 0, 0.5))
+      .toDF("fid", "i", "j", "wght")
+    val features = Seq((1L, 40.0, -99.95, -101.0, 39.0, -99.0, 42.0))
+      .toDF("fid", "lat", "lon", "minx", "miny", "maxx", "maxy")
+    val out = graft.etl.GridmetPipeline.gridmet(
+      grid, weights, features,
+      vars = Seq("tmmx", "pr"), start = "2021-01-01", end = "2021-01-02")
+    // day 0: cells (i=0,j=0)=285, (i=1,j=0)=286 → weighted mean 285.5 K
+    val tmax = out.filter($"time" === Timestamp.valueOf("2021-01-01 00:00:00"))
+      .select($"tmax").as[Double].head()
+    assert(approx(tmax, 285.5 - 273.15))
+  }
+
   test("cfsv2-etl method 2: ens-partitioned ensemble output") {
     val dir = Files.createTempDirectory("graft-job2").toString
     val t1 = Timestamp.valueOf("2021-02-01 00:00:00")

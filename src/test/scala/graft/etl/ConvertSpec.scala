@@ -23,10 +23,13 @@ class ConvertSpec extends SparkSpec {
   }
 
   test("gridmetFinalize is lenient to missing variables (F6 guard)") {
+    // the reference processes whatever variables the dataset carries
+    // (`etl.py:728-736`); humidity derives only when its inputs exist
     val agg = Seq((1L, t1, 290.0, 280.0)).toDF("fid", "time", "tmmx", "tmmn")
-    intercept[Exception] { // humidity needs rhmin/rhmax — guard surfaces it
-      Convert.gridmetFinalize(agg).collect()
-    }
+    val out = Convert.gridmetFinalize(agg)
+    assert(out.columns.toSet == Set("nhru", "time", "tmax", "tmin"))
+    val r = out.select($"tmax", $"tmin").as[(Double, Double)].head()
+    assert(approx(r._1, 16.85) && approx(r._2, 6.85))
   }
 
   test("cfsv2Finalize keeps sph and skips humidity") {
