@@ -1147,8 +1147,12 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id, ts, value,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |    -- CAST: DuckDB's windowed sum over integers yields HUGEINT,
+        |    -- which pandas renders as float64 ("1.0") while Spark's
+        |    -- bigint renders "1" — the driver's value hash then differs
+        |    -- even though every value is numerically identical
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
         |  FROM flagged)
         |SELECT user_id, sess_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
         |  count(*) AS n_events,

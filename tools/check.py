@@ -41,15 +41,27 @@ for name in names:
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"SKIP {name}: no parquet written"); fails.append(name); continue
-    got = canon(con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df())
+    got_raw = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+    got = canon(got_raw)
     if name not in oracle:
         print(f"ROWS-ONLY {name}: {len(got)} rows " + ("OK" if len(got) else "EMPTY!"))
         if not len(got): fails.append(name)
         continue
     try:
-        exp = canon(con.sql(oracle[name]).df())
+        exp_raw = con.sql(oracle[name]).df()
+        exp = canon(exp_raw)
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}"); fails.append(name); continue
+    # Driver-hash fidelity: the driver stringifies values, so an int64
+    # column on one side vs float64 on the other ("1" vs "1.0") hash-
+    # mismatches even when numerically equal. DuckDB's HUGEINT (e.g.
+    # windowed sum over integers) → pandas float64 is the classic case.
+    kind_bad = [c for c in got_raw.columns if c in exp_raw.columns
+                and {got_raw[c].dtype.kind, exp_raw[c].dtype.kind} == {"i", "f"}]
+    if kind_bad:
+        print(f"FAIL {name}: int-vs-float type class on {kind_bad} "
+              f"(driver hash would mismatch; CAST the oracle side)")
+        fails.append(name); continue
     if list(got.columns) != list(exp.columns):
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
         fails.append(name); continue
