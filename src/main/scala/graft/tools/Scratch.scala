@@ -46,7 +46,14 @@ object Scratch {
     time("minhash_lsh")(noop(
       Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 64, bands = 16,
         threshold = 0.8)))
+    time("ivf_centroids_3it")(
+      Similarity.ivfCentroids(embs, nLists = 16, iters = 3))
+    time("ivf_centroids_again")(
+      Similarity.ivfCentroids(embs, nLists = 16, iters = 3))
     time("ivf_topk")(noop(
+      Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
+        nLists = 16, nProbe = 4)))
+    time("ivf_topk_warm")(noop(
       Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
         nLists = 16, nProbe = 4)))
     spark.stop()
