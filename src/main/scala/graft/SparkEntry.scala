@@ -575,6 +575,55 @@ object SparkEntry {
         round6(col("lat")).as("lat"), round6(col("lon")).as("lon"),
         round6(col("minx")).as("minx"), round6(col("miny")).as("miny"),
         round6(col("maxx")).as("maxx"), round6(col("maxy")).as("maxy"))
+    }),
+
+    // ---- as-of join: latest view at-or-before each click, per user —
+    // the keyed temporal-alignment operator (one shuffle, union+window,
+    // no range explosion; see AsofJoin) ----
+    "q42_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"), col("value").as("view_value"))
+      graft.operators.AsofJoin.asofBackward(
+        clicks, views, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "view_ts", tieBreak = "view_id",
+        rightPrefix = "")
+    }),
+
+    // ---- near-dup clusters: connected components over the q14 LSH
+    // pairs + canonical-doc election (min-label propagation) ----
+    "q43_dup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.8)
+      Dedup.duplicateClusters(d, "doc_id", pairs)
+    }),
+
+    // ---- deterministic stratified sampling: per-event-type keep rates
+    // as a pure hash predicate (reproducible, shuffle-free) ----
+    "q44_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedHashSample(
+        events(s, dir).select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value")),
+        idCol = col("event_id"), stratumCol = col("event_type"),
+        rates = Map("view" -> 10, "click" -> 50, "purchase" -> 100),
+        defaultPct = 25)),
+
+    // ---- top-k per group via the bounded-heap aggregate — same result
+    // set as q12's window form, but O(k) state per group and map-side
+    // partial aggregation instead of a full per-group sort ----
+    "q45_topk_heap" -> ((s, dir) => {
+      import graft.functions.TopKBy.top_k_by
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(top_k_by(col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
+        .select(col("o_custkey"), posexplode(col("tk")).as(Seq("pos", "p")))
+        .select(col("o_custkey"), col("p.id").as("o_orderkey"),
+          col("p.v").as("o_totalprice"),
+          (col("pos") + 1).cast("int").as("rank"))
     })
   )
 
@@ -1157,6 +1206,75 @@ object SparkEntry {
         |SELECT user_id, sess_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM sess GROUP BY user_id, sess_id""".stripMargin
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    // q42: DuckDB's native ASOF JOIN is the oracle — an independent
+    // engine's implementation of the same operator, not a SQL
+    // transliteration of ours. The right side dedupes equal-(user, ts)
+    // views to the greatest view_id, which is exactly the row our
+    // last-in-(t, tiebreak)-order window match selects.
+    "q42_asof_join" ->
+      """WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, event_id AS view_id,
+        |             CAST(ts AS TIMESTAMP) AS view_ts, value AS view_value
+        |      FROM events WHERE event_type = 'view'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY event_id DESC) = 1)
+        |SELECT l.user_id, l.event_id, l.ts, l.value,
+        |       r.view_id, r.view_ts, r.view_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.view_ts""".stripMargin,
+
+    // q43: pair source = q14's exact-Jaccard pairs (the LSH config has
+    // full recall there — q14 is hash-identical to this all-pairs
+    // form), then a recursive-CTE transitive closure; min reachable id
+    // = the propagation fixpoint.
+    "q43_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.8),
+        |edges AS (SELECT a_id AS x, b_id AS y FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+        |  WHERE e.y <> r.x),
+        |lab AS (SELECT x AS doc_id, least(min(y), x) AS canon_id
+        |        FROM reach GROUP BY x),
+        |lab2 AS (SELECT d.doc_id, coalesce(l.canon_id, d.doc_id) AS canon_id
+        |         FROM documents d LEFT JOIN lab l USING (doc_id)),
+        |sizes AS (SELECT canon_id, count(*) AS cluster_size
+        |          FROM lab2 GROUP BY canon_id)
+        |SELECT doc_id, canon_id, cluster_size,
+        |       doc_id = canon_id AS is_canonical
+        |FROM lab2 JOIN sizes USING (canon_id)""".stripMargin,
+
+    "q44_stratified_sample" ->
+      s"""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |       event_type, value
+         |FROM events
+         |WHERE (${hashSql("CAST(event_id AS VARCHAR)")}) % 100 <
+         |  CASE event_type WHEN 'view' THEN 10 WHEN 'click' THEN 50
+         |                  WHEN 'purchase' THEN 100 ELSE 25 END""".stripMargin,
+
+    // q45: the bounded-heap aggregate must reproduce the window form
+    // exactly — one oracle (q12's) serves both physical plans.
+    "q45_topk_heap" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders) WHERE rank <= 3""".stripMargin
   )
 }

@@ -342,4 +342,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
+
+  /** Near-duplicate CLUSTERS: connected components over a pair list
+    * (e.g. [[minhashLsh]] output), plus canonical-document election —
+    * the step that turns pairwise dedup into an actual training-set
+    * dedup policy ("keep one doc per duplicate group"). Returns one
+    * row per document: (doc_id, canon_id = min id in its component,
+    * cluster_size, is_canonical); documents in no pair are their own
+    * singleton cluster.
+    *
+    * Scale design: hash-min label propagation. State is O(vertices)
+    * (only docs that appear in a pair), each round is one
+    * edges⋈labels hash join + a min-aggregate — no per-component
+    * driver state, no full-graph materialization. Rounds needed =
+    * component diameter, which for near-dup clusters is tiny (dup
+    * groups are cliques or near-cliques from LSH, diameter ≤ ~2); the
+    * O(log n)-round large-star/small-star variant is the drop-in
+    * upgrade if components with long chains ever appear. Labels are
+    * `localCheckpoint`ed each round so the plan does not grow with
+    * iterations, and min-label is order-independent, so the fixpoint
+    * is exact and oracle-checkable (recursive-CTE closure).
+    *
+    * The convergence test costs one count per round on the O(V)
+    * label table — the driver reads one scalar, never the data. */
+  def duplicateClusters(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
+      .union(pairs.select(col("b_id").cast("long").as("src"),
+        col("a_id").cast("long").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
+        .withColumnRenamed("dst", "id")
+      val merged = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), col("lab"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab2"))
+        .localCheckpoint()
+      changed = merged.filter(col("lab2") < col("lab")).count()
+      labels = merged.select(col("id"), col("lab2").as("lab"))
+      it += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
+    edges.unpersist(blocking = false)
+    val lab = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("canon_id"))
+    val sizes = lab.groupBy(col("canon_id")).agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "canon_id")
+      .select(col("doc_id"), col("canon_id"), col("cluster_size"),
+        (col("doc_id") === col("canon_id")).as("is_canonical"))
+  }
 }

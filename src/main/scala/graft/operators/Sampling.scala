@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash.portable_hash
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Hash-based, not `rand()`-based: the keep/drop decision is a pure
+  * function of the row's id, so a sample is (a) reproducible across
+  * runs, engines and cluster layouts — an external oracle can verify
+  * it row-for-row, and a re-run after a failure selects the SAME
+  * training set; (b) a pure narrow filter — no shuffle, no state, it
+  * pushes into the scan like any predicate; (c) stable under
+  * repartitioning, unlike `df.sample` whose output depends on
+  * partition boundaries and seed plumbing.
+  *
+  * Stratified form: per-stratum percentage rates (e.g. downsample the
+  * dominant language, keep all of a rare one) — the standard knob for
+  * rebalancing a web corpus before training. */
+object Sampling {
+
+  /** Keep rows whose id-hash lands under `pct` % — a deterministic
+    * `pct`-percent sample. `idCol` is stringified, so any key type
+    * works and the oracle's rendering is byte-identical. */
+  def hashSample(df: DataFrame, idCol: Column, pct: Int): DataFrame =
+    df.filter(pmod(portable_hash(idCol.cast("string")), lit(100L)) < pct)
+
+  /** Per-stratum deterministic sampling: `rates` maps stratum value →
+    * keep percentage; strata not listed use `defaultPct`. */
+  def stratifiedHashSample(
+      df: DataFrame, idCol: Column, stratumCol: Column,
+      rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultPct)) { case (acc, (s, r)) =>
+      when(stratumCol === lit(s), lit(r)).otherwise(acc)
+    }
+    df.filter(pmod(portable_hash(idCol.cast("string")), lit(100L)) < rateCol)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusterSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- duplicateClusters ----
+
+  private lazy val docs10 = (1L to 10L).toDF("doc_id")
+
+  test("clusters: chain merges to one component labeled by its min id") {
+    // 2-3-4 is a chain (diameter 2 — needs >1 propagation round)
+    val pairs = Seq((2L, 3L), (3L, 4L), (7L, 9L)).toDF("a_id", "b_id")
+    val out = Dedup.duplicateClusters(docs10, "doc_id", pairs)
+    val byDoc = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(byDoc(2L) === ((2L, 3L, true)))
+    assert(byDoc(3L) === ((2L, 3L, false)))
+    assert(byDoc(4L) === ((2L, 3L, false)))
+    assert(byDoc(7L) === ((7L, 2L, true)))
+    assert(byDoc(9L) === ((7L, 2L, false)))
+    // untouched docs are singleton canonicals
+    assert(byDoc(1L) === ((1L, 1L, true)))
+    assert(out.count() === 10L)
+  }
+
+  test("clusters: two chains joined through a bridge converge (diameter 4)") {
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("a_id", "b_id")
+    val out = Dedup.duplicateClusters(docs10, "doc_id", pairs)
+    val canon = out.filter($"doc_id" <= 5L).select($"canon_id")
+      .as[Long].collect().toSet
+    assert(canon === Set(1L))
+    assert(out.filter($"cluster_size" === 5L).count() === 5L)
+  }
+
+  test("clusters: empty pair set yields all singletons") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val out = Dedup.duplicateClusters(docs10, "doc_id", pairs)
+    assert(out.filter($"is_canonical" && $"cluster_size" === 1L).count() === 10L)
+  }
+
+  // ---- sampling ----
+
+  private lazy val ids = (0L until 2000L).toDF("id")
+    .withColumn("stratum",
+      element_at(array(lit("a"), lit("b"), lit("c")), (col("id") % 3 + 1).cast("int")))
+
+  test("hashSample is deterministic, a filter, and near the asked rate") {
+    val s1 = Sampling.hashSample(ids, col("id"), 20)
+    val s2 = Sampling.hashSample(ids, col("id"), 20)
+    assert(rows(s1) === rows(s2))
+    val n = s1.count().toDouble
+    assert(n > 2000 * 0.12 && n < 2000 * 0.28, s"rate off: $n/2000")
+    // smaller rate selects a SUBSET of the larger (nested samples)
+    val s3 = Sampling.hashSample(ids, col("id"), 10)
+    assert(rows(s3).subsetOf(rows(s1)))
+  }
+
+  test("stratifiedHashSample applies per-stratum rates") {
+    val out = Sampling.stratifiedHashSample(ids, col("id"), col("stratum"),
+      rates = Map("a" -> 100, "b" -> 0), defaultPct = 30)
+    val byStratum = out.groupBy($"stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("a") === ids.filter($"stratum" === "a").count())
+    assert(!byStratum.contains("b"))
+    val c = byStratum("c").toDouble
+    val cAll = ids.filter($"stratum" === "c").count().toDouble
+    assert(c > cAll * 0.2 && c < cAll * 0.4, s"default rate off: $c/$cAll")
+  }
+
+  test("sampling plan: pure predicate, no exchange") {
+    val plan = Sampling.hashSample(ids, col("id"), 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
