@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FoldDot, MinhashSignature, NgramHashes, PortableHash,
-  SimhashBits, SortedIntersectCount, WkbEnvelopeCentroid, WkbPolygon}
+import graft.functions.{FoldDot, KmvDistinct, MinhashSignature, NgramHashes,
+  PortableHash, SimhashBits, SortedIntersectCount, TopKBy, WkbEnvelopeCentroid,
+  WkbPolygon}
 
 /** SQL registration of the engine's custom codegen expressions, so the
   * full surface is usable from `spark.sql(...)` as well as the Column
@@ -58,7 +59,22 @@ object GraftFunctions {
     (FunctionIdentifier("wkb_polygon"),
       info("wkb_polygon", "wkb_polygon(xs, ys) - single-ring polygon WKB from coordinate arrays"),
       args => { require(args.length == 2, "wkb_polygon takes 2 arguments")
-        WkbPolygon(args(0), args(1)) }))
+        WkbPolygon(args(0), args(1)) }),
+    (FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct", "kmv_distinct(hash_bigint, k) - KMV distinct-count estimate"),
+      args => { require(args.length == 2, "kmv_distinct takes 2 arguments")
+        args(1) match {
+          case Literal(k: Int, _) => KmvDistinct(args(0), k)
+          case other => sys.error(s"kmv_distinct k must be an int literal, got $other")
+        } }),
+    (FunctionIdentifier("top_k_by"),
+      info("top_k_by",
+        "top_k_by(value_double, id_bigint, k) - best-first top-k (value desc, id asc) pairs"),
+      args => { require(args.length == 3, "top_k_by takes 3 arguments")
+        args(2) match {
+          case Literal(k: Int, _) => TopKBy(args(0), args(1), k)
+          case other => sys.error(s"top_k_by k must be an int literal, got $other")
+        } }))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(GraftFunctions.getClass.getName, name, usage)

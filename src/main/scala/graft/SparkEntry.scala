@@ -612,6 +612,30 @@ object SparkEntry {
         rates = Map("view" -> 10, "click" -> 50, "purchase" -> 100),
         defaultPct = 25)),
 
+    // ---- the end-to-end training-corpus cleaning pipeline: near-dup
+    // clusters -> keep canonical docs only -> language gate -> quality
+    // gate -> per-doc token counts. The composition is ONE declarative
+    // plan: the cluster join prunes before the text kernels run, and
+    // every stage reuses an operator that is independently
+    // oracle-checked (q43, q19, q20). ----
+    "q46_clean_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.8)
+      val canon = Dedup.duplicateClusters(d, "doc_id", pairs)
+        .filter(col("is_canonical"))
+        .select(col("doc_id"), col("cluster_size"))
+      d.join(canon, "doc_id")
+        .select(col("doc_id"), col("cluster_size"),
+          graft.functions.TextKernels.lang_scores(col("text"),
+            TextFunctions.LangProfiles.toSeq.sortBy(_._1)).as("ls"),
+          graft.functions.TextKernels.text_stats(col("text"),
+            TextFunctions.LangProfiles("en")).as("st"))
+        .filter(col("ls.pred_lang") === "en" && col("st.quality") >= 0.35)
+        .select(col("doc_id"), col("cluster_size"),
+          col("st.ws_tokens").as("ws_tokens"), col("st.quality").as("quality"))
+    }),
+
     // ---- top-k per group via the bounded-heap aggregate — same result
     // set as q12's window form, but O(k) state per group and map-side
     // partial aggregation instead of a full per-group sort ----
@@ -1267,6 +1291,56 @@ object SparkEntry {
          |WHERE (${hashSql("CAST(event_id AS VARCHAR)")}) % 100 <
          |  CASE event_type WHEN 'view' THEN 10 WHEN 'click' THEN 50
          |                  WHEN 'purchase' THEN 100 ELSE 25 END""".stripMargin,
+
+    // q46: composition oracle — the q43 closure picks canonical docs,
+    // then q19's pred_lang and q20's quality formulas gate them.
+    "q46_clean_corpus" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      val en = r6("CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t)")
+      val de = r6("CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS DOUBLE)/len(t)")
+      val fr = r6("CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est','un'))) AS DOUBLE)/len(t)")
+      val meanLen = r6("(length(text) - (CAST(len(t) AS DOUBLE) - 1))/len(t)")
+      val stopR = r6("CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t)")
+      val quality = r6(s"""0.4 * least(CAST(len(t) AS DOUBLE)/200.0, 1.0)
+         |      + 0.3 * least($meanLen/8.0, 1.0)
+         |      + 0.3 * least($stopR*5.0, 1.0)""".stripMargin)
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+         |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |  WHERE len(t) >= 3),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |            / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.8),
+         |edges AS (SELECT a_id AS x, b_id AS y FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+         |  WHERE e.y <> r.x),
+         |lab AS (SELECT x AS doc_id, least(min(y), x) AS canon_id
+         |        FROM reach GROUP BY x),
+         |lab2 AS (SELECT d.doc_id, coalesce(l.canon_id, d.doc_id) AS canon_id
+         |         FROM documents d LEFT JOIN lab l USING (doc_id)),
+         |sizes AS (SELECT canon_id, count(*) AS cluster_size
+         |          FROM lab2 GROUP BY canon_id),
+         |canon AS (SELECT doc_id, cluster_size
+         |          FROM lab2 JOIN sizes USING (canon_id)
+         |          WHERE doc_id = canon_id),
+         |f AS (SELECT doc_id, cluster_size, text, string_split(text, ' ') AS t
+         |      FROM documents JOIN canon USING (doc_id))
+         |SELECT doc_id, cluster_size, len(t) AS ws_tokens, $quality AS quality
+         |FROM f
+         |WHERE (CASE
+         |    WHEN $fr >= $en AND $fr >= $de THEN 'fr'
+         |    WHEN $en >= $de THEN 'en' ELSE 'de' END) = 'en'
+         |  AND $quality >= 0.35""".stripMargin
+    },
 
     // q45: the bounded-heap aggregate must reproduce the window form
     // exactly — one oracle (q12's) serves both physical plans.

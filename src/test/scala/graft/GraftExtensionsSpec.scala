@@ -36,6 +36,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(env.getDouble(2) == 2.0 && env.getDouble(4) == 1.0) // maxx, cx
   }
 
+  test("round-3 aggregates evaluate correctly from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT g, kmv_distinct(portable_hash(CAST(id AS STRING)), 64) AS nd,
+        |       top_k_by(CAST(id AS DOUBLE), id, 2) AS tk
+        |FROM (SELECT id % 2 AS g, id FROM range(100))
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(r.length == 2)
+    assert(r.forall(_.getDouble(1) == 50.0)) // < k distinct -> exact
+    val tk = r.head.getSeq[org.apache.spark.sql.Row](2)
+    assert(tk.map(_.getLong(1)) == Seq(98L, 96L)) // g=0: best ids first
+  }
+
   test("SQL type errors are analysis-time, not runtime") {
     GraftFunctions.register(spark)
     intercept[Exception](spark.sql("SELECT portable_hash(42)").collect())
