@@ -636,6 +636,20 @@ object SparkEntry {
           col("st.ws_tokens").as("ws_tokens"), col("st.quality").as("quality"))
     }),
 
+    // ---- proximity (interval) join: events within ±5 min of each
+    // error event, via the bucketed equi-join (no nested loop) ----
+    "q47_proximity_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"))
+      val all = ev.select(col("ts"), col("value"))
+      graft.operators.RangeJoin.proximityJoin(
+          errors, all, "ts", "ts", radiusUs = 5L * 60 * 1000000)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_nearby"),
+          sum(col("r_value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    }),
+
     // ---- top-k per group via the bounded-heap aggregate — same result
     // set as q12's window form, but O(k) state per group and map-side
     // partial aggregation instead of a full per-group sort ----
@@ -1341,6 +1355,15 @@ object SparkEntry {
          |    WHEN $en >= $de THEN 'en' ELSE 'de' END) = 'en'
          |  AND $quality >= 0.35""".stripMargin
     },
+
+    "q47_proximity_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |           FROM events WHERE event_type = 'error'),
+        |a AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t2, value FROM events)
+        |SELECT e.event_id, count(*) AS n_nearby,
+        |  CAST(sum(CAST(a.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM e JOIN a ON abs(a.t2 - e.t) <= 300000000
+        |GROUP BY e.event_id""".stripMargin,
 
     // q45: the bounded-heap aggregate must reproduce the window form
     // exactly — one oracle (q12's) serves both physical plans.

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Temporal proximity join — the interval/range-join family member the
+  * training-data pipeline actually uses ("all events within ±r of each
+  * anomaly", "sensor readings around each failure"). The reference's
+  * availability gate does the degenerate form of this (a ±1-day
+  * alignment window around the probe date, `Gridmet_current.py:24-48`);
+  * here it is the general keyed-by-nothing range join.
+  *
+  * Scale design: a naive `JOIN ON abs(a.t - b.t) <= r` has no equi
+  * keys, so Catalyst plans a broadcast-nested-loop / cartesian — the
+  * canonical 100 TB killer. Instead time is binned at width 2r: a left
+  * window [t−r, t+r] covers at most TWO bins, the right row lives in
+  * exactly ONE bin, so an equi-join on the bin plus the exact |Δt| ≤ r
+  * residual filter finds every qualifying pair exactly once (no
+  * distinct needed — the right row's single bin dedups by
+  * construction). The only data movement is a hash shuffle on the bin;
+  * left rows at a bin boundary duplicate once (2× left, never 2×
+  * right). Bursty data makes hot bins — AQE skew-join splits them, or
+  * salt the bin with a right-side id mod, the [[Skew]] pattern. */
+object RangeJoin {
+
+  /** Pairs (left row, right row) with |right time − left time| ≤
+    * `radiusUs` (microseconds, inclusive). Output: left.* plus right
+    * columns prefixed with `rightPrefix`. Timestamps must be
+    * TimestampType on both sides. */
+  def proximityJoin(
+      left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, radiusUs: Long,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(radiusUs > 0, "radius must be positive")
+    val w = 2 * radiusUs
+    val l = left
+      .withColumn("__t", unix_micros(col(leftTs)))
+      .withColumn("__bin", explode(array_distinct(array(
+        expr(s"(unix_micros($leftTs) - ${radiusUs}L) DIV ${w}L"),
+        expr(s"(unix_micros($leftTs) + ${radiusUs}L) DIV ${w}L")))))
+    val rCols = right.columns.toSeq
+    val r = right.select(
+      (Seq(expr(s"unix_micros($rightTs) DIV ${w}L").as("__bin"),
+        unix_micros(col(rightTs)).as("__t2")) ++
+        rCols.map(c => col(c).as(s"$rightPrefix$c"))): _*)
+    l.join(r, Seq("__bin"))
+      .filter(abs(col("__t2") - col("__t")) <= radiusUs)
+      .drop("__bin", "__t", "__t2")
+  }
+}

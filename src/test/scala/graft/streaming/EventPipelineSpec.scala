@@ -110,4 +110,23 @@ class EventPipelineSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.size == 3)
   }
+
+  test("streaming doc dedup keeps one row per distinct text") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta"),
+      (4L, "gamma"), (5L, "delta")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+
+    val q = EventPipeline.dedupDocStream(spark, dir)
+      .format("memory").queryName("dedup_test").start()
+    q.awaitTermination(60000)
+    q.stop()
+
+    val kept = spark.table("dedup_test")
+    assert(kept.count() === 3) // one per distinct text
+    assert(rows(kept.select($"text")) ===
+      Set(Seq("alpha beta"), Seq("gamma"), Seq("delta")))
+  }
 }

@@ -13,6 +13,7 @@ import pandas as pd
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None  # name filter
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
@@ -23,7 +24,8 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 names = sorted(d for d in os.listdir(outdir)
-               if os.path.isdir(os.path.join(outdir, d)))
+               if os.path.isdir(os.path.join(outdir, d))
+               and (only is None or d in only))
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
