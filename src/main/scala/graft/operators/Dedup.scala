@@ -373,8 +373,13 @@ object Dedup {
       .union(pairs.select(col("b_id").cast("long").as("src"),
         col("a_id").cast("long").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lab", col("id")).localCheckpoint()
+    // seed with min(self, neighbors) rather than self: costs the same
+    // one shuffle a distinct() would (every vertex appears as dst —
+    // edges are bidirectional), and LSH dup groups — near-cliques —
+    // then converge in a single confirming round instead of two
+    var labels = edges.groupBy(col("dst")).agg(min(col("src")).as("nmin"))
+      .select(col("dst").as("id"), least(col("dst"), col("nmin")).as("lab"))
+      .localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
