@@ -650,6 +650,28 @@ object SparkEntry {
           sum(col("r_value").cast("decimal(18,6)")).cast("double").as("sum_value"))
     }),
 
+    // ---- deterministic per-group cap: ≤3 events per user, survivors
+    // chosen by smallest id-hash (uniform priority sample, stable
+    // across runs/engines; one hash agg, no window sort) ----
+    "q48_per_group_cap" -> ((s, dir) =>
+      graft.operators.Sampling.perGroupCap(
+          events(s, dir), groupCols = Seq("user_id"),
+          idCol = col("event_id"), k = 3)
+        .withColumnRenamed("id", "event_id")),
+
+    // ---- bloom-pruned semi-join: lineitems of high-value orders; the
+    // bloom prunes the fact side before the exchange, the semi join
+    // removes false positives — exactly LEFT SEMI, cheaper shuffle ----
+    "q49_bloom_semi_join" -> ((s, dir) => {
+      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"))
+      graft.operators.BloomJoin.bloomSemiJoin(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+            col("l_quantity")),
+          hi, col("l_orderkey"), col("o_orderkey"),
+          expectedItems = 100000L)
+    }),
+
     // ---- top-k per group via the bounded-heap aggregate — same result
     // set as q12's window form, but O(k) state per group and map-side
     // partial aggregation instead of a full per-group sort ----
@@ -1355,6 +1377,20 @@ object SparkEntry {
          |    WHEN $en >= $de THEN 'en' ELSE 'de' END) = 'en'
          |  AND $quality >= 0.35""".stripMargin
     },
+
+    "q48_per_group_cap" ->
+      s"""SELECT user_id, event_id, rank FROM (
+         |  SELECT user_id, event_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY (${hashSql("CAST(event_id AS VARCHAR)")}) ASC,
+         |               event_id ASC) AS rank
+         |  FROM events) WHERE rank <= 3""".stripMargin,
+
+    "q49_bloom_semi_join" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey
+        |                AND o_totalprice > 400000.0)""".stripMargin,
 
     "q47_proximity_join" ->
       """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t

@@ -26,6 +26,26 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: Column, pct: Int): DataFrame =
     df.filter(pmod(portable_hash(idCol.cast("string")), lit(100L)) < pct)
 
+  /** Deterministic per-group cap ("keep at most k rows per domain" —
+    * the standard anti-overrepresentation knob): the k survivors per
+    * group are those with the SMALLEST id-hash, i.e. a uniform
+    * priority sample that is stable across runs and engines. Built on
+    * [[graft.functions.TopKBy]], so it is one hash aggregation with
+    * O(k) state per group and map-side partials — no per-group sort,
+    * no window. Returns group columns + id + rank (1 = smallest hash). */
+  def perGroupCap(
+      df: DataFrame, groupCols: Seq[String], idCol: Column, k: Int): DataFrame = {
+    import graft.functions.TopKBy.top_k_by
+    val gs = groupCols.map(col)
+    df.select(gs :+ idCol.cast("long").as("__id"): _*)
+      .withColumn("__p", -portable_hash(col("__id").cast("string")).cast("double"))
+      .groupBy(gs: _*)
+      .agg(top_k_by(col("__p"), col("__id"), k).as("tk"))
+      .select(gs ++ Seq(posexplode(col("tk")).as(Seq("pos", "p"))): _*)
+      .select(gs ++ Seq(col("p.id").as("id"),
+        (col("pos") + 1).cast("int").as("rank")): _*)
+  }
+
   /** Per-stratum deterministic sampling: `rates` maps stratum value →
     * keep percentage; strata not listed use `defaultPct`. */
   def stratifiedHashSample(

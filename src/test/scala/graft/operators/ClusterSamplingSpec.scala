@@ -75,4 +75,34 @@ class ClusterSamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("perGroupCap keeps at most k deterministic rows per group") {
+    val df = (0L until 1000L).toDF("id")
+      .withColumn("g", (col("id") % 7).cast("long"))
+    val a = Sampling.perGroupCap(df, Seq("g"), col("id"), 3)
+    val b = Sampling.perGroupCap(df, Seq("g"), col("id"), 3)
+    assert(rows(a) === rows(b)) // deterministic
+    val per = a.groupBy($"g").count().select($"count").as[Long].collect()
+    assert(per.forall(_ === 3L))
+    // survivors are the k smallest hashes — growing k nests the sample
+    val wide = Sampling.perGroupCap(df, Seq("g"), col("id"), 5)
+    assert(rows(a.select($"g", $"id")).subsetOf(rows(wide.select($"g", $"id"))))
+  }
+
+  // ---- bloom semi join ----
+
+  test("bloomSemiJoin equals plain left-semi and prunes before the join") {
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold
+    // the bloom predicate into the LocalTableScan and hide it from the
+    // plan assertion below
+    val big = spark.range(5000).select(col("id").as("k"),
+      (col("id") * 2).as("payload"))
+    val small = (0L until 5000L).filter(_ % 50 == 0).toDF("k2")
+    val out = BloomJoin.bloomSemiJoin(big, small, col("k"), col("k2"),
+      expectedItems = 1000L)
+    val want = big.join(small, col("k") === col("k2"), "left_semi")
+    assert(rows(out) === rows(want))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain")) // bloom predicate reached the scan side
+  }
 }
