@@ -51,6 +51,29 @@ class AsofJoinSpec extends SparkSpec {
     assert(t.getAs[Double]("view_value") === 14.0)
   }
 
+  test("random data: equals the naive join-then-argmax reference") {
+    val rnd = new scala.util.Random(23)
+    val l = (1L to 300L).map(i =>
+      (rnd.nextInt(5).toLong, i, ts(rnd.nextInt(1000).toLong), rnd.nextDouble()))
+      .toDF("user_id", "event_id", "ts", "value")
+    val r = (1L to 300L).map(i =>
+      (rnd.nextInt(5).toLong, 1000L + i, ts(rnd.nextInt(1000).toLong), rnd.nextDouble()))
+      .toDF("user_id", "view_id", "view_ts", "view_value")
+    val got = AsofJoin.asofBackward(l, r, Seq("user_id"), "ts", "view_ts",
+        tieBreak = "view_id", rightPrefix = "")
+      .select($"event_id", $"view_id")
+    // naive reference: inequality join + per-left argmax on (view_ts, view_id)
+    import org.apache.spark.sql.expressions.Window
+    val joined = l.join(r, l("user_id") === r("user_id") && r("view_ts") <= l("ts"))
+      .select(l("event_id"), r("view_id"), r("view_ts"))
+    val w = Window.partitionBy($"event_id")
+      .orderBy($"view_ts".desc, $"view_id".desc)
+    val best = joined.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"event_id", $"view_id")
+    val want = l.select($"event_id").join(best, Seq("event_id"), "left")
+    assert(rows(got) === rows(want))
+  }
+
   test("plan: one exchange on the key, no broadcast and no nested loop") {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"))
