@@ -29,15 +29,10 @@ import org.apache.spark.sql.graftbridge.Bridge
 case class TopKBy(
     left: Expression, right: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]]
+    extends TypedImperativeAggregate[TopKBy.Buf]
     with BinaryLike[Expression] {
 
   require(k >= 1, "k must be >= 1")
-
-  // worst entry first: ascending value, ties descending id (a lower id
-  // wins a tie, so the highest id among equal values is the worst)
-  private val worstFirst: Ordering[(Double, Long)] =
-    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse)
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("v", DoubleType, nullable = false),
@@ -52,59 +47,57 @@ case class TopKBy(
         s"top_k_by needs (DOUBLE value, BIGINT id), got (${l.catalogString}, ${r.catalogString})")
     }
 
-  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
-    new java.util.TreeSet[(Double, Long)](worstFirst)
+  override def createAggregationBuffer(): TopKBy.Buf = new TopKBy.Buf(k)
 
-  private def add(buf: java.util.TreeSet[(Double, Long)], e: (Double, Long)): Unit = {
-    buf.add(e)
-    if (buf.size > k) buf.pollFirst() // evict the worst
-  }
-
-  override def update(
-      buf: java.util.TreeSet[(Double, Long)], input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+  override def update(buf: TopKBy.Buf, input: InternalRow): TopKBy.Buf = {
     val v = left.eval(input)
     val id = right.eval(input)
     if (v != null && id != null)
-      add(buf, (v.asInstanceOf[Double], id.asInstanceOf[Long]))
+      buf.add(v.asInstanceOf[Double], id.asInstanceOf[Long], 1)
     buf
   }
 
-  override def merge(
-      a: java.util.TreeSet[(Double, Long)], b: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
-    val it = b.iterator()
-    while (it.hasNext) add(a, it.next())
+  override def merge(a: TopKBy.Buf, b: TopKBy.Buf): TopKBy.Buf = {
+    val it = b.map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      a.add(e.getKey._1, e.getKey._2, e.getValue)
+    }
     a
   }
 
-  override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
-    val out = new Array[Any](buf.size)
-    val it = buf.descendingIterator() // best first
+  override def eval(buf: TopKBy.Buf): Any = {
+    val out = new Array[Any](buf.total)
+    val it = buf.map.descendingMap().entrySet().iterator() // best first
     var i = 0
     while (it.hasNext) {
-      val (v, id) = it.next()
-      out(i) = InternalRow(v, id)
-      i += 1
+      val e = it.next()
+      var c = 0
+      while (c < e.getValue) {
+        out(i) = InternalRow(e.getKey._1, e.getKey._2)
+        i += 1; c += 1
+      }
     }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 16)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
+  override def serialize(buf: TopKBy.Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.map.size * 20)
+    bb.putInt(buf.map.size)
+    val it = buf.map.entrySet().iterator()
     while (it.hasNext) {
-      val (v, id) = it.next()
-      bb.putDouble(v); bb.putLong(id)
+      val e = it.next()
+      bb.putDouble(e.getKey._1); bb.putLong(e.getKey._2); bb.putInt(e.getValue)
     }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): TopKBy.Buf = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.add((bb.getDouble, bb.getLong)); i += 1 }
+    while (i < n) { buf.add(bb.getDouble, bb.getLong, bb.getInt); i += 1 }
     buf
   }
 
@@ -118,6 +111,33 @@ case class TopKBy(
 }
 
 object TopKBy {
+  // worst entry first: ascending value, ties descending id (a lower id
+  // wins a tie, so the highest id among equal values is the worst)
+  private val worstFirst: Ordering[(Double, Long)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse)
+
+  /** Bounded top-k buffer with MULTIPLICITY: duplicate (value, id)
+    * input rows each count toward k, exactly as the window
+    * `row_number` form ranks them — a plain set would silently
+    * deduplicate and return fewer than k rows. Keyed TreeMap
+    * (value, id) → count; ≤ k distinct keys, `total` ≤ k. */
+  final class Buf(k: Int) {
+    val map = new java.util.TreeMap[(Double, Long), Integer](worstFirst)
+    var total: Int = 0
+    def add(v: Double, id: Long, n: Int): Unit = {
+      val key = (v, id)
+      val cur = map.get(key)
+      map.put(key, if (cur == null) n else cur + n)
+      total += n
+      while (total > k) { // evict worst entries down to k
+        val w = map.firstEntry()
+        val over = total - k
+        if (w.getValue <= over) { map.remove(w.getKey); total -= w.getValue }
+        else { map.put(w.getKey, w.getValue - over); total -= over }
+      }
+    }
+  }
+
   /** Aggregate column: top `k` (value, id) pairs by value desc, id asc,
     * as a best-first array<struct<v double, id bigint>>. */
   def top_k_by(value: Column, id: Column, k: Int): Column =

@@ -50,17 +50,23 @@ object AsofJoin {
     val rPayload  = struct(rightVals.map(col): _*).as("__r")
     val keyCols   = keys.map(col)
 
+    // tieBreak rides in its NATIVE type — a double cast would collapse
+    // bigint ids above 2^53 (snowflake-scale) onto one value and null
+    // out non-numeric tiebreakers, both silently breaking determinism.
+    // Left rows carry a typed null; their relative order at equal
+    // (t, side) is irrelevant (each carries its own payload).
+    val tieType = right.schema(tieBreak).dataType
     val r2 = right.select(
       keyCols ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__side"),
-        col(tieBreak).cast("double").as("__tie"), rPayload,
+        col(tieBreak).as("__tie"), rPayload,
         lit(null).cast(org.apache.spark.sql.types.StructType(
           left.schema.fields.filterNot(f => keys.contains(f.name))))
           .as("__l")): _*)
     val l2 = left.select(
       keyCols ++ Seq(
         col(leftTime).as("__t"), lit(1).as("__side"),
-        lit(0.0).as("__tie"),
+        lit(null).cast(tieType).as("__tie"),
         lit(null).cast(right.select(rPayload).schema.head.dataType).as("__r"),
         struct(left.columns.filterNot(keys.contains).toSeq.map(col): _*)
           .as("__l")): _*)

@@ -368,10 +368,16 @@ object Dedup {
   def duplicateClusters(
       docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
+    // both directions via ONE explode, not a self-union: a union's two
+    // branches would each contain the full upstream pair-generation
+    // plan (e.g. the entire minhashLsh pipeline) and execute it twice
+    // in the materialization job
     val edges = pairs
-      .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
-      .union(pairs.select(col("b_id").cast("long").as("src"),
-        col("a_id").cast("long").as("dst")))
+      .select(explode(array(
+        struct(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst")),
+        struct(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed with min(self, neighbors) rather than self: costs the same
     // one shuffle a distinct() would (every vertex appears as dst —

@@ -33,16 +33,20 @@ object RangeJoin {
       rightPrefix: String = "r_"): DataFrame = {
     require(radiusUs > 0, "radius must be positive")
     val w = 2 * radiusUs
+    // SQL strings only ever reference our own "__t"/"__t2" temp columns
+    // (integer DIV has no Column-API form); user column names never hit
+    // the parser, so quoting-hostile names (spaces, dots) work
     val l = left
       .withColumn("__t", unix_micros(col(leftTs)))
       .withColumn("__bin", explode(array_distinct(array(
-        expr(s"(unix_micros($leftTs) - ${radiusUs}L) DIV ${w}L"),
-        expr(s"(unix_micros($leftTs) + ${radiusUs}L) DIV ${w}L")))))
+        expr(s"(__t - ${radiusUs}L) DIV ${w}L"),
+        expr(s"(__t + ${radiusUs}L) DIV ${w}L")))))
     val rCols = right.columns.toSeq
-    val r = right.select(
-      (Seq(expr(s"unix_micros($rightTs) DIV ${w}L").as("__bin"),
-        unix_micros(col(rightTs)).as("__t2")) ++
-        rCols.map(c => col(c).as(s"$rightPrefix$c"))): _*)
+    val r = right
+      .withColumn("__t2", unix_micros(col(rightTs)))
+      .select(
+        (Seq(expr(s"__t2 DIV ${w}L").as("__bin"), col("__t2")) ++
+          rCols.map(c => col(c).as(s"$rightPrefix$c"))): _*)
     l.join(r, Seq("__bin"))
       .filter(abs(col("__t2") - col("__t")) <= radiusUs)
       .drop("__bin", "__t", "__t2")

@@ -119,6 +119,10 @@ object EventPipeline {
       idCol: String = "doc_id", textCol: String = "text",
       tsCol: Option[String] = None,
       watermarkHorizon: Option[String] = None): DataStreamWriter[Row] = {
+    require(watermarkHorizon.isEmpty || tsCol.isDefined,
+      "watermarkHorizon needs tsCol: a horizon without an event-time " +
+        "column would silently fall back to unbounded state — the " +
+        "exact failure the horizon exists to prevent")
     val schema = spark.read.parquet(sourceDir).schema
     val in = spark.readStream.schema(schema).parquet(sourceDir)
       .withColumn("__h", xxhash64(col(textCol)))

@@ -40,6 +40,14 @@ class TopKBySpec extends SparkSpec {
     assert(out(1).getLong(1) === 10L && out(1).getInt(3) === 2)
   }
 
+  test("duplicate (value, id) rows keep multiset semantics like row_number") {
+    val data = Seq((1L, 7L, 5.0), (1L, 7L, 5.0), (1L, 8L, 1.0))
+      .toDF("g", "id", "v").repartition(3) // duplicates cross partials
+    assert(rows(heapTopK(data, 2)) === rows(windowTopK(data, 2)))
+    val out = heapTopK(data, 2).orderBy($"rank").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(7L, 7L)) // dup outranks v=1.0
+  }
+
   test("nulls are skipped, not ranked") {
     val data = Seq[(Long, java.lang.Long, java.lang.Double)](
       (1L, 10L, null), (1L, null, 3.0), (1L, 12L, 1.0))

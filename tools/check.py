@@ -23,9 +23,14 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-names = sorted(d for d in os.listdir(outdir)
-               if os.path.isdir(os.path.join(outdir, d))
-               and (only is None or d in only))
+dirs = sorted(d for d in os.listdir(outdir)
+              if os.path.isdir(os.path.join(outdir, d)))
+if only is not None:
+    missing = only - set(dirs)
+    if missing:  # a typo'd filter must not yield a green 0/0 run
+        print(f"ERROR: filter names not in {outdir}: {sorted(missing)}")
+        sys.exit(2)
+names = [d for d in dirs if only is None or d in only]
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
