@@ -402,6 +402,12 @@ object Dedup {
     }
     require(changed == 0, s"label propagation did not converge in $maxIters rounds")
     edges.unpersist(blocking = false)
+    clustersOutput(docs, idCol, labels)
+  }
+
+  /** (doc_id, canon_id) labels → the cluster output contract. */
+  private def clustersOutput(
+      docs: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
     val lab = docs.select(col(idCol).cast("long").as("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("canon_id"))
@@ -409,5 +415,63 @@ object Dedup {
     lab.join(sizes, "canon_id")
       .select(col("doc_id"), col("canon_id"), col("cluster_size"),
         (col("doc_id") === col("canon_id")).as("is_canonical"))
+  }
+
+  /** [[duplicateClusters]] via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * — identical output, O(log n) rounds instead of O(diameter), for
+    * graphs with long chains (hash-min needs a round per hop; the star
+    * operations halve path lengths). Each half-round is two shuffles
+    * (a per-node min aggregate + an emission join) over the CURRENT
+    * edge multiset; no node ever buffers its neighborhood, so hub
+    * vertices cost no more than leaves.
+    *
+    *  - large-star(u): neighbors v > u re-attach to m = min(Γ(u)∪{u})
+    *  - small-star(u): neighbors v < u, and u itself, attach to
+    *    m = min of the smaller neighborhood
+    *
+    * Both preserve connectivity; the fixpoint is a star per component
+    * centered at its minimum, read off as the label map. Convergence
+    * is an exact edge-set comparison (two exceptAll probes). */
+  def duplicateClustersStar(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 30): DataFrame = {
+    def sym(df: DataFrame, a: String, b: String): DataFrame = df
+      .select(explode(array(
+        struct(col(a).cast("long").as("u"), col(b).cast("long").as("v")),
+        struct(col(b).cast("long").as("u"), col(a).cast("long").as("v"))))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+    var edges = sym(pairs, "a_id", "b_id").localCheckpoint()
+    var stable = edges.isEmpty
+    var it = 0
+    while (!stable && it < maxIters) {
+      // large-star: m over the FULL neighborhood ∪ self
+      val mL = edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym(edges.filter(col("v") > col("u")).join(mL, "u")
+        .select(col("v").as("a_id"), col("m").as("b_id")), "a_id", "b_id")
+        .localCheckpoint()
+      // small-star: m over the smaller neighborhood ∪ self (mv < u
+      // whenever the group exists, so m = mv); u itself re-attaches too
+      val mS = ls.filter(col("v") < col("u"))
+        .groupBy(col("u")).agg(min(col("v")).as("m")).localCheckpoint()
+      val ss = sym(ls.filter(col("v") < col("u")).join(mS, "u")
+        .select(col("v").as("a_id"), col("m").as("b_id"))
+        .union(mS.select(col("u").as("a_id"), col("m").as("b_id"))),
+        "a_id", "b_id")
+        .localCheckpoint()
+      stable = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      edges = ss
+      it += 1
+    }
+    require(stable, s"star contraction did not converge in $maxIters rounds")
+    // at the fixpoint every non-root has exactly one neighbor: its root
+    val labels = edges.filter(col("v") < col("u"))
+      .groupBy(col("u")).agg(min(col("v")).as("lab"))
+      .withColumnRenamed("u", "id")
+    clustersOutput(docs, idCol, labels)
   }
 }

@@ -35,6 +35,21 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(out.filter($"cluster_size" === 5L).count() === 5L)
   }
 
+  test("star contraction equals hash-min on chains, cliques and random graphs") {
+    val docs = (1L to 60L).toDF("doc_id")
+    // a 20-node chain (diameter 19 — the case hash-min is slow on),
+    // a clique, plus random edges
+    val rnd = new scala.util.Random(31)
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    val clique = for (a <- 21L to 26L; b <- (a + 1) to 26L) yield (a, b)
+    val random = (1 to 25).map(_ =>
+      (30L + rnd.nextInt(25), 30L + rnd.nextInt(25))).filter(p => p._1 != p._2)
+    val pairs = (chain ++ clique ++ random).toDF("a_id", "b_id")
+    val a = Dedup.duplicateClusters(docs, "doc_id", pairs, maxIters = 40)
+    val b = Dedup.duplicateClustersStar(docs, "doc_id", pairs)
+    assert(rows(a) === rows(b))
+  }
+
   test("clusters: empty pair set yields all singletons") {
     val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     val out = Dedup.duplicateClusters(docs10, "doc_id", pairs)
