@@ -149,6 +149,36 @@ object SparkEntry {
        |  FROM b$n GROUP BY cid, pos),
        |c$n AS (SELECT cid, list(x ORDER BY pos) AS c FROM d$n GROUP BY cid)""".stripMargin
 
+  /** One unrolled Lloyd iteration of the q50 PQ trainer: identical
+    * two-level fold means as [[ivfIterSql]] but keyed by (sub, cid),
+    * with assignment per (id, sub) — plus the empty-cluster carry: a
+    * cid that attracted no members keeps its previous centroid (the
+    * Spark side keeps the codebook array fully indexed, so the mirror
+    * must too). */
+  private def pqIterSql(n: Int, prev: String): String =
+    s"""pqs$n AS (SELECT es.id, es.sub, es.vs, c.cid,
+       |  ${dotSql("es.vs", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+       |  FROM es JOIN $prev c ON es.sub = c.sub),
+       |pqa$n AS (SELECT id, sub, vs, cid FROM (
+       |  SELECT id, sub, vs, cid,
+       |    row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
+       |  FROM pqs$n) WHERE rn = 1),
+       |pqu$n AS (SELECT sub, cid, id, unnest(vs) AS x,
+       |  unnest(range(0, len(vs))) AS pos FROM pqa$n),
+       |pqb$n AS (SELECT sub, cid, pos, id // 1024 AS blk,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x ORDER BY id)),
+       |    (a0, x0) -> a0 + x0) AS bsum, count(*) AS bn
+       |  FROM pqu$n GROUP BY sub, cid, pos, blk),
+       |pqd$n AS (SELECT sub, cid, pos,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(bsum ORDER BY blk)),
+       |    (a0, x0) -> a0 + x0) / CAST(sum(bn) AS DOUBLE) AS x
+       |  FROM pqb$n GROUP BY sub, cid, pos),
+       |pqn$n AS (SELECT sub, cid, list(x ORDER BY pos) AS c
+       |  FROM pqd$n GROUP BY sub, cid),
+       |pc$n AS (SELECT p.sub, p.cid, coalesce(nn.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN pqn$n nn
+       |  ON p.sub = nn.sub AND p.cid = nn.cid)""".stripMargin
+
   // ======================================================================
 
   /** Flagship: the area-weighted-mean pipeline (A1+J1) on sf0.001. */
@@ -670,6 +700,15 @@ object SparkEntry {
             col("l_quantity")),
           hi, col("l_orderkey"), col("o_orderkey"),
           expectedItems = 100000L)
+    }),
+
+    // ---- PQ (product quantization) ANN: corpus stored as m codes per
+    // vector, queries score via ADC table lookups — no per-pair dots,
+    // zero corpus shuffle; deterministic training → exact oracle ----
+    "q50_ann_pq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        m = 8, ksub = 16, iters = 2)
     }),
 
     // ---- top-k per group via the bounded-heap aggregate — same result
@@ -1391,6 +1430,51 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_orderkey = l_orderkey
         |                AND o_totalprice > 400000.0)""".stripMargin,
+
+    // q50: PQ is deterministic end-to-end — seeds are slices of the
+    // first 16 vectors by id (cid = rank), assignment uses the same
+    // −2·v·c+‖c‖² partial and tie rule as the Spark kernel, Lloyd means
+    // are the same (sub,cid)-keyed two-level ordered folds with the
+    // empty-cluster carry, ADC tables are A − 2B + C of ascending-index
+    // fold dots, and the per-doc sum folds subspaces in ascending order
+    // from 0.0 — so the approximate result, quantization error
+    // included, reproduces bit-for-bit.
+    "q50_ann_pq_topk" -> {
+      val foldPd = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list(qt.pd ORDER BY qt.sub)), (a0, x0) -> a0 + x0)"
+      s"""WITH e AS (SELECT vec_id AS id,
+         |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |es AS (SELECT id, sub, v[sub*8+1 : sub*8+8] AS vs
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS sub)),
+         |pc0 AS (SELECT sub,
+         |  row_number() OVER (PARTITION BY sub ORDER BY id) - 1 AS cid,
+         |  vs AS c
+         |  FROM es WHERE id IN (SELECT id FROM e ORDER BY id LIMIT 16)),
+         |${pqIterSql(1, "pc0")},
+         |${pqIterSql(2, "pc1")},
+         |pes AS (SELECT es.id, es.sub, c.cid,
+         |  ${dotSql("es.vs", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM es JOIN pc2 c ON es.sub = c.sub),
+         |pea AS (SELECT id, sub, cid FROM (
+         |  SELECT id, sub, cid,
+         |    row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
+         |  FROM pes) WHERE rn = 1),
+         |qsub AS (SELECT id AS q_id, sub, vs FROM es WHERE id < 8),
+         |qt AS (SELECT q.q_id, c.sub, c.cid,
+         |  ${dotSql("q.vs", "q.vs")} - 2*${dotSql("q.vs", "c.c")}
+         |    + ${dotSql("c.c", "c.c")} AS pd
+         |  FROM qsub q JOIN pc2 c ON q.sub = c.sub),
+         |sc AS (SELECT qt.q_id, pea.id AS n_id,
+         |  ${graft.functions.TextFunctions.round6Sql(foldPd)} AS approx_d2
+         |  FROM pea JOIN qt ON pea.sub = qt.sub AND pea.cid = qt.cid
+         |  GROUP BY qt.q_id, pea.id)
+         |SELECT q_id, n_id, approx_d2, rank FROM (
+         |  SELECT q_id, n_id, approx_d2,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY approx_d2 ASC, n_id ASC) AS rank
+         |  FROM sc WHERE q_id <> n_id) WHERE rank <= 5""".stripMargin
+    },
 
     "q47_proximity_join" ->
       """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t

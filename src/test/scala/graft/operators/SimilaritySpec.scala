@@ -102,4 +102,28 @@ class SimilaritySpec extends SparkSpec {
       .select($"n_id", $"sim").as[(Long, Double)].collect().toMap
     out.foreach { case (_, n, s, _) => assert(brute(n) == s) }
   }
+
+  test("PQ: codebook shape, deterministic output, clusters separated") {
+    val rnd = new scala.util.Random(13)
+    def near(base: Array[Float]) = base.map(x => x + rnd.nextFloat() * 0.1f)
+    val c1 = Array.fill(16)(5f);  c1(0) = 20f
+    val c2 = Array.fill(16)(-5f); c2(8) = -20f
+    val data = (0 until 30).map(i => (i.toLong, near(c1).toSeq)) ++
+      (30 until 60).map(i => (i.toLong, near(c2).toSeq))
+    val corpus = data.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(corpus, m = 4, ksub = 8, iters = 2)
+    assert(books.length == 4)
+    assert(books.forall(b => b.length == 8 && b.forall(_.length == 4)))
+    val qs = corpus.filter($"vec_id".isin(0L, 30L))
+    val a = Similarity.pqTopK(corpus, qs, k = 5, m = 4, ksub = 8, iters = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val b = Similarity.pqTopK(corpus, qs, k = 5, m = 4, ksub = 8, iters = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(a.toSeq == b.toSeq) // reproducible end-to-end
+    // ADC distances are coarse, but cluster separation must survive
+    a.foreach { case (q, n, _, _) =>
+      if (q == 0L) assert(n < 30) else assert(n >= 30)
+    }
+    assert(a.count(_._1 == 0L) == 5 && a.count(_._1 == 30L) == 5)
+  }
 }
