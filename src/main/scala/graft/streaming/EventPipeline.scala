@@ -137,6 +137,50 @@ object EventPipeline {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** STREAM-STREAM interval join: clicks ⋈ views of the same user with
+    * the view at most `beforeMinutes` before (or at) the click — the
+    * streaming form of the keyed temporal-window join (AsofJoin /
+    * RangeJoin are its batch relatives). Both sides carry watermarks
+    * and the join condition is time-bounded in BOTH directions, which
+    * is exactly what lets Spark expire join state: a buffered view can
+    * be dropped once the click watermark passes view_ts +
+    * beforeMinutes. State is O(events inside the watermark horizon),
+    * not O(stream). */
+  def clickViewJoinStream(
+      spark: SparkSession, sourceDir: String,
+      beforeMinutes: Int = 30, watermark: String = "1 hour"): DataStreamWriter[Row] = {
+    val schema = spark.read.parquet(sourceDir).schema
+    def src = spark.readStream.schema(schema).parquet(sourceDir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $beforeMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+  }
+
+  /** Batch-equivalent of [[clickViewJoinStream]] (the oracle form). */
+  def clickViewJoinBatch(events: DataFrame, beforeMinutes: Int = 30): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .join(events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts")),
+        "user_id")
+      .filter(col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $beforeMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+
   /** Input/accumulator/output rows for the stateful streaming form. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   final case class SessState(

@@ -111,6 +111,30 @@ class EventPipelineSpec extends SparkSpec {
     assert(streamed.size == 3)
   }
 
+  test("stream-stream interval join == batch form on a bounded stream") {
+    val ev = Seq(
+      (1L, 10L, ts("2021-01-01 10:00:00"), "view"),
+      (1L, 11L, ts("2021-01-01 10:20:00"), "click"), // joins view 10
+      (1L, 12L, ts("2021-01-01 11:30:00"), "click"), // no view in window
+      (2L, 20L, ts("2021-01-01 10:00:00"), "click"), // view 21 is later: no
+      (2L, 21L, ts("2021-01-01 10:05:00"), "view"),
+      (2L, 22L, ts("2021-01-01 10:21:00"), "click")  // joins view 21
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val dir = Files.createTempDirectory("graft-ssjoin").toString
+    ev.write.mode("overwrite").parquet(dir)
+
+    val q = EventPipeline.clickViewJoinStream(spark, dir, beforeMinutes = 30)
+      .format("memory").queryName("ssj_test").start()
+    q.awaitTermination(60000)
+    q.stop()
+
+    val streamed = rows(spark.table("ssj_test"))
+    val batch = rows(EventPipeline.clickViewJoinBatch(
+      spark.read.parquet(dir), beforeMinutes = 30))
+    assert(streamed == batch)
+    assert(streamed.map(r => (r(1), r(3))) === Set((11L, 10L), (22L, 21L)))
+  }
+
   test("streaming doc dedup keeps one row per distinct text") {
     val docs = Seq(
       (1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta"),
