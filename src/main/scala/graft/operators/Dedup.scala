@@ -463,7 +463,10 @@ object Dedup {
         .union(mS.select(col("u").as("a_id"), col("m").as("b_id"))),
         "a_id", "b_id")
         .localCheckpoint()
-      stable = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      // both sides are distinct() sets, so equal counts plus one empty
+      // one-directional difference imply set equality — no need to pay
+      // the second exceptAll shuffle
+      stable = ss.count() == edges.count() && ss.exceptAll(edges).isEmpty
       edges = ss
       it += 1
     }

@@ -35,7 +35,10 @@ object RangeJoin {
     val w = 2 * radiusUs
     // SQL strings only ever reference our own "__t"/"__t2" temp columns
     // (integer DIV has no Column-API form); user column names never hit
-    // the parser, so quoting-hostile names (spaces, dots) work
+    // the parser, so quoting-hostile names (spaces, dots) work. The
+    // right side prefixes its columns BEFORE the temp column lands, so
+    // even a user column literally named "__t2" survives (prefixed);
+    // "__"-prefixed LEFT column names remain reserved.
     val l = left
       .withColumn("__t", unix_micros(col(leftTs)))
       .withColumn("__bin", explode(array_distinct(array(
@@ -43,10 +46,9 @@ object RangeJoin {
         expr(s"(__t + ${radiusUs}L) DIV ${w}L")))))
     val rCols = right.columns.toSeq
     val r = right
-      .withColumn("__t2", unix_micros(col(rightTs)))
-      .select(
-        (Seq(expr(s"__t2 DIV ${w}L").as("__bin"), col("__t2")) ++
-          rCols.map(c => col(c).as(s"$rightPrefix$c"))): _*)
+      .select(rCols.map(c => col(c).as(s"$rightPrefix$c")) :+
+        unix_micros(col(rightTs)).as("__t2"): _*)
+      .withColumn("__bin", expr(s"__t2 DIV ${w}L"))
     l.join(r, Seq("__bin"))
       .filter(abs(col("__t2") - col("__t")) <= radiusUs)
       .drop("__bin", "__t", "__t2")

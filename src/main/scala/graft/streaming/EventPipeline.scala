@@ -150,7 +150,10 @@ object EventPipeline {
       spark: SparkSession, sourceDir: String,
       beforeMinutes: Int = 30, watermark: String = "1 hour"): DataStreamWriter[Row] = {
     val schema = spark.read.parquet(sourceDir).schema
-    def src = spark.readStream.schema(schema).parquet(sourceDir)
+    // ONE file-stream source feeding both legs (a stream self-join):
+    // two sources would each maintain a file index and list+read every
+    // input file twice per micro-batch
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
