@@ -711,6 +711,12 @@ object SparkEntry {
         m = 8, ksub = 16, iters = 2)
     }),
 
+    // ---- IR relevance: top BM25 terms per document (corpus-curation
+    // scoring — keyword filters, weak topic labels) ----
+    "q51_bm25_terms" -> ((s, dir) =>
+      graft.operators.Relevance.bm25TopTerms(
+        docs(s, dir), "doc_id", "text", k1 = 1.2, b = 0.75, topK = 3)),
+
     // ---- top-k per group via the bounded-heap aggregate — same result
     // set as q12's window form, but O(k) state per group and map-side
     // partial aggregation instead of a full per-group sort ----
@@ -1474,6 +1480,34 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY approx_d2 ASC, n_id ASC) AS rank
          |  FROM sc WHERE q_id <> n_id) WHERE rank <= 5""".stripMargin
+    },
+
+    // q51: every arithmetic step mirrors the Spark expression order
+    // (constant folds like 1.2+1.0 are the same IEEE add in both
+    // engines); ranking is on RAW scores, rounding only at output.
+    "q51_bm25_terms" -> {
+      val score = "ln(1.0 + (s.n - dft.df + 0.5)/(dft.df + 0.5))" +
+        " * (tf.tf * (1.2 + 1.0))" +
+        " / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*CAST(lens.dl AS DOUBLE)/s.avgdl))"
+      s"""WITH toks AS (SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE t <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM toks GROUP BY doc_id, term),
+         |lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM lens),
+         |sc AS (SELECT tf.doc_id, tf.term, $score AS score
+         |  FROM tf JOIN dft USING (term) JOIN lens USING (doc_id)
+         |  CROSS JOIN stats s)
+         |SELECT doc_id, term,
+         |  ${graft.functions.TextFunctions.round6Sql("score")} AS score, rank
+         |FROM (SELECT doc_id, term, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term ASC) AS rank
+         |  FROM sc) WHERE rank <= 3""".stripMargin
     },
 
     "q47_proximity_join" ->

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IR relevance scoring over the document table — the corpus-curation
+  * use of TF-IDF/BM25: score documents' terms against the corpus so a
+  * pipeline can keyword-filter, build weak topic labels, or rank
+  * near-duplicate survivors by informativeness.
+  *
+  * Scale design: one term explode feeding two aggregations — per-(doc,
+  * term) tf (hash agg) and per-term df (hash agg over the tf table, so
+  * document text is exploded exactly ONCE and the df aggregate reads
+  * the much smaller tf table). N and avg doc length are scalar plan
+  * parameters (two driver doubles). The tf⋈df join is keyed by term —
+  * at web scale the df table is vocabulary-sized, so it stays a
+  * shuffle join (AQE may broadcast a small vocab); stopword-grade hot
+  * terms are naturally spread because the join key is (term) on the
+  * POSTINGS side whose rows are distinct (doc, term) pairs. */
+object Relevance {
+
+  /** Top-`topK` BM25 terms per document: (doc_id, term, score, rank).
+    * Okapi BM25 with the standard idf = ln(1 + (N−df+0.5)/(df+0.5));
+    * deterministic ties (score desc, term asc). */
+  def bm25TopTerms(
+      docs: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).cast("double"),
+      sum(col("dl")).cast("double")).head()
+    val nDocs = stats.getDouble(0)
+    val avgDl = stats.getDouble(1) / nDocs
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val score = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * col("dl").cast("double") / lit(avgDl)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfT, "term").join(lens, "doc_id")
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"),
+        graft.functions.TextFunctions.round6(col("score")).as("score"),
+        col("rank"))
+  }
+}
