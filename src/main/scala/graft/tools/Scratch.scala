@@ -41,6 +41,10 @@ object Scratch {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 2, 0.4)))
     time("ngram_jaccard_prefix")(noop(
       Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", "lang", 2, 0.4)))
+    time("ngram_jaccard_bitmap_cold")(noop(
+      Dedup.ngramJaccardPairsBitmap(docs, "doc_id", "text", "lang", 2, 0.4)))
+    time("ngram_jaccard_bitmap_warm")(noop(
+      Dedup.ngramJaccardPairsBitmap(docs, "doc_id", "text", "lang", 2, 0.4)))
     time("simhash_blocked_h3")(noop(
       Dedup.simhashPairsBlocked(docs, "doc_id", "text", maxHamming = 3)))
     time("minhash_lsh")(noop(

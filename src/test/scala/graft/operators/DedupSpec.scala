@@ -97,6 +97,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bitmap ngram jaccard == inverted-index results") {
+    for (t <- Seq(0.2, 0.4, 0.7)) {
+      val blocked = widerDocs.withColumn("lang", lit("en"))
+      val inv = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "lang",
+        n = 2, threshold = t).as[(Long, Long, Double)].collect().toSet
+      val bmp = Dedup.ngramJaccardPairsBitmap(blocked, "doc_id", "text", "lang",
+        n = 2, threshold = t).as[(Long, Long, Double)].collect().toSet
+      assert(bmp == inv, s"t=$t")
+      assert(inv.nonEmpty, s"t=$t produced no pairs — test has no power")
+    }
+    // vocabulary guard fails fast instead of silently degrading
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsBitmap(
+        widerDocs.withColumn("lang", lit("en")), "doc_id", "text", "lang",
+        n = 2, threshold = 0.4, maxVocab = 3).collect()
+    }
+  }
+
   test("salted inverted index (every shingle hot) == unsalted results") {
     val blocked = widerDocs.withColumn("lang", lit("en"))
     val plain = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "lang",
