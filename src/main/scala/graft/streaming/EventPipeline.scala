@@ -184,6 +184,77 @@ object EventPipeline {
       .select(col("user_id"), col("click_id"), col("click_ts"),
         col("view_id"), col("view_ts"))
 
+  /** Rows for the stateful streaming as-of form: `side` 0 = reference
+    * (right), 1 = probe (left). */
+  final case class Tagged(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      value: Double, side: Int)
+  final case class LastRight(ts: java.sql.Timestamp, event_id: Long, value: Double)
+  final case class AsofOut(
+      user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double,
+      r_event_id: Option[Long], r_ts: Option[java.sql.Timestamp],
+      r_value: Option[Double])
+
+  /** STREAMING as-of enrichment — the `flatMapGroupsWithState` form of
+    * [[graft.operators.AsofJoin.asofBackward]]: per-key state holds
+    * only the LATEST right row (O(keys), not O(stream) — the batch
+    * window's whole-timeline sort never materializes), and each left
+    * row emits immediately with whatever right row is newest at its
+    * timestamp. Identical tie semantics to the batch operator: rights
+    * sort before lefts at equal ts, greatest right id wins a right-ts
+    * tie. Within-batch order is enforced by sorting; cross-batch order
+    * is the source's responsibility (same contract as
+    * [[sessionizeStateful]]). */
+  def asofStateful(events: Dataset[Tagged]): Dataset[AsofOut] = {
+    implicit val oe = Encoders.product[AsofOut]
+    implicit val se = Encoders.product[LastRight]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[LastRight, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[Tagged], state: GroupState[LastRight]) => {
+          val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.side, e.event_id))
+          var last = state.getOption
+          val out = Vector.newBuilder[AsofOut]
+          sorted.foreach { e =>
+            if (e.side == 0) last = Some(LastRight(e.ts, e.event_id, e.value))
+            else out += AsofOut(uid, e.event_id, e.ts, e.value,
+              last.map(_.event_id), last.map(_.ts), last.map(_.value))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
+  /** [[asofStateful]] over a bounded parquet stream: clicks enriched
+    * with the latest view at-or-before, per user. */
+  def asofStream(
+      spark: SparkSession, sourceDir: String): DataStreamWriter[AsofOut] = {
+    val schema = spark.read.parquet(sourceDir).schema
+    implicit val te = Encoders.product[Tagged]
+    val tagged = spark.readStream.schema(schema).parquet(sourceDir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "view", 0).otherwise(1).as("side"))
+      .as[Tagged]
+    asofStateful(tagged)
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+  }
+
+  /** Batch reference for [[asofStream]] (spec parity): the AsofJoin
+    * operator over the same click/view split, aligned to [[AsofOut]]'s
+    * column set. */
+  def asofBatchReference(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("r_event_id"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+    graft.operators.AsofJoin.asofBackward(clicks, views, Seq("user_id"),
+      "ts", "r_ts", tieBreak = "r_event_id", rightPrefix = "")
+  }
+
   /** Input/accumulator/output rows for the stateful streaming form. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   final case class SessState(

@@ -135,6 +135,32 @@ class EventPipelineSpec extends SparkSpec {
     assert(streamed.map(r => (r(1), r(3))) === Set((11L, 10L), (22L, 21L)))
   }
 
+  test("streaming as-of enrichment == batch AsofJoin on a bounded stream") {
+    val ev = Seq(
+      (1L, 10L, ts("2021-01-01 10:00:00"), 1.0, "view"),
+      (1L, 11L, ts("2021-01-01 10:20:00"), 2.0, "click"), // -> view 10
+      (1L, 12L, ts("2021-01-01 10:30:00"), 3.0, "view"),
+      (1L, 13L, ts("2021-01-01 10:30:00"), 4.0, "click"), // same-ts view wins
+      (2L, 20L, ts("2021-01-01 09:00:00"), 5.0, "click")  // no view -> nulls
+    ).toDF("user_id", "event_id", "ts", "value", "event_type")
+    val dir = Files.createTempDirectory("graft-asof-stream").toString
+    ev.write.mode("overwrite").parquet(dir)
+
+    val q = EventPipeline.asofStream(spark, dir)
+      .format("memory").queryName("asof_test").start()
+    q.awaitTermination(60000)
+    q.stop()
+
+    val streamed = rows(spark.table("asof_test"))
+    val batch = EventPipeline.asofBatchReference(spark.read.parquet(dir))
+    assert(streamed == rows(batch))
+    val m = spark.table("asof_test").collect()
+      .map(r => r.getLong(1) -> Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    assert(m(11L).contains(10L))
+    assert(m(13L).contains(12L)) // same-instant view included
+    assert(m(20L).isEmpty)
+  }
+
   test("streaming doc dedup keeps one row per distinct text") {
     val docs = Seq(
       (1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta"),
