@@ -352,12 +352,13 @@ object SparkEntry {
     // reducers; result set unchanged). The PPJoin prefix-filter variant
     // (sparse-vocab scale path) and the measured dense variant are
     // equality-pinned in DedupSpec. ----
-    // checked path = the dense-bitmap kernel (vocab here is ~1k terms,
-    // squarely its regime — measured 3× over the inverted index, which
-    // remains the unbounded-vocabulary path and is equality-pinned in
-    // DedupSpec)
+    // checked path = the adaptive entry: the dense-bitmap kernel when
+    // the vocabulary is bounded (here ~1k terms — measured 3× over the
+    // inverted index), falling back to the inverted index beyond
+    // maxVocab so the contract stays total; equality-pinned in
+    // DedupSpec
     "q17_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairsBitmap(docs(s, dir), "doc_id", "text",
+      Dedup.ngramJaccardPairsAdaptive(docs(s, dir), "doc_id", "text",
         blockCol = "lang", n = 2, threshold = 0.4)),
 
     // ---- winnowing fingerprints ----

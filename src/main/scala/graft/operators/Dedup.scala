@@ -361,15 +361,29 @@ object Dedup {
       n: Int, threshold: Double, maxVocab: Int = 1 << 20): DataFrame = {
     import graft.functions.NgramHashes.ngram_hashes
     import graft.functions.BitmapOps.{bitmap_and_count, bitmap_from_hashes}
+    // lazy localCheckpoint: the vocab collect below materializes the
+    // scan+shingle-hash work ONCE and the join job reads it back —
+    // without it the expensive projection would run for the vocab job
+    // AND once per join leg (no cross-branch reuse)
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      ngram_hashes(col(textCol), n).as("hs")).filter(size(col("hs")) > 0)
-    val vocab = sh.select(explode(col("hs")).as("h")).distinct()
-      .orderBy(col("h")).collect().map(_.getLong(0))
-    require(vocab.length <= maxVocab,
-      s"vocabulary ${vocab.length} exceeds maxVocab=$maxVocab — " +
+        ngram_hashes(col(textCol), n).as("hs")).filter(size(col("hs")) > 0)
+      .localCheckpoint(eager = false)
+    // guard BEFORE materializing the vocabulary on the driver: the
+    // bounded collect (limit maxVocab+1) returns the complete distinct
+    // set iff it is within bounds — an unbounded-vocabulary corpus
+    // fails fast without the driver ever holding more than the limit
+    val probe = sh.select(explode(col("hs")).as("h")).distinct()
+      .limit(maxVocab + 1).collect()
+    require(probe.length <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab — " +
         "use ngramJaccardPairs (inverted index) for unbounded vocabularies")
+    val vocab = probe.map(_.getLong(0)).sorted
+    // repartition on the block key: ReuseExchange then feeds BOTH
+    // self-join legs from one exchange, and the join needs no further
+    // shuffle (partition key == join key)
     val bm = sh.select(col("id"), col("blk"), size(col("hs")).as("n_sh"),
-      bitmap_from_hashes(col("hs"), vocab).as("bits"))
+        bitmap_from_hashes(col("hs"), vocab).as("bits"))
+      .repartition(col("blk"))
     val a = bm.select(col("blk"), col("id").as("a_id"),
       col("n_sh").as("n_a"), col("bits").as("bits_a"))
     val b = bm.select(col("blk").as("blk_b"), col("id").as("b_id"),
@@ -380,6 +394,25 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Path-choosing entry for n-gram-Jaccard pairs: the dense-bitmap
+    * kernel when the vocabulary is bounded, the inverted index
+    * otherwise — same result set either way, so a driver contract
+    * pinned to this stays TOTAL as the corpus grows (a bare bitmap
+    * call would abort the run where the old path would have degraded
+    * gracefully). The vocabulary probe is one bounded count job. */
+  def ngramJaccardPairsAdaptive(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int, threshold: Double, maxVocab: Int = 1 << 20): DataFrame = {
+    import graft.functions.NgramHashes.ngram_hashes
+    val nVocab = docs
+      .select(explode(ngram_hashes(col(textCol), n)).as("h"))
+      .agg(count_distinct(col("h"))).head().getLong(0)
+    if (nVocab <= maxVocab)
+      ngramJaccardPairsBitmap(docs, idCol, textCol, blockCol, n, threshold, maxVocab)
+    else
+      ngramJaccardPairs(docs, idCol, textCol, blockCol, n, threshold)
   }
 
   /** Near-duplicate CLUSTERS: connected components over a pair list

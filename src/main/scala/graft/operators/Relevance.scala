@@ -29,9 +29,16 @@ object Relevance {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
+    // lazy localCheckpoint: tf feeds THREE consumers (df counts, doc
+    // lengths, the final join) plus the eager stats scalar — without
+    // it the text explode would re-run for every consumer (no
+    // cross-branch reuse). The stats action below materializes it once.
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(eager = false)
+    // doc length from the tf table (Σ tf per doc == token count), so
+    // document text is exploded exactly once in the whole plan
+    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = lens.agg(count(lit(1)).cast("double"),
       sum(col("dl")).cast("double")).head()

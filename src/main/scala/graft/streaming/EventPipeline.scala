@@ -13,7 +13,7 @@ import org.apache.spark.sql.Row
   * Structured Streaming, plus the batch-equivalent forms used by the
   * DuckDB oracle (identical results on a static events table).
   */
-object EventPipeline {
+object EventPipeline extends Serializable {
 
   /** Tumbling-window aggregate (batch form): events per (hour, type)
     * with count and rounded value sum. Matches the streaming form below
@@ -184,6 +184,21 @@ object EventPipeline {
       .select(col("user_id"), col("click_id"), col("click_ts"),
         col("view_id"), col("view_ts"))
 
+  /** Exact microseconds of a Timestamp. `getTime` alone is MILLISECOND
+    * precision — sorting or differencing on it silently collapses
+    * sub-millisecond event order (the events table carries
+    * ns-normalized-to-us timestamps), diverging from batch operators
+    * that order by the full timestamp. */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Inverse of [[tsMicros]]: a Timestamp preserving microseconds. */
+  private def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Rows for the stateful streaming as-of form: `side` 0 = reference
     * (right), 1 = probe (left). */
   final case class Tagged(
@@ -213,7 +228,7 @@ object EventPipeline {
       .flatMapGroupsWithState[LastRight, AsofOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (uid: Long, it: Iterator[Tagged], state: GroupState[LastRight]) => {
-          val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.side, e.event_id))
+          val sorted = it.toVector.sortBy(e => (tsMicros(e.ts), e.side, e.event_id))
           var last = state.getOption
           val out = Vector.newBuilder[AsofOut]
           sorted.foreach { e =>
@@ -284,7 +299,7 @@ object EventPipeline {
     // order-independent, and sumMicros/1e6 is the correctly-rounded
     // double of the same decimal value the batch cast produces
     def emit(userId: Long, s: SessState): Session =
-      Session(userId, s.sessId, new java.sql.Timestamp(s.startUs / 1000),
+      Session(userId, s.sessId, microsToTs(s.startUs),
         s.n, s.sumMicros / 1e6)
     // match Spark's double→DECIMAL(18,6) cast exactly: HALF_UP on the
     // SHORTEST decimal representation (math.rint is half-even on the
@@ -307,11 +322,13 @@ object EventPipeline {
             // fold this batch's events into the single open session;
             // sort within the batch (cross-batch order is the source's
             // responsibility — file streams deliver in file order)
-            val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            // full-µs key: getTime is ms-precision and would both
+            // misorder sub-ms events and misjudge exact-gap boundaries
+            val sorted = it.toVector.sortBy(e => (tsMicros(e.ts), e.event_id))
             var open = state.getOption
             val closed = Vector.newBuilder[SessState]
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000
+              val us = tsMicros(e.ts)
               open match {
                 case Some(cur) if us - cur.lastUs <= gapUs =>
                   open = Some(cur.copy(lastUs = us, n = cur.n + 1,

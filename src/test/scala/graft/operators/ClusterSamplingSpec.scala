@@ -104,23 +104,6 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(rows(a.select($"g", $"id")).subsetOf(rows(wide.select($"g", $"id"))))
   }
 
-  // ---- BM25 ----
-
-  test("bm25: rare discriminative terms outrank ubiquitous ones") {
-    val docs = Seq(
-      (1L, "common zebra common common"),
-      (2L, "common common"),
-      (3L, "common llama common")
-    ).toDF("doc_id", "text")
-    val out = Relevance.bm25TopTerms(docs, "doc_id", "text", topK = 2)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
-    // "common" appears in every doc -> idf ln(1 + 0.5/3.5) is tiny;
-    // the unique term must rank first wherever present
-    assert(out.contains((1L, "zebra", 1)))
-    assert(out.contains((3L, "llama", 1)))
-    assert(out.count(_._1 == 2L) == 1) // doc 2 has a single distinct term
-  }
-
   // ---- bloom semi join ----
 
   test("bloomSemiJoin equals plain left-semi and prunes before the join") {

@@ -161,6 +161,52 @@ class EventPipelineSpec extends SparkSpec {
     assert(m(20L).isEmpty)
   }
 
+  test("streaming as-of preserves sub-millisecond ordering (batch parity)") {
+    // the view is AFTER the first click within the same millisecond: a
+    // ms-precision (getTime) sort would place it before and attach it
+    val ev = Seq(
+      (1L, 10L, ts("2021-01-01 10:00:00.000800"), 1.0, "view"),
+      (1L, 11L, ts("2021-01-01 10:00:00.000200"), 2.0, "click"), // no match
+      (1L, 12L, ts("2021-01-01 10:00:00.000900"), 3.0, "click")  // -> view 10
+    ).toDF("user_id", "event_id", "ts", "value", "event_type")
+    val dir = Files.createTempDirectory("graft-asof-subms").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val q = EventPipeline.asofStream(spark, dir)
+      .format("memory").queryName("asof_subms").start()
+    q.awaitTermination(60000)
+    q.stop()
+    val streamed = spark.table("asof_subms")
+    assert(rows(streamed) ==
+      rows(EventPipeline.asofBatchReference(spark.read.parquet(dir))))
+    val m = streamed.collect()
+      .map(r => r.getLong(1) -> Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    assert(m(11L).isEmpty)
+    assert(m(12L).contains(10L))
+  }
+
+  test("stateful sessionization judges gaps at microsecond precision") {
+    // gap exceeds 30 min by 500µs — ms truncation would see exactly
+    // 30 min (<= gap merges) and wrongly keep one session
+    val ev = Seq(
+      (1L, ts("2021-01-01 10:00:00.000000"), 1L, 1.0),
+      (1L, ts("2021-01-01 10:30:00.000500"), 2L, 2.0),
+      (1L, ts("2021-01-01 12:00:00.000000"), 3L, 4.0) // flushes session 2
+    ).toDF("user_id", "ts", "event_id", "value")
+    val dir = Files.createTempDirectory("graft-sess-subms").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val q = EventPipeline.sessionizeStream(spark, dir, gapMinutes = 30)
+      .format("memory").queryName("sess_subms").start()
+    q.awaitTermination(60000)
+    q.stop()
+    // closed sessions: event 1 alone (split by the 500µs-over gap),
+    // then event 2 (closed by event 3)
+    val closed = spark.table("sess_subms").orderBy("sess_id")
+      .select($"sess_id", $"n_events").as[(Long, Long)].collect().toSeq
+    assert(closed == Seq((1L, 1L), (2L, 1L)))
+    // and the batch form agrees on the split
+    assert(EventPipeline.sessionize(spark.read.parquet(dir), 30).count() == 3)
+  }
+
   test("streaming doc dedup keeps one row per distinct text") {
     val docs = Seq(
       (1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta"),
