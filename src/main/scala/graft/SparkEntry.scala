@@ -716,6 +716,27 @@ object SparkEntry {
         m = 8, ksub = 16, iters = 2)
     }),
 
+    // ---- canonical election by QUALITY: per dup cluster keep the
+    // highest-quality member (the keep-best curation policy, vs q46's
+    // keep-min-id) — clusters ⋈ quality + one argmax window ----
+    "q52_best_of_cluster" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.8)
+      val clusters = Dedup.duplicateClusters(d, "doc_id", pairs)
+      val scored = d.select(col("doc_id"),
+        graft.functions.TextKernels.text_stats(col("text"),
+          TextFunctions.LangProfiles("en")).getField("quality").as("quality"))
+      val w = Window.partitionBy(col("canon_id"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      clusters.join(scored, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("canon_id").as("cluster_id"), col("doc_id").as("best_id"),
+          graft.functions.TextFunctions.round6(col("quality")).as("quality"),
+          col("cluster_size"))
+    }),
+
     // ---- IR relevance: top BM25 terms per document (corpus-curation
     // scoring — keyword filters, weak topic labels) ----
     "q51_bm25_terms" -> ((s, dir) =>
@@ -1485,6 +1506,54 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY approx_d2 ASC, n_id ASC) AS rank
          |  FROM sc WHERE q_id <> n_id) WHERE rank <= 5""".stripMargin
+    },
+
+    // q52: q43's closure picks clusters, q20's quality formula scores
+    // members, the argmax window (quality desc, doc_id asc — dup texts
+    // have IDENTICAL quality, so the id tiebreak decides) elects.
+    "q52_best_of_cluster" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      val meanLen = r6("(length(text) - (CAST(len(t) AS DOUBLE) - 1))/len(t)")
+      val stopR = r6("CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t)")
+      val quality = r6(s"""0.4 * least(CAST(len(t) AS DOUBLE)/200.0, 1.0)
+         |      + 0.3 * least($meanLen/8.0, 1.0)
+         |      + 0.3 * least($stopR*5.0, 1.0)""".stripMargin)
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+         |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |  WHERE len(t) >= 3),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |            / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.8),
+         |edges AS (SELECT a_id AS x, b_id AS y FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+         |  WHERE e.y <> r.x),
+         |lab AS (SELECT x AS doc_id, least(min(y), x) AS canon_id
+         |        FROM reach GROUP BY x),
+         |lab2 AS (SELECT d.doc_id, coalesce(l.canon_id, d.doc_id) AS canon_id
+         |         FROM documents d LEFT JOIN lab l USING (doc_id)),
+         |sizes AS (SELECT canon_id, count(*) AS cluster_size
+         |          FROM lab2 GROUP BY canon_id),
+         |q AS (SELECT doc_id, $quality AS quality
+         |      FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+         |            FROM documents)),
+         |j AS (SELECT lab2.doc_id, lab2.canon_id, sizes.cluster_size, q.quality
+         |      FROM lab2 JOIN sizes USING (canon_id) JOIN q USING (doc_id))
+         |SELECT canon_id AS cluster_id, doc_id AS best_id,
+         |       ${r6("quality")} AS quality, cluster_size
+         |FROM (SELECT doc_id, canon_id, cluster_size, quality,
+         |    row_number() OVER (PARTITION BY canon_id
+         |      ORDER BY quality DESC, doc_id ASC) AS rn
+         |  FROM j) WHERE rn = 1""".stripMargin
     },
 
     // q51: every arithmetic step mirrors the Spark expression order
