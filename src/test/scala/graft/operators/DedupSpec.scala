@@ -97,6 +97,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bitmap jaccard plan: both self-join legs reuse one exchange") {
+    val blocked = widerDocs.withColumn("lang", lit("en"))
+    val df = Dedup.ngramJaccardPairsBitmap(blocked, "doc_id", "text", "lang",
+      n = 2, threshold = 0.4)
+    // exchange reuse is an AQE runtime decision — execute, then inspect
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan)
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      "REPARTITION_BY_COL".r.findAllIn(plan).size == 1,
+      s"expected one shared bitmap exchange in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("bitmap ngram jaccard == inverted-index results") {
     for (t <- Seq(0.2, 0.4, 0.7)) {
       val blocked = widerDocs.withColumn("lang", lit("en"))
