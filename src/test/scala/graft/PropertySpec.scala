@@ -177,4 +177,37 @@ class PropertySpec extends SparkSpec {
         sum($"n_events").as("ev"), round(sum($"sum_value"), 6).as("v"))
     assert(rows(lag) == rows(sw))
   }
+
+  test("cluster operators match union-find on random graphs") {
+    import graft.operators.Dedup
+    for (trial <- 0 until 3) {
+      val r = new Random(100 + trial)
+      val nDocs = 60L
+      val edges = (0 until 50).map(_ =>
+          (r.nextInt(60).toLong + 1, r.nextInt(60).toLong + 1))
+        .filter(p => p._1 != p._2)
+      // reference: in-memory union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var c = x
+        while (parent.getOrElse(c, c) != c) { c = parent(c) }
+        c
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val canon = (1L to nDocs).map(d => d -> find(d)).toMap
+      val sizes = canon.values.groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+      val expected = (1L to nDocs).map(d =>
+        Seq[Any](d, canon(d), sizes(canon(d)), d == canon(d))).toSet
+
+      val docs = (1L to nDocs).toDF("doc_id")
+      val pairs = edges.toDF("a_id", "b_id")
+      assert(rows(Dedup.duplicateClusters(docs, "doc_id", pairs, maxIters = 40))
+        === expected, s"hash-min trial $trial")
+      assert(rows(Dedup.duplicateClustersStar(docs, "doc_id", pairs))
+        === expected, s"star trial $trial")
+    }
+  }
 }
