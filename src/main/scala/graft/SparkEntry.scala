@@ -737,6 +737,15 @@ object SparkEntry {
           col("cluster_size"))
     }),
 
+    // ---- exact interpolated percentiles per group (Spark `percentile`
+    // and DuckDB `quantile_cont` share the (n−1)·p linear-interpolation
+    // definition, so the values are cross-engine exact) ----
+    "q53_percentiles" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.95)).as("p95"),
+          count(lit(1)).as("n"))),
+
     // ---- IR relevance: top BM25 terms per document (corpus-curation
     // scoring — keyword filters, weak topic labels) ----
     "q51_bm25_terms" -> ((s, dir) =>
@@ -1555,6 +1564,13 @@ object SparkEntry {
          |      ORDER BY quality DESC, doc_id ASC) AS rn
          |  FROM j) WHERE rn = 1""".stripMargin
     },
+
+    "q53_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // q51: every arithmetic step mirrors the Spark expression order
     // (constant folds like 1.2+1.0 are the same IEEE add in both
