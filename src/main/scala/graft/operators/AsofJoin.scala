@@ -47,6 +47,13 @@ object AsofJoin {
       rightPrefix: String = "r_"): DataFrame = {
     val rightVals = right.columns.filterNot(keys.contains).toSeq
     val leftCols  = left.columns.toSeq
+    // output names must be disjoint: a colliding prefixed right column
+    // would yield duplicate output columns that only fail later, on the
+    // caller's next select-by-name — fail here with the offenders named
+    val clash = rightVals.map(c => s"$rightPrefix$c").toSet intersect leftCols.toSet
+    require(clash.isEmpty,
+      s"asofBackward: prefixed right columns collide with left columns: " +
+        s"${clash.mkString(", ")} — choose a different rightPrefix or rename")
     val rPayload  = struct(rightVals.map(col): _*).as("__r")
     val keyCols   = keys.map(col)
 

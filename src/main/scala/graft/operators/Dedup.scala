@@ -360,7 +360,6 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int, threshold: Double, maxVocab: Int = 1 << 20): DataFrame = {
     import graft.functions.NgramHashes.ngram_hashes
-    import graft.functions.BitmapOps.{bitmap_and_count, bitmap_from_hashes}
     // lazy localCheckpoint: the vocab collect below materializes the
     // scan+shingle-hash work ONCE and the join job reads it back —
     // without it the expensive projection would run for the vocab job
@@ -372,12 +371,27 @@ object Dedup {
     // bounded collect (limit maxVocab+1) returns the complete distinct
     // set iff it is within bounds — an unbounded-vocabulary corpus
     // fails fast without the driver ever holding more than the limit
-    val probe = sh.select(explode(col("hs")).as("h")).distinct()
-      .limit(maxVocab + 1).collect()
+    val probe = boundedVocab(sh, maxVocab)
     require(probe.length <= maxVocab,
       s"vocabulary exceeds maxVocab=$maxVocab — " +
         "use ngramJaccardPairs (inverted index) for unbounded vocabularies")
-    val vocab = probe.map(_.getLong(0)).sorted
+    bitmapPairsFromShingles(sh, probe.sorted, threshold)
+  }
+
+  /** One bounded probe job: the complete distinct shingle-hash set iff
+    * it has ≤ maxVocab entries, otherwise maxVocab+1 entries (the
+    * overflow sentinel the callers branch on). */
+  private def boundedVocab(sh: DataFrame, maxVocab: Int): Array[Long] =
+    sh.select(explode(col("hs")).as("h")).distinct()
+      .limit(maxVocab + 1).collect().map(_.getLong(0))
+
+  /** Dense-bitmap pair kernel over pre-shingled rows and a collected
+    * vocabulary (shared tail of [[ngramJaccardPairsBitmap]] and
+    * [[ngramJaccardPairsAdaptive]] — the vocabulary is collected ONCE
+    * by whichever entry ran the probe). */
+  private def bitmapPairsFromShingles(
+      sh: DataFrame, vocab: Array[Long], threshold: Double): DataFrame = {
+    import graft.functions.BitmapOps.{bitmap_and_count, bitmap_from_hashes}
     // repartition on the block key: ReuseExchange then feeds BOTH
     // self-join legs from one exchange, and the join needs no further
     // shuffle (partition key == join key)
@@ -401,16 +415,19 @@ object Dedup {
     * otherwise — same result set either way, so a driver contract
     * pinned to this stays TOTAL as the corpus grows (a bare bitmap
     * call would abort the run where the old path would have degraded
-    * gracefully). The vocabulary probe is one bounded count job. */
+    * gracefully). ONE bounded probe job collects the vocabulary and
+    * decides the path — the bitmap path reuses the collected set
+    * rather than re-deriving it with a second distinct pass. */
   def ngramJaccardPairsAdaptive(
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int, threshold: Double, maxVocab: Int = 1 << 20): DataFrame = {
     import graft.functions.NgramHashes.ngram_hashes
-    val nVocab = docs
-      .select(explode(ngram_hashes(col(textCol), n)).as("h"))
-      .agg(count_distinct(col("h"))).head().getLong(0)
-    if (nVocab <= maxVocab)
-      ngramJaccardPairsBitmap(docs, idCol, textCol, blockCol, n, threshold, maxVocab)
+    val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        ngram_hashes(col(textCol), n).as("hs")).filter(size(col("hs")) > 0)
+      .localCheckpoint(eager = false)
+    val probe = boundedVocab(sh, maxVocab)
+    if (probe.length <= maxVocab)
+      bitmapPairsFromShingles(sh, probe.sorted, threshold)
     else
       ngramJaccardPairs(docs, idCol, textCol, blockCol, n, threshold)
   }
@@ -451,29 +468,33 @@ object Dedup {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seed with min(self, neighbors) rather than self: costs the same
-    // one shuffle a distinct() would (every vertex appears as dst —
-    // edges are bidirectional), and LSH dup groups — near-cliques —
-    // then converge in a single confirming round instead of two
-    var labels = edges.groupBy(col("dst")).agg(min(col("src")).as("nmin"))
-      .select(col("dst").as("id"), least(col("dst"), col("nmin")).as("lab"))
-      .localCheckpoint()
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIters) {
-      val prop = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
-        .withColumnRenamed("dst", "id")
-      val merged = labels.join(prop, Seq("id"), "left")
-        .select(col("id"), col("lab"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab2"))
+    // try/finally: a non-convergence require (or any job failure inside
+    // the loop) must not leak the session-lifetime cached edge set
+    val labels = try {
+      // seed with min(self, neighbors) rather than self: costs the same
+      // one shuffle a distinct() would (every vertex appears as dst —
+      // edges are bidirectional), and LSH dup groups — near-cliques —
+      // then converge in a single confirming round instead of two
+      var labs = edges.groupBy(col("dst")).agg(min(col("src")).as("nmin"))
+        .select(col("dst").as("id"), least(col("dst"), col("nmin")).as("lab"))
         .localCheckpoint()
-      changed = merged.filter(col("lab2") < col("lab")).count()
-      labels = merged.select(col("id"), col("lab2").as("lab"))
-      it += 1
-    }
-    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
-    edges.unpersist(blocking = false)
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIters) {
+        val prop = edges.join(labs, edges("src") === labs("id"))
+          .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
+          .withColumnRenamed("dst", "id")
+        val merged = labs.join(prop, Seq("id"), "left")
+          .select(col("id"), col("lab"),
+            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab2"))
+          .localCheckpoint()
+        changed = merged.filter(col("lab2") < col("lab")).count()
+        labs = merged.select(col("id"), col("lab2").as("lab"))
+        it += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $maxIters rounds")
+      labs
+    } finally edges.unpersist(blocking = false)
     clustersOutput(docs, idCol, labels)
   }
 

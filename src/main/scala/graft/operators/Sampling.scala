@@ -37,8 +37,16 @@ object Sampling {
       df: DataFrame, groupCols: Seq[String], idCol: Column, k: Int): DataFrame = {
     import graft.functions.TopKBy.top_k_by
     val gs = groupCols.map(col)
-    df.select(gs :+ idCol.cast("long").as("__id"): _*)
-      .withColumn("__p", -portable_hash(col("__id").cast("string")).cast("double"))
+    // the hash rides on the STRINGIFIED source id (hashSample's
+    // any-key-type contract); the long form is only the output carrier.
+    // A non-numeric id would cast to null and be SILENTLY dropped by
+    // the aggregate's null guard — fail loudly instead.
+    df.select(gs ++ Seq(idCol.cast("long").as("__id"),
+        when(idCol.isNotNull && idCol.cast("long").isNull,
+            raise_error(concat(lit("perGroupCap: id not castable to long: "),
+              idCol.cast("string"))))
+          .otherwise(-portable_hash(idCol.cast("string")).cast("double"))
+          .as("__p")): _*)
       .groupBy(gs: _*)
       .agg(top_k_by(col("__p"), col("__id"), k).as("tk"))
       .select(gs ++ Seq(posexplode(col("tk")).as(Seq("pos", "p"))): _*)

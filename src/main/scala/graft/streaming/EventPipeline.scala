@@ -232,8 +232,18 @@ object EventPipeline extends Serializable {
           var last = state.getOption
           val out = Vector.newBuilder[AsofOut]
           sorted.foreach { e =>
-            if (e.side == 0) last = Some(LastRight(e.ts, e.event_id, e.value))
-            else out += AsofOut(uid, e.event_id, e.ts, e.value,
+            if (e.side == 0) {
+              // monotone state guard: a cross-batch out-of-order right
+              // row must not REGRESS state to an older timestamp —
+              // (ts, event_id) must be ≥ the held row's, mirroring the
+              // batch operator's greatest-(ts, tie) semantics, instead
+              // of silently diverging on late arrivals
+              val keep = last.forall { lr =>
+                val (et, lt) = (tsMicros(e.ts), tsMicros(lr.ts))
+                et > lt || (et == lt && e.event_id >= lr.event_id)
+              }
+              if (keep) last = Some(LastRight(e.ts, e.event_id, e.value))
+            } else out += AsofOut(uid, e.event_id, e.ts, e.value,
               last.map(_.event_id), last.map(_.ts), last.map(_.value))
           }
           last.foreach(state.update)
