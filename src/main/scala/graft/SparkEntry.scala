@@ -764,7 +764,84 @@ object SparkEntry {
         .select(col("o_custkey"), col("p.id").as("o_orderkey"),
           col("p.v").as("o_totalprice"),
           (col("pos") + 1).cast("int").as("rank"))
-    })
+    }),
+
+    // ---- benchmark DECONTAMINATION: distinct trigrams shared with the
+    // held-out benchmark slice (doc_id ≡ 0 mod 37) — the train/test
+    // overlap filter; bench n-gram set is distinct-aggregated then
+    // broadcast, corpus text never shuffles (64-bit hashes do) ----
+    "q54_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Corpus.decontaminate(
+        d.filter(col("doc_id") % 37 =!= 0),
+        d.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 3)
+    }),
+
+    // ---- BOILERPLATE ratio: share of each doc's distinct trigrams
+    // that are corpus-frequent (df ≥ 5) — C4/RefinedWeb-style
+    // stock-phrase signal; one shingle pass feeds df + per-doc counts ----
+    "q55_boilerplate" -> ((s, dir) =>
+      graft.operators.Corpus.boilerplateRatio(
+        docs(s, dir), "doc_id", "text", n = 3, minDf = 5)),
+
+    // ---- intra-document REPETITION (Gopher rules shape): duplicate
+    // trigram ratio + top-token share; pure per-row column math ----
+    "q56_repetition" -> ((s, dir) =>
+      graft.operators.Corpus.repetitionStats(docs(s, dir), "doc_id", "text", n = 3)),
+
+    // ---- COUNT-MIN heavy hitters: d=4×w=64 sketch as a relational
+    // plan (map-side-combining to d·w counters), estimates = min over
+    // rows via a broadcast probe; exact count rides along to expose
+    // the over-estimate. Threshold = 1% of the stream (driver scalar,
+    // bounded plan parameter) ----
+    "q57_heavy_hitters" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val thr = ev.count() / 100
+      graft.operators.Sketches.cmsHeavyHitters(
+        ev, col("user_id"), depth = 4, width = 64, minCount = thr)
+    }),
+
+    // ---- daily RESAMPLE + forward fill: latest purchase value per
+    // (user, day) on a complete per-user day spine, gaps carrying the
+    // previous observation (the reference's fill-forward convention as
+    // a keyed relational operator) ----
+    "q58_gap_fill" -> ((s, dir) =>
+      graft.operators.Resample.dailyForwardFill(
+          events(s, dir).filter(col("event_type") === "purchase"),
+          col("user_id"), col("ts"), col("value"), col("event_id"))
+        .withColumnRenamed("key", "user_id")),
+
+    // ---- FUNNEL: first-touch view → click → purchase per user, each
+    // stage strictly after the previous; aggregate ⋈ aggregate on the
+    // user key, no raw-stream window ----
+    "q59_funnel" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(
+        events(s, dir), Seq("view", "click", "purchase"))),
+
+    // ---- CUBE over (event_type, day): all four grouping sets in one
+    // pass (partial-aggregated expand), decimal-exact value sums ----
+    "q60_cube" -> ((s, dir) =>
+      events(s, dir)
+        .cube(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))),
+
+    // ---- EDIT-DISTANCE verify: LSH near-dup candidates confirmed by
+    // character-exact Levenshtein ≤ 100 — the O(len²) DP runs on
+    // candidate pairs only, never all pairs ----
+    "q61_edit_distance" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cands = Dedup.minhashLsh(d, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.8)
+      Dedup.editDistanceVerify(d, "doc_id", "text", cands, maxDist = 100)
+    }),
+
+    // ---- PMI collocations: adjacent-pair mutual information over the
+    // corpus (phrase mining); two vocabulary-sized hash aggregates,
+    // totals as driver scalars ----
+    "q62_bigram_pmi" -> ((s, dir) =>
+      graft.operators.Corpus.pmiCollocations(docs(s, dir), "text", minCount = 25))
   )
 
   // ======================================================================
@@ -1616,6 +1693,161 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
-        |  FROM orders) WHERE rank <= 3""".stripMargin
+        |  FROM orders) WHERE rank <= 3""".stripMargin,
+
+    // q54: string trigrams stand in for the Spark side's 64-bit shingle
+    // hashes — intersection COUNTS agree unless two distinct shingles
+    // collide at 2^-64 (the q14/q17 equivalence).
+    "q54_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0),
+        |corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 0)
+        |SELECT corp.doc_id AS doc_id, count(*) AS n_overlap
+        |FROM corp JOIN bench USING (g) GROUP BY 1""".stripMargin,
+
+    "q55_boilerplate" -> {
+      val r6 = graft.functions.TextFunctions.round6Sql(
+        "CAST(coalesce(nf.n_frequent, 0) AS DOUBLE) / CAST(per.n_shingles AS DOUBLE)")
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+         |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |  WHERE len(t) >= 3),
+         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |dfq AS (SELECT g FROM (SELECT g, count(*) AS df FROM e GROUP BY 1)
+         |        WHERE df >= 5),
+         |per AS (SELECT doc_id, count(*) AS n_shingles FROM e GROUP BY 1),
+         |nf AS (SELECT doc_id, count(*) AS n_frequent
+         |       FROM e JOIN dfq USING (g) GROUP BY 1)
+         |SELECT per.doc_id AS doc_id, per.n_shingles AS n_shingles,
+         |  coalesce(nf.n_frequent, 0) AS n_frequent, $r6 AS ratio
+         |FROM per LEFT JOIN nf USING (doc_id)""".stripMargin
+    },
+
+    "q56_repetition" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      s"""WITH g AS (SELECT doc_id, t,
+         |  CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(t)-1),
+         |         rp_i -> t[rp_i] || '_' || t[rp_i+1] || '_' || t[rp_i+2]) END AS gs
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+         |SELECT doc_id, len(t) AS n_tokens,
+         |  ${r6("""CASE WHEN len(gs) > 0
+         |    THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE)
+         |    ELSE 0.0 END""")} AS dup_ngram_ratio,
+         |  ${r6("""CAST(list_max(list_transform(list_distinct(t),
+         |    x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / CAST(len(t) AS DOUBLE)""")}
+         |    AS top_token_ratio
+         |FROM g""".stripMargin
+    },
+
+    // q57: the sketch construction (seeded portable hash mod width,
+    // min over depth rows) is mirrored exactly — including the
+    // over-estimates colliding buckets produce.
+    "q57_heavy_hitters" ->
+      s"""WITH rs AS (SELECT unnest(range(0, 4)) AS r),
+         |ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+         |sk AS (SELECT rs.r AS r,
+         |         ${hashSql("(CAST(rs.r AS VARCHAR) || ':' || ev.k)")} % 64 AS b,
+         |         count(*) AS c
+         |       FROM ev CROSS JOIN rs GROUP BY 1, 2),
+         |keys AS (SELECT k, count(*) AS exact_count FROM ev GROUP BY 1),
+         |pr AS (SELECT keys.k AS k, keys.exact_count AS exact_count, rs.r AS r,
+         |         ${hashSql("(CAST(rs.r AS VARCHAR) || ':' || keys.k)")} % 64 AS b
+         |       FROM keys CROSS JOIN rs),
+         |est AS (SELECT pr.k AS k, pr.exact_count AS exact_count,
+         |         min(sk.c) AS est_count
+         |       FROM pr JOIN sk ON sk.r = pr.r AND sk.b = pr.b GROUP BY 1, 2)
+         |SELECT k AS key, est_count, exact_count FROM est
+         |WHERE est_count >= (SELECT count(*) // 100 FROM events)""".stripMargin,
+
+    // q58: both engines pick the latest (µs-truncated ts, event_id)
+    // observation per day, then forward-fill over the generated spine.
+    "q58_gap_fill" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+        |             CAST(ts AS DATE) AS day
+        |           FROM events WHERE event_type = 'purchase'),
+        |d AS (SELECT user_id, day, value FROM (
+        |    SELECT user_id, day, value,
+        |      row_number() OVER (PARTITION BY user_id, day
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM p) WHERE rn = 1),
+        |sp AS (SELECT user_id,
+        |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |       FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |             FROM d GROUP BY 1)),
+        |f AS (SELECT sp.user_id AS user_id, sp.day AS day,
+        |        last_value(d.value IGNORE NULLS) OVER (PARTITION BY sp.user_id
+        |          ORDER BY sp.day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |        d.value IS NOT NULL AS observed
+        |      FROM sp LEFT JOIN d ON sp.user_id = d.user_id AND sp.day = d.day)
+        |SELECT user_id, day, value, observed FROM f""".stripMargin,
+
+    "q59_funnel" ->
+      """WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id AS user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id AS user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+        |      GROUP BY 1)
+        |SELECT v.user_id AS user_id, v.t1 AS t1, c.t2 AS t2, p.t3 AS t3,
+        |  1 + CAST(c.t2 IS NOT NULL AS INT) + CAST(p.t3 IS NOT NULL AS INT) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "q60_cube" ->
+      """SELECT event_type, day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+        |GROUP BY CUBE (event_type, day)""".stripMargin,
+
+    // q61: candidates are exactly q14's verified pair set (jaccard ≥
+    // 0.8), confirmed here by character-exact Levenshtein.
+    "q61_edit_distance" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+        |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |pairs AS (SELECT a_id, b_id FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.8)
+        |SELECT p.a_id AS a_id, p.b_id AS b_id,
+        |       levenshtein(da.text, db.text) AS dist
+        |FROM pairs p
+        |JOIN documents da ON da.doc_id = p.a_id
+        |JOIN documents db ON db.doc_id = p.b_id
+        |WHERE levenshtein(da.text, db.text) <= 100""".stripMargin,
+
+    // q62: the PMI expression order mirrors the Spark side exactly
+    // (c_ab/N first, then the unigram product) — the BM25 discipline.
+    "q62_bigram_pmi" -> {
+      val pmi = graft.functions.TextFunctions.round6Sql(
+        "ln((CAST(bc.c_ab AS DOUBLE) / tot.nbi) / " +
+          "((CAST(ua.c AS DOUBLE) / mt.m) * (CAST(ub.c AS DOUBLE) / mt.m)))")
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+         |uni AS (SELECT tok, count(*) AS c
+         |        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+         |bi AS (SELECT t[bi_i] AS a, t[bi_i+1] AS b
+         |       FROM (SELECT t, unnest(range(1, len(t))) AS bi_i FROM toks)),
+         |bc AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2
+         |       HAVING count(*) >= 25),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS nbi FROM bi),
+         |mt AS (SELECT CAST(sum(c) AS DOUBLE) AS m FROM uni)
+         |SELECT bc.a || '_' || bc.b AS gram, bc.c_ab AS c_ab, $pmi AS pmi
+         |FROM bc JOIN uni ua ON ua.tok = bc.a JOIN uni ub ON ub.tok = bc.b
+         |CROSS JOIN tot CROSS JOIN mt""".stripMargin
+    }
   )
 }

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.NgramHashes.ngram_hashes
+
+/** Corpus-level text curation operators for the training-data pipeline
+  * surface: benchmark decontamination, boilerplate detection,
+  * intra-document repetition scoring (Gopher-style quality rules), and
+  * PMI collocation mining. All shapes are the ones a 100 TB corpus
+  * needs — per-document columns stay narrow (64-bit shingle hashes,
+  * never shingle strings, cross the wire), aggregates are
+  * map-side-combinable hash aggregations, and the only joins are keyed
+  * on shingle hashes or bounded benchmark sets.
+  */
+object Corpus {
+
+  /** Benchmark DECONTAMINATION: for every corpus document, count the
+    * distinct word n-grams it shares with a benchmark/eval set — the
+    * standard train/test-overlap filter run before LLM training
+    * (13-gram overlap in GPT-3/PaLM data cards; n is a knob here).
+    * Returns (doc_id, n_overlap) for contaminated documents
+    * (n_overlap ≥ 1), benchmark members excluded.
+    *
+    * Scale: the corpus side never shuffles its text — documents
+    * collapse to distinct 64-bit shingle hashes (one codegen pass) and
+    * the exchange carries (doc_id, hash) longs only. The benchmark
+    * n-gram set is distinct-aggregated first (eval suites are ~10⁵
+    * rows, i.e. tiny next to a 100 TB corpus), so Spark's planner can
+    * broadcast it and the contamination check becomes a map-side hash
+    * probe + one output-sized count aggregation. */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val corpusSh = corpus
+      .select(col(idCol).as("doc_id"), explode(ngram_hashes(col(textCol), n)).as("h"))
+    val benchSh = benchmark
+      .select(explode(ngram_hashes(col(textCol), n)).as("h")).distinct()
+    corpusSh
+      .join(broadcast(benchSh), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** BOILERPLATE detection: per document, the fraction of its distinct
+    * n-grams that are corpus-frequent (document frequency ≥ minDf) —
+    * headers, navigation chrome and stock phrases score high, and the
+    * ratio is the standard drop/trim signal (C4/RefinedWeb-style).
+    * Returns (doc_id, n_shingles, n_frequent, round6 ratio).
+    *
+    * Scale: one distinct-hash explode feeds BOTH the document-frequency
+    * aggregate and the per-document count — hashes, not text, shuffle.
+    * The df table is aggregation OUTPUT (|vocab| rows, not |postings|),
+    * its frequent subset is |postings|/minDf-bounded, and the re-join
+    * is keyed on the hash so AQE can pick a broadcast when the frequent
+    * set is small. */
+  def boilerplateRatio(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(ngram_hashes(col(textCol), n)).as("h"))
+      .localCheckpoint(eager = false) // two consumers — evaluate the scan+shingle pass once
+    val frequent = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df")) // hashes are per-doc distinct ⇒ count = doc frequency
+      .filter(col("df") >= minDf)
+      .select(col("h"))
+    sh.join(frequent, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frequent"))
+      .join(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_frequent"), lit(0L)).as("n_frequent"),
+        TextFunctions.round6(coalesce(col("n_frequent"), lit(0L))
+          .cast("double") / col("n_shingles").cast("double")).as("ratio"))
+  }
+
+  /** Intra-document REPETITION stats (Gopher quality rules 4-7 shape):
+    * duplicate-n-gram ratio (1 − distinct/total n-grams) and
+    * top-token ratio (most frequent token's share). High values mark
+    * degenerate generations / boilerplate loops. Pure per-row column
+    * math — no shuffle at all; the plan is scan → project. */
+  def repetitionStats(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import TextFunctions.bindOnce
+    val stats = bindOnce(TextFunctions.tokens(col(textCol))) { toks =>
+      val grams = when(size(toks) < n, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws("_", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      bindOnce(grams) { gs =>
+        val topTok = array_max(transform(array_distinct(toks),
+          t => size(filter(toks, x => x === t))))
+        struct(
+          size(toks).as("n_tokens"),
+          size(gs).as("n_ngrams"),
+          size(array_distinct(gs)).as("n_distinct"),
+          topTok.as("top_tok"))
+      }
+    }
+    docs.select(col(idCol).as("doc_id"), stats.as("st"))
+      .select(col("doc_id"),
+        col("st.n_tokens").as("n_tokens"),
+        TextFunctions.round6(
+          when(col("st.n_ngrams") > 0,
+            lit(1.0) - col("st.n_distinct").cast("double") /
+              col("st.n_ngrams").cast("double")).otherwise(lit(0.0)))
+          .as("dup_ngram_ratio"),
+        TextFunctions.round6(col("st.top_tok").cast("double") /
+          col("st.n_tokens").cast("double")).as("top_token_ratio"))
+  }
+
+  /** PMI COLLOCATIONS: pointwise mutual information of adjacent token
+    * pairs over the whole corpus — ln((c_ab/N) / ((c_a/M)(c_b/M))) for
+    * pairs seen ≥ minCount times. The standard phrase-mining /
+    * tokenizer-diagnostics aggregate.
+    *
+    * Scale: two hash aggregations (bigram counts, token counts) whose
+    * outputs are vocabulary-sized, then joins keyed on the token — all
+    * data crossing the wire is aggregation OUTPUT. The N/M totals are
+    * single scalars read via one tiny driver aggregate (bounded plan
+    * parameters, same pattern as IVF centroids). */
+  def pmiCollocations(
+      docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    import TextFunctions.bindOnce
+    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("t"))
+      .localCheckpoint(eager = false) // feeds bigram AND unigram branches
+    val bigrams = toks.select(explode(bindOnce(col("t")) { t =>
+        when(size(t) < 2, array().cast("array<struct<a:string,b:string>>")).otherwise(
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
+      }).as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bi = bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val Array(nBi, mUni) = {
+      val r = bigrams.agg(count(lit(1))).head.getLong(0)
+      val m = uni.agg(sum(col("c"))).head.getLong(0)
+      Array(r, m)
+    }
+    bi.join(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a"), "a")
+      .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b"), "b")
+      .select(concat(col("a"), lit("_"), col("b")).as("gram"), col("c_ab"),
+        TextFunctions.round6(
+          log((col("c_ab").cast("double") / lit(nBi.toDouble)) /
+            ((col("c_a").cast("double") / lit(mUni.toDouble)) *
+             (col("c_b").cast("double") / lit(mUni.toDouble))))).as("pmi"))
+  }
+}

@@ -432,6 +432,26 @@ object Dedup {
       ngramJaccardPairs(docs, idCol, textCol, blockCol, n, threshold)
   }
 
+  /** EDIT-DISTANCE verification of a candidate pair list: attach both
+    * texts and keep pairs with Levenshtein distance ≤ `maxDist` —
+    * the character-exact confirmation pass layered on any cheap
+    * candidate generator (simhash blocks, minhash buckets). Runs the
+    * O(len²) DP only on candidates, never all pairs; the two text
+    * joins are keyed on the ids, so the quadratic work is bounded by
+    * the generator's output size. Built-in `levenshtein` stays inside
+    * whole-stage codegen. */
+  def editDistanceVerify(
+      docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, maxDist: Int): DataFrame = {
+    val ta = docs.select(col(idCol).as("a_id"), col(textCol).as("__ta"))
+    val tb = docs.select(col(idCol).as("b_id"), col(textCol).as("__tb"))
+    pairs.select(col("a_id"), col("b_id"))
+      .join(ta, "a_id").join(tb, "b_id")
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
   /** Near-duplicate CLUSTERS: connected components over a pair list
     * (e.g. [[minhashLsh]] output), plus canonical-document election —
     * the step that turns pairwise dedup into an actual training-set

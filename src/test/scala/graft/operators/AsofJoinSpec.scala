@@ -80,4 +80,15 @@ class AsofJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("SortMergeJoin")) // it's a window, not a join
   }
+
+  test("colliding prefixed right columns are rejected up front") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
+      .toDF("k", "t", "r_v")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "y", 1L))
+      .toDF("k", "rt", "v", "id")
+    val ex = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(l, r, Seq("k"), "t", "rt", tieBreak = "id")
+    }
+    assert(ex.getMessage.contains("r_v"))
+  }
 }

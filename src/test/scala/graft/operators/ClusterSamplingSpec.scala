@@ -104,6 +104,16 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(rows(a.select($"g", $"id")).subsetOf(rows(wide.select($"g", $"id"))))
   }
 
+  test("perGroupCap fails loudly on an id that can't carry as long") {
+    val df = Seq(("g1", "not-a-number"), ("g1", "17")).toDF("g", "sid")
+    val ex = intercept[Exception] {
+      Sampling.perGroupCap(df, Seq("g"), col("sid"), 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("perGroupCap")))
+  }
+
   // ---- bloom semi join ----
 
   test("bloomSemiJoin equals plain left-semi and prunes before the join") {

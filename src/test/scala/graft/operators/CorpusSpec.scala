@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // trigrams of "a b c d" = {a_b_c, b_c_d}
+  private lazy val corpus = Seq(
+    (1L, "a b c d"),     // shares a_b_c, b_c_d with bench doc 0
+    (2L, "x y z w"),     // shares nothing
+    (3L, "a b c q"),     // shares a_b_c only
+    (4L, "a b")          // too short for a trigram — excluded
+  ).toDF("doc_id", "text")
+  private lazy val bench = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+
+  test("decontaminate counts distinct shared n-grams, skips clean docs") {
+    val out = Corpus.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("boilerplate ratio counts corpus-frequent shingles per doc") {
+    // a_b_c appears in docs 1, 3, 5 → df 3 ≥ 3; everything else df < 3
+    val d = corpus.union(Seq((5L, "a b c z")).toDF("doc_id", "text"))
+    val out = Corpus.boilerplateRatio(d, "doc_id", "text", n = 3, minDf = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((2L, 1L)))  // {a_b_c, b_c_d}, frequent: a_b_c
+    assert(out(2L) === ((2L, 0L)))
+    assert(out(3L) === ((2L, 1L)))
+    assert(!out.contains(4L))       // no shingles → no row
+  }
+
+  test("repetition stats: dup-ngram ratio and top-token share") {
+    val d = Seq(
+      (1L, "a a a a a"),     // trigrams all "a_a_a": dup ratio 1-1/3; top tok 5/5
+      (2L, "a b c d e"),     // all distinct: dup ratio 0; top 1/5
+      (3L, "x y")            // no trigrams: ratio 0 by convention
+    ).toDF("doc_id", "text")
+    val out = Corpus.repetitionStats(d, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 === 5)
+    assert(approx(out(1L)._2, math.floor((1.0 - 1.0 / 3.0) * 1e6 + 0.5) / 1e6))
+    assert(approx(out(1L)._3, 1.0))
+    assert(out(2L) === ((5, 0.0, 0.2)))
+    assert(out(3L) === ((2, 0.0, 0.5)))
+  }
+
+  test("pmi: independent vs always-adjacent pairs rank as expected") {
+    // "p q" always adjacent; fillers vary
+    val d = (1L to 20L).map(i => (i, s"p q f$i p q")).toDF("doc_id", "text")
+    val out = Corpus.pmiCollocations(d, "text", minCount = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // p_q seen 40×; q_p-type pairs (q f_i, f_i p) each below minCount
+    assert(out.keySet === Set("p_q"))
+    assert(out("p_q") > 0.0) // adjacent far above independence
+  }
+
+  test("edit-distance verify keeps only close candidate pairs") {
+    val d = Seq(
+      (1L, "hello world"), (2L, "hello worle"), (3L, "totally different text")
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
+    val out = Dedup.editDistanceVerify(d, "doc_id", "text", cands, maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out === Map((1L, 2L) -> 1))
+  }
+}
