@@ -526,8 +526,10 @@ object SparkEntry {
     // loss — same property as q22. ----
     "q36_ann_ivf_topk" -> ((s, dir) => {
       val e = embs(s, dir)
+      // coarse quantizer trains on the even-id half (same 100 TB lever
+      // as q50); list ASSIGNMENT still covers every vector
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
-        nLists = 16, nProbe = 4)
+        nLists = 16, nProbe = 4, trainSampleMod = 2)
     }),
 
     // ---- semi / anti joins ----
@@ -712,8 +714,12 @@ object SparkEntry {
     // zero corpus shuffle; deterministic training → exact oracle ----
     "q50_ann_pq_topk" -> ((s, dir) => {
       val e = embs(s, dir)
+      // codebooks train on the deterministic even-id HALF of the corpus
+      // (the 100 TB lever: training cost and the cached set scale with
+      // the sample, ENCODING still covers every vector); the oracle
+      // mirrors the same id-filter
       Similarity.pqTopK(e, e.filter(col("vec_id") < 8), k = 5,
-        m = 8, ksub = 16, iters = 2)
+        m = 8, ksub = 16, iters = 2, trainSampleMod = 2)
     }),
 
     // ---- canonical election by QUALITY: per dup cluster keep the
@@ -841,7 +847,18 @@ object SparkEntry {
     // corpus (phrase mining); two vocabulary-sized hash aggregates,
     // totals as driver scalars ----
     "q62_bigram_pmi" -> ((s, dir) =>
-      graft.operators.Corpus.pmiCollocations(docs(s, dir), "text", minCount = 25))
+      graft.operators.Corpus.pmiCollocations(docs(s, dir), "text", minCount = 25)),
+
+    // ---- IVF+PQ composed (FAISS-IVFPQ shape, no residual): coarse
+    // lists prune to nProbe/nLists of the corpus, PQ codes score the
+    // survivors via ADC lookups; zero corpus shuffle, both quantizers
+    // train on the even-id sample ----
+    "q63_ann_ivfpq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        nLists = 16, nProbe = 4, m = 8, ksub = 16,
+        trainSampleMod = 2)
+    })
   )
 
   // ======================================================================
@@ -1259,21 +1276,22 @@ object SparkEntry {
     // engine's centroids bit-for-bit, and the final probe/rank stages
     // are exact.
     "q36_ann_ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id AS id,
+      s"""WITH ea AS (SELECT vec_id AS id,
          |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
          |  FROM embeddings),
+         |e AS (SELECT * FROM ea WHERE id % 2 = 0),
          |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
          |${ivfIterSql(1, "c0")},
          |${ivfIterSql(2, "c1")},
          |${ivfIterSql(3, "c2")},
-         |s4 AS (SELECT e.id, e.v, c.cid,
-         |  ${dotSql("e.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
-         |  FROM e CROSS JOIN c3 c),
+         |s4 AS (SELECT ea.id, ea.v, c.cid,
+         |  ${dotSql("ea.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM ea CROSS JOIN c3 c),
          |a4 AS (SELECT id, v, cid FROM (
          |  SELECT id, v, cid,
          |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
          |  FROM s4) WHERE rn = 1),
-         |q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 8),
+         |q AS (SELECT id AS q_id, v AS qv FROM ea WHERE id < 8),
          |ps AS (SELECT q.q_id, q.qv, c.cid,
          |  ${dotSql("q.qv", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
          |  FROM q CROSS JOIN c3 c),
@@ -1563,22 +1581,24 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id AS id,
          |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
          |  FROM embeddings),
-         |es AS (SELECT id, sub, v[sub*8+1 : sub*8+8] AS vs
+         |esa AS (SELECT id, sub, v[sub*8+1 : sub*8+8] AS vs
          |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS sub)),
+         |es AS (SELECT * FROM esa WHERE id % 2 = 0),
          |pc0 AS (SELECT sub,
          |  row_number() OVER (PARTITION BY sub ORDER BY id) - 1 AS cid,
          |  vs AS c
-         |  FROM es WHERE id IN (SELECT id FROM e ORDER BY id LIMIT 16)),
+         |  FROM es WHERE id IN (SELECT id FROM e WHERE id % 2 = 0
+         |                       ORDER BY id LIMIT 16)),
          |${pqIterSql(1, "pc0")},
          |${pqIterSql(2, "pc1")},
-         |pes AS (SELECT es.id, es.sub, c.cid,
-         |  ${dotSql("es.vs", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
-         |  FROM es JOIN pc2 c ON es.sub = c.sub),
+         |pes AS (SELECT esa.id, esa.sub, c.cid,
+         |  ${dotSql("esa.vs", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM esa JOIN pc2 c ON esa.sub = c.sub),
          |pea AS (SELECT id, sub, cid FROM (
          |  SELECT id, sub, cid,
          |    row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
          |  FROM pes) WHERE rn = 1),
-         |qsub AS (SELECT id AS q_id, sub, vs FROM es WHERE id < 8),
+         |qsub AS (SELECT id AS q_id, sub, vs FROM esa WHERE id < 8),
          |qt AS (SELECT q.q_id, c.sub, c.cid,
          |  ${dotSql("q.vs", "q.vs")} - 2*${dotSql("q.vs", "c.c")}
          |    + ${dotSql("c.c", "c.c")} AS pd
@@ -1848,6 +1868,72 @@ object SparkEntry {
          |SELECT bc.a || '_' || bc.b AS gram, bc.c_ab AS c_ab, $pmi AS pmi
          |FROM bc JOIN uni ua ON ua.tok = bc.a JOIN uni ub ON ub.tok = bc.b
          |CROSS JOIN tot CROSS JOIN mt""".stripMargin
+    },
+
+    // q63: q36's coarse-quantizer CTEs (trained on the even-id sample)
+    // composed with q50's PQ CTEs; scoring is restricted to (query,
+    // neighbor) pairs whose coarse list is among the query's nProbe
+    // probes — the exact mirror of the composed Spark operator,
+    // recall loss and quantization error included.
+    "q63_ann_ivfpq_topk" -> {
+      val foldPd = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list(qt.pd ORDER BY qt.sub)), (a0, x0) -> a0 + x0)"
+      s"""WITH ea AS (SELECT vec_id AS id,
+         |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |e AS (SELECT * FROM ea WHERE id % 2 = 0),
+         |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
+         |${ivfIterSql(1, "c0")},
+         |${ivfIterSql(2, "c1")},
+         |${ivfIterSql(3, "c2")},
+         |s4 AS (SELECT ea.id, ea.v, c.cid,
+         |  ${dotSql("ea.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM ea CROSS JOIN c3 c),
+         |a4 AS (SELECT id, cid FROM (
+         |  SELECT id, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |  FROM s4) WHERE rn = 1),
+         |q AS (SELECT id AS q_id, v AS qv FROM ea WHERE id < 8),
+         |ps AS (SELECT q.q_id, c.cid,
+         |  ${dotSql("q.qv", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM q CROSS JOIN c3 c),
+         |pr AS (SELECT q_id, cid FROM (
+         |  SELECT q_id, cid,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn
+         |  FROM ps) WHERE rn <= 4),
+         |esa AS (SELECT id, sub, v[sub*8+1 : sub*8+8] AS vs
+         |  FROM ea CROSS JOIN (SELECT unnest(range(0, 8)) AS sub)),
+         |es AS (SELECT * FROM esa WHERE id % 2 = 0),
+         |pc0 AS (SELECT sub,
+         |  row_number() OVER (PARTITION BY sub ORDER BY id) - 1 AS cid,
+         |  vs AS c
+         |  FROM es WHERE id IN (SELECT id FROM e ORDER BY id LIMIT 16)),
+         |${pqIterSql(1, "pc0")},
+         |${pqIterSql(2, "pc1")},
+         |pes AS (SELECT esa.id, esa.sub, c.cid,
+         |  ${dotSql("esa.vs", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM esa JOIN pc2 c ON esa.sub = c.sub),
+         |pea AS (SELECT id, sub, cid FROM (
+         |  SELECT id, sub, cid,
+         |    row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
+         |  FROM pes) WHERE rn = 1),
+         |qsub AS (SELECT id AS q_id, sub, vs FROM esa WHERE id < 8),
+         |qt AS (SELECT q2.q_id, c.sub, c.cid,
+         |  ${dotSql("q2.vs", "q2.vs")} - 2*${dotSql("q2.vs", "c.c")}
+         |    + ${dotSql("c.c", "c.c")} AS pd
+         |  FROM qsub q2 JOIN pc2 c ON q2.sub = c.sub),
+         |sc AS (SELECT qt.q_id, pea.id AS n_id,
+         |  ${graft.functions.TextFunctions.round6Sql(foldPd)} AS approx_d2
+         |  FROM pea JOIN qt ON pea.sub = qt.sub AND pea.cid = qt.cid
+         |  GROUP BY qt.q_id, pea.id),
+         |scf AS (SELECT sc.q_id, sc.n_id, sc.approx_d2
+         |  FROM sc JOIN a4 ON sc.n_id = a4.id
+         |  JOIN pr ON pr.q_id = sc.q_id AND pr.cid = a4.cid)
+         |SELECT q_id, n_id, approx_d2, rank FROM (
+         |  SELECT q_id, n_id, approx_d2,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY approx_d2 ASC, n_id ASC) AS rank
+         |  FROM scf WHERE q_id <> n_id) WHERE rank <= 5""".stripMargin
     }
   )
 }

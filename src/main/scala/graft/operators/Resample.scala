@@ -30,12 +30,16 @@ object Resample {
     // — expressible identically in any engine, no argmax ambiguity
     val w = Window.partitionBy(col("key"), col("day"))
       .orderBy(col("ts").desc, col("tie").desc)
+    // lazy localCheckpoint: the spine aggregate AND the fill join both
+    // read `daily` — without it the scan + group-limit window runs once
+    // per consumer (no cross-branch reuse)
     val daily = df
       .select(keyCol.as("key"), tsCol.as("ts"), valueCol.as("value"),
         tieBreak.as("tie"), tsCol.cast("date").as("day"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("key"), col("day"), col("value"))
+      .localCheckpoint(eager = false)
     // complete day spine per key, from its min to its max active day
     val spine = daily.groupBy(col("key"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))

@@ -126,4 +126,27 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(a.count(_._1 == 0L) == 5 && a.count(_._1 == 30L) == 5)
   }
+
+  test("IVF+PQ with every list probed degenerates to plain PQ") {
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 80).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 4 - 2).toSeq))
+    val corpus = data.toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" < 3)
+    val full = Similarity.ivfPqTopK(corpus, qs, k = 5,
+        nLists = 4, nProbe = 4, m = 4, ksub = 8)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val pq = Similarity.pqTopK(corpus, qs, k = 5, m = 4, ksub = 8)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(full.toSeq == pq.toSeq)
+    // a real probe restriction returns a subset of each query's PQ view
+    val pruned = Similarity.ivfPqTopK(corpus, qs, k = 5,
+        nLists = 4, nProbe = 1, m = 4, ksub = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(pruned.nonEmpty)
+    val pqPairs = Similarity.pqTopK(corpus, qs, k = 80, m = 4, ksub = 8)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    pruned.foreach { case (q, n, d, _) => assert(pqPairs((q, n)) == d) }
+  }
 }
