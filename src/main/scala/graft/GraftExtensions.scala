@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FoldDot, KmvDistinct, MinhashSignature, NgramHashes,
-  PortableHash, SimhashBits, SortedIntersectCount, TopKBy, WkbEnvelopeCentroid,
-  WkbPolygon}
+import graft.functions.{FoldDot, HllDistinct, KmvDistinct, MinhashSignature,
+  NgramHashes, PortableHash, SimhashBits, SortedIntersectCount, TopKBy,
+  WkbEnvelopeCentroid, WkbPolygon}
 
 /** SQL registration of the engine's custom codegen expressions, so the
   * full surface is usable from `spark.sql(...)` as well as the Column
@@ -74,7 +74,11 @@ object GraftFunctions {
         args(2) match {
           case Literal(k: Int, _) => TopKBy(args(0), args(1), k)
           case other => sys.error(s"top_k_by k must be an int literal, got $other")
-        } }))
+        } }),
+    (FunctionIdentifier("hll_distinct"),
+      info("hll_distinct", "hll_distinct(hash_bigint) - HyperLogLog distinct-count estimate (64 registers)"),
+      args => { require(args.length == 1, "hll_distinct takes 1 argument")
+        HllDistinct(args.head) }))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(GraftFunctions.getClass.getName, name, usage)

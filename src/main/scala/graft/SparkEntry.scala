@@ -858,6 +858,21 @@ object SparkEntry {
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), k = 5,
         nLists = 16, nProbe = 4, m = 8, ksub = 16,
         trainSampleMod = 2)
+    }),
+
+    // ---- HLL distinct sketch (64 registers, element-wise-max merge —
+    // order-independent, so even the ESTIMATE is oracle-checked;
+    // count_distinct rides along to expose the approximation error) ----
+    "q64_hll_distinct" -> ((s, dir) => {
+      import graft.functions.HllDistinct.hll_distinct
+      import graft.functions.PortableHash.portable_hash
+      t(s, dir, "lineitem")
+        .select(date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+          col("l_orderkey"),
+          portable_hash(col("l_orderkey").cast("string")).as("h"))
+        .groupBy(col("month"))
+        .agg(hll_distinct(col("h")).as("orders_est"),
+          countDistinct(col("l_orderkey")).as("orders_exact"))
     })
   )
 
@@ -1934,6 +1949,38 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY approx_d2 ASC, n_id ASC) AS rank
          |  FROM scf WHERE q_id <> n_id) WHERE rank <= 5""".stripMargin
-    }
+    },
+
+    // q64: register rank uses bin()-string bit length — integer-exact,
+    // no floating log2; Σ2^(−reg) is a sum of exact powers of two
+    // (order-independent in double), so the estimate mirrors exactly.
+    "q64_hll_distinct" ->
+      s"""WITH h0 AS (
+         |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         |         l_orderkey,
+         |         ${hashSql("CAST(l_orderkey AS VARCHAR)")} AS ph
+         |  FROM lineitem),
+         |h AS (SELECT month, l_orderkey,
+         |        (1566083941 * (ph + 1)) % 1000000007 AS g1,
+         |        (1103515245 * (ph + 7)) % 1000000007 AS g2
+         |      FROM h0),
+         |r AS (SELECT month, g1 % 64 AS b,
+         |        max(25 - length(ltrim(bin(g2 % 16777216), '0'))) AS reg
+         |      FROM h GROUP BY month, b),
+         |a AS (SELECT month,
+         |        sum(power(2.0, -reg)) + (64 - count(*)) AS s,
+         |        64 - count(*) AS zeros
+         |      FROM r GROUP BY month),
+         |x AS (SELECT month, count(DISTINCT l_orderkey) AS exact_d
+         |      FROM h GROUP BY month),
+         |e AS (SELECT a.month AS month,
+         |        0.709 * 4096.0 / a.s AS raw, a.zeros AS zeros
+         |      FROM a)
+         |SELECT e.month AS month,
+         |  floor((CASE WHEN raw <= 160.0 AND zeros > 0
+         |              THEN 64.0 * ln(64.0 / zeros) ELSE raw END) * 10000 + 0.5)
+         |    / 10000 AS orders_est,
+         |  x.exact_d AS orders_exact
+         |FROM e JOIN x ON e.month = x.month""".stripMargin
   )
 }
