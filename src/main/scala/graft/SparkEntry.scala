@@ -873,6 +873,43 @@ object SparkEntry {
         .groupBy(col("month"))
         .agg(hll_distinct(col("h")).as("orders_est"),
           countDistinct(col("l_orderkey")).as("orders_exact"))
+    }),
+
+    // ---- histogram-sketch quantiles: mergeable fixed-bin counts +
+    // in-bin interpolation (the order-independent alternative to
+    // t-digest — exactly oracle-reproducible); q53 is the exact
+    // spot-check of the same probabilities ----
+    "q65_histogram_quantiles" -> ((s, dir) =>
+      graft.operators.Quantiles.histogramQuantiles(
+        events(s, dir), col("event_type"), col("value"),
+        bins = 64, ps = Seq(0.5, 0.95))),
+
+    // ---- OHLC bars per (event_type, day): first/last via dual
+    // row_number (tie-deterministic), high/low order-free ----
+    "q66_ohlc_bars" -> ((s, dir) =>
+      graft.operators.EventAnalytics.ohlcBars(events(s, dir))),
+
+    // ---- salted two-stage aggregation parity: the hot-key guard must
+    // be result-neutral — DECIMAL partials make the merge exact, so
+    // the plain GROUP BY is its oracle ----
+    "q67_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedAggregate(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+        keys = Seq("l_returnflag"), buckets = 16,
+        partial = Seq(sum(col("l_quantity").cast("decimal(18,2)")).as("s"),
+          count(lit(1)).as("c")),
+        merge = Seq(sum(col("s")).cast("double").as("sum_qty"),
+          sum(col("c")).as("n")))),
+
+    // ---- token-distribution drift between corpus slices (4-char
+    // sources vs the rest): per-token smoothed KL contributions —
+    // no cross-row FP sum, every cell exactly checkable ----
+    "q68_token_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Corpus.tokenDrift(
+        d.filter(length(col("source")) === 4),
+        d.filter(length(col("source")) =!= 4),
+        "text", minCount = 20)
     })
   )
 
@@ -1981,6 +2018,82 @@ object SparkEntry {
          |              THEN 64.0 * ln(64.0 / zeros) ELSE raw END) * 10000 + 0.5)
          |    / 10000 AS orders_est,
          |  x.exact_d AS orders_exact
-         |FROM e JOIN x ON e.month = x.month""".stripMargin
+         |FROM e JOIN x ON e.month = x.month""".stripMargin,
+
+    // q65: bin ids, cumulative counts and in-bin interpolation mirror
+    // the Spark expressions term for term (t = p·n computed once,
+    // width = (hi−lo)/64, est = lo + (bin + (t−cum_prev)/cnt)·width).
+    "q65_histogram_quantiles" -> {
+      val est = graft.functions.TextFunctions.round6Sql(
+        "lo + (CAST(bin AS DOUBLE) + (p * CAST(n AS DOUBLE) - " +
+          "CAST(cum_prev AS DOUBLE)) / CAST(cnt AS DOUBLE)) * ((hi - lo) / 64)")
+      s"""WITH base AS (SELECT event_type AS key, CAST(value AS DOUBLE) AS v
+         |              FROM events),
+         |stats AS (SELECT key, min(v) AS lo, max(v) AS hi, count(*) AS n
+         |          FROM base GROUP BY 1),
+         |binned AS (SELECT b.key AS key,
+         |    CAST(CASE WHEN s.hi = s.lo THEN 0
+         |         ELSE least(floor((b.v - s.lo) / (s.hi - s.lo) * 64), 63)
+         |         END AS BIGINT) AS bin,
+         |    count(*) AS cnt
+         |  FROM base b JOIN stats s ON b.key = s.key GROUP BY 1, 2),
+         |cum AS (SELECT binned.key AS key, bin, cnt, s.lo, s.hi, s.n,
+         |    sum(cnt) OVER (PARTITION BY binned.key ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM binned JOIN stats s ON binned.key = s.key),
+         |pr AS (SELECT key, bin, cnt, lo, hi, n, cum, cum - cnt AS cum_prev,
+         |    unnest([0.5, 0.95]) AS p FROM cum)
+         |SELECT key, p, $est AS est, n
+         |FROM pr
+         |WHERE CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE)
+         |  AND CAST(cum_prev AS DOUBLE) < p * CAST(n AS DOUBLE)""".stripMargin
+    },
+
+    "q66_ohlc_bars" ->
+      """WITH base AS (SELECT event_type AS series, CAST(ts AS DATE) AS day,
+        |    CAST(ts AS TIMESTAMP) AS ts2, event_id AS id, value AS v
+        |  FROM events),
+        |w AS (SELECT series, day, v,
+        |    row_number() OVER (PARTITION BY series, day
+        |      ORDER BY ts2 ASC, id ASC) AS rn1,
+        |    row_number() OVER (PARTITION BY series, day
+        |      ORDER BY ts2 DESC, id DESC) AS rn2
+        |  FROM base)
+        |SELECT series, day,
+        |  max(CASE WHEN rn1 = 1 THEN v END) AS open,
+        |  max(v) AS high, min(v) AS low,
+        |  max(CASE WHEN rn2 = 1 THEN v END) AS close,
+        |  count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // q67: the salted two-stage plan must be RESULT-NEUTRAL — its
+    // oracle is the plain one-stage GROUP BY (decimal partials make
+    // the merge order-independent).
+    "q67_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q68_token_drift" -> {
+      val pa = "(CAST(c_a AS DOUBLE) + 1.0) / (n_a + vocab)"
+      val pb = "(CAST(c_b AS DOUBLE) + 1.0) / (n_b + vocab)"
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      s"""WITH ta AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |            FROM documents WHERE length(source) = 4),
+         |tb AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |       FROM documents WHERE length(source) <> 4),
+         |ca AS (SELECT tok, count(*) AS c_a FROM ta GROUP BY 1),
+         |cb AS (SELECT tok, count(*) AS c_b FROM tb GROUP BY 1),
+         |j AS (SELECT coalesce(ca.tok, cb.tok) AS tok,
+         |        coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+         |      FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+         |tot AS (SELECT CAST(sum(c_a) AS DOUBLE) AS n_a,
+         |          CAST(sum(c_b) AS DOUBLE) AS n_b,
+         |          CAST(count(*) AS DOUBLE) AS vocab FROM j)
+         |SELECT tok, c_a, c_b, ${r6(pa)} AS p_a, ${r6(pb)} AS p_b,
+         |  ${r6(s"($pa) * ln(($pa) / ($pb))")} AS contrib
+         |FROM j CROSS JOIN tot WHERE c_a + c_b >= 20""".stripMargin
+    }
   )
 }

@@ -109,6 +109,44 @@ object Corpus {
           col("st.n_tokens").cast("double")).as("top_token_ratio"))
   }
 
+  /** Token-distribution DRIFT between two corpus slices: per-token
+    * KL-divergence contributions p·ln(p/q) under add-one smoothing —
+    * the standard monitor for "did this month's crawl shift against
+    * the reference corpus" (drift dashboards, mixture re-weighting).
+    * Returns (tok, c_a, c_b, p_a, p_b, contrib) for tokens whose
+    * combined count reaches `minCount`; positive contrib = token
+    * over-represented in A.
+    *
+    * Scale: two token-count hash aggregates (map-side combined), a
+    * full-outer join keyed on the token over vocabulary-sized output,
+    * and a single totals row (n_a, n_b, |V|) cross-joined in — the
+    * bounded-plan-parameter pattern, no driver loop. All per-token
+    * arithmetic is deterministic; no cross-row FP summation exists, so
+    * every output cell is exactly oracle-checkable. */
+  def tokenDrift(
+      a: DataFrame, b: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    def counts(df: DataFrame, name: String): DataFrame = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as(name))
+    val ca = counts(a, "c_a")
+    val cb = counts(b, "c_b")
+    val joined = ca.join(cb, Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .localCheckpoint(eager = false) // totals + output read one pass
+    val totals = joined.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
+      count(lit(1)).as("vocab"))
+    val p = (col("c_a").cast("double") + lit(1.0)) /
+      (col("n_a").cast("double") + col("vocab").cast("double"))
+    val q = (col("c_b").cast("double") + lit(1.0)) /
+      (col("n_b").cast("double") + col("vocab").cast("double"))
+    joined.join(broadcast(totals))
+      .filter(col("c_a") + col("c_b") >= minCount)
+      .select(col("tok"), col("c_a"), col("c_b"),
+        TextFunctions.round6(p).as("p_a"), TextFunctions.round6(q).as("p_b"),
+        TextFunctions.round6(p * log(p / q)).as("contrib"))
+  }
+
   /** PMI COLLOCATIONS: pointwise mutual information of adjacent token
     * pairs over the whole corpus — ln((c_ab/N) / ((c_a/M)(c_b/M))) for
     * pairs seen ≥ minCount times. The standard phrase-mining /

@@ -1,10 +1,39 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-sequence analytics over the event stream. */
 object EventAnalytics {
+
+  /** OHLC (open/high/low/close) bars per (series, day) — the standard
+    * time-series downsampling aggregate. First/last are resolved by
+    * row_number over (ts, id) in both directions — deterministic under
+    * ties and identical to the oracle's window (no engine-specific
+    * first()/arg_min semantics); high/low/count are plain order-free
+    * aggregates. One shuffle on the bar key; Spark folds both window
+    * passes over the same sort. */
+  def ohlcBars(
+      events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    val base = events.select(col(typeCol).as("series"),
+      col(tsCol).cast("date").as("day"), col(tsCol).as("ts"),
+      col(idCol).as("id"), col(valueCol).as("v"))
+    val asc = Window.partitionBy(col("series"), col("day"))
+      .orderBy(col("ts").asc, col("id").asc)
+    val desc = Window.partitionBy(col("series"), col("day"))
+      .orderBy(col("ts").desc, col("id").desc)
+    base
+      .withColumn("rn1", row_number().over(asc))
+      .withColumn("rn2", row_number().over(desc))
+      .groupBy(col("series"), col("day"))
+      .agg(max(when(col("rn1") === 1, col("v"))).as("open"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        max(when(col("rn2") === 1, col("v"))).as("close"),
+        count(lit(1)).as("n"))
+  }
 
   /** FUNNEL: per user, the first occurrence of each stage in order —
     * stage i+1 must happen strictly after the user's first completion

@@ -58,6 +58,18 @@ class CorpusSpec extends SparkSpec {
     assert(out("p_q") > 0.0) // adjacent far above independence
   }
 
+  test("token drift: over-represented tokens score positive, shared ~zero") {
+    val a = Seq.tabulate(20)(i => (i.toLong, "common shift")).toDF("doc_id", "text")
+    val b = Seq.tabulate(20)(i => (i.toLong, "common stay")).toDF("doc_id", "text")
+    val out = Corpus.tokenDrift(a, b, "text", minCount = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    assert(out("shift")._1 === 20L && out("shift")._2 === 0L)
+    assert(out("shift")._3 > 0.0)   // only in A → positive KL contribution
+    assert(out("stay")._3 < 0.0)    // only in B → negative
+    assert(math.abs(out("common")._3) < 0.01) // balanced → near zero
+  }
+
   test("edit-distance verify keeps only close candidate pairs") {
     val d = Seq(
       (1L, "hello world"), (2L, "hello worle"), (3L, "totally different text")

@@ -51,4 +51,20 @@ class EventAnalyticsSpec extends SparkSpec {
     val r = EventAnalytics.funnel(ev, Seq("view", "click", "purchase")).collect().head
     assert(r.isNullAt(2) && r.getInt(4) === 1)
   }
+
+  test("OHLC bars: open/close by time order, equal-ts ties by id") {
+    val ev = Seq(
+      (1L, "m", ts("2024-01-01 09:00:00"), 10.0),
+      (2L, "m", ts("2024-01-01 12:00:00"), 99.0),
+      (3L, "m", ts("2024-01-01 17:00:00"), 5.0),
+      (4L, "m", ts("2024-01-01 17:00:00"), 7.0), // same ts, higher id → close
+      (5L, "m", ts("2024-01-02 10:00:00"), 42.0)
+    ).toDF("event_id", "event_type", "ts", "value")
+    val out = EventAnalytics.ohlcBars(ev)
+      .collect().map(r => r.getDate(1).toString ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    assert(out("2024-01-01") === ((10.0, 99.0, 5.0, 7.0, 4L)))
+    assert(out("2024-01-02") === ((42.0, 42.0, 42.0, 42.0, 1L)))
+  }
 }
