@@ -910,6 +910,29 @@ object SparkEntry {
         d.filter(length(col("source")) === 4),
         d.filter(length(col("source")) =!= 4),
         "text", minCount = 20)
+    }),
+
+    // ---- PageRank over the near-dup graph, 3 fixed rounds in integer
+    // micro-units (floor-div contributions → per-node sums are exact
+    // integer arithmetic, immune to FP order → exact oracle) ----
+    "q69_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.8)
+      graft.operators.Graph.pageRank(d, "doc_id", pairs, iters = 3)
+    }),
+
+    // ---- inter-event deltas: lag over (ts, id) per user — the
+    // standard inter-arrival analysis; all-integer output ----
+    "q70_event_deltas" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"),
+          (col("us") - lag(col("us"), 1).over(w)).as("delta_us"))
     })
   )
 
@@ -2094,6 +2117,53 @@ object SparkEntry {
          |SELECT tok, c_a, c_b, ${r6(pa)} AS p_a, ${r6(pb)} AS p_b,
          |  ${r6(s"($pa) * ln(($pa) / ($pb))")} AS contrib
          |FROM j CROSS JOIN tot WHERE c_a + c_b >= 20""".stripMargin
-    }
+    },
+
+    // q69: the integer fixed-point design makes three unrolled rounds
+    // exactly mirrorable — floor-div (`//`) contributions and integer
+    // sums leave no FP-order freedom; the only double appears in the
+    // final micro-units → rank projection.
+    "q69_pagerank" -> {
+      def iter(i: Int): String = {
+        val prev = s"r${i - 1}"
+        s"""c$i AS (SELECT e.dst AS dst,
+           |    sum(r.r * 85 // 100 // o.deg) AS in_sum
+           |  FROM edges e JOIN $prev r ON e.src = r.id
+           |  JOIN outdeg o ON e.src = o.src GROUP BY 1),
+           |r$i AS (SELECT v.id AS id,
+           |    (1000000000000 * 15 // 100 // nv.n) + coalesce(c.in_sum, 0) AS r
+           |  FROM verts v CROSS JOIN nv LEFT JOIN c$i c ON v.id = c.dst)""".stripMargin
+      }
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+         |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |  WHERE len(t) >= 3),
+         |pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.8),
+         |verts AS (SELECT doc_id AS id FROM documents),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nv AS (SELECT count(*) AS n FROM verts),
+         |r0 AS (SELECT v.id AS id, 1000000000000 // nv.n AS r
+         |       FROM verts v CROSS JOIN nv),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT id, CAST(r AS DOUBLE) / 1000000000000.0 AS rank FROM r3""".stripMargin
+    },
+
+    "q70_event_deltas" ->
+      """WITH b AS (SELECT user_id, event_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT user_id, event_id,
+        |  lag(event_id) OVER w AS prev_event_id,
+        |  us - lag(us) OVER w AS delta_us
+        |FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)""".stripMargin
   )
 }
