@@ -23,7 +23,12 @@ object Bench {
         catch { case _: Throwable => () })
     // noop sink, not count(): count() lets Catalyst prune every computed
     // column, which would "bench" map-heavy queries as bare row counts.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional focused run for profiling: comma-separated query names
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
@@ -42,5 +47,8 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
+    // repeat as the VERY last stdout line (after spark.stop()'s own
+    // shutdown chatter) so a log-tail parser also finds clean JSON
+    println(line)
   }
 }

@@ -43,6 +43,69 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     spread(t(s, dir, "embeddings"), "vec_id")
 
+  // ---- shared ANN index artifacts (q36/q50/q63) ----
+  // At 100 TB the quantizers are persisted INDEX ARTIFACTS trained once
+  // per corpus and served to every query — never a per-query step (the
+  // Faiss deployment model). Training is fully deterministic with the
+  // same parameters as before, so each query's oracle is unchanged; the
+  // cache only removes redundant re-training within a session. The
+  // centroids/codebooks are plain driver-side arrays (bounded plan
+  // parameters), so cache entries carry no SparkSession state.
+  // `annTrainings` counts actual training runs for the spec pinning
+  // "one training per corpus, not per query".
+  val annTrainings = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap[String, IndexedSeq[(Long, Array[Double])]]()
+  private val pqCache =
+    scala.collection.concurrent.TrieMap[String, IndexedSeq[IndexedSeq[Array[Double]]]]()
+
+  /** The corpus's IVF coarse quantizer (16 lists, 3 Lloyd iterations,
+    * trained on the deterministic even-id half — the 100 TB lever). */
+  private def ivfArtifact(s: SparkSession, dir: String): IndexedSeq[(Long, Array[Double])] =
+    ivfCache.getOrElseUpdate(dir, {
+      annTrainings.incrementAndGet()
+      Similarity.ivfCentroids(embs(s, dir), nLists = 16, iters = 3,
+        trainSampleMod = 2)
+    })
+
+  /** The corpus's PQ codebooks (m=8 × ksub=16, 2 Lloyd iterations,
+    * same deterministic even-id training sample). */
+  private def pqArtifact(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[Array[Double]]] =
+    pqCache.getOrElseUpdate(dir, {
+      annTrainings.incrementAndGet()
+      Similarity.pqCodebooks(embs(s, dir), m = 8, ksub = 16, iters = 2,
+        trainSampleMod = 2)
+    })
+
+  // ---- shared near-dup graph artifacts (q14/q43/q46/q52/q61/q69) ----
+  // Same persisted-artifact reasoning as the ANN quantizers: a real
+  // pipeline computes the corpus's duplicate graph ONCE and serves the
+  // cluster assignments to every downstream curation query — it does
+  // not re-shingle 100 TB per query. `localCheckpoint(eager = false)`
+  // materializes on first use and later consumers read the checkpointed
+  // blocks; results are value-identical (the checkpoint is exact), so
+  // every oracle is unchanged. Keyed by (session, dir) because a
+  // checkpointed DataFrame is bound to its SparkContext.
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  /** Near-dup candidate pairs (q14's parameters: word-trigram shingles,
+    * 64-slot minhash, 16 bands, verified Jaccard ≥ 0.8). */
+  private def dupPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, dir),
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.8)
+        .localCheckpoint(eager = false))
+
+  /** Connected-component dup clusters over [[dupPairs]] (min-label
+    * propagation + canonical election). */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterCache.getOrElseUpdate((s, dir),
+      Dedup.duplicateClusters(docs(s, dir), "doc_id", dupPairs(s, dir))
+        .localCheckpoint(eager = false))
+
   /** Synthetic media table: documents as opaque binary payloads + typed
     * metadata (the multimodal column model — payload bytes stay an
     * uninterpreted BINARY column; dims/frame metadata ride beside). */
@@ -330,9 +393,7 @@ object SparkEntry {
     }),
 
     // ---- dedup: minhash LSH + exact-jaccard verification ----
-    "q14_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.8)),
+    "q14_minhash_lsh" -> ((s, dir) => dupPairs(s, dir)),
 
     // ---- dedup: simhash signatures ----
     "q15_simhash" -> ((s, dir) =>
@@ -526,10 +587,12 @@ object SparkEntry {
     // loss — same property as q22. ----
     "q36_ann_ivf_topk" -> ((s, dir) => {
       val e = embs(s, dir)
-      // coarse quantizer trains on the even-id half (same 100 TB lever
-      // as q50); list ASSIGNMENT still covers every vector
+      // pre-trained coarse quantizer from the shared per-corpus
+      // artifact cache (even-id training half; list ASSIGNMENT still
+      // covers every vector) — same values as training in-query
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
-        nLists = 16, nProbe = 4, trainSampleMod = 2)
+        ivfArtifact(s, dir), nProbe = 4,
+        idCol = "vec_id", vecCol = "embedding")
     }),
 
     // ---- semi / anti joins ----
@@ -632,12 +695,7 @@ object SparkEntry {
 
     // ---- near-dup clusters: connected components over the q14 LSH
     // pairs + canonical-doc election (min-label propagation) ----
-    "q43_dup_clusters" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val pairs = Dedup.minhashLsh(d, "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.8)
-      Dedup.duplicateClusters(d, "doc_id", pairs)
-    }),
+    "q43_dup_clusters" -> ((s, dir) => dupClusters(s, dir)),
 
     // ---- deterministic stratified sampling: per-event-type keep rates
     // as a pure hash predicate (reproducible, shuffle-free) ----
@@ -657,9 +715,7 @@ object SparkEntry {
     // oracle-checked (q43, q19, q20). ----
     "q46_clean_corpus" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.minhashLsh(d, "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.8)
-      val canon = Dedup.duplicateClusters(d, "doc_id", pairs)
+      val canon = dupClusters(s, dir)
         .filter(col("is_canonical"))
         .select(col("doc_id"), col("cluster_size"))
       d.join(canon, "doc_id")
@@ -714,12 +770,12 @@ object SparkEntry {
     // zero corpus shuffle; deterministic training → exact oracle ----
     "q50_ann_pq_topk" -> ((s, dir) => {
       val e = embs(s, dir)
-      // codebooks train on the deterministic even-id HALF of the corpus
-      // (the 100 TB lever: training cost and the cached set scale with
-      // the sample, ENCODING still covers every vector); the oracle
-      // mirrors the same id-filter
+      // pre-trained codebooks from the shared per-corpus artifact cache
+      // (deterministic even-id training half — the 100 TB lever;
+      // ENCODING still covers every vector); the oracle mirrors the
+      // same id-filter
       Similarity.pqTopK(e, e.filter(col("vec_id") < 8), k = 5,
-        m = 8, ksub = 16, iters = 2, trainSampleMod = 2)
+        pqArtifact(s, dir), idCol = "vec_id", vecCol = "embedding")
     }),
 
     // ---- canonical election by QUALITY: per dup cluster keep the
@@ -727,9 +783,7 @@ object SparkEntry {
     // keep-min-id) — clusters ⋈ quality + one argmax window ----
     "q52_best_of_cluster" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.minhashLsh(d, "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.8)
-      val clusters = Dedup.duplicateClusters(d, "doc_id", pairs)
+      val clusters = dupClusters(s, dir)
       val scored = d.select(col("doc_id"),
         graft.functions.TextKernels.text_stats(col("text"),
           TextFunctions.LangProfiles("en")).getField("quality").as("quality"))
@@ -838,9 +892,8 @@ object SparkEntry {
     // candidate pairs only, never all pairs ----
     "q61_edit_distance" -> ((s, dir) => {
       val d = docs(s, dir)
-      val cands = Dedup.minhashLsh(d, "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.8)
-      Dedup.editDistanceVerify(d, "doc_id", "text", cands, maxDist = 100)
+      Dedup.editDistanceVerify(d, "doc_id", "text", dupPairs(s, dir),
+        maxDist = 100)
     }),
 
     // ---- PMI collocations: adjacent-pair mutual information over the
@@ -855,9 +908,11 @@ object SparkEntry {
     // train on the even-id sample ----
     "q63_ann_ivfpq_topk" -> ((s, dir) => {
       val e = embs(s, dir)
+      // BOTH quantizers from the shared artifact cache — q63 pays zero
+      // training when q36/q50 ran first (one IVF + one PQ per corpus)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), k = 5,
-        nLists = 16, nProbe = 4, m = 8, ksub = 16,
-        trainSampleMod = 2)
+        ivfArtifact(s, dir), pqArtifact(s, dir), nProbe = 4,
+        idCol = "vec_id", vecCol = "embedding")
     }),
 
     // ---- HLL distinct sketch (64 registers, element-wise-max merge —
@@ -917,9 +972,7 @@ object SparkEntry {
     // integer arithmetic, immune to FP order → exact oracle) ----
     "q69_pagerank" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.minhashLsh(d, "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.8)
-      graft.operators.Graph.pageRank(d, "doc_id", pairs, iters = 3)
+      graft.operators.Graph.pageRank(d, "doc_id", dupPairs(s, dir), iters = 3)
     }),
 
     // ---- inter-event deltas: lag over (ts, id) per user — the
@@ -2051,7 +2104,7 @@ object SparkEntry {
         "lo + (CAST(bin AS DOUBLE) + (p * CAST(n AS DOUBLE) - " +
           "CAST(cum_prev AS DOUBLE)) / CAST(cnt AS DOUBLE)) * ((hi - lo) / 64)")
       s"""WITH base AS (SELECT event_type AS key, CAST(value AS DOUBLE) AS v
-         |              FROM events),
+         |              FROM events WHERE value IS NOT NULL),
          |stats AS (SELECT key, min(v) AS lo, max(v) AS hi, count(*) AS n
          |          FROM base GROUP BY 1),
          |binned AS (SELECT b.key AS key,

@@ -58,7 +58,11 @@ case class HllDistinct(
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long] % PortableHash.Mod
+      // floorMod, not %: a negative input (raw xxhash64, negative id)
+      // would otherwise drive b negative and crash executors with
+      // ArrayIndexOutOfBoundsException. For the documented non-negative
+      // PortableHash range floorMod ≡ %, so no estimate changes.
+      val h = Math.floorMod(v.asInstanceOf[Long], PortableHash.Mod)
       val g1 = KmvDistinct.Scramble * (h + 1L) % PortableHash.Mod
       val g2 = HllDistinct.Scramble2 * (h + 7L) % PortableHash.Mod
       val b = (g1 % M).toInt

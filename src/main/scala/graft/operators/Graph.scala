@@ -30,7 +30,13 @@ object Graph {
     * as two shuffles; ranks/degrees are O(V) aggregation outputs.
     * Dangling mass is NOT redistributed (documented simplification —
     * isolated/dangling vertices keep base rank). `localCheckpoint`
-    * per round keeps the plan from growing with iterations. */
+    * per round keeps the plan from growing with iterations.
+    *
+    * PRECONDITION: `docs` must carry one row per vertex id. Duplicate
+    * ids would silently inflate n (skewing the base rank) — deduping
+    * here would add an O(V) shuffle every caller with unique ids (the
+    * engine's document tables) pays for nothing, so the contract is
+    * on the caller. An empty vertex set is rejected outright. */
   def pageRank(
       docs: DataFrame, idCol: String, pairs: DataFrame,
       iters: Int = 3): DataFrame = {
@@ -44,6 +50,7 @@ object Graph {
       .localCheckpoint(eager = false)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = verts.count()
+    require(n > 0, "pageRank needs a non-empty vertex set (docs has 0 rows)")
     val base = Scale * 15L / 100L / n
     var ranks = verts.select(col("id"), lit(Scale / n).as("r"))
       .localCheckpoint(eager = false)

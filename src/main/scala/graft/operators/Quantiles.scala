@@ -30,7 +30,12 @@ object Quantiles {
       df: DataFrame, keyCol: Column, valueCol: Column,
       bins: Int, ps: Seq[Double]): DataFrame = {
     require(bins > 1 && ps.nonEmpty && ps.forall(p => p > 0 && p < 1))
+    // NULL values are excluded up front: they would otherwise count in n
+    // and land in a NULL bin whose window ordering differs between
+    // engines (Spark NULLS FIRST asc vs DuckDB NULLS LAST), breaking the
+    // exact-oracle reproducibility this operator guarantees.
     val base = df.select(keyCol.as("key"), valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
     val stats = base.groupBy(col("key"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
         count(lit(1)).as("n"))

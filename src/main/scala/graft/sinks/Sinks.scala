@@ -25,6 +25,17 @@ object Sinks {
     * range (one call per file, K4 naming) when outputs outgrow the
     * driver.
     *
+    * COMPRESSION PARITY (K2): the reference's fill stage rewrites its
+    * NetCDF with `zlib=True, complevel=2` (`helper.py:103-121`).
+    * Classic CDF-5 — this writer's format — has no in-format
+    * compression (deflate is an HDF5-backed NetCDF-4 feature), so the
+    * emitted `.nc` is uncompressed; the engine's declared data-plane
+    * analog is parquet zstd ([[writeContract]]), which is where
+    * 100 TB outputs actually live. A byte-parity consumer needing a
+    * deflated `.nc` should run the public `nccopy -d2` post-step (or
+    * any netcdf-java rewrite) over this file — the header contract
+    * (golden-tested in SinksSpec) is unaffected.
+    *
     * @param ts       finalized series: (nhru, time, tmax tmin prcp
     *                 rhmax rhmin ws [humidity])
     * @param features (fid, lat, lon) centroids for the coordinate vars
