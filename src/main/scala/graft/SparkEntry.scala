@@ -1895,7 +1895,10 @@ object SparkEntry {
 
     // q57: the sketch construction (seeded portable hash mod width,
     // min over depth rows) is mirrored exactly — including the
-    // over-estimates colliding buckets produce.
+    // over-estimates colliding buckets produce — AND the bounded
+    // candidate stream (per hash-bucket top lists by count desc, key
+    // asc; 64 buckets × 128) is mirrored by the cand window, so the
+    // bounding itself is oracle-checked.
     "q57_heavy_hitters" ->
       s"""WITH rs AS (SELECT unnest(range(0, 4)) AS r),
          |ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
@@ -1903,7 +1906,12 @@ object SparkEntry {
          |         ${hashSql("(CAST(rs.r AS VARCHAR) || ':' || ev.k)")} % 64 AS b,
          |         count(*) AS c
          |       FROM ev CROSS JOIN rs GROUP BY 1, 2),
-         |keys AS (SELECT k, count(*) AS exact_count FROM ev GROUP BY 1),
+         |keys0 AS (SELECT k, count(*) AS exact_count FROM ev GROUP BY 1),
+         |keys AS (SELECT k, exact_count FROM (
+         |    SELECT k, exact_count,
+         |      row_number() OVER (PARTITION BY (${hashSql("k")} % 64)
+         |        ORDER BY exact_count DESC, k ASC) AS rn
+         |    FROM keys0) WHERE rn <= 128),
          |pr AS (SELECT keys.k AS k, keys.exact_count AS exact_count, rs.r AS r,
          |         ${hashSql("(CAST(rs.r AS VARCHAR) || ':' || keys.k)")} % 64 AS b
          |       FROM keys CROSS JOIN rs),

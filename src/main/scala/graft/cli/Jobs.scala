@@ -61,7 +61,14 @@ object Jobs {
       .getOrCreate()
 
   private def readFeatures(spark: SparkSession, path: String, fid: String): DataFrame = {
-    val raw = spark.read.parquet(path)
+    // suffix dispatch mirrors the reference (`etl.py:563`, `etl.py:806`):
+    // a `.shp` target parses via the public-spec shapefile reader (bbox +
+    // centroid derived in-engine from the rings), anything else is the
+    // pre-staged parquet feature table
+    val raw =
+      if (path.toLowerCase.endsWith(".shp"))
+        Sources.shapefileFeatures(spark, path, fid)
+      else spark.read.parquet(path)
     if (raw.columns.contains("fid")) raw else raw.withColumnRenamed(fid, "fid")
   }
 

@@ -127,9 +127,79 @@ case class LangScores(child: Expression, profiles: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** One-pass repetition stats: struct(n_tokens, n_ngrams, n_distinct,
+  * top_tok), value-identical to the HOF formulation it replaces
+  * (`array_max(transform(array_distinct(toks), t => size(filter(toks,
+  * _ === t))))` — O(distinct·tokens) per row, hostile to book-length
+  * documents) but O(L) with a hash map for the top-token count and a
+  * hash set for distinct n-grams (O(L·n) including gram building).
+  * Token split is `split(text, " ", -1)` (trailing empties kept,
+  * "" → [""]); grams join tokens with '_' and compare by the JOINED
+  * string — both exactly the Column-API semantics, so the q56 oracle
+  * keeps matching bit-for-bit. */
+case class RepetitionStatsExpr(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_ngrams", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_tok", IntegerType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats needs STRING, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStats(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.repetitionStats($s, $n);")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
 object TextKernels {
 
   private final val Mod = 1000000007L
+
+  /** Static entry for [[RepetitionStatsExpr]]. */
+  def repetitionStats(
+      text: UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val len = toks.length
+    val counts = new java.util.HashMap[String, Integer]()
+    var top = 0
+    var i = 0
+    while (i < len) {
+      val c = counts.merge(toks(i), 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    val nGrams = if (len < n) 0 else len - n + 1
+    var nDistinct = 0
+    if (nGrams > 0) {
+      val grams = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder
+      var g = 0
+      while (g < nGrams) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append('_')
+          sb.append(toks(g + j))
+          j += 1
+        }
+        grams.add(sb.toString)
+        g += 1
+      }
+      nDistinct = grams.size
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](len, nGrams, nDistinct, top))
+  }
 
   /** Static entry for [[LangScores]]. */
   def langScores(
@@ -343,4 +413,7 @@ object TextKernels {
 
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w))
+
+  def repetition_stats(text: Column, n: Int): Column =
+    Bridge.column(RepetitionStatsExpr(Bridge.expression(text), n))
 }

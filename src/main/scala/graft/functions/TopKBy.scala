@@ -1,6 +1,6 @@
 package graft.functions
 
-import java.nio.ByteBuffer
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -10,10 +10,13 @@ import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded-heap top-k aggregate (`TypedImperativeAggregate`): per group
   * keep the k (value, id) pairs with the highest value (ties → lowest
-  * id), returned as a best-first sorted array of structs.
+  * id), returned as a best-first sorted array of structs. The id may be
+  * BIGINT (q45's order keys) or STRING (the CMS heavy-hitter candidate
+  * keys); ordering/serialization adapt, values are unaffected.
   *
   * This is the scale form of "top-k per group": the window-function
   * formulation (`row_number() OVER (PARTITION BY g ORDER BY v DESC)`)
@@ -34,17 +37,20 @@ case class TopKBy(
 
   require(k >= 1, "k must be >= 1")
 
+  private def idIsString: Boolean = right.dataType == StringType
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("v", DoubleType, nullable = false),
-      StructField("id", LongType, nullable = false))), containsNull = false)
+      StructField("id", right.dataType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "top_k_by"
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (DoubleType, LongType | StringType) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"top_k_by needs (DOUBLE value, BIGINT id), got (${l.catalogString}, ${r.catalogString})")
+        s"top_k_by needs (DOUBLE value, BIGINT|STRING id), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
     }
 
   override def createAggregationBuffer(): TopKBy.Buf = new TopKBy.Buf(k)
@@ -52,8 +58,14 @@ case class TopKBy(
   override def update(buf: TopKBy.Buf, input: InternalRow): TopKBy.Buf = {
     val v = left.eval(input)
     val id = right.eval(input)
-    if (v != null && id != null)
-      buf.add(v.asInstanceOf[Double], id.asInstanceOf[Long], 1)
+    if (v != null && id != null) {
+      // UTF8String from an unsafe row may alias a reused buffer — copy
+      val owned = id match {
+        case s: UTF8String => s.clone()
+        case x => x
+      }
+      buf.add(v.asInstanceOf[Double], owned, 1)
+    }
     buf
   }
 
@@ -82,22 +94,43 @@ case class TopKBy(
   }
 
   override def serialize(buf: TopKBy.Buf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.map.size * 20)
-    bb.putInt(buf.map.size)
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.map.size)
     val it = buf.map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      bb.putDouble(e.getKey._1); bb.putLong(e.getKey._2); bb.putInt(e.getValue)
+      out.writeDouble(e.getKey._1)
+      e.getKey._2 match {
+        case s: UTF8String =>
+          val b = s.getBytes
+          out.writeInt(b.length); out.write(b)
+        case l: Long => out.writeLong(l)
+      }
+      out.writeInt(e.getValue)
     }
-    bb.array()
+    out.flush()
+    bos.toByteArray
   }
 
   override def deserialize(bytes: Array[Byte]): TopKBy.Buf = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
     val buf = createAggregationBuffer()
+    val isStr = idIsString
     var i = 0
-    while (i < n) { buf.add(bb.getDouble, bb.getLong, bb.getInt); i += 1 }
+    while (i < n) {
+      val v = in.readDouble()
+      val id: Any =
+        if (isStr) {
+          val len = in.readInt()
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          UTF8String.fromBytes(b)
+        } else in.readLong()
+      buf.add(v, id, in.readInt())
+      i += 1
+    }
     buf
   }
 
@@ -112,9 +145,24 @@ case class TopKBy(
 
 object TopKBy {
   // worst entry first: ascending value, ties descending id (a lower id
-  // wins a tie, so the highest id among equal values is the worst)
-  private val worstFirst: Ordering[(Double, Long)] =
-    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse)
+  // wins a tie, so the highest id among equal values is the worst).
+  // Ids compare as longs or as UTF8String byte order, per the input.
+  private val worstFirst: java.util.Comparator[(Double, Any)] =
+    new java.util.Comparator[(Double, Any)] {
+      override def compare(x: (Double, Any), y: (Double, Any)): Int = {
+        val c = java.lang.Double.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val ci = (x._2, y._2) match {
+            case (a: UTF8String, b: UTF8String) => a.compareTo(b)
+            case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+            case (a, b) => throw new IllegalStateException(
+              s"top_k_by: mixed id types ${a.getClass} / ${b.getClass}")
+          }
+          -ci
+        }
+      }
+    }
 
   /** Bounded top-k buffer with MULTIPLICITY: duplicate (value, id)
     * input rows each count toward k, exactly as the window
@@ -122,9 +170,9 @@ object TopKBy {
     * deduplicate and return fewer than k rows. Keyed TreeMap
     * (value, id) → count; ≤ k distinct keys, `total` ≤ k. */
   final class Buf(k: Int) {
-    val map = new java.util.TreeMap[(Double, Long), Integer](worstFirst)
+    val map = new java.util.TreeMap[(Double, Any), Integer](worstFirst)
     var total: Int = 0
-    def add(v: Double, id: Long, n: Int): Unit = {
+    def add(v: Double, id: Any, n: Int): Unit = {
       val key = (v, id)
       val cur = map.get(key)
       map.put(key, if (cur == null) n else cur + n)
@@ -139,7 +187,7 @@ object TopKBy {
   }
 
   /** Aggregate column: top `k` (value, id) pairs by value desc, id asc,
-    * as a best-first array<struct<v double, id bigint>>. */
+    * as a best-first array<struct<v double, id bigint|string>>. */
   def top_k_by(value: Column, id: Column, k: Int): Column =
     Bridge.column(
       TopKBy(Bridge.expression(value), Bridge.expression(id), k)

@@ -79,24 +79,14 @@ object Corpus {
     * duplicate-n-gram ratio (1 − distinct/total n-grams) and
     * top-token ratio (most frequent token's share). High values mark
     * degenerate generations / boilerplate loops. Pure per-row column
-    * math — no shuffle at all; the plan is scan → project. */
+    * math — no shuffle at all; the plan is scan → project. The counting
+    * runs in the one-pass O(L·n) codegen kernel
+    * [[graft.functions.RepetitionStatsExpr]] (the earlier HOF top-token
+    * count was O(distinct·tokens) per row — quadratic on book-length
+    * documents); values are identical, pinned by TextKernelsSpec. */
   def repetitionStats(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    import TextFunctions.bindOnce
-    val stats = bindOnce(TextFunctions.tokens(col(textCol))) { toks =>
-      val grams = when(size(toks) < n, array().cast("array<string>")).otherwise(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws("_", (0 until n).map(o => element_at(toks, i + o)): _*)))
-      bindOnce(grams) { gs =>
-        val topTok = array_max(transform(array_distinct(toks),
-          t => size(filter(toks, x => x === t))))
-        struct(
-          size(toks).as("n_tokens"),
-          size(gs).as("n_ngrams"),
-          size(array_distinct(gs)).as("n_distinct"),
-          topTok.as("top_tok"))
-      }
-    }
+    val stats = graft.functions.TextKernels.repetition_stats(col(textCol), n)
     docs.select(col(idCol).as("doc_id"), stats.as("st"))
       .select(col("doc_id"),
         col("st.n_tokens").as("n_tokens"),

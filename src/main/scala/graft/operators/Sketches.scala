@@ -21,8 +21,10 @@ object Sketches {
   /** The (depth × width) counter table: one row per (r, b) with the
     * summed count of keys hashing to bucket b under seed r. */
   def cmsSketch(df: DataFrame, keyCol: Column, depth: Int, width: Int): DataFrame =
-    df.select(keyCol.cast("string").as("k"))
-      .select(explode(array((0 until depth).map(r =>
+    sketchOfKeys(df.select(keyCol.cast("string").as("k")), depth, width)
+
+  private def sketchOfKeys(ks: DataFrame, depth: Int, width: Int): DataFrame =
+    ks.select(explode(array((0 until depth).map(r =>
         struct(lit(r).as("r"),
           pmod(portable_hash(concat_ws(":", lit(r.toString), col("k"))),
             lit(width.toLong)).as("b"))): _*)).as("e"))
@@ -35,18 +37,36 @@ object Sketches {
     * count rides along so the over-estimate is visible/testable;
     * est ≥ exact always holds.
     *
-    * Scale: the candidate side is the distinct-key aggregate (output-
-    * sized); the sketch side is d·w rows and broadcast. In a true
-    * 100 TB deployment the distinct-key pass is replaced by any
-    * bounded candidate stream (e.g. per-partition top lists); the
-    * estimate plan — broadcast sketch probe + min — is unchanged. */
+    * Scale shape: ONE projected key scan (lazy localCheckpoint) feeds
+    * both the sketch build and the key-count aggregate; the CANDIDATE
+    * STREAM probing the broadcast sketch is then BOUNDED to
+    * `candBuckets · candPerBucket` rows regardless of vocabulary — per
+    * deterministic hash-bucket of the key space, only the top
+    * `candPerBucket` keys by (count desc, key asc) survive, selected by
+    * the bounded-heap [[graft.functions.TopKBy]] aggregate (O(k) state,
+    * map-side partials — never a per-bucket sort). Every step is
+    * deterministic (portable hash buckets, total-order tie rule), so
+    * the bounding itself is exactly oracle-mirrorable: a key outside
+    * its bucket's top list is dropped by BOTH engines. Choose
+    * candBuckets·candPerBucket ≥ the number of keys that can reach
+    * minCount (≤ stream/minCount) and the bounding is lossless. */
   def cmsHeavyHitters(
       df: DataFrame, keyCol: Column, depth: Int, width: Int,
-      minCount: Long): DataFrame = {
-    val sketch = cmsSketch(df, keyCol, depth, width)
-    val keys = df.select(keyCol.cast("string").as("k"))
-      .groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
-    keys
+      minCount: Long, candBuckets: Int = 64, candPerBucket: Int = 128): DataFrame = {
+    import graft.functions.TopKBy.top_k_by
+    require(candBuckets >= 1 && candPerBucket >= 1,
+      "candBuckets and candPerBucket must be >= 1")
+    val ks = df.select(keyCol.cast("string").as("k"))
+      .localCheckpoint(eager = false) // sketch + counts read ONE scan
+    val sketch = sketchOfKeys(ks, depth, width)
+    val counts = ks.groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
+    val cand = counts
+      .groupBy(pmod(portable_hash(col("k")), lit(candBuckets.toLong)).as("bkt"))
+      .agg(top_k_by(col("exact_count").cast("double"), col("k"),
+        candPerBucket).as("tk"))
+      .select(explode(col("tk")).as("p"))
+      .select(col("p.id").as("k"), col("p.v").cast("long").as("exact_count"))
+    cand
       .select(col("k"), col("exact_count"),
         explode(array((0 until depth).map(r =>
           struct(lit(r).as("r"),

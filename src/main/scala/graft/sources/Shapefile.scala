@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Minimal ESRI shapefile ingestion (S2 parity): the reference
+  * suffix-dispatches `.shp` next to parquet when reading its polygon
+  * targets (`etl.py:563`, `etl.py:806`, via geopandas); this reader
+  * implements the PUBLISHED formats directly — the ESRI Shapefile
+  * Technical Description (July 1998) for `.shp` and the dBASE III
+  * header layout for the sibling `.dbf` attribute table — the same
+  * situation as the CDF-5 writer ([[graft.sinks.NetcdfClassic]]): a
+  * public spec hand-implemented, nobody's code.
+  *
+  * Scope: Polygon (shape type 5) and Null (0) records; every ring of a
+  * record becomes a ring of one WKB polygon (shapefile rings arrive
+  * closed; outer rings CW, holes CCW — ring order is preserved, and the
+  * downstream shoelace centroid [[graft.functions.WkbGeom]] handles
+  * signs by construction). Attributes: dBASE C (string), N/F (long or
+  * double by decimal count), L (boolean) fields; a missing `.dbf`
+  * yields just the 1-based record number as `fid`.
+  *
+  * The parse is DRIVER-SIDE by design: geometry targets are
+  * feature-table-sized (the reference loads them fully in geopandas
+  * too) and the output immediately becomes an ordinary DataFrame.
+  * Corpus-scale geometry belongs in GeoParquet
+  * ([[Sources.geoParquetFeatures]] — the distributed path). */
+object Shapefile {
+
+  /** Read `path` (.shp) + sibling .dbf into (attrs..., geometry WKB). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val geoms = parseShp(Files.readAllBytes(Paths.get(path)))
+    val dbfPath = Paths.get(path.replaceAll("(?i)\\.shp$", ".dbf"))
+    val (fields, records) =
+      if (Files.exists(dbfPath)) parseDbf(Files.readAllBytes(dbfPath))
+      else (Seq(StructField("fid", LongType)),
+        geoms.indices.map(i => Seq[Any]((i + 1).toLong)))
+    require(records.length == geoms.length,
+      s"shapefile mismatch: ${geoms.length} shapes vs ${records.length} dbf records")
+    val schema = StructType(fields :+ StructField("geometry", BinaryType))
+    val rows = records.zip(geoms).map { case (attrs, g) =>
+      Row.fromSeq(attrs :+ g)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** .shp → one little-endian WKB POLYGON (or null for Null shapes)
+    * per record, rings carried through verbatim. */
+  private def parseShp(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    require(be.getInt(0) == 9994, s"not a shapefile (file code ${be.getInt(0)})")
+    val fileLenBytes = be.getInt(24).toLong * 2 // length counted in 16-bit words
+    val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(le.getInt(28) == 1000, s"unsupported shapefile version ${le.getInt(28)}")
+    val out = IndexedSeq.newBuilder[Array[Byte]]
+    var off = 100
+    while (off + 8 <= fileLenBytes) {
+      val contentLen = be.getInt(off + 4) * 2
+      val c = off + 8 // content start
+      val shapeType = le.getInt(c)
+      shapeType match {
+        case 0 => out += null // Null shape
+        case 5 =>
+          val numParts = le.getInt(c + 36)
+          val numPoints = le.getInt(c + 40)
+          val partsOff = c + 44
+          val pointsOff = partsOff + 4 * numParts
+          val starts = (0 until numParts).map(p => le.getInt(partsOff + 4 * p))
+          val ends = starts.drop(1) :+ numPoints
+          // WKB: byteOrder, type=3, numRings, then per ring numPoints + xy
+          val wkb = ByteBuffer
+            .allocate(1 + 4 + 4 + numParts * 4 + numPoints * 16)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          wkb.put(1.toByte).putInt(3).putInt(numParts)
+          var p = 0
+          while (p < numParts) {
+            val n = ends(p) - starts(p)
+            wkb.putInt(n)
+            var i = starts(p)
+            while (i < ends(p)) {
+              wkb.putDouble(le.getDouble(pointsOff + 16 * i))
+              wkb.putDouble(le.getDouble(pointsOff + 16 * i + 8))
+              i += 1
+            }
+            p += 1
+          }
+          out += wkb.array()
+        case t => throw new IllegalArgumentException(
+          s"unsupported shape type $t (only Polygon=5 and Null=0)")
+      }
+      off = c + contentLen
+    }
+    out.result()
+  }
+
+  /** .dbf → (fields, per-record attribute values). */
+  private def parseDbf(bytes: Array[Byte]): (Seq[StructField], IndexedSeq[Seq[Any]]) = {
+    val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val numRecords = le.getInt(4)
+    val headerSize = le.getShort(8) & 0xffff
+    val recordSize = le.getShort(10) & 0xffff
+    // field descriptors: 32 bytes each from offset 32 until 0x0D
+    case class F(name: String, typ: Char, len: Int, dec: Int)
+    val fs = Seq.newBuilder[F]
+    var d = 32
+    while (d < headerSize && bytes(d) != 0x0d) {
+      val nameEnd = (d until d + 11).find(bytes(_) == 0).getOrElse(d + 11)
+      fs += F(new String(bytes, d, nameEnd - d, "US-ASCII"),
+        bytes(d + 11).toChar, bytes(d + 16) & 0xff, bytes(d + 17) & 0xff)
+      d += 32
+    }
+    val fields = fs.result()
+    val structFields = fields.map { f =>
+      val t = f.typ match {
+        case 'N' if f.dec == 0 => LongType
+        case 'N' | 'F' => DoubleType
+        case 'L' => BooleanType
+        case _ => StringType // C, D, memo fallbacks stay raw strings
+      }
+      StructField(f.name, t)
+    }
+    val records = (0 until numRecords).map { r =>
+      val base = headerSize + r.toLong * recordSize
+      var fo = base.toInt + 1 // skip deletion flag
+      fields.map { f =>
+        val raw = new String(bytes, fo, f.len, "US-ASCII").trim
+        fo += f.len
+        val v: Any = f.typ match {
+          case 'N' if f.dec == 0 =>
+            if (raw.isEmpty || raw == "*") null else raw.toLong
+          case 'N' | 'F' =>
+            if (raw.isEmpty || raw == "*") null else raw.toDouble
+          case 'L' => raw.headOption match {
+            case Some(c) if "YyTt".contains(c) => true
+            case Some(c) if "NnFf".contains(c) => false
+            case _ => null
+          }
+          case _ => if (raw.isEmpty) null else raw
+        }
+        v
+      }
+    }
+    (structFields, records)
+  }
+}

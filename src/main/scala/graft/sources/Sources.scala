@@ -204,6 +204,14 @@ object Sources {
       fidCol: String, geomCol: String = "geometry"): DataFrame =
     featuresFromWkb(spark.read.parquet(path), fidCol, geomCol)
 
+  /** S2 — shapefile feature ingestion (the reference's `.shp` suffix
+    * path, `etl.py:563`/`etl.py:806`): parse the public-spec
+    * `.shp`/`.dbf` pair ([[Shapefile]]) and derive the engine feature
+    * table through the same WKB path GeoParquet takes. */
+  def shapefileFeatures(
+      spark: SparkSession, path: String, fidCol: String): DataFrame =
+    featuresFromWkb(Shapefile.read(spark, path), fidCol)
+
   /** WKB → feature-table derivation, for any DataFrame with a WKB
     * geometry column. */
   def featuresFromWkb(df: DataFrame, fidCol: String,

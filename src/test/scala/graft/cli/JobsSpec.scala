@@ -50,6 +50,32 @@ class JobsSpec extends SparkSpec {
     assert(attrs.contains("CF-1.8") && attrs.contains("degree_Celsius"))
   }
 
+  test("gridmet-etl job: .shp target suffix-dispatches through the shapefile reader") {
+    val dir = Files.createTempDirectory("graft-job-shp").toString
+    val t1 = Timestamp.valueOf("2021-01-01 00:00:00")
+    (for { i <- 0 to 1; j <- 0 to 1 } yield
+      (t1, j, i, 40.0 + j, -100.0 + i, 285.0 + i, 275.0 + i, 1.0, 80.0, 40.0, 3.0))
+      .toDF("time", "j", "i", "lat", "lon", "tmmx", "tmmn", "pr", "rmax", "rmin", "vs")
+      .write.parquet(s"$dir/grid")
+    // same rectangle the parquet-feats test stages, but as a real
+    // polygon: bbox/centroid are DERIVED from the rings in-engine
+    val shpPath = graft.sources.ShpTestData.write(dir, "feats", Seq(
+      1L -> Seq(Seq((-100.0, 40.0), (-100.0, 41.0), (-99.0, 41.0),
+        (-99.0, 40.0), (-100.0, 40.0)))))
+    Files.writeString(java.nio.file.Paths.get(dir, "w.csv"),
+      "nhru_v1_1,i,j,wght\n1,0,0,0.5\n1,1,0,0.5\n")
+    val a = Jobs.parseArgs(Seq(
+      "--start-date", "2021-01-01", "--end-date", "2021-01-01",
+      "--grid-path", s"$dir/grid", "--target-file", shpPath,
+      "--weights-file", s"$dir/w.csv", "--fid", "nhru_v1_1",
+      "--output-path", s"$dir/out"))
+    val path = Jobs.runGridmet(spark, a)
+    val out = spark.read.parquet(path)
+    assert(out.columns.toSet ==
+      Set("nhru", "time", "tmax", "tmin", "prcp", "rhmax", "rhmin", "ws", "humidity"))
+    assert(approx(out.select("tmax").as[Double].head(), 285.5 - 273.15))
+  }
+
   test("genmap round-trip: --genmap persists the NN mapping; a rerun consumes it") {
     val dir = Files.createTempDirectory("graft-genmap").toString
     val t1 = Timestamp.valueOf("2021-01-01 00:00:00")

@@ -57,6 +57,22 @@ class TopKBySpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSet === Set(12L))
   }
 
+  test("string ids: same (v desc, id asc) total order, survives shuffle") {
+    import org.apache.spark.sql.expressions.Window
+    val data = Seq(
+      (1L, "bb", 5.0), (1L, "aa", 5.0), (1L, "cc", 9.0), (1L, "dd", 1.0),
+      (2L, "zz", 2.0), (2L, "yy", 2.0))
+      .toDF("g", "id", "v").repartition(4) // force partial merges
+    val heap = data.groupBy($"g").agg(top_k_by($"v", $"id", 2).as("tk"))
+      .select($"g", posexplode($"tk").as(Seq("pos", "p")))
+      .select($"g", $"p.id".as("id"), $"p.v".as("v"),
+        ($"pos" + 1).cast("int").as("rank"))
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id".asc)
+    val win = data.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 2).select($"g", $"id", $"v", $"rank")
+    assert(rows(heap) === rows(win)) // ties broken by STRING id asc
+  }
+
   test("plan: hash aggregate with partial merge, no sort, no window") {
     val data = (0L until 100L).map(i => (i % 5, i, i.toDouble)).toDF("g", "id", "v")
     val plan = data.groupBy($"g").agg(top_k_by($"v", $"id", 3).as("tk"))

@@ -48,6 +48,33 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) === ((2, 0.0, 0.5)))
   }
 
+  test("repetition kernel ≡ replaced HOF formulation on long + edge documents") {
+    import graft.functions.TextFunctions
+    // long documents are exactly what the O(distinct·tokens) HOF choked
+    // on; include empties, multi-space runs, '_' inside tokens (gram
+    // equality is on the JOINED string — by contract) and a trailing
+    // space (split keeps the trailing empty token)
+    val long1 = (1 to 5000).map(i => s"tok${i % 97}").mkString(" ")
+    val long2 = ("lorem ipsum dolor sit amet " * 800).trim
+    val d = (Seq(long1, long2) ++ Seq("", "solo", "a_b c", "x  y", "trail "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val kernel = Corpus.repetitionStats(d, "doc_id", "text", n = 3)
+    val toks = split(col("text"), " ")
+    val grams = when(size(toks) < 3, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - 2), i => concat_ws("_",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+    val topTok = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    val ref = d.select(col("doc_id"),
+      size(toks).as("n_tokens"),
+      TextFunctions.round6(when(size(grams) > 0,
+        lit(1.0) - size(array_distinct(grams)).cast("double") /
+          size(grams).cast("double")).otherwise(lit(0.0))).as("dup_ngram_ratio"),
+      TextFunctions.round6(topTok.cast("double") / size(toks).cast("double"))
+        .as("top_token_ratio"))
+    assert(rows(kernel) === rows(ref))
+  }
+
   test("pmi: independent vs always-adjacent pairs rank as expected") {
     // "p q" always adjacent; fillers vary
     val d = (1L to 20L).map(i => (i, s"p q f$i p q")).toDF("doc_id", "text")

@@ -25,6 +25,34 @@ class SketchesSpec extends SparkSpec {
     assert(out === Map("hot" -> ((50L, 50L)), "warm" -> ((20L, 20L))))
   }
 
+  test("candidate stream is bounded and deterministic under tiny caps") {
+    import graft.functions.PortableHash.portable_hash
+    import org.apache.spark.sql.expressions.Window
+    // 100 distinct keys but only 4 buckets × 2 per bucket may probe the
+    // sketch: output ≤ 8 rows even with minCount = 1, and the surviving
+    // keys are exactly the per-bucket (count desc, key asc) top lists
+    val many = (1 to 100).flatMap(i => Seq.fill(i % 7 + 1)(f"k$i%03d"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "key")
+    val out = Sketches.cmsHeavyHitters(many, col("key"),
+      depth = 4, width = 1024, minCount = 1,
+      candBuckets = 4, candPerBucket = 2)
+    val got = out.select("key").as[String].collect().toSet
+    assert(got.size <= 8)
+    val w = Window.partitionBy(pmod(portable_hash(col("k")), lit(4L)))
+      .orderBy(col("exact_count").desc, col("k").asc)
+    val expected = many.select(col("key").cast("string").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("k").as[String].collect().toSet
+    assert(got === expected)
+  }
+
+  test("probe side rides the bounded-heap aggregate, not the raw key stream") {
+    val plan = Sketches.cmsHeavyHitters(stream, col("key"),
+      depth = 4, width = 8, minCount = 1).queryExecution.optimizedPlan.toString
+    assert(plan.contains("top_k_by"))
+  }
+
   test("sketch table is depth×width-bounded") {
     val sk = Sketches.cmsSketch(stream, col("key"), depth = 4, width = 8)
     assert(sk.count() <= 4L * 8L)

@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Shapefile reader against spec-conformant fixtures, cross-checked
+  * through the SAME WKB derivation the GeoParquet path uses — so both
+  * ingestion suffixes provably land in one geometry pipeline. */
+class ShapefileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_shp_").toString
+
+  test("polygon .shp + .dbf round-trips through the WKB feature path") {
+    val dir = tmp()
+    // two rectangles, closed CW rings (outer rings are CW per spec)
+    def rect(x0: Double, y0: Double, w: Double, h: Double) =
+      Seq((x0, y0), (x0, y0 + h), (x0 + w, y0 + h), (x0 + w, y0), (x0, y0))
+    val path = ShpTestData.write(dir, "feats", Seq(
+      7L -> Seq(rect(-100.0, 40.0, 1.0, 1.0)),
+      9L -> Seq(rect(-98.5, 41.0, 2.0, 0.5))))
+    val f = Sources.shapefileFeatures(spark, path, "nhru_v1_1")
+      .orderBy("fid").collect()
+    assert(f.map(_.getLong(0)).toSeq === Seq(7L, 9L))
+    val r7 = f(0)
+    assert(r7.getDouble(1) === 40.5)  // lat = centroid y
+    assert(r7.getDouble(2) === -99.5) // lon = centroid x
+    assert((r7.getDouble(3), r7.getDouble(4), r7.getDouble(5), r7.getDouble(6))
+      === ((-100.0, 40.0, -99.0, 41.0)))
+    val r9 = f(1)
+    assert(r9.getDouble(1) === 41.25 && r9.getDouble(2) === -97.5)
+  }
+
+  test("holes: multi-ring records keep ring structure (shoelace signs)") {
+    val dir = tmp()
+    // unit square with a centered half-size hole: area-weighted centroid
+    // is still the center, bounds are the outer ring's
+    val outer = Seq((0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0))
+    val hole = Seq((1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0))
+    val path = ShpTestData.write(dir, "holed", Seq(1L -> Seq(outer, hole)))
+    val r = Sources.shapefileFeatures(spark, path, "nhru_v1_1").collect().head
+    assert(r.getDouble(1) === 2.0 && r.getDouble(2) === 2.0)
+    assert((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      === ((0.0, 0.0, 4.0, 4.0)))
+  }
+
+  test("shapefile WKB equals the engine's own WKB builder output") {
+    val dir = tmp()
+    // a single-ring polygon written by ShpTestData must parse to the
+    // byte-identical WKB the in-engine builder (wkbPolygon) emits
+    val ring = Seq((1.0, 2.0), (1.0, 5.0), (4.0, 5.0), (1.0, 2.0))
+    val path = ShpTestData.write(dir, "tri", Seq(3L -> Seq(ring)))
+    val got = Shapefile.read(spark, path)
+      .select("geometry").collect().head.getAs[Array[Byte]](0)
+    import graft.functions.WkbGeom.wkbPolygon
+    val want = spark.range(1).select(wkbPolygon(
+        typedLit(ring.dropRight(1).map(_._1)),
+        typedLit(ring.dropRight(1).map(_._2))).as("g"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("dbf attribute types: N→long, N.dec→double, C→string") {
+    val dir = tmp()
+    val path = ShpTestData.write(dir, "one",
+      Seq(42L -> Seq(Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (0.0, 0.0)))))
+    val df = Shapefile.read(spark, path)
+    assert(df.schema("nhru_v1_1").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(df.select("nhru_v1_1").as[Long].collect().toSeq === Seq(42L))
+  }
+
+  test("missing .dbf falls back to 1-based record numbers") {
+    val dir = tmp()
+    val path = ShpTestData.write(dir, "nodbf",
+      Seq(5L -> Seq(Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (0.0, 0.0)))))
+    Files.delete(java.nio.file.Paths.get(path.replace(".shp", ".dbf")))
+    val df = Shapefile.read(spark, path)
+    assert(df.select("fid").as[Long].collect().toSeq === Seq(1L))
+  }
+}

@@ -207,6 +207,46 @@ class EventPipelineSpec extends SparkSpec {
     assert(EventPipeline.sessionize(spark.read.parquet(dir), 30).count() == 3)
   }
 
+  test("checkpoint/restart recovers flatMapGroupsWithState session state") {
+    val src = Files.createTempDirectory("graft-restart-src").toString
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    // RUN 1: two events of an OPEN session — append mode emits nothing,
+    // the open session lives only in the state store checkpoint
+    Seq((1L, ts("2021-01-01 10:00:00"), 1L, 1.0),
+        (1L, ts("2021-01-01 10:10:00"), 2L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+      .write.mode("append").parquet(src)
+    val outDir = Files.createTempDirectory("graft-restart-out").toString
+    val sessSchema = org.apache.spark.sql.Encoders
+      .product[EventPipeline.Session].schema
+    def readOut() = spark.read.schema(sessSchema).parquet(outDir)
+    val q1 = EventPipeline.sessionizeStream(spark, src, gapMinutes = 30)
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .format("parquet").start()
+    q1.awaitTermination(60000); q1.stop()
+    assert(readOut().isEmpty)
+    // RUN 2 (new query instance, same checkpoint — the file sink DOES
+    // support checkpoint recovery): one continuing event + a far-future
+    // sentinel that closes the session
+    Seq((1L, ts("2021-01-01 10:20:00"), 3L, 4.0),
+        (1L, ts("2031-01-01 00:00:00"), 99L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+      .write.mode("append").parquet(src)
+    val q2 = EventPipeline.sessionizeStream(spark, src, gapMinutes = 30)
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .format("parquet").start()
+    q2.awaitTermination(60000); q2.stop()
+    val out = readOut().collect()
+    // the emitted session SPANS BOTH RUNS (3 events from 10:00) — only
+    // possible if run 2 recovered run 1's open-session state from the
+    // checkpoint; a state loss would emit a 2-event session at 10:20
+    assert(out.length === 1)
+    val s = out.head
+    assert(s.getAs[Timestamp]("session_start") === ts("2021-01-01 10:00:00"))
+    assert(s.getAs[Long]("n_events") === 3L)
+    assert(s.getAs[Double]("sum_value") === 7.0)
+  }
+
   test("streaming doc dedup keeps one row per distinct text") {
     val docs = Seq(
       (1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta"),
