@@ -975,6 +975,14 @@ object SparkEntry {
       graft.operators.Graph.pageRank(d, "doc_id", dupPairs(s, dir), iters = 3)
     }),
 
+    // ---- SemDeDup: semantic dedup over the SHARED IVF clusters
+    // (Abbas et al. 2023 shape) — drop any vector with a lower-id
+    // cluster-mate at cosine ≥ 0.35; third consumer of the per-corpus
+    // coarse-quantizer artifact (zero additional training) ----
+    "q71_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(embs(s, dir), ivfArtifact(s, dir),
+        threshold = 0.35)),
+
     // ---- inter-event deltas: lag over (ts, id) per user — the
     // standard inter-arrival analysis; all-integer output ----
     "q70_event_deltas" -> ((s, dir) => {
@@ -2218,6 +2226,33 @@ object SparkEntry {
          |${iter(3)}
          |SELECT id, CAST(r AS DOUBLE) / 1000000000000.0 AS rank FROM r3""".stripMargin
     },
+
+    // q71: the full chain — 3 unrolled IVF Lloyd iterations (the q36
+    // mirror, shared helper), argmin assignment (ties → lowest cid),
+    // within-cluster lower-id cosine probe — is deterministic, so the
+    // drop decisions reproduce exactly.
+    "q71_semdedup" ->
+      s"""WITH ea AS (SELECT vec_id AS id,
+         |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |e AS (SELECT * FROM ea WHERE id % 2 = 0),
+         |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
+         |${ivfIterSql(1, "c0")},
+         |${ivfIterSql(2, "c1")},
+         |${ivfIterSql(3, "c2")},
+         |s4 AS (SELECT ea.id, ea.v, c.cid,
+         |  ${dotSql("ea.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM ea CROSS JOIN c3 c),
+         |asn AS (SELECT id, v, cid FROM (
+         |  SELECT id, v, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |  FROM s4) WHERE rn = 1),
+         |nr AS (SELECT id, v, cid, sqrt(${dotSql("v", "v")}) AS nrm FROM asn),
+         |dr AS (SELECT DISTINCT a.id AS id
+         |  FROM nr a JOIN nr b ON a.cid = b.cid AND b.id < a.id
+         |  WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.35)
+         |SELECT nr.id AS id, nr.cid AS cid, (dr.id IS NULL) AS kept
+         |FROM nr LEFT JOIN dr ON nr.id = dr.id""".stripMargin,
 
     "q70_event_deltas" ->
       """WITH b AS (SELECT user_id, event_id,

@@ -149,4 +149,26 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r._1, r._2) -> r._3).toMap
     pruned.foreach { case (q, n, d, _) => assert(pqPairs((q, n)) == d) }
   }
+
+  test("semDedup: keep-min-id inside clusters, cross-cluster dups survive") {
+    // two tight clusters on orthogonal axes; ids interleave so keep-
+    // min-id is visible. 0/2/4 ~ x-axis (near-identical), 1/3 ~ y-axis.
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.01f)), (2L, Seq(1.0f, 0.02f)), (4L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)), (3L, Seq(0.01f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = IndexedSeq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+    val out = Similarity.semDedup(corpus, cents, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(0L) === ((0L, true)))  // min id of x-cluster: kept
+    assert(out(2L) === ((0L, false))) // near-dup of 0 → dropped
+    assert(out(4L) === ((0L, false)))
+    assert(out(1L) === ((1L, true)))  // min id of y-cluster: kept
+    assert(out(3L) === ((1L, false)))
+    // below-threshold cluster-mates all survive
+    val loose = Similarity.semDedup(corpus, cents, threshold = 0.9999999)
+      .filter(col("kept")).count()
+    assert(loose === 5L)
+  }
 }
