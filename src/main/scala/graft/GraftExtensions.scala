@@ -78,7 +78,15 @@ object GraftFunctions {
     (FunctionIdentifier("hll_distinct"),
       info("hll_distinct", "hll_distinct(hash_bigint) - HyperLogLog distinct-count estimate (64 registers)"),
       args => { require(args.length == 1, "hll_distinct takes 1 argument")
-        HllDistinct(args.head) }))
+        HllDistinct(args.head) }),
+    (FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(text, n) - struct(n_tokens, n_ngrams, n_distinct, top_tok) in one pass"),
+      args => { require(args.length == 2, "repetition_stats takes 2 arguments")
+        args(1) match {
+          case Literal(n: Int, _) => graft.functions.RepetitionStatsExpr(args(0), n)
+          case other => sys.error(s"repetition_stats n must be an int literal, got $other")
+        } }))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(GraftFunctions.getClass.getName, name, usage)

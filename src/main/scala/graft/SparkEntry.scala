@@ -983,6 +983,21 @@ object SparkEntry {
       Similarity.semDedup(embs(s, dir), ivfArtifact(s, dir),
         threshold = 0.35)),
 
+    // ---- containment (point-in-interval) lookup join: events matched
+    // into OVERLAPPING value bands via the binned equi-join — the
+    // IP-range/SCD-2 lookup shape; never a nested-loop plan ----
+    "q72_interval_lookup" -> ((s, dir) => {
+      val bands = t(s, dir, "nation").select(col("n_name"),
+        (col("n_nationkey") * 20.0).as("lo"),
+        (col("n_nationkey") * 20.0 + 30.0).as("hi"))
+      graft.operators.RangeJoin.containmentJoin(
+          events(s, dir).select(col("event_id"), col("value")),
+          bands, "value", "lo", "hi", binWidth = 20.0)
+        .groupBy(col("i_n_name").as("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    }),
+
     // ---- inter-event deltas: lag over (ts, id) per user — the
     // standard inter-arrival analysis; all-integer output ----
     "q70_event_deltas" -> ((s, dir) => {
@@ -2253,6 +2268,18 @@ object SparkEntry {
          |  WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.35)
          |SELECT nr.id AS id, nr.cid AS cid, (dr.id IS NULL) AS kept
          |FROM nr LEFT JOIN dr ON nr.id = dr.id""".stripMargin,
+
+    // q72: the binned containment join must equal the naive inequality
+    // join — DuckDB runs the naive form directly (exact DECIMAL sums
+    // make the aggregate order-free).
+    "q72_interval_lookup" ->
+      """WITH bands AS (SELECT n_name,
+        |    n_nationkey * 20.0 AS lo, n_nationkey * 20.0 + 30.0 AS hi
+        |  FROM nation)
+        |SELECT b.n_name AS band, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1""".stripMargin,
 
     "q70_event_deltas" ->
       """WITH b AS (SELECT user_id, event_id,

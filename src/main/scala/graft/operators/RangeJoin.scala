@@ -53,4 +53,42 @@ object RangeJoin {
       .filter(abs(col("__t2") - col("__t")) <= radiusUs)
       .drop("__bin", "__t", "__t2")
   }
+
+  /** CONTAINMENT (point-in-interval) lookup join: each point row pairs
+    * with every interval row whose half-open [lo, hi) contains its
+    * value — the IP-range→geo / price-band / SCD-2 validity-window
+    * lookup, a join class Spark has no native operator for (the naive
+    * `ON v >= lo AND v < hi` has no equi keys → broadcast-nested-loop,
+    * the canonical scale killer).
+    *
+    * Same binning idea as [[proximityJoin]], generalized to variable-
+    * width intervals: intervals explode to every width-`binWidth` bin
+    * they touch (an interval spans ⌈span/binWidth⌉+1 bins — size
+    * `binWidth` to the TYPICAL interval span), a point lives in exactly
+    * ONE bin, so the bin equi-join + exact residual filter emits every
+    * qualifying pair exactly once, no distinct. The exchange is a hash
+    * shuffle on the bin for both sides; when the interval table is
+    * broadcast-sized Catalyst downgrades it to a broadcast hash join
+    * for free. Output: point.* plus interval columns prefixed
+    * `intervalPrefix`. */
+  def containmentJoin(
+      points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      binWidth: Double, intervalPrefix: String = "i_"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points
+      .withColumn("__bin", floor(col(pointCol).cast("double") / binWidth).cast("long"))
+    val iCols = intervals.columns.toSeq
+    val i = intervals
+      .select(iCols.map(c => col(c).as(s"$intervalPrefix$c")): _*)
+      .withColumn("__lo", col(s"$intervalPrefix$loCol").cast("double"))
+      .withColumn("__hi", col(s"$intervalPrefix$hiCol").cast("double"))
+      .withColumn("__bin", explode(sequence(
+        floor(col("__lo") / binWidth).cast("long"),
+        floor(col("__hi") / binWidth).cast("long"))))
+    p.join(i, Seq("__bin"))
+      .filter(col(pointCol).cast("double") >= col("__lo") &&
+        col(pointCol).cast("double") < col("__hi"))
+      .drop("__bin", "__lo", "__hi")
+  }
 }

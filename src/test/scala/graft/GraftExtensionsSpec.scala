@@ -36,6 +36,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(env.getDouble(2) == 2.0 && env.getDouble(4) == 1.0) // maxx, cx
   }
 
+  test("repetition_stats evaluates correctly from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT repetition_stats('a a a b', 2) AS st").collect().head.getStruct(0)
+    assert(r.getInt(0) === 4) // tokens
+    assert(r.getInt(1) === 3) // bigrams: a_a, a_a, a_b
+    assert(r.getInt(2) === 2) // distinct
+    assert(r.getInt(3) === 3) // top token 'a'
+  }
+
   test("round-3 aggregates evaluate correctly from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(

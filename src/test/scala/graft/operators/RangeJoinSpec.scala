@@ -39,4 +39,36 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("containment join == naive inequality join; exactly-once; half-open") {
+    // random points vs variable-width OVERLAPPING intervals, bin width
+    // deliberately smaller than some spans and larger than others
+    val points = (1L to 300L).map(i => (i, (i * 37 % 101).toDouble / 2.0))
+      .toDF("pid", "v")
+    val ivs = (1L to 40L).map { k =>
+      val lo = (k * 13 % 47).toDouble
+      (k, lo, lo + (k % 7).toDouble + 0.5)
+    }.toDF("k", "lo", "hi")
+    val got = RangeJoin.containmentJoin(points, ivs, "v", "lo", "hi",
+        binWidth = 3.0)
+      .select($"pid", $"i_k".as("k"))
+    val want = points.join(ivs, $"v" >= $"lo" && $"v" < $"hi")
+      .select($"pid", $"k")
+    assert(rows(got) === rows(want))
+    assert(got.count() === got.distinct().count()) // exactly-once emission
+    // half-open semantics: v == hi excluded, v == lo included
+    val p = Seq((1L, 5.0), (2L, 10.0)).toDF("pid", "v")
+    val iv = Seq((1L, 5.0, 10.0)).toDF("k", "lo", "hi")
+    val edge = RangeJoin.containmentJoin(p, iv, "v", "lo", "hi", 2.0)
+    assert(edge.select($"pid").as[Long].collect().toSet === Set(1L))
+  }
+
+  test("containment plan: equi-join on the bin, no nested loop") {
+    val p = Seq((1L, 5.0)).toDF("pid", "v")
+    val iv = Seq((1L, 0.0, 10.0)).toDF("k", "lo", "hi")
+    val plan = RangeJoin.containmentJoin(p, iv, "v", "lo", "hi", 2.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
