@@ -998,6 +998,23 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
     }),
 
+    // ---- deterministic train/val/test split: hash-bucket membership
+    // as a computed column (no shuffle, stable as the corpus grows) ----
+    "q73_hash_split" -> ((s, dir) =>
+      graft.operators.Sampling.hashSplit(docs(s, dir), col("doc_id"),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("chars"))),
+
+    // ---- sequence packing (concat-and-chunk pretraining layout):
+    // per-shard token streams cut into 512-token windows; stream
+    // offsets and chunk spans are integer window arithmetic ----
+    "q74_concat_chunks" -> ((s, dir) =>
+      graft.operators.Packing.concatChunks(docs(s, dir), col("doc_id"),
+        size(TextFunctions.tokens(col("text"))), contextLen = 512,
+        nShards = 8)),
+
     // ---- inter-event deltas: lag over (ts, id) per user — the
     // standard inter-arrival analysis; all-integer output ----
     "q70_event_deltas" -> ((s, dir) => {
@@ -2280,6 +2297,34 @@ object SparkEntry {
         |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY 1""".stripMargin,
+
+    "q73_hash_split" ->
+      s"""WITH b AS (SELECT doc_id, length(text) AS chars,
+         |    ${hashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bk
+         |  FROM documents)
+         |SELECT CASE WHEN bk < 80 THEN 'train'
+         |            WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(chars) AS BIGINT) AS chars
+         |FROM b GROUP BY 1""".stripMargin,
+
+    // q74: per-shard cumulative sums + integer DIV chunk arithmetic —
+    // the whole layout is exact integer math over a deterministic
+    // (shard, id) order.
+    "q74_concat_chunks" ->
+      s"""WITH b AS (SELECT doc_id AS id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         |    ${hashSql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |  FROM documents),
+         |c AS (SELECT id, shard, tokens,
+         |    CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM b)
+         |SELECT id, shard, tokens, cum - tokens AS start_off,
+         |  (cum - tokens) // 512 AS chunk_id,
+         |  CAST(CASE WHEN tokens = 0 THEN 0
+         |       ELSE (cum - 1) // 512 - (cum - tokens) // 512 + 1 END AS BIGINT)
+         |    AS n_chunks
+         |FROM c""".stripMargin,
 
     "q70_event_deltas" ->
       """WITH b AS (SELECT user_id, event_id,

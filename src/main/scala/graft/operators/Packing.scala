@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash.portable_hash
+
+/** Sequence PACKING — the concat-and-chunk layout LLM pretraining
+  * feeds on (no reference analog; extension surface): documents are
+  * concatenated in a deterministic order into a token stream that is
+  * cut into fixed context-length windows, and each document learns its
+  * stream offset plus the chunk range it spans (the metadata a loader
+  * needs to materialize any chunk, and a curation pipeline needs to
+  * audit document→window provenance).
+  *
+  * Scale design: ONE global stream would serialize into a single
+  * window sort — instead ids hash into `nShards` independent streams
+  * (exactly the per-worker sharding a distributed pretraining job
+  * does), so the window sort runs per shard in parallel and the only
+  * exchange is the hash shuffle on the shard key. Everything is
+  * integer arithmetic over a deterministic (shard, id) order —
+  * exactly oracle-reproducible. */
+object Packing {
+
+  /** @param contextLen tokens per training window
+    * @param nShards    independent packing streams
+    * @return (id, shard, tokens, start_off, chunk_id, n_chunks):
+    *         stream offset of the doc's first token, the chunk that
+    *         token lands in, and how many chunks the doc touches
+    *         (0 for empty docs). */
+  def concatChunks(
+      docs: DataFrame, idCol: Column, tokensCol: Column,
+      contextLen: Int, nShards: Int): DataFrame = {
+    require(contextLen > 0 && nShards > 0,
+      "contextLen and nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(idCol.cast("long").as("id"), tokensCol.cast("long").as("tokens"))
+      .withColumn("shard",
+        pmod(portable_hash(col("id").cast("string")), lit(nShards.toLong)))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("start_off", col("cum") - col("tokens"))
+      .withColumn("chunk_id", expr(s"start_off DIV ${contextLen}L"))
+      .withColumn("n_chunks", when(col("tokens") === 0, lit(0L))
+        .otherwise(expr(s"(cum - 1) DIV ${contextLen}L") - col("chunk_id") + 1L))
+      .select(col("id"), col("shard"), col("tokens"),
+        col("start_off"), col("chunk_id"), col("n_chunks"))
+  }
+}

@@ -64,4 +64,27 @@ object Sampling {
     }
     df.filter(pmod(portable_hash(idCol.cast("string")), lit(100L)) < rateCol)
   }
+
+  /** Deterministic TRAIN/VAL/TEST split — every training pipeline's
+    * first partitioning step, as a pure hash predicate: the id's
+    * portable-hash bucket (mod 100) is cut by cumulative percentage
+    * boundaries, so membership is a per-row computed column — no
+    * shuffle, no sampling state, stable across runs, engines and
+    * re-partitioning, and a row can never land in two splits. New data
+    * joins the same splits its ids hash to (the property that keeps a
+    * held-out set held out as the corpus grows).
+    * @param splits (label, percent) in order; percents must sum to 100.
+    * @return df plus a `split` label column. */
+  def hashSplit(
+      df: DataFrame, idCol: Column, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split percents must sum to 100")
+    require(splits.forall(_._2 > 0), "split percents must be positive")
+    val bucket = pmod(portable_hash(idCol.cast("string")), lit(100L))
+    val bounds = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val label = splits.zip(bounds).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), hi)) =>
+        when(bucket < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
 }

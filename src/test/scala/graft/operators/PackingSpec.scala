@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: exhaustive, disjoint, roughly proportional, stable") {
+    val d = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Sampling.hashSplit(d, col("doc_id"),
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+    assert(out.count() === 1000L) // every row labeled exactly once
+    val byLabel = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(byLabel("train") > 700 && byLabel("train") < 900)
+    // growth stability: a superset corpus keeps old ids in old splits
+    val bigger = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val again = Sampling.hashSplit(bigger, col("doc_id"),
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .filter(col("doc_id") <= 1000).select("doc_id", "split")
+    assert(rows(again) === rows(out.select("doc_id", "split")))
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(d, col("doc_id"), Seq(("a", 50), ("b", 40))))
+  }
+
+  test("concatChunks: per-shard streams are gapless; chunk spans exact") {
+    val d = (1L to 200L).map(i => (i, i % 7 + 1)).toDF("id", "toks")
+    val out = Packing.concatChunks(d, col("id"), col("toks"),
+      contextLen = 10, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // gapless concatenation within each shard, in id order
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._1)
+      var off = 0L
+      sorted.foreach { case (_, _, toks, start, chunk, n) =>
+        assert(start === off)
+        assert(chunk === start / 10)
+        assert(n === (start + toks - 1) / 10 - start / 10 + 1)
+        off += toks
+      }
+    }
+    // a doc longer than the context spans multiple chunks
+    val big = Seq((1L, 25L)).toDF("id", "toks")
+    val r = Packing.concatChunks(big, col("id"), col("toks"), 10, 1)
+      .collect().head
+    assert(r.getLong(5) === 3L) // 25 tokens from offset 0 → chunks 0,1,2
+
+    // empty docs occupy no stream space and span zero chunks
+    val withEmpty = Seq((1L, 5L), (2L, 0L), (3L, 7L)).toDF("id", "toks")
+    val rs = Packing.concatChunks(withEmpty, col("id"), col("toks"), 10, 1)
+      .orderBy("id").collect()
+    assert(rs.map(_.getLong(5)).toSeq === Seq(1L, 0L, 2L)) // doc 3: offs 5..11 → 2 chunks
+    assert(rs.map(_.getLong(3)).toSeq === Seq(0L, 5L, 5L))
+  }
+}
