@@ -1015,6 +1015,12 @@ object SparkEntry {
         size(TextFunctions.tokens(col("text"))), contextLen = 512,
         nShards = 8)),
 
+    // ---- LM quality score (CCNet perplexity-filter shape): per-doc
+    // average −ln p(b|a) under a corpus-trained add-one bigram model;
+    // rounded contribs decimal-summed → order-free exact ----
+    "q75_lm_score" -> ((s, dir) =>
+      graft.operators.Corpus.lmScore(docs(s, dir), "doc_id", "text")),
+
     // ---- inter-event deltas: lag over (ts, id) per user — the
     // standard inter-arrival analysis; all-integer output ----
     "q70_event_deltas" -> ((s, dir) => {
@@ -2325,6 +2331,29 @@ object SparkEntry {
          |       ELSE (cum - 1) // 512 - (cum - tokens) // 512 + 1 END AS BIGINT)
          |    AS n_chunks
          |FROM c""".stripMargin,
+
+    // q75: contribs mirror Spark term-for-term (same +1/+|V| add-one
+    // arithmetic, same round6 before the DECIMAL(28,6) sum, division
+    // after the exact sum).
+    "q75_lm_score" -> {
+      val contrib = graft.functions.TextFunctions.round6Sql(
+        "-ln(CAST(c_ab + 1 AS DOUBLE) / CAST(c_a + v.vocab AS DOUBLE))")
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pairs AS (SELECT doc_id, g['a'] AS a, g['b'] AS b FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |      pi -> struct_pack(a := t[pi], b := t[pi+1]))) AS g
+         |    FROM tk WHERE len(t) >= 2)),
+         |uni AS (SELECT a, count(*) AS c_a FROM (
+         |    SELECT unnest(t) AS a FROM tk) GROUP BY 1),
+         |bi AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+         |v AS (SELECT count(*) AS vocab FROM uni)
+         |SELECT p.doc_id AS doc_id, count(*) AS n_pairs,
+         |  ${graft.functions.TextFunctions.round6Sql(
+             "CAST(sum(CAST(" + contrib + " AS DECIMAL(28,6))) AS DOUBLE)" +
+               " / CAST(count(*) AS DOUBLE)")} AS nll
+         |FROM pairs p JOIN bi USING (a, b) JOIN uni USING (a) CROSS JOIN v
+         |GROUP BY 1""".stripMargin
+    },
 
     "q70_event_deltas" ->
       """WITH b AS (SELECT user_id, event_id,

@@ -137,6 +137,57 @@ object Corpus {
         TextFunctions.round6(p * log(p / q)).as("contrib"))
   }
 
+  /** LM QUALITY score (the CCNet-style perplexity filter shape): score
+    * every document by its average negative log-likelihood under an
+    * add-one-smoothed BIGRAM model trained on the corpus itself —
+    * ppl-like scores separate fluent text from boilerplate/garbage and
+    * drive the keep/head/tail bucketing CCNet popularized. Returns
+    * (doc_id, n_pairs, nll) for documents with ≥ 1 bigram; lower nll =
+    * more typical text.
+    *
+    * Determinism: each pair's −ln p(b|a) is rounded to 6dp and
+    * accumulated as DECIMAL(28,6) — an order-free exact sum (the q24
+    * money-sum pattern), so the per-doc average is reproducible under
+    * any partitioning and mirrored term-for-term by the oracle.
+    *
+    * Scale: one tokenize pass (checkpointed) feeds the bigram stream
+    * and the unigram counts; both count tables are vocabulary-sized
+    * aggregation OUTPUTS; the scoring probe joins the pair stream on
+    * (a,b) and (a) — hash joins on token keys, AQE-broadcastable when
+    * the vocab is small. |V| is one driver scalar (bounded plan
+    * parameter). */
+  def lmScore(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import TextFunctions.bindOnce
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("t"))
+      .localCheckpoint(eager = false) // feeds pairs AND unigram counts
+    val pairs = toks.select(col("doc_id"), explode(bindOnce(col("t")) { t =>
+        when(size(t) < 2, array().cast("array<struct<a:string,b:string>>")).otherwise(
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
+      }).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+      .localCheckpoint(eager = false) // feeds bigram counts AND the probe
+    val uni = toks.select(explode(col("t")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    val bi = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val vocab = uni.count() // |V|: driver scalar, bounded plan parameter
+    val contrib = TextFunctions.round6(-log(
+      (col("c_ab") + lit(1L)).cast("double") /
+        (col("c_a") + lit(vocab)).cast("double")))
+    pairs
+      .join(bi, Seq("a", "b"))
+      .join(uni, Seq("a"))
+      .select(col("doc_id"), contrib.as("x"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast("decimal(28,6)")).as("s"))
+      .select(col("doc_id"), col("n_pairs"),
+        TextFunctions.round6(col("s").cast("double") /
+          col("n_pairs").cast("double")).as("nll"))
+  }
+
   /** PMI COLLOCATIONS: pointwise mutual information of adjacent token
     * pairs over the whole corpus — ln((c_ab/N) / ((c_a/M)(c_b/M))) for
     * pairs seen ≥ minCount times. The standard phrase-mining /

@@ -172,4 +172,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("semDedup: cid equi-join, never a nested-loop pair scan") {
+    val corpus = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = IndexedSeq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+    val p = plan(graft.operators.Similarity.semDedup(corpus, cents, 0.9))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("concatChunks: exactly one data exchange (the shard key)") {
+    val d = Seq((1L, 5L), (2L, 7L)).toDF("id", "toks")
+    val p = plan(graft.operators.Packing.concatChunks(
+      d, $"id", $"toks", contextLen = 10, nShards = 4))
+    // one hashpartitioning exchange feeds the per-shard window sort;
+    // a second exchange would mean the packing re-shuffles its output
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }

@@ -75,6 +75,19 @@ class CorpusSpec extends SparkSpec {
     assert(rows(kernel) === rows(ref))
   }
 
+  test("lm score: typical text scores lower nll than anomalous text") {
+    // corpus dominated by the "p q" pattern; one doc of singleton junk
+    val d = ((1L to 20L).map(i => (i, "p q p q p q")) :+
+      (99L, "zk1 zk2 zk3 zk4 zk5 zk6")).toDF("doc_id", "text")
+    val out = Corpus.lmScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 === 5) // 6 tokens → 5 bigrams
+    assert(out(99L)._1 === 5)
+    assert(out(1L)._2 < out(99L)._2) // frequent pattern ≪ singleton junk
+    // identical docs score identically (deterministic, order-free sum)
+    assert(out(1L) === out(20L))
+  }
+
   test("pmi: independent vs always-adjacent pairs rank as expected") {
     // "p q" always adjacent; fillers vary
     val d = (1L to 20L).map(i => (i, s"p q f$i p q")).toDF("doc_id", "text")
