@@ -1021,6 +1021,35 @@ object SparkEntry {
     "q75_lm_score" -> ((s, dir) =>
       graft.operators.Corpus.lmScore(docs(s, dir), "doc_id", "text")),
 
+    // ---- grouped z-score with EXACT decimal moments: normalization
+    // whose μ/σ are identical under any partitioning ----
+    "q76_zscore" -> ((s, dir) =>
+      graft.operators.Normalize.zscore(
+          events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+          keys = Seq("event_type"), valueCol = col("value"))
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))),
+
+    // ---- hybrid retrieval: BM25 lexical ranking + brute-force cosine
+    // ranking for the SAME query document (doc 0 / vec 0 — the
+    // embeddings table carries the documents' vectors), fused by
+    // reciprocal rank fusion. Composes three oracle-checked operators
+    // into the standard lexical+semantic retrieval stack ----
+    "q77_hybrid_rrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // bounded plan parameter: the query doc's distinct non-empty terms
+      val qTerms = d.filter(col("doc_id") === 0)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      val lex = graft.operators.Relevance
+        .bm25QueryRank(d.filter(col("doc_id") =!= 0), "doc_id", "text", qTerms)
+        .filter(col("rank") <= 50).select(col("doc_id").as("id"), col("rank"))
+      val e = embs(s, dir)
+      val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 50)
+        .select(col("n_id").as("id"), col("rank"))
+      graft.operators.Relevance.rrfFuse(Seq(lex, vec), kRrf = 60, topK = 20)
+    }),
+
     // ---- inter-event deltas: lag over (ts, id) per user — the
     // standard inter-arrival analysis; all-integer output ----
     "q70_event_deltas" -> ((s, dir) => {
@@ -2353,6 +2382,75 @@ object SparkEntry {
                " / CAST(count(*) AS DOUBLE)")} AS nll
          |FROM pairs p JOIN bi USING (a, b) JOIN uni USING (a) CROSS JOIN v
          |GROUP BY 1""".stripMargin
+    },
+
+    // q76: μ/σ from EXACT decimal sums, derived in the same double
+    // expression order as the operator (μ = s1/n; σ² = s2/n − μ·μ).
+    "q76_zscore" -> {
+      val z = graft.functions.TextFunctions.round6Sql(
+        "(value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n))")
+      s"""WITH st AS (SELECT event_type,
+         |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) *
+         |      CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         |    CAST(count(*) AS DOUBLE) AS n
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_id, e.event_type, e.value,
+         |  CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN $z ELSE NULL END AS z
+         |FROM events e JOIN st USING (event_type)""".stripMargin
+    },
+
+    // q77: the lexical leg reuses the q51 BM25 mirror (restricted to
+    // the query doc's distinct terms, corpus = docs ≠ 0), the vector
+    // leg the q21 cosine mirror; both contribution sums and the rrf
+    // sum are round6 + DECIMAL — order-free exact end to end.
+    "q77_hybrid_rrf" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      val bm25 = r6("ln(1.0 + (s.n - dft.df + 0.5)/(dft.df + 0.5))" +
+        " * (tf.tf * (1.2 + 1.0))" +
+        " / (tf.tf + 1.2*(1.0 - 0.75 + 0.75*CAST(lens.dl AS DOUBLE)/s.avgdl))")
+      val rrfC = r6("1.0/(60.0 + CAST(rank AS DOUBLE))")
+      s"""WITH qt AS (SELECT DISTINCT t AS term FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS t
+         |    FROM documents WHERE doc_id = 0) WHERE t <> ''),
+         |toks AS (SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |    FROM documents WHERE doc_id <> 0) WHERE t <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM lens),
+         |sc AS (SELECT tf.doc_id, $bm25 AS x
+         |  FROM tf JOIN qt USING (term) JOIN dft USING (term)
+         |  JOIN lens USING (doc_id) CROSS JOIN stats s),
+         |lexall AS (SELECT doc_id,
+         |    CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS score
+         |  FROM sc GROUP BY 1),
+         |lex AS (SELECT doc_id AS id, rnk AS rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         |      AS rnk FROM lexall) WHERE rnk <= 50),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |vsc AS (SELECT b.vec_id AS id,
+         |  round(
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(a.embedding)+1),
+         |      zi -> CAST(a.embedding[zi] AS DOUBLE) * CAST(b.embedding[zi] AS DOUBLE))), (a0, x0) -> a0 + x0)
+         |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(a.embedding)+1),
+         |         zi -> CAST(a.embedding[zi] AS DOUBLE) * CAST(a.embedding[zi] AS DOUBLE))), (a0, x0) -> a0 + x0))
+         |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(b.embedding)+1),
+         |         zi -> CAST(b.embedding[zi] AS DOUBLE) * CAST(b.embedding[zi] AS DOUBLE))), (a0, x0) -> a0 + x0))), 6) AS sim
+         |  FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id <> 0),
+         |vec AS (SELECT id, rnk AS rank FROM (
+         |    SELECT id, row_number() OVER (ORDER BY sim DESC, id ASC) AS rnk
+         |    FROM vsc) WHERE rnk <= 50),
+         |u AS (SELECT id, $rrfC AS x FROM lex
+         |      UNION ALL SELECT id, $rrfC AS x FROM vec),
+         |f AS (SELECT id, CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS rrf
+         |      FROM u GROUP BY 1)
+         |SELECT id, rrf, rank FROM (
+         |  SELECT id, rrf, row_number() OVER (ORDER BY rrf DESC, id ASC) AS rank
+         |  FROM f) WHERE rank <= 20""".stripMargin
     },
 
     "q70_event_deltas" ->

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.round6
+
+/** Grouped feature STANDARDIZATION — z-scores per key, the
+  * feature-pipeline normalization step — with EXACT moments: Σv and
+  * Σv² accumulate as DECIMALs (exact for fixed-precision inputs, the
+  * engine's money-sum policy applied to second moments), so mean and
+  * variance are identical under any partitioning/aggregation order and
+  * the per-row z value is exactly oracle-reproducible — a `rand()`-free
+  * answer to "why did normalization differ between two runs".
+  *
+  * Scale: one map-side-combined hash aggregate to per-key (Σv, Σv², n)
+  * — key-count-sized output — then a broadcast-friendly join back; the
+  * data-plane rows never shuffle (AQE broadcasts the stats side).
+  * Derived μ/σ arithmetic runs in double with a FIXED expression order
+  * (μ = s1/n; σ² = s2/n − μ·μ) mirrored by the oracle. */
+object Normalize {
+
+  /** @return df plus `z` = round6((v − μ_key)/σ_key); NULL when the
+    * key's variance is 0 (constant groups have no z-score). */
+  def zscore(
+      df: DataFrame, keys: Seq[String], valueCol: Column): DataFrame = {
+    require(keys.nonEmpty, "zscore needs at least one key column")
+    val v = valueCol.cast("double")
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(
+        sum(valueCol.cast("decimal(28,6)")).cast("double").as("__s1"),
+        sum((valueCol.cast("decimal(18,6)") * valueCol.cast("decimal(18,6)"))
+          .cast("decimal(38,12)")).cast("double").as("__s2"),
+        count(lit(1)).cast("double").as("__n"))
+    val mu = col("__s1") / col("__n")
+    val variance = col("__s2") / col("__n") - mu * mu
+    df.join(stats, keys)
+      .withColumn("z",
+        when(variance > 0, round6((v - mu) / sqrt(variance)))
+          .otherwise(lit(null).cast("double")))
+      .drop("__s1", "__s2", "__n")
+  }
+}

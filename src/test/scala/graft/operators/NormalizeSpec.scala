@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zscore: exact moments, constant groups yield NULL") {
+    val d = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("b", 4L, 5.0), ("b", 5L, 5.0) // constant group → σ = 0
+    ).toDF("k", "id", "v")
+    val out = Normalize.zscore(d, Seq("k"), col("v"))
+      .collect().map(r => r.getLong(1) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    // group a: μ=2, σ=sqrt(2/3)
+    val sd = math.sqrt(2.0 / 3.0)
+    assert(approx(out(1L).get, math.floor(-1.0 / sd * 1e6 + 0.5) / 1e6))
+    assert(out(2L).get === 0.0)
+    assert(approx(out(3L).get, math.floor(1.0 / sd * 1e6 + 0.5) / 1e6))
+    assert(out(4L).isEmpty && out(5L).isEmpty)
+  }
+
+  test("zscore is partitioning-invariant (exact decimal moments)") {
+    val d = (1L to 1000L).map(i => ("k", i, (i % 97).toDouble + 0.25))
+      .toDF("k", "id", "v")
+    val a = Normalize.zscore(d.repartition(1), Seq("k"), col("v"))
+      .select("id", "z")
+    val b = Normalize.zscore(d.repartition(13), Seq("k"), col("v"))
+      .select("id", "z")
+    assert(rows(a) === rows(b)) // bit-identical, any partitioning
+  }
+}

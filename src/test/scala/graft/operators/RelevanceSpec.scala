@@ -30,4 +30,28 @@ class RelevanceSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getString(1)), r.getDouble(2))).toMap
     assert(out((1L, "target")) > out((2L, "target")))
   }
+
+  test("bm25QueryRank: multi-term matches outrank single-term matches") {
+    val docs = Seq(
+      (1L, "spark engine fast"),   // matches both query terms
+      (2L, "spark slow thing pad pad pad"), // one term, longer doc
+      (3L, "unrelated words here")
+    ).toDF("doc_id", "text")
+    val out = Relevance.bm25QueryRank(docs, "doc_id", "text",
+        Seq("spark", "engine"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(1L) === 1)
+    assert(out(2L) === 2)
+    assert(!out.contains(3L)) // no query term → no row
+  }
+
+  test("rrfFuse: consensus ids outrank single-list leaders") {
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((12L, 1), (11L, 2), (13L, 3)).toDF("id", "rank")
+    val out = Relevance.rrfFuse(Seq(a, b), kRrf = 60, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // 11 and 12 appear in BOTH lists → above either single-list leader
+    assert(Set(out(11L), out(12L)) === Set(1, 2))
+    assert(out(10L) > 2 && out(13L) > 2)
+  }
 }
