@@ -1021,6 +1021,12 @@ object SparkEntry {
     "q75_lm_score" -> ((s, dir) =>
       graft.operators.Corpus.lmScore(docs(s, dir), "doc_id", "text")),
 
+    // ---- weighted sampling w/o replacement (A-ES, hash uniforms):
+    // 500 events, probability ∝ value; bounded-heap selection ----
+    "q78_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        events(s, dir), col("event_id"), col("value"), k = 500)),
+
     // ---- grouped z-score with EXACT decimal moments: normalization
     // whose μ/σ are identical under any partitioning ----
     "q76_zscore" -> ((s, dir) =>
@@ -2382,6 +2388,20 @@ object SparkEntry {
                " / CAST(count(*) AS DOUBLE)")} AS nll
          |FROM pairs p JOIN bi USING (a, b) JOIN uni USING (a) CROSS JOIN v
          |GROUP BY 1""".stripMargin
+    },
+
+    // q78: hash-uniform priorities mirror term-for-term (same +1 /
+    // (Mod+1) uniform, same ln(u)/w, same round6 before ranking).
+    "q78_weighted_sample" -> {
+      val p = graft.functions.TextFunctions.round6Sql(
+        s"ln(CAST(${hashSql("CAST(event_id AS VARCHAR)")} + 1 AS DOUBLE)" +
+          " / 1000000008.0) / value")
+      s"""WITH b AS (SELECT event_id, $p AS p
+         |  FROM events WHERE CAST(value AS DOUBLE) > 0)
+         |SELECT id, priority, rank FROM (
+         |  SELECT event_id AS id, p AS priority,
+         |    row_number() OVER (ORDER BY p DESC, event_id ASC) AS rank
+         |  FROM b) WHERE rank <= 500""".stripMargin
     },
 
     // q76: μ/σ from EXACT decimal sums, derived in the same double

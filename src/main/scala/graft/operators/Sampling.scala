@@ -65,6 +65,35 @@ object Sampling {
     df.filter(pmod(portable_hash(idCol.cast("string")), lit(100L)) < rateCol)
   }
 
+  /** WEIGHTED sampling without replacement (k winners, probability ∝
+    * weight), deterministic: the Efraimidis–Spirakis A-ES scheme with
+    * HASH-derived uniforms — each row gets u = (portable_hash(id)+1) /
+    * (Mod+1) ∈ (0,1] and priority ln(u)/w (the log-domain form of
+    * u^(1/w), monotone-equivalent and better conditioned), and the k
+    * highest priorities win. Same inputs → same sample on any engine
+    * or partitioning, and the selection is a bounded-heap aggregate
+    * ([[graft.functions.TopKBy]]): O(k) state, map-side partials, no
+    * global sort — the scale form of weighted reservoir sampling.
+    * Priorities are rounded to 6dp before ranking (id breaks ties), so
+    * the choice is robust to ln() ulp differences across engines.
+    * Rows with weight ≤ 0 are excluded (zero mass cannot win).
+    * @return (id, priority, rank) best-first. */
+  def weightedSample(
+      df: DataFrame, idCol: Column, weightCol: Column, k: Int): DataFrame = {
+    import graft.functions.TopKBy.top_k_by
+    import graft.functions.{PortableHash, TextFunctions}
+    require(k >= 1, "k must be >= 1")
+    val u = (portable_hash(idCol.cast("string")) + lit(1L)).cast("double") /
+      lit((PortableHash.Mod + 1).toDouble)
+    val pr = TextFunctions.round6(log(u) / weightCol.cast("double"))
+    df.filter(weightCol.cast("double") > 0)
+      .select(pr.as("p"), idCol.cast("long").as("id"))
+      .agg(top_k_by(col("p"), col("id"), k).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("s.id").as("id"), col("s.v").as("priority"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic TRAIN/VAL/TEST split — every training pipeline's
     * first partitioning step, as a pure hash predicate: the id's
     * portable-hash bucket (mod 100) is cut by cumulative percentage

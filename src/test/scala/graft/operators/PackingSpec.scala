@@ -25,6 +25,26 @@ class PackingSpec extends SparkSpec {
       Sampling.hashSplit(d, col("doc_id"), Seq(("a", 50), ("b", 40))))
   }
 
+  test("weightedSample: weight-sensitive, deterministic, excludes w<=0") {
+    // 2000 rows: ids ≡ 0 mod 4 get weight 50, others weight 1 — heavy
+    // rows should dominate the sample far beyond their 25% share
+    val d = (1L to 2000L)
+      .map(i => (i, if (i % 4 == 0) 50.0 else 1.0)).toDF("id", "w")
+    val out = Sampling.weightedSample(d, col("id"), col("w"), k = 200)
+    val ids = out.select("id").as[Long].collect()
+    assert(ids.length === 200)
+    val heavy = ids.count(_ % 4 == 0)
+    assert(heavy > 150, s"heavy rows won only $heavy of 200")
+    // deterministic: identical on a different partitioning
+    val again = Sampling.weightedSample(d.repartition(17), col("id"), col("w"), 200)
+    assert(rows(again) === rows(out))
+    // zero/negative weights can never win
+    val z = Sampling.weightedSample(
+      Seq((1L, 0.0), (2L, -3.0), (3L, 1.0)).toDF("id", "w"),
+      col("id"), col("w"), 5)
+    assert(z.select("id").as[Long].collect().toSeq === Seq(3L))
+  }
+
   test("concatChunks: per-shard streams are gapless; chunk spans exact") {
     val d = (1L to 200L).map(i => (i, i % 7 + 1)).toDF("id", "toks")
     val out = Packing.concatChunks(d, col("id"), col("toks"),

@@ -53,6 +53,26 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("top_k_by"))
   }
 
+  test("CMS sketch is streaming-mergeable: streaming build == batch build") {
+    // the (r,b)→count table is an additive aggregate, so the SAME
+    // operator runs under Structured Streaming unchanged — the
+    // fixed-size mergeable-state contract, demonstrated end to end
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-stream").toString
+    stream.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = Sketches.cmsSketch(
+        spark.readStream.schema(schema).parquet(dir), col("key"),
+        depth = 4, width = 8)
+      .writeStream.outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("cms_stream").start()
+    q.awaitTermination(60000); q.stop()
+    val streamed = rows(spark.table("cms_stream"))
+    val batch = rows(Sketches.cmsSketch(
+      spark.read.parquet(dir), col("key"), depth = 4, width = 8))
+    assert(streamed === batch)
+  }
+
   test("sketch table is depth×width-bounded") {
     val sk = Sketches.cmsSketch(stream, col("key"), depth = 4, width = 8)
     assert(sk.count() <= 4L * 8L)
