@@ -60,22 +60,30 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap[String, IndexedSeq[IndexedSeq[Array[Double]]]]()
 
   /** The corpus's IVF coarse quantizer (16 lists, 3 Lloyd iterations,
-    * trained on the deterministic even-id half — the 100 TB lever). */
+    * trained on the deterministic even-id half — the 100 TB lever).
+    * Synchronized: TrieMap.getOrElseUpdate only makes the STORE atomic,
+    * not the computation — two racing first callers would both train
+    * (breaking the one-training-per-corpus invariant and wasting the
+    * Lloyd jobs). Training is rare; a coarse lock is fine. */
   private def ivfArtifact(s: SparkSession, dir: String): IndexedSeq[(Long, Array[Double])] =
-    ivfCache.getOrElseUpdate(dir, {
-      annTrainings.incrementAndGet()
-      Similarity.ivfCentroids(embs(s, dir), nLists = 16, iters = 3,
-        trainSampleMod = 2)
-    })
+    ivfCache.synchronized {
+      ivfCache.getOrElseUpdate(dir, {
+        annTrainings.incrementAndGet()
+        Similarity.ivfCentroids(embs(s, dir), nLists = 16, iters = 3,
+          trainSampleMod = 2)
+      })
+    }
 
   /** The corpus's PQ codebooks (m=8 × ksub=16, 2 Lloyd iterations,
     * same deterministic even-id training sample). */
   private def pqArtifact(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[Array[Double]]] =
-    pqCache.getOrElseUpdate(dir, {
-      annTrainings.incrementAndGet()
-      Similarity.pqCodebooks(embs(s, dir), m = 8, ksub = 16, iters = 2,
-        trainSampleMod = 2)
-    })
+    pqCache.synchronized {
+      pqCache.getOrElseUpdate(dir, {
+        annTrainings.incrementAndGet()
+        Similarity.pqCodebooks(embs(s, dir), m = 8, ksub = 16, iters = 2,
+          trainSampleMod = 2)
+      })
+    }
 
   // ---- shared near-dup graph artifacts (q14/q43/q46/q52/q61/q69) ----
   // Same persisted-artifact reasoning as the ANN quantizers: a real
@@ -91,10 +99,27 @@ object SparkEntry {
   private val clusterCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
+  /** Stale-entry guard: a checkpointed DataFrame dies with its
+    * SparkContext, so an entry cached for a since-stopped session must
+    * be recomputed, never served. (Entries themselves are few — one
+    * per (session, dir) pair — so the footprint is bounded by usage;
+    * the correctness risk is staleness, handled here.) */
+  private def cachedDf(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      key: (SparkSession, String))(build: => DataFrame): DataFrame =
+    cache.synchronized {
+      cache.get(key).filterNot(_ => key._1.sparkContext.isStopped)
+        .getOrElse {
+          val df = build
+          cache.put(key, df)
+          df
+        }
+    }
+
   /** Near-dup candidate pairs (q14's parameters: word-trigram shingles,
     * 64-slot minhash, 16 bands, verified Jaccard ≥ 0.8). */
   private def dupPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, dir),
+    cachedDf(pairsCache, (s, dir))(
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
         n = 3, k = 64, bands = 16, threshold = 0.8)
         .localCheckpoint(eager = false))
@@ -102,7 +127,7 @@ object SparkEntry {
   /** Connected-component dup clusters over [[dupPairs]] (min-label
     * propagation + canonical election). */
   private def dupClusters(s: SparkSession, dir: String): DataFrame =
-    clusterCache.getOrElseUpdate((s, dir),
+    cachedDf(clusterCache, (s, dir))(
       Dedup.duplicateClusters(docs(s, dir), "doc_id", dupPairs(s, dir))
         .localCheckpoint(eager = false))
 
@@ -2413,7 +2438,7 @@ object SparkEntry {
          |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
          |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) *
          |      CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DOUBLE) AS s2,
-         |    CAST(count(*) AS DOUBLE) AS n
+         |    CAST(count(value) AS DOUBLE) AS n
          |  FROM events GROUP BY 1)
          |SELECT e.event_id, e.event_type, e.value,
          |  CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN $z ELSE NULL END AS z

@@ -20,7 +20,11 @@ import graft.functions.TextFunctions.round6
 object Normalize {
 
   /** @return df plus `z` = round6((v − μ_key)/σ_key); NULL when the
-    * key's variance is 0 (constant groups have no z-score). */
+    * key's variance is 0 (constant groups have no z-score) or the
+    * row's value is NULL. NULL values are excluded from the moments
+    * (`count(v)`, and the decimal sums already skip them) — counting
+    * them would bias μ/σ and make constant-plus-null groups emit
+    * garbage z-scores. */
   def zscore(
       df: DataFrame, keys: Seq[String], valueCol: Column): DataFrame = {
     require(keys.nonEmpty, "zscore needs at least one key column")
@@ -30,7 +34,7 @@ object Normalize {
         sum(valueCol.cast("decimal(28,6)")).cast("double").as("__s1"),
         sum((valueCol.cast("decimal(18,6)") * valueCol.cast("decimal(18,6)"))
           .cast("decimal(38,12)")).cast("double").as("__s2"),
-        count(lit(1)).cast("double").as("__n"))
+        count(v).cast("double").as("__n"))
     val mu = col("__s1") / col("__n")
     val variance = col("__s2") / col("__n") - mu * mu
     df.join(stats, keys)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,24 +20,22 @@ import org.apache.spark.sql.functions._
   * POSTINGS side whose rows are distinct (doc, term) pairs. */
 object Relevance {
 
-  /** Top-`topK` BM25 terms per document: (doc_id, term, score, rank).
-    * Okapi BM25 with the standard idf = ln(1 + (N−df+0.5)/(df+0.5));
-    * deterministic ties (score desc, term asc). */
-  def bm25TopTerms(
+  /** The shared BM25 derivation — ONE definition of the tf/df/length
+    * tables and the Okapi score expression, so [[bm25TopTerms]] and
+    * [[bm25QueryRank]] (and their oracle mirrors) can never drift:
+    * (tf table checkpointed — it feeds df counts, doc lengths and the
+    * final join, plus the eager stats scalar — document text is
+    * exploded exactly once in the whole plan; per-term score column
+    * referencing tf/df/dl). */
+  private def bm25Core(
       docs: DataFrame, idCol: String, textCol: String,
-      k1: Double = 1.2, b: Double = 0.75, topK: Int = 3): DataFrame = {
+      k1: Double, b: Double): (DataFrame, DataFrame, DataFrame, Column) = {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
-    // lazy localCheckpoint: tf feeds THREE consumers (df counts, doc
-    // lengths, the final join) plus the eager stats scalar — without
-    // it the text explode would re-run for every consumer (no
-    // cross-branch reuse). The stats action below materializes it once.
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = false)
-    // doc length from the tf table (Σ tf per doc == token count), so
-    // document text is exploded exactly once in the whole plan
     val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = lens.agg(count(lit(1)).cast("double"),
@@ -49,6 +47,16 @@ object Relevance {
     val score = idf * (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
         lit(b) * col("dl").cast("double") / lit(avgDl)))
+    (tf, dfT, lens, score)
+  }
+
+  /** Top-`topK` BM25 terms per document: (doc_id, term, score, rank).
+    * Okapi BM25 with the standard idf = ln(1 + (N−df+0.5)/(df+0.5));
+    * deterministic ties (score desc, term asc). */
+  def bm25TopTerms(
+      docs: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 3): DataFrame = {
+    val (tf, dfT, lens, score) = bm25Core(docs, idCol, textCol, k1, b)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(dfT, "term").join(lens, "doc_id")
@@ -66,32 +74,18 @@ object Relevance {
     * accumulated as DECIMAL(28,6) (order-free exact — the engine's
     * "sum of floats" policy), ranked (score desc, id asc). Corpus
     * statistics (df, N, avgdl) come from the FULL corpus exactly as in
-    * [[bm25TopTerms]]; the probe then filters the tf table to the
-    * query's terms, so the scoring join touches |query| postings lists,
-    * not the whole vocabulary. Returns (doc_id, score, rank) for
-    * documents matching ≥ 1 query term. */
+    * [[bm25TopTerms]] (one shared [[bm25Core]] derivation); the probe
+    * then filters the tf table to the query's terms, so the scoring
+    * join touches |query| postings lists, not the whole vocabulary.
+    * Returns (doc_id, score, rank) for documents matching ≥ 1 query
+    * term; the rank window runs over that match set, so queries of
+    * stopword-grade terms should cap it upstream. */
   def bm25QueryRank(
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val toks = docs.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("term"))
-      .filter(col("term") =!= "")
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
-    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = lens.agg(count(lit(1)).cast("double"),
-      sum(col("dl")).cast("double")).head()
-    val nDocs = stats.getDouble(0)
-    val avgDl = stats.getDouble(1) / nDocs
-    val idf = log(lit(1.0) +
-      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val score = idf * (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
-        lit(b) * col("dl").cast("double") / lit(avgDl)))
+    val (tf, dfT, lens, score) = bm25Core(docs, idCol, textCol, k1, b)
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
     tf.filter(col("term").isin(queryTerms.distinct: _*))
       .join(dfT, "term").join(lens, "doc_id")

@@ -49,23 +49,50 @@ object Sketches {
     * the bounding itself is exactly oracle-mirrorable: a key outside
     * its bucket's top list is dropped by BOTH engines. Choose
     * candBuckets·candPerBucket ≥ the number of keys that can reach
-    * minCount (≤ stream/minCount) and the bounding is lossless. */
+    * minCount (≤ stream/minCount) and the bounding is lossless.
+    *
+    * `checkLossless` (default ON) verifies that promise against the
+    * data: every key whose EXACT count reaches minCount must survive
+    * the bucket capping, else the call fails fast with a raise-the-caps
+    * message instead of silently under-reporting. The check is one
+    * left-anti count over the two aggregation outputs (vocabulary- and
+    * cap-sized — cheap); disable only when truncation is acceptable
+    * (e.g. exploratory top-N dashboards). Estimate-only qualifiers
+    * (est ≥ minCount > exact, a sketch-collision artifact) are outside
+    * the guarantee — catching those would need the unbounded probe this
+    * operator exists to avoid. */
   def cmsHeavyHitters(
       df: DataFrame, keyCol: Column, depth: Int, width: Int,
-      minCount: Long, candBuckets: Int = 64, candPerBucket: Int = 128): DataFrame = {
+      minCount: Long, candBuckets: Int = 64, candPerBucket: Int = 128,
+      checkLossless: Boolean = true): DataFrame = {
     import graft.functions.TopKBy.top_k_by
     require(candBuckets >= 1 && candPerBucket >= 1,
       "candBuckets and candPerBucket must be >= 1")
     val ks = df.select(keyCol.cast("string").as("k"))
       .localCheckpoint(eager = false) // sketch + counts read ONE scan
     val sketch = sketchOfKeys(ks, depth, width)
-    val counts = ks.groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
-    val cand = counts
+    // with the lossless check on, counts/cand each gain a second
+    // consumer → lazy-checkpoint them so their aggregations run once
+    val counts0 = ks.groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
+    val counts =
+      if (checkLossless) counts0.localCheckpoint(eager = false) else counts0
+    val cand0 = counts
       .groupBy(pmod(portable_hash(col("k")), lit(candBuckets.toLong)).as("bkt"))
       .agg(top_k_by(col("exact_count").cast("double"), col("k"),
         candPerBucket).as("tk"))
       .select(explode(col("tk")).as("p"))
       .select(col("p.id").as("k"), col("p.v").cast("long").as("exact_count"))
+    val cand =
+      if (checkLossless) cand0.localCheckpoint(eager = false) else cand0
+    if (checkLossless) {
+      val dropped = counts.filter(col("exact_count") >= minCount)
+        .join(cand, Seq("k"), "left_anti").count()
+      require(dropped == 0L,
+        s"cmsHeavyHitters: $dropped key(s) with exact count >= $minCount " +
+          s"fell outside the per-bucket top lists — raise candBuckets " +
+          s"($candBuckets) / candPerBucket ($candPerBucket), or pass " +
+          "checkLossless = false to accept truncation")
+    }
     cand
       .select(col("k"), col("exact_count"),
         explode(array((0 until depth).map(r =>

@@ -60,6 +60,12 @@ object Shapefile {
     var off = 100
     while (off + 8 <= fileLenBytes) {
       val contentLen = be.getInt(off + 4) * 2
+      // spec minimum is the 4-byte shape type; anything smaller means a
+      // corrupt header — without this check a negative length would
+      // stall the loop (off never advances) or walk backward forever
+      require(contentLen >= 4,
+        s"corrupt shapefile: record at offset $off declares content " +
+          s"length $contentLen bytes")
       val c = off + 8 // content start
       val shapeType = le.getInt(c)
       shapeType match {
@@ -123,9 +129,15 @@ object Shapefile {
       }
       StructField(f.name, t)
     }
+    // bounds check up front (in Long): a record region past the buffer
+    // means a corrupt header — and guarantees the per-record Int
+    // arithmetic below cannot overflow
+    require(headerSize.toLong + numRecords.toLong * recordSize <= bytes.length,
+      s"corrupt dbf: $numRecords records × $recordSize bytes from offset " +
+        s"$headerSize exceed the ${bytes.length}-byte file")
     val records = (0 until numRecords).map { r =>
-      val base = headerSize + r.toLong * recordSize
-      var fo = base.toInt + 1 // skip deletion flag
+      val base = headerSize + r * recordSize
+      var fo = base + 1 // skip deletion flag
       fields.map { f =>
         val raw = new String(bytes, fo, f.len, "US-ASCII").trim
         fo += f.len

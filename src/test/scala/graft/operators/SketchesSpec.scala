@@ -35,7 +35,7 @@ class SketchesSpec extends SparkSpec {
       .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "key")
     val out = Sketches.cmsHeavyHitters(many, col("key"),
       depth = 4, width = 1024, minCount = 1,
-      candBuckets = 4, candPerBucket = 2)
+      candBuckets = 4, candPerBucket = 2, checkLossless = false)
     val got = out.select("key").as[String].collect().toSet
     assert(got.size <= 8)
     val w = Window.partitionBy(pmod(portable_hash(col("k")), lit(4L)))
@@ -49,8 +49,25 @@ class SketchesSpec extends SparkSpec {
 
   test("probe side rides the bounded-heap aggregate, not the raw key stream") {
     val plan = Sketches.cmsHeavyHitters(stream, col("key"),
-      depth = 4, width = 8, minCount = 1).queryExecution.optimizedPlan.toString
+        depth = 4, width = 8, minCount = 1, checkLossless = false)
+      .queryExecution.optimizedPlan.toString
     assert(plan.contains("top_k_by"))
+  }
+
+  test("lossless guard fails fast when capping drops a qualifying key") {
+    // 100 keys all qualify at minCount = 1 but only 8 candidate slots:
+    // the default-on check must refuse instead of silently truncating
+    val many = (1 to 100).map(i => (i.toLong, f"k$i%03d")).toDF("id", "key")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.cmsHeavyHitters(many, col("key"),
+        depth = 4, width = 1024, minCount = 1,
+        candBuckets = 4, candPerBucket = 2)
+    }
+    assert(e.getMessage.contains("raise candBuckets"))
+    // generous caps: the same call passes and is complete
+    val ok = Sketches.cmsHeavyHitters(many, col("key"),
+      depth = 4, width = 1024, minCount = 1)
+    assert(ok.count() === 100L)
   }
 
   test("CMS sketch is streaming-mergeable: streaming build == batch build") {
