@@ -22,6 +22,24 @@ class NormalizeSpec extends SparkSpec {
     assert(out(4L).isEmpty && out(5L).isEmpty)
   }
 
+  test("zscore: NULL values are excluded from moments, not counted") {
+    // regression: count(*) would see n=3 here, making a CONSTANT group
+    // look variable (mu 3.33, var > 0) and emit garbage z-scores
+    val d = Seq[(String, Long, java.lang.Double)](
+      ("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, null),
+      ("b", 4L, 1.0), ("b", 5L, 3.0), ("b", 6L, null))
+      .toDF("k", "id", "v")
+      .select($"k", $"id", $"v".cast("double").as("v"))
+    val out = Normalize.zscore(d, Seq("k"), col("v"))
+      .collect().map(r => r.getLong(1) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty) // constant group stays NULL
+    assert(out(3L).isEmpty)                    // null value → null z
+    // group b: moments over the two non-null values only (μ=2, σ=1)
+    assert(out(4L).get === -1.0 && out(5L).get === 1.0)
+    assert(out(6L).isEmpty)
+  }
+
   test("zscore is partitioning-invariant (exact decimal moments)") {
     val d = (1L to 1000L).map(i => ("k", i, (i % 97).toDouble + 0.25))
       .toDF("k", "id", "v")
