@@ -210,4 +210,64 @@ class PropertySpec extends SparkSpec {
         === expected, s"star trial $trial")
     }
   }
+
+  test("lmScore matches a native bigram-model reference on random corpora") {
+    val rnd = new Random(77)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(rnd.nextInt(8) + 1)(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")))
+    val got = graft.operators.Corpus.lmScore(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // native reference: same add-one bigram model, same round6 +
+    // order-free sum (here just a sequential sum of rounded terms)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val uni = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val bi = toks.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val v = uni.size
+    toks.filter(_._2.length >= 2).foreach { case (id, ts) =>
+      val contribs = ts.zip(ts.drop(1)).map { p =>
+        r6(-math.log((bi(p) + 1.0) / (uni(p._1) + v).toDouble))
+      }
+      val want = r6(contribs.map(BigDecimal(_)).sum.toDouble / contribs.length)
+      assert(got(id)._1 === contribs.length.toLong, s"doc $id n_pairs")
+      assert(approx(got(id)._2, want, 1e-9), s"doc $id nll")
+    }
+  }
+
+  test("semDedup drop set == naive per-cluster lower-id cosine scan") {
+    import graft.operators.Similarity
+    val rnd = new Random(41)
+    val dim = 8
+    val corpus = (0L until 60L).map { i =>
+      val base = Array.fill(dim)(rnd.nextDouble() - 0.5)
+      // every third vector is a scaled near-copy of the previous one
+      val v = if (i % 3 == 2) base.map(_ * 0.1) else base
+      (i, v.map(_.toFloat).toSeq)
+    }
+    val df = corpus.toDF("vec_id", "embedding")
+    val cents = IndexedSeq(
+      (0L, Array.fill(dim)(0.3)), (1L, Array.fill(dim)(-0.3)),
+      (2L, (0 until dim).map(d => if (d % 2 == 0) 0.4 else -0.4).toArray))
+    val out = Similarity.semDedup(df, cents, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // naive reference over the SAME assignment the operator reports
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      math.floor(dot / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum)) * 1e6 + 0.5) / 1e6
+    }
+    val byId = corpus.toMap
+    val cid = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (id, c, kept) =>
+      val expectDrop = corpus.exists { case (j, vj) =>
+        j < id && cid(j) == c && cos(vj, byId(id)) >= 0.6
+      }
+      assert(kept === !expectDrop, s"vec $id")
+    }
+  }
 }
