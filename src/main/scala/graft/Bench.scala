@@ -17,9 +17,15 @@ object Bench {
     // shuffle machinery. JIT warmup is not query cost — the oracle
     // baseline is likewise timed on a warm connection.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // full columnar reads, not count(): count() touches only parquet
+    // footers, so the first query per table would still pay the cold
+    // column decode + page-cache miss — steady-state is what a
+    // long-running cluster sees, and what the per-query numbers should
+    // reflect
     Seq("lineitem", "orders", "customer", "part", "events",
       "documents", "embeddings", "nation", "region")
-      .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () })
     // noop sink, not count(): count() lets Catalyst prune every computed
     // column, which would "bench" map-heavy queries as bare row counts.
