@@ -108,12 +108,11 @@ object SparkEntry {
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
       key: (SparkSession, String))(build: => DataFrame): DataFrame =
     cache.synchronized {
-      cache.get(key).filterNot(_ => key._1.sparkContext.isStopped)
-        .getOrElse {
-          val df = build
-          cache.put(key, df)
-          df
-        }
+      // evict every dead-session entry while we hold the lock — stale
+      // DataFrames are unusable AND would otherwise pin their stopped
+      // SparkSession object graphs for the JVM lifetime
+      cache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      cache.getOrElseUpdate(key, build)
     }
 
   /** Near-dup candidate pairs (q14's parameters: word-trigram shingles,

@@ -56,8 +56,11 @@ object Sketches {
     * the bucket capping, else the call fails fast with a raise-the-caps
     * message instead of silently under-reporting. The check is one
     * left-anti count over the two aggregation outputs (vocabulary- and
-    * cap-sized — cheap); disable only when truncation is acceptable
-    * (e.g. exploratory top-N dashboards). Estimate-only qualifiers
+    * cap-sized — cheap), and it runs EAGERLY at call time (this call
+    * materializes the key counts and candidates — with the guard on,
+    * construction is not lazy); disable only when truncation is
+    * acceptable (e.g. exploratory top-N dashboards) — that path stays
+    * fully lazy. Estimate-only qualifiers
     * (est ≥ minCount > exact, a sketch-collision artifact) are outside
     * the guarantee — catching those would need the unbounded probe this
     * operator exists to avoid. */

@@ -54,6 +54,12 @@ object Shapefile {
     val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     require(be.getInt(0) == 9994, s"not a shapefile (file code ${be.getInt(0)})")
     val fileLenBytes = be.getInt(24).toLong * 2 // length counted in 16-bit words
+    // trust the ACTUAL buffer, not just the declared length: a
+    // truncated download must fail with this message, not an
+    // IndexOutOfBoundsException mid-parse
+    require(fileLenBytes <= bytes.length,
+      s"truncated shapefile: header declares $fileLenBytes bytes, " +
+        s"file has ${bytes.length}")
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(le.getInt(28) == 1000, s"unsupported shapefile version ${le.getInt(28)}")
     val out = IndexedSeq.newBuilder[Array[Byte]]
@@ -67,6 +73,9 @@ object Shapefile {
         s"corrupt shapefile: record at offset $off declares content " +
           s"length $contentLen bytes")
       val c = off + 8 // content start
+      require(c.toLong + contentLen <= bytes.length,
+        s"corrupt shapefile: record at offset $off ($contentLen bytes) " +
+          s"extends past the ${bytes.length}-byte file")
       val shapeType = le.getInt(c)
       shapeType match {
         case 0 => out += null // Null shape
@@ -129,9 +138,13 @@ object Shapefile {
       }
       StructField(f.name, t)
     }
-    // bounds check up front (in Long): a record region past the buffer
-    // means a corrupt header — and guarantees the per-record Int
-    // arithmetic below cannot overflow
+    // bounds checks up front (in Long): a record region past the buffer
+    // or a recordSize smaller than the declared fields means a corrupt
+    // header — failing here guarantees the per-record Int arithmetic
+    // below cannot overflow AND field reads cannot bleed across records
+    require(recordSize >= 1 + fields.map(_.len).sum,
+      s"corrupt dbf: recordSize $recordSize < deletion flag + declared " +
+        s"field widths ${fields.map(_.len).sum}")
     require(headerSize.toLong + numRecords.toLong * recordSize <= bytes.length,
       s"corrupt dbf: $numRecords records × $recordSize bytes from offset " +
         s"$headerSize exceed the ${bytes.length}-byte file")

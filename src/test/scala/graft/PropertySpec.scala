@@ -242,10 +242,14 @@ class PropertySpec extends SparkSpec {
     import graft.operators.Similarity
     val rnd = new Random(41)
     val dim = 8
+    // every third vector is an EXACT copy of the previous row (same
+    // cluster assignment, cosine 1.0 — guaranteed drops); the rest are
+    // fresh random vectors that may or may not collide
+    var prev: Array[Double] = Array.fill(dim)(0.5)
     val corpus = (0L until 60L).map { i =>
-      val base = Array.fill(dim)(rnd.nextDouble() - 0.5)
-      // every third vector is a scaled near-copy of the previous one
-      val v = if (i % 3 == 2) base.map(_ * 0.1) else base
+      val v =
+        if (i % 3 == 2) prev
+        else { prev = Array.fill(dim)(rnd.nextDouble() - 0.5); prev }
       (i, v.map(_.toFloat).toSeq)
     }
     val df = corpus.toDF("vec_id", "embedding")
@@ -269,5 +273,8 @@ class PropertySpec extends SparkSpec {
       }
       assert(kept === !expectDrop, s"vec $id")
     }
+    // the 20 planted exact copies MUST have been dropped — the test
+    // cannot silently degenerate into an all-kept corpus
+    assert(out.count(!_._3) >= 20)
   }
 }

@@ -48,6 +48,10 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("probe side rides the bounded-heap aggregate, not the raw key stream") {
+    // pinned on the lazy path: with checkLossless on, the candidate
+    // stage is materialized behind a localCheckpoint at call time, so
+    // its plan shows a scan — but both paths build the candidates from
+    // the SAME code, so this pin covers the shared shape
     val plan = Sketches.cmsHeavyHitters(stream, col("key"),
         depth = 4, width = 8, minCount = 1, checkLossless = false)
       .queryExecution.optimizedPlan.toString
