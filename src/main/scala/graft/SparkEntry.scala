@@ -1045,6 +1045,13 @@ object SparkEntry {
     "q75_lm_score" -> ((s, dir) =>
       graft.operators.Corpus.lmScore(docs(s, dir), "doc_id", "text")),
 
+    // ---- one-pass table profile (corpus-QA): per-column nulls, KMV
+    // distinct estimates, native min/max — one aggregate job ----
+    "q79_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(
+        events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value")))),
+
     // ---- weighted sampling w/o replacement (A-ES, hash uniforms):
     // 500 events, probability ∝ value; bounded-heap selection ----
     "q78_weighted_sample" -> ((s, dir) =>
@@ -2412,6 +2419,30 @@ object SparkEntry {
                " / CAST(count(*) AS DOUBLE)")} AS nll
          |FROM pairs p JOIN bi USING (a, b) JOIN uni USING (a) CROSS JOIN v
          |GROUP BY 1""".stripMargin
+    },
+
+    // q79: each column's profile block mirrors the Spark aggregates —
+    // non-null counts, the q38 KMV estimate formula over the same
+    // portable hashes, native-type min/max rendered to VARCHAR.
+    "q79_profile" -> {
+      def block(c: String): String = {
+        val g = s"(1566083941 * ((${hashSql(s"CAST($c AS VARCHAR)")}) + 1)) % 1000000007"
+        s"""SELECT '$c' AS "column", t.n_rows AS n_rows,
+           |  t.n_rows - s.cnt AS n_nulls,
+           |  CASE WHEN len(s.hs) < 64 THEN CAST(len(s.hs) AS DOUBLE)
+           |       ELSE floor((63.0 * 1000000007.0 / s.hs[64] - 1.0) * 10000 + 0.5) / 10000
+           |  END AS ndv_est,
+           |  s.mn AS min_val, s.mx AS max_val
+           |FROM (SELECT list_sort(list_distinct(list($g)
+           |          FILTER (WHERE $c IS NOT NULL))) AS hs,
+           |        count($c) AS cnt,
+           |        CAST(min($c) AS VARCHAR) AS mn,
+           |        CAST(max($c) AS VARCHAR) AS mx
+           |      FROM events) s CROSS JOIN t""".stripMargin
+      }
+      s"""WITH t AS (SELECT count(*) AS n_rows FROM events)
+         |${Seq("event_id", "user_id", "event_type", "value")
+             .map(block).mkString("\nUNION ALL\n")}""".stripMargin
     },
 
     // q78: hash-uniform priorities mirror term-for-term (same +1 /
