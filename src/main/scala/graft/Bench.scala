@@ -1,9 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint.
+  *
+  * Prints ONE JSON line with total + per-query seconds. Round-5 review
+  * showed single-trial numbers swing ±30% under machine load and are
+  * useless for regression detection, so this harness now:
+  *   - records 1/5/15-min loadavg (from /proc/loadavg) at start and end
+  *     of the timed section into the JSON;
+  *   - waits up to SPARK_GRAFT_BENCH_LOAD_WAIT_SEC (default 120 s) for
+  *     the 1-min loadavg to drop below SPARK_GRAFT_BENCH_LOAD_GATE
+  *     (default 2.5) before timing, and annotates the run with
+  *     "load_contaminated": true if it never did — annotation, not
+  *     refusal, so a driver-side run always produces a number;
+  *   - runs SPARK_GRAFT_BENCH_TRIALS trials per query (default 3) and
+  *     reports the per-query MEDIAN in "queries" (what `value` sums),
+  *     the MIN in "queries_min", and every raw trial in
+  *     "queries_trials" so nothing is hidden — trial 1 includes any
+  *     once-per-corpus artifact training (ANN quantizers, dup graph),
+  *     later trials are the steady-state cost.
+  */
 object Bench {
+  private def loadavg(): Seq[Double] =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+      .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) 0.0
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt.max(1)
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "2.5").toDouble
+    val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "120").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,23 +66,55 @@ object Bench {
         catch { case _: Throwable => () })
     // noop sink, not count(): count() lets Catalyst prune every computed
     // column, which would "bench" map-heavy queries as bare row counts.
+
+    // Load gate: an external workload inflates every query uniformly
+    // (the bench itself drives loadavg up, so only the PRE-run value is
+    // a contamination signal). Wait briefly for calm, else annotate.
+    val waitDeadline = System.nanoTime() + loadWaitSec * 1000L * 1000 * 1000
+    var load0 = loadavg()
+    while (load0.head > loadGate && System.nanoTime() < waitDeadline) {
+      System.err.println(s"[bench] loadavg ${load0.head} > $loadGate; waiting for quiet box")
+      Thread.sleep(10000)
+      load0 = loadavg()
+    }
+    val contaminated = load0.head > loadGate
+
     // optional focused run for profiling: comma-separated query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // Trials are interleaved whole-suite passes (pass 1 = all queries,
+    // pass 2 = all queries, ...), not back-to-back per query: a
+    // transient external load spike then contaminates one PASS, and the
+    // per-query median still has two clean samples. Pass 1 also pays
+    // the once-per-corpus artifact training exactly like a single-trial
+    // run would, keeping "queries_trials"[0] comparable to old rounds.
+    val trialTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (t <- 1 to trials; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench] $name trial $t failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      trialTimes(name) = trialTimes(name) :+ (System.nanoTime() - t0) / 1e9
+    }
+    val load1 = loadavg()
+    def jmap(f: Vector[Double] => Double): String =
+      names.map { case (k, _) => s"\"" + k + "\":" + f(trialTimes(k)) }
+        .mkString("{", ",", "}")
+    val qs = jmap(v => median(v))
+    val qsMin = jmap(v => if (v.isEmpty) 0.0 else v.min)
+    val qsTrials = names.map { case (k, _) =>
+      s"\"" + k + "\":" + trialTimes(k).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = names.map { case (k, _) => median(trialTimes(k)) }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_min":$qsMin,"queries_trials":$qsTrials,"trials":$trials,""" +
+      s""""loadavg_start":${load0.mkString("[", ",", "]")},""" +
+      s""""loadavg_end":${load1.mkString("[", ",", "]")},""" +
+      s""""load_contaminated":$contaminated,"sf":"$sfDir"}"""
     println(line)
     // also write the JSON to a file: scraping it from sbt's log tail is
     // fragile (BENCH_r01 came back with parsed=null)

@@ -60,18 +60,52 @@ class SketchesSpec extends SparkSpec {
 
   test("lossless guard fails fast when capping drops a qualifying key") {
     // 100 keys all qualify at minCount = 1 but only 8 candidate slots:
-    // the default-on check must refuse instead of silently truncating
+    // the default-on check must refuse instead of silently truncating.
+    // The guard is folded into the plan, so the failure surfaces at the
+    // first ACTION (wrapped in Spark's job-failure exception chain).
     val many = (1 to 100).map(i => (i.toLong, f"k$i%03d")).toDF("id", "key")
-    val e = intercept[IllegalArgumentException] {
-      Sketches.cmsHeavyHitters(many, col("key"),
-        depth = 4, width = 1024, minCount = 1,
-        candBuckets = 4, candPerBucket = 2)
-    }
-    assert(e.getMessage.contains("raise candBuckets"))
+    val plan = Sketches.cmsHeavyHitters(many, col("key"),
+      depth = 4, width = 1024, minCount = 1,
+      candBuckets = 4, candPerBucket = 2)
+    val e = intercept[Exception] { plan.collect() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("raise candBuckets"))
     // generous caps: the same call passes and is complete
     val ok = Sketches.cmsHeavyHitters(many, col("key"),
       depth = 4, width = 1024, minCount = 1)
     assert(ok.count() === 100L)
+  }
+
+  test("lossless guard is lazy: construction runs zero Spark jobs") {
+    // r5 review item: the guard used to materialize counts + candidates
+    // eagerly at call time. Now construction must submit NO jobs.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val plan = Sketches.cmsHeavyHitters(stream, col("key"),
+        depth = 4, width = 8, minCount = 1) // checkLossless default ON
+      Thread.sleep(1000) // listener bus is async; let any job surface
+      assert(jobs.get() === 0, "construction must not run jobs")
+      assert(plan.count() >= 1L) // and the plan still executes fine
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("NULL keys are excluded by contract, and don't trip the guard") {
+    // a NULL-key group larger than minCount must neither appear in the
+    // output nor make the lossless check unsatisfiable (top_k_by skips
+    // NULL ids, so an admitted NULL group could never be a candidate)
+    val withNulls = ((1 to 10).map(i => (i.toLong, Option.empty[String]))
+      ++ (1 to 30).map(i => (100L + i, Some("real")))).toDF("id", "key")
+    val out = Sketches.cmsHeavyHitters(withNulls, col("key"),
+      depth = 4, width = 1024, minCount = 5)
+    val keys = out.select("key").as[String].collect().toSet
+    assert(keys === Set("real"))
   }
 
   test("CMS sketch is streaming-mergeable: streaming build == batch build") {
