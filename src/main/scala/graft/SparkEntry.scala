@@ -1079,8 +1079,9 @@ object SparkEntry {
         .filter(col("t") =!= "").distinct()
         .collect().map(_.getString(0)).toSeq.sorted
       val lex = graft.operators.Relevance
-        .bm25QueryRank(d.filter(col("doc_id") =!= 0), "doc_id", "text", qTerms)
-        .filter(col("rank") <= 50).select(col("doc_id").as("id"), col("rank"))
+        .bm25QueryRank(d.filter(col("doc_id") =!= 0), "doc_id", "text", qTerms,
+          topK = 50)
+        .select(col("doc_id").as("id"), col("rank"))
       val e = embs(s, dir)
       val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 50)
         .select(col("n_id").as("id"), col("rank"))

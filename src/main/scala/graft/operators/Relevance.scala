@@ -68,8 +68,8 @@ object Relevance {
         col("rank"))
   }
 
-  /** BM25 RETRIEVAL ranking: every document scored against a
-    * bag-of-words query — score(d) = Σ_{t ∈ query} bm25(t, d) over the
+  /** BM25 RETRIEVAL ranking: documents scored against a bag-of-words
+    * query — score(d) = Σ_{t ∈ query} bm25(t, d) over the
     * distinct query terms, each contribution rounded to 6dp and
     * accumulated as DECIMAL(28,6) (order-free exact — the engine's
     * "sum of floats" policy), ranked (score desc, id asc). Corpus
@@ -77,24 +77,42 @@ object Relevance {
     * [[bm25TopTerms]] (one shared [[bm25Core]] derivation); the probe
     * then filters the tf table to the query's terms, so the scoring
     * join touches |query| postings lists, not the whole vocabulary.
-    * Returns (doc_id, score, rank) for documents matching ≥ 1 query
-    * term; the rank window runs over that match set, so queries of
-    * stopword-grade terms should cap it upstream. */
+    * Returns the top-`topK` (doc_id, score, rank) among documents
+    * matching ≥ 1 query term.
+    *
+    * The ranking is a single-group [[graft.functions.TopKBy]] bounded-
+    * heap aggregate, NOT a global `row_number` window: each map task
+    * keeps an O(topK) heap over its partition of the match set and the
+    * merge is heap-union, so a stopword-grade query term (postings =
+    * a large fraction of the corpus) never funnels the match set
+    * through a single-partition sort. Identical ordering semantics
+    * (score desc, doc_id asc — spec- and oracle-pinned). `idCol` must
+    * be BIGINT or STRING (the heap id types). */
   def bm25QueryRank(
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 100): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val (tf, dfT, lens, score) = bm25Core(docs, idCol, textCol, k1, b)
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    tf.filter(col("term").isin(queryTerms.distinct: _*))
+    val scored = tf.filter(col("term").isin(queryTerms.distinct: _*))
       .join(dfT, "term").join(lens, "doc_id")
       .select(col("doc_id"),
         graft.functions.TextFunctions.round6(score).as("x"))
       .groupBy(col("doc_id"))
       .agg(sum(col("x").cast("decimal(28,6)")).cast("double").as("score"))
-      .withColumn("rank", row_number().over(w))
+    rankTopK(scored, col("score"), col("doc_id"), topK)
+      .select(col("id").as("doc_id"), col("v").as("score"), col("rank"))
   }
+
+  /** Global top-`k` of `df` by (`v` desc, `id` asc) with 1-based dense
+    * positions, via one single-group bounded-heap aggregate (map-side
+    * O(k) partials — the scale-safe replacement for an unpartitioned
+    * `row_number` window). Returns (id, v, rank). */
+  private def rankTopK(df: DataFrame, v: Column, id: Column, k: Int): DataFrame =
+    df.agg(graft.functions.TopKBy.top_k_by(v, id, k).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("p.id").as("id"), col("p.v").as("v"),
+        (col("pos") + lit(1)).as("rank"))
 
   /** RECIPROCAL RANK FUSION (Cormack et al.): fuse any number of
     * ranked lists — rrf(d) = Σ_lists round6(1/(kRrf + rank_d)), each
@@ -102,7 +120,11 @@ object Relevance {
     * the fused ranking is deterministic and oracle-mirrorable. The
     * standard lexical+semantic hybrid-retrieval combiner; absent ids
     * simply contribute nothing from that list. Inputs: (id, rank)
-    * DataFrames. Returns the fused top-`topK`: (id, rrf, rank). */
+    * DataFrames. Returns the fused top-`topK`: (id, rrf, rank).
+    * Ranked by the same single-group bounded-heap aggregate as
+    * [[bm25QueryRank]] — no unpartitioned window anywhere in the
+    * fused plan (spec-pinned), so the combiner scales with the input
+    * lists' sizes even when callers fuse unbounded rankings. */
   def rrfFuse(
       rankings: Seq[DataFrame], kRrf: Int = 60, topK: Int = 20): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking")
@@ -110,10 +132,9 @@ object Relevance {
       graft.functions.TextFunctions.round6(
         lit(1.0) / (lit(kRrf.toDouble) + col("rank").cast("double"))).as("x")))
       .reduce(_ unionByName _)
-    val w = Window.orderBy(col("rrf").desc, col("id").asc)
-    contrib.groupBy(col("id"))
+    val fused = contrib.groupBy(col("id"))
       .agg(sum(col("x").cast("decimal(28,6)")).cast("double").as("rrf"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    rankTopK(fused, col("rrf"), col("id"), topK)
+      .select(col("id"), col("v").as("rrf"), col("rank"))
   }
 }

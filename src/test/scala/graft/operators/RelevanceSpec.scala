@@ -54,4 +54,33 @@ class RelevanceSpec extends SparkSpec {
     assert(Set(out(11L), out(12L)) === Set(1, 2))
     assert(out(10L) > 2 && out(13L) > 2)
   }
+
+  test("bm25QueryRank: topK bounds the output with identical ordering") {
+    val docs = (1 to 20).map(i =>
+      (i.toLong, ("spark " * i).trim + " pad")).toDF("doc_id", "text")
+    val all = Relevance.bm25QueryRank(docs, "doc_id", "text",
+      Seq("spark"), topK = 20).collect().map(r => (r.getLong(0), r.getInt(2)))
+    val top5 = Relevance.bm25QueryRank(docs, "doc_id", "text",
+      Seq("spark"), topK = 5).collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(top5.toSeq === all.toSeq.sortBy(_._2).take(5))
+  }
+
+  test("no unpartitioned window anywhere in the fused retrieval plan") {
+    // r5 review item: a global row_number window funnels the whole
+    // match set through one partition. The ranking now rides the
+    // bounded-heap top_k_by aggregate — the q77-shaped plan (bm25
+    // ranking fused with a second list) must contain NO Window node.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val docs = Seq((1L, "spark engine"), (2L, "spark"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val lex = Relevance.bm25QueryRank(docs, "doc_id", "text",
+      Seq("spark"), topK = 50).select($"doc_id".as("id"), $"rank")
+    val vec = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val fused = Relevance.rrfFuse(Seq(lex, vec), kRrf = 60, topK = 20)
+    val windows = fused.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(windows.isEmpty, "fused plan must not contain a Window node")
+    assert(fused.queryExecution.optimizedPlan.toString.contains("top_k_by"))
+  }
 }
