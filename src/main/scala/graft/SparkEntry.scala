@@ -53,6 +53,16 @@ object SparkEntry {
   // parameters), so cache entries carry no SparkSession state.
   // `annTrainings` counts actual training runs for the spec pinning
   // "one training per corpus, not per query".
+  //
+  // IMMUTABLE-CORPUS-PER-PATH ASSUMPTION (applies to every cache in
+  // this section, including the dup-graph caches below): entries are
+  // keyed by directory path with NO data-version fingerprint, so
+  // overwriting a table at the same path within a live JVM would serve
+  // stale artifacts. That is the deployment contract of a persisted
+  // index: rebuilding the corpus means retraining/republishing its
+  // artifacts under a new version, not mutating data under a live
+  // server. Tests that rewrite tables copy them to a private dir first
+  // (ArtifactReuseSpec does exactly this).
   val annTrainings = new java.util.concurrent.atomic.AtomicInteger(0)
   private val ivfCache =
     scala.collection.concurrent.TrieMap[String, IndexedSeq[(Long, Array[Double])]]()

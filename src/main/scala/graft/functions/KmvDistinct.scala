@@ -60,9 +60,15 @@ case class KmvDistinct(
   override def update(
       buf: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null)
-      add(buf, KmvDistinct.Scramble * (v.asInstanceOf[Long] % PortableHash.Mod + 1L)
-        % PortableHash.Mod)
+    if (v != null) {
+      // floorMod, not %: a negative input (raw xxhash64, negative id)
+      // would otherwise produce negative scrambled values that sort as
+      // the k smallest and silently corrupt the estimate. For the
+      // documented non-negative PortableHash range floorMod ≡ %, so no
+      // estimate changes. (Scramble·(h+1) ≤ ~1.6e18 — no Long overflow.)
+      val h = Math.floorMod(v.asInstanceOf[Long], PortableHash.Mod)
+      add(buf, KmvDistinct.Scramble * (h + 1L) % PortableHash.Mod)
+    }
     buf
   }
 

@@ -24,7 +24,14 @@ object Normalize {
     * row's value is NULL. NULL values are excluded from the moments
     * (`count(v)`, and the decimal sums already skip them) — counting
     * them would bias μ/σ and make constant-plus-null groups emit
-    * garbage z-scores. */
+    * garbage z-scores.
+    *
+    * NULL-KEY rows are EXCLUDED from the output entirely: the join
+    * back to the stats table is an equi-join on the keys, and SQL
+    * equality never matches NULL — matching the semantics of the
+    * GROUP BY + JOIN USING oracle mirror. Coalesce key columns
+    * upstream if a NULL-key stratum should be normalized as its own
+    * group. */
   def zscore(
       df: DataFrame, keys: Seq[String], valueCol: Column): DataFrame = {
     require(keys.nonEmpty, "zscore needs at least one key column")

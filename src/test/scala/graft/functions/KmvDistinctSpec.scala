@@ -34,6 +34,18 @@ class KmvDistinctSpec extends SparkSpec {
     assert(a == b && a == c) // k smallest hashes are order-independent
   }
 
+  test("negative pre-hashed inputs (raw xxhash64) don't corrupt the estimate") {
+    // floorMod hardening: without it a negative input yields a negative
+    // scrambled value that becomes one of the k smallest and drags the
+    // estimate toward garbage. With it, raw xxhash64 (full-range Long,
+    // half negative) estimates as well as portable_hash.
+    val n = 5000
+    val values = (0 until n).map(i => s"value_$i")
+    val e = values.toDF("v").select(xxhash64($"v").as("h"))
+      .agg(kmv_distinct($"h", 128)).as[Double].head()
+    assert(math.abs(e - n) / n < 0.25, s"estimate $e for n=$n")
+  }
+
   test("grouped estimates") {
     val df = (0 until 1000).map(i => (i % 2, s"g${i % 2}_v$i")).toDF("g", "v")
     val out = df.select($"g", portable_hash($"v").as("h"))
