@@ -29,4 +29,32 @@ class ProfileSpec extends SparkSpec {
     val plan = Profile.profile(d).queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan) // count-distinct would Expand
   }
+
+  test("300-column table: batched aggregates, values identical to 1-batch") {
+    // plan-width guard: 4 aggregate expressions per column would blow
+    // Janino limits in a single aggregate on wide feature tables, so
+    // columns profile in batches of `batchCols` unioned together. The
+    // values must not depend on the batching.
+    val wide = spark.range(100).select(
+      (0 until 300).map(i => (col("id") * 300 + i).as(f"f$i%03d")): _*)
+    val out = Profile.profile(wide, batchCols = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4), r.getString(5)))).toMap
+    assert(out.size === 300)
+    assert(out("f000") === ((100L, 0L, "0", "29700")))
+    assert(out("f299") === ((100L, 0L, "299", "29999")))
+    // batching is value-invariant: a few columns cross-checked against
+    // the tiny-batch form
+    val small = Profile.profile(
+        wide.select("f000", "f150", "f299"), batchCols = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getString(4), r.getString(5)))).toMap
+    for (c <- Seq("f000", "f150", "f299")) {
+      val full = Profile.profile(wide, batchCols = 64)
+        .filter(col("column") === c).collect().head
+      assert(small(c) === ((full.getLong(1), full.getLong(2),
+        full.getDouble(3), full.getString(4), full.getString(5))))
+    }
+  }
 }
