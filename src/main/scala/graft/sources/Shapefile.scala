@@ -29,8 +29,22 @@ import org.apache.spark.sql.types._
   * ([[Sources.geoParquetFeatures]] — the distributed path). */
 object Shapefile {
 
-  /** Read `path` (.shp) + sibling .dbf into (attrs..., geometry WKB). */
+  /** Read `path` (.shp) + sibling .dbf into (attrs..., geometry WKB).
+    *
+    * CRS CONTRACT: coordinates must be geographic lon/lat matching the
+    * grid. The reference reprojects features to the grid CRS before
+    * taking bounds (`etl.py:321-322`, `gdf.to_crs(grid_crs)` with the
+    * catalog's `crs` column); this engine instead REQUIRES inputs
+    * already in the grid's geographic CRS and fails loudly otherwise:
+    * a sibling `.prj` declaring a PROJECTED CRS (PROJCS/PROJCRS) is
+    * rejected at read time — silently treating projected eastings/
+    * northings as degrees would produce wrong subsets downstream. A
+    * geographic `.prj` (GEOGCS/GEOGCRS) passes; a missing `.prj`
+    * falls back to the documented fixture contract (coordinates
+    * assumed grid lon/lat). Reproject upstream (ogr2ogr -t_srs) if a
+    * projected source must be ingested. */
   def read(spark: SparkSession, path: String): DataFrame = {
+    checkCrs(path)
     val geoms = parseShp(Files.readAllBytes(Paths.get(path)))
     val dbfPath = Paths.get(path.replaceAll("(?i)\\.shp$", ".dbf"))
     val (fields, records) =
@@ -46,6 +60,32 @@ object Shapefile {
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** Enforce the CRS contract from the sibling `.prj` (OGC WKT), when
+    * present. Only the CRS *kind* is inspected — geographic accepted,
+    * projected rejected — because the lon/lat fixture contract is about
+    * unit semantics (degrees vs meters), not datum shifts; sub-degree
+    * datum differences are the reference's tolerance too (it feeds any
+    * geographic CRS straight to the same bbox math). */
+  private def checkCrs(path: String): Unit = {
+    val prj = Paths.get(path.replaceAll("(?i)\\.shp$", ".prj"))
+    if (Files.exists(prj)) {
+      val wkt = new String(Files.readAllBytes(prj), "US-ASCII").trim
+      val kind = wkt.takeWhile(c => c.isLetter || c == '_').toUpperCase
+      kind match {
+        case "GEOGCS" | "GEOGCRS" | "GEODCRS" => () // geographic lon/lat
+        case "PROJCS" | "PROJCRS" => throw new IllegalArgumentException(
+          s"shapefile $path declares a PROJECTED CRS in its .prj " +
+            s"(${wkt.take(60)}...): this reader requires geographic " +
+            "lon/lat coordinates matching the grid CRS — reproject " +
+            "upstream (e.g. ogr2ogr -t_srs) before ingestion")
+        case other => throw new IllegalArgumentException(
+          s"shapefile $path has an unrecognized .prj CRS kind '$other' " +
+            s"(${wkt.take(60)}...): expected a geographic CRS " +
+            "(GEOGCS/GEOGCRS) matching the grid")
+      }
+    }
   }
 
   /** .shp → one little-endian WKB POLYGON (or null for Null shapes)

@@ -207,7 +207,13 @@ object Sources {
   /** S2 — shapefile feature ingestion (the reference's `.shp` suffix
     * path, `etl.py:563`/`etl.py:806`): parse the public-spec
     * `.shp`/`.dbf` pair ([[Shapefile]]) and derive the engine feature
-    * table through the same WKB path GeoParquet takes. */
+    * table through the same WKB path GeoParquet takes.
+    *
+    * CRS contract (enforced in [[Shapefile.read]]): coordinates must
+    * be geographic lon/lat matching the grid. The reference reprojects
+    * (`etl.py:321-322`); this engine requires pre-projected input and
+    * REJECTS a `.prj` declaring a projected CRS at read time rather
+    * than silently subsetting with meters-as-degrees. */
   def shapefileFeatures(
       spark: SparkSession, path: String, fidCol: String): DataFrame =
     featuresFromWkb(Shapefile.read(spark, path), fidCol)

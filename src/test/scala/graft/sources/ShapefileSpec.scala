@@ -80,4 +80,31 @@ class ShapefileSpec extends SparkSpec {
     val df = Shapefile.read(spark, path)
     assert(df.select("fid").as[Long].collect().toSeq === Seq(1L))
   }
+
+  test("CRS contract: a projected .prj is rejected loudly") {
+    // the reference reprojects (etl.py:321-322); this engine requires
+    // pre-projected lon/lat and must FAIL, not silently subset with
+    // meters-as-degrees
+    val dir = tmp()
+    val path = ShpTestData.write(dir, "proj",
+      Seq(1L -> Seq(Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (0.0, 0.0)))))
+    Files.writeString(java.nio.file.Paths.get(path.replace(".shp", ".prj")),
+      """PROJCS["NAD83 / Conus Albers",GEOGCS["NAD83",DATUM["North_American_Datum_1983",SPHEROID["GRS 1980",6378137,298.257222101]]],PROJECTION["Albers_Conic_Equal_Area"],UNIT["metre",1]]""")
+    val e = intercept[IllegalArgumentException] { Shapefile.read(spark, path) }
+    assert(e.getMessage.contains("PROJECTED CRS"))
+    assert(e.getMessage.contains("reproject"))
+  }
+
+  test("CRS contract: a geographic .prj passes; garbage is rejected") {
+    val dir = tmp()
+    val path = ShpTestData.write(dir, "geo",
+      Seq(1L -> Seq(Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (0.0, 0.0)))))
+    val prj = java.nio.file.Paths.get(path.replace(".shp", ".prj"))
+    Files.writeString(prj,
+      """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]]""")
+    assert(Shapefile.read(spark, path).count() === 1L)
+    Files.writeString(prj, """LOCAL_CS["ad-hoc engineering grid"]""")
+    val e = intercept[IllegalArgumentException] { Shapefile.read(spark, path) }
+    assert(e.getMessage.contains("unrecognized .prj CRS"))
+  }
 }
