@@ -35,18 +35,32 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard on
     * word n-gram shingles.
     *
+    * Skew tripwire: a band bucket of `s` identical signatures yields
+    * s·(s−1)/2 candidate pairs, and because the OUTPUT contract is the
+    * pair list itself (near-identical docs genuinely produce quadratic
+    * pairs), no rewrite can bound it — so the operator carries an
+    * ENFORCED `maxBucketSize` guard (default 100k ≈ 5e9 pairs from one
+    * bucket): the returned plan fails fast (lazy broadcast-scalar
+    * assert, zero construction jobs) when any band bucket exceeds it,
+    * naming the fix (exact-dedup upstream — [[exact]] collapses
+    * identical texts — or accept the cost by raising the bound).
+    * Pipelines that exact-dedup first, as every curation recipe does,
+    * never approach the bound.
+    *
     * @param n        shingle width (words)
     * @param k        minhash functions (= bands·rowsPerBand)
     * @param bands    LSH bands; P(detect | J) = 1-(1-J^r)^bands
     * @param threshold exact-Jaccard acceptance threshold
+    * @param maxBucketSize fail-fast bound on a single band bucket
     * @return (a_id, b_id, jaccard) with a_id < b_id, jaccard rounded 6dp
     */
   def minhashLsh(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = 100000): DataFrame = {
     val r = k / bands
     require(bands * r == k, "k must be divisible by bands")
+    require(maxBucketSize >= 1, "maxBucketSize must be >= 1")
 
     // sorted distinct portable_hash shingle sets in ONE codegen pass
     // (TextKernels) — same VALUE SET the string pipeline fed the
@@ -67,6 +81,11 @@ object Dedup {
     val banded = sig.select(col("id"),
       explode(bandKeys(col("sig"), bands, r)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // hot-bucket tripwire: 1-row broadcast scalar asserted in the plan
+    // (lazy, same pattern as cmsHeavyHitters / semDedup guards)
+    val stats = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)).as("__mxb"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     val candidates = a.join(b,
@@ -74,6 +93,14 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
+      .crossJoin(broadcast(stats))
+      .where(assert_true(col("__mxb") <= lit(maxBucketSize.toLong),
+        lit(s"minhashLsh: a band bucket exceeds maxBucketSize=" +
+          s"$maxBucketSize signatures — the candidate join would emit " +
+          "~bucket² pairs. Run exact dedup upstream (Dedup.exact) to " +
+          "collapse identical texts, or raise maxBucketSize if the " +
+          "quadratic output is truly intended")).isNull)
+      .drop("__mxb")
 
     // exact verification on the candidate set only: two-pointer merge
     // over the sorted 64-BIT hash sets (|A∪B| = |A|+|B|−|A∩B|) —

@@ -29,6 +29,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash LSH hot-bucket tripwire: fails fast, names the fix") {
+    // 40 identical docs → one band bucket of 40 signatures; with
+    // maxBucketSize = 10 the plan must fail at action time instead of
+    // silently emitting ~bucket² candidate pairs
+    val dup = (1 to 40).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.minhashLsh(dup, "doc_id", "text",
+        n = 2, k = 32, bands = 16, threshold = 0.5,
+        maxBucketSize = 10).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("Dedup.exact"))
+    // raising the bound (accepting the quadratic output) completes
+    assert(Dedup.minhashLsh(dup, "doc_id", "text",
+      n = 2, k = 32, bands = 16, threshold = 0.5,
+      maxBucketSize = 100).count() === 40L * 39L / 2L)
+  }
+
   test("minhash jaccard value matches the exact shingle jaccard") {
     val j = Dedup.minhashLsh(docsDF, "doc_id", "text",
       n = 2, k = 32, bands = 16, threshold = 0.0)

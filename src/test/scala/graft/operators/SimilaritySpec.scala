@@ -171,4 +171,38 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("kept")).count()
     assert(loose === 5L)
   }
+
+  test("semDedup: adversarial all-identical corpus completes — zero pairs") {
+    // 20,000 identical embeddings in one cluster: the old intra-cluster
+    // quadratic would build ~2e8 pairs; the exact-duplicate collapse
+    // reduces the pairwise stage to ONE representative (zero pairs) and
+    // the keep-min-id answer is unchanged
+    val n = 20000
+    val df = spark.range(n).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(2.0f), lit(3.0f)).as("embedding"))
+    val cents = Seq((0L, Array(1.0, 2.0, 3.0)), (1L, Array(-1.0, -2.0, -3.0)))
+    val out = Similarity.semDedup(df, cents, threshold = 0.9)
+    assert(out.filter(col("kept")).select("id").as[Long].collect().toSeq
+      === Seq(0L))
+    assert(out.count() === n.toLong)
+  }
+
+  test("semDedup: skew guard trips on a distinct-vector mega-cluster") {
+    // 300 DISTINCT vectors nearest one centroid: share 300/302 > 0.5
+    // and above the 256-rep floor → the plan must fail fast with the
+    // raise-nLists message instead of running an effective all-pairs
+    val big = (0 until 300).map(i => (i.toLong, Seq(10.0 + i * 1e-4, 0.0)))
+    val small = Seq((1000L, Seq(-10.0, 0.0)), (1001L, Seq(-10.0, 1.0)))
+    val df = (big ++ small).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(10.0, 0.0)), (1L, Array(-10.0, 0.0)))
+    val e = intercept[Exception] {
+      Similarity.semDedup(df, cents, threshold = 0.99).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("Raise nLists"))
+    // explicitly accepting the cost completes
+    assert(Similarity.semDedup(df, cents, threshold = 0.99,
+      maxClusterShare = 1.0).count() === 302L)
+  }
 }
