@@ -95,6 +95,22 @@ object SparkEntry {
       })
     }
 
+  private val pqResCache =
+    scala.collection.concurrent.TrieMap[String, IndexedSeq[IndexedSeq[Array[Double]]]]()
+
+  /** RESIDUAL PQ codebooks (q80 — Faiss IVFPQ proper): trained on
+    * v − centroid(list) under the SHARED coarse quantizer, same
+    * m/ksub/iters/sample as [[pqArtifact]]. A third one-time artifact
+    * per corpus. */
+  private def pqResidualArtifact(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[Array[Double]]] =
+    pqResCache.synchronized {
+      pqResCache.getOrElseUpdate(dir, {
+        annTrainings.incrementAndGet()
+        Similarity.pqCodebooksResidual(embs(s, dir), ivfArtifact(s, dir),
+          m = 8, ksub = 16, iters = 2, trainSampleMod = 2)
+      })
+    }
+
   // ---- shared near-dup graph artifacts (q14/q43/q46/q52/q61/q69) ----
   // Same persisted-artifact reasoning as the ANN quantizers: a real
   // pipeline computes the corpus's duplicate graph ONCE and serves the
@@ -946,6 +962,17 @@ object SparkEntry {
       // training when q36/q50 ran first (one IVF + one PQ per corpus)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), k = 5,
         ivfArtifact(s, dir), pqArtifact(s, dir), nProbe = 4,
+        idCol = "vec_id", vecCol = "embedding")
+    }),
+
+    // ---- IVF+PQ with RESIDUAL encoding (Faiss IVFPQ proper): PQ codes
+    // quantize v − centroid(list), ADC tables are per-(query, probed
+    // list); the coarse quantizer is the SAME shared artifact as
+    // q36/q63, plus one residual-codebook training per corpus ----
+    "q80_ann_ivfpq_residual_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        ivfArtifact(s, dir), pqResidualArtifact(s, dir), nProbe = 4,
         idCol = "vec_id", vecCol = "embedding")
     }),
 
@@ -2193,6 +2220,79 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY approx_d2 ASC, n_id ASC) AS rank
          |  FROM scf WHERE q_id <> n_id) WHERE rank <= 5""".stripMargin
+    },
+
+    // q80: q63's coarse CTEs (c0..c3 + full assignment a4), then PQ
+    // trained/encoded on RESIDUALS rv = v − c(a4.cid); query tables
+    // are per-(q, probed list) from the query's residual against that
+    // list's centroid — the exact mirror of ivfPqResidualTopK
+    // (listTables semantics: a vector scores under its own list's
+    // table, and only for queries probing that list).
+    "q80_ann_ivfpq_residual_topk" -> {
+      val foldPd = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list(qt.pd ORDER BY qt.sub)), (a0, x0) -> a0 + x0)"
+      s"""WITH ea AS (SELECT vec_id AS id,
+         |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |e AS (SELECT * FROM ea WHERE id % 2 = 0),
+         |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
+         |${ivfIterSql(1, "c0")},
+         |${ivfIterSql(2, "c1")},
+         |${ivfIterSql(3, "c2")},
+         |s4 AS (SELECT ea.id, ea.v, c.cid,
+         |  ${dotSql("ea.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM ea CROSS JOIN c3 c),
+         |a4 AS (SELECT id, cid FROM (
+         |  SELECT id, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |  FROM s4) WHERE rn = 1),
+         |rv AS (SELECT ea.id,
+         |  list_transform(range(1, len(ea.v)+1), ri -> ea.v[ri] - c.c[ri]) AS v
+         |  FROM ea JOIN a4 ON ea.id = a4.id JOIN c3 c ON a4.cid = c.cid),
+         |esa AS (SELECT id, sub, v[sub*8+1 : sub*8+8] AS vs
+         |  FROM rv CROSS JOIN (SELECT unnest(range(0, 8)) AS sub)),
+         |es AS (SELECT * FROM esa WHERE id % 2 = 0),
+         |pc0 AS (SELECT sub,
+         |  row_number() OVER (PARTITION BY sub ORDER BY id) - 1 AS cid,
+         |  vs AS c
+         |  FROM es WHERE id IN (SELECT id FROM e ORDER BY id LIMIT 16)),
+         |${pqIterSql(1, "pc0")},
+         |${pqIterSql(2, "pc1")},
+         |pes AS (SELECT esa.id, esa.sub, c.cid,
+         |  ${dotSql("esa.vs", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM esa JOIN pc2 c ON esa.sub = c.sub),
+         |pea AS (SELECT id, sub, cid FROM (
+         |  SELECT id, sub, cid,
+         |    row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
+         |  FROM pes) WHERE rn = 1),
+         |q AS (SELECT id AS q_id, v AS qv FROM ea WHERE id < 8),
+         |ps AS (SELECT q.q_id, c.cid,
+         |  ${dotSql("q.qv", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM q CROSS JOIN c3 c),
+         |pr AS (SELECT q_id, cid FROM (
+         |  SELECT q_id, cid,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn
+         |  FROM ps) WHERE rn <= 4),
+         |qr AS (SELECT pr.q_id, pr.cid AS lcid,
+         |  list_transform(range(1, len(q.qv)+1), ri -> q.qv[ri] - c.c[ri]) AS rqv
+         |  FROM pr JOIN q ON pr.q_id = q.q_id JOIN c3 c ON pr.cid = c.cid),
+         |qsub AS (SELECT q_id, lcid, sub, rqv[sub*8+1 : sub*8+8] AS vs
+         |  FROM qr CROSS JOIN (SELECT unnest(range(0, 8)) AS sub)),
+         |qt AS (SELECT q2.q_id, q2.lcid, c.sub, c.cid,
+         |  ${dotSql("q2.vs", "q2.vs")} - 2*${dotSql("q2.vs", "c.c")}
+         |    + ${dotSql("c.c", "c.c")} AS pd
+         |  FROM qsub q2 JOIN pc2 c ON q2.sub = c.sub),
+         |sc AS (SELECT qt.q_id, pea.id AS n_id,
+         |  ${graft.functions.TextFunctions.round6Sql(foldPd)} AS approx_d2
+         |  FROM pea JOIN a4 ON pea.id = a4.id
+         |  JOIN qt ON pea.sub = qt.sub AND pea.cid = qt.cid
+         |    AND qt.lcid = a4.cid
+         |  GROUP BY qt.q_id, pea.id)
+         |SELECT q_id, n_id, approx_d2, rank FROM (
+         |  SELECT q_id, n_id, approx_d2,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY approx_d2 ASC, n_id ASC) AS rank
+         |  FROM sc WHERE q_id <> n_id) WHERE rank <= 5""".stripMargin
     },
 
     // q64: register rank uses bin()-string bit length — integer-exact,

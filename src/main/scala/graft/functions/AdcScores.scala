@@ -18,6 +18,14 @@ import org.apache.spark.sql.graftbridge.Bridge
   * from 0.0 — the exact IEEE add sequence of the oracle's per-subspace
   * fold, so values stay bit-identical.
   *
+  * RESIDUAL mode (`listTables` non-null, Faiss IVFPQ proper): codes
+  * encode r = v − centroid(list), so the ADC table depends on the
+  * (query, probed list) pair — listTables(qi)(pi) is the table for
+  * query qi against its pi-th probed list (aligned with probes(qi)),
+  * computed from the query's residual against that list's centroid.
+  * A vector belongs to exactly one list, so each (query, vector) pair
+  * still scores at most once.
+  *
   * The query ids / ADC tables / probe lists ride as REFERENCE objects,
   * not literals: the generated source is a fixed ~20 lines regardless
   * of |Q|·m·ksub, so Janino compiles once and the PLAN stays constant-
@@ -28,7 +36,8 @@ case class AdcScores(
     left: Expression, right: Expression,
     qids: Array[Long],
     tables: Array[Array[Array[Double]]],
-    probes: Array[Array[Long]]) extends BinaryExpression {
+    probes: Array[Array[Long]],
+    listTables: Array[Array[Array[Array[Double]]]] = null) extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("q_id", LongType, nullable = false),
@@ -45,17 +54,22 @@ case class AdcScores(
 
   override def nullSafeEval(codes: Any, cid: Any): Any =
     AdcScores.score(codes.asInstanceOf[ArrayData], cid.asInstanceOf[Long],
-      qids, tables, probes)
+      qids, tables, probes, listTables)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val qidsRef = ctx.addReferenceObj("qids", qids, "long[]")
-    val tablesRef = ctx.addReferenceObj("tables", tables, "double[][][]")
+    val tablesRef =
+      if (tables == null) "(double[][][]) null"
+      else ctx.addReferenceObj("tables", tables, "double[][][]")
     val probesRef =
       if (probes == null) "(long[][]) null"
       else ctx.addReferenceObj("probes", probes, "long[][]")
+    val listTablesRef =
+      if (listTables == null) "(double[][][][]) null"
+      else ctx.addReferenceObj("listTables", listTables, "double[][][][]")
     nullSafeCodeGen(ctx, ev, (codes, cid) =>
       s"""${ev.value} = graft.functions.AdcScores.score(
-         |  $codes, $cid, $qidsRef, $tablesRef, $probesRef);""".stripMargin)
+         |  $codes, $cid, $qidsRef, $tablesRef, $probesRef, $listTablesRef);""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(
@@ -66,24 +80,32 @@ case class AdcScores(
 object AdcScores {
 
   /** Static kernel (codegen calls this directly — the TextKernels
-    * pattern): per probing query, fold its ADC table over the codes. */
+    * pattern): per probing query, fold its ADC table over the codes —
+    * the shared table (flat/non-residual) or the probed list's table
+    * (residual mode). */
   def score(
       codes: ArrayData, cid: Long,
       qids: Array[Long],
       tables: Array[Array[Array[Double]]],
-      probes: Array[Array[Long]]): GenericArrayData = {
+      probes: Array[Array[Long]],
+      listTables: Array[Array[Array[Array[Double]]]]): GenericArrayData = {
     val out = new Array[Any](qids.length)
     var n = 0
     var qi = 0
     while (qi < qids.length) {
+      var probeIdx = -1
       var probed = probes == null
       if (!probed) {
         val p = probes(qi)
         var i = 0
-        while (i < p.length && !probed) { if (p(i) == cid) probed = true; i += 1 }
+        while (i < p.length && !probed) {
+          if (p(i) == cid) { probed = true; probeIdx = i }
+          i += 1
+        }
       }
       if (probed) {
-        val tbl = tables(qi)
+        val tbl =
+          if (listTables != null) listTables(qi)(probeIdx) else tables(qi)
         var acc = 0.0
         var j = 0
         while (j < tbl.length) { acc += tbl(j)(codes.getLong(j).toInt); j += 1 }
@@ -98,12 +120,19 @@ object AdcScores {
   }
 
   /** Column wrapper. `probes` null ⇒ every query scores every vector
-    * (flat PQ); otherwise only queries probing `cid`'s list emit. */
+    * (flat PQ); otherwise only queries probing `cid`'s list emit.
+    * `listTables` non-null ⇒ residual mode: per-(query, probed list)
+    * tables aligned with `probes` (which must then be non-null). */
   def adc_scores(
       codes: Column, cid: Column,
       qids: Array[Long],
       tables: Array[Array[Array[Double]]],
-      probes: Array[Array[Long]]): Column =
+      probes: Array[Array[Long]],
+      listTables: Array[Array[Array[Array[Double]]]] = null): Column = {
+    require(listTables == null || probes != null,
+      "adc_scores: listTables (residual mode) requires probes")
     Bridge.column(AdcScores(
-      Bridge.expression(codes), Bridge.expression(cid), qids, tables, probes))
+      Bridge.expression(codes), Bridge.expression(cid), qids, tables, probes,
+      listTables))
+  }
 }

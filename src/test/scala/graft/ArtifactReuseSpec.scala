@@ -38,6 +38,10 @@ class ArtifactReuseSpec extends SparkSpec {
     SparkEntry.queries("q36_ann_ivf_topk")(spark, dir)
     SparkEntry.queries("q50_ann_pq_topk")(spark, dir)
     assert(SparkEntry.annTrainings.get() - t0 === 2) // re-asks are free
+    SparkEntry.queries("q80_ann_ivfpq_residual_topk")(spark, dir)
+    assert(SparkEntry.annTrainings.get() - t0 === 3) // + residual books
+    SparkEntry.queries("q80_ann_ivfpq_residual_topk")(spark, dir)
+    assert(SparkEntry.annTrainings.get() - t0 === 3) // IVF reused, books cached
   }
 
   test("dup-graph artifacts are shared across their consumer queries") {

@@ -150,6 +150,49 @@ class SimilaritySpec extends SparkSpec {
     pruned.foreach { case (q, n, d, _) => assert(pqPairs((q, n)) == d) }
   }
 
+  test("residual IVF+PQ beats non-residual recall at the same bytes") {
+    // clustered corpus with large inter-cluster offsets and small local
+    // structure: plain PQ spends its codewords re-encoding the offsets
+    // the coarse quantizer already removed (whole clusters collapse to
+    // one code → within-cluster ranking degenerates to id order), while
+    // residual books quantize the local structure — the Faiss IVFPQ
+    // rationale, measured as recall@10 against exact L2 neighbors
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(dim)(d =>
+        (if (d == c * 2) 100.0 else 0.0) + rnd.nextDouble() * 2 - 1))
+    }
+    val df = data.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(df, nLists = 4, iters = 3)
+    val plainBooks = Similarity.pqCodebooks(df, m = 4, ksub = 8)
+    val resBooks = Similarity.pqCodebooksResidual(df, cents, m = 4, ksub = 8)
+    val queries = df.filter(col("vec_id") < 8)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def recall(out: Array[(Long, Long)]): Double = {
+      val byQ = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val qs = data.filter(_._1 < 8)
+      qs.map { case (qid, qv) =>
+        val exact = data.filter(_._1 != qid)
+          .map { case (nid, nv) => (d2(qv, nv), nid) }
+          .sorted.take(10).map(_._2).toSet
+        byQ.getOrElse(qid, Set.empty[Long]).intersect(exact).size / 10.0
+      }.sum / qs.size
+    }
+    val plain = Similarity.ivfPqTopK(df, queries, k = 10, cents, plainBooks,
+      nProbe = 2, "vec_id", "embedding")
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    val res = Similarity.ivfPqResidualTopK(df, queries, k = 10, cents,
+      resBooks, nProbe = 2, "vec_id", "embedding")
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    val (rPlain, rRes) = (recall(plain), recall(res))
+    info(f"recall@10: plain=$rPlain%.2f residual=$rRes%.2f")
+    assert(rRes > rPlain, s"residual $rRes should beat plain $rPlain")
+    assert(rRes >= 0.5)
+  }
+
   test("semDedup: keep-min-id inside clusters, cross-cluster dups survive") {
     // two tight clusters on orthogonal axes; ids interleave so keep-
     // min-id is visible. 0/2/4 ~ x-axis (near-identical), 1/3 ~ y-axis.
