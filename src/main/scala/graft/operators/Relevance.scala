@@ -21,33 +21,39 @@ import org.apache.spark.sql.functions._
 object Relevance {
 
   /** The shared BM25 derivation — ONE definition of the tf/df/length
-    * tables and the Okapi score expression, so [[bm25TopTerms]] and
-    * [[bm25QueryRank]] (and their oracle mirrors) can never drift:
-    * (tf table checkpointed — it feeds df counts, doc lengths and the
-    * final join, plus the eager stats scalar — document text is
-    * exploded exactly once in the whole plan; per-term score column
-    * referencing tf/df/dl). */
+    * tables, the corpus-stats row, and the Okapi score expression, so
+    * [[bm25TopTerms]] and [[bm25QueryRank]] (and their oracle mirrors)
+    * can never drift. FULLY LAZY (zero jobs at construction,
+    * spec-pinned): N and avgdl used to be collected driver-side
+    * (`head()`) — the same construction-eagerness the CMS guard was
+    * cured of — and now ride as a 1-row stats DataFrame the callers
+    * cross-join (broadcast); the score column references its
+    * `__n`/`__avgdl` columns, arithmetic unchanged. No mid-plan
+    * checkpoint either (under AQE a lazy localCheckpoint still
+    * materializes map stages at construction); the tf aggregate's
+    * exchange is canonically identical under its consumers (df
+    * counts, doc lengths, final join), so AQE exchange reuse computes
+    * it once within the one query execution. */
   private def bm25Core(
       docs: DataFrame, idCol: String, textCol: String,
-      k1: Double, b: Double): (DataFrame, DataFrame, DataFrame, Column) = {
+      k1: Double, b: Double): (DataFrame, DataFrame, DataFrame, DataFrame, Column) = {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
     val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = lens.agg(count(lit(1)).cast("double"),
-      sum(col("dl")).cast("double")).head()
-    val nDocs = stats.getDouble(0)
-    val avgDl = stats.getDouble(1) / nDocs
+    val stats1 = lens
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("dl")).cast("double").as("__s"))
+      .select(col("__n"), (col("__s") / col("__n")).as("__avgdl"))
     val idf = log(lit(1.0) +
-      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val score = idf * (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
-        lit(b) * col("dl").cast("double") / lit(avgDl)))
-    (tf, dfT, lens, score)
+        lit(b) * col("dl").cast("double") / col("__avgdl")))
+    (tf, dfT, lens, stats1, score)
   }
 
   /** Top-`topK` BM25 terms per document: (doc_id, term, score, rank).
@@ -56,10 +62,11 @@ object Relevance {
   def bm25TopTerms(
       docs: DataFrame, idCol: String, textCol: String,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 3): DataFrame = {
-    val (tf, dfT, lens, score) = bm25Core(docs, idCol, textCol, k1, b)
+    val (tf, dfT, lens, stats1, score) = bm25Core(docs, idCol, textCol, k1, b)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(dfT, "term").join(lens, "doc_id")
+      .crossJoin(broadcast(stats1))
       .withColumn("score", score)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
@@ -93,9 +100,10 @@ object Relevance {
       queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 100): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val (tf, dfT, lens, score) = bm25Core(docs, idCol, textCol, k1, b)
+    val (tf, dfT, lens, stats1, score) = bm25Core(docs, idCol, textCol, k1, b)
     val scored = tf.filter(col("term").isin(queryTerms.distinct: _*))
       .join(dfT, "term").join(lens, "doc_id")
+      .crossJoin(broadcast(stats1))
       .select(col("doc_id"),
         graft.functions.TextFunctions.round6(score).as("x"))
       .groupBy(col("doc_id"))

@@ -65,6 +65,27 @@ class RelevanceSpec extends SparkSpec {
     assert(top5.toSeq === all.toSeq.sortBy(_._2).take(5))
   }
 
+  test("bm25 construction runs zero Spark jobs (stats ride the plan)") {
+    // N/avgdl used to be collected at call time (head()) — the same
+    // construction-eagerness the CMS guard was cured of; they now ride
+    // as a broadcast 1-row stats DataFrame inside the one execution
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val plan = Relevance.bm25TopTerms(docs, "doc_id", "text")
+      val plan2 = Relevance.bm25QueryRank(docs, "doc_id", "text", Seq("b"))
+      Thread.sleep(1000) // listener bus is async; let any job surface
+      assert(jobs.get() === 0, "construction must not run jobs")
+      assert(plan.count() >= 1L && plan2.count() >= 1L)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("no unpartitioned window anywhere in the fused retrieval plan") {
     // r5 review item: a global row_number window funnels the whole
     // match set through one partition. The ranking now rides the
