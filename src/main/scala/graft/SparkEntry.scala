@@ -472,6 +472,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairsAdaptive(docs(s, dir), "doc_id", "text",
         blockCol = "lang", n = 2, threshold = 0.4)),
 
+    // ---- substring-level dedup: cross-document repeated n-gram spans
+    // (Lee et al. span-removal shape) — token ranges to cut ----
+    "q81_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(docs(s, dir), "doc_id", "text",
+        n = 8, minDocs = 2)),
+
     // ---- winnowing fingerprints ----
     "q18_fingerprints" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -2294,6 +2300,30 @@ object SparkEntry {
          |      ORDER BY approx_d2 ASC, n_id ASC) AS rank
          |  FROM sc WHERE q_id <> n_id) WHERE rank <= 5""".stripMargin
     },
+
+    // q81: the oracle groups on the RAW n-gram string where the engine
+    // groups on (xxhash64, length) — the q13 fingerprint precedent: a
+    // collision would surface here as a hash mismatch.
+    "q81_repeated_spans" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS arr
+        |              FROM documents),
+        |idx AS (SELECT doc_id, arr, unnest(range(0, len(arr) - 7)) AS pos
+        |        FROM base WHERE len(arr) >= 8),
+        |grams AS (SELECT doc_id, pos,
+        |          array_to_string(arr[pos+1 : pos+8], ' ') AS g FROM idx),
+        |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+        |        FROM grams GROUP BY g) WHERE nd >= 2),
+        |marked AS (SELECT doc_id, pos FROM grams JOIN hot USING (g)),
+        |sp AS (SELECT doc_id, pos,
+        |       CASE WHEN pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS newspan
+        |       FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp2 AS (SELECT doc_id, pos,
+        |        sum(newspan) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+        |        FROM sp)
+        |SELECT doc_id, min(pos) AS start_tok, max(pos) + 8 AS end_tok,
+        |  count(*) AS marked_grams
+        |FROM sp2 GROUP BY doc_id, span""".stripMargin,
 
     // q64: register rank uses bin()-string bit length — integer-exact,
     // no floating log2; Σ2^(−reg) is a sum of exact powers of two

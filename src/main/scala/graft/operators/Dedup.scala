@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -616,5 +617,60 @@ object Dedup {
       .groupBy(col("u")).agg(min(col("v")).as("lab"))
       .withColumnRenamed("u", "id")
     clustersOutput(docs, idCol, labels)
+  }
+
+  /** SUBSTRING-LEVEL dedup — cross-document REPEATED-SPAN detection
+    * (the Lee et al. 2022 "Deduplicating Training Data" operator
+    * family, which removes repeated SPANS rather than whole
+    * documents): every token `n`-gram occurring in ≥ `minDocs`
+    * DISTINCT documents marks its start position; marked positions
+    * within a document merge into spans when they are ≤ n tokens
+    * apart (overlapping or exactly adjacent repeats coalesce).
+    * Returns (doc_id, start_tok, end_tok, marked_grams) with
+    * [start_tok, end_tok) a token-offset range and marked_grams the
+    * number of marked n-gram starts inside it — the cut list a
+    * span-removal pass consumes.
+    *
+    * Scale shape: the hot-gram detection groups on
+    * (xxhash64(gram), length(gram)) — ~12 bytes per n-gram cross the
+    * wire, never the gram text (the [[exact]] fingerprint precedent;
+    * the oracle groups on the raw gram string, so any 64-bit+length
+    * collision surfaces as a q81 hash mismatch). One shuffle keys the
+    * position stream by gram fingerprint for the marking semi-join;
+    * span assembly is a per-document window over MARKED positions
+    * only (repeated-content-sized, not corpus-sized). Deterministic
+    * end to end. */
+  def repeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2 (a cross-document test)")
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("arr"))
+      .filter(size(col("arr")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(arr) - $n), " +
+          s"i -> array_join(slice(arr, i + 1, $n), ' '))")))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("col")).as("gh"), length(col("col")).as("gl"))
+    val hot = grams.select(col("gh"), col("gl"), col("doc_id")).distinct()
+      .groupBy(col("gh"), col("gl")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gh"), col("gl"))
+    val marked = grams.join(hot, Seq("gh", "gl"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("newspan",
+        when(col("pos") - lag(col("pos"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("span", sum(col("newspan"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + lit(n)).cast("long").as("end_tok"),
+        count(lit(1)).as("marked_grams"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        col("marked_grams"))
   }
 }

@@ -58,6 +58,42 @@ class DedupSpec extends SparkSpec {
     assert(j == 1.0)
   }
 
+  test("repeatedSpans: cross-doc spans merge; intra-doc repeats don't count") {
+    // docs 1 and 2 share tokens 'c0..c9' (10 tokens → three 8-gram
+    // starts at 0,1,2 in doc 1; at 2,3,4 in doc 2) — one merged span
+    // each. doc 3 repeats ITS OWN phrase twice but shares it with no
+    // other doc → no rows (minDocs is a distinct-document test).
+    val shared = (0 until 10).map(i => s"c$i").mkString(" ")
+    val own = (0 until 8).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared x1 x2 x3"),
+      (2L, s"y1 y2 $shared"),
+      (3L, s"$own mid $own")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 10L, 3L), // starts 0..2 merged, end = 2 + 8
+      (2L, 2L, 12L, 3L)  // starts 2..4 merged, end = 4 + 8
+    ))
+  }
+
+  test("repeatedSpans: far-apart marked regions stay separate spans") {
+    val shared = (0 until 8).map(i => s"s$i").mkString(" ")
+    val gap = (0 until 20).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared $gap $shared"),
+      (2L, shared)
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: the shared 8-gram appears at starts 0 and 28 — 28 apart,
+    // > n, so two spans; doc 2 is one span covering its whole text
+    assert(out.toSeq === Seq((1L, 0L, 8L), (1L, 28L, 36L), (2L, 0L, 8L)))
+  }
+
   test("simhash: identical docs same signature; near-dups within distance") {
     val sigs = Dedup.simhashSignatures(docsDF, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
