@@ -862,6 +862,15 @@ object SparkEntry {
           percentile(col("value"), lit(0.95)).as("p95"),
           count(lit(1)).as("n"))),
 
+    // ---- winsorized clipping: per-key percentile capping (zscore's
+    // companion outlier treatment; exact interpolated bounds) ----
+    "q82_winsorize" -> ((s, dir) =>
+      graft.operators.Normalize.winsorize(
+          events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+          keys = Seq("event_type"), valueCol = col("value"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("v_clipped"))),
+
     // ---- IR relevance: top BM25 terms per document (corpus-curation
     // scoring — keyword filters, weak topic labels) ----
     "q51_bm25_terms" -> ((s, dir) =>
@@ -1952,6 +1961,19 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS p95,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q82: quantile_cont shares Spark percentile's (n−1)·p
+    // interpolation (the q53 precedent); NULL handling is an explicit
+    // CASE in both engines (greatest/least NULL semantics differ).
+    "q82_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN e.value IS NULL THEN NULL
+        |       ELSE least(greatest(e.value, b.lo), b.hi) END AS v_clipped
+        |FROM events e JOIN b USING (event_type)""".stripMargin,
 
     // q51: every arithmetic step mirrors the Spark expression order
     // (constant folds like 1.2+1.0 are the same IEEE add in both

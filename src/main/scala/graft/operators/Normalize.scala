@@ -50,4 +50,38 @@ object Normalize {
           .otherwise(lit(null).cast("double")))
       .drop("__s1", "__s2", "__n")
   }
+
+  /** WINSORIZED CLIPPING — per-key percentile capping, the outlier
+    * treatment feature pipelines apply before scaling (zscore's
+    * natural companion): values clip to the key's [pLo, pHi]
+    * interpolated percentiles. Spark's exact `percentile` and DuckDB's
+    * `quantile_cont` share the (n−1)·p linear-interpolation
+    * definition (the q53 precedent), so the clipped values are
+    * cross-engine exact with no rounding policy needed.
+    *
+    * NULL values stay NULL (explicit CASE — Spark's `greatest` would
+    * otherwise silently promote a NULL value to the lower bound);
+    * NULL-key rows are excluded by the equi-join, as in [[zscore]].
+    *
+    * Scale: one hash aggregate to key-count-sized bounds (exact
+    * percentile state is O(distinct values) per key — for
+    * heavy-cardinality value domains swap in the mergeable
+    * [[Quantiles.histogramQuantiles]] bounds, the q65 dial), then a
+    * broadcast-friendly join back; data-plane rows never shuffle. */
+  def winsorize(
+      df: DataFrame, keys: Seq[String], valueCol: Column,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(keys.nonEmpty, "winsorize needs at least one key column")
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val v = valueCol.cast("double")
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(percentile(v, lit(pLo)).as("__lo"),
+        percentile(v, lit(pHi)).as("__hi"))
+    df.join(bounds, keys)
+      .withColumn("v_clipped",
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
 }

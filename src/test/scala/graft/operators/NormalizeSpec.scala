@@ -49,4 +49,29 @@ class NormalizeSpec extends SparkSpec {
       .select("id", "z")
     assert(rows(a) === rows(b)) // bit-identical, any partitioning
   }
+
+  test("winsorize: clips to interpolated percentile bounds, NULLs stay NULL") {
+    // values 0..10 in one group: p(0.05) over 11 points = (11-1)*0.05
+    // = index 0.5 → 0.5; p(0.95) → index 9.5 → 9.5
+    val d = ((0 to 10).map(i => (i.toLong, "a", Some(i.toDouble)))
+      :+ (99L, "a", Option.empty[Double]))
+      .toDF("id", "k", "v")
+    val out = Normalize.winsorize(d, Seq("k"), col("v"))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(0L) === Some(0.5))   // below lo → clipped up
+    assert(out(10L) === Some(9.5))  // above hi → clipped down
+    assert(out(5L) === Some(5.0))   // inside → untouched
+    assert(out(99L) === None)       // NULL value stays NULL
+  }
+
+  test("winsorize: per-key bounds are independent") {
+    val d = ((1 to 100).map(i => (i.toLong, "big", i.toDouble))
+      ++ Seq((201L, "small", 1.0), (202L, "small", 2.0))).toDF("id", "k", "v")
+    val out = Normalize.winsorize(d, Seq("k"), col("v"), pLo = 0.1, pHi = 0.9)
+      .filter(col("k") === "small")
+      .select("v_clipped").as[Double].collect().sorted
+    // small group's own bounds: p10 = 1.1, p90 = 1.9
+    assert(out.toSeq === Seq(1.1, 1.9))
+  }
 }
