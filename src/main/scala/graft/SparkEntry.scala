@@ -225,6 +225,31 @@ object SparkEntry {
 
   /** DuckDB rendering of [[graft.functions.PortableHash]] for ASCII
     * strings: left fold (acc*31 + byte) mod 1e9+7. */
+  /** Shared CTE chain deriving the q81 `spans` table (doc_id, span,
+    * start_tok, end_tok, marked_grams) — used verbatim by the q81 and
+    * q83 oracles so the span definition can never drift between them
+    * (mirrors `Dedup.repeatedSpans` being the one engine-side source). */
+  private def repeatedSpanCtes: String =
+    """base AS (SELECT doc_id, string_split(text, ' ') AS arr
+      |              FROM documents),
+      |idx AS (SELECT doc_id, arr, unnest(range(0, len(arr) - 7)) AS pos
+      |        FROM base WHERE len(arr) >= 8),
+      |grams AS (SELECT doc_id, pos,
+      |          array_to_string(arr[pos+1 : pos+8], ' ') AS g FROM idx),
+      |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+      |        FROM grams GROUP BY g) WHERE nd >= 2),
+      |marked AS (SELECT doc_id, pos FROM grams JOIN hot USING (g)),
+      |sp AS (SELECT doc_id, pos,
+      |       CASE WHEN pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS newspan
+      |       FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sp2 AS (SELECT doc_id, pos,
+      |        sum(newspan) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+      |        FROM sp),
+      |spans AS (SELECT doc_id, min(pos) AS start_tok, max(pos) + 8 AS end_tok,
+      |  count(*) AS marked_grams
+      |FROM sp2 GROUP BY doc_id, span)""".stripMargin
+
   private def hashSql(expr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($expr)+1), ch_i -> ascii($expr[ch_i]))), " +
@@ -477,6 +502,14 @@ object SparkEntry {
     "q81_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(docs(s, dir), "doc_id", "text",
         n = 8, minDocs = 2)),
+
+    // ---- apply the q81 cut list: substring-level dedup REMOVAL —
+    // rebuild each document minus its cross-document repeated spans ----
+    "q83_span_cut" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.applySpanCuts(d, "doc_id", "text",
+        Dedup.repeatedSpans(d, "doc_id", "text", n = 8, minDocs = 2))
+    }),
 
     // ---- winnowing fingerprints ----
     "q18_fingerprints" -> ((s, dir) =>
@@ -2323,29 +2356,31 @@ object SparkEntry {
          |  FROM sc WHERE q_id <> n_id) WHERE rank <= 5""".stripMargin
     },
 
-    // q81: the oracle groups on the RAW n-gram string where the engine
-    // groups on (xxhash64, length) — the q13 fingerprint precedent: a
-    // collision would surface here as a hash mismatch.
+    // q81/q83: ONE span-derivation CTE chain serves both oracles (the
+    // engine's shared-derivation principle, mirrored). The oracle
+    // groups on the RAW n-gram string where the engine groups on
+    // (xxhash64, length) — the q13 fingerprint precedent: a collision
+    // would surface here as a hash mismatch.
     "q81_repeated_spans" ->
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS arr
-        |              FROM documents),
-        |idx AS (SELECT doc_id, arr, unnest(range(0, len(arr) - 7)) AS pos
-        |        FROM base WHERE len(arr) >= 8),
-        |grams AS (SELECT doc_id, pos,
-        |          array_to_string(arr[pos+1 : pos+8], ' ') AS g FROM idx),
-        |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
-        |        FROM grams GROUP BY g) WHERE nd >= 2),
-        |marked AS (SELECT doc_id, pos FROM grams JOIN hot USING (g)),
-        |sp AS (SELECT doc_id, pos,
-        |       CASE WHEN pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS newspan
-        |       FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |sp2 AS (SELECT doc_id, pos,
-        |        sum(newspan) OVER (PARTITION BY doc_id ORDER BY pos
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
-        |        FROM sp)
-        |SELECT doc_id, min(pos) AS start_tok, max(pos) + 8 AS end_tok,
-        |  count(*) AS marked_grams
-        |FROM sp2 GROUP BY doc_id, span""".stripMargin,
+      s"""WITH $repeatedSpanCtes
+         |SELECT doc_id, start_tok, end_tok, marked_grams FROM spans""".stripMargin,
+
+    // q83: apply the q81 cut list — ANTI JOIN on the span ranges, then
+    // order-deterministic text rebuild; pass-through docs via LEFT JOIN.
+    "q83_span_cut" ->
+      s"""WITH $repeatedSpanCtes,
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |         unnest(range(0, len(string_split(text, ' ')))) AS pos
+         |         FROM documents),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t ANTI JOIN spans s
+         |         ON t.doc_id = s.doc_id
+         |         AND t.pos >= s.start_tok AND t.pos < s.end_tok),
+         |reb AS (SELECT doc_id,
+         |        array_to_string(list(tok ORDER BY pos), ' ') AS text_cut,
+         |        count(*) AS nk FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(reb.text_cut, '') AS text_cut,
+         |  len(string_split(d.text, ' ')) - coalesce(reb.nk, 0) AS removed_tokens
+         |FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id""".stripMargin,
 
     // q64: register rank uses bin()-string bit length — integer-exact,
     // no floating log2; Σ2^(−reg) is a sum of exact powers of two

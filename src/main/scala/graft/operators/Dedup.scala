@@ -673,4 +673,40 @@ object Dedup {
       .select(col("doc_id"), col("start_tok"), col("end_tok"),
         col("marked_grams"))
   }
+
+  /** Apply a [[repeatedSpans]] cut list: drop every token whose
+    * position falls inside any of its document's [start_tok, end_tok)
+    * spans and rebuild the text — the REMOVAL half of substring-level
+    * dedup (what Lee et al. actually do with the matches). Returns
+    * (doc_id, text_cut, removed_tokens); documents without spans pass
+    * through verbatim, a fully-covered document becomes "".
+    *
+    * Scale shape: the span filter is a hash anti-join on doc_id with
+    * the range test as a residual predicate (spans per document are
+    * few); the rebuild is one exchange keyed by doc_id whose
+    * collect_list state is bounded by document length — output-sized
+    * work, same class as any per-document reconstruction. */
+  def applySpanCuts(
+      docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(split(col(textCol), " ")))
+    val sp = spans.select(col("doc_id").as("s_doc"),
+      col("start_tok"), col("end_tok"))
+    val kept = toks.join(sp,
+      col("doc_id") === col("s_doc") &&
+        col("pos") >= col("start_tok") && col("pos") < col("end_tok"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("col")))),
+          p => p.getField("col")), " ").as("text_cut"),
+        count(lit(1)).as("__nk"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("__n"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_cut"), lit("")).as("text_cut"),
+        (col("__n") - coalesce(col("__nk"), lit(0L))).as("removed_tokens"))
+  }
 }

@@ -94,6 +94,33 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 0L, 8L), (1L, 28L, 36L), (2L, 0L, 8L)))
   }
 
+  test("applySpanCuts: removes span tokens, rebuilds order, passes through") {
+    val shared = (0 until 10).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared x1 x2 x3"), // span [0,10) → keeps x1 x2 x3
+      (2L, s"y1 y2 $shared"),    // span [2,12) → keeps y1 y2
+      (3L, "untouched words only here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", n = 8)
+    val out = Dedup.applySpanCuts(docs, "doc_id", "text", spans)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "x1 x2 x3", 10L),
+      (2L, "y1 y2", 10L),
+      (3L, "untouched words only here", 0L)))
+  }
+
+  test("applySpanCuts: a fully-covered document becomes empty") {
+    val t = (0 until 8).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", n = 8)
+    val out = Dedup.applySpanCuts(docs, "doc_id", "text", spans)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, "", 8L), (2L, "", 8L)))
+  }
+
   test("simhash: identical docs same signature; near-dups within distance") {
     val sigs = Dedup.simhashSignatures(docsDF, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
