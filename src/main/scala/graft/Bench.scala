@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
   *     the MIN in "queries_min", and every raw trial in
   *     "queries_trials" so nothing is hidden — trial 1 includes any
   *     once-per-corpus artifact training (ANN quantizers, dup graph),
-  *     later trials are the steady-state cost.
+  *     later trials are the steady-state cost;
+  *   - excludes FAILED trials from every statistic (a throw is near-
+  *     instant and would fake a speedup) and reports them in
+  *     "queries_failures" (per-query failed-trial counts) and "failed"
+  *     (queries with zero successful trials, whose median reads -1).
   */
 object Bench {
   private def loadavg(): Seq[Double] =
@@ -90,28 +94,44 @@ object Bench {
     // per-query median still has two clean samples. Pass 1 also pays
     // the once-per-corpus artifact training exactly like a single-trial
     // run would, keeping "queries_trials"[0] comparable to old rounds.
+    // A failed trial must NOT enter the median: time-to-exception is
+    // near zero, so a regression that turns a 5 s query into a throw
+    // would otherwise read as a 50× speedup. Failures are excluded from
+    // the stats and surfaced in "queries_failures" / "failed" instead;
+    // a query with zero successful trials reports -1.
     val trialTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    val trialFails = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
     for (t <- 1 to trials; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        trialTimes(name) = trialTimes(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        trialFails(name) += 1
         System.err.println(s"[bench] $name trial $t failed: ${e.getMessage}")
       }
-      trialTimes(name) = trialTimes(name) :+ (System.nanoTime() - t0) / 1e9
     }
     val load1 = loadavg()
     def jmap(f: Vector[Double] => Double): String =
       names.map { case (k, _) => s"\"" + k + "\":" + f(trialTimes(k)) }
         .mkString("{", ",", "}")
-    val qs = jmap(v => median(v))
-    val qsMin = jmap(v => if (v.isEmpty) 0.0 else v.min)
+    val qs = jmap(v => if (v.isEmpty) -1.0 else median(v))
+    val qsMin = jmap(v => if (v.isEmpty) -1.0 else v.min)
     val qsTrials = names.map { case (k, _) =>
       s"\"" + k + "\":" + trialTimes(k).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val qsFails = names.collect { case (k, _) if trialFails(k) > 0 =>
+      s"\"" + k + "\":" + trialFails(k)
+    }.mkString("{", ",", "}")
+    val allFailed = names.collect {
+      case (k, _) if trialTimes(k).isEmpty => s"\"" + k + "\""
+    }.mkString("[", ",", "]")
     val total = names.map { case (k, _) => median(trialTimes(k)) }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"queries_trials":$qsTrials,"trials":$trials,""" +
+      s""""queries_failures":$qsFails,"failed":$allFailed,""" +
       s""""loadavg_start":${load0.mkString("[", ",", "]")},""" +
       s""""loadavg_end":${load1.mkString("[", ",", "]")},""" +
       s""""load_contaminated":$contaminated,"sf":"$sfDir"}"""

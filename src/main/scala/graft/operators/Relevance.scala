@@ -30,10 +30,18 @@ object Relevance {
     * cross-join (broadcast); the score column references its
     * `__n`/`__avgdl` columns, arithmetic unchanged. No mid-plan
     * checkpoint either (under AQE a lazy localCheckpoint still
-    * materializes map stages at construction); the tf aggregate's
-    * exchange is canonically identical under its consumers (df
-    * counts, doc lengths, final join), so AQE exchange reuse computes
-    * it once within the one query execution. */
+    * materializes map stages at construction). Exchange reuse: in
+    * [[bm25TopTerms]] every consumer (df counts, doc lengths, final
+    * join) shares the one canonical tf exchange, so AQE computes the
+    * explode+aggregate once per execution. In [[bm25QueryRank]] the
+    * probe's `isin(queryTerms)` filter is on a grouping key, so
+    * Catalyst pushes it BELOW the tf aggregate — the probe branch
+    * becomes its own term-pruned scan (no reuse with the stats
+    * branch), i.e. the corpus text is tokenized twice per execution.
+    * Deliberate trade (same one Sketches.scala documents): the probe
+    * rescan shuffles only the query terms' postings instead of every
+    * (doc, term) pair, and stays fully lazy — a checkpoint would
+    * serialize the whole tf table to pin a single scan. */
   private def bm25Core(
       docs: DataFrame, idCol: String, textCol: String,
       k1: Double, b: Double): (DataFrame, DataFrame, DataFrame, DataFrame, Column) = {
@@ -93,8 +101,9 @@ object Relevance {
     * merge is heap-union, so a stopword-grade query term (postings =
     * a large fraction of the corpus) never funnels the match set
     * through a single-partition sort. Identical ordering semantics
-    * (score desc, doc_id asc — spec- and oracle-pinned). `idCol` must
-    * be BIGINT or STRING (the heap id types). */
+    * (score desc, doc_id asc — spec- and oracle-pinned). `idCol` may
+    * be any integral or STRING type (integrals are widened to BIGINT
+    * for the heap and cast back on output); NULL ids are excluded. */
   def bm25QueryRank(
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String],
@@ -115,12 +124,23 @@ object Relevance {
   /** Global top-`k` of `df` by (`v` desc, `id` asc) with 1-based dense
     * positions, via one single-group bounded-heap aggregate (map-side
     * O(k) partials — the scale-safe replacement for an unpartitioned
-    * `row_number` window). Returns (id, v, rank). */
-  private def rankTopK(df: DataFrame, v: Column, id: Column, k: Int): DataFrame =
-    df.agg(graft.functions.TopKBy.top_k_by(v, id, k).as("tk"))
+    * `row_number` window). Returns (id, v, rank). Any integral id type
+    * is widened to BIGINT for the heap and cast back on output (so
+    * INT-id callers keep their schema); rows with a NULL id are
+    * ignored — a NULL id cannot be ranked meaningfully and the heap
+    * skips it. */
+  private def rankTopK(df: DataFrame, v: Column, id: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = df.select(id).schema.head.dataType
+    val idIn = idType match {
+      case ByteType | ShortType | IntegerType => id.cast(LongType)
+      case _ => id
+    }
+    df.agg(graft.functions.TopKBy.top_k_by(v, idIn, k).as("tk"))
       .select(posexplode(col("tk")).as(Seq("pos", "p")))
-      .select(col("p.id").as("id"), col("p.v").as("v"),
+      .select(col("p.id").cast(idType).as("id"), col("p.v").as("v"),
         (col("pos") + lit(1)).as("rank"))
+  }
 
   /** RECIPROCAL RANK FUSION (Cormack et al.): fuse any number of
     * ranked lists — rrf(d) = Σ_lists round6(1/(kRrf + rank_d)), each
@@ -128,7 +148,10 @@ object Relevance {
     * the fused ranking is deterministic and oracle-mirrorable. The
     * standard lexical+semantic hybrid-retrieval combiner; absent ids
     * simply contribute nothing from that list. Inputs: (id, rank)
-    * DataFrames. Returns the fused top-`topK`: (id, rrf, rank).
+    * DataFrames — `id` may be any integral or STRING type (integrals
+    * are widened to BIGINT internally and cast back); rows with a
+    * NULL id are excluded from the fusion (a NULL id identifies no
+    * document). Returns the fused top-`topK`: (id, rrf, rank).
     * Ranked by the same single-group bounded-heap aggregate as
     * [[bm25QueryRank]] — no unpartitioned window anywhere in the
     * fused plan (spec-pinned), so the combiner scales with the input

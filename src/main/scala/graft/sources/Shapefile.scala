@@ -71,7 +71,12 @@ object Shapefile {
   private def checkCrs(path: String): Unit = {
     val prj = Paths.get(path.replaceAll("(?i)\\.shp$", ".prj"))
     if (Files.exists(prj)) {
-      val wkt = new String(Files.readAllBytes(prj), "US-ASCII").trim
+      // UTF-8, not US-ASCII: Windows GIS tools commonly write the .prj
+      // with a UTF-8 BOM, which ASCII decoding mangles into replacement
+      // chars that takeWhile would keep and misclassify. Decode UTF-8
+      // and drop anything before the first WKT keyword letter.
+      val wkt = new String(Files.readAllBytes(prj), "UTF-8")
+        .dropWhile(c => !c.isLetter).trim
       val kind = wkt.takeWhile(c => c.isLetter || c == '_').toUpperCase
       kind match {
         case "GEOGCS" | "GEOGCRS" | "GEODCRS" => () // geographic lon/lat

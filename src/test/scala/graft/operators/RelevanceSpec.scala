@@ -55,6 +55,19 @@ class RelevanceSpec extends SparkSpec {
     assert(out(10L) > 2 && out(13L) > 2)
   }
 
+  test("rrfFuse: INT ids are accepted and keep their type (round-6 review)") {
+    // the heap ranks BIGINT|STRING; integral ids must be widened in and
+    // cast back out, not rejected at analysis — and NULL ids are
+    // excluded per the documented contract
+    val a = Seq((Some(10), 1), (Some(11), 2), (None, 3)).toDF("id", "rank")
+    val b = Seq((Some(11), 1), (Some(10), 2)).toDF("id", "rank")
+    val out = Relevance.rrfFuse(Seq(a, b), kRrf = 60, topK = 10)
+    assert(out.schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val rows = out.collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(rows.keySet === Set(10, 11)) // NULL id dropped, both ranked
+  }
+
   test("bm25QueryRank: topK bounds the output with identical ordering") {
     val docs = (1 to 20).map(i =>
       (i.toLong, ("spark " * i).trim + " pad")).toDF("doc_id", "text")

@@ -107,4 +107,16 @@ class ShapefileSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { Shapefile.read(spark, path) }
     assert(e.getMessage.contains("unrecognized .prj CRS"))
   }
+
+  test("CRS contract: a UTF-8 BOM'd geographic .prj still passes") {
+    // Windows GIS tools commonly prepend EF BB BF; the classifier must
+    // not mistake the BOM for the WKT keyword (round-6 review finding)
+    val dir = tmp()
+    val path = ShpTestData.write(dir, "bom",
+      Seq(1L -> Seq(Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (0.0, 0.0)))))
+    val wkt = """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137,298.257223563]]]"""
+    Files.write(java.nio.file.Paths.get(path.replace(".shp", ".prj")),
+      (Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ wkt.getBytes("UTF-8")))
+    assert(Shapefile.read(spark, path).count() === 1L)
+  }
 }
