@@ -511,6 +511,15 @@ object SparkEntry {
         Dedup.repeatedSpans(d, "doc_id", "text", n = 8, minDocs = 2))
     }),
 
+    // ---- source-mix rebalancing: deterministic downsampling to a
+    // target language mix (largest corpus achievable at exactly the
+    // asked proportions; es is the binding group on this data) ----
+    "q84_source_mix" -> ((s, dir) =>
+      graft.operators.Sampling.mixSample(docs(s, dir), col("doc_id"),
+          col("lang"), Map("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2,
+            "de" -> 0.1, "fr" -> 0.1))
+        .select(col("doc_id"), col("lang"))),
+
     // ---- winnowing fingerprints ----
     "q18_fingerprints" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -2364,6 +2373,23 @@ object SparkEntry {
     "q81_repeated_spans" ->
       s"""WITH $repeatedSpanCtes
          |SELECT doc_id, start_tok, end_tok, marked_grams FROM spans""".stripMargin,
+
+    // q84: same two-pass arithmetic as Sampling.mixSample, with the
+    // expression trees parenthesized to match Spark's left-assoc
+    // evaluation exactly (min(n/s) feasibility scalar, then
+    // floor(((res*s)*nout)/n) per-group thresholds, then the KMV-
+    // scrambled portable-hash bucket at 1e-6 granularity).
+    "q84_source_mix" ->
+      s"""WITH shares(g, s) AS (VALUES ('en', 0.4), ('zh', 0.2),
+         |  ('es', 0.2), ('de', 0.1), ('fr', 0.1)),
+         |cnt AS (SELECT lang AS g, CAST(count(*) AS DOUBLE) AS n
+         |        FROM documents JOIN shares ON lang = g GROUP BY lang),
+         |nout AS (SELECT min(n / s) AS nout FROM cnt JOIN shares USING (g)),
+         |thr AS (SELECT g, CAST(floor(1000000.0 * s * nout / n) AS BIGINT) AS thr
+         |        FROM cnt JOIN shares USING (g) CROSS JOIN nout)
+         |SELECT doc_id, lang FROM documents JOIN thr ON lang = g
+         |WHERE 1566083941 * ((${hashSql("CAST(doc_id AS VARCHAR)")}) + 1)
+         |      % 1000000007 % 1000000 < thr""".stripMargin,
 
     // q83: apply the q81 cut list — ANTI JOIN on the span ranges, then
     // order-deterministic text rebuild; pass-through docs via LEFT JOIN.

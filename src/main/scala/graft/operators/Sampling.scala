@@ -94,6 +94,64 @@ object Sampling {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** SOURCE-MIX REBALANCING — downsample each group so the output's
+    * group proportions hit `targetShares` (the corpus-assembly step
+    * that turns "whatever the crawl yielded" into "40% en, 20% zh, …"
+    * before training). Sampling can only REMOVE rows, so the output is
+    * the largest corpus achievable at exactly the target mix: the
+    * binding group (smallest n_g/s_g) is kept ~fully and every other
+    * group is thinned to match. Selection is the same deterministic
+    * hash predicate as [[hashSample]] at 1/`resolution` granularity —
+    * reproducible across runs/engines/partitionings, and exactly
+    * oracle-mirrorable.
+    *
+    * Scale shape: pass 1 computes per-group counts — a column-pruned
+    * scan reading ONLY the group column into a map-side-combined hash
+    * agg whose output is |groups| rows; the feasibility scalar
+    * (min n/s) and per-group thresholds stay lazy as 1-row/tiny
+    * DataFrames cross-joined in. Pass 2 is the output scan: a
+    * BROADCAST join against the |groups|-row threshold table plus a
+    * narrow hash filter — no wide shuffle of data rows anywhere, at
+    * any corpus size.
+    *
+    * Contract: groups not in `targetShares` are dropped; a share group
+    * absent from the data is ignored by feasibility (the target mix is
+    * then unreachable for that group — it contributes zero rows).
+    * Thresholds use floor, so the binding group may shed up to 1 row
+    * in `resolution` to FP rounding — deterministic and mirrored. */
+  def mixSample(
+      df: DataFrame, idCol: Column, groupCol: Column,
+      targetShares: Map[String, Double],
+      resolution: Long = 1000000L): DataFrame = {
+    require(targetShares.nonEmpty, "targetShares must be non-empty")
+    require(targetShares.values.forall(_ > 0), "target shares must be positive")
+    require(math.abs(targetShares.values.sum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got ${targetShares.values.sum}")
+    val shareMap = typedLit(targetShares)
+    val cnt = df.select(groupCol.cast("string").as("__g"))
+      .filter(element_at(shareMap, col("__g")).isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__s", element_at(shareMap, col("__g")))
+    val nOut = cnt.agg(min(col("__n") / col("__s")).as("__nout"))
+    val thr = cnt.crossJoin(broadcast(nOut))
+      .select(col("__g"),
+        floor(lit(resolution.toDouble) * col("__s") * col("__nout") / col("__n"))
+          .cast("long").as("__thr"))
+    // The raw base-31 fold is SMALL for short ids (a 4-char id hashes
+    // below ~2e6), so at fine granularity its value is not uniform —
+    // scramble exactly as KmvDistinct does (g = A·(h+1) mod M) before
+    // taking the bucket. portable_hash is non-negative, so plain % is
+    // safe and mirrors the oracle's % directly.
+    val bucket =
+      (lit(graft.functions.KmvDistinct.Scramble) *
+        (portable_hash(idCol.cast("string")) + lit(1L))) %
+        lit(graft.functions.PortableHash.Mod) % lit(resolution)
+    df.join(broadcast(thr), groupCol.cast("string") === col("__g"))
+      .filter(bucket < col("__thr"))
+      .drop("__g", "__thr")
+  }
+
   /** Deterministic TRAIN/VAL/TEST split — every training pipeline's
     * first partitioning step, as a pure hash predicate: the id's
     * portable-hash bucket (mod 100) is cut by cumulative percentage

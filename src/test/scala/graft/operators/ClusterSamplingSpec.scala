@@ -91,6 +91,45 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("mixSample hits the target mix, keeps the binding group, drops others") {
+    // 600 a / 300 b / 100 c; target 50/25/25 → c binds (100/0.25=400),
+    // expected output ≈ 200 a / 100 b / 100 c; d is not in the target
+    val df = ((0L until 600L).map(i => (i, "a")) ++
+        (600L until 900L).map(i => (i, "b")) ++
+        (900L until 1000L).map(i => (i, "c")) ++
+        (1000L until 1050L).map(i => (i, "d")))
+      .toDF("id", "g")
+    val out = Sampling.mixSample(df, col("id"), col("g"),
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    val byG = out.groupBy($"g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byG.contains("d"), "group outside targetShares must be dropped")
+    // binding group kept (floor may shed ≤1-in-resolution)
+    assert(byG("c") >= 99L && byG("c") <= 100L, s"binding group: $byG")
+    // thinned groups within hash-binomial noise of their quota
+    assert(math.abs(byG("a") - 200L) < 40, s"a off target: $byG")
+    assert(math.abs(byG("b") - 100L) < 30, s"b off target: $byG")
+    // deterministic: same inputs → identical row set
+    assert(rows(Sampling.mixSample(df, col("id"), col("g"),
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))) === rows(out))
+    // invalid shares fail loudly
+    intercept[IllegalArgumentException] {
+      Sampling.mixSample(df, col("id"), col("g"), Map("a" -> 0.5))
+    }
+  }
+
+  test("mixSample output scan is a broadcast join + narrow filter") {
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val plan = Sampling.mixSample(df, col("id"), col("g"),
+        Map("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan.toString
+    // the data-side join must be broadcast — the only exchanges allowed
+    // belong to the tiny counts/threshold derivation
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("perGroupCap keeps at most k deterministic rows per group") {
     val df = (0L until 1000L).toDF("id")
       .withColumn("g", (col("id") % 7).cast("long"))
