@@ -250,6 +250,62 @@ object SparkEntry {
       |  count(*) AS marked_grams
       |FROM sp2 GROUP BY doc_id, span)""".stripMargin
 
+  /** q21's oracle body — exact brute-force cosine top-5 for queries
+    * vec_id < 8. A def (not inline) so q85's recall evaluation can
+    * nest the SAME derivation as a CTE subquery — engine and oracle
+    * compose identically. */
+  private def bruteCosineTopKSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS n_id, embedding AS cv FROM embeddings),
+      |s AS (SELECT q_id, n_id,
+      |  round(
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv)+1),
+      |      zi -> CAST(qv[zi] AS DOUBLE) * CAST(cv[zi] AS DOUBLE))), (a, x) -> a + x)
+      |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv)+1),
+      |         zi -> CAST(qv[zi] AS DOUBLE) * CAST(qv[zi] AS DOUBLE))), (a, x) -> a + x))
+      |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(cv)+1),
+      |         zi -> CAST(cv[zi] AS DOUBLE) * CAST(cv[zi] AS DOUBLE))), (a, x) -> a + x))), 6) AS sim
+      |  FROM q CROSS JOIN c WHERE q_id <> n_id)
+      |SELECT q_id, n_id, sim, rank FROM (
+      |  SELECT q_id, n_id, sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+      |  FROM s) WHERE rank <= 5""".stripMargin
+
+  /** q36's oracle body — IVF-probed cosine top-5 (same query set,
+    * same 6dp cosine as [[bruteCosineTopKSql]]); shared with q85. */
+  private def ivfCosineTopKSql: String =
+    s"""WITH ea AS (SELECT vec_id AS id,
+       |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |e AS (SELECT * FROM ea WHERE id % 2 = 0),
+       |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
+       |${ivfIterSql(1, "c0")},
+       |${ivfIterSql(2, "c1")},
+       |${ivfIterSql(3, "c2")},
+       |s4 AS (SELECT ea.id, ea.v, c.cid,
+       |  ${dotSql("ea.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+       |  FROM ea CROSS JOIN c3 c),
+       |a4 AS (SELECT id, v, cid FROM (
+       |  SELECT id, v, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+       |  FROM s4) WHERE rn = 1),
+       |q AS (SELECT id AS q_id, v AS qv FROM ea WHERE id < 8),
+       |ps AS (SELECT q.q_id, q.qv, c.cid,
+       |  ${dotSql("q.qv", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+       |  FROM q CROSS JOIN c3 c),
+       |pr AS (SELECT q_id, qv, cid FROM (
+       |  SELECT q_id, qv, cid,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn
+       |  FROM ps) WHERE rn <= 4),
+       |sc AS (SELECT pr.q_id, a4.id AS n_id,
+       |  round(${dotSql("pr.qv", "a4.v")}
+       |    / (sqrt(${dotSql("pr.qv", "pr.qv")}) * sqrt(${dotSql("a4.v", "a4.v")})), 6) AS sim
+       |  FROM pr JOIN a4 ON pr.cid = a4.cid AND pr.q_id <> a4.id)
+       |SELECT q_id, n_id, sim, rank FROM (
+       |  SELECT q_id, n_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+       |  FROM sc) WHERE rank <= 5""".stripMargin
+
   private def hashSql(expr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($expr)+1), ch_i -> ascii($expr[ch_i]))), " +
@@ -691,6 +747,19 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
         ivfArtifact(s, dir), nProbe = 4,
         idCol = "vec_id", vecCol = "embedding")
+    }),
+
+    // ---- ANN index evaluation: recall@5 of the IVF-probed search
+    // against exact brute force under the same cosine metric — the
+    // accept/reject measurement for any index config ----
+    "q85_ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(e, q, k = 5),
+        Similarity.ivfTopK(e, q, k = 5, ivfArtifact(s, dir), nProbe = 4,
+          idCol = "vec_id", vecCol = "embedding"),
+        k = 5)
     }),
 
     // ---- semi / anti joins ----
@@ -1408,22 +1477,7 @@ object SparkEntry {
          |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)""".stripMargin
     },
 
-    "q21_ann_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS n_id, embedding AS cv FROM embeddings),
-        |s AS (SELECT q_id, n_id,
-        |  round(
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv)+1),
-        |      zi -> CAST(qv[zi] AS DOUBLE) * CAST(cv[zi] AS DOUBLE))), (a, x) -> a + x)
-        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv)+1),
-        |         zi -> CAST(qv[zi] AS DOUBLE) * CAST(qv[zi] AS DOUBLE))), (a, x) -> a + x))
-        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(cv)+1),
-        |         zi -> CAST(cv[zi] AS DOUBLE) * CAST(cv[zi] AS DOUBLE))), (a, x) -> a + x))), 6) AS sim
-        |  FROM q CROSS JOIN c WHERE q_id <> n_id)
-        |SELECT q_id, n_id, sim, rank FROM (
-        |  SELECT q_id, n_id, sim,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
-        |  FROM s) WHERE rank <= 5""".stripMargin,
+    "q21_ann_cosine_topk" -> bruteCosineTopKSql,
 
     // q22: the sign-bit LSH is fully deterministic (integer hyperplane
     // formula + left-fold dots), so the bucketed result has an EXACT
@@ -1610,38 +1664,24 @@ object SparkEntry {
     // blocks, then by blk) — so three unrolled iterations reproduce the
     // engine's centroids bit-for-bit, and the final probe/rank stages
     // are exact.
-    "q36_ann_ivf_topk" ->
-      s"""WITH ea AS (SELECT vec_id AS id,
-         |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |e AS (SELECT * FROM ea WHERE id % 2 = 0),
-         |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
-         |${ivfIterSql(1, "c0")},
-         |${ivfIterSql(2, "c1")},
-         |${ivfIterSql(3, "c2")},
-         |s4 AS (SELECT ea.id, ea.v, c.cid,
-         |  ${dotSql("ea.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
-         |  FROM ea CROSS JOIN c3 c),
-         |a4 AS (SELECT id, v, cid FROM (
-         |  SELECT id, v, cid,
-         |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-         |  FROM s4) WHERE rn = 1),
-         |q AS (SELECT id AS q_id, v AS qv FROM ea WHERE id < 8),
-         |ps AS (SELECT q.q_id, q.qv, c.cid,
-         |  ${dotSql("q.qv", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
-         |  FROM q CROSS JOIN c3 c),
-         |pr AS (SELECT q_id, qv, cid FROM (
-         |  SELECT q_id, qv, cid,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn
-         |  FROM ps) WHERE rn <= 4),
-         |sc AS (SELECT pr.q_id, a4.id AS n_id,
-         |  round(${dotSql("pr.qv", "a4.v")}
-         |    / (sqrt(${dotSql("pr.qv", "pr.qv")}) * sqrt(${dotSql("a4.v", "a4.v")})), 6) AS sim
-         |  FROM pr JOIN a4 ON pr.cid = a4.cid AND pr.q_id <> a4.id)
-         |SELECT q_id, n_id, sim, rank FROM (
-         |  SELECT q_id, n_id, sim,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
-         |  FROM sc) WHERE rank <= 5""".stripMargin,
+    "q36_ann_ivf_topk" -> ivfCosineTopKSql,
+
+    // q85: recall@5 of the IVF-pruned search (q36) against exact
+    // brute force (q21) — SAME cosine metric, so the measured loss is
+    // purely probe pruning. The two operand queries' full oracle
+    // bodies nest as CTE subqueries; the compare is a plain
+    // hits-count left join (zero-overlap queries report 0).
+    "q85_ann_recall" ->
+      s"""WITH exact AS ($bruteCosineTopKSql),
+         |approx AS ($ivfCosineTopKSql),
+         |hits AS (SELECT e.q_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM exact e JOIN approx a
+         |    ON e.q_id = a.q_id AND e.n_id = a.n_id
+         |  GROUP BY e.q_id),
+         |qs AS (SELECT DISTINCT q_id FROM exact)
+         |SELECT q_id, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+         |  round(CAST(coalesce(hits, 0) AS DOUBLE) / 5.0, 6) AS recall
+         |FROM qs LEFT JOIN hits USING (q_id)""".stripMargin,
 
     // q41: the embedding stub is an integer byte histogram (bucket j
     // sums ascii+1 over chars with ascii % 16 == j) — order-independent

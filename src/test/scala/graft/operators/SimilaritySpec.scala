@@ -150,6 +150,31 @@ class SimilaritySpec extends SparkSpec {
     pruned.foreach { case (q, n, d, _) => assert(pqPairs((q, n)) == d) }
   }
 
+  test("recallAtK: self-comparison is 1.0, zero-overlap queries report 0") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 60).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1).toSeq))
+      .toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceTopK(corpus, qs, k = 5)
+    // identical inputs → recall 1.0 for every query
+    val self = Similarity.recallAtK(exact, exact, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(self.length === 4 && self.forall(r => r._2 == 5L && r._3 == 1.0))
+    // an approx table missing one query entirely → that query still
+    // appears, with hits 0
+    val partial = Similarity.recallAtK(exact,
+      exact.filter($"q_id" =!= 0L), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial(0L) === 0L && partial(1L) === 5L)
+    // probe-pruned IVF recall is in (0, 1] and k-bounded
+    val approx = Similarity.ivfTopK(corpus, qs, k = 5,
+      nLists = 4, nProbe = 1)
+    val r = Similarity.recallAtK(exact, approx, k = 5).collect()
+      .map(x => x.getLong(1)).toSeq
+    assert(r.forall(h => h >= 0L && h <= 5L))
+  }
+
   test("residual IVF+PQ beats non-residual recall at the same bytes") {
     // clustered corpus with large inter-cluster offsets and small local
     // structure: plain PQ spends its codewords re-encoding the offsets
