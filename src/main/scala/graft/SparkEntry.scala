@@ -576,6 +576,26 @@ object SparkEntry {
             "de" -> 0.1, "fr" -> 0.1))
         .select(col("doc_id"), col("lang"))),
 
+    // ---- incremental exact dedup: admit only docs new vs the
+    // accepted corpus AND first-by-id within the batch (the daily-
+    // ingestion form; corpus side travels as 12-byte fingerprints) ----
+    "q86_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // deterministic split standing in for accepted-corpus vs new
+      // batch: even ids are the corpus, odd ids the increment
+      Dedup.incrementalExact(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // ---- sliding-window chunking (RAG splitter): overlapping
+    // 64-token windows every 48 tokens, within each document ----
+    "q87_sliding_chunks" -> ((s, dir) =>
+      graft.operators.Packing.slidingChunks(docs(s, dir), col("doc_id"),
+        col("text"), chunkTokens = 64, stride = 48)),
+
     // ---- winnowing fingerprints ----
     "q18_fingerprints" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -2413,6 +2433,32 @@ object SparkEntry {
     "q81_repeated_spans" ->
       s"""WITH $repeatedSpanCtes
          |SELECT doc_id, start_tok, end_tok, marked_grams FROM spans""".stripMargin,
+
+    // q86: the oracle dedups on RAW text (the q13 precedent — an
+    // engine-side (xxhash64, length) collision would surface here).
+    "q86_incremental_dedup" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |firsts AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY text),
+        |admitted AS (
+        |  SELECT b.doc_id FROM batch b JOIN firsts f USING (doc_id)
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text))
+        |SELECT doc_id, lang FROM batch JOIN admitted USING (doc_id)""".stripMargin,
+
+    // q87: identical integer window arithmetic; DuckDB's 1-based
+    // inclusive list slice clamps at the list end like Spark's slice.
+    "q87_sliding_chunks" ->
+      """WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |n AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+        |ch AS (SELECT id, toks, n,
+        |  CASE WHEN n <= 64 THEN 1 ELSE ((n - 64 + 47) // 48) + 1 END AS nchunks
+        |  FROM n)
+        |SELECT id, chunk_id, chunk_id * 48 AS start_tok,
+        |  least(64, n - chunk_id * 48) AS n_tok,
+        |  array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+        |    AS chunk_text
+        |FROM (SELECT id, toks, n, unnest(range(0, nchunks)) AS chunk_id FROM ch)""".stripMargin,
 
     // q84: same two-pass arithmetic as Sampling.mixSample, with the
     // expression trees parenthesized to match Spark's left-assoc

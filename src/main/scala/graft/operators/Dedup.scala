@@ -33,6 +33,34 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** INCREMENTAL exact dedup — the daily-ingestion form: admit from
+    * `incoming` only documents whose text exists neither in the
+    * already-accepted `corpus` nor earlier (smaller id) in the batch
+    * itself. Same (xxhash64, length) content key as [[exact]], so the
+    * corpus side shuffles ~12 bytes per row, NOT document bytes —
+    * against a 100 TB accepted corpus the anti-join carries two long
+    * columns, and at steady state the fingerprint table is the thing
+    * a deployment persists and appends to, making each increment's
+    * cost proportional to the increment, not the corpus. In-batch
+    * survivors are elected with the same min-id rule as [[exact]].
+    * Collisions: as with [[exact]], a 64-bit+length collision needs
+    * ~2^32 same-length docs; the oracle compares raw text, so any
+    * collision surfaces as a hash mismatch.
+    * @return the admitted rows of `incoming` (all its columns). */
+  def incrementalExact(
+      corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val key = Seq(xxhash64(col(textCol)).as("__h"),
+      length(col(textCol)).as("__l"))
+    val seen = corpus.select(key: _*)
+    val firstInBatch = incoming.select((col(idCol) +: key): _*)
+      .groupBy(col("__h"), col("__l"))
+      .agg(min(col(idCol)).as(idCol))
+    incoming.join(firstInBatch.join(seen, Seq("__h", "__l"), "left_anti")
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard on
     * word n-gram shingles.
     *

@@ -47,4 +47,40 @@ object Packing {
       .select(col("id"), col("shard"), col("tokens"),
         col("start_off"), col("chunk_id"), col("n_chunks"))
   }
+
+  /** SLIDING-WINDOW CHUNKING — the RAG/embedding-pipeline splitter
+    * (overlapping windows WITHIN each document, vs [[concatChunks]]'s
+    * cross-document stream): each doc yields windows of `chunkTokens`
+    * whitespace tokens starting every `stride` tokens, the last
+    * window clamped to the doc end (a doc of ≤ `chunkTokens` tokens
+    * yields exactly one chunk). All-integer window arithmetic over
+    * the token array — a pure narrow per-row explode: zero shuffle,
+    * zero state, chunk count per doc is
+    * 1 + ceil(max(0, n − chunk) / stride).
+    * @return (id, chunk_id, start_tok, n_tok, chunk_text). */
+  def slidingChunks(
+      docs: DataFrame, idCol: Column, textCol: Column,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(stride >= 1 && stride <= chunkTokens,
+      "stride must be in [1, chunkTokens]")
+    val c = chunkTokens.toLong
+    docs
+      .select(idCol.cast("long").as("id"),
+        split(textCol, " ").as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      // integer ceil((n - c) / stride) via (n - c + stride - 1) div s
+      .withColumn("__nchunks",
+        when(col("__n") <= c, lit(1L))
+          .otherwise(expr(s"(__n - ${c}L + ${stride - 1}L) DIV ${stride}L")
+            + lit(1L)))
+      .select(col("id"), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), col("__nchunks") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .select(col("id"), col("chunk_id"), col("start_tok"),
+        least(lit(c), col("__n") - col("start_tok")).as("n_tok"),
+        array_join(slice(col("__toks"),
+          (col("start_tok") + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
 }

@@ -21,6 +21,30 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L), (2L, 1L), (4L, 1L), (5L, 1L)))
   }
 
+  test("incrementalExact admits only corpus-new, first-in-batch docs") {
+    val corpus = Seq(
+      (10L, "already accepted one"),
+      (11L, "already accepted two")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "already accepted one"),   // dup of corpus → rejected
+      (21L, "brand new document"),     // in-batch dup of 19 → rejected
+      (22L, "brand new document"),     // in-batch dup of 19 → rejected
+      (23L, "another new one"),        // admitted
+      (19L, "brand new document")      // SMALLEST id of its text → admitted
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(corpus, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(19L, 23L))
+    // all incoming columns survive
+    assert(Dedup.incrementalExact(corpus, batch, "doc_id", "text")
+      .columns.toSeq === batch.columns.toSeq)
+    // empty corpus degenerates to within-batch exact dedup (min id)
+    val solo = Dedup.incrementalExact(corpus.limit(0), batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(solo.toSeq === Seq(19L, 20L, 23L))
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docsDF, "doc_id", "text",
       n = 2, k = 32, bands = 16, threshold = 0.5)

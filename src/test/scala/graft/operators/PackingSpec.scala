@@ -75,4 +75,35 @@ class PackingSpec extends SparkSpec {
     assert(rs.map(_.getLong(5)).toSeq === Seq(1L, 0L, 2L)) // doc 3: offs 5..11 → 2 chunks
     assert(rs.map(_.getLong(3)).toSeq === Seq(0L, 5L, 5L))
   }
+
+  test("slidingChunks: overlap, tail clamp, short-doc single chunk") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // shorter than a chunk
+      (3L, (1 to 13).map(i => s"t$i").mkString(" ")) // 13 tokens
+    ).toDF("doc_id", "text")
+    val out = Packing.slidingChunks(docs, col("doc_id"), col("text"),
+        chunkTokens = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 10 tokens, chunk 4, stride 2 → 1 + ceil(6/2) = 4 chunks
+    assert(d1.length === 4)
+    assert(d1.head._5 === "a b c d")
+    assert(d1(1)._5 === "c d e f") // 2-token overlap
+    assert(d1.last === ((1L, 3L, 6L, 4L, "g h i j")))
+    // short doc → exactly one (clamped) chunk
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, 2L, "x y")))
+    // 13 tokens → 1 + ceil(9/2) = 6 chunks; tail n_tok clamps to 1
+    val d3 = out.filter(_._1 == 3L).sortBy(_._2)
+    assert(d3.length === 6)
+    assert(d3.last._4 === 3L && d3.last._5 === "t11 t12 t13")
+    // every token index is covered by some chunk
+    val covered = d1.flatMap(ch => ch._3 until (ch._3 + ch._4)).toSet
+    assert(covered === (0L until 10L).toSet)
+    // pure narrow plan: no exchange
+    val plan = Packing.slidingChunks(docs, col("doc_id"), col("text"), 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
