@@ -1241,6 +1241,13 @@ object SparkEntry {
       graft.operators.Sampling.weightedSample(
         events(s, dir), col("event_id"), col("value"), k = 500)),
 
+    // ---- per-group weighted sampling: k best-weighted events from
+    // EACH event type (A-ES priorities, bounded heap per group) ----
+    "q88_weighted_sample_per_group" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSamplePerGroup(
+        events(s, dir), Seq("event_type"), col("event_id"),
+        col("value"), k = 100)),
+
     // ---- grouped z-score with EXACT decimal moments: normalization
     // whose μ/σ are identical under any partitioning ----
     "q76_zscore" -> ((s, dir) =>
@@ -2767,6 +2774,20 @@ object SparkEntry {
          |  SELECT event_id AS id, p AS priority,
          |    row_number() OVER (ORDER BY p DESC, event_id ASC) AS rank
          |  FROM b) WHERE rank <= 500""".stripMargin
+    },
+
+    // q88: the q78 priority formula, ranked per event_type.
+    "q88_weighted_sample_per_group" -> {
+      val p = graft.functions.TextFunctions.round6Sql(
+        s"ln(CAST(${hashSql("CAST(event_id AS VARCHAR)")} + 1 AS DOUBLE)" +
+          " / 1000000008.0) / value")
+      s"""WITH b AS (SELECT event_type, event_id, $p AS p
+         |  FROM events WHERE CAST(value AS DOUBLE) > 0)
+         |SELECT event_type, id, priority, rank FROM (
+         |  SELECT event_type, event_id AS id, p AS priority,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY p DESC, event_id ASC) AS rank
+         |  FROM b) WHERE rank <= 100""".stripMargin
     },
 
     // q76: μ/σ from EXACT decimal sums, derived in the same double

@@ -94,6 +94,33 @@ object Sampling {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Per-GROUP weighted sampling without replacement — the per-domain
+    * curation pick ("k best-weighted docs from EACH source"): the same
+    * Efraimidis–Spirakis hash-derived priorities as [[weightedSample]],
+    * selected by a bounded-heap aggregate PER GROUP — O(k) state per
+    * group, map-side partials, one hash-agg exchange on the group key,
+    * no windows, no per-group sort. Rows with weight ≤ 0 are excluded.
+    * @return group columns + (id, priority, rank) best-first. */
+  def weightedSamplePerGroup(
+      df: DataFrame, groupCols: Seq[String], idCol: Column,
+      weightCol: Column, k: Int): DataFrame = {
+    import graft.functions.TopKBy.top_k_by
+    import graft.functions.{PortableHash, TextFunctions}
+    require(k >= 1, "k must be >= 1")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val gs = groupCols.map(col)
+    val u = (portable_hash(idCol.cast("string")) + lit(1L)).cast("double") /
+      lit((PortableHash.Mod + 1).toDouble)
+    val pr = TextFunctions.round6(log(u) / weightCol.cast("double"))
+    df.filter(weightCol.cast("double") > 0)
+      .select(gs ++ Seq(pr.as("__p"), idCol.cast("long").as("__id")): _*)
+      .groupBy(gs: _*)
+      .agg(top_k_by(col("__p"), col("__id"), k).as("tk"))
+      .select(gs ++ Seq(posexplode(col("tk")).as(Seq("pos", "s"))): _*)
+      .select(gs ++ Seq(col("s.id").as("id"), col("s.v").as("priority"),
+        (col("pos") + 1).cast("int").as("rank")): _*)
+  }
+
   /** SOURCE-MIX REBALANCING — downsample each group so the output's
     * group proportions hit `targetShares` (the corpus-assembly step
     * that turns "whatever the crawl yielded" into "40% en, 20% zh, …"

@@ -118,6 +118,27 @@ class ClusterSamplingSpec extends SparkSpec {
     }
   }
 
+  test("weightedSamplePerGroup: per-group k, same priorities as global") {
+    val df = (0L until 300L).map(i => (i, if (i % 3 == 0) "a" else "b",
+        (i % 7 + 1).toDouble)).toDF("id", "g", "w")
+    val out = Sampling.weightedSamplePerGroup(df, Seq("g"), col("id"),
+      col("w"), k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.count(_._1 == "a") === 10 && out.count(_._1 == "b") === 10)
+    // within each group the selection equals the GLOBAL sampler run on
+    // that group alone (same priorities, same ordering)
+    for (g <- Seq("a", "b")) {
+      val solo = Sampling.weightedSample(df.filter($"g" === g), col("id"),
+        col("w"), k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+      assert(out.filter(_._1 == g).map(r => (r._2, r._3, r._4)).toSet === solo)
+    }
+    // no window in the plan — bounded-heap aggregate only
+    val plan = Sampling.weightedSamplePerGroup(df, Seq("g"), col("id"),
+      col("w"), 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("mixSample output scan is a broadcast join + narrow filter") {
     val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "g")
