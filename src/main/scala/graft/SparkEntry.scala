@@ -1241,6 +1241,23 @@ object SparkEntry {
       graft.operators.Sampling.weightedSample(
         events(s, dir), col("event_id"), col("value"), k = 500)),
 
+    // ---- Gram/covariance statistics over the embedding corpus
+    // (whitening / PCA prep): d(d+1)/2 order-free decimal sums via one
+    // narrow expansion + map-side-combined agg ----
+    "q89_gram_cov" -> ((s, dir) =>
+      graft.operators.EmbedStats.gramCov(embs(s, dir),
+        col("embedding"), dim = 64)),
+
+    // ---- robust scaling: (v − median)/IQR per key — the outlier-
+    // immune normalization (exact interpolated percentiles) ----
+    "q90_robust_scale" -> ((s, dir) =>
+      graft.operators.Normalize.robustScale(
+          events(s, dir).select(col("event_id"), col("event_type"),
+            col("value")),
+          keys = Seq("event_type"), valueCol = col("value"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("v_scaled"))),
+
     // ---- per-group weighted sampling: k best-weighted events from
     // EACH event type (A-ES priorities, bounded heap per group) ----
     "q88_weighted_sample_per_group" -> ((s, dir) =>
@@ -2440,6 +2457,44 @@ object SparkEntry {
     "q81_repeated_spans" ->
       s"""WITH $repeatedSpanCtes
          |SELECT doc_id, start_tok, end_tok, marked_grams FROM spans""".stripMargin,
+
+    // q89: the (i,j) product sums mirror the engine's round6+DECIMAL
+    // policy; cov derives in the identical double expression order
+    // (g/n − (si/n)·(sj/n)).
+    "q89_gram_cov" -> {
+      val r6 = graft.functions.TextFunctions.round6Sql _
+      s"""WITH e AS (SELECT list_transform(embedding, gx -> CAST(gx AS DOUBLE)) AS v
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |idx AS (SELECT unnest(range(0, 64)) AS i),
+         |p AS (SELECT a.i AS i, b.i AS j,
+         |    ${r6("e.v[CAST(a.i AS INT)+1] * e.v[CAST(b.i AS INT)+1]")} AS p
+         |  FROM e CROSS JOIN idx a CROSS JOIN idx b WHERE a.i <= b.i),
+         |g AS (SELECT i, j,
+         |    CAST(sum(CAST(p AS DECIMAL(28,6))) AS DOUBLE) AS gram
+         |  FROM p GROUP BY i, j),
+         |d AS (SELECT a.i AS i,
+         |    CAST(sum(CAST(${r6("e.v[CAST(a.i AS INT)+1]")} AS DECIMAL(28,6))) AS DOUBLE) AS s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM e CROSS JOIN idx a GROUP BY a.i)
+         |SELECT g.i, g.j, g.gram,
+         |  ${r6("g.gram/d1.n - (d1.s/d1.n)*(d2.s/d2.n)")} AS cov
+         |FROM g JOIN d d1 ON g.i = d1.i JOIN d d2 ON g.j = d2.i""".stripMargin
+    },
+
+    // q90: quantile_cont ≡ Spark percentile (q53/q82 precedent);
+    // zero-IQR keys scale to NULL, not ±Inf.
+    "q90_robust_scale" -> {
+      val sc = graft.functions.TextFunctions.round6Sql(
+        "(e.value - b.med) / b.iqr")
+      s"""WITH b AS (SELECT event_type,
+         |    quantile_cont(value, 0.5) AS med,
+         |    quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+         |  FROM events GROUP BY event_type)
+         |SELECT e.event_id, e.event_type, e.value,
+         |  CASE WHEN e.value IS NULL OR b.iqr = 0 THEN NULL
+         |       ELSE $sc END AS v_scaled
+         |FROM events e JOIN b USING (event_type)""".stripMargin
+    },
 
     // q86: the oracle dedups on RAW text (the q13 precedent — an
     // engine-side (xxhash64, length) collision would surface here).

@@ -84,4 +84,29 @@ object Normalize {
           .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
+
+  /** ROBUST SCALING — (v − median) / IQR per key: the outlier-immune
+    * normalization (z-score's μ/σ are dragged by the same heavy tails
+    * a curation pipeline exists to handle; median/IQR are not). Same
+    * machinery as [[winsorize]]: exact interpolated `percentile`
+    * (≡ DuckDB `quantile_cont`, the q53 precedent) in one hash agg per
+    * key, broadcast-friendly join back, NULL values pass through as
+    * NULL. A zero IQR (over half the key's mass on one value) yields
+    * NULL rather than ±Inf — the caller's signal that this key needs a
+    * different treatment, not a silent blow-up.
+    * @return df + `v_scaled`. */
+  def robustScale(
+      df: DataFrame, keys: Seq[String], valueCol: Column): DataFrame = {
+    require(keys.nonEmpty, "robustScale needs at least one key column")
+    import graft.functions.TextFunctions.round6
+    val v = valueCol.cast("double")
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(percentile(v, lit(0.5)).as("__med"),
+        (percentile(v, lit(0.75)) - percentile(v, lit(0.25))).as("__iqr"))
+    df.join(stats, keys)
+      .withColumn("v_scaled",
+        when(v.isNull || col("__iqr") === 0.0, lit(null).cast("double"))
+          .otherwise(round6((v - col("__med")) / col("__iqr"))))
+      .drop("__med", "__iqr")
+  }
 }

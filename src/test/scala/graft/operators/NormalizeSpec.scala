@@ -74,4 +74,20 @@ class NormalizeSpec extends SparkSpec {
     // small group's own bounds: p10 = 1.1, p90 = 1.9
     assert(out.toSeq === Seq(1.1, 1.9))
   }
+
+  test("robustScale: median/IQR scaling; zero IQR and NULLs yield NULL") {
+    // 0..10: median 5, q25 = 2.5, q75 = 7.5 → IQR 5
+    val d = ((0 to 10).map(i => (i.toLong, "a", Some(i.toDouble)))
+      ++ Seq((50L, "const", Some(3.0)), (51L, "const", Some(3.0)),
+        (99L, "a", Option.empty[Double])))
+      .toDF("id", "k", "v")
+    val out = Normalize.robustScale(d, Seq("k"), col("v"))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(0L) === Some(-1.0))  // (0-5)/5
+    assert(out(10L) === Some(1.0))  // (10-5)/5
+    assert(out(5L) === Some(0.0))
+    assert(out(99L) === None)       // NULL value
+    assert(out(50L) === None)       // zero IQR → NULL, not ±Inf
+  }
 }
