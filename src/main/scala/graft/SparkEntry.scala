@@ -250,6 +250,37 @@ object SparkEntry {
       |  count(*) AS marked_grams
       |FROM sp2 GROUP BY doc_id, span)""".stripMargin
 
+  /** q16's oracle body — simhash hamming ≤ 3 pairs; a def so q91's
+    * detector evaluation nests the same derivation as a CTE. */
+  private def simhashPairsSql: String =
+    s"""WITH h AS (SELECT doc_id,
+       |  list_transform(string_split(text, ' '), tok -> ${hashSql("tok")}) AS hashes
+       |  FROM documents),
+       |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 30), j ->
+       |  CASE WHEN list_sum(list_transform(hashes,
+       |         h2 -> (CAST(floor(h2 / power(2, j)) AS BIGINT) % 2) * 2 - 1)) > 0
+       |       THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+       |FROM h)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  /** q17's oracle body — lang-blocked bigram jaccard ≥ 0.4 pairs;
+    * shared with q91. */
+  private def ngramJaccardPairsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang, list_distinct(list_transform(range(1, len(t)),
+      |           sh_i -> t[sh_i] || '_' || t[sh_i+1])) AS s
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 2)
+      |SELECT a_id, b_id, jaccard FROM (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.4""".stripMargin
+
   /** q21's oracle body — exact brute-force cosine top-5 for queries
     * vec_id < 8. A def (not inline) so q85's recall evaluation can
     * nest the SAME derivation as a CTE subquery — engine and oracle
@@ -552,6 +583,17 @@ object SparkEntry {
     "q17_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairsAdaptive(docs(s, dir), "doc_id", "text",
         blockCol = "lang", n = 2, threshold = 0.4)),
+
+    // ---- detector evaluation: precision/recall of the simhash pair
+    // finder (q16) against exact jaccard pairs (q17) as truth — the
+    // calibration measurement for distance/threshold choices ----
+    "q91_dedup_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.pairMetrics(
+        Dedup.ngramJaccardPairsAdaptive(d, "doc_id", "text",
+          blockCol = "lang", n = 2, threshold = 0.4),
+        Dedup.simhashPairsBlocked(d, "doc_id", "text", maxHamming = 3))
+    }),
 
     // ---- substring-level dedup: cross-document repeated n-gram spans
     // (Lee et al. span-removal shape) — token ranges to cut ----
@@ -1455,32 +1497,30 @@ object SparkEntry {
          |       THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM h""".stripMargin,
 
-    "q16_simhash_pairs" ->
-      s"""WITH h AS (SELECT doc_id,
-         |  list_transform(string_split(text, ' '), tok -> ${hashSql("tok")}) AS hashes
-         |  FROM documents),
-         |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 30), j ->
-         |  CASE WHEN list_sum(list_transform(hashes,
-         |         h2 -> (CAST(floor(h2 / power(2, j)) AS BIGINT) % 2) * 2 - 1)) > 0
-         |       THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
-         |FROM h)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |       bit_count(xor(a.simhash, b.simhash)) AS hamming
-         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "q16_simhash_pairs" -> simhashPairsSql,
 
-    "q17_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id, lang, list_distinct(list_transform(range(1, len(t)),
-        |           sh_i -> t[sh_i] || '_' || t[sh_i+1])) AS s
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
-        |  WHERE len(t) >= 2)
-        |SELECT a_id, b_id, jaccard FROM (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.4""".stripMargin,
+    "q17_ngram_jaccard" -> ngramJaccardPairsSql,
+
+    // q91: q17's jaccard pairs as truth, q16's simhash pairs as the
+    // prediction — the same derivations nested as CTE subqueries (the
+    // q85 composition pattern); 0/0 ratios are NULL.
+    "q91_dedup_eval" -> {
+      def ratio(num: String, den: String) =
+        s"CASE WHEN $den = 0 THEN NULL ELSE " +
+          graft.functions.TextFunctions.round6Sql(
+            s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE)") + " END"
+      s"""WITH truth AS ($ngramJaccardPairsSql),
+         |pred AS ($simhashPairsSql),
+         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |cp AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM pred),
+         |ch AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM truth t JOIN pred p
+         |    ON t.a_id = p.a_id AND t.b_id = p.b_id)
+         |SELECT n_truth, n_pred, n_hit,
+         |  ${ratio("n_hit", "n_pred")} AS precision,
+         |  ${ratio("n_hit", "n_truth")} AS recall
+         |FROM ct CROSS JOIN cp CROSS JOIN ch""".stripMargin
+    },
 
     "q18_fingerprints" ->
       s"""WITH g AS (SELECT doc_id,

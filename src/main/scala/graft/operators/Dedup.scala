@@ -61,6 +61,35 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** PAIR-SET EVALUATION — precision/recall of one near-dup detector
+    * against another treated as ground truth (the calibration loop for
+    * choosing simhash distance bounds, LSH band counts, or jaccard
+    * thresholds before a full-corpus run): both inputs are (a_id,
+    * b_id, …) pair tables with a_id < b_id (every pair emitter here
+    * produces that normal form). Counts are scalar aggregates and the
+    * overlap is one equi-join on the pair key — shuffle-light at any
+    * pair-set size; the result is a single row, so the operator
+    * composes as a lazy broadcast scalar. Empty truth/prediction sets
+    * yield NULL recall/precision (0/0 is undefined, not 0 or 1).
+    * @return one row (n_truth, n_pred, n_hit, precision, recall). */
+  def pairMetrics(truth: DataFrame, predicted: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.round6
+    val t = truth.select(col("a_id"), col("b_id"))
+    val p = predicted.select(col("a_id"), col("b_id"))
+    val nT = t.agg(count(lit(1)).as("n_truth"))
+    val nP = p.agg(count(lit(1)).as("n_pred"))
+    val nH = t.join(p, Seq("a_id", "b_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(nP).crossJoin(nH)
+      .select(col("n_truth"), col("n_pred"), col("n_hit"),
+        when(col("n_pred") === 0, lit(null).cast("double"))
+          .otherwise(round6(col("n_hit").cast("double") /
+            col("n_pred").cast("double"))).as("precision"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(round6(col("n_hit").cast("double") /
+            col("n_truth").cast("double"))).as("recall"))
+  }
+
   /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard on
     * word n-gram shingles.
     *

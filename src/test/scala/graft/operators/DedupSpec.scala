@@ -45,6 +45,21 @@ class DedupSpec extends SparkSpec {
     assert(solo.toSeq === Seq(19L, 20L, 23L))
   }
 
+  test("pairMetrics: counts, ratios, and NULL on empty sides") {
+    val truth = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val pred = Seq((1L, 2L), (4L, 5L), (6L, 7L), (8L, 9L)).toDF("a_id", "b_id")
+    val r = Dedup.pairMetrics(truth, pred).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 4L, 2L)))
+    assert(r.getDouble(3) === 0.5)      // 2/4 precision
+    assert(r.getDouble(4) === 0.666667) // 2/3 recall, round6
+    // empty prediction → NULL precision, 0 recall numerator
+    val e = Dedup.pairMetrics(truth, pred.limit(0)).collect().head
+    assert(e.isNullAt(3) && e.getDouble(4) === 0.0)
+    // empty truth → NULL recall
+    val t = Dedup.pairMetrics(truth.limit(0), pred).collect().head
+    assert(t.getDouble(3) === 0.0 && t.isNullAt(4))
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docsDF, "doc_id", "text",
       n = 2, k = 32, bands = 16, threshold = 0.5)
