@@ -29,26 +29,35 @@ object EmbedStats {
     import graft.functions.TextFunctions.round6
     val base = df.select(transform(vecCol, _.cast("double")).as("__v"))
       .filter(size(col("__v")) === dim)
-    // all (i, j, p) upper-triangle products in ONE per-row pass; __v is
-    // a projected attribute, so lambda references are plain reads (the
-    // bindOnce rule), not re-evaluations
-    val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      transform(sequence(i, lit(dim - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          round6(element_at(col("__v"), i + lit(1)) *
-            element_at(col("__v"), j + lit(1))).as("p")))))
-    val sums = base.select(explode(pairs).as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p").cast("decimal(28,6)")).cast("double").as("gram"))
-    val dims = base.select(posexplode(col("__v")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(sum(round6(col("x")).cast("decimal(28,6)")).cast("double").as("s"),
-        count(lit(1)).as("n"))
-    sums
-      .join(broadcast(dims.select(col("i"), col("s").as("__si"), col("n"))), "i")
-      .join(broadcast(dims.select(col("i").as("j"), col("s").as("__sj"))), "j")
+    // ONE aggregation pass: per-row upper-triangle products from the
+    // [[graft.functions.UpperTriProducts]] codegen kernel (HOF lambdas
+    // evaluate interpreted per element — the first implementation's
+    // dominant cost), element-wise summed by
+    // [[graft.functions.MicroVecSum]] (scaled-long state, exactly the
+    // round6+DECIMAL policy) alongside the per-dim value sums and the
+    // row count. No explode of the product stream ever happens: the
+    // exchange carries one d(d+1)/2-long buffer per partial, and the
+    // only row expansion is the 1-row result fanning out to its
+    // d(d+1)/2 output rows.
+    import graft.functions.MicroVecSum.micro_vec_sum
+    import graft.functions.UpperTriProducts.upper_tri_products
+    val nPairs = dim * (dim + 1) / 2
+    val agged = base.agg(
+      micro_vec_sum(upper_tri_products(col("__v"), dim), nPairs).as("__g"),
+      micro_vec_sum(transform(col("__v"), x => round6(x)), dim).as("__s"),
+      count(lit(1)).as("__n"))
+    import df.sparkSession.implicits._
+    val posIdx = (0 until dim).flatMap(i => (i until dim).map(j => (i, j)))
+      .zipWithIndex.map { case ((i, j), p) => (p, i, j) }
+      .toDF("pos", "i", "j")
+    agged
+      .select(col("__s"), col("__n"),
+        posexplode(col("__g")).as(Seq("pos", "gram")))
+      .join(broadcast(posIdx), "pos")
       .select(col("i"), col("j"), col("gram"),
-        round6(col("gram") / col("n") -
-          (col("__si") / col("n")) * (col("__sj") / col("n"))).as("cov"))
+        round6(col("gram") / col("__n") -
+          (element_at(col("__s"), col("i") + lit(1)) / col("__n")) *
+          (element_at(col("__s"), col("j") + lit(1)) / col("__n")))
+          .as("cov"))
   }
 }
