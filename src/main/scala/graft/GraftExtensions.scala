@@ -86,6 +86,22 @@ object GraftFunctions {
         args(1) match {
           case Literal(n: Int, _) => graft.functions.RepetitionStatsExpr(args(0), n)
           case other => sys.error(s"repetition_stats n must be an int literal, got $other")
+        } }),
+    (FunctionIdentifier("upper_tri_products"),
+      info("upper_tri_products",
+        "upper_tri_products(vec, dim) - round6'd upper-triangle products v_i*v_j, i-major"),
+      args => { require(args.length == 2, "upper_tri_products takes 2 arguments")
+        args(1) match {
+          case Literal(d: Int, _) => graft.functions.UpperTriProducts(args(0), d)
+          case other => sys.error(s"upper_tri_products dim must be an int literal, got $other")
+        } }),
+    (FunctionIdentifier("micro_vec_sum"),
+      info("micro_vec_sum",
+        "micro_vec_sum(array<double>, len) - element-wise order-free sum on the 6dp grid"),
+      args => { require(args.length == 2, "micro_vec_sum takes 2 arguments")
+        args(1) match {
+          case Literal(n: Int, _) => graft.functions.MicroVecSum(args(0), n)
+          case other => sys.error(s"micro_vec_sum len must be an int literal, got $other")
         } }))
 
   private def info(name: String, usage: String) =

@@ -59,6 +59,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(tk.map(_.getLong(1)) == Seq(98L, 96L)) // g=0: best ids first
   }
 
+  test("round-6 vector functions evaluate correctly from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT upper_tri_products(array(1.0d, 2.0d), 2) AS up,
+        |       micro_vec_sum(v, 2) AS s
+        |FROM (SELECT array(0.5d, 1.25d) AS v
+        |      UNION ALL SELECT array(0.25d, -0.25d))
+        |GROUP BY 1""".stripMargin).collect().head
+    assert(r.getSeq[Double](0) === Seq(1.0, 2.0, 4.0)) // v1², v1·v2, v2²
+    assert(r.getSeq[Double](1) === Seq(0.75, 1.0))
+  }
+
   test("SQL type errors are analysis-time, not runtime") {
     GraftFunctions.register(spark)
     intercept[Exception](spark.sql("SELECT portable_hash(42)").collect())
