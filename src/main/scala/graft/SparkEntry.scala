@@ -337,6 +337,44 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
        |  FROM sc) WHERE rank <= 5""".stripMargin
 
+  /** q89's oracle body — Gram + covariance over the 64-dim embedding
+    * corpus (round6 products, DECIMAL sums); a def so q92's power
+    * iteration starts from the same derivation as a CTE. */
+  private def gramCovSql: String = {
+    val r6 = graft.functions.TextFunctions.round6Sql _
+    s"""WITH e AS (SELECT list_transform(embedding, gx -> CAST(gx AS DOUBLE)) AS v
+       |  FROM embeddings WHERE len(embedding) = 64),
+       |idx AS (SELECT unnest(range(0, 64)) AS i),
+       |p AS (SELECT a.i AS i, b.i AS j,
+       |    ${r6("e.v[CAST(a.i AS INT)+1] * e.v[CAST(b.i AS INT)+1]")} AS p
+       |  FROM e CROSS JOIN idx a CROSS JOIN idx b WHERE a.i <= b.i),
+       |g AS (SELECT i, j,
+       |    CAST(sum(CAST(p AS DECIMAL(28,6))) AS DOUBLE) AS gram
+       |  FROM p GROUP BY i, j),
+       |d AS (SELECT a.i AS i,
+       |    CAST(sum(CAST(${r6("e.v[CAST(a.i AS INT)+1]")} AS DECIMAL(28,6))) AS DOUBLE) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM e CROSS JOIN idx a GROUP BY a.i)
+       |SELECT g.i, g.j, g.gram,
+       |  ${r6("g.gram/d1.n - (d1.s/d1.n)*(d2.s/d2.n)")} AS cov
+       |FROM g JOIN d d1 ON g.i = d1.i JOIN d d2 ON g.j = d2.i""".stripMargin
+  }
+
+  /** One unrolled power iteration for q92: u = C·w as ascending-j
+    * ordered folds (one per row dimension), the norm as an ascending-i
+    * ordered fold, then the re-rounded normalized iterate — the exact
+    * arithmetic sequence `EmbedStats.pcaProject` runs driver-side. */
+  private def pcaIterSql(k: Int, prev: String): String = {
+    val r6 = graft.functions.TextFunctions.round6Sql _
+    s"""u$k AS (SELECT cv.i,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(cv.cov * w.x ORDER BY cv.j)), (a$k, b$k) -> a$k + b$k) AS u
+       |  FROM cv JOIN $prev w ON cv.j = w.i GROUP BY cv.i),
+       |n$k AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list(u * u ORDER BY i)), (c$k, d$k) -> c$k + d$k)) AS n FROM u$k),
+       |w$k AS (SELECT i, ${r6("u / n")} AS x FROM u$k CROSS JOIN n$k)""".stripMargin
+  }
+
   private def hashSql(expr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($expr)+1), ch_i -> ascii($expr[ch_i]))), " +
@@ -1289,6 +1327,13 @@ object SparkEntry {
     "q89_gram_cov" -> ((s, dir) =>
       graft.operators.EmbedStats.gramCov(embs(s, dir),
         col("embedding"), dim = 64)),
+
+    // ---- top-principal-component projection: power iteration on
+    // q89's covariance (driver-side, bounded d² artifact), then one
+    // narrow fold_dot scan against the weight-vector literal ----
+    "q92_pca_project" -> ((s, dir) =>
+      graft.operators.EmbedStats.pcaProject(embs(s, dir),
+        col("vec_id"), col("embedding"), dim = 64)),
 
     // ---- robust scaling: (v − median)/IQR per key — the outlier-
     // immune normalization (exact interpolated percentiles) ----
@@ -2501,24 +2546,28 @@ object SparkEntry {
     // q89: the (i,j) product sums mirror the engine's round6+DECIMAL
     // policy; cov derives in the identical double expression order
     // (g/n − (si/n)·(sj/n)).
-    "q89_gram_cov" -> {
+    "q89_gram_cov" -> gramCovSql,
+
+    // q92: power iteration from q89's ROUNDED covariances — both
+    // engines start from identical doubles (q89 is hash-equal), so
+    // the unrolled ordered-fold iterations (the ivfIterSql precedent)
+    // produce the identical eigenvector, sign included.
+    "q92_pca_project" -> {
       val r6 = graft.functions.TextFunctions.round6Sql _
-      s"""WITH e AS (SELECT list_transform(embedding, gx -> CAST(gx AS DOUBLE)) AS v
-         |  FROM embeddings WHERE len(embedding) = 64),
-         |idx AS (SELECT unnest(range(0, 64)) AS i),
-         |p AS (SELECT a.i AS i, b.i AS j,
-         |    ${r6("e.v[CAST(a.i AS INT)+1] * e.v[CAST(b.i AS INT)+1]")} AS p
-         |  FROM e CROSS JOIN idx a CROSS JOIN idx b WHERE a.i <= b.i),
-         |g AS (SELECT i, j,
-         |    CAST(sum(CAST(p AS DECIMAL(28,6))) AS DOUBLE) AS gram
-         |  FROM p GROUP BY i, j),
-         |d AS (SELECT a.i AS i,
-         |    CAST(sum(CAST(${r6("e.v[CAST(a.i AS INT)+1]")} AS DECIMAL(28,6))) AS DOUBLE) AS s,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM e CROSS JOIN idx a GROUP BY a.i)
-         |SELECT g.i, g.j, g.gram,
-         |  ${r6("g.gram/d1.n - (d1.s/d1.n)*(d2.s/d2.n)")} AS cov
-         |FROM g JOIN d d1 ON g.i = d1.i JOIN d d2 ON g.j = d2.i""".stripMargin
+      val itersSql = (1 to 8).map(k => pcaIterSql(k, s"w${k - 1}"))
+        .mkString(",\n")
+      s"""WITH g AS ($gramCovSql),
+         |cv AS (SELECT i, j, cov FROM g
+         |       UNION ALL SELECT j AS i, i AS j, cov FROM g WHERE i <> j),
+         |w0 AS (SELECT unnest(range(0, 64)) AS i,
+         |       ${r6("1.0/sqrt(64.0)")} AS x),
+         |$itersSql,
+         |wa AS (SELECT list(x ORDER BY i) AS w FROM w8),
+         |e AS (SELECT vec_id,
+         |  list_transform(embedding, px -> CAST(px AS DOUBLE)) AS v
+         |  FROM embeddings WHERE len(embedding) = 64)
+         |SELECT vec_id, ${r6(dotSql("e.v", "wa.w"))} AS pc1
+         |FROM e CROSS JOIN wa""".stripMargin
     },
 
     // q90: quantile_cont ≡ Spark percentile (q53/q82 precedent);

@@ -60,4 +60,66 @@ object EmbedStats {
           (element_at(col("__s"), col("j") + lit(1)) / col("__n")))
           .as("cov"))
   }
+
+  /** TOP-PRINCIPAL-COMPONENT projection — the PCA step an embedding
+    * pipeline runs off [[gramCov]]'s statistics (drift axes, whitening
+    * prep, 1-D ordering of a corpus): the dominant eigenvector of the
+    * covariance matrix by POWER ITERATION, then pc1 = round6(v·w) per
+    * row.
+    *
+    * Determinism/oracle story: the iteration runs DRIVER-side on the
+    * collected covariance matrix — a bounded d² plan parameter, the
+    * same class as IVF centroids — starting from the constant vector
+    * round6(1/√d) and re-rounding each iterate to the 6dp grid. Since
+    * [[gramCov]]'s covariances are themselves round6'd and
+    * oracle-equal, both engines iterate the IDENTICAL double sequence
+    * (ascending-j folds, one sqrt, one division — mirrored
+    * op-for-op), so even the eigenvector's arbitrary SIGN matches and
+    * the projection has an exact oracle. Fixed `iters` (no
+    * convergence test — a data-dependent trip count would not be
+    * SQL-mirrorable); 8 iterations separate the dominant axis in
+    * practice, more sharpen it.
+    *
+    * Scale shape: one [[gramCov]] pass (see its note) + one narrow
+    * projection scan with the d-double weight vector as a literal —
+    * the corpus never shuffles. Fails fast on a zero covariance
+    * matrix (no dominant axis) rather than emitting NaNs.
+    * @return (vec_id, pc1), ragged rows excluded like [[gramCov]]. */
+  def pcaProject(
+      df: DataFrame, idCol: Column, vecCol: Column, dim: Int,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    import graft.functions.TextFunctions.round6
+    val c = Array.ofDim[Double](dim, dim)
+    gramCov(df, vecCol, dim).select(col("i"), col("j"), col("cov"))
+      .collect().foreach { r =>
+        val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+        c(i)(j) = v
+        c(j)(i) = v
+      }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    var w = Array.fill(dim)(r6(1.0 / math.sqrt(dim.toDouble)))
+    for (_ <- 1 to iters) {
+      val u = Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += c(i)(j) * w(j); j += 1 }
+        acc
+      }
+      var nAcc = 0.0
+      var i = 0
+      while (i < dim) { nAcc += u(i) * u(i); i += 1 }
+      val n = math.sqrt(nAcc)
+      require(n > 0.0,
+        "pcaProject: covariance matrix is zero — no dominant axis")
+      w = u.map(x => r6(x / n))
+    }
+    val wLit = typedLit(w.toSeq)
+    df.select(idCol.cast("long").as("vec_id"),
+        transform(vecCol, _.cast("double")).as("__v"))
+      .filter(size(col("__v")) === dim)
+      .select(col("vec_id"),
+        round6(graft.functions.VecFunctions.foldDot(col("__v"), wLit))
+          .as("pc1"))
+  }
 }

@@ -34,6 +34,35 @@ class EmbedStatsSpec extends SparkSpec {
     assert((0 until dim).forall(i => out((i, i))._1 >= 0.0))
   }
 
+  test("pcaProject finds a planted dominant axis; deterministic") {
+    val rnd = new scala.util.Random(5)
+    val dim = 6
+    // variance overwhelmingly along axis 2, small noise elsewhere
+    val data = (0 until 200).map { i =>
+      val t = (i - 100) / 10.0
+      Array.tabulate(dim)(d =>
+        (if (d == 2) t * 5.0 else 0.0) + rnd.nextDouble() * 0.1)
+    }
+    val df = data.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("vec_id", "embedding")
+    val out = EmbedStats.pcaProject(df, col("vec_id"), col("embedding"), dim)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size === 200)
+    // pc1 must order the corpus along axis 2 (up to a global sign):
+    // correlation of pc1 with the planted coordinate is ~±1
+    val xs = (0 until 200).map(i => data(i)(2))
+    val ys = (0 until 200).map(i => out(i.toLong))
+    val mx = xs.sum / 200; val my = ys.sum / 200
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val corr = cov / math.sqrt(
+      xs.map(a => (a - mx) * (a - mx)).sum * ys.map(b => (b - my) * (b - my)).sum)
+    assert(math.abs(corr) > 0.999, s"corr=$corr")
+    // deterministic across invocations
+    val again = EmbedStats.pcaProject(df, col("vec_id"), col("embedding"), dim)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === out)
+  }
+
   test("gramCov is partitioning-invariant (order-free decimal sums)") {
     val rnd = new scala.util.Random(9)
     val data = (0 until 40).map(_ => Tuple1(Seq.fill(8)(rnd.nextDouble())))
