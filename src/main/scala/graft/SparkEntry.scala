@@ -305,10 +305,10 @@ object SparkEntry {
   /** q36's oracle body — IVF-probed cosine top-5 (same query set,
     * same 6dp cosine as [[bruteCosineTopKSql]]); shared with q85. */
   private def ivfCosineTopKSql: String =
-    s"""WITH ea AS (SELECT vec_id AS id,
+    s"""WITH ea AS MATERIALIZED (SELECT vec_id AS id,
        |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
        |  FROM embeddings),
-       |e AS (SELECT * FROM ea WHERE id % 2 = 0),
+       |e AS MATERIALIZED (SELECT * FROM ea WHERE id % 2 = 0),
        |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
        |${ivfIterSql(1, "c0")},
        |${ivfIterSql(2, "c1")},
@@ -342,7 +342,7 @@ object SparkEntry {
     * iteration starts from the same derivation as a CTE. */
   private def gramCovSql: String = {
     val r6 = graft.functions.TextFunctions.round6Sql _
-    s"""WITH e AS (SELECT list_transform(embedding, gx -> CAST(gx AS DOUBLE)) AS v
+    s"""WITH e AS MATERIALIZED (SELECT list_transform(embedding, gx -> CAST(gx AS DOUBLE)) AS v
        |  FROM embeddings WHERE len(embedding) = 64),
        |idx AS (SELECT unnest(range(0, 64)) AS i),
        |p AS (SELECT a.i AS i, b.i AS j,
@@ -366,13 +366,13 @@ object SparkEntry {
     * arithmetic sequence `EmbedStats.pcaProject` runs driver-side. */
   private def pcaIterSql(k: Int, prev: String): String = {
     val r6 = graft.functions.TextFunctions.round6Sql _
-    s"""u$k AS (SELECT cv.i,
+    s"""u$k AS MATERIALIZED (SELECT cv.i,
        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list(cv.cov * w.x ORDER BY cv.j)), (a$k, b$k) -> a$k + b$k) AS u
        |  FROM cv JOIN $prev w ON cv.j = w.i GROUP BY cv.i),
-       |n$k AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |n$k AS MATERIALIZED (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |  list(u * u ORDER BY i)), (c$k, d$k) -> c$k + d$k)) AS n FROM u$k),
-       |w$k AS (SELECT i, ${r6("u / n")} AS x FROM u$k CROSS JOIN n$k)""".stripMargin
+       |w$k AS MATERIALIZED (SELECT i, ${r6("u / n")} AS x FROM u$k CROSS JOIN n$k)""".stripMargin
   }
 
   private def hashSql(expr: String): String =
@@ -391,12 +391,23 @@ object SparkEntry {
     * under centroids `prev` (argmin of the −2·v·c+‖c‖² partial, ties →
     * lowest cid), then the per-(cid,dim) two-level deterministic fold
     * mean (fold x by id within 1024-id blocks, fold block sums by blk)
-    * — the exact SQL mirror of Similarity.ivfCentroids' update. */
+    * — the exact SQL mirror of Similarity.ivfCentroids' update.
+    *
+    * ORACLE-TRACTABILITY CONTRACT (the round-6 lesson, learned the
+    * hard way): every CTE that a later stage references more than
+    * once — directly or through a chain — is declared AS MATERIALIZED.
+    * DuckDB inlines plain CTEs, so an unrolled iteration chain without
+    * the hint re-evaluates its predecessors multiplicatively (q92's
+    * un-materialized power iteration ran >10 min vs 1.1 s materialized
+    * and zeroed the whole round's driver correctness artifact).
+    * MATERIALIZED is purely an evaluation hint — results are
+    * identical — so it is always safe to add. tools/check.py enforces
+    * the other half of the contract: a per-oracle wall budget. */
   private def ivfIterSql(n: Int, prev: String): String =
     s"""s$n AS (SELECT e.id, e.v, c.cid,
        |  ${dotSql("e.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
        |  FROM e CROSS JOIN $prev c),
-       |a$n AS (SELECT id, v, cid FROM (
+       |a$n AS MATERIALIZED (SELECT id, v, cid FROM (
        |  SELECT id, v, cid,
        |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
        |  FROM s$n) WHERE rn = 1),
@@ -410,7 +421,7 @@ object SparkEntry {
        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(bsum ORDER BY blk)),
        |    (a0, x0) -> a0 + x0) / CAST(sum(bn) AS DOUBLE) AS x
        |  FROM b$n GROUP BY cid, pos),
-       |c$n AS (SELECT cid, list(x ORDER BY pos) AS c FROM d$n GROUP BY cid)""".stripMargin
+       |c$n AS MATERIALIZED (SELECT cid, list(x ORDER BY pos) AS c FROM d$n GROUP BY cid)""".stripMargin
 
   /** One unrolled Lloyd iteration of the q50 PQ trainer: identical
     * two-level fold means as [[ivfIterSql]] but keyed by (sub, cid),
@@ -422,7 +433,7 @@ object SparkEntry {
     s"""pqs$n AS (SELECT es.id, es.sub, es.vs, c.cid,
        |  ${dotSql("es.vs", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
        |  FROM es JOIN $prev c ON es.sub = c.sub),
-       |pqa$n AS (SELECT id, sub, vs, cid FROM (
+       |pqa$n AS MATERIALIZED (SELECT id, sub, vs, cid FROM (
        |  SELECT id, sub, vs, cid,
        |    row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn
        |  FROM pqs$n) WHERE rn = 1),
@@ -438,7 +449,7 @@ object SparkEntry {
        |  FROM pqb$n GROUP BY sub, cid, pos),
        |pqn$n AS (SELECT sub, cid, list(x ORDER BY pos) AS c
        |  FROM pqd$n GROUP BY sub, cid),
-       |pc$n AS (SELECT p.sub, p.cid, coalesce(nn.c, p.c) AS c
+       |pc$n AS MATERIALIZED (SELECT p.sub, p.cid, coalesce(nn.c, p.c) AS c
        |  FROM $prev p LEFT JOIN pqn$n nn
        |  ON p.sub = nn.sub AND p.cid = nn.cid)""".stripMargin
 
@@ -2403,10 +2414,10 @@ object SparkEntry {
     "q63_ann_ivfpq_topk" -> {
       val foldPd = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         "list(qt.pd ORDER BY qt.sub)), (a0, x0) -> a0 + x0)"
-      s"""WITH ea AS (SELECT vec_id AS id,
+      s"""WITH ea AS MATERIALIZED (SELECT vec_id AS id,
          |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
          |  FROM embeddings),
-         |e AS (SELECT * FROM ea WHERE id % 2 = 0),
+         |e AS MATERIALIZED (SELECT * FROM ea WHERE id % 2 = 0),
          |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
          |${ivfIterSql(1, "c0")},
          |${ivfIterSql(2, "c1")},
@@ -2470,10 +2481,10 @@ object SparkEntry {
     "q80_ann_ivfpq_residual_topk" -> {
       val foldPd = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         "list(qt.pd ORDER BY qt.sub)), (a0, x0) -> a0 + x0)"
-      s"""WITH ea AS (SELECT vec_id AS id,
+      s"""WITH ea AS MATERIALIZED (SELECT vec_id AS id,
          |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
          |  FROM embeddings),
-         |e AS (SELECT * FROM ea WHERE id % 2 = 0),
+         |e AS MATERIALIZED (SELECT * FROM ea WHERE id % 2 = 0),
          |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
          |${ivfIterSql(1, "c0")},
          |${ivfIterSql(2, "c1")},
@@ -2556,10 +2567,10 @@ object SparkEntry {
       val r6 = graft.functions.TextFunctions.round6Sql _
       val itersSql = (1 to 8).map(k => pcaIterSql(k, s"w${k - 1}"))
         .mkString(",\n")
-      s"""WITH g AS ($gramCovSql),
-         |cv AS (SELECT i, j, cov FROM g
+      s"""WITH g AS MATERIALIZED ($gramCovSql),
+         |cv AS MATERIALIZED (SELECT i, j, cov FROM g
          |       UNION ALL SELECT j AS i, i AS j, cov FROM g WHERE i <> j),
-         |w0 AS (SELECT unnest(range(0, 64)) AS i,
+         |w0 AS MATERIALIZED (SELECT unnest(range(0, 64)) AS i,
          |       ${r6("1.0/sqrt(64.0)")} AS x),
          |$itersSql,
          |wa AS (SELECT list(x ORDER BY i) AS w FROM w8),
@@ -2797,10 +2808,10 @@ object SparkEntry {
     // within-cluster lower-id cosine probe — is deterministic, so the
     // drop decisions reproduce exactly.
     "q71_semdedup" ->
-      s"""WITH ea AS (SELECT vec_id AS id,
+      s"""WITH ea AS MATERIALIZED (SELECT vec_id AS id,
          |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
          |  FROM embeddings),
-         |e AS (SELECT * FROM ea WHERE id % 2 = 0),
+         |e AS MATERIALIZED (SELECT * FROM ea WHERE id % 2 = 0),
          |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
          |${ivfIterSql(1, "c0")},
          |${ivfIterSql(2, "c1")},
@@ -2815,7 +2826,8 @@ object SparkEntry {
          |nr AS (SELECT id, v, cid, sqrt(${dotSql("v", "v")}) AS nrm FROM asn),
          |dr AS (SELECT DISTINCT a.id AS id
          |  FROM nr a JOIN nr b ON a.cid = b.cid AND b.id < a.id
-         |  WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.35)
+         |  WHERE a.nrm > 0 AND b.nrm > 0
+         |    AND round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.35)
          |SELECT nr.id AS id, nr.cid AS cid, (dr.id IS NULL) AS kept
          |FROM nr LEFT JOIN dr ON nr.id = dr.id""".stripMargin,
 

@@ -39,6 +39,15 @@ case class AdcScores(
     probes: Array[Array[Long]],
     listTables: Array[Array[Array[Array[Double]]]] = null) extends BinaryExpression {
 
+  // Residual mode indexes per-(query, probed list) tables by the
+  // probe position, so listTables without probes would read index -1
+  // at EVALUATION time; fail at plan construction instead. (The
+  // adc_scores wrapper enforces this too, but the expression is
+  // constructible directly.)
+  require(listTables == null || probes != null,
+    "adc_scores: listTables (residual mode) requires probes — " +
+      "per-list tables are aligned with each query's probe order")
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("q_id", LongType, nullable = false),
     StructField("d2", DoubleType, nullable = false))), containsNull = false)

@@ -29,8 +29,8 @@ import org.apache.spark.sql.graftbridge.Bridge
   * exchange carries ONE len-long buffer per partial. Built for
   * `EmbedStats.gramCov` (len = d(d+1)/2 product sums + d value sums in
   * one pass); general for any bounded-length vector accumulation.
-  * NULL input arrays are skipped; rows shorter than `len` are
-  * rejected (a silent zero-pad would skew sums). */
+  * NULL input arrays are skipped; rows shorter than `len` and NULL
+  * ELEMENTS are rejected (a silent zero-pad would skew sums). */
 case class MicroVecSum(
     child: Expression, len: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -59,6 +59,13 @@ case class MicroVecSum(
         s"micro_vec_sum: row has ${arr.numElements()} elements, need $len")
       var i = 0
       while (i < len) {
+        // The input type is ARRAY<DOUBLE> with whatever containsNull
+        // the upstream transform chain carries; ArrayData.getDouble on
+        // a null slot silently yields 0.0, which is exactly the
+        // "silent zero-pad skews sums" this kernel refuses — check.
+        require(!arr.isNullAt(i),
+          s"micro_vec_sum: NULL element at index $i — a null would " +
+            "silently contribute 0.0 to the sum; clean the input")
         buf(i) = Math.addExact(buf(i), Math.round(arr.getDouble(i) * 1e6))
         i += 1
       }

@@ -51,6 +51,11 @@ case class UpperTriProducts(child: Expression, dim: Int)
     val v = new Array[Double](dim)
     var i = 0
     while (i < n) {
+      // getFloat/getDouble on a null slot silently yield 0.0 — the
+      // zero-pad this kernel's contract forbids; fail loudly instead.
+      require(!va.isNullAt(i),
+        s"upper_tri_products: NULL element at index $i — a null would " +
+          "silently enter the products as 0.0; clean the input")
       v(i) = if (isFloat) va.getFloat(i).toDouble else va.getDouble(i)
       i += 1
     }
@@ -82,6 +87,11 @@ case class UpperTriProducts(child: Expression, dim: Int)
          |int $n = java.lang.Math.min($va.numElements(), $dim);
          |double[] $v = new double[$dim];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($va.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "upper_tri_products: NULL element at index " + $i +
+         |      " — a null would silently enter the products as 0.0; clean the input");
+         |  }
          |  $v[$i] = (double) $va.$getter($i);
          |}
          |double[] $out = new double[${dim * (dim + 1) / 2}];

@@ -19,6 +19,39 @@ import graft.functions.TextFunctions.round6
   * (μ = s1/n; σ² = s2/n − μ·μ) mirrored by the oracle. */
 object Normalize {
 
+  /** The exact-percentile family's state tripwire. Spark's exact
+    * `percentile` buffers one (value → count) entry per DISTINCT value
+    * per key — at 100 TB a single hot key with a high-cardinality
+    * double domain is an executor-OOM vector (~24 B/distinct: 10⁸
+    * distinct ≈ 2.4 GB in ONE aggregation buffer). The cure is the
+    * mergeable [[Quantiles.histogramQuantiles]] bounds (the q65 dial),
+    * but silently switching would change exact results — so this is a
+    * GUARD, not a switch: an `approx_count_distinct` sketch (O(1)
+    * mergeable state) rides the SAME aggregate pass, and the returned
+    * plan fails fast with the dial's name when any key's distinct
+    * estimate exceeds `maxDistinctPerKey` (same lazy broadcast-scalar
+    * assert as semDedup's cluster guard — zero construction jobs,
+    * message in the cause chain). Estimate, not exact — exactly right
+    * for a tripwire whose failure mode is orders of magnitude, not
+    * percent. */
+  private def guardDistinctState(
+      joined: DataFrame, bounds: DataFrame, op: String,
+      maxDistinctPerKey: Long): DataFrame = {
+    require(maxDistinctPerKey >= 1, "maxDistinctPerKey must be >= 1")
+    val worst = bounds.agg(
+      coalesce(max(col("__cd")), lit(0L)).cast("double").as("__mxd"))
+    joined.crossJoin(broadcast(worst))
+      .where(assert_true(
+        col("__mxd") <= lit(maxDistinctPerKey.toDouble),
+        lit(s"$op: a key holds more than $maxDistinctPerKey distinct " +
+          "values (estimated) — exact percentile state is " +
+          "O(distinct-per-key) and a hot key this wide risks executor " +
+          "OOM. Use Quantiles.histogramQuantiles bounds for this " +
+          "domain, or raise maxDistinctPerKey if the state is truly " +
+          "affordable")).isNull)
+      .drop("__mxd")
+  }
+
   /** @return df plus `z` = round6((v − μ_key)/σ_key); NULL when the
     * key's variance is 0 (constant groups have no z-score) or the
     * row's value is NULL. NULL values are excluded from the moments
@@ -70,19 +103,22 @@ object Normalize {
     * broadcast-friendly join back; data-plane rows never shuffle. */
   def winsorize(
       df: DataFrame, keys: Seq[String], valueCol: Column,
-      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      maxDistinctPerKey: Long = 4000000L): DataFrame = {
     require(keys.nonEmpty, "winsorize needs at least one key column")
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
     val v = valueCol.cast("double")
     val bounds = df.groupBy(keys.map(col): _*)
       .agg(percentile(v, lit(pLo)).as("__lo"),
-        percentile(v, lit(pHi)).as("__hi"))
-    df.join(bounds, keys)
+        percentile(v, lit(pHi)).as("__hi"),
+        approx_count_distinct(v).as("__cd"))
+    guardDistinctState(df.join(bounds, keys), bounds, "winsorize",
+        maxDistinctPerKey)
       .withColumn("v_clipped",
         when(v.isNull, lit(null).cast("double"))
           .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
-      .drop("__lo", "__hi")
+      .drop("__lo", "__hi", "__cd")
   }
 
   /** ROBUST SCALING — (v − median) / IQR per key: the outlier-immune
@@ -96,17 +132,20 @@ object Normalize {
     * different treatment, not a silent blow-up.
     * @return df + `v_scaled`. */
   def robustScale(
-      df: DataFrame, keys: Seq[String], valueCol: Column): DataFrame = {
+      df: DataFrame, keys: Seq[String], valueCol: Column,
+      maxDistinctPerKey: Long = 4000000L): DataFrame = {
     require(keys.nonEmpty, "robustScale needs at least one key column")
     import graft.functions.TextFunctions.round6
     val v = valueCol.cast("double")
     val stats = df.groupBy(keys.map(col): _*)
       .agg(percentile(v, lit(0.5)).as("__med"),
-        (percentile(v, lit(0.75)) - percentile(v, lit(0.25))).as("__iqr"))
-    df.join(stats, keys)
+        (percentile(v, lit(0.75)) - percentile(v, lit(0.25))).as("__iqr"),
+        approx_count_distinct(v).as("__cd"))
+    guardDistinctState(df.join(stats, keys), stats, "robustScale",
+        maxDistinctPerKey)
       .withColumn("v_scaled",
         when(v.isNull || col("__iqr") === 0.0, lit(null).cast("double"))
           .otherwise(round6((v - col("__med")) / col("__iqr"))))
-      .drop("__med", "__iqr")
+      .drop("__med", "__iqr", "__cd")
   }
 }

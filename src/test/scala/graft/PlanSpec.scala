@@ -74,14 +74,17 @@ class PlanSpec extends SparkSpec {
     val df = graft.operators.Similarity.ivfTopK(
       corpus, corpus.filter($"vec_id" < 4), k = 3, nLists = 4, nProbe = 2)
     val p = plan(df)
-    // exactly one broadcast: the tiny probe table (|Q|·nProbe rows) —
-    // round 1 broadcast a one-row-per-corpus-vector argmin table
-    assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
-    // both shuffles hash-partition by q_id (probe-rank + final-rank
-    // windows); the corpus list side is a pure map over its scan
+    // exactly two broadcasts: the tiny probe table (|Q|·nProbe rows)
+    // and the list-share guard's ONE-ROW stats scalar — round 1
+    // broadcast a one-row-per-corpus-vector argmin table
+    assert("BroadcastExchange".r.findAllIn(p).size == 2, p)
+    // data shuffles hash-partition by q_id (probe-rank + final-rank
+    // windows); the only corpus-side exchange is the guard's sampled
+    // cid-COUNT aggregate (1/16 of rows, count-only columns) — the
+    // corpus list rows themselves are a pure map over their scan
     val shuffles = "hashpartitioning\\(([A-Za-z_]+)#".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(shuffles == Seq("q_id", "q_id"), p)
+    assert(shuffles.sorted == Seq("cid", "q_id", "q_id"), p)
     // every window is partitioned — a global window would single-task
     // the corpus (partitioned Window prints 3 bracket groups: exprs,
     // partition spec, order spec)

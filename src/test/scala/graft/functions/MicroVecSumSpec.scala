@@ -39,4 +39,31 @@ class MicroVecSumSpec extends SparkSpec {
     }
     assert(o.getMessage != null)
   }
+
+  test("micro_vec_sum rejects NULL elements instead of zero-padding") {
+    val withNullElem = Seq(Seq[Option[Double]](Some(1.0), None))
+      .toDF("v")
+    val e = intercept[Exception] {
+      withNullElem.agg(micro_vec_sum(col("v"), 2)).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("NULL element"))
+  }
+
+  test("upper_tri_products rejects NULL elements instead of zero-padding") {
+    import graft.functions.UpperTriProducts.upper_tri_products
+    val withNullElem = Seq(Seq[Option[Double]](Some(1.0), None))
+      .toDF("v")
+    val e = intercept[Exception] {
+      withNullElem.select(upper_tri_products(col("v"), 2)).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("NULL element"))
+    // non-null input is unaffected
+    val ok = Seq(Seq(2.0, 3.0)).toDF("v")
+      .select(upper_tri_products(col("v"), 2)).as[Seq[Double]].collect().head
+    assert(ok === Seq(4.0, 6.0, 9.0))
+  }
 }

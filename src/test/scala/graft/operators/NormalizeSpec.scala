@@ -90,4 +90,25 @@ class NormalizeSpec extends SparkSpec {
     assert(out(99L) === None)       // NULL value
     assert(out(50L) === None)       // zero IQR → NULL, not ±Inf
   }
+
+  test("percentile-state guard trips on a high-cardinality hot key") {
+    // one key, 50k distinct doubles: with the tripwire dialed down the
+    // plan must fail fast naming the histogram dial — converting the
+    // 100 TB "mystery executor OOM inside an exact-percentile buffer"
+    // into an actionable message. Default threshold still completes.
+    val d = spark.range(50000).select(col("id"), lit("hot").as("k"),
+      (col("id") * 1.000001d).as("v"))
+    for ((name, guarded) <- Seq[(String, Long => org.apache.spark.sql.DataFrame)](
+        "winsorize" -> (mx =>
+          Normalize.winsorize(d, Seq("k"), col("v"), maxDistinctPerKey = mx)),
+        "robustScale" -> (mx =>
+          Normalize.robustScale(d, Seq("k"), col("v"), maxDistinctPerKey = mx)))) {
+      val e = intercept[Exception] { guarded(1000L).collect() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("histogramQuantiles"), s"$name: $msgs")
+      assert(guarded(4000000L).count() === 50000L, name)
+    }
+  }
 }

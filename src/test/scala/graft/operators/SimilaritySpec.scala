@@ -255,6 +255,45 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() === n.toLong)
   }
 
+  test("IVF list-share guard trips on a degenerate one-list corpus") {
+    // every vector lands in centroid 0's list: nProbe pruning is
+    // worthless and each probing query would scan the whole corpus —
+    // the plan must fail fast with the raise-nLists message. 20k rows
+    // so the 1/16 hash-sample clears the 256-row floor.
+    val df = spark.range(20000).select(col("id").as("vec_id"),
+      array(lit(5.0f), lit(5.0f)).as("embedding"))
+    val cents = IndexedSeq((0L, Array(5.0, 5.0)), (1L, Array(-5.0, -5.0)))
+    val qs = Seq((999999L, Seq(5.0f, 4.9f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.ivfTopK(df, qs, k = 3, cents, nProbe = 1,
+        "vec_id", "embedding").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("Raise nLists"))
+    // explicitly accepting the scan cost completes
+    assert(Similarity.ivfTopK(df, qs, k = 3, cents, nProbe = 1,
+      "vec_id", "embedding", maxListShare = 1.0).count() === 3L)
+  }
+
+  test("semDedup: duplicate zero-norm vectors are all kept (cosine undefined)") {
+    // Cosine of a zero vector is 0/0 — NaN here, NULL in the SQL
+    // oracle — so zero-norm rows must never be dropped: neither by the
+    // exact-duplicate collapse (which infers cosine 1.0 without
+    // computing it) nor by the pairwise stage (where Spark's
+    // NaN-is-greatest ordering would satisfy >= threshold).
+    val corpus = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(-1.0, 0.0)))
+    val out = Similarity.semDedup(corpus, cents, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(0L) && out(1L) && out(2L),
+      "zero-norm duplicates must all be kept")
+    assert(out(3L) && !out(4L), "normal duplicates still collapse")
+  }
+
   test("semDedup: skew guard trips on a distinct-vector mega-cluster") {
     // 300 DISTINCT vectors nearest one centroid: share 300/302 > 0.5
     // and above the 256-rep floor → the plan must fail fast with the

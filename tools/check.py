@@ -7,12 +7,16 @@ outdir/oracle_sql.json, runs each oracle against the sfdir tables in
 DuckDB, and compares (columns sorted by name, rows sorted by all
 columns, exact value equality after normalizing to pandas objects).
 """
-import sys, json, glob, os
+import sys, json, glob, os, time, threading
 import duckdb
 import pandas as pd
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# Per-oracle wall budget. One pathological oracle (q92's un-materialized
+# CTE chain, round 6) silently blew the whole driver run; a slow oracle
+# must fail ITS row loudly instead. Override: ORACLE_BUDGET_SEC.
+budget = float(os.environ.get("ORACLE_BUDGET_SEC", "30"))
 only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None  # name filter
 
 con = duckdb.connect()
@@ -44,6 +48,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
 
 fails = []
+oracle_secs = {}
 for name in names:
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
@@ -54,11 +59,26 @@ for name in names:
         print(f"ROWS-ONLY {name}: {len(got)} rows " + ("OK" if len(got) else "EMPTY!"))
         if not len(got): fails.append(name)
         continue
+    t0 = time.monotonic()
+    watchdog = threading.Timer(budget, con.interrupt)
+    watchdog.start()
     try:
         exp_raw = con.sql(oracle[name]).df()
         exp = canon(exp_raw)
     except Exception as e:
-        print(f"FAIL {name}: oracle SQL error: {e}"); fails.append(name); continue
+        el = time.monotonic() - t0
+        if el >= budget:
+            print(f"FAIL {name}: oracle exceeded {budget:.0f}s budget "
+                  f"(interrupted at {el:.1f}s) — driver-intractable SQL")
+        else:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+        fails.append(name); continue
+    finally:
+        watchdog.cancel()
+    el = time.monotonic() - t0
+    oracle_secs[name] = el
+    if el > budget * 0.5:
+        print(f"WARN {name}: oracle took {el:.1f}s (budget {budget:.0f}s)")
     # Driver-hash fidelity: the driver stringifies values, so an int64
     # column on one side vs float64 on the other ("1" vs "1.0") hash-
     # mismatches even when numerically equal. DuckDB's HUGEINT (e.g.
@@ -88,5 +108,8 @@ for name in names:
             print("  exp:", exp.loc[i].to_dict())
         fails.append(name)
 
+if oracle_secs:
+    slow = sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:5]
+    print("\nslowest oracles: " + ", ".join(f"{n}={s:.1f}s" for n, s in slow))
 print(f"\n{len(names)-len(fails)}/{len(names)} pass" + (f"; FAILURES: {fails}" if fails else ""))
 sys.exit(1 if fails else 0)
