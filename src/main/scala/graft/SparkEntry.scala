@@ -1404,8 +1404,79 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           lag(col("event_id"), 1).over(w).as("prev_event_id"),
           (col("us") - lag(col("us"), 1).over(w)).as("delta_us"))
+    }),
+
+    // ---- S3 on the oracle surface: the q01 weighted mean with its
+    // weights read through Sources.weightsCsv from the COMMITTED
+    // pandas-layout fixture (leading unnamed index column, fid column
+    // named by the --fid CLI arg) — the reader's full lineage, not
+    // just a spec ----
+    "q93_weights_csv_mean" -> ((s, dir) => {
+      val g = gridFromLineitem(t(s, dir, "lineitem"), nullify = false)
+      val w = graft.sources.Sources.weightsCsv(
+        s, fixturePath("gm_nhru01_weights.csv"), "nhru_v1_1")
+      // Same A1 shape as q01 (broadcast weight join + hash agg) but
+      // with EXACT decimal sums: the fixture weights land some means
+      // on a 4dp rounding boundary, where a plain double Σw·x is
+      // summation-order-sensitive (q01's part-derived weights happen
+      // to sit clear of boundaries). wght has 6dp and pr 2dp, so the
+      // decimal products and sums are exact and order-free — both
+      // engines divide and round the identical values.
+      // floor(x·1e4 + 0.5)/1e4, not round(x, 4): the quotient can land
+      // EXACTLY on a .xxxx5 boundary (it does here), where Spark's
+      // BigDecimal-HALF-UP and DuckDB's scaled-double rounding
+      // disagree — the round6 formula at 4dp is the engine's standard
+      // cross-engine-stable rounding
+      g.join(broadcast(w), Seq("i", "j"))
+        .groupBy(col("fid"), col("time"))
+        .agg((floor(
+          (sum(col("wght").cast("decimal(18,6)") * col("pr").cast("decimal(18,6)"))
+            .cast("double") /
+           sum(col("wght").cast("decimal(18,6)")).cast("double"))
+            * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("wmean_pr"))
+        .select(col("fid"), col("time"), col("wmean_pr"))
+    }),
+
+    // ---- S5+F1 on the oracle surface: catalog JSON scan + take-first
+    // lookup (min over (varname, URL) struct — the reference's
+    // deterministic first record per variable) ----
+    "q94_catalog_json_lookup" -> ((s, _) => {
+      val cat = graft.sources.Sources.catalogJson(s, fixturePath("catalog.json"))
+      graft.sources.Sources.catalogLookup(
+        cat, "gridmet", Seq("pr", "tmmx", "tmmn"))
+    }),
+
+    // ---- S6 on the oracle surface: PRMS parameter-file scan (marker /
+    // skip-4 / #### protocol) joined to the q09-style elevation physics
+    // so the parsed values feed a real computation ----
+    "q95_prms_elevation" -> ((s, _) => {
+      import graft.functions.Physics
+      graft.sources.Sources.prmsElevations(s, fixturePath("synthetic.param"))
+        .select(col("nhru"), col("elev"),
+          round(Physics.pressureAtElevation(col("elev"), lit(288.15)), 6)
+            .as("pres"))
+    }),
+
+    // ---- S7 on the oracle surface: NN-mapping CSV scan joined to the
+    // donor table (the --mapping-file reuse path: mapping rows name
+    // which donor fills each missing feature) ----
+    "q96_fill_mapping_join" -> ((s, dir) => {
+      val m = graft.sources.Sources.fillMappingCsv(
+        s, fixturePath("fill_mapping.csv"))
+      val donors = t(s, dir, "customer")
+        .select(col("c_custkey").as("fill_fid"), col("c_acctbal"))
+      m.join(donors, Seq("fill_fid"))
+        .select(col("miss_fid"), col("fill_fid"), col("distance"),
+          col("c_acctbal").as("fill_val"))
     })
   )
+
+  /** The committed source-reader fixtures (`data/` in this repo). An
+    * absolute path: the engine's Verify pass and the driver's DuckDB
+    * oracle pass run with different working directories, and both
+    * sides must read the identical file. */
+  private def fixturePath(name: String): String = s"/root/repo/data/$name"
 
   // ======================================================================
 
@@ -3021,6 +3092,60 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  lag(event_id) OVER w AS prev_event_id,
         |  us - lag(us) OVER w AS delta_us
-        |FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)""".stripMargin
+        |FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)""".stripMargin,
+
+    // q93: the q01 mirror with weights from the committed CSV fixture —
+    // read_csv on the same absolute path the engine reads, pandas index
+    // column ignored by projection.
+    "q93_weights_csv_mean" ->
+      s"""WITH g AS ($gridSqlPlain),
+         |w AS (SELECT CAST(nhru_v1_1 AS BIGINT) AS fid,
+         |             CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+         |             CAST(wght AS DOUBLE) AS wght
+         |      FROM read_csv('/root/repo/data/gm_nhru01_weights.csv',
+         |                    header = true))
+         |SELECT w.fid AS fid, g.time AS time,
+         |       floor((CAST(sum(CAST(w.wght AS DECIMAL(18,6))
+         |                      * CAST(g.pr AS DECIMAL(18,6))) AS DOUBLE)
+         |              / CAST(sum(CAST(w.wght AS DECIMAL(18,6))) AS DOUBLE))
+         |             * 10000.0 + 0.5) / 10000.0 AS wmean_pr
+         |FROM g JOIN w ON g.i = w.i AND g.j = w.j
+         |GROUP BY 1, 2""".stripMargin,
+
+    // q94: take-first = min (varname, URL) struct; the fixture keeps
+    // varnames unique per variable so arg_min is tie-free.
+    "q94_catalog_json_lookup" ->
+      """SELECT variable, min(varname) AS varname,
+        |       arg_min("URL", varname) AS "URL"
+        |FROM read_json('/root/repo/data/catalog.json')
+        |WHERE id = 'gridmet' AND variable IN ('pr', 'tmmx', 'tmmn')
+        |GROUP BY variable""".stripMargin,
+
+    // q95: the PRMS marker/skip-4/#### protocol expressed over the raw
+    // lines (read_csv with a delimiter absent from the file = one
+    // VARCHAR column per line, insertion-ordered), then the same
+    // isothermal pressure arithmetic at T = 288.15 K.
+    "q95_prms_elevation" ->
+      """WITH l AS (SELECT trim(line) AS line, row_number() OVER () AS rn
+        |  FROM read_csv('/root/repo/data/synthetic.param', header = false,
+        |                delim = '|', columns = {'line': 'VARCHAR'})),
+        |m AS (SELECT min(rn) AS mrn FROM l WHERE line = 'hru_elev'),
+        |v AS (SELECT l.line, l.rn FROM l, m WHERE l.rn > m.mrn + 4),
+        |t AS (SELECT min(rn) AS trn FROM v WHERE line LIKE '####%'),
+        |vals AS (SELECT CAST(v.line AS DOUBLE) AS elev,
+        |                row_number() OVER (ORDER BY v.rn) AS nhru
+        |         FROM v, t WHERE v.rn < t.trn)
+        |SELECT CAST(nhru AS BIGINT) AS nhru, elev,
+        |       round(1013.25 * exp(-9.80665 * elev / (287.05 * 288.15)), 6)
+        |         AS pres
+        |FROM vals""".stripMargin,
+
+    // q96: mapping CSV joined to the donor table — fill_fid names which
+    // donor row fills each missing feature.
+    "q96_fill_mapping_join" ->
+      """SELECT m.miss_fid, m.fill_fid, m.distance,
+        |       c.c_acctbal AS fill_val
+        |FROM read_csv('/root/repo/data/fill_mapping.csv', header = true) m
+        |JOIN customer c ON m.fill_fid = c.c_custkey""".stripMargin
   )
 }
