@@ -269,7 +269,7 @@ object SparkEntry {
   /** q17's oracle body — lang-blocked bigram jaccard ≥ 0.4 pairs;
     * shared with q91. */
   private def ngramJaccardPairsSql: String =
-    """WITH sh AS (
+    """WITH sh AS MATERIALIZED (
       |  SELECT doc_id, lang, list_distinct(list_transform(range(1, len(t)),
       |           sh_i -> t[sh_i] || '_' || t[sh_i+1])) AS s
       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
@@ -1469,6 +1469,27 @@ object SparkEntry {
       m.join(donors, Seq("fill_fid"))
         .select(col("miss_fid"), col("fill_fid"), col("distance"),
           col("c_acctbal").as("fill_val"))
+    }),
+
+    // ---- incremental dedup, FULL LIFECYCLE (two batches): batch 1
+    // admits against an empty fingerprint table, batch 2 admits
+    // against the table GROWN by batch 1's survivors — the
+    // persist-and-append loop expressed functionally (the stateful
+    // parquet form is Dedup.admitIncrement + the dedup-admit job;
+    // an oracle query must be re-runnable, so no side effects here) ----
+    "q97_incremental_lifecycle" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val d = docs(s, dir)
+      val b1 = d.filter(col("doc_id") % 2 === 0)
+      val b2 = d.filter(col("doc_id") % 2 === 1)
+      val emptyFp = s.emptyDataset(
+          org.apache.spark.sql.Encoders.product[(Long, Int)])
+        .toDF("__h", "__l")
+      val a1 = Dedup.incrementalExactFp(emptyFp, b1, "doc_id", "text")
+      val a2 = Dedup.incrementalExactFp(
+        Dedup.fingerprints(a1, "text"), b2, "doc_id", "text")
+      a1.select(lit(1).as("batch"), col("doc_id"))
+        .unionAll(a2.select(lit(2).as("batch"), col("doc_id")))
     })
   )
 
@@ -1602,7 +1623,7 @@ object SparkEntry {
         |FROM doubled GROUP BY text""".stripMargin,
 
     "q14_minhash_lsh" ->
-      """WITH sh AS (
+      """WITH sh AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
         |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
@@ -2052,12 +2073,12 @@ object SparkEntry {
     // form), then a recursive-CTE transitive closure; min reachable id
     // = the propagation fixpoint.
     "q43_dup_clusters" ->
-      """WITH RECURSIVE sh AS (
+      """WITH RECURSIVE sh AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
         |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
         |  WHERE len(t) >= 3),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT a_id, b_id FROM (
         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -2101,12 +2122,12 @@ object SparkEntry {
       val quality = r6(s"""0.4 * least(CAST(len(t) AS DOUBLE)/200.0, 1.0)
          |      + 0.3 * least($meanLen/8.0, 1.0)
          |      + 0.3 * least($stopR*5.0, 1.0)""".stripMargin)
-      s"""WITH RECURSIVE sh AS (
+      s"""WITH RECURSIVE sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
          |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
          |  WHERE len(t) >= 3),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT a_id, b_id FROM (
          |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -2210,12 +2231,12 @@ object SparkEntry {
       val quality = r6(s"""0.4 * least(CAST(len(t) AS DOUBLE)/200.0, 1.0)
          |      + 0.3 * least($meanLen/8.0, 1.0)
          |      + 0.3 * least($stopR*5.0, 1.0)""".stripMargin)
-      s"""WITH RECURSIVE sh AS (
+      s"""WITH RECURSIVE sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
          |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
          |  WHERE len(t) >= 3),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT a_id, b_id FROM (
          |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -2318,7 +2339,7 @@ object SparkEntry {
     // hashes — intersection COUNTS agree unless two distinct shingles
     // collide at 2^-64 (the q14/q17 equivalence).
     "q54_decontaminate" ->
-      """WITH sh AS (
+      """WITH sh AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
         |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
@@ -2331,7 +2352,7 @@ object SparkEntry {
     "q55_boilerplate" -> {
       val r6 = graft.functions.TextFunctions.round6Sql(
         "CAST(coalesce(nf.n_frequent, 0) AS DOUBLE) / CAST(per.n_shingles AS DOUBLE)")
-      s"""WITH sh AS (
+      s"""WITH sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
          |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
@@ -2439,12 +2460,12 @@ object SparkEntry {
     // q61: candidates are exactly q14's verified pair set (jaccard ≥
     // 0.8), confirmed here by character-exact Levenshtein.
     "q61_edit_distance" ->
-      """WITH sh AS (
+      """WITH sh AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
         |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
         |  WHERE len(t) >= 3),
-        |pairs AS (SELECT a_id, b_id FROM (
+        |pairs AS MATERIALIZED (SELECT a_id, b_id FROM (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
@@ -2850,12 +2871,12 @@ object SparkEntry {
            |    (1000000000000 * 15 // 100 // nv.n) + coalesce(c.in_sum, 0) AS r
            |  FROM verts v CROSS JOIN nv LEFT JOIN c$i c ON v.id = c.dst)""".stripMargin
       }
-      s"""WITH sh AS (
+      s"""WITH sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
          |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
          |  WHERE len(t) >= 3),
-         |pairs AS (SELECT a_id, b_id FROM (
+         |pairs AS MATERIALIZED (SELECT a_id, b_id FROM (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
@@ -3146,6 +3167,23 @@ object SparkEntry {
       """SELECT m.miss_fid, m.fill_fid, m.distance,
         |       c.c_acctbal AS fill_val
         |FROM read_csv('/root/repo/data/fill_mapping.csv', header = true) m
-        |JOIN customer c ON m.fill_fid = c.c_custkey""".stripMargin
+        |JOIN customer c ON m.fill_fid = c.c_custkey""".stripMargin,
+
+    // q97: batch-1 survivors = min id per text; the grown fingerprint
+    // table's texts are exactly batch 1's DISTINCT texts (every text
+    // group elects a representative), so batch-2 admission is the
+    // in-batch min-id election anti-joined against them. The engine
+    // keys on (xxhash64, length); raw text here — a collision would
+    // surface as a mismatch (the q13 contract).
+    "q97_incremental_lifecycle" ->
+      """WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        |a1 AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM b1 GROUP BY text),
+        |seen AS (SELECT DISTINCT text FROM b1),
+        |f2 AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
+        |       FROM b2 GROUP BY text),
+        |a2 AS (SELECT f2.doc_id FROM f2 ANTI JOIN seen s ON f2.text = s.text)
+        |SELECT 1 AS batch, doc_id FROM a1
+        |UNION ALL SELECT 2 AS batch, doc_id FROM a2""".stripMargin
   )
 }

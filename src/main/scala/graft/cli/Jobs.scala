@@ -160,9 +160,27 @@ object Jobs {
     path
   }
 
+  /** Incremental-dedup admission (the daily-ingestion lifecycle step):
+    * admit the `--input-path` parquet batch against the fingerprint
+    * table persisted at `--state-path` (absent = bootstrap), write the
+    * admitted rows to `--output-path`, and append their fingerprints
+    * to the state so the next run admits against the grown table.
+    * Cost per run ∝ batch + a 16-byte-per-accepted-doc state scan —
+    * the accepted corpus itself is never re-read. */
+  def runDedupAdmit(spark: SparkSession, a: Args): String = {
+    val incoming = spark.read.parquet(a("input-path"))
+    val admitted = graft.operators.Dedup.admitIncrement(
+      a("state-path"), incoming,
+      idCol = a.get("id-col").getOrElse("doc_id"),
+      textCol = a.get("text-col").getOrElse("text"))
+    val out = a("output-path")
+    admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    out
+  }
+
   def main(argv: Array[String]): Unit = {
     require(argv.nonEmpty,
-      "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf")
+      "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf | dedup-admit")
     val a = parseArgs(argv.tail.toSeq)
     val spark = session()
     try {
@@ -170,6 +188,7 @@ object Jobs {
         case "gridmet-etl" => runGridmet(spark, a)
         case "cfsv2-etl" => runCfsv2(spark, a)
         case "stage-netcdf" => runStageNetcdf(spark, a)
+        case "dedup-admit" => runDedupAdmit(spark, a)
         case other => sys.error(s"unknown subcommand: $other")
       }
       println(s"WROTE $path")

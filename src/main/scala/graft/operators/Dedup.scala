@@ -49,16 +49,67 @@ object Dedup {
     * @return the admitted rows of `incoming` (all its columns). */
   def incrementalExact(
       corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    incrementalExactFp(fingerprints(corpus, textCol), incoming, idCol, textCol)
+
+  /** The (h, l) content-fingerprint table of a document set — the
+    * 16-byte-per-document artifact an incremental-dedup deployment
+    * PERSISTS between ingestion batches (the [[incrementalExact]]
+    * corpus side reduced to exactly what admission needs: at 100 TB
+    * the accepted corpus is re-read never, its fingerprint table
+    * always). */
+  def fingerprints(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(xxhash64(col(textCol)).as("__h"),
+      length(col(textCol)).as("__l"))
+
+  /** [[incrementalExact]] against an already-computed fingerprint
+    * table (columns (__h, __l) as produced by [[fingerprints]]) —
+    * the steady-state admission path where the corpus side is the
+    * persisted artifact, not the documents. */
+  def incrementalExactFp(
+      seenFp: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val key = Seq(xxhash64(col(textCol)).as("__h"),
       length(col(textCol)).as("__l"))
-    val seen = corpus.select(key: _*)
     val firstInBatch = incoming.select((col(idCol) +: key): _*)
       .groupBy(col("__h"), col("__l"))
       .agg(min(col(idCol)).as(idCol))
-    incoming.join(firstInBatch.join(seen, Seq("__h", "__l"), "left_anti")
+    incoming.join(
+      firstInBatch
+        .join(seenFp.select(col("__h"), col("__l")), Seq("__h", "__l"),
+          "left_anti")
         .select(col(idCol)),
       Seq(idCol), "left_semi")
+  }
+
+  /** The FULL incremental-dedup lifecycle step: admit `incoming`
+    * against the fingerprint table persisted at `statePath` (parquet;
+    * absent = empty corpus, the bootstrap case), then APPEND the
+    * admitted batch's fingerprints so the next increment admits
+    * against the grown table. Each step's cost is proportional to the
+    * increment plus a ~16-byte-per-accepted-document scan — the
+    * accepted documents themselves are never re-read. Admission and
+    * append are two actions, not one transaction: if the append fails
+    * after a consumer saw the admitted rows, re-running the step
+    * re-admits the same batch identically (admission is deterministic
+    * given state + batch), so the recovery is simply to re-run.
+    * @return the admitted rows (materialized BEFORE the state append
+    *         so the returned plan does not re-read state it just
+    *         modified). */
+  def admitIncrement(
+      statePath: String, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val spark = incoming.sparkSession
+    val stateExists = new java.io.File(statePath).exists()
+    val seen =
+      if (stateExists) spark.read.parquet(statePath)
+      else spark.emptyDataset(org.apache.spark.sql.Encoders.product[(Long, Int)])
+        .toDF("__h", "__l")
+    val admitted = incrementalExactFp(seen, incoming, idCol, textCol)
+      .localCheckpoint()
+    fingerprints(admitted, textCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statePath)
+    admitted
   }
 
   /** PAIR-SET EVALUATION — precision/recall of one near-dup detector

@@ -31,21 +31,22 @@ object Shapefile {
 
   /** Read `path` (.shp) + sibling .dbf into (attrs..., geometry WKB).
     *
-    * CRS CONTRACT: coordinates must be geographic lon/lat matching the
-    * grid. The reference reprojects features to the grid CRS before
-    * taking bounds (`etl.py:321-322`, `gdf.to_crs(grid_crs)` with the
-    * catalog's `crs` column); this engine instead REQUIRES inputs
-    * already in the grid's geographic CRS and fails loudly otherwise:
-    * a sibling `.prj` declaring a PROJECTED CRS (PROJCS/PROJCRS) is
-    * rejected at read time — silently treating projected eastings/
-    * northings as degrees would produce wrong subsets downstream. A
-    * geographic `.prj` (GEOGCS/GEOGCRS) passes; a missing `.prj`
-    * falls back to the documented fixture contract (coordinates
-    * assumed grid lon/lat). Reproject upstream (ogr2ogr -t_srs) if a
-    * projected source must be ingested. */
+    * CRS CONTRACT: output coordinates are geographic lon/lat matching
+    * the grid. The reference reprojects features to the grid CRS
+    * before taking bounds (`etl.py:321-322`, `gdf.to_crs(grid_crs)`
+    * with the catalog's `crs` column); this engine mirrors that for a
+    * sibling `.prj` declaring a PROJECTED CRS of a supported family
+    * (Transverse Mercator — UTM and the national grids —, Mercator,
+    * Equirectangular): coordinates are REPROJECTED to lon/lat at read
+    * time via [[CrsTransform]]. An unsupported projection is rejected
+    * loudly — silently treating projected eastings/northings as
+    * degrees would produce wrong subsets downstream. A geographic
+    * `.prj` (GEOGCS/GEOGCRS) passes through; a missing `.prj` falls
+    * back to the documented fixture contract (coordinates assumed
+    * grid lon/lat). */
   def read(spark: SparkSession, path: String): DataFrame = {
-    checkCrs(path)
-    val geoms = parseShp(Files.readAllBytes(Paths.get(path)))
+    val transform = crsInverse(path)
+    val geoms = parseShp(Files.readAllBytes(Paths.get(path)), transform)
     val dbfPath = Paths.get(path.replaceAll("(?i)\\.shp$", ".dbf"))
     val (fields, records) =
       if (Files.exists(dbfPath)) parseDbf(Files.readAllBytes(dbfPath))
@@ -62,15 +63,18 @@ object Shapefile {
         .SeqHasAsJava(rows).asJava), schema)
   }
 
-  /** Enforce the CRS contract from the sibling `.prj` (OGC WKT), when
-    * present. Only the CRS *kind* is inspected — geographic accepted,
-    * projected rejected — because the lon/lat fixture contract is about
-    * unit semantics (degrees vs meters), not datum shifts; sub-degree
-    * datum differences are the reference's tolerance too (it feeds any
-    * geographic CRS straight to the same bbox math). */
-  private def checkCrs(path: String): Unit = {
+  /** Resolve the CRS contract from the sibling `.prj` (OGC WKT), when
+    * present: geographic → None (coordinates pass through), projected
+    * of a supported family → Some(inverse transform to lon/lat),
+    * unsupported projection or unrecognized kind → loud failure.
+    * Datum shifts stay out of scope in BOTH directions — sub-degree
+    * datum differences are the reference's tolerance too (it feeds
+    * any geographic CRS straight to the same bbox math). */
+  private def crsInverse(
+      path: String): Option[(Double, Double) => (Double, Double)] = {
     val prj = Paths.get(path.replaceAll("(?i)\\.shp$", ".prj"))
-    if (Files.exists(prj)) {
+    if (!Files.exists(prj)) None
+    else {
       // UTF-8, not US-ASCII: Windows GIS tools commonly write the .prj
       // with a UTF-8 BOM, which ASCII decoding mangles into replacement
       // chars that takeWhile would keep and misclassify. Decode UTF-8
@@ -79,23 +83,31 @@ object Shapefile {
         .dropWhile(c => !c.isLetter).trim
       val kind = wkt.takeWhile(c => c.isLetter || c == '_').toUpperCase
       kind match {
-        case "GEOGCS" | "GEOGCRS" | "GEODCRS" => () // geographic lon/lat
-        case "PROJCS" | "PROJCRS" => throw new IllegalArgumentException(
-          s"shapefile $path declares a PROJECTED CRS in its .prj " +
-            s"(${wkt.take(60)}...): this reader requires geographic " +
-            "lon/lat coordinates matching the grid CRS — reproject " +
-            "upstream (e.g. ogr2ogr -t_srs) before ingestion")
+        case "GEOGCS" | "GEOGCRS" | "GEODCRS" => None // geographic lon/lat
+        case "PROJCS" | "PROJCRS" =>
+          try Some(CrsTransform.fromProjcsWkt(wkt).inverse)
+          catch { case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"shapefile $path declares a PROJECTED CRS its reader " +
+                s"cannot invert (${wkt.take(60)}...): ${e.getMessage} — " +
+                "reproject upstream (e.g. ogr2ogr -t_srs) before ingestion")
+          }
         case other => throw new IllegalArgumentException(
           s"shapefile $path has an unrecognized .prj CRS kind '$other' " +
             s"(${wkt.take(60)}...): expected a geographic CRS " +
-            "(GEOGCS/GEOGCRS) matching the grid")
+            "(GEOGCS/GEOGCRS) matching the grid, or a supported PROJCS")
       }
     }
   }
 
   /** .shp → one little-endian WKB POLYGON (or null for Null shapes)
-    * per record, rings carried through verbatim. */
-  private def parseShp(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    * per record; `transform` (the CRS inverse) applied per point when
+    * the `.prj` declared a supported projected CRS, rings otherwise
+    * carried through verbatim. */
+  private def parseShp(
+      bytes: Array[Byte],
+      transform: Option[(Double, Double) => (Double, Double)] = None)
+      : IndexedSeq[Array[Byte]] = {
     val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     require(be.getInt(0) == 9994, s"not a shapefile (file code ${be.getInt(0)})")
     val fileLenBytes = be.getInt(24).toLong * 2 // length counted in 16-bit words
@@ -142,8 +154,15 @@ object Shapefile {
             wkb.putInt(n)
             var i = starts(p)
             while (i < ends(p)) {
-              wkb.putDouble(le.getDouble(pointsOff + 16 * i))
-              wkb.putDouble(le.getDouble(pointsOff + 16 * i + 8))
+              val x = le.getDouble(pointsOff + 16 * i)
+              val y = le.getDouble(pointsOff + 16 * i + 8)
+              transform match {
+                case Some(t) =>
+                  val (lon, lat) = t(x, y)
+                  wkb.putDouble(lon).putDouble(lat)
+                case None =>
+                  wkb.putDouble(x).putDouble(y)
+              }
               i += 1
             }
             p += 1

@@ -373,4 +373,43 @@ object EventPipeline extends Serializable {
       .writeStream.outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
   }
+
+  /** STREAMING incremental-dedup admission — the micro-batch form of
+    * [[graft.operators.Dedup.admitIncrement]]: each micro-batch admits
+    * against the PERSISTED fingerprint table at `statePath`, appends
+    * the admitted rows to `outDir`, and appends their fingerprints to
+    * the state. `foreachBatch`, not `dropDuplicates` state, on
+    * purpose: the fingerprint table is a corpus artifact that OUTLIVES
+    * the stream — a nightly batch `dedup-admit` job and this stream
+    * admit against the SAME table interchangeably, while
+    * dropDuplicates state lives and dies with one query's checkpoint.
+    *
+    * Ordering contract: admission depends on arrival order (a text's
+    * first-arriving id wins), so the trigger processes ONE source file
+    * per micro-batch (`maxFilesPerTrigger=1`, file-name order) —
+    * making stream admission equal batch-per-file admission, which the
+    * parity spec pins. Delivery: foreachBatch is at-least-once; a
+    * replayed micro-batch re-admits the same rows (admission is
+    * deterministic given state — re-appended fingerprints are
+    * duplicate (h,l) rows, harmless to the anti-join) but re-appends
+    * them to `outDir`, so downstream consumers of the admitted stream
+    * read it with the usual sink-dedup caveat.
+    * Caller sets `checkpointLocation` and starts. */
+  def admitStream(
+      spark: SparkSession, sourceDir: String, statePath: String,
+      outDir: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataStreamWriter[Row] = {
+    val schema = spark.read.parquet(sourceDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .admitIncrement(statePath, batch, idCol, textCol)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+  }
 }

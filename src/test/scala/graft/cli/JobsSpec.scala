@@ -113,6 +113,26 @@ class JobsSpec extends SparkSpec {
     assert(byF(2L) == byF(1L))
   }
 
+  test("dedup-admit job: two-run lifecycle over persisted fingerprint state") {
+    val dir = Files.createTempDirectory("graft-dedup-job").toString
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch1")
+    Seq((10L, "alpha"), (11L, "gamma"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch2")
+    def run(n: Int) = Jobs.runDedupAdmit(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/batch$n", "--state-path", s"$dir/state",
+      "--output-path", s"$dir/out$n")))
+    val out1 = spark.read.parquet(run(1))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out1.toSeq == Seq(1L, 2L))
+    // run 2 admits only the state-new text; "alpha" is rejected by the
+    // fingerprints run 1 appended
+    val out2 = spark.read.parquet(run(2))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out2.toSeq == Seq(11L))
+    assert(spark.read.parquet(s"$dir/state").count() == 3L)
+  }
+
   test("catalog T/X/Y-name indirection normalizes staged coordinates") {
     import graft.etl.GridmetPipeline
     val g = Seq((Timestamp.valueOf("2021-01-01 00:00:00"), 40.0, -100.0, 1.0))

@@ -45,6 +45,31 @@ class DedupSpec extends SparkSpec {
     assert(solo.toSeq === Seq(19L, 20L, 23L))
   }
 
+  test("admitIncrement: persisted fingerprints reject batch-1 survivors in batch 2") {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-dedup-state").resolve("fp").toString
+    val b1 = Seq(
+      (1L, "first doc"), (2L, "second doc"), (3L, "first doc") // 3 = dup of 1
+    ).toDF("doc_id", "text")
+    val a1 = Dedup.admitIncrement(state, b1, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(a1.toSeq === Seq(1L, 2L))
+    // batch 2: dups of batch-1 SURVIVORS rejected via the grown state,
+    // fresh text admitted, in-batch dup election still applies
+    val b2 = Seq(
+      (10L, "first doc"),    // rejected: fingerprint persisted by run 1
+      (11L, "third doc"),    // admitted
+      (12L, "third doc")     // rejected: in-batch dup of 11
+    ).toDF("doc_id", "text")
+    val a2 = Dedup.admitIncrement(state, b2, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(a2.toSeq === Seq(11L))
+    // the state grew by exactly the admitted fingerprints: 2 + 1
+    assert(spark.read.parquet(state).count() === 3L)
+    // a third run with an already-seen batch admits nothing
+    assert(Dedup.admitIncrement(state, b1, "doc_id", "text").count() === 0L)
+  }
+
   test("pairMetrics: counts, ratios, and NULL on empty sides") {
     val truth = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("a_id", "b_id")
     val pred = Seq((1L, 2L), (4L, 5L), (6L, 7L), (8L, 9L)).toDF("a_id", "b_id")

@@ -81,6 +81,33 @@ class ShapefileSpec extends SparkSpec {
     assert(df.select("fid").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("CRS reprojection: a UTM .prj round-trips to its geographic twin") {
+    // the same triangle written twice: once in lon/lat, once forward-
+    // projected to UTM 13N — reading the projected file must recover
+    // the geographic coordinates (bbox + WKB) to survey tolerance
+    import graft.functions.WkbGeom
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val tri = Seq((-105.3, 39.5), (-105.3, 40.2), (-104.6, 40.2), (-105.3, 39.5))
+    val utmWkt =
+      """PROJCS["WGS 84 / UTM zone 13N",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",-105],PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],PARAMETER["false_northing",0],UNIT["metre",1]]"""
+    val fwd = CrsTransform.fromProjcsWkt(utmWkt).forward
+    val geoPath = ShpTestData.write(dir, "geo_twin",
+      Seq(1L -> Seq(tri.map { case (x, y) => (x, y) })))
+    val projPath = ShpTestData.write(dir, "utm_twin",
+      Seq(1L -> Seq(tri.map { case (lon, lat) => fwd(lon, lat) })))
+    Files.writeString(
+      java.nio.file.Paths.get(projPath.replace(".shp", ".prj")), utmWkt)
+    def env(path: String): Seq[Double] =
+      Shapefile.read(spark, path)
+        .select(WkbGeom.wkbEnvelopeCentroid(col("geometry")).as("e"))
+        .collect().head.getStruct(0).toSeq.map(_.asInstanceOf[Double])
+    val eg = env(geoPath)
+    val ep = env(projPath)
+    eg.zip(ep).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-7, s"envelope/centroid: $eg vs $ep") }
+  }
+
   test("CRS contract: a projected .prj is rejected loudly") {
     // the reference reprojects (etl.py:321-322); this engine requires
     // pre-projected lon/lat and must FAIL, not silently subset with

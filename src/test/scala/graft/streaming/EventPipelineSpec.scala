@@ -265,4 +265,58 @@ class EventPipelineSpec extends SparkSpec {
     assert(rows(kept.select($"text")) ===
       Set(Seq("alpha beta"), Seq("gamma"), Seq("delta")))
   }
+
+  test("streaming admission == per-file batch admitIncrement (shared state)") {
+    import graft.operators.Dedup
+    val base = Files.createTempDirectory("graft-admit-parity").toString
+    // two source files, name-ordered = arrival-ordered; "alpha" recurs
+    // across files (stream must reject the second via persisted state)
+    // and "beta" recurs within file 2 (in-batch min-id election)
+    val f1 = Seq((5L, "alpha"), (6L, "omega")).toDF("doc_id", "text")
+    val f2 = Seq((2L, "alpha"), (3L, "beta"), (1L, "beta"))
+      .toDF("doc_id", "text")
+    f1.coalesce(1).write.parquet(s"$base/src/part=a")
+    f2.coalesce(1).write.parquet(s"$base/src/part=b")
+    // batch reference: sequential admitIncrement on its own state
+    val bs = s"$base/batch-state"
+    val batchIds =
+      (Dedup.admitIncrement(bs, f1, "doc_id", "text")
+          .select("doc_id").as[Long].collect() ++
+        Dedup.admitIncrement(bs, f2, "doc_id", "text")
+          .select("doc_id").as[Long].collect()).sorted
+    val q = EventPipeline.admitStream(spark,
+        s"$base/src", s"$base/stream-state", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination(60000); q.stop()
+    val streamIds = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().sorted
+    assert(streamIds.toSeq === batchIds.toSeq)
+    assert(streamIds.toSeq === Seq(1L, 5L, 6L))
+    // both admission paths grew their states identically
+    assert(spark.read.parquet(s"$base/stream-state").count() ===
+      spark.read.parquet(bs).count())
+  }
+
+  test("checkpoint/restart: admission stream continues from persisted state") {
+    val base = Files.createTempDirectory("graft-admit-restart").toString
+    Seq((1L, "first"), (2L, "second")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$base/src/part=a")
+    def run(): Unit = {
+      val q = EventPipeline.admitStream(spark,
+          s"$base/src", s"$base/state", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt").start()
+      q.awaitTermination(60000); q.stop()
+    }
+    run()
+    assert(spark.read.parquet(s"$base/out").count() === 2L)
+    // RUN 2, same checkpoint: the processed file is NOT replayed (no
+    // double-append), the new file admits against run 1's fingerprints
+    Seq((10L, "first"), (11L, "third")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$base/src/part=b")
+    run()
+    val out = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L, 11L))
+    assert(spark.read.parquet(s"$base/state").count() === 3L)
+  }
 }
