@@ -100,7 +100,14 @@ object Dedup {
       statePath: String, incoming: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val spark = incoming.sparkSession
-    val stateExists = new java.io.File(statePath).exists()
+    // Hadoop FS, not java.io.File: the fingerprint table lives wherever
+    // the corpus does (HDFS/S3 on a real cluster), and a local-only
+    // existence probe would silently report "bootstrap" there and
+    // readmit the whole corpus.
+    val hPath = new org.apache.hadoop.fs.Path(statePath)
+    val stateExists = hPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(hPath)
     val seen =
       if (stateExists) spark.read.parquet(statePath)
       else spark.emptyDataset(org.apache.spark.sql.Encoders.product[(Long, Int)])
