@@ -1490,6 +1490,25 @@ object SparkEntry {
         Dedup.fingerprints(a1, "text"), b2, "doc_id", "text")
       a1.select(lit(1).as("batch"), col("doc_id"))
         .unionAll(a2.select(lit(2).as("batch"), col("doc_id")))
+    }),
+
+    // ---- S2's native .shp path + CRS REPROJECTION on the oracle
+    // surface: the committed fixture is a PROJECTED (UTM 13N)
+    // shapefile whose geographic twin ships as a CSV vertex list —
+    // the engine must parse the .shp, invert the Transverse Mercator
+    // from the .prj, and recover the twin's bbox + shoelace centroid
+    // to the 6dp grid (the reprojection round-trip error is ~1e-9°,
+    // three orders below the rounding quantum) ----
+    "q98_shapefile_reproject" -> ((s, _) => {
+      import graft.functions.WkbGeom
+      import graft.functions.TextFunctions.round6
+      graft.sources.Shapefile.read(s, fixturePath("features_utm.shp"))
+        .select(col("nhru_v1_1").as("fid"),
+          WkbGeom.wkbEnvelopeCentroid(col("geometry")).as("e"))
+        .select(col("fid"),
+          round6(col("e.minx")).as("minx"), round6(col("e.miny")).as("miny"),
+          round6(col("e.maxx")).as("maxx"), round6(col("e.maxy")).as("maxy"),
+          round6(col("e.cx")).as("cx"), round6(col("e.cy")).as("cy"))
     })
   )
 
@@ -3184,6 +3203,41 @@ object SparkEntry {
         |       FROM b2 GROUP BY text),
         |a2 AS (SELECT f2.doc_id FROM f2 ANTI JOIN seen s ON f2.text = s.text)
         |SELECT 1 AS batch, doc_id FROM a1
-        |UNION ALL SELECT 2 AS batch, doc_id FROM a2""".stripMargin
+        |UNION ALL SELECT 2 AS batch, doc_id FROM a2""".stripMargin,
+
+    // q98: bbox + shoelace centroid straight from the geographic twin's
+    // vertex list (closed rings, seq-ordered folds — the engine's
+    // cross/Σ(x_i+x_{i+1})·cross accumulation mirrored term for term;
+    // cx = sx/(3·a2) is sign-invariant so no winding flip needed).
+    "q98_shapefile_reproject" -> {
+      val r6 = graft.functions.TextFunctions.round6Sql _
+      s"""WITH v AS (SELECT CAST(fid AS BIGINT) AS fid, seq,
+         |    CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+         |  FROM read_csv('/root/repo/data/features_lonlat.csv', header = true)),
+         |p AS (SELECT fid, list(x ORDER BY seq) AS xs,
+         |             list(y ORDER BY seq) AS ys FROM v GROUP BY fid),
+         |m AS (SELECT fid,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, len(xs)),
+         |      ci -> xs[ci]*ys[ci+1] - xs[ci+1]*ys[ci])),
+         |    (ca, cb) -> ca + cb) AS a2,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, len(xs)),
+         |      si -> (xs[si]+xs[si+1]) * (xs[si]*ys[si+1] - xs[si+1]*ys[si]))),
+         |    (sa, sb) -> sa + sb) AS sx,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, len(xs)),
+         |      ti -> (ys[ti]+ys[ti+1]) * (xs[ti]*ys[ti+1] - xs[ti+1]*ys[ti]))),
+         |    (ta, tb) -> ta + tb) AS sy
+         |  FROM p)
+         |SELECT b.fid,
+         |  ${r6("b.minx")} AS minx, ${r6("b.miny")} AS miny,
+         |  ${r6("b.maxx")} AS maxx, ${r6("b.maxy")} AS maxy,
+         |  ${r6("m.sx / (3.0 * m.a2)")} AS cx,
+         |  ${r6("m.sy / (3.0 * m.a2)")} AS cy
+         |FROM (SELECT fid, min(x) AS minx, min(y) AS miny,
+         |        max(x) AS maxx, max(y) AS maxy FROM v GROUP BY fid) b
+         |JOIN m USING (fid)""".stripMargin
+    }
   )
 }
