@@ -1,0 +1,80 @@
+package graft.sinks
+
+import graft.SparkSpec
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+class TokenSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chunks = Seq(
+    (0, 0L, Seq(1, 2, 3)),
+    (0, 1L, Seq(65535, 0)),
+    (1, 0L, Seq(7)),
+    (1, 2L, Seq(8, 9, 10, 11))
+  ).toDF("shard", "chunk_id", "token_ids")
+
+  test("packed uint16 shards: byte-exact layout + index") {
+    val dir = Files.createTempDirectory("graft-toksink").toString
+    TokenSink.writePackedTokens(chunks, dir, bytesPerToken = 2)
+    val bin0 = Files.readAllBytes(Paths.get(dir, "shard-00000.bin"))
+    // chunk order ascending: [1,2,3] then [65535,0] as LE uint16
+    val b = ByteBuffer.wrap(bin0).order(ByteOrder.LITTLE_ENDIAN)
+    assert(bin0.length === 5 * 2)
+    assert(Seq.fill(5)(b.getShort() & 0xffff) === Seq(1, 2, 3, 65535, 0))
+    val idx0 = ByteBuffer.wrap(
+        Files.readAllBytes(Paths.get(dir, "shard-00000.idx")))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); idx0.get(magic)
+    assert(new String(magic, "US-ASCII") === "GTOK")
+    assert(idx0.getInt() === 1)      // version
+    assert(idx0.getInt() === 2)      // bytesPerToken
+    assert(idx0.getInt() === 2)      // nChunks
+    assert((idx0.getLong(), idx0.getInt()) === ((0L, 3)))
+    assert((idx0.getLong(), idx0.getInt()) === ((1L, 2)))
+  }
+
+  test("round-trip: write then read equals the input, both widths") {
+    for (bpt <- Seq(2, 4)) {
+      val dir = Files.createTempDirectory(s"graft-tok-rt$bpt").toString
+      TokenSink.writePackedTokens(chunks, dir, bytesPerToken = bpt)
+      val back = TokenSink.readPackedTokens(spark, dir)
+        .as[(Int, Long, Seq[Int])].collect().sortBy(r => (r._1, r._2))
+      assert(back.toSeq === Seq(
+        (0, 0L, Seq(1, 2, 3)), (0, 1L, Seq(65535, 0)),
+        (1, 0L, Seq(7)), (1, 2L, Seq(8, 9, 10, 11))))
+    }
+  }
+
+  test("out-of-range token id fails the write loudly") {
+    val dir = Files.createTempDirectory("graft-tok-bad").toString
+    val bad = Seq((0, 0L, Seq(70000))).toDF("shard", "chunk_id", "token_ids")
+    val e = intercept[Exception] {
+      TokenSink.writePackedTokens(bad, dir, bytesPerToken = 2)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("out of range"))
+  }
+
+  test("packs concatChunks output end-to-end (hash-id stub tokenizer)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHash.portable_hash
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta")).toDF("doc_id", "text")
+    // stub tokenizer per the multimodal policy: real plumbing, fake
+    // vocab — whitespace tokens to hash-bucket ids (uint16 range)
+    val tok = docs.select(col("doc_id"), lit(0).as("shard"),
+      expr("transform(split(text, ' '), w -> CAST(pmod(" +
+        "xxhash64(w), 65536L) AS INT))").as("token_ids"))
+    val withChunk = tok.withColumn("chunk_id",
+      expr("(doc_id - 1) div 2")) // 2 docs per window for the test
+    val grouped = withChunk.groupBy(col("shard"), col("chunk_id"))
+      .agg(flatten(collect_list(col("token_ids"))).as("token_ids"))
+    val dir = Files.createTempDirectory("graft-tok-e2e").toString
+    TokenSink.writePackedTokens(grouped, dir)
+    val back = TokenSink.readPackedTokens(spark, dir)
+    assert(back.count() === 2L)
+    assert(back.selectExpr("sum(size(token_ids))").as[Long].head() === 6L)
+  }
+}
