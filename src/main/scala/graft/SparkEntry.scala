@@ -1509,6 +1509,29 @@ object SparkEntry {
           round6(col("e.minx")).as("minx"), round6(col("e.miny")).as("miny"),
           round6(col("e.maxx")).as("maxx"), round6(col("e.maxy")).as("maxy"),
           round6(col("e.cx")).as("cx"), round6(col("e.cy")).as("cy"))
+    }),
+
+    // ---- MATERIALIZED packing on the oracle surface: documents →
+    // portable-hash token ids → packTokenChunks; each chunk reports a
+    // POSITION-WEIGHTED checksum (Σ id_i·i over the chunk, 1-based),
+    // so the oracle proves content AND intra-chunk order, not just
+    // counts — the layout TokenSink then persists verbatim ----
+    "q99_pack_chunks" -> ((s, dir) => {
+      import graft.functions.PortableHash.portable_hash
+      val tok = docs(s, dir).select(col("doc_id").as("id"),
+        transform(
+          filter(split(col("text"), " "), w => w =!= ""),
+          w => pmod(portable_hash(w), lit(65536L)).cast("int")).as("ids"))
+      graft.operators.Packing
+        .packTokenChunks(tok, col("id"), col("ids"),
+          contextLen = 64, nShards = 4)
+        .select(col("shard"), col("chunk_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          aggregate(
+            zip_with(col("token_ids"),
+              sequence(lit(1), size(col("token_ids"))),
+              (t, i) => t.cast("long") * i.cast("long")),
+            lit(0L), (a, x) => a + x).as("checksum"))
     })
   )
 
@@ -3238,6 +3261,37 @@ object SparkEntry {
          |FROM (SELECT fid, min(x) AS minx, min(y) AS miny,
          |        max(x) AS maxx, max(y) AS maxy FROM v GROUP BY fid) b
          |JOIN m USING (fid)""".stripMargin
+    },
+
+    // q99: the packed layout re-derived from first principles — shard
+    // by portable-hash of the id, per-shard cumulative offsets in id
+    // order, every token's global stream position, then per-chunk
+    // count + the position-weighted checksum (pos-within-chunk is
+    // pos − chunk·64, 1-based).
+    "q99_pack_chunks" -> {
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id AS id,
+         |    list_transform(list_filter(string_split(text, ' '),
+         |                               w -> w <> ''),
+         |      w -> CAST(${hashSql("w")} % 65536 AS INT)) AS ids
+         |  FROM documents),
+         |off AS MATERIALIZED (SELECT id, ids, shard,
+         |    sum(len(ids)) OVER (PARTITION BY shard ORDER BY id)
+         |      - len(ids) AS start_off
+         |  FROM (SELECT id, ids,
+         |          ${hashSql("CAST(id AS VARCHAR)")} % 4 AS shard
+         |        FROM tok)),
+         |toks AS (SELECT shard,
+         |    unnest(list_transform(range(1, len(ids)+1),
+         |      qi -> struct_pack(pos := start_off + qi - 1,
+         |                        t := ids[qi]))) AS u
+         |  FROM off WHERE len(ids) > 0)
+         |SELECT shard, CAST(u.pos // 64 AS BIGINT) AS chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CAST(u.t AS BIGINT)
+         |           * (u.pos - (u.pos // 64) * 64 + 1)) AS BIGINT)
+         |    AS checksum
+         |FROM toks
+         |GROUP BY 1, 2""".stripMargin
     }
   )
 }

@@ -178,9 +178,31 @@ object Jobs {
     out
   }
 
+  /** Corpus → pretraining shards: hash-tokenize `--input-path`
+    * documents (whitespace tokens to uint16 hash-bucket ids — the
+    * stub-tokenizer seam; the plumbing, sharding and binary layout
+    * are the real thing), pack into `--context-len` windows across
+    * `--n-shards` deterministic streams, and write packed `.bin`/
+    * `.idx` shard files to `--output-path`. */
+  def runPackTokens(spark: SparkSession, a: Args): String = {
+    val docs = spark.read.parquet(a("input-path"))
+    val idCol = a.get("id-col").getOrElse("doc_id")
+    val textCol = a.get("text-col").getOrElse("text")
+    val tok = docs.select(col(idCol).as("id"),
+      expr(s"transform(filter(split($textCol, ' '), w -> w <> ''), " +
+        "w -> CAST(pmod(xxhash64(w), 65536L) AS INT))").as("ids"))
+    val chunks = graft.operators.Packing.packTokenChunks(
+      tok, col("id"), col("ids"),
+      contextLen = a.get("context-len").getOrElse("512").toInt,
+      nShards = a.get("n-shards").getOrElse("8").toInt)
+    val out = a("output-path")
+    graft.sinks.TokenSink.writePackedTokens(chunks, out)
+    out
+  }
+
   def main(argv: Array[String]): Unit = {
     require(argv.nonEmpty,
-      "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf | dedup-admit")
+      "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf | dedup-admit | pack-tokens")
     val a = parseArgs(argv.tail.toSeq)
     val spark = session()
     try {
@@ -189,6 +211,7 @@ object Jobs {
         case "cfsv2-etl" => runCfsv2(spark, a)
         case "stage-netcdf" => runStageNetcdf(spark, a)
         case "dedup-admit" => runDedupAdmit(spark, a)
+        case "pack-tokens" => runPackTokens(spark, a)
         case other => sys.error(s"unknown subcommand: $other")
       }
       println(s"WROTE $path")

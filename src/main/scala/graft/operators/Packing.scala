@@ -48,6 +48,58 @@ object Packing {
         col("start_off"), col("chunk_id"), col("n_chunks"))
   }
 
+  /** MATERIALIZED packing — the [[concatChunks]] layout with the
+    * actual token ids per (shard, chunk): exactly the table
+    * [[graft.sinks.TokenSink.writePackedTokens]] persists, closing
+    * the corpus→pretraining-shards pipeline.
+    *
+    * Scale shape: a document's tokens are CONTIGUOUS in its shard
+    * stream, so each doc narrowly splits its id array into at most
+    * n_chunks slices (integer window arithmetic + `slice`, no
+    * per-token rows) and the one exchange groups SLICES by
+    * (shard, chunk_id) — the wire carries the token bytes exactly
+    * once in document-bounded rows, never a row per token. Within a
+    * chunk, slices reassemble by stream position (array_sort on the
+    * (pos, part) struct — deterministic, oracle-mirrorable ordering).
+    * The per-doc offsets reuse [[concatChunks]]'s cumulative-sum
+    * derivation, so the two views of the layout can never drift.
+    * @return (shard, chunk_id, token_ids). */
+  def packTokenChunks(
+      docs: DataFrame, idCol: Column, tokenIdsCol: Column,
+      contextLen: Int, nShards: Int): DataFrame = {
+    require(contextLen > 0 && nShards > 0,
+      "contextLen and nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = docs
+      .select(idCol.cast("long").as("id"),
+        tokenIdsCol.cast("array<int>").as("ids"))
+      .withColumn("shard",
+        pmod(portable_hash(col("id").cast("string")), lit(nShards.toLong)))
+      .withColumn("cum", sum(size(col("ids")).cast("long")).over(w))
+      .withColumn("start_off", col("cum") - size(col("ids")))
+      .filter(size(col("ids")) > 0)
+    val L = contextLen.toLong
+    val slices = offs.select(col("shard"),
+      explode(expr(
+        s"""transform(
+           |  sequence(start_off DIV $L, (start_off + size(ids) - 1) DIV $L),
+           |  c -> struct(
+           |    c AS chunk_id,
+           |    greatest(c * $L, start_off) AS pos,
+           |    slice(ids,
+           |      CAST(greatest(c * $L - start_off, 0) AS INT) + 1,
+           |      CAST(least((c + 1) * $L, start_off + size(ids))
+           |           - greatest(c * $L, start_off) AS INT)) AS part))"""
+          .stripMargin)).as("e"))
+      .select(col("shard"), col("e.chunk_id").as("chunk_id"),
+        col("e.pos").as("pos"), col("e.part").as("part"))
+    slices.groupBy(col("shard"), col("chunk_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("part")))),
+        s => s("part"))).as("token_ids"))
+  }
+
   /** SLIDING-WINDOW CHUNKING — the RAG/embedding-pipeline splitter
     * (overlapping windows WITHIN each document, vs [[concatChunks]]'s
     * cross-document stream): each doc yields windows of `chunkTokens`

@@ -133,6 +133,26 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/state").count() == 3L)
   }
 
+  test("pack-tokens job: documents -> packed shards, token-count preserving") {
+    val dir = Files.createTempDirectory("graft-pack-job").toString
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta"),
+      (3L, "eta theta iota kappa lambda mu nu xi"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/docs")
+    val out = Jobs.runPackTokens(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/shards",
+      "--context-len", "4", "--n-shards", "2")))
+    val back = graft.sinks.TokenSink.readPackedTokens(spark, out)
+    // every whitespace token of every doc landed in exactly one chunk
+    assert(back.selectExpr("sum(size(token_ids))").as[Long].head() === 14L)
+    // layout: each shard's non-final chunks are exactly context-len
+    val chunks = back.as[(Int, Long, Seq[Int])].collect()
+    chunks.groupBy(_._1).foreach { case (sh, cs) =>
+      cs.sortBy(_._2).dropRight(1).foreach { c =>
+        assert(c._3.length === 4, s"shard $sh chunk ${c._2}") }
+    }
+  }
+
   test("catalog T/X/Y-name indirection normalizes staged coordinates") {
     import graft.etl.GridmetPipeline
     val g = Seq((Timestamp.valueOf("2021-01-01 00:00:00"), 40.0, -100.0, 1.0))
