@@ -199,4 +199,24 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("packTokenChunks: exchanges carry document slices, not tokens") {
+    val d = Seq((1L, Seq(1, 2, 3)), (2L, Seq(4, 5, 6, 7, 8)))
+      .toDF("id", "ids")
+    val df = graft.operators.Packing.packTokenChunks(
+      d, $"id", $"ids", contextLen = 4, nShards = 2)
+    val p = plan(df)
+    // ONE hash exchange total: the shard partitioning that feeds the
+    // offset window ALSO satisfies the (shard, chunk_id) group-by's
+    // distribution (a shard-partitioned stream co-locates every chunk
+    // group), so the slice explode and the reassembly aggregate run
+    // exchange-free on top of it — token bytes cross the wire exactly
+    // once, keyed by shard, never as a row per token
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // the explode (Generate) sits above that exchange: what it emits
+    // are per-(doc, chunk) slice structs, consumed in place
+    assert(p.contains("Generate"), p)
+    assert(p.contains("Window"), p)
+  }
 }
