@@ -81,8 +81,21 @@ object CrsTransform {
     proj.toLowerCase.replace(' ', '_') match {
       case "transverse_mercator" =>
         transverseMercator(a, e2, lam0, phi0, k0, fe, fn, unit)
-      case "mercator" | "mercator_1sp" | "mercator_auxiliary_sphere" =>
-        mercator(a, e2, lam0, k0, fe, fn, unit)
+      case "mercator" | "mercator_1sp" | "mercator_2sp" |
+          "mercator_auxiliary_sphere" =>
+        // ESRI-flavor Mercator declares Standard_Parallel_1 instead of
+        // a scale factor: the parallel of true scale implies
+        // k0 = cos(φ1)/√(1 − e²·sin²φ1) (Snyder eq. 7-8 ratio).
+        // Silently ignoring it would misplace every coordinate by the
+        // cos(φ1) factor.
+        val k0m = param("scale_factor").getOrElse(
+          param("standard_parallel_1") match {
+            case Some(sp1d) =>
+              val sp1 = sp1d * D2R
+              math.cos(sp1) / math.sqrt(1 - e2 * math.sin(sp1) * math.sin(sp1))
+            case None => 1.0
+          })
+        mercator(a, e2, lam0, k0m, fe, fn, unit)
       case "equirectangular" | "plate_carree" | "equidistant_cylindrical" =>
         val phi1 = param("standard_parallel_1").getOrElse(0.0) * D2R
         equirectangular(a, lam0, phi1, fe, fn, unit)

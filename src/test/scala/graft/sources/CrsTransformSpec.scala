@@ -53,6 +53,37 @@ class CrsTransformSpec extends AnyFunSuite {
     }
   }
 
+  test("ESRI Mercator: Standard_Parallel_1 implies the scale factor") {
+    def wkt(params: String) =
+      s"""PROJCS["merc",GEOGCS["WGS 84",DATUM["WGS_1984",
+         |SPHEROID["WGS 84",6378137,298.257223563]]],
+         |PROJECTION["Mercator"],PARAMETER["central_meridian",0],
+         |$params
+         |PARAMETER["false_easting",0],PARAMETER["false_northing",0],
+         |UNIT["metre",1]]""".stripMargin.replace("\n", "")
+    val sp1 = 30.0
+    val viaParallel = CrsTransform.fromProjcsWkt(
+      wkt(s"""PARAMETER["standard_parallel_1",$sp1],"""))
+    val e2 = (1.0 / 298.257223563) * (2 - 1.0 / 298.257223563)
+    val k0 = math.cos(math.toRadians(sp1)) /
+      math.sqrt(1 - e2 * math.pow(math.sin(math.toRadians(sp1)), 2))
+    val viaK0 = CrsTransform.fromProjcsWkt(
+      wkt(s"""PARAMETER["scale_factor",$k0],"""))
+    for ((lon, lat) <- Seq((-100.0, 35.0), (20.0, -10.0))) {
+      val (x1, y1) = viaParallel.forward(lon, lat)
+      val (x2, y2) = viaK0.forward(lon, lat)
+      assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6)
+      val (lon2, lat2) = viaParallel.inverse(x1, y1)
+      assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8)
+    }
+    // scale at the standard parallel is true: 1 degree of longitude
+    // at φ1 spans a·cos(φ1)/√(1−e²sin²φ1)·Δλ meters on the ellipsoid
+    val (xa, _) = viaParallel.forward(0.0, sp1)
+    val (xb, _) = viaParallel.forward(1.0, sp1)
+    val expected = 6378137.0 * k0 * math.toRadians(1.0)
+    assert(math.abs((xb - xa) - expected) < 1e-6)
+  }
+
   test("kilometre unit and unsupported projection handling") {
     // a PROJCS in kilometres: forward emits km, inverse consumes km;
     // the false easting PARAMETER is expressed in the PROJCS unit, so
