@@ -53,6 +53,34 @@ class CrsTransformSpec extends AnyFunSuite {
     }
   }
 
+  test("TM with nonzero latitude_of_origin (national-grid shape) round-trips") {
+    // the OSGB parameter shape: lat0 49, k0 0.9996012717, offset false
+    // origin — exercises the m0 (meridional arc at origin) path that
+    // UTM's lat0=0 never touches
+    val t = CrsTransform.fromProjcsWkt(
+      """PROJCS["national grid",GEOGCS["WGS 84",DATUM["WGS_1984",
+        |SPHEROID["WGS 84",6378137,298.257223563]]],
+        |PROJECTION["Transverse_Mercator"],
+        |PARAMETER["latitude_of_origin",49],
+        |PARAMETER["central_meridian",-2],
+        |PARAMETER["scale_factor",0.9996012717],
+        |PARAMETER["false_easting",400000],
+        |PARAMETER["false_northing",-100000],
+        |UNIT["metre",1]]""".stripMargin.replace("\n", ""))
+    // the true origin maps to the false origin exactly
+    val (x0, y0) = t.forward(-2.0, 49.0)
+    assert(math.abs(x0 - 400000.0) < 1e-6 && math.abs(y0 + 100000.0) < 1e-6)
+    // 1e-7 deg (~1 cm), not 1e-8: at 3.7° from the central meridian the
+    // truncated series' round-trip error grows to a few mm — physical
+    // accuracy, far inside the bbox contract's tolerance
+    for ((lon, lat) <- Seq((-5.7, 50.1), (0.3, 52.7), (-3.1, 58.6))) {
+      val (x, y) = t.forward(lon, lat)
+      val (lon2, lat2) = t.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-7, s"lon $lon -> $lon2")
+      assert(math.abs(lat2 - lat) < 1e-7, s"lat $lat -> $lat2")
+    }
+  }
+
   test("ESRI Mercator: Standard_Parallel_1 implies the scale factor") {
     def wkt(params: String) =
       s"""PROJCS["merc",GEOGCS["WGS 84",DATUM["WGS_1984",
