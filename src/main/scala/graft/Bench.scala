@@ -160,5 +160,14 @@ object Bench {
     // repeat as the VERY last stdout line (after spark.stop()'s own
     // shutdown chatter) so a log-tail parser also finds clean JSON
     println(line)
+    // The full line above is ~6 KB — a log-tail capture that keeps only
+    // the last 2000 chars truncates its FRONT and loses the parse (two
+    // rounds of BENCH_rN "parsed": null). Follow it with a compact
+    // (< 200 char) record carrying the headline numbers, so any tail
+    // window always ends in one complete parseable JSON line.
+    val nFailedQ = names.count { case (k, _) => trialTimes(k).isEmpty }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${names.size},""" +
+      s""""trials":$trials,"failed_count":$nFailedQ,""" +
+      s""""load_contaminated":$contaminated,"sf":"$sfDir"}""")
   }
 }

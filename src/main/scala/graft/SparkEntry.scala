@@ -1499,17 +1499,15 @@ object SparkEntry {
     // from the .prj, and recover the twin's bbox + shoelace centroid
     // to the 6dp grid (the reprojection round-trip error is ~1e-9°,
     // three orders below the rounding quantum) ----
-    "q98_shapefile_reproject" -> ((s, _) => {
-      import graft.functions.WkbGeom
-      import graft.functions.TextFunctions.round6
-      graft.sources.Shapefile.read(s, fixturePath("features_utm.shp"))
-        .select(col("nhru_v1_1").as("fid"),
-          WkbGeom.wkbEnvelopeCentroid(col("geometry")).as("e"))
-        .select(col("fid"),
-          round6(col("e.minx")).as("minx"), round6(col("e.miny")).as("miny"),
-          round6(col("e.maxx")).as("maxx"), round6(col("e.maxy")).as("maxy"),
-          round6(col("e.cx")).as("cx"), round6(col("e.cy")).as("cy"))
-    }),
+    "q98_shapefile_reproject" -> ((s, _) =>
+      shapefileBboxCentroid(s, fixturePath("features_utm.shp"))),
+
+    // ---- same contract, Albers Equal Area fixture: the USA_Contiguous
+    // parameter shape (Snyder eq. 14) inverted from the .prj — the
+    // reference catalog's dominant CONUS projected CRS (`+proj=aea`,
+    // `etl.py:649-655`), recovering the SAME geographic twin ----
+    "q101_shapefile_albers" -> ((s, _) =>
+      shapefileBboxCentroid(s, fixturePath("features_aea.shp"))),
 
     // ---- MATERIALIZED packing on the oracle surface: documents →
     // portable-hash token ids → packTokenChunks; each chunk reports a
@@ -1540,6 +1538,60 @@ object SparkEntry {
     * oracle pass run with different working directories, and both
     * sides must read the identical file. */
   private def fixturePath(name: String): String = s"/root/repo/data/$name"
+
+  /** Shared oracle of the q98/q101 reprojection contract: bbox +
+    * shoelace centroid straight from the geographic twin's vertex list
+    * (closed rings, seq-ordered folds — the engine's
+    * cross/Σ(x_i+x_{i+1})·cross accumulation mirrored term for term;
+    * cx = sx/(3·a2) is sign-invariant so no winding flip needed). Both
+    * projected fixtures (UTM 13N, USA_Contiguous_Albers) encode the
+    * SAME features, so one twin oracle serves both. */
+  private lazy val shapefileTwinOracle: String = {
+    val r6 = graft.functions.TextFunctions.round6Sql _
+    s"""WITH v AS (SELECT CAST(fid AS BIGINT) AS fid, seq,
+       |    CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+       |  FROM read_csv('/root/repo/data/features_lonlat.csv', header = true)),
+       |p AS (SELECT fid, list(x ORDER BY seq) AS xs,
+       |             list(y ORDER BY seq) AS ys FROM v GROUP BY fid),
+       |m AS (SELECT fid,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(xs)),
+       |      ci -> xs[ci]*ys[ci+1] - xs[ci+1]*ys[ci])),
+       |    (ca, cb) -> ca + cb) AS a2,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(xs)),
+       |      si -> (xs[si]+xs[si+1]) * (xs[si]*ys[si+1] - xs[si+1]*ys[si]))),
+       |    (sa, sb) -> sa + sb) AS sx,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(xs)),
+       |      ti -> (ys[ti]+ys[ti+1]) * (xs[ti]*ys[ti+1] - xs[ti+1]*ys[ti]))),
+       |    (ta, tb) -> ta + tb) AS sy
+       |  FROM p)
+       |SELECT b.fid,
+       |  ${r6("b.minx")} AS minx, ${r6("b.miny")} AS miny,
+       |  ${r6("b.maxx")} AS maxx, ${r6("b.maxy")} AS maxy,
+       |  ${r6("m.sx / (3.0 * m.a2)")} AS cx,
+       |  ${r6("m.sy / (3.0 * m.a2)")} AS cy
+       |FROM (SELECT fid, min(x) AS minx, min(y) AS miny,
+       |        max(x) AS maxx, max(y) AS maxy FROM v GROUP BY fid) b
+       |JOIN m USING (fid)""".stripMargin
+  }
+
+  /** Shared body of the q98/q101 reprojection contract: parse the
+    * projected .shp, invert the .prj's PROJCS, recover the geographic
+    * twin's bbox + shoelace centroid on the 6dp grid. */
+  private def shapefileBboxCentroid(
+      s: SparkSession, shp: String): DataFrame = {
+    import graft.functions.WkbGeom
+    import graft.functions.TextFunctions.round6
+    graft.sources.Shapefile.read(s, shp)
+      .select(col("nhru_v1_1").as("fid"),
+        WkbGeom.wkbEnvelopeCentroid(col("geometry")).as("e"))
+      .select(col("fid"),
+        round6(col("e.minx")).as("minx"), round6(col("e.miny")).as("miny"),
+        round6(col("e.maxx")).as("maxx"), round6(col("e.maxy")).as("maxy"),
+        round6(col("e.cx")).as("cx"), round6(col("e.cy")).as("cy"))
+  }
 
   // ======================================================================
 
@@ -3232,36 +3284,12 @@ object SparkEntry {
     // vertex list (closed rings, seq-ordered folds — the engine's
     // cross/Σ(x_i+x_{i+1})·cross accumulation mirrored term for term;
     // cx = sx/(3·a2) is sign-invariant so no winding flip needed).
-    "q98_shapefile_reproject" -> {
-      val r6 = graft.functions.TextFunctions.round6Sql _
-      s"""WITH v AS (SELECT CAST(fid AS BIGINT) AS fid, seq,
-         |    CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
-         |  FROM read_csv('/root/repo/data/features_lonlat.csv', header = true)),
-         |p AS (SELECT fid, list(x ORDER BY seq) AS xs,
-         |             list(y ORDER BY seq) AS ys FROM v GROUP BY fid),
-         |m AS (SELECT fid,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list_transform(range(1, len(xs)),
-         |      ci -> xs[ci]*ys[ci+1] - xs[ci+1]*ys[ci])),
-         |    (ca, cb) -> ca + cb) AS a2,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list_transform(range(1, len(xs)),
-         |      si -> (xs[si]+xs[si+1]) * (xs[si]*ys[si+1] - xs[si+1]*ys[si]))),
-         |    (sa, sb) -> sa + sb) AS sx,
-         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list_transform(range(1, len(xs)),
-         |      ti -> (ys[ti]+ys[ti+1]) * (xs[ti]*ys[ti+1] - xs[ti+1]*ys[ti]))),
-         |    (ta, tb) -> ta + tb) AS sy
-         |  FROM p)
-         |SELECT b.fid,
-         |  ${r6("b.minx")} AS minx, ${r6("b.miny")} AS miny,
-         |  ${r6("b.maxx")} AS maxx, ${r6("b.maxy")} AS maxy,
-         |  ${r6("m.sx / (3.0 * m.a2)")} AS cx,
-         |  ${r6("m.sy / (3.0 * m.a2)")} AS cy
-         |FROM (SELECT fid, min(x) AS minx, min(y) AS miny,
-         |        max(x) AS maxx, max(y) AS maxy FROM v GROUP BY fid) b
-         |JOIN m USING (fid)""".stripMargin
-    },
+    "q98_shapefile_reproject" -> shapefileTwinOracle,
+
+    // q101: identical contract over the Albers fixture — the .shp
+    // carries the same features projected to USA_Contiguous_Albers, so
+    // the recovered geographic bbox/centroid matches the same twin.
+    "q101_shapefile_albers" -> shapefileTwinOracle,
 
     // q99: the packed layout re-derived from first principles — shard
     // by portable-hash of the id, per-shard cumulative offsets in id

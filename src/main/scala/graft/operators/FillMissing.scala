@@ -74,9 +74,18 @@ object FillMissing {
     * aligned assignment (`helper.py:85-90`) copies the donor array
     * verbatim, NaNs included; non-mapped features pass through. */
   def fillSeries(ts: DataFrame, mapping: DataFrame, vars: Seq[String]): DataFrame = {
-    val donor = ts.select(
-      Seq(col("fid").as("__donor_fid"), col("time").as("__donor_time")) ++
-        vars.map(v => col(v).as(s"__donor_$v")): _*)
+    // Scale guard: the donor side is broadcast below, so it must be bounded
+    // by the missing set, not the full series — at 100× the unfiltered
+    // series projection exceeds the broadcast cap. Semi-join the series to
+    // the mapped donor fids first (itself a broadcast semi-join: `mapping`
+    // is missing-set-bounded by the `helper.py:48-50` early exit), making
+    // the broadcast side |mapped donors| × |time| rows.
+    val donorFids = mapping.select(col("fill_fid").as("__sel_fid")).distinct()
+    val donor = ts
+      .join(broadcast(donorFids), ts("fid") === col("__sel_fid"), "left_semi")
+      .select(
+        Seq(col("fid").as("__donor_fid"), col("time").as("__donor_time")) ++
+          vars.map(v => col(v).as(s"__donor_$v")): _*)
     val map2 = mapping.select(col("miss_fid"), col("fill_fid").as("__fill_fid"))
     val withDonor = ts
       .join(broadcast(map2), ts("fid") === map2("miss_fid"), "left")

@@ -37,6 +37,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), p)
   }
 
+  test("fillSeries: donor broadcast bounded by a mapping-derived semi-join") {
+    val ts = Seq((1L, t1, Option(1.0)), (2L, t1, Option.empty[Double]),
+      (3L, t1, Option(3.0))).toDF("fid", "time", "v")
+    val mapping = Seq((2L, 3L)).toDF("miss_fid", "fill_fid")
+    val p = plan(graft.operators.FillMissing.fillSeries(ts, mapping, Seq("v")))
+    // the donor projection must be pre-filtered by the mapping's fill_fids
+    // (LeftSemi) before it is broadcast — the 100× scale guard
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("filter + projection push down to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
     Seq((1L, 10.0, "x"), (2L, -5.0, "y")).toDF("k", "v", "s")

@@ -55,6 +55,41 @@ FEATS = [
          (-104.20, 40.90)]),
 ]
 
+# --- Albers Equal Area twin (Snyder eq. 14-1..14-5 + 3-12), the
+# USA_Contiguous_Albers parameter shape on WGS84 ---
+AEA_P1, AEA_P2, AEA_P0, AEA_L0 = (math.radians(29.5), math.radians(45.5),
+                                  math.radians(23.0), math.radians(-96.0))
+E = math.sqrt(E2)
+
+def _q(phi):
+    s = math.sin(phi)
+    return (1 - E2) * (s / (1 - E2*s*s)
+                       - (1/(2*E)) * math.log((1 - E*s)/(1 + E*s)))
+
+def _m(phi):
+    return math.cos(phi) / math.sqrt(1 - E2 * math.sin(phi)**2)
+
+AEA_N = (_m(AEA_P1)**2 - _m(AEA_P2)**2) / (_q(AEA_P2) - _q(AEA_P1))
+AEA_C = _m(AEA_P1)**2 + AEA_N * _q(AEA_P1)
+AEA_RHO0 = A * math.sqrt(AEA_C - AEA_N * _q(AEA_P0)) / AEA_N
+
+def fwd_aea(lon, lat):
+    rho = A * math.sqrt(AEA_C - AEA_N * _q(math.radians(lat))) / AEA_N
+    th = AEA_N * (math.radians(lon) - AEA_L0)
+    return rho * math.sin(th), AEA_RHO0 - rho * math.cos(th)
+
+AEA_PRJ = ('PROJCS["USA_Contiguous_Albers_Equal_Area_Conic",'
+           'GEOGCS["WGS 84",DATUM["WGS_1984",'
+           'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+           'UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Albers"],'
+           'PARAMETER["False_Easting",0],'
+           'PARAMETER["False_Northing",0],'
+           'PARAMETER["Central_Meridian",-96],'
+           'PARAMETER["Standard_Parallel_1",29.5],'
+           'PARAMETER["Standard_Parallel_2",45.5],'
+           'PARAMETER["Latitude_Of_Origin",23],UNIT["Meter",1]]')
+
 PRJ = ('PROJCS["WGS 84 / UTM zone 13N",GEOGCS["WGS 84",DATUM["WGS_1984",'
        'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
        'UNIT["degree",0.0174532925199433]],'
@@ -123,7 +158,12 @@ def main():
     write_dbf(os.path.join(base, 'features_utm.dbf'), projected)
     with open(os.path.join(base, 'features_utm.prj'), 'w') as f:
         f.write(PRJ)
-    print('wrote features_lonlat.csv + features_utm.{shp,dbf,prj}')
+    aea = [(fid, [fwd_aea(x, y) for x, y in ring]) for fid, ring in FEATS]
+    write_shp(os.path.join(base, 'features_aea.shp'), aea)
+    write_dbf(os.path.join(base, 'features_aea.dbf'), aea)
+    with open(os.path.join(base, 'features_aea.prj'), 'w') as f:
+        f.write(AEA_PRJ)
+    print('wrote features_lonlat.csv + features_{utm,aea}.{shp,dbf,prj}')
 
 if __name__ == '__main__':
     main()
