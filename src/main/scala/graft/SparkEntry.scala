@@ -65,7 +65,7 @@ object SparkEntry {
   // (ArtifactReuseSpec does exactly this).
   val annTrainings = new java.util.concurrent.atomic.AtomicInteger(0)
   private val ivfCache =
-    scala.collection.concurrent.TrieMap[String, IndexedSeq[(Long, Array[Double])]]()
+    scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]()
   private val pqCache =
     scala.collection.concurrent.TrieMap[String, IndexedSeq[IndexedSeq[Array[Double]]]]()
 
@@ -75,11 +75,15 @@ object SparkEntry {
     * not the computation — two racing first callers would both train
     * (breaking the one-training-per-corpus invariant and wasting the
     * Lloyd jobs). Training is rare; a coarse lock is fine. */
-  private def ivfArtifact(s: SparkSession, dir: String): IndexedSeq[(Long, Array[Double])] =
+  private def ivfArtifact(s: SparkSession, dir: String): Similarity.IvfIndex =
     ivfCache.synchronized {
       ivfCache.getOrElseUpdate(dir, {
         annTrainings.incrementAndGet()
-        Similarity.ivfCentroids(embs(s, dir), nLists = 16, iters = 3,
+        // the BUILD-TIME-VALIDATED artifact: list-share stats measured
+        // once here, so index-overload searches carry no per-query
+        // stats aggregate (same centroid values as before — the stats
+        // pass does not perturb training)
+        Similarity.ivfIndex(embs(s, dir), nLists = 16, iters = 3,
           trainSampleMod = 2)
       })
     }
@@ -106,7 +110,8 @@ object SparkEntry {
     pqResCache.synchronized {
       pqResCache.getOrElseUpdate(dir, {
         annTrainings.incrementAndGet()
-        Similarity.pqCodebooksResidual(embs(s, dir), ivfArtifact(s, dir),
+        Similarity.pqCodebooksResidual(embs(s, dir),
+          ivfArtifact(s, dir).cents,
           m = 8, ksub = 16, iters = 2, trainSampleMod = 2)
       })
     }
@@ -1278,7 +1283,7 @@ object SparkEntry {
     // cluster-mate at cosine ≥ 0.35; third consumer of the per-corpus
     // coarse-quantizer artifact (zero additional training) ----
     "q71_semdedup" -> ((s, dir) =>
-      Similarity.semDedup(embs(s, dir), ivfArtifact(s, dir),
+      Similarity.semDedup(embs(s, dir), ivfArtifact(s, dir).cents,
         threshold = 0.35)),
 
     // ---- containment (point-in-interval) lookup join: events matched

@@ -169,12 +169,16 @@ object Jobs {
     * the accepted corpus itself is never re-read. */
   def runDedupAdmit(spark: SparkSession, a: Args): String = {
     val incoming = spark.read.parquet(a("input-path"))
-    val admitted = graft.operators.Dedup.admitIncrement(
+    val out = a("output-path")
+    // output write rides INSIDE admitIncrement, before the state
+    // append — a crash between the two re-runs cleanly (Overwrite),
+    // whereas writing after the append could permanently drop a batch
+    graft.operators.Dedup.admitIncrement(
       a("state-path"), incoming,
       idCol = a.get("id-col").getOrElse("doc_id"),
-      textCol = a.get("text-col").getOrElse("text"))
-    val out = a("output-path")
-    admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+      textCol = a.get("text-col").getOrElse("text"),
+      persistAdmitted = _.write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out))
     out
   }
 

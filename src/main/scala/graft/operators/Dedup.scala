@@ -88,17 +88,29 @@ object Dedup {
     * admitted batch's fingerprints so the next increment admits
     * against the grown table. Each step's cost is proportional to the
     * increment plus a ~16-byte-per-accepted-document scan — the
-    * accepted documents themselves are never re-read. Admission and
-    * append are two actions, not one transaction: if the append fails
-    * after a consumer saw the admitted rows, re-running the step
-    * re-admits the same batch identically (admission is deterministic
-    * given state + batch), so the recovery is simply to re-run.
+    * accepted documents themselves are never re-read. Admission,
+    * output persistence and state append are separate actions, not one
+    * transaction, so the ORDER is the crash-safety contract:
+    * `persistAdmitted` (the caller's output write) runs BEFORE the
+    * fingerprint append. A crash between the two leaves output written
+    * but state un-grown — re-running re-admits the same batch
+    * identically (admission is deterministic given state + batch) and
+    * re-persists it, an at-least-once duplicate the caller's sink can
+    * absorb. The reverse order would be unrecoverable: state grown but
+    * output never written means a re-run anti-joins against the
+    * already-appended fingerprints and silently admits nothing,
+    * permanently dropping the batch.
+    * @param persistAdmitted the caller's durable write of the admitted
+    *        rows; invoked on the checkpointed batch before the state
+    *        append (default: no-op, for callers that only consume the
+    *        returned frame and accept the weaker contract).
     * @return the admitted rows (materialized BEFORE the state append
     *         so the returned plan does not re-read state it just
     *         modified). */
   def admitIncrement(
       statePath: String, incoming: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String,
+      persistAdmitted: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = incoming.sparkSession
     // Hadoop FS, not java.io.File: the fingerprint table lives wherever
     // the corpus does (HDFS/S3 on a real cluster), and a local-only
@@ -114,6 +126,7 @@ object Dedup {
         .toDF("__h", "__l")
     val admitted = incrementalExactFp(seen, incoming, idCol, textCol)
       .localCheckpoint()
+    persistAdmitted(admitted)
     fingerprints(admitted, textCol)
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statePath)
     admitted

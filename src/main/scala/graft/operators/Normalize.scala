@@ -33,23 +33,29 @@ object Normalize {
     * assert as semDedup's cluster guard — zero construction jobs,
     * message in the cause chain). Estimate, not exact — exactly right
     * for a tripwire whose failure mode is orders of magnitude, not
-    * percent. */
+    * percent.
+    *
+    * The check is PER ROW on the `__cd` each joined row already
+    * carries from the stats join — a codegen'd comparison in the
+    * existing data plane, not a separate worst-case aggregate (an
+    * earlier form re-aggregated the bounds subplan for a global max,
+    * which re-ran the whole exact-percentile pass a second time per
+    * action). Every key in the stats table has at least one joined
+    * row by construction, so "any key over the threshold" and "any
+    * row over it" trip identically — except a NULL-key group, whose
+    * rows the equi-join drops anyway (see [[zscore]]'s NULL-key
+    * contract: coalesce keys upstream if that stratum matters). */
   private def guardDistinctState(
-      joined: DataFrame, bounds: DataFrame, op: String,
-      maxDistinctPerKey: Long): DataFrame = {
+      joined: DataFrame, op: String, maxDistinctPerKey: Long): DataFrame = {
     require(maxDistinctPerKey >= 1, "maxDistinctPerKey must be >= 1")
-    val worst = bounds.agg(
-      coalesce(max(col("__cd")), lit(0L)).cast("double").as("__mxd"))
-    joined.crossJoin(broadcast(worst))
-      .where(assert_true(
-        col("__mxd") <= lit(maxDistinctPerKey.toDouble),
-        lit(s"$op: a key holds more than $maxDistinctPerKey distinct " +
-          "values (estimated) — exact percentile state is " +
-          "O(distinct-per-key) and a hot key this wide risks executor " +
-          "OOM. Use Quantiles.histogramQuantiles bounds for this " +
-          "domain, or raise maxDistinctPerKey if the state is truly " +
-          "affordable")).isNull)
-      .drop("__mxd")
+    joined.where(assert_true(
+      col("__cd") <= lit(maxDistinctPerKey),
+      lit(s"$op: a key holds more than $maxDistinctPerKey distinct " +
+        "values (estimated) — exact percentile state is " +
+        "O(distinct-per-key) and a hot key this wide risks executor " +
+        "OOM. Use Quantiles.histogramQuantiles bounds for this " +
+        "domain, or raise maxDistinctPerKey if the state is truly " +
+        "affordable")).isNull)
   }
 
   /** @return df plus `z` = round6((v − μ_key)/σ_key); NULL when the
@@ -113,7 +119,7 @@ object Normalize {
       .agg(percentile(v, lit(pLo)).as("__lo"),
         percentile(v, lit(pHi)).as("__hi"),
         approx_count_distinct(v).as("__cd"))
-    guardDistinctState(df.join(bounds, keys), bounds, "winsorize",
+    guardDistinctState(df.join(bounds, keys), "winsorize",
         maxDistinctPerKey)
       .withColumn("v_clipped",
         when(v.isNull, lit(null).cast("double"))
@@ -141,7 +147,7 @@ object Normalize {
       .agg(percentile(v, lit(0.5)).as("__med"),
         (percentile(v, lit(0.75)) - percentile(v, lit(0.25))).as("__iqr"),
         approx_count_distinct(v).as("__cd"))
-    guardDistinctState(df.join(stats, keys), stats, "robustScale",
+    guardDistinctState(df.join(stats, keys), "robustScale",
         maxDistinctPerKey)
       .withColumn("v_scaled",
         when(v.isNull || col("__iqr") === 0.0, lit(null).cast("double"))

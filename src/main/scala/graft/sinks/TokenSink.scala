@@ -49,18 +49,41 @@ object TokenSink {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("chunk_id"))
       .foreachPartition { rows: Iterator[Row] =>
+        // Task-commit protocol: every file is written to an
+        // attempt-unique temp name and RENAMED into place only when its
+        // shard is complete — a retried or speculative attempt writing
+        // shard-NNNNN concurrently can therefore never leave a
+        // partial/interleaved file under the final name; the losing
+        // attempt's rename just replaces one complete shard with an
+        // identical complete shard. The .idx renames AFTER the .bin, so
+        // a reader listing .idx sidecars never sees an index whose data
+        // file is still in flight. (Rename is atomic on HDFS-like
+        // filesystems; on a plain object store it is copy+delete — run
+        // with speculation off there, as with any rename-committed sink.)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         var cur = Int.MinValue
         var bin: java.io.OutputStream = null
         var idx: java.io.ByteArrayOutputStream = null
         var nChunks = 0
         val fs = new Path(dir).getFileSystem(conf.value)
+        def tmpPath(name: String) = new Path(dir, s"_tmp-$attempt-$name")
+        def commit(name: String): Unit = {
+          val dst = new Path(dir, name)
+          fs.delete(dst, false)
+          require(fs.rename(tmpPath(name), dst),
+            s"rename ${tmpPath(name)} -> $dst failed")
+        }
         def closeShard(): Unit = if (bin != null) {
           bin.close()
           val head = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
           head.put("GTOK".getBytes("US-ASCII"))
             .putInt(1).putInt(bytesPerToken).putInt(nChunks)
-          val out = fs.create(new Path(dir, f"shard-$cur%05d.idx"), true)
+          val idxName = f"shard-$cur%05d.idx"
+          val out = fs.create(tmpPath(idxName), true)
           out.write(head.array()); out.write(idx.toByteArray); out.close()
+          commit(f"shard-$cur%05d.bin")
+          commit(idxName)
         }
         rows.foreach { r =>
           val shard = r.getInt(0)
@@ -69,7 +92,7 @@ object TokenSink {
             cur = shard
             nChunks = 0
             idx = new java.io.ByteArrayOutputStream()
-            bin = fs.create(new Path(dir, f"shard-$cur%05d.bin"), true)
+            bin = fs.create(tmpPath(f"shard-$cur%05d.bin"), true)
           }
           val ids = r.getSeq[Int](2)
           val buf = ByteBuffer.allocate(ids.length * bytesPerToken)
@@ -129,10 +152,15 @@ object TokenSink {
 
   private def readAll(
       fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen
+    // a silent .toInt would wrap past 2 GB and corrupt the read; this
+    // whole-file audit path is bounded by JVM array limits by design
+    require(len <= Int.MaxValue,
+      s"$p is $len bytes — past the 2 GB whole-file read limit of this " +
+        "audit reader; use the distributed shard reader for large shards")
     val in = fs.open(p)
     try {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
+      val buf = new Array[Byte](len.toInt)
       in.readFully(0, buf)
       buf
     } finally in.close()

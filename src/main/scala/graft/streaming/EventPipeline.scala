@@ -386,9 +386,15 @@ object EventPipeline extends Serializable {
     *
     * Ordering contract: admission depends on arrival order (a text's
     * first-arriving id wins), so the trigger processes ONE source file
-    * per micro-batch (`maxFilesPerTrigger=1`, file-name order) —
-    * making stream admission equal batch-per-file admission, which the
-    * parity spec pins. Delivery: foreachBatch is at-least-once; a
+    * per micro-batch (`maxFilesPerTrigger=1`). Spark's FileStreamSource
+    * orders candidate files by MODIFICATION TIMESTAMP, not name — the
+    * contract is therefore write-time order: files must land in the
+    * order they should be admitted (the natural shape for an ingestion
+    * drop-box; a backfill written out of time order will be admitted at
+    * its write time, not its name's position). Under that contract
+    * stream admission equals batch-per-file admission, which the parity
+    * spec pins (its files are written sequentially, so name and
+    * mod-time order coincide). Delivery: foreachBatch is at-least-once; a
     * replayed micro-batch re-admits the same rows (admission is
     * deterministic given state — re-appended fingerprints are
     * duplicate (h,l) rows, harmless to the anti-join) but re-appends
@@ -405,9 +411,13 @@ object EventPipeline extends Serializable {
       .parquet(sourceDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup
-          .admitIncrement(statePath, batch, idCol, textCol)
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        // outDir append runs BEFORE the fingerprint append (inside
+        // admitIncrement): a crash between them replays the micro-batch
+        // as an at-least-once duplicate, never a lost admission
+        graft.operators.Dedup.admitIncrement(
+          statePath, batch, idCol, textCol,
+          persistAdmitted = _.write
+            .mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir))
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -70,6 +70,33 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.admitIncrement(state, b1, "doc_id", "text").count() === 0L)
   }
 
+  test("admitIncrement: output persistence runs BEFORE the state append (crash ordering)") {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-dedup-crash").resolve("fp").toString
+    val batch = Seq((1L, "doc a"), (2L, "doc b")).toDF("doc_id", "text")
+    // a crash DURING the output write must leave the state un-grown —
+    // the recoverable failure order (re-run re-admits identically);
+    // the reverse order would silently drop the batch on re-run
+    var sawRows = -1L
+    intercept[RuntimeException] {
+      Dedup.admitIncrement(state, batch, "doc_id", "text",
+        persistAdmitted = { df =>
+          sawRows = df.count()
+          throw new RuntimeException("simulated sink crash")
+        })
+    }
+    assert(sawRows === 2L) // the admitted batch reached the sink hook
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state)),
+      "fingerprint state must not be appended when the output write fails")
+    // recovery = re-run: the same batch is admitted identically
+    val rerun = Dedup.admitIncrement(state, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(rerun.toSeq === Seq(1L, 2L))
+    assert(spark.read.parquet(state).count() === 2L)
+  }
+
   test("pairMetrics: counts, ratios, and NULL on empty sides") {
     val truth = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("a_id", "b_id")
     val pred = Seq((1L, 2L), (4L, 5L), (6L, 7L), (8L, 9L)).toDF("a_id", "b_id")

@@ -276,6 +276,30 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", maxListShare = 1.0).count() === 3L)
   }
 
+  test("IvfIndex: build-time stats trip the guard at plan CONSTRUCTION, no in-plan aggregate") {
+    // same degenerate corpus as above, but through the validated-index
+    // path: the stats were measured at build time, so the search
+    // overload must throw from the driver-side require BEFORE any
+    // action — and a healthy index's search plan must carry no
+    // assert_true guard scaffolding at all
+    val df = spark.range(20000).select(col("id").as("vec_id"),
+      array(lit(5.0f), lit(5.0f)).as("embedding"))
+    val idx = Similarity.ivfIndex(df, nLists = 2, iters = 1)
+    assert(idx.sampledMaxList > 256L &&
+      idx.sampledMaxList === idx.sampledTotal) // all mass in one list
+    val qs = Seq((999999L, Seq(5.0f, 4.9f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(df, qs, k = 3, idx, nProbe = 1,
+        "vec_id", "embedding") // no .collect(): construction-time trip
+    }
+    assert(e.getMessage.contains("Raise nLists"))
+    // accepting the share completes, and the plan is guard-free
+    val ok = Similarity.ivfTopK(df, qs, k = 3, idx, nProbe = 1,
+      "vec_id", "embedding", maxListShare = 1.0)
+    assert(!ok.queryExecution.executedPlan.toString.contains("assert_true"))
+    assert(ok.count() === 3L)
+  }
+
   test("semDedup: duplicate zero-norm vectors are all kept (cosine undefined)") {
     // Cosine of a zero vector is 0/0 — NaN here, NULL in the SQL
     // oracle — so zero-norm rows must never be dropped: neither by the
