@@ -1514,6 +1514,58 @@ object SparkEntry {
     "q101_shapefile_albers" -> ((s, _) =>
       shapefileBboxCentroid(s, fixturePath("features_aea.shp"))),
 
+    // ---- CFSv2 method-1 pipeline END-TO-END on the oracle surface:
+    // bbox subset (F2) → exact 48-member ensemble median (A3) →
+    // area-weighted mean (A1) → rename/K→°C finalize (F7/C1) → RH from
+    // specific humidity (C3/C4/C5 + the J4 elevation broadcast join) —
+    // the `etl.py:210-303` composition as ONE Spark DAG, previously
+    // only spec-covered via JobsSpec ----
+    "q100_cfsv2_pipeline" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val grid = li.select(
+        date_trunc("month", col("l_shipdate")).cast("date").as("time"),
+        (col("l_partkey") % 25).as("i"),
+        (col("l_suppkey") % 10).as("j"),
+        ((col("l_partkey") % 25) * 0.5).as("lon"),
+        ((col("l_suppkey") % 10) * 0.5).as("lat"),
+        (col("l_quantity") + 273.15).as("tmmx"),
+        (col("l_quantity") + 262.85).as("tmmn"),
+        (col("l_extendedprice") / 1000).as("pr"),
+        (col("l_discount") / 10).as("sph"))
+      val features = t(s, dir, "part")
+        .select((col("p_partkey") % 40).as("fid")).distinct()
+        .withColumn("minx", lit(2.0)).withColumn("miny", lit(1.0))
+        .withColumn("maxx", lit(10.0)).withColumn("maxy", lit(4.0))
+      val weights = weightsFromPart(t(s, dir, "part"))
+      val elev = features.select(col("fid").as("nhru"),
+        (col("fid") * 75.0).as("elev"))
+      graft.etl.GridmetPipeline
+        .cfsv2Median(grid, weights, features, elev)
+        .select(col("nhru"), col("time"),
+          round(col("tmax"), 4).as("tmax"), round(col("tmin"), 4).as("tmin"),
+          round(col("prcp"), 4).as("prcp"), round(col("sph"), 6).as("sph"),
+          round(col("humidity"), 4).as("humidity"))
+    }),
+
+    // ---- REAL BPE tokenization on the oracle surface: documents →
+    // GPT-2-format vocab/merges fixture → per-doc token count and a
+    // position-weighted checksum (Σ id_i·i, 1-based) proving token
+    // VALUES and ORDER — the tokenizer the pack-tokens pipeline ships
+    // to .bin shards. The oracle replays the merge loop itself with a
+    // recursive CTE over the same fixture (no Spark-side trust). ----
+    "q102_bpe_tokenize" -> ((s, dir) => {
+      val ids = graft.functions.Bpe.bpe_tokenize(col("text"), bpeFixtureModel)
+      docs(s, dir).select(col("doc_id"), ids.as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          when(size(col("ids")) === 0, lit(0L)).otherwise(
+            aggregate(
+              zip_with(col("ids"),
+                sequence(lit(1), size(col("ids"))),
+                (t, i) => t.cast("long") * i.cast("long")),
+              lit(0L), (a, x) => a + x)).as("checksum"))
+    }),
+
     // ---- MATERIALIZED packing on the oracle surface: documents →
     // portable-hash token ids → packTokenChunks; each chunk reports a
     // POSITION-WEIGHTED checksum (Σ id_i·i over the chunk, 1-based),
@@ -1543,6 +1595,30 @@ object SparkEntry {
     * oracle pass run with different working directories, and both
     * sides must read the identical file. */
   private def fixturePath(name: String): String = s"/root/repo/data/$name"
+
+  /** The committed GPT-2-format BPE fixture (tools/make_bpe_fixture.py
+    * trains it deterministically over the sf0.001 corpus), loaded once
+    * per JVM — the model is a bounded plan parameter (85 tokens / 60
+    * merges here; a production 50k-token vocab is still ~1 MB of
+    * reference object, never plan text). */
+  private lazy val bpeFixtureModel: graft.functions.BpeModel =
+    graft.functions.Bpe.load(
+      fixturePath("bpe_vocab.json"), fixturePath("bpe_merges.txt"))
+
+  /** The q102 oracle's literal MAP fragments, read from the same
+    * committed fixture the engine loads (the oracle replays the merge
+    * loop itself — see q102 in [[oracleSql]]). */
+  private lazy val (bpeMergesMapSql, bpeVocabMapSql) = {
+    def esc(s: String) = s.replace("'", "''")
+    val merges = scala.io.Source.fromFile(fixturePath("bpe_merges.txt"))
+      .getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .toIndexedSeq
+    val vocab = graft.functions.Bpe.parseVocab(fixturePath("bpe_vocab.json"))
+    (merges.zipWithIndex
+       .map { case (p, r) => s"'${esc(p)}': $r" }.mkString("MAP {", ", ", "}"),
+     vocab.map { case (t, i) => s"'${esc(t)}': $i" }
+       .mkString("MAP {", ", ", "}"))
+  }
 
   /** Shared oracle of the q98/q101 reprojection contract: bbox +
     * shoelace centroid straight from the geographic twin's vertex list
@@ -3295,6 +3371,126 @@ object SparkEntry {
     // carries the same features projected to USA_Contiguous_Albers, so
     // the recovered geographic bbox/centroid matches the same twin.
     "q101_shapefile_albers" -> shapefileTwinOracle,
+
+    // q100: the CFSv2 method-1 chain mirrored stage by stage — bbox
+    // predicate, per-cell median over members, weighted mean, the
+    // K→°C/°C→K round-trip kept float-exact (tmax − 273.15 then
+    // + 273.15, matching cfsv2Finalize → withRelativeHumidity), and
+    // the q09 physics expressions in the same operation order.
+    "q100_cfsv2_pipeline" ->
+      s"""WITH g AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS time,
+         |    l_partkey % 25 AS i, l_suppkey % 10 AS j,
+         |    (l_partkey % 25) * 0.5 AS lon, (l_suppkey % 10) * 0.5 AS lat,
+         |    l_quantity + 273.15 AS tmmx, l_quantity + 262.85 AS tmmn,
+         |    l_extendedprice / 1000 AS pr, l_discount / 10 AS sph
+         |  FROM lineitem),
+         |sub AS (SELECT * FROM g
+         |  WHERE lon BETWEEN 2.0 - 0.04167 AND 10.0 + 0.04167
+         |    AND lat BETWEEN 1.0 - 0.04167 AND 4.0 + 0.04167),
+         |med AS (SELECT time, j, i,
+         |    median(tmmx) AS tmmx, median(tmmn) AS tmmn,
+         |    median(pr) AS pr, median(sph) AS sph
+         |  FROM sub GROUP BY 1, 2, 3),
+         |w AS ($weightsSql),
+         |agg AS (SELECT w.fid, m.time,
+         |    sum(w.wght*m.tmmx)/sum(w.wght) AS tmmx,
+         |    sum(w.wght*m.tmmn)/sum(w.wght) AS tmmn,
+         |    sum(w.wght*m.pr)/sum(w.wght) AS pr,
+         |    sum(w.wght*m.sph)/sum(w.wght) AS sph
+         |  FROM med m JOIN w ON m.i = w.i AND m.j = w.j GROUP BY 1, 2),
+         |dom AS (SELECT f.fid, t.time
+         |  FROM (SELECT DISTINCT p_partkey % 40 AS fid FROM part) f
+         |  CROSS JOIN (SELECT DISTINCT time FROM agg) t),
+         |fin AS (SELECT d.fid AS nhru, d.time,
+         |    a.tmmx - 273.15 AS tmax, a.tmmn - 273.15 AS tmin,
+         |    a.pr AS prcp, a.sph AS sph
+         |  FROM dom d LEFT JOIN agg a ON d.fid = a.fid AND d.time = a.time),
+         |rh AS (SELECT nhru, time, tmax, tmin, prcp, sph,
+         |    sph * (1013.25 * exp(-9.80665 * (nhru * 75.0)
+         |        / (287.05 * (((tmax + 273.15) + (tmin + 273.15)) / 2.0)))) / 0.622
+         |      / (6.1094 * exp(17.625
+         |           * ((((tmax + 273.15) + (tmin + 273.15)) / 2.0) - 273.15)
+         |           / (((((tmax + 273.15) + (tmin + 273.15)) / 2.0) - 273.15)
+         |              + 243.04)))
+         |      * 100.0 AS humidity
+         |  FROM fin)
+         |SELECT nhru, time, round(tmax, 4) AS tmax, round(tmin, 4) AS tmin,
+         |  round(prcp, 4) AS prcp, round(sph, 6) AS sph,
+         |  round(humidity, 4) AS humidity
+         |FROM rh""".stripMargin,
+
+    // q102: the BPE merge loop REPLAYED in SQL — a recursive CTE
+    // carries each distinct word's symbol list; every step merges all
+    // left-to-right non-overlapping occurrences of the lowest-ranked
+    // adjacent pair (the run-parity lambda reproduces greedy
+    // left-to-right for a==b runs without sequential state), stopping
+    // when no pair is ranked. Fixture merges/vocab ride as literal
+    // MAPs read from the SAME committed files the engine loads. Tokens
+    // then re-assemble per document in word order for the count +
+    // position-weighted checksum.
+    "q102_bpe_tokenize" ->
+      s"""WITH RECURSIVE
+         |dws AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(string_split(text, ' '),
+         |                             x -> x <> '') AS ws
+         |  FROM documents),
+         |words AS MATERIALIZED (
+         |  SELECT DISTINCT w FROM (SELECT unnest(ws) AS w FROM dws)),
+         |rec AS (
+         |  SELECT w, list_transform(range(1, length(w)+1), i -> w[i]) AS syms,
+         |         0 AS it
+         |  FROM words
+         |  UNION ALL
+         |  SELECT w,
+         |    flatten(list_transform(range(1, len(syms)+1), i ->
+         |      CASE WHEN starts[i] THEN [a || b]
+         |           WHEN i > 1 AND starts[i-1] THEN []
+         |           ELSE [syms[i]] END)) AS syms,
+         |    it + 1
+         |  FROM (
+         |    SELECT w, syms, it, a, b,
+         |      list_transform(range(1, len(syms)), i ->
+         |        syms[i] = a AND syms[i+1] = b AND (a <> b OR
+         |          (i - coalesce(list_max(list_filter(range(2, i+1),
+         |             j -> syms[j-1] <> a)), 1)) % 2 = 0)) AS starts
+         |    FROM (
+         |      SELECT w, syms, it, syms[bi] AS a, syms[bi+1] AS b
+         |      FROM (
+         |        SELECT w, syms, it,
+         |          list_position(rks, list_aggregate(
+         |            list_filter(rks, x -> x IS NOT NULL), 'min')) AS bi
+         |        FROM (
+         |          SELECT w, syms, it,
+         |            list_transform(range(1, len(syms)), i ->
+         |              map_extract($bpeMergesMapSql,
+         |                          syms[i] || ' ' || syms[i+1])[1]) AS rks
+         |          FROM rec) t0
+         |        WHERE len(list_filter(rks, x -> x IS NOT NULL)) > 0) t1) t2) t3
+         |),
+         |tok AS MATERIALIZED (
+         |  SELECT r.w, list_transform(r.syms, s0 ->
+         |      coalesce(map_extract($bpeVocabMapSql, s0)[1], 0)) AS ids
+         |  FROM rec r
+         |  JOIN (SELECT w, max(it) AS mi FROM rec GROUP BY w) mx
+         |    ON r.w = mx.w AND r.it = mx.mi),
+         |dwords AS (
+         |  SELECT doc_id, u.wi AS wi, u.w AS w
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+         |          i -> struct_pack(wi := i, w := ws[i]))) AS u
+         |        FROM dws) t),
+         |contrib AS (
+         |  SELECT d.doc_id,
+         |    len(k.ids) AS nt,
+         |    (sum(len(k.ids)) OVER (PARTITION BY d.doc_id ORDER BY d.wi)
+         |       - len(k.ids)) * list_aggregate(k.ids, 'sum')
+         |      + list_aggregate(list_transform(range(1, len(k.ids)+1),
+         |          ki -> k.ids[ki] * ki), 'sum') AS ck
+         |  FROM dwords d JOIN tok k ON d.w = k.w)
+         |SELECT doc_id,
+         |  CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sum(ck), 0) AS BIGINT) AS checksum
+         |FROM documents LEFT JOIN contrib USING (doc_id)
+         |GROUP BY doc_id""".stripMargin,
 
     // q99: the packed layout re-derived from first principles — shard
     // by portable-hash of the id, per-shard cumulative offsets in id

@@ -182,19 +182,29 @@ object Jobs {
     out
   }
 
-  /** Corpus → pretraining shards: hash-tokenize `--input-path`
-    * documents (whitespace tokens to uint16 hash-bucket ids — the
-    * stub-tokenizer seam; the plumbing, sharding and binary layout
-    * are the real thing), pack into `--context-len` windows across
-    * `--n-shards` deterministic streams, and write packed `.bin`/
-    * `.idx` shard files to `--output-path`. */
+  /** Corpus → pretraining shards: tokenize `--input-path` documents,
+    * pack into `--context-len` windows across `--n-shards`
+    * deterministic streams, and write packed `.bin`/`.idx` shard files
+    * to `--output-path`. With `--bpe-vocab`/`--bpe-merges` (the public
+    * GPT-2 artifact pair) tokenization is REAL byte-pair encoding via
+    * the [[graft.functions.Bpe]] codegen kernel — the shards carry
+    * actual BPE ids; without them it falls back to the whitespace
+    * hash-bucket stub (plumbing-only runs). */
   def runPackTokens(spark: SparkSession, a: Args): String = {
     val docs = spark.read.parquet(a("input-path"))
     val idCol = a.get("id-col").getOrElse("doc_id")
     val textCol = a.get("text-col").getOrElse("text")
-    val tok = docs.select(col(idCol).as("id"),
-      expr(s"transform(filter(split($textCol, ' '), w -> w <> ''), " +
-        "w -> CAST(pmod(xxhash64(w), 65536L) AS INT))").as("ids"))
+    val ids = (a.get("bpe-vocab"), a.get("bpe-merges")) match {
+      case (Some(v), Some(m)) =>
+        graft.functions.Bpe.bpe_tokenize(col(textCol),
+          graft.functions.Bpe.load(v, m))
+      case (None, None) =>
+        expr(s"transform(filter(split($textCol, ' '), w -> w <> ''), " +
+          "w -> CAST(pmod(xxhash64(w), 65536L) AS INT))")
+      case _ => throw new IllegalArgumentException(
+        "--bpe-vocab and --bpe-merges must be given together")
+    }
+    val tok = docs.select(col(idCol).as("id"), ids.as("ids"))
     val chunks = graft.operators.Packing.packTokenChunks(
       tok, col("id"), col("ids"),
       contextLen = a.get("context-len").getOrElse("512").toInt,

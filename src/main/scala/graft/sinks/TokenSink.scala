@@ -114,12 +114,11 @@ object TokenSink {
   }
 
   /** Read a packed-token directory back to (shard, chunk_id,
-    * token_ids) — the loader/audit path and the round-trip proof. The
-    * index drives exact seeks; file contents are chunk-ordered by the
-    * writer's contract. Driver-side per shard file (shard files are
-    * context-window-bounded per chunk and the shard count is the
-    * parallelism dial; a distributed loader maps the same layout per
-    * shard in executors). */
+    * token_ids) — the driver-side AUDIT path and the round-trip proof
+    * (whole-file reads, ≤ 2 GB per shard). The DISTRIBUTED loader is
+    * `spark.read.format("gtok").load(dir)`
+    * ([[graft.sources.gtok.GtokDataSource]]): one executor-side
+    * partition per shard, streaming reads, no size cap. */
   def readPackedTokens(spark: SparkSession, dir: String): DataFrame = {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)

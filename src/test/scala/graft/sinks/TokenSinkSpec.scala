@@ -77,4 +77,63 @@ class TokenSinkSpec extends SparkSpec {
     assert(back.count() === 2L)
     assert(back.selectExpr("sum(size(token_ids))").as[Long].head() === 6L)
   }
+
+  test("gtok DSv2 source: distributed round-trip, one partition per shard, .bin skipped when pruned") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-gtok-dsv2").toString
+    TokenSink.writePackedTokens(chunks, dir, bytesPerToken = 2)
+    val back = spark.read.format("gtok").load(dir)
+    // identical contents to the audit reader
+    assert(back.as[(Int, Long, Seq[Int])].collect().sortBy(r => (r._1, r._2)).toSeq
+      === Seq((0, 0L, Seq(1, 2, 3)), (0, 1L, Seq(65535, 0)),
+        (1, 0L, Seq(7)), (1, 2L, Seq(8, 9, 10, 11))))
+    // one input partition per shard file: with 2 shards, the scan rdd
+    // has exactly 2 partitions
+    assert(back.rdd.getNumPartitions === 2)
+    // column pruning reaches the source: a chunk inventory reads only
+    // the sidecars — the BatchScan's output drops token_ids entirely
+    val inventory = back.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+    val p = inventory.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan gtok:") && !p.contains("token_ids"), p)
+    assert(inventory.as[(Int, Long)].collect().sortBy(_._1).toSeq
+      === Seq((0, 2L), (1, 2L)))
+    // int32 width round-trips through the same source
+    val dir4 = Files.createTempDirectory("graft-gtok-dsv2-4").toString
+    TokenSink.writePackedTokens(chunks, dir4, bytesPerToken = 4)
+    assert(spark.read.format("gtok").load(dir4)
+      .selectExpr("sum(size(token_ids))").as[Long].head() === 10L)
+  }
+
+  test("pack-tokens job with the REAL BPE tokenizer: shards carry the kernel's ids") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "the fast scan"), (2L, "big data table"),
+      (3L, "merge sort window join"), (4L, "stream filter"))
+      .toDF("doc_id", "text")
+    val in = Files.createTempDirectory("graft-bpe-in").toString
+    docs.write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("graft-bpe-out").toString
+    graft.cli.Jobs.runPackTokens(spark, graft.cli.Jobs.Args(Map(
+      "input-path" -> in, "output-path" -> out,
+      "context-len" -> "8", "n-shards" -> "2",
+      "bpe-vocab" -> "/root/repo/data/bpe_vocab.json",
+      "bpe-merges" -> "/root/repo/data/bpe_merges.txt"), Set.empty))
+    // the packed byte stream must equal the BPE expression's output
+    // re-packed independently: same per-doc ids, same total
+    val m = graft.functions.Bpe.load("/root/repo/data/bpe_vocab.json",
+      "/root/repo/data/bpe_merges.txt")
+    val expected = docs.collect()
+      .map(r => r.getLong(0) -> m.tokenizeText(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
+        .toIntArray().toSeq).toMap
+    val total = expected.values.map(_.size).sum
+    val back = TokenSink.readPackedTokens(spark, out)
+    assert(back.selectExpr("sum(size(token_ids))").as[Long].head() === total.toLong)
+    // every packed id is a real vocab id (uint16, within vocab size)
+    val vocabSize = graft.functions.Bpe
+      .parseVocab("/root/repo/data/bpe_vocab.json").size
+    val ids = back.selectExpr("explode(token_ids)").as[Int].collect()
+    assert(ids.forall(id => id >= 0 && id < vocabSize))
+    // and the multiset of packed ids equals the expression's multiset
+    assert(ids.sorted.toSeq === expected.values.flatten.toSeq.sorted)
+  }
 }
