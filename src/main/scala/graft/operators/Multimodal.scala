@@ -8,10 +8,12 @@ import graft.functions.PortableHash.portable_hash
   * opaque `binary` columns with a typed metadata struct riding beside
   * them. Decode / feature-extract / resize / frame-sample are modeled so
   * the Spark-side plumbing — schema, partitioning, batch shape — is real
-  * and tested, while the codec call itself is STUBBED with a
-  * deterministic byte-level computation (no image/audio libraries exist
-  * in this environment; a real deployment swaps [[DecodeStub]] for a
-  * JNI/javacv codec without touching any plan shape).
+  * and tested. The seam carries one REAL codec ([[PpmCodec]], a strict
+  * P6 parser — no external libraries needed) proving an actual
+  * byte-format decode flows through the batched contract; compressed
+  * formats (JPEG/PNG/audio) remain behind [[DecodeStub]], a
+  * deterministic byte-level stand-in a deployment swaps for a
+  * JNI/javacv codec without touching any plan shape.
   *
   * Scale design: payload bytes never shuffle for metadata-only work
   * (decode/meta/fingerprint are per-row projections); the per-batch
@@ -54,6 +56,87 @@ object Multimodal {
         MediaFeatures(m.media_id, m.modality, m.bytes.length, h,
           if (m.bytes.isEmpty) 0.0 else s.toDouble / m.bytes.length)
       }
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL CODEC — PPM (P6), the simplest public image format: ASCII
+  // header "P6 <width> <height> <maxval>" with '#' comments, then one
+  // whitespace byte, then width·height RGB triplets. A genuine
+  // byte-format parse through the SAME batched seam the stub uses —
+  // proof the seam carries a real decoder, not only byte arithmetic.
+  // ---------------------------------------------------------------------
+
+  /** A decoded P6 image: dimensions + the raw RGB plane. */
+  final case class PpmImage(width: Int, height: Int, pixels: Array[Byte])
+
+  /** Real per-image features from the decoded PIXELS (not the file
+    * bytes): dimensions and per-channel means. */
+  final case class PpmFeatures(
+      media_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  object PpmCodec {
+    /** Strict P6 parser (maxval ≤ 255). Fails loudly on any malformed
+      * payload — a training pipeline wants corrupt media surfaced, not
+      * silently zero-filled. */
+    def decode(bytes: Array[Byte]): PpmImage = {
+      var pos = 0
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"PPM: $msg at byte $pos")
+      def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+      // one token, skipping whitespace runs and '#' comments before it
+      def token(): String = {
+        while (pos < bytes.length &&
+               (isWs(bytes(pos)) || bytes(pos) == '#')) {
+          if (bytes(pos) == '#')
+            while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        val start = pos
+        while (pos < bytes.length && !isWs(bytes(pos))) pos += 1
+        if (pos == start) fail("missing header token")
+        new String(bytes, start, pos - start, "US-ASCII")
+      }
+      if (token() != "P6") fail("not a P6 file")
+      val w = token().toInt
+      val h = token().toInt
+      val maxv = token().toInt
+      if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+      if (maxv <= 0 || maxv > 255) fail(s"unsupported maxval $maxv")
+      pos += 1 // exactly ONE whitespace byte separates header and data
+      val n = w * h * 3
+      if (bytes.length - pos < n)
+        fail(s"truncated pixel data: need $n, have ${bytes.length - pos}")
+      PpmImage(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+    }
+
+    /** Batch decode — the same mapInPandas-shaped contract as
+      * [[DecodeStub.decodeBatch]], running the REAL parser. */
+    def decodeBatch(batch: Seq[Media]): Seq[PpmFeatures] =
+      batch.map { m =>
+        val img = decode(m.bytes)
+        val sums = new Array[Long](3)
+        var k = 0
+        while (k < img.pixels.length) {
+          sums(k % 3) += img.pixels(k) & 0xff
+          k += 1
+        }
+        val nPix = (img.width.toLong * img.height).toDouble
+        PpmFeatures(m.media_id, img.width, img.height,
+          sums(0) / nPix, sums(1) / nPix, sums(2) / nPix)
+      }
+  }
+
+  /** Per-batch REAL decode (PPM payloads): identical plumbing to
+    * [[mapDecodeBatches]] — partition iterator → `batchSize` groups →
+    * one codec call per batch — with the actual P6 parser as the
+    * codec. */
+  def mapDecodePpmBatches(
+      media: Dataset[Media], batchSize: Int = 64): Dataset[PpmFeatures] = {
+    implicit val enc = Encoders.product[PpmFeatures]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => PpmCodec.decodeBatch(b.toSeq))
+    }
   }
 
   /** Media embedding row (feature extraction output — feeds the
