@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes STRAIGHT to this process's stdout/stderr,
+// not through sbt's logger: the logger prefixes every line with
+// `[info] ` and can reorder/buffer, which has defeated the driver's
+// bench-JSON tail parser three rounds running (BENCH_rN "parsed":
+// null). With StdoutOutput, Bench's final JSON line is byte-identical
+// on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -169,5 +169,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${names.size},""" +
       s""""trials":$trials,"failed_count":$nFailedQ,""" +
       s""""load_contaminated":$contaminated,"sf":"$sfDir"}""")
+    // the JVM may exit through sbt's trap without draining a buffered
+    // stdout; flush explicitly so the tail parser always sees the line
+    System.out.flush()
   }
 }

@@ -174,20 +174,14 @@ object SparkEntry {
       ((col("doc_id") % 9 + 1) * 8).cast("int").as("height"),
       (col("doc_id") % 7 + 1).cast("int").as("n_frames"))
 
-  /** The events table carries nanosecond timestamps, which Spark's
-    * parquet reader only surfaces as long (nanosAsLong); normalize to
-    * microsecond TimestampType — lossless here, and identical to the
-    * oracle's CAST(ts AS TIMESTAMP). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // integer DIV, not `/1000`: the ns epoch (~1.7e18) exceeds a
-        // double's 53-bit mantissa, so float division drifts by ±1 µs
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw
-    }
-  }
+  /** The events table's `ts` has shipped under multiple physical
+    * encodings (int64 nanos in rounds 1–7, TIMESTAMP_MICROS NTZ from
+    * round 8); normalize to microsecond TimestampType at the loader —
+    * lossless under the UTC session zone, and identical to the
+    * oracle's naive CAST(ts AS TIMESTAMP). See
+    * [[graft.functions.EventTime.normalize]]. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.functions.EventTime.normalize(t(s, dir, "events"), "ts")
 
   /** Exact money sum: decimal-accumulate, surface as double. */
   private def moneySum(c: Column): Column =

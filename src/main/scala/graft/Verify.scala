@@ -20,13 +20,29 @@ object Verify {
     // same comma-separated list as its third argument)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Declared-query completeness: a query that THROWS must still leave
+    // a per-query trace, or it silently vanishes from the correctness
+    // report (round 8: 3 analysis-time failures made "99 rows" read as
+    // 99/99 when it was 99/102). On failure we still create the query's
+    // output directory (empty — the comparer reports it as a failing
+    // row, never skips it) plus an _ERROR.txt with the throw, and
+    // aggregate everything into verify_errors.json beside oracle_sql.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        val d = new java.io.File(s"$outDir/$name")
+        // a stale success from a previous run must not mask this failure
+        if (d.exists()) d.listFiles().foreach(_.delete())
+        d.mkdirs()
+        try Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg + "\n")
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +60,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -25,13 +25,16 @@ object RangeJoin {
 
   /** Pairs (left row, right row) with |right time − left time| ≤
     * `radiusUs` (microseconds, inclusive). Output: left.* plus right
-    * columns prefixed with `rightPrefix`. Timestamps must be
-    * TimestampType on both sides. */
+    * columns prefixed with `rightPrefix`. The time columns may arrive
+    * as TIMESTAMP, TIMESTAMP_NTZ, or int64 nanoseconds — normalized
+    * at entry ([[graft.functions.EventTime.normalize]]). */
   def proximityJoin(
-      left: DataFrame, right: DataFrame,
+      left0: DataFrame, right0: DataFrame,
       leftTs: String, rightTs: String, radiusUs: Long,
       rightPrefix: String = "r_"): DataFrame = {
     require(radiusUs > 0, "radius must be positive")
+    val left = graft.functions.EventTime.normalize(left0, leftTs)
+    val right = graft.functions.EventTime.normalize(right0, rightTs)
     val w = 2 * radiusUs
     // SQL strings only ever reference our own "__t"/"__t2" temp columns
     // (integer DIV has no Column-API form); user column names never hit

@@ -15,6 +15,19 @@ import org.apache.spark.sql.Row
   */
 object EventPipeline extends Serializable {
 
+  /** Bounded parquet stream with the event-time column(s) normalized to
+    * TimestampType whatever the file's physical encoding (int64-ns /
+    * TIMESTAMP_NTZ / TIMESTAMP — see [[graft.functions.EventTime]]).
+    * Every streaming entrypoint reads through this seam so watermarks
+    * and the Timestamp-typed case-class encoders below are
+    * encoding-proof, like the batch loaders. */
+  private def streamSource(
+      spark: SparkSession, sourceDir: String, tsCols: String*): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    graft.functions.EventTime.normalize(
+      spark.readStream.schema(schema).parquet(sourceDir), tsCols: _*)
+  }
+
   /** Tumbling-window aggregate (batch form): events per (hour, type)
     * with count and rounded value sum. Matches the streaming form below
     * on static input. */
@@ -28,9 +41,7 @@ object EventPipeline extends Serializable {
   /** Streaming form of [[tumblingCounts]]: watermark + windowed agg.
     * Returns a writer ready to `.start()`; tested with the memory sink. */
   def tumblingCountsStream(spark: SparkSession, sourceDir: String): DataStreamWriter[Row] = {
-    val schema = spark.read.parquet(sourceDir).schema
-    val events = spark.readStream.schema(schema).parquet(sourceDir)
-    events
+    streamSource(spark, sourceDir, "ts")
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -50,7 +61,9 @@ object EventPipeline extends Serializable {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes.toLong * 60L * 1000000L
-    val flagged = events
+    // encoding-proof: accept ts as TIMESTAMP / TIMESTAMP_NTZ / int64-ns
+    // (unix_micros below rejects NTZ at analysis time otherwise)
+    val flagged = graft.functions.EventTime.normalize(events, "ts")
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
@@ -91,8 +104,7 @@ object EventPipeline extends Serializable {
   def sessionWindowsStream(
       spark: SparkSession, sourceDir: String,
       gapMinutes: Int = 30): DataStreamWriter[Row] = {
-    val schema = spark.read.parquet(sourceDir).schema
-    spark.readStream.schema(schema).parquet(sourceDir)
+    streamSource(spark, sourceDir, "ts")
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
@@ -123,8 +135,7 @@ object EventPipeline extends Serializable {
       "watermarkHorizon needs tsCol: a horizon without an event-time " +
         "column would silently fall back to unbounded state — the " +
         "exact failure the horizon exists to prevent")
-    val schema = spark.read.parquet(sourceDir).schema
-    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    val in = streamSource(spark, sourceDir, tsCol.toSeq: _*)
       .withColumn("__h", xxhash64(col(textCol)))
       .withColumn("__len", length(col(textCol)))
     val deduped = (tsCol, watermarkHorizon) match {
@@ -149,11 +160,10 @@ object EventPipeline extends Serializable {
   def clickViewJoinStream(
       spark: SparkSession, sourceDir: String,
       beforeMinutes: Int = 30, watermark: String = "1 hour"): DataStreamWriter[Row] = {
-    val schema = spark.read.parquet(sourceDir).schema
     // ONE file-stream source feeding both legs (a stream self-join):
     // two sources would each maintain a file index and list+read every
     // input file twice per micro-batch
-    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val src = streamSource(spark, sourceDir, "ts")
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -255,9 +265,8 @@ object EventPipeline extends Serializable {
     * with the latest view at-or-before, per user. */
   def asofStream(
       spark: SparkSession, sourceDir: String): DataStreamWriter[AsofOut] = {
-    val schema = spark.read.parquet(sourceDir).schema
     implicit val te = Encoders.product[Tagged]
-    val tagged = spark.readStream.schema(schema).parquet(sourceDir)
+    val tagged = streamSource(spark, sourceDir, "ts")
       .filter(col("event_type").isin("click", "view"))
       .select(col("user_id"), col("ts"), col("event_id"), col("value"),
         when(col("event_type") === "view", 0).otherwise(1).as("side"))
@@ -364,9 +373,8 @@ object EventPipeline extends Serializable {
   def sessionizeStream(
       spark: SparkSession, sourceDir: String,
       gapMinutes: Int): DataStreamWriter[Session] = {
-    val schema = spark.read.parquet(sourceDir).schema
     implicit val ee = Encoders.product[Ev]
-    val events = spark.readStream.schema(schema).parquet(sourceDir)
+    val events = streamSource(spark, sourceDir, "ts")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[Ev]
     sessionizeStateful(events, gapMinutes)

@@ -56,7 +56,9 @@ oracle_secs = {}
 for name in names:
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
-        print(f"SKIP {name}: no parquet written"); fails.append(name); continue
+        err_file = os.path.join(outdir, name, "_ERROR.txt")
+        err = open(err_file).read().strip() if os.path.exists(err_file) else "no parquet written"
+        print(f"FAIL {name}: {err}"); fails.append(name); continue
     got_raw = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
     got = canon(got_raw)
     if name not in oracle:
