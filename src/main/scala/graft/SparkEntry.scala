@@ -1541,6 +1541,44 @@ object SparkEntry {
           round(col("humidity"), 4).as("humidity"))
     }),
 
+    // ---- CFSv2 method-2 pipeline END-TO-END on the oracle surface:
+    // the reference's per-member loop + concat (`etl.py:361-383`,
+    // `etl.py:532-539`) dissolved into ONE DAG — `ens` rides as a
+    // grouping key through bbox subset (F2) → per-member area-weighted
+    // mean (A1/U2, no median stage) → rename/K→°C finalize (F7/C1) →
+    // RH from specific humidity (C5 + the J4 elevation broadcast
+    // join). Closes the e2e asymmetry with method 1 (q100). ----
+    "q103_cfsv2_ensemble" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val grid = li.select(
+        date_trunc("month", col("l_shipdate")).cast("date").as("time"),
+        (col("l_orderkey") % 4).as("ens"),
+        (col("l_partkey") % 25).as("i"),
+        (col("l_suppkey") % 10).as("j"),
+        ((col("l_partkey") % 25) * 0.5).as("lon"),
+        ((col("l_suppkey") % 10) * 0.5).as("lat"),
+        (col("l_quantity") + 273.15).as("tmmx"),
+        (col("l_quantity") + 262.85).as("tmmn"),
+        (col("l_extendedprice") / 1000).as("pr"),
+        (col("l_discount") / 10).as("sph"))
+      val features = t(s, dir, "part")
+        .select((col("p_partkey") % 40).as("fid")).distinct()
+        .withColumn("minx", lit(2.0)).withColumn("miny", lit(1.0))
+        .withColumn("maxx", lit(10.0)).withColumn("maxy", lit(4.0))
+      val weights = weightsFromPart(t(s, dir, "part"))
+      val elev = features.select(col("fid").as("nhru"),
+        (col("fid") * 75.0).as("elev"))
+      graft.etl.GridmetPipeline
+        // preCombine: the synthetic grid has ~7 lineitem rows per
+        // (time, ens, i, j) cell — collapsing before the ~80-weights-
+        // per-cell broadcast join shrinks its output ~7×
+        .cfsv2Ensemble(grid, weights, features, elev, preCombine = true)
+        .select(col("nhru"), col("ens"), col("time"),
+          round(col("tmax"), 4).as("tmax"), round(col("tmin"), 4).as("tmin"),
+          round(col("prcp"), 4).as("prcp"), round(col("sph"), 6).as("sph"),
+          round(col("humidity"), 4).as("humidity"))
+    }),
+
     // ---- REAL BPE tokenization on the oracle surface: documents →
     // GPT-2-format vocab/merges fixture → per-doc token count and a
     // position-weighted checksum (Σ id_i·i, 1-based) proving token
@@ -3409,6 +3447,52 @@ object SparkEntry {
          |      * 100.0 AS humidity
          |  FROM fin)
          |SELECT nhru, time, round(tmax, 4) AS tmax, round(tmin, 4) AS tmin,
+         |  round(prcp, 4) AS prcp, round(sph, 6) AS sph,
+         |  round(humidity, 4) AS humidity
+         |FROM rh""".stripMargin,
+
+    // q103: the CFSv2 method-2 chain — q100's CTE body with the median
+    // stage REMOVED and `ens` added to every grouping/domain key (the
+    // reference's 48-member loop flattened into one grouped
+    // aggregation); the K→°C/°C→K round-trip and q09 physics identical
+    // to q100.
+    "q103_cfsv2_ensemble" ->
+      s"""WITH g AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS time,
+         |    l_orderkey % 4 AS ens,
+         |    l_partkey % 25 AS i, l_suppkey % 10 AS j,
+         |    (l_partkey % 25) * 0.5 AS lon, (l_suppkey % 10) * 0.5 AS lat,
+         |    l_quantity + 273.15 AS tmmx, l_quantity + 262.85 AS tmmn,
+         |    l_extendedprice / 1000 AS pr, l_discount / 10 AS sph
+         |  FROM lineitem),
+         |sub AS (SELECT * FROM g
+         |  WHERE lon BETWEEN 2.0 - 0.04167 AND 10.0 + 0.04167
+         |    AND lat BETWEEN 1.0 - 0.04167 AND 4.0 + 0.04167),
+         |w AS ($weightsSql),
+         |agg AS (SELECT w.fid, m.time, m.ens,
+         |    sum(w.wght*m.tmmx)/sum(w.wght) AS tmmx,
+         |    sum(w.wght*m.tmmn)/sum(w.wght) AS tmmn,
+         |    sum(w.wght*m.pr)/sum(w.wght) AS pr,
+         |    sum(w.wght*m.sph)/sum(w.wght) AS sph
+         |  FROM sub m JOIN w ON m.i = w.i AND m.j = w.j GROUP BY 1, 2, 3),
+         |dom AS (SELECT f.fid, t.time, e.ens
+         |  FROM (SELECT DISTINCT p_partkey % 40 AS fid FROM part) f
+         |  CROSS JOIN (SELECT DISTINCT time FROM agg) t
+         |  CROSS JOIN (SELECT DISTINCT ens FROM agg) e),
+         |fin AS (SELECT d.fid AS nhru, d.ens, d.time,
+         |    a.tmmx - 273.15 AS tmax, a.tmmn - 273.15 AS tmin,
+         |    a.pr AS prcp, a.sph AS sph
+         |  FROM dom d LEFT JOIN agg a
+         |    ON d.fid = a.fid AND d.time = a.time AND d.ens = a.ens),
+         |rh AS (SELECT nhru, ens, time, tmax, tmin, prcp, sph,
+         |    sph * (1013.25 * exp(-9.80665 * (nhru * 75.0)
+         |        / (287.05 * (((tmax + 273.15) + (tmin + 273.15)) / 2.0)))) / 0.622
+         |      / (6.1094 * exp(17.625
+         |           * ((((tmax + 273.15) + (tmin + 273.15)) / 2.0) - 273.15)
+         |           / (((((tmax + 273.15) + (tmin + 273.15)) / 2.0) - 273.15)
+         |              + 243.04)))
+         |      * 100.0 AS humidity
+         |  FROM fin)
+         |SELECT nhru, ens, time, round(tmax, 4) AS tmax, round(tmin, 4) AS tmin,
          |  round(prcp, 4) AS prcp, round(sph, 6) AS sph,
          |  round(humidity, 4) AS humidity
          |FROM rh""".stripMargin,

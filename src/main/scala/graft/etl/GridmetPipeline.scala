@@ -29,9 +29,14 @@ object GridmetPipeline {
         col("lat").between(b.getDouble(1) - buffer, b.getDouble(3) + buffer))
   }
 
-  /** F3 — time-range subset (`etl.py:407`, `etl.py:670`). */
+  /** F3 — time-range subset (`etl.py:407`, `etl.py:670`). The time
+    * column is normalized first ([[graft.functions.EventTime]]): an
+    * externally-staged grid may carry `time` as TIMESTAMP_NTZ (or a
+    * DATE), and the comparison against TIMESTAMP literals must not
+    * depend on the stager's physical encoding. */
   def timeSubset(grid: DataFrame, start: String, end: String): DataFrame =
-    grid.filter(col("time").between(lit(start).cast("timestamp"), lit(end).cast("timestamp")))
+    graft.functions.EventTime.normalize(grid, "time")
+      .filter(col("time").between(lit(start).cast("timestamp"), lit(end).cast("timestamp")))
 
   /** Catalog-driven coordinate-name indirection (`etl.py:329-331`,
     * `etl.py:399-408`): staged grids keep whatever coordinate names the
@@ -104,11 +109,18 @@ object GridmetPipeline {
   private def reindex(
       agg: DataFrame, features: DataFrame, extraKeys: Seq[String]): DataFrame = {
     val keyCols = Seq("fid", "time") ++ extraKeys
+    // The aggregated series feeds the plan 2–3 times (one distinct per
+    // domain dimension + the outer join), and ReuseExchange cannot
+    // unify the differing aggregates above it — without a barrier the
+    // whole scan→join→agg subtree would run once PER REFERENCE. A lazy
+    // localCheckpoint materializes it once (post-aggregation size:
+    // |features| × |timesteps| × |ens|, the small end of the DAG).
+    val aggOnce = agg.localCheckpoint(eager = false)
     val domain = (Seq("time") ++ extraKeys)
       .foldLeft(features.select(col("fid"))) { (d, k) =>
-        d.crossJoin(agg.select(col(k)).distinct())
+        d.crossJoin(aggOnce.select(col(k)).distinct())
       }
-    domain.join(agg, keyCols, "left")
+    domain.join(aggOnce, keyCols, "left")
   }
 
   /** Full gridMET pipeline: subset → area-weighted mean (A1/A2) →
@@ -170,9 +182,16 @@ object GridmetPipeline {
   def cfsv2Ensemble(
       grid: DataFrame, weights: DataFrame, features: DataFrame,
       elev: DataFrame,
-      vars: Seq[String] = Seq("tmmx", "tmmn", "pr", "sph")): DataFrame = {
+      vars: Seq[String] = Seq("tmmx", "tmmn", "pr", "sph"),
+      preCombine: Boolean = false): DataFrame = {
+    // preCombine: method 2 has no median stage collapsing the grid to
+    // one row per cell first, so a grid with several rows per
+    // (time, ens, i, j) multiplies the weight join by that factor —
+    // pre-aggregating per cell bounds the join at |cells| × |weights
+    // per cell|. Leave OFF for a true raster (one row per cell).
     val agg = reindex(
-      WeightedMean(bboxSubset(grid, features), weights, vars, extraKeys = Seq("ens")),
+      WeightedMean(bboxSubset(grid, features), weights, vars,
+        extraKeys = Seq("ens"), preCombine = preCombine),
       features, Seq("ens"))
     withRelativeHumidity(Convert.cfsv2Finalize(agg), elev)
   }

@@ -56,8 +56,10 @@ object EventTime {
             .drop(tmp)
         case Some(TimestampNTZType) =>
           d.withColumn(c, col(c).cast(TimestampType))
-        case Some(DateType) =>
-          d.withColumn(c, col(c).cast(TimestampType))
+        // NOT DateType: a DATE is a coarser logical type, not another
+        // physical encoding of the same instant — converting it would
+        // silently widen date-keyed pipelines (e.g. the synthetic
+        // month-truncated grids) to timestamps and break schema parity
         case _ => d
       }
     }

@@ -55,6 +55,27 @@ class GridmetPipelineSpec extends SparkSpec {
     assert(out.select("time").distinct().count() == 1)
   }
 
+  test("gridmet pipeline is invariant to an NTZ-encoded staged-grid time column") {
+    // an externally-staged parquet grid can carry `time` as
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType
+    // (the round-8 events drift class); the pipeline must produce the
+    // identical series through either encoding
+    val dir = java.nio.file.Files.createTempDirectory("grid_ntz").toString
+    grid.withColumn("time",
+        col("time").cast(org.apache.spark.sql.types.TimestampNTZType))
+      .write.mode("overwrite").parquet(dir)
+    val ntzGrid = spark.read.parquet(dir)
+    assert(ntzGrid.schema("time").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    def run(g: org.apache.spark.sql.DataFrame) = rows(
+      GridmetPipeline.gridmet(g, weights, features,
+          start = "2021-01-01", end = "2021-01-01")
+        .select(col("nhru"), unix_micros(col("time")).as("us"),
+          round(col("tmax"), 6), round(col("humidity"), 6)))
+    assert(run(ntzGrid) == run(grid))
+    assert(run(ntzGrid).nonEmpty)
+  }
+
   test("gridmet pipeline: units metadata reaches the output contract") {
     val out = GridmetPipeline.gridmet(grid, weights, features,
       start = "2021-01-01", end = "2021-01-02")

@@ -80,6 +80,14 @@ class EventEncodingSpec extends SparkSpec {
     assert(read("utc").schema("ts").dataType == TimestampType)
   }
 
+  test("normalize leaves DATE (and non-time types) untouched — it is not an instant encoding") {
+    val df = Seq(("2021-01-03", 1L)).toDF("d", "n")
+      .select(col("d").cast(DateType).as("ts"), col("n"))
+    val out = EventTime.normalize(df, "ts", "absent") // absent names are ignored
+    assert(out.schema("ts").dataType == DateType)
+    assert(out.schema("n").dataType == LongType)
+  }
+
   test("EventTime.normalize maps every encoding to the same TimestampType instants") {
     val normalized = dirs.keys.toSeq.map { k =>
       val df = EventTime.normalize(read(k), "ts")
