@@ -157,14 +157,12 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
-    // repeat as the VERY last stdout line (after spark.stop()'s own
-    // shutdown chatter) so a log-tail parser also finds clean JSON
-    println(line)
-    // The full line above is ~6 KB — a log-tail capture that keeps only
-    // the last 2000 chars truncates its FRONT and loses the parse (two
-    // rounds of BENCH_rN "parsed": null). Follow it with a compact
-    // (< 200 char) record carrying the headline numbers, so any tail
-    // window always ends in one complete parseable JSON line.
+    // Do NOT repeat the ~6 KB full line here: round-8's captured tail
+    // ended mid-way through the repeated copy, i.e. the driver caps the
+    // bytes it captures and the duplicate overflowed the cap. One full
+    // line (contract), then one compact (< 200 char) record carrying
+    // the headline numbers — any tail window or byte cap still ends in
+    // a complete parseable JSON line.
     val nFailedQ = names.count { case (k, _) => trialTimes(k).isEmpty }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${names.size},""" +
       s""""trials":$trials,"failed_count":$nFailedQ,""" +
