@@ -113,6 +113,15 @@ object Bench {
       // phases a beat to finish.
       System.gc()
       Thread.sleep(100)
+      // Cold SQL cache per timed run: operators that persist() an
+      // intermediate (e.g. reindex's aggregated series) register it
+      // with the CacheManager, which matches the SAME canonicalized
+      // plan on the next trial — trial 2+ would silently time a cache
+      // READ of trial 1's result, not the query. Driver-side artifact
+      // caches (ANN centroids/codebooks, localCheckpoint'd dup graphs)
+      // are intentionally NOT touched: they are train-once corpus
+      // artifacts, not per-query state.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -3455,7 +3455,11 @@ object SparkEntry {
     // stage REMOVED and `ens` added to every grouping/domain key (the
     // reference's 48-member loop flattened into one grouped
     // aggregation); the K→°C/°C→K round-trip and q09 physics identical
-    // to q100.
+    // to q100. The `cells` CTE mirrors the engine's preCombine stage
+    // (Σw·Σx / Σw·n, not row-level Σw·x / Σw): algebraically equal but
+    // not bit-equal doubles — the oracle mirrors the engine's
+    // OPERATION ORDER, like every other query, so a value landing on a
+    // rounding boundary can't flip on one side only.
     "q103_cfsv2_ensemble" ->
       s"""WITH g AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS time,
          |    l_orderkey % 4 AS ens,
@@ -3468,12 +3472,16 @@ object SparkEntry {
          |  WHERE lon BETWEEN 2.0 - 0.04167 AND 10.0 + 0.04167
          |    AND lat BETWEEN 1.0 - 0.04167 AND 4.0 + 0.04167),
          |w AS ($weightsSql),
+         |cells AS (SELECT time, ens, i, j, count(*) AS n,
+         |    sum(tmmx) AS s_tmmx, sum(tmmn) AS s_tmmn,
+         |    sum(pr) AS s_pr, sum(sph) AS s_sph
+         |  FROM sub GROUP BY 1, 2, 3, 4),
          |agg AS (SELECT w.fid, m.time, m.ens,
-         |    sum(w.wght*m.tmmx)/sum(w.wght) AS tmmx,
-         |    sum(w.wght*m.tmmn)/sum(w.wght) AS tmmn,
-         |    sum(w.wght*m.pr)/sum(w.wght) AS pr,
-         |    sum(w.wght*m.sph)/sum(w.wght) AS sph
-         |  FROM sub m JOIN w ON m.i = w.i AND m.j = w.j GROUP BY 1, 2, 3),
+         |    sum(w.wght*m.s_tmmx)/sum(w.wght*m.n) AS tmmx,
+         |    sum(w.wght*m.s_tmmn)/sum(w.wght*m.n) AS tmmn,
+         |    sum(w.wght*m.s_pr)/sum(w.wght*m.n) AS pr,
+         |    sum(w.wght*m.s_sph)/sum(w.wght*m.n) AS sph
+         |  FROM cells m JOIN w ON m.i = w.i AND m.j = w.j GROUP BY 1, 2, 3),
          |dom AS (SELECT f.fid, t.time, e.ens
          |  FROM (SELECT DISTINCT p_partkey % 40 AS fid FROM part) f
          |  CROSS JOIN (SELECT DISTINCT time FROM agg) t

@@ -28,9 +28,16 @@ object Verify {
     // row, never skips it) plus an _ERROR.txt with the throw, and
     // aggregate everything into verify_errors.json beside oracle_sql.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
+    val toRun = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // Written BEFORE the loop: if this JVM dies mid-run (OOM, kill),
+    // the comparer diffs this manifest against the output dirs and
+    // fails the unreached queries loudly instead of shrinking the
+    // denominator.
+    Files.writeString(Paths.get(s"$outDir/verify_declared.json"),
+      toRun.keys.toSeq.sorted
+        .map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+    toRun.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

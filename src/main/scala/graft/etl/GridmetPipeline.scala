@@ -31,11 +31,14 @@ object GridmetPipeline {
 
   /** F3 — time-range subset (`etl.py:407`, `etl.py:670`). The time
     * column is normalized first ([[graft.functions.EventTime]]): an
-    * externally-staged grid may carry `time` as TIMESTAMP_NTZ (or a
-    * DATE), and the comparison against TIMESTAMP literals must not
-    * depend on the stager's physical encoding. */
+    * externally-staged grid may carry `time` as TIMESTAMP_NTZ, and the
+    * comparison against TIMESTAMP literals must not depend on the
+    * stager's physical encoding. `longNanos=false`: a LONG grid time
+    * column is ambiguous (epoch-seconds? yyyymm?) — reinterpreting it
+    * as nanos would silently filter everything out; let the
+    * long-vs-timestamp comparison fail loudly instead. */
   def timeSubset(grid: DataFrame, start: String, end: String): DataFrame =
-    graft.functions.EventTime.normalize(grid, "time")
+    graft.functions.EventTime.normalize(grid, Seq("time"), longNanos = false)
       .filter(col("time").between(lit(start).cast("timestamp"), lit(end).cast("timestamp")))
 
   /** Catalog-driven coordinate-name indirection (`etl.py:329-331`,
@@ -112,10 +115,16 @@ object GridmetPipeline {
     // The aggregated series feeds the plan 2–3 times (one distinct per
     // domain dimension + the outer join), and ReuseExchange cannot
     // unify the differing aggregates above it — without a barrier the
-    // whole scan→join→agg subtree would run once PER REFERENCE. A lazy
-    // localCheckpoint materializes it once (post-aggregation size:
-    // |features| × |timesteps| × |ens|, the small end of the DAG).
-    val aggOnce = agg.localCheckpoint(eager = false)
+    // whole scan→join→agg subtree would run once PER REFERENCE.
+    // persist(), NOT localCheckpoint(): both materialize once (the
+    // CacheManager substitutes the InMemoryRelation under every
+    // reference), but persist KEEPS LINEAGE — on a real cluster a lost
+    // executor recomputes the partition instead of permanently failing
+    // the job (checkpoint blocks have no recompute path), and the
+    // ContextCleaner unpersists automatically once the DataFrame is
+    // unreachable. Post-aggregation size: |features| × |timesteps| ×
+    // |ens|, the small end of the DAG.
+    val aggOnce = agg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val domain = (Seq("time") ++ extraKeys)
       .foldLeft(features.select(col("fid"))) { (d, k) =>
         d.crossJoin(aggOnce.select(col(k)).distinct())

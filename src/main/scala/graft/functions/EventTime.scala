@@ -42,20 +42,44 @@ object EventTime {
     * `TimestampType`, whatever its physical encoding. Missing names are
     * ignored (callers pass optional columns unconditionally); columns
     * already `TimestampType` pass through untouched, so the call is
-    * idempotent and free on already-clean input. */
+    * idempotent and free on already-clean input.
+    *
+    * Name resolution matches Spark's (exact, else unique
+    * case-insensitive) so the seam cannot silently no-op on a source
+    * that capitalized the column while downstream `unix_micros` still
+    * resolves it.
+    *
+    * @param longNanos interpret a `LongType` column as int64 epoch
+    *   NANOSECONDS (the events table's historical encoding). Pass
+    *   false where a long time column is ambiguous (e.g. a staged
+    *   grid's `time` could be epoch-seconds or yyyymm ints) — there a
+    *   silent ns reinterpretation would fabricate 1970 instants and
+    *   filter everything out instead of failing loudly downstream. */
   def normalize(df: DataFrame, cols: String*): DataFrame =
-    cols.foldLeft(df) { (d, c) =>
-      d.schema.fields.find(_.name == c).map(_.dataType) match {
-        case Some(LongType) =>
+    normalize(df, cols, longNanos = true)
+
+  def normalize(df: DataFrame, cols: Seq[String], longNanos: Boolean): DataFrame =
+    cols.foldLeft(df) { (d, c0) =>
+      val resolved = d.schema.fields.find(_.name == c0).orElse {
+        d.schema.fields.filter(_.name.equalsIgnoreCase(c0)) match {
+          case Array(one) => Some(one)
+          case _ => None // ambiguous or absent: leave untouched
+        }
+      }
+      resolved match {
+        case Some(f) if f.dataType == LongType && longNanos =>
           // rename through a reserved temp name so the SQL `DIV` text
           // never contains a caller-controlled identifier (quoting-
           // hostile column names stay safe, as in RangeJoin)
           val tmp = ReservedPrefix + "ns"
-          d.withColumn(tmp, col(c))
-            .withColumn(c, timestamp_micros(expr(s"$tmp DIV 1000")))
+          require(!d.columns.contains(tmp),
+            s"input already has a $ReservedPrefix-prefixed column ($tmp); " +
+              "that prefix is reserved by EventTime.normalize")
+          d.withColumn(tmp, col(f.name))
+            .withColumn(f.name, timestamp_micros(expr(s"$tmp DIV 1000")))
             .drop(tmp)
-        case Some(TimestampNTZType) =>
-          d.withColumn(c, col(c).cast(TimestampType))
+        case Some(f) if f.dataType == TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
         // NOT DateType: a DATE is a coarser logical type, not another
         // physical encoding of the same instant — converting it would
         // silently widen date-keyed pipelines (e.g. the synthetic

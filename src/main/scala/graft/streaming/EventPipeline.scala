@@ -30,9 +30,11 @@ object EventPipeline extends Serializable {
 
   /** Tumbling-window aggregate (batch form): events per (hour, type)
     * with count and rounded value sum. Matches the streaming form below
-    * on static input. */
+    * on static input — including on NTZ/int64-ns sources: both forms
+    * normalize `ts` through the same seam, so `hour_start` is
+    * TimestampType either way. */
   def tumblingCounts(events: DataFrame): DataFrame =
-    events.groupBy(
+    graft.functions.EventTime.normalize(events, "ts").groupBy(
         date_trunc("hour", col("ts")).as("hour_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -89,7 +91,7 @@ object EventPipeline extends Serializable {
     * rule matches [[sessionize]]'s `> gap`; only the output shape
     * differs (start/end window vs a session ordinal). */
   def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
-    events
+    graft.functions.EventTime.normalize(events, "ts")
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"),
@@ -183,7 +185,8 @@ object EventPipeline extends Serializable {
   }
 
   /** Batch-equivalent of [[clickViewJoinStream]] (the oracle form). */
-  def clickViewJoinBatch(events: DataFrame, beforeMinutes: Int = 30): DataFrame =
+  def clickViewJoinBatch(events0: DataFrame, beforeMinutes: Int = 30): DataFrame = {
+    val events = graft.functions.EventTime.normalize(events0, "ts")
     events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
       .join(events.filter(col("event_type") === "view")
@@ -193,6 +196,7 @@ object EventPipeline extends Serializable {
         col("view_ts") >= col("click_ts") - expr(s"INTERVAL $beforeMinutes MINUTES"))
       .select(col("user_id"), col("click_id"), col("click_ts"),
         col("view_id"), col("view_ts"))
+  }
 
   /** Exact microseconds of a Timestamp. `getTime` alone is MILLISECOND
     * precision — sorting or differencing on it silently collapses
@@ -279,7 +283,8 @@ object EventPipeline extends Serializable {
   /** Batch reference for [[asofStream]] (spec parity): the AsofJoin
     * operator over the same click/view split, aligned to [[AsofOut]]'s
     * column set. */
-  def asofBatchReference(events: DataFrame): DataFrame = {
+  def asofBatchReference(events0: DataFrame): DataFrame = {
+    val events = graft.functions.EventTime.normalize(events0, "ts")
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
     val views = events.filter(col("event_type") === "view")

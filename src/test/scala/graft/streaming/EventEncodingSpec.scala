@@ -133,9 +133,9 @@ class EventEncodingSpec extends SparkSpec {
         .select(col("user_id"), col("event_id"),
           (col("us") - lag(col("us"), 1).over(w)).as("delta_us")))
     }
+    // no hand-wrapped normalize: tumblingCounts carries its own seam
     def tumbling(k: String) = rows(
-      EventPipeline.tumblingCounts(
-        EventTime.normalize(read(k), "ts").withColumn("event_type", lit("e")))
+      EventPipeline.tumblingCounts(read(k).withColumn("event_type", lit("e")))
         .select(unix_micros(col("hour_start")), col("n_events"), col("sum_value")))
     assert(deltas("ntz") == deltas("int64ns"))
     assert(deltas("utc") == deltas("int64ns"))

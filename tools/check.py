@@ -33,6 +33,17 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 dirs = sorted(d for d in os.listdir(outdir)
               if os.path.isdir(os.path.join(outdir, d)))
+# Declared-query completeness, layer 2: Verify writes a directory even
+# for a throwing query, so the only way a DECLARED query (an oracle_sql
+# key) has no directory is the Verify JVM dying mid-run (OOM, kill).
+# Those must fail loudly, not shrink the denominator (the round-8
+# "99 looks like 99/99 when it was 99/102" failure mode).
+_declared_path = os.path.join(outdir, "verify_declared.json")
+_declared = json.load(open(_declared_path)) if os.path.exists(_declared_path) else []
+_dead = sorted(set(_declared) - set(dirs)) if len(sys.argv) <= 3 else []
+for name in _dead:  # the manifest is written BEFORE Verify's query loop
+    print(f"FAIL {name}: declared in {os.path.basename(_declared_path)} but no "
+          f"output dir (Verify died before reaching it?)")
 if only is not None:
     missing = only - set(dirs)
     if missing:  # a typo'd filter must not yield a green 0/0 run
@@ -117,5 +128,7 @@ for name in names:
 if oracle_secs:
     slow = sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:5]
     print("\nslowest oracles: " + ", ".join(f"{n}={s:.1f}s" for n, s in slow))
-print(f"\n{len(names)-len(fails)}/{len(names)} pass" + (f"; FAILURES: {fails}" if fails else ""))
+fails.extend(_dead)
+total = len(names) + len(_dead)
+print(f"\n{total-len(fails)}/{total} pass" + (f"; FAILURES: {fails}" if fails else ""))
 sys.exit(1 if fails else 0)
