@@ -198,6 +198,58 @@ object EventPipeline extends Serializable {
         col("view_id"), col("view_ts"))
   }
 
+  /** STREAMING unkeyed proximity join — the Structured-Streaming form
+    * of [[graft.operators.RangeJoin.proximityJoin]] (the q47 shape):
+    * every event of `leftType` pairs with every event at most
+    * `radiusUs` away, either direction. A naive ±r join has NO equi
+    * key, which a stream-stream join cannot even express; the batch
+    * operator's width-2r binning IS the missing equality — a left
+    * window covers ≤2 bins (explode), a right event lives in exactly
+    * one, so bin-equality + the exact two-sided time-range residual
+    * finds every pair exactly once. The range condition ties both
+    * event-time columns, so with watermarks on BOTH legs Spark expires
+    * join state past `watermark` + r: state is O(events in horizon),
+    * not O(stream). One file source feeds both legs (same economics as
+    * [[clickViewJoinStream]]). */
+  def proximityJoinStream(
+      spark: SparkSession, sourceDir: String,
+      leftType: String, radiusUs: Long,
+      watermark: String = "1 hour"): DataStreamWriter[Row] = {
+    require(radiusUs > 0, "radius must be positive")
+    val w = 2 * radiusUs
+    val src = streamSource(spark, sourceDir, "ts")
+    val left = src.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+      .withColumn("__t", unix_micros(col("l_ts")))
+      .withColumn("__bin", explode(array_distinct(array(
+        expr(s"(__t - ${radiusUs}L) DIV ${w}L"),
+        expr(s"(__t + ${radiusUs}L) DIV ${w}L")))))
+    val right = src
+      .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+      .withColumn("__bin2", expr(s"unix_micros(r_ts) DIV ${w}L"))
+    left.join(right,
+        col("__bin") === col("__bin2") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $radiusUs MICROSECOND") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $radiusUs MICROSECOND"))
+      .select(col("l_id"), col("l_ts"), col("r_id"), col("r_ts"), col("r_value"))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+  }
+
+  /** Batch reference for [[proximityJoinStream]] (spec parity): the
+    * RangeJoin operator over the same leg split, aligned columns. */
+  def proximityBatchReference(
+      events: DataFrame, leftType: String, radiusUs: Long): DataFrame =
+    graft.operators.RangeJoin.proximityJoin(
+        events.filter(col("event_type") === leftType)
+          .select(col("event_id").as("l_id"), col("ts").as("l_ts")),
+        events.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+          col("value").as("r_value")),
+        "l_ts", "r_ts", radiusUs, rightPrefix = "")
+
   /** Exact microseconds of a Timestamp. `getTime` alone is MILLISECOND
     * precision — sorting or differencing on it silently collapses
     * sub-millisecond event order (the events table carries

@@ -144,6 +144,34 @@ class EventEncodingSpec extends SparkSpec {
     assert(tumbling("utc") == tumbling("int64ns"))
   }
 
+  test("streaming unkeyed proximity join == batch RangeJoin on a bounded NTZ stream") {
+    // NTZ-encoded source on purpose: the streaming form must carry the
+    // same encoding seam as the batch operator it mirrors
+    val dir = Files.createTempDirectory("ev_prox_src").toString
+    fixture.map { case (u, us, e, v) =>
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      (u, ldt, e, v, if (e % 2 == 1) "error" else "ok")
+    }.toDF("user_id", "ts", "event_id", "value", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val checkpoint = Files.createTempDirectory("ev_prox_ckpt").toString
+    val radius = 200000L // ±0.2 s: catches the 1-µs and 123456-µs gaps
+    val q = EventPipeline.proximityJoinStream(spark, dir, "error", radius)
+      .option("checkpointLocation", checkpoint)
+      .format("memory").queryName("prox_stream").start()
+    q.awaitTermination(60000); q.stop()
+    def canon(df: DataFrame) = rows(df.select(
+      col("l_id"), unix_micros(col("l_ts")),
+      col("r_id"), unix_micros(col("r_ts")), col("r_value")))
+    val streamed = canon(spark.table("prox_stream"))
+    val batch = canon(EventPipeline.proximityBatchReference(
+      spark.read.parquet(dir), "error", radius))
+    assert(streamed == batch)
+    assert(streamed.exists(r => r(0) != r(2))) // at least one non-self pair
+  }
+
   test("stateful streaming sessionization runs on an NTZ-encoded source (batch parity)") {
     val checkpoint = Files.createTempDirectory("ev_enc_ckpt").toString
     val q = EventPipeline.sessionizeStream(spark, dirs("ntz"), gapMinutes = 30)
