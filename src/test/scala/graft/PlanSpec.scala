@@ -29,6 +29,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("weighted mean preCombine: per-cell pre-aggregation sits BELOW the broadcast join") {
+    // the q103 shape: a grid with several rows per (time, i, j) cell
+    // must collapse to per-cell sums BEFORE the weight join, or the
+    // join output multiplies by the duplication factor (9.6 -> 2.2 s
+    // at sf0.1 when this held). Pin: two HashAggregate pairs with the
+    // BroadcastHashJoin between them, join still broadcast.
+    val dup = grid.unionAll(grid) // 2 rows per cell
+    val p = plan(graft.operators.WeightedMean(
+      dup, weights, Seq("v"), preCombine = true))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    val preAggBelow = p.indexOf("HashAggregate", joinAt)
+    assert(preAggBelow > 0,
+      s"no per-cell HashAggregate below the broadcast join:\n$p")
+  }
+
   test("NN argmin: hash aggregates only — the SortAggregate regression guard") {
     val miss = Seq((1L, 0.0, 0.0)).toDF("fid", "lat", "lon")
     val donors = Seq((2L, 1.0, 1.0), (3L, 2.0, 2.0)).toDF("fid", "lat", "lon")
