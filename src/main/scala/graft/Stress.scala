@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tools.StressMetrics
+
+/** Scale-stress harness: runs the most shuffle-exposed operators on
+  * SYNTHESIZED inputs 50–1000× the committed sf0.1 testdata and
+  * records MEASURED numbers — wall seconds, input rows/s, total and
+  * peak-stage shuffle bytes, spill, task skew — via a SparkListener.
+  * SCALE.md's 100 TB arguments were plan audits over 17 MB of sf0.1;
+  * this turns the central ones into measurements (round-9 verdict
+  * "Next round #1").
+  *
+  * Inputs are generated with `spark.range` + codegen arithmetic — no
+  * disk staging, so the harness stresses the OPERATOR's exchanges,
+  * not parquet IO. Every scenario runs inside the same `local[32]`
+  * JVM envelope the bench uses (8 GiB heap unless SPARK_DRIVER_MEM
+  * overrides): completing without OOM at these sizes is itself the
+  * assertion the verdict asked for.
+  *
+  * `SPARK_GRAFT_STRESS_SCALE` (default 1.0) scales every row count —
+  * StressSpec runs the identical scenario code at ~1/1000 scale to
+  * keep `sbt test` fast; the full run is
+  * `sbt "runMain graft.Stress"` (results → stress_out.json).
+  *
+  * Headline full-scale sizes:
+  *  - weighted_mean_raster: 1.09e9 grid rows × 3 vars — the reference
+  *    workload envelope (BASELINE.md: conus gridmet slice,
+  *    1.09e9 cells/variable) IN FULL, through the broadcast weight
+  *    join + single hash agg.
+  *  - weighted_mean_precombine: 3.2e8 rows with 4 rows/cell + 8
+  *    ensemble members, the q103 shape.
+  *  - minhash_band_shuffle: 250k docs (50× sf0.1) through signature +
+  *    band explode + bucket join + exact-Jaccard verify.
+  *  - ngram_jaccard_postings: 250k docs through the inverted-index
+  *    pair generator.
+  *  - span_dedup: 200k docs × 150 tokens (30M gram positions) hot-gram
+  *    detection + span assembly.
+  *  - sessionize: 20M events / 100k users through the per-user window.
+  *  - proximity_join: 200k markers × 20M events, ±1 s radius, binned.
+  *  - hll_events: 1e8 rows into per-day HLL + exact-count aggregates.
+  */
+object Stress {
+
+  /** `build` returns the plan AND the exact generated input-row count
+    * (sizes are derived from `scale` with integer floors, so the count
+    * must come from the same computation that built the plan). */
+  final case class Scenario(
+      name: String, build: SparkSession => (DataFrame, Long))
+
+  /** Deterministic token: 't' + (hash of (seed, position) mod vocab). */
+  private def tok(seed: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column,
+      vocab: Int) =
+    concat(lit("t"), pmod(hash(seed, i), lit(vocab)))
+
+  /** Synthetic corpus: `n` docs of `len` tokens from a hashed vocab;
+    * every 100th doc is a near-clone of its predecessor (same token
+    * stream + one extra token) so dedup operators have true positives
+    * to verify. Columns: (id, blk, text). */
+  private def corpus(spark: SparkSession, n: Long, len: Int, vocab: Int): DataFrame =
+    spark.range(n)
+      .withColumn("seed",
+        when(pmod(col("id"), lit(100)) === 1, col("id") - 1).otherwise(col("id")))
+      .withColumn("blk", pmod(hash(col("seed")), lit(16)))
+      .withColumn("text", concat(
+        array_join(transform(sequence(lit(0), lit(len - 1)),
+          i => tok(col("seed"), i, vocab)), " "),
+        when(pmod(col("id"), lit(100)) === 1, lit(" cloneextra")).otherwise(lit(""))))
+      .select(col("id"), col("blk"), col("text"))
+
+  /** Synthetic event stream: `n` events over `users` users spanning
+    * `days` days; per-user inter-event gaps alternate under/over the
+    * 30-min session threshold. Columns: (user_id, ts, event_id,
+    * value, event_type). */
+  private def events(spark: SparkSession, n: Long, users: Long, days: Int): DataFrame = {
+    val spanUs = days.toLong * 86400L * 1000000L
+    spark.range(n).select(
+      pmod(col("id"), lit(users)).as("user_id"),
+      // hash-scatter events over the span: per-user order and gaps are
+      // pseudo-random, which exercises both session splits and merges
+      timestamp_micros(lit(1600000000L * 1000000L) +
+        pmod(hash(col("id")).cast("long") * 1000003L, lit(spanUs))).as("ts"),
+      col("id").as("event_id"),
+      (pmod(hash(col("id"), lit(7)), lit(1000)) / lit(100.0)).as("value"),
+      when(pmod(col("id"), lit(100)) === 0, lit("error"))
+        .otherwise(lit("view")).as("event_type"))
+  }
+
+  /** gridmet-shaped raster: `cells` (i,j) cells × `days` timesteps ×
+    * `dup` rows per cell (dup=1 = true raster), `ens` members.
+    * 3 value columns; ~1/2000 of cells carry a null (the missing-cell
+    * propagation path). */
+  private def raster(
+      spark: SparkSession, cells: Long, days: Int, dup: Int, ens: Int,
+      width: Int): DataFrame = {
+    val n = cells * days * dup * ens
+    spark.range(n)
+      .withColumn("cell", (col("id") / lit(days.toLong * dup * ens)).cast("long"))
+      .withColumn("rest", pmod(col("id"), lit(days.toLong * dup * ens)))
+      .select(
+        pmod(col("cell"), lit(width)).as("i"),
+        (col("cell") / lit(width)).cast("int").as("j"),
+        timestamp_micros(lit(1600000000L * 1000000L) +
+          (col("rest") / lit(dup.toLong * ens)).cast("long") * lit(86400L * 1000000L))
+          .as("time"),
+        pmod(col("rest"), lit(ens)).cast("int").as("ens"),
+        when(pmod(hash(col("id")), lit(2000)) === 0, lit(null).cast("double"))
+          .otherwise(pmod(hash(col("id"), lit(1)), lit(4000)) / lit(10.0) + 250.0)
+          .as("tmmx"),
+        (pmod(hash(col("id"), lit(2)), lit(4000)) / lit(10.0) + 240.0).as("tmmn"),
+        (pmod(hash(col("id"), lit(3)), lit(500)) / lit(10.0)).as("pr"))
+  }
+
+  /** Weight table: `features` features × `cellsPerFeature` covered
+    * cells hashed into the `width`×`height` grid, uniform weights. */
+  private def weights(
+      spark: SparkSession, features: Int, cellsPerFeature: Int,
+      width: Int, height: Int): DataFrame =
+    spark.range(features.toLong * cellsPerFeature).select(
+      (col("id") / lit(cellsPerFeature)).cast("long").as("fid"),
+      pmod(hash(col("id"), lit(11)), lit(width)).as("i"),
+      pmod(hash(col("id"), lit(13)), lit(height)).as("j"),
+      (lit(1.0) / lit(cellsPerFeature)).as("wght"))
+
+  def scenarios(scale: Double): Seq[Scenario] = {
+    def s(n: Long): Long = math.max(1000L, (n * scale).toLong)
+    val W = 1386; val H = 585 // the conus gridmet grid (BASELINE.md)
+    val cells = 810810L       // = W × H, one conus raster plane
+    Seq(
+      Scenario("weighted_mean_raster", sp => {
+        // full reference envelope at scale 1: 1345 days ≈ 1.09e9 cells
+        val days = math.max(2, (s(cells * 1345) / cells).toInt)
+        val g = raster(sp, cells, days, dup = 1, ens = 1, width = W)
+        (WeightedMeanRef(g.drop("ens"), weights(sp, 2462, 12, W, H)),
+          cells * days)
+      }),
+      Scenario("weighted_mean_precombine", sp => {
+        val days = math.max(2, (s(cells * 10 * 4 * 8) / (cells * 4 * 8)).toInt)
+        val g = raster(sp, cells, days, dup = 4, ens = 8, width = W)
+        (graft.operators.WeightedMean(g, weights(sp, 2462, 12, W, H),
+          Seq("tmmx", "tmmn", "pr"), extraKeys = Seq("ens"), preCombine = true),
+          cells * days * 4 * 8)
+      }),
+      Scenario("minhash_band_shuffle", sp => {
+        val n = s(250000)
+        (graft.operators.Dedup.minhashLsh(
+          corpus(sp, n, len = 120, vocab = 50000), "id", "text"), n)
+      }),
+      Scenario("ngram_jaccard_postings", sp => {
+        val n = s(250000)
+        (graft.operators.Dedup.ngramJaccardPairs(
+          corpus(sp, n, len = 120, vocab = 50000), "id", "text", "blk",
+          n = 3, threshold = 0.8), n)
+      }),
+      Scenario("span_dedup", sp => {
+        // 30% of docs share a 20-token boilerplate run — the hot-gram
+        // population for span detection
+        val n = s(200000)
+        val base = corpus(sp, n, len = 130, vocab = 50000)
+        val boiler = (0 until 20).map(i => s"b$i").mkString(" ")
+        val docs = base.withColumn("text",
+          when(pmod(hash(col("id"), lit(31)), lit(10)) < 3,
+            concat(col("text"), lit(" " + boiler))).otherwise(col("text")))
+        (graft.operators.Dedup.repeatedSpans(docs, "id", "text", n = 10), n)
+      }),
+      Scenario("sessionize", sp => {
+        val n = s(20000000)
+        (graft.streaming.EventPipeline.sessionize(
+          events(sp, n, users = math.max(100L, n / 200), days = 30)), n)
+      }),
+      Scenario("proximity_join", sp => {
+        val n = s(20000000)
+        val ev = events(sp, n, users = math.max(100L, n / 200), days = 30)
+        (graft.operators.RangeJoin.proximityJoin(
+          ev.filter(col("event_type") === "error")
+            .select(col("event_id").as("l_id"), col("ts")),
+          ev.select(col("event_id"), col("ts"), col("value")),
+          "ts", "ts", radiusUs = 1000000L), n)
+      }),
+      Scenario("hll_events", sp => {
+        val n = s(100000000)
+        (events(sp, n, users = math.max(100L, n / 20), days = 30)
+          .groupBy(window(col("ts"), "1 day").as("day"))
+          .agg(graft.functions.HllDistinct.hll_distinct(
+            xxhash64(col("user_id"))).as("approx_users"),
+            count(lit(1)).as("n_events")), n)
+      }))
+  }
+
+  /** WeightedMean without preCombine (named so both forms read clearly
+    * in the scenario table). */
+  private def WeightedMeanRef(g: DataFrame, w: DataFrame): DataFrame =
+    graft.operators.WeightedMean(g, w, Seq("tmmx", "tmmn", "pr"))
+
+  def main(args: Array[String]): Unit = {
+    val scale = sys.env.getOrElse("SPARK_GRAFT_STRESS_SCALE", "1.0").toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new StressMetrics
+    spark.sparkContext.addSparkListener(listener)
+    val results = scenarios(scale)
+      .filter(sc => only.forall(_.contains(sc.name)))
+      .map { sc =>
+        System.gc()
+        listener.reset()
+        val (plan, inputRows) = sc.build(spark)
+        val t0 = System.nanoTime()
+        plan.write.mode("overwrite").format("noop").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener events are delivered async (listenerBus is
+        // private[spark]); poll until the task count stops moving
+        var last = -1
+        var settle = 0
+        while (settle < 3) {
+          Thread.sleep(200)
+          val now = listener.snapshot().taskCount
+          if (now == last) settle += 1 else { settle = 0; last = now }
+        }
+        val m = listener.snapshot()
+        val line =
+          s"""{"scenario":"${sc.name}","input_rows":$inputRows,""" +
+          s""""wall_sec":${math.rint(wall * 100) / 100},""" +
+          s""""rows_per_sec":${(inputRows / wall).toLong},""" +
+          s""""shuffle_write_bytes":${m.shuffleWriteBytes},""" +
+          s""""shuffle_read_bytes":${m.shuffleReadBytes},""" +
+          s""""peak_stage_shuffle_write_bytes":${m.peakStageShuffleWriteBytes},""" +
+          s""""spill_bytes":${m.spillBytes},""" +
+          s""""peak_task_exec_mem":${m.peakTaskExecMem},""" +
+          s""""max_task_skew":${math.rint(m.maxTaskSkew * 100) / 100},""" +
+          s""""stages":${m.stageCount},"tasks":${m.taskCount}}"""
+        println(line)
+        System.out.flush()
+        line
+      }
+    val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      results.mkString("[\n", ",\n", "\n]\n"))
+    catch { case e: Throwable => System.err.println(s"[stress] write failed: $e") }
+    spark.stop()
+  }
+}

@@ -45,8 +45,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: $msg")
         errors(name) = msg
         val d = new java.io.File(s"$outDir/$name")
-        // a stale success from a previous run must not mask this failure
-        if (d.exists()) d.listFiles().foreach(_.delete())
+        // a stale success from a previous run must not mask this failure;
+        // listFiles() is null for a plain file, and a plain file at the
+        // path would make mkdirs() fail — handle both without throwing
+        // from inside this catch block
+        if (d.isFile) d.delete()
+        else if (d.exists())
+          Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
         d.mkdirs()
         try Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg + "\n")
         catch { case _: Throwable => () }

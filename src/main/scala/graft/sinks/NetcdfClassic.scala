@@ -81,39 +81,92 @@ object NetcdfClassic {
 
   private def pad4(n: Long): Long = (n + 3) & ~3L
 
+  /** Variable declaration without data — the [[StreamingWriter]] form
+    * of [[Var]]: the header is fully determined by declarations, so
+    * data can arrive later, slab by slab. */
+  final case class VarDecl(name: String, dimIds: Seq[Int], atts: Seq[Att], ncType: Int)
+  final case class NcDecl(dims: Seq[Dim], gatts: Seq[Att], vars: Seq[VarDecl])
+
+  /** Incremental writer: the header (and the final file length) are
+    * fixed by the declarations alone, so it is written up-front and
+    * variable data arrives afterwards in arbitrary-offset slabs —
+    * `putDoubles`/`putLongs` seek to `begin + offset·elemSize` and
+    * write. A caller streaming a sorted (time, feature) row iterator
+    * holds ONE time-slice per variable in memory instead of the dense
+    * time×feature matrix ([[Sinks.writeNetcdf]] does exactly that).
+    * Unwritten gaps read as zeros (`setLength` pre-sizes the file);
+    * writers that need fill sentinels write them in their slabs. Byte
+    * output is identical to the all-at-once [[write]], which now
+    * delegates here (golden-tested in SinksSpec). */
+  final class StreamingWriter(path: String, decl: NcDecl) extends AutoCloseable {
+    private val nelems: IndexedSeq[Long] = decl.vars.map(v =>
+      v.dimIds.map(decl.dims(_).length).product).toIndexedSeq
+    private val begins: IndexedSeq[Long] = {
+      // pass 1 with zeroed begins to learn the header length (begins
+      // are fixed-width, so the length is final), then assign data
+      // offsets in declaration order
+      var off = serializeHeader(decl, nelems, decl.vars.map(_ => 0L)).length.toLong
+      decl.vars.zipWithIndex.map { case (v, i) =>
+        val b = off
+        off += pad4(nelems(i) * typeSize(v.ncType))
+        b
+      }.toIndexedSeq
+    }
+    private val totalLen: Long =
+      if (decl.vars.isEmpty) serializeHeader(decl, nelems, Nil).length.toLong
+      else begins.last + pad4(nelems.last * typeSize(decl.vars.last.ncType))
+    private val idx: Map[String, Int] = decl.vars.map(_.name).zipWithIndex.toMap
+    private val raf = new java.io.RandomAccessFile(path, "rw")
+    raf.setLength(0L) // truncate any previous file
+    raf.write(serializeHeader(decl, nelems, begins))
+    raf.setLength(totalLen) // pre-size: pads and unwritten gaps are zeros
+    /** Slab writes so far — lets specs assert data arrived incrementally. */
+    var slabsWritten: Long = 0L
+
+    private def target(name: String, offsetElems: Long, n: Int, ncType: Int): Long = {
+      val i = idx.getOrElse(name,
+        throw new IllegalArgumentException(s"undeclared variable $name"))
+      val v = decl.vars(i)
+      require(v.ncType == ncType,
+        s"$name: declared nc_type ${v.ncType}, slab is $ncType")
+      require(offsetElems >= 0 && offsetElems + n <= nelems(i),
+        s"$name: slab [$offsetElems, ${offsetElems + n}) outside 0..${nelems(i)}")
+      begins(i) + offsetElems * typeSize(ncType)
+    }
+    def putDoubles(name: String, offsetElems: Long, a: Array[Double]): Unit = {
+      val pos = target(name, offsetElems, a.length, NcDouble)
+      val buf = ByteBuffer.allocate(a.length * 8).order(ByteOrder.BIG_ENDIAN)
+      buf.asDoubleBuffer().put(a)
+      raf.seek(pos); raf.write(buf.array()); slabsWritten += 1
+    }
+    def putLongs(name: String, offsetElems: Long, a: Array[Long]): Unit = {
+      val pos = target(name, offsetElems, a.length, NcInt64)
+      val buf = ByteBuffer.allocate(a.length * 8).order(ByteOrder.BIG_ENDIAN)
+      buf.asLongBuffer().put(a)
+      raf.seek(pos); raf.write(buf.array()); slabsWritten += 1
+    }
+    def close(): Unit = raf.close()
+  }
+
   def write(path: String, nc: Nc): Unit = {
     nc.vars.foreach { v =>
       val expect = v.dimIds.map(i => nc.dims(i).length).product
       require(v.data.nelems == expect,
         s"${v.name}: data has ${v.data.nelems} elems, dims imply $expect")
     }
-    // pass 1 with zeroed begins to learn the header length (begins are
-    // fixed-width, so the length is final), then assign data offsets in
-    // declaration order and re-serialize
-    val headerLen = serializeHeader(nc, nc.vars.map(_ => 0L)).length.toLong
-    var off = headerLen
-    val begins = nc.vars.map { v =>
-      val b = off
-      off += pad4(v.data.nelems * typeSize(v.data.ncType))
-      b
-    }
-    val out = new ByteArrayOutputStream()
-    out.write(serializeHeader(nc, begins))
-    val d = new DataOutputStream(out)
-    nc.vars.foreach { v =>
-      val start = d.size()
+    val decl = NcDecl(nc.dims, nc.gatts,
+      nc.vars.map(v => VarDecl(v.name, v.dimIds, v.atts, v.data.ncType)))
+    val w = new StreamingWriter(path, decl)
+    try nc.vars.foreach { v =>
       v.data match {
-        case DoubleData(a) => a.foreach(d.writeDouble)
-        case LongData(a) => a.foreach(d.writeLong)
+        case DoubleData(a) => w.putDoubles(v.name, 0L, a)
+        case LongData(a) => w.putLongs(v.name, 0L, a)
       }
-      (0 until (pad4(d.size() - start) - (d.size() - start)).toInt)
-        .foreach(_ => d.writeByte(0))
-    }
-    d.flush()
-    Files.write(Paths.get(path), out.toByteArray)
+    } finally w.close()
   }
 
-  private def serializeHeader(nc: Nc, begins: Seq[Long]): Array[Byte] = {
+  private def serializeHeader(
+      decl: NcDecl, nelems: Seq[Long], begins: Seq[Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val d = new DataOutputStream(bos)
     def name(s: String): Unit = {
@@ -146,24 +199,24 @@ object NetcdfClassic {
     }
     d.writeBytes("CDF"); d.writeByte(5)
     d.writeLong(0L) // numrecs: no unlimited dimension
-    if (nc.dims.isEmpty) { d.writeInt(0); d.writeLong(0L) }
+    if (decl.dims.isEmpty) { d.writeInt(0); d.writeLong(0L) }
     else {
       d.writeInt(0x0A) // NC_DIMENSION
-      d.writeLong(nc.dims.length.toLong)
-      nc.dims.foreach { dim => name(dim.name); d.writeLong(dim.length) }
+      d.writeLong(decl.dims.length.toLong)
+      decl.dims.foreach { dim => name(dim.name); d.writeLong(dim.length) }
     }
-    attList(nc.gatts)
-    if (nc.vars.isEmpty) { d.writeInt(0); d.writeLong(0L) }
+    attList(decl.gatts)
+    if (decl.vars.isEmpty) { d.writeInt(0); d.writeLong(0L) }
     else {
       d.writeInt(0x0B) // NC_VARIABLE
-      d.writeLong(nc.vars.length.toLong)
-      nc.vars.zip(begins).foreach { case (v, begin) =>
+      d.writeLong(decl.vars.length.toLong)
+      decl.vars.zip(nelems).zip(begins).foreach { case ((v, ne), begin) =>
         name(v.name)
         d.writeLong(v.dimIds.length.toLong)
         v.dimIds.foreach(i => d.writeLong(i.toLong))
         attList(v.atts)
-        d.writeInt(v.data.ncType)
-        d.writeLong(pad4(v.data.nelems * typeSize(v.data.ncType))) // vsize
+        d.writeInt(v.ncType)
+        d.writeLong(pad4(ne * typeSize(v.ncType))) // vsize
         d.writeLong(begin)
       }
     }

@@ -210,7 +210,19 @@ object EventPipeline extends Serializable {
     * event-time columns, so with watermarks on BOTH legs Spark expires
     * join state past `watermark` + r: state is O(events in horizon),
     * not O(stream). One file source feeds both legs (same economics as
-    * [[clickViewJoinStream]]). */
+    * [[clickViewJoinStream]]).
+    *
+    * LATE-DATA BOUND (the price of bounded state): an event arriving
+    * after the global watermark has passed its event time is dropped
+    * before the join — every pair involving it is silently missing
+    * from the Append-mode output, which is where this operator
+    * DIVERGES from the batch [[graft.operators.RangeJoin]] reference.
+    * The divergence is bounded: only events later than
+    * `watermark` (+ r for the buffered partner's eviction) can lose
+    * pairs, so size `watermark` to the source's maximum disorder plus
+    * the radius. EventPipelineSpec pins both behaviors on a two-batch
+    * restart: in-horizon cross-batch pairs emit exactly once from
+    * recovered state; past-horizon events lose their pairs. */
   def proximityJoinStream(
       spark: SparkSession, sourceDir: String,
       leftType: String, radiusUs: Long,

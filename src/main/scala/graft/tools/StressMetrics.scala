@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import scala.collection.mutable
+
+/** Task-metrics collector for the scale-stress harness ([[graft.Stress]])
+  * and the skew specs: accumulates per-stage shuffle bytes, spill and
+  * task durations so a run can report MEASURED numbers — rows/s, peak
+  * shuffle, max-task/median-task skew — instead of plan-audit
+  * arguments. Attach around exactly one action; scenarios run serially
+  * so the window is unambiguous. */
+final class StressMetrics extends SparkListener {
+
+  final case class StageAgg(
+      var tasks: Int = 0,
+      var shuffleWriteBytes: Long = 0L,
+      var shuffleReadBytes: Long = 0L,
+      var spillBytes: Long = 0L,
+      var peakExecMem: Long = 0L,
+      val taskMs: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty)
+
+  private val stages = mutable.LinkedHashMap.empty[Int, StageAgg]
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
+    val m = e.taskMetrics
+    if (m != null) {
+      val s = stages.getOrElseUpdate(e.stageId, StageAgg())
+      s.tasks += 1
+      s.shuffleWriteBytes += m.shuffleWriteMetrics.bytesWritten
+      s.shuffleReadBytes += m.shuffleReadMetrics.totalBytesRead
+      s.spillBytes += m.memoryBytesSpilled + m.diskBytesSpilled
+      s.peakExecMem = math.max(s.peakExecMem, m.peakExecutionMemory)
+      s.taskMs += m.executorRunTime
+    }
+  }
+
+  def reset(): Unit = synchronized(stages.clear())
+
+  /** Aggregate view over all stages seen since the last reset. */
+  final case class Snapshot(
+      stageCount: Int, taskCount: Int,
+      shuffleWriteBytes: Long, shuffleReadBytes: Long,
+      peakStageShuffleWriteBytes: Long, spillBytes: Long,
+      peakTaskExecMem: Long,
+      /** max over stages (with >= minTasksForSkew tasks) of
+        * max-task-ms / median-task-ms — the skew measurement. */
+      maxTaskSkew: Double)
+
+  def snapshot(minTasksForSkew: Int = 8): Snapshot = synchronized {
+    val ss = stages.values.toSeq
+    val skews = ss.filter(_.taskMs.length >= minTasksForSkew).map { s =>
+      val sorted = s.taskMs.sorted
+      val med = math.max(1L, sorted(sorted.length / 2))
+      sorted.last.toDouble / med
+    }
+    Snapshot(
+      stageCount = ss.length,
+      taskCount = ss.map(_.tasks).sum,
+      shuffleWriteBytes = ss.map(_.shuffleWriteBytes).sum,
+      shuffleReadBytes = ss.map(_.shuffleReadBytes).sum,
+      peakStageShuffleWriteBytes =
+        if (ss.isEmpty) 0L else ss.map(_.shuffleWriteBytes).max,
+      spillBytes = ss.map(_.spillBytes).sum,
+      peakTaskExecMem = if (ss.isEmpty) 0L else ss.map(_.peakExecMem).max,
+      maxTaskSkew = if (skews.isEmpty) 1.0 else skews.max)
+  }
+}

@@ -121,6 +121,62 @@ class SinksSpec extends SparkSpec {
     assert(back.filter($"tmax".isNull).count() == 1)
   }
 
+  test("writeNetcdf streams record slabs — large series, no dense driver matrix") {
+    // 10k features × 500 days × 2 vars = 10M cells: the old dense
+    // writer allocated the whole matrix (plus a 5M-row collect) on the
+    // driver; the streamed writer's buffer is ONE 10k-wide slice per
+    // variable. Values follow a formula so any cell is checkable.
+    val nF = 10000L
+    val nD = 500L
+    val series = spark.range(nF * nD)
+      .withColumn("day", expr(s"id DIV ${nF}L")) // integer division: / is double in Spark
+      .withColumn("hru0", col("id") % nF)
+      .select(
+        (col("hru0") + 1L).as("nhru"),
+        timestamp_seconds(lit(86400L) * col("day") +
+          lit(java.time.LocalDate.parse("2020-01-01")
+            .toEpochDay * 86400L)).as("time"),
+        // tmax = nhru + day/1000; one null cell per day (hru0 == day % nF)
+        when(col("hru0") === col("day") % nF, lit(null))
+          .otherwise(col("hru0") + 1L + col("day") / lit(1000.0))
+          .as("tmax"),
+        ((col("hru0") + 1L) * lit(2.0)).as("tmin"))
+    val features = spark.range(nF).select(
+      (col("id") + 1L).as("fid"),
+      (lit(40.0) + col("id") / lit(100000.0)).as("lat"),
+      (lit(-100.0) - col("id") / lit(100000.0)).as("lon"))
+    val path = java.nio.file.Files.createTempDirectory("graft-nc-big")
+      .resolve("big.nc").toString
+    val stats = Sinks.writeNetcdf(series, features, path, start = "2020-01-01")
+    // incremental consumption: one slab per (day, var) + 5 axis puts —
+    // a dense materialization would show one slab per variable
+    assert(stats.slabsWritten == nD * 2 + 5)
+    assert(stats.rowsStreamed == nF * nD)
+    assert(stats.sliceElems == nF)
+    // header + spot cells, without loading the 80 MB body whole
+    val h = NetcdfClassic.readHeader(path)
+    assert(h.dims.map(d => (d.name, d.length)) ==
+      Seq(("time", nD), ("nhru", nF)))
+    val byName = h.vars.map(v => v.name -> v).toMap
+    def cell(v: String, day: Long, hru0: Long): Double = {
+      val raf = new java.io.RandomAccessFile(path, "r")
+      try {
+        raf.seek(byName(v).begin + (day * nF + hru0) * 8)
+        raf.readDouble()
+      } finally raf.close()
+    }
+    assert(cell("tmax", 0L, 4L) == 5.0)           // nhru 5, day 0
+    assert(cell("tmax", 499L, 9999L) == 10000.499) // last cell
+    assert(cell("tmax", 3L, 3L) == Model.FillValue) // the null diagonal
+    assert(cell("tmin", 250L, 0L) == 2.0)
+    // file size is exactly header + data (pre-sized, no slack)
+    val dataBytes = h.vars.map(v =>
+      v.dimIds.map(h.dims(_).length).product * 8L).sum
+    val headerLen = h.vars.map(_.begin).min
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(path)) ==
+      headerLen + dataBytes)
+  }
+
   test("writeNetcdf of the pipeline output (end-to-end shape)") {
     val t1 = Timestamp.valueOf("2021-01-01 00:00:00")
     val weights = Seq((1L, 0, 0, 0.5), (1L, 1, 0, 0.5)).toDF("fid", "i", "j", "wght")

@@ -297,6 +297,56 @@ class EventPipelineSpec extends SparkSpec {
       spark.read.parquet(bs).count())
   }
 
+  test("proximity join stream: two-batch restart — cross-batch pairs from recovered state, late events dropped") {
+    val base = Files.createTempDirectory("graft-prox-restart").toString
+    val radius = 200000L // ±0.2 s
+    val t0 = ts("2021-06-01 12:00:00")
+    def plus(us: Long) = {
+      val total = t0.getTime * 1000L + us
+      val t = new Timestamp(Math.floorDiv(total, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(total, 1000000L) * 1000L).toInt); t
+    }
+    val outSchema = "l_id LONG, l_ts TIMESTAMP, r_id LONG, r_ts TIMESTAMP, r_value DOUBLE"
+    def run(): Unit = {
+      val q = EventPipeline.proximityJoinStream(spark, s"$base/src", "error", radius)
+        .option("checkpointLocation", s"$base/ckpt").option("path", s"$base/out")
+        .format("parquet").start()
+      q.awaitTermination(60000); q.stop()
+    }
+    def pairs() = spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(outSchema))
+      .parquet(s"$base/out").select($"l_id", $"r_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    // RUN 1: e1 (error, t0) + e2 (ok, t0+0.1 s) → pairs (1,1),(1,2)
+    Seq((t0, 1L, 1.0, "error"), (plus(100000L), 2L, 2.0, "ok"))
+      .toDF("ts", "event_id", "value", "event_type")
+      .coalesce(1).write.mode("append").parquet(s"$base/src")
+    run()
+    assert(pairs() == Seq((1L, 1L), (1L, 2L)))
+    // RUN 2, same checkpoint. e3 (t0+0.15 s) is within radius of e1,
+    // which arrived in RUN 1 — the pair (1,3) can only emit if run 2
+    // recovered e1's buffered join state from the checkpoint. e4/e5
+    // sit 2 h in the past: the watermark persisted at the end of run 1
+    // (max event time − 1 h ≈ t0 − 1 h) has passed them, so they are
+    // dropped before the join and their pairs (4,4),(4,5) NEVER emit —
+    // the documented Append-mode divergence from batch RangeJoin.
+    Seq((plus(150000L), 3L, 3.0, "ok"),
+        (plus(-2L * 3600 * 1000000L), 4L, 4.0, "error"),
+        (plus(-2L * 3600 * 1000000L + 100000L), 5L, 5.0, "ok"))
+      .toDF("ts", "event_id", "value", "event_type")
+      .coalesce(1).write.mode("append").parquet(s"$base/src")
+    run()
+    // exactly-once across the restart: run-1 pairs appear ONCE, the
+    // cross-batch pair (1,3) emits, the late pairs are absent
+    assert(pairs() == Seq((1L, 1L), (1L, 2L), (1L, 3L)))
+    // ... while the batch reference over the union DOES contain them:
+    // the divergence is real and bounded to past-watermark arrivals
+    val batch = EventPipeline.proximityBatchReference(
+        spark.read.parquet(s"$base/src"), "error", radius)
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(batch == Seq((1L, 1L), (1L, 2L), (1L, 3L), (4L, 4L), (4L, 5L)))
+  }
+
   test("checkpoint/restart: admission stream continues from persisted state") {
     val base = Files.createTempDirectory("graft-admit-restart").toString
     Seq((1L, "first"), (2L, "second")).toDF("doc_id", "text")
