@@ -126,17 +126,21 @@ object Stress {
   def scenarios(scale: Double): Seq[Scenario] = {
     def s(n: Long): Long = math.max(1000L, (n * scale).toLong)
     val W = 1386; val H = 585 // the conus gridmet grid (BASELINE.md)
-    val cells = 810810L       // = W × H, one conus raster plane
+    // one conus raster plane = W × H cells; sub-0.1 scales shrink the
+    // plane too (the day floor of 2 would otherwise pin tiny runs at
+    // 1.6M+ rows, defeating StressSpec's fast-harness check)
+    val cells = if (scale >= 0.1) 810810L
+      else math.max(4096L, (810810L * scale * 10).toLong)
     Seq(
       Scenario("weighted_mean_raster", sp => {
         // full reference envelope at scale 1: 1345 days ≈ 1.09e9 cells
-        val days = math.max(2, (s(cells * 1345) / cells).toInt)
+        val days = math.max(2, (s(810810L * 1345) / cells).toInt)
         val g = raster(sp, cells, days, dup = 1, ens = 1, width = W)
         (WeightedMeanRef(g.drop("ens"), weights(sp, 2462, 12, W, H)),
           cells * days)
       }),
       Scenario("weighted_mean_precombine", sp => {
-        val days = math.max(2, (s(cells * 10 * 4 * 8) / (cells * 4 * 8)).toInt)
+        val days = math.max(2, (s(810810L * 10 * 4 * 8) / (cells * 4 * 8)).toInt)
         val g = raster(sp, cells, days, dup = 4, ens = 8, width = W)
         (graft.operators.WeightedMean(g, weights(sp, 2462, 12, W, H),
           Seq("tmmx", "tmmn", "pr"), extraKeys = Seq("ens"), preCombine = true),

@@ -17,7 +17,9 @@ final class StressMetrics extends SparkListener {
       var shuffleReadBytes: Long = 0L,
       var spillBytes: Long = 0L,
       var peakExecMem: Long = 0L,
-      val taskMs: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty)
+      val taskMs: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty,
+      val taskWriteB: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty,
+      val taskReadB: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty)
 
   private val stages = mutable.LinkedHashMap.empty[Int, StageAgg]
 
@@ -31,6 +33,8 @@ final class StressMetrics extends SparkListener {
       s.spillBytes += m.memoryBytesSpilled + m.diskBytesSpilled
       s.peakExecMem = math.max(s.peakExecMem, m.peakExecutionMemory)
       s.taskMs += m.executorRunTime
+      s.taskWriteB += m.shuffleWriteMetrics.bytesWritten
+      s.taskReadB += m.shuffleReadMetrics.totalBytesRead
     }
   }
 
@@ -64,4 +68,24 @@ final class StressMetrics extends SparkListener {
       peakTaskExecMem = if (ss.isEmpty) 0L else ss.map(_.peakExecMem).max,
       maxTaskSkew = if (skews.isEmpty) 1.0 else skews.max)
   }
+
+  /** Bytes-based skew: max over qualifying exchange stages of
+    * max-task-bytes / mean-task-bytes, taking the worse of the
+    * shuffle-write and shuffle-read sides. Bytes, not durations —
+    * task wall times on a small fixture are scheduling noise, while
+    * the per-task byte distribution IS the partitioning the 100 TB
+    * claim is about. Stages below `minBytes` total or `minTasks`
+    * tasks are ignored (tiny exchanges skew arbitrarily and harm
+    * nothing). */
+  def maxByteSkew(minTasks: Int = 8, minBytes: Long = 64 * 1024): Double =
+    synchronized {
+      def ratio(xs: mutable.ArrayBuffer[Long]): Option[Double] = {
+        val total = xs.sum
+        if (xs.length < minTasks || total < minBytes) None
+        else Some(xs.max.toDouble / (total.toDouble / xs.length))
+      }
+      val rs = stages.values.toSeq.flatMap(s =>
+        ratio(s.taskWriteB).toSeq ++ ratio(s.taskReadB).toSeq)
+      if (rs.isEmpty) 1.0 else rs.max
+    }
 }
