@@ -189,6 +189,59 @@ object Stress {
           .agg(graft.functions.HllDistinct.hll_distinct(
             xxhash64(col("user_id"))).as("approx_users"),
             count(lit(1)).as("n_events")), n)
+      }),
+      Scenario("asof_join", sp => {
+        // 10M probes as-of-joined to 5M reference rows over 100k keys:
+        // the union + per-key running-last window (one exchange of
+        // left+right). Probe:reference 2:1, the trade-analytics shape.
+        val nL = s(10000000); val nR = nL / 2
+        val users = math.max(100L, nL / 100)
+        val l = events(sp, nL, users, days = 30)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val r = events(sp, nR, users, days = 30)
+          .select(col("user_id"), col("ts").as("rts"),
+            col("event_id").as("ref_id"), col("value").as("ref_value"))
+        (graft.operators.AsofJoin.asofBackward(l, r, Seq("user_id"),
+          "ts", "rts", tieBreak = "ref_id"), nL + nR)
+      }),
+      Scenario("dup_clusters", sp => {
+        // hash-min label propagation over 1.6M pair edges / 2M
+        // vertices in 5-cliques (star edges to the cluster rep —
+        // diameter 2, the LSH dup-group shape)
+        val nV = s(2000000)
+        val docs = sp.range(nV).select(col("id").as("doc_id"))
+        val pairs = sp.range(nV).filter(pmod(col("id"), lit(5)) =!= 0)
+          .select((col("id") - pmod(col("id"), lit(5))).as("a_id"),
+            col("id").as("b_id"))
+        (graft.operators.Dedup.duplicateClusters(docs, "doc_id", pairs),
+          nV)
+      }),
+      Scenario("ivf_search", sp => {
+        // 1M × 64-dim corpus, quantizer trained on a 1/16 id-sample,
+        // 64 queries probing 8/64 lists — assignment is a zero-shuffle
+        // map against literal centroids; the exchange is the per-query
+        // top-k only
+        val n = s(1000000)
+        def vecs(tbl: org.apache.spark.sql.DataFrame) = tbl.select(
+          col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), " +
+            "i -> cast(pmod(hash(id, i), 1000) / 500.0 - 1.0 as float))")
+            .as("embedding"))
+        val corpus = vecs(sp.range(n).toDF())
+        val queries = vecs(sp.range(64).select((col("id") * 37 + 5).as("id")))
+        (graft.operators.Similarity.ivfTopK(corpus, queries, k = 10,
+          nLists = 64, nProbe = 8, trainSampleMod = 16), n)
+      }),
+      Scenario("token_packing", sp => {
+        // 250k docs × 256 tokens → 2048-token chunks over 64 shards:
+        // the one inherent exchange moves every token once as
+        // document-bounded slices keyed (shard, chunk)
+        val n = s(250000)
+        val docs = sp.range(n).select(col("id").as("doc_id"),
+          expr("transform(sequence(0, 255), " +
+            "i -> cast(pmod(hash(id, i), 50000) as int))").as("ids"))
+        (graft.operators.Packing.packTokenChunks(docs, col("doc_id"),
+          col("ids"), contextLen = 2048, nShards = 64), n)
       }))
   }
 

@@ -544,21 +544,33 @@ object Dedup {
   /** Dense-bitmap pair kernel over pre-shingled rows and a collected
     * vocabulary (shared tail of [[ngramJaccardPairsBitmap]] and
     * [[ngramJaccardPairsAdaptive]] — the vocabulary is collected ONCE
-    * by whichever entry ran the probe). */
+    * by whichever entry ran the probe).
+    *
+    * PARALLELISM: a plain (blk == blk) self-join runs each block's
+    * quadratic AND/popcount work in the ONE partition owning the
+    * block key — with a handful of language blocks that pins the
+    * whole kernel to |blocks| cores. The a-leg therefore salts on
+    * pmod(id, salts) and the b-leg replicates each row to every salt:
+    * each (a, b) pair still meets exactly once (a has ONE salt), but
+    * a block's pair grid spreads over `salts` partitions. The
+    * replicated leg is |docs|·salts bitmap rows — bounded by the same
+    * block-size contract the all-pairs form already carries. */
   private def bitmapPairsFromShingles(
-      sh: DataFrame, vocab: Array[Long], threshold: Double): DataFrame = {
+      sh: DataFrame, vocab: Array[Long], threshold: Double,
+      salts: Int = 8): DataFrame = {
     import graft.functions.BitmapOps.{bitmap_and_count, bitmap_from_hashes}
-    // repartition on the block key: ReuseExchange then feeds BOTH
-    // self-join legs from one exchange, and the join needs no further
-    // shuffle (partition key == join key)
     val bm = sh.select(col("id"), col("blk"), size(col("hs")).as("n_sh"),
-        bitmap_from_hashes(col("hs"), vocab).as("bits"))
-      .repartition(col("blk"))
+      bitmap_from_hashes(col("hs"), vocab).as("bits"))
     val a = bm.select(col("blk"), col("id").as("a_id"),
-      col("n_sh").as("n_a"), col("bits").as("bits_a"))
+        col("n_sh").as("n_a"), col("bits").as("bits_a"),
+        pmod(col("id"), lit(salts.toLong)).cast("int").as("salt"))
+      .repartition(col("blk"), col("salt"))
     val b = bm.select(col("blk").as("blk_b"), col("id").as("b_id"),
-      col("n_sh").as("n_b"), col("bits").as("bits_b"))
-    a.join(b, col("blk") === col("blk_b") && col("a_id") < col("b_id"))
+        col("n_sh").as("n_b"), col("bits").as("bits_b"),
+        explode(sequence(lit(0), lit(salts - 1))).as("salt_b"))
+      .repartition(col("blk_b"), col("salt_b"))
+    a.join(b, col("blk") === col("blk_b") && col("salt") === col("salt_b") &&
+        col("a_id") < col("b_id"))
       .withColumn("inter", bitmap_and_count(col("bits_a"), col("bits_b")))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))

@@ -272,17 +272,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("bitmap jaccard plan: both self-join legs reuse one exchange") {
+  test("bitmap jaccard plan: salted equi-join, no nested loop, pairs spread over salts") {
     val blocked = widerDocs.withColumn("lang", lit("en"))
     val df = Dedup.ngramJaccardPairsBitmap(blocked, "doc_id", "text", "lang",
       n = 2, threshold = 0.4)
-    // exchange reuse is an AQE runtime decision — execute, then inspect
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("isFinalPlan=true"), plan)
-    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
-      "REPARTITION_BY_COL".r.findAllIn(plan).size == 1,
-      s"expected one shared bitmap exchange in:\n$plan")
+    // the quadratic AND/popcount work must NOT be pinned to the one
+    // partition owning a block key: both legs carry the salt in their
+    // exchange so a block's pair grid spreads over `salts` partitions
+    // (round-10 fix — the single-block form ran q17's kernel on
+    // |languages| cores of 32)
+    // executedPlan.toString prints Final AND Initial plan sections
+    // under AQE — count exchanges in the final section only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("REPARTITION_BY_COL".r.findAllIn(finalPlan).size == 2,
+      s"expected the two salted bitmap exchanges in:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
