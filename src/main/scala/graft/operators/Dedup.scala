@@ -785,15 +785,22 @@ object Dedup {
       n: Int, minDocs: Int = 2): DataFrame = {
     require(n >= 1, "n must be >= 1")
     require(minDocs >= 2, "minDocs must be >= 2 (a cross-document test)")
+    // one codegen pass per document: element pos = (64-bit hash, byte
+    // length) of the gram at that token position (NgramPosHashes) —
+    // replaces the round-9 string pipeline that materialized every
+    // gram as a UTF8String through interpreted HOFs before hashing
+    // (O(tokens·n·wordLen) allocations; the gram stage dominated the
+    // stress run). Fingerprint values changed with the swap (mixed-FNV
+    // + byte length vs xxhash64 + char length) but both detector
+    // stages key on the SAME fingerprints, so the span output — and
+    // the raw-gram-string oracle — are unchanged modulo ~2^-64
+    // collisions, exactly as before.
+    import graft.functions.NgramPosHashes.ngram_pos_hashes
     val grams = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        split(col(textCol), " ").as("arr"))
-      .filter(size(col("arr")) >= n)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(arr) - $n), " +
-          s"i -> array_join(slice(arr, i + 1, $n), ' '))")))
+        posexplode(ngram_pos_hashes(col(textCol), n)))
       .select(col("doc_id"), col("pos"),
-        xxhash64(col("col")).as("gh"), length(col("col")).as("gl"))
+        col("col.h").as("gh"), col("col.l").as("gl"))
     val hot = grams.select(col("gh"), col("gl"), col("doc_id")).distinct()
       .groupBy(col("gh"), col("gl")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)

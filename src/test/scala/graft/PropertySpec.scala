@@ -140,6 +140,36 @@ class PropertySpec extends SparkSpec {
     assert(byHash == byString)
   }
 
+  test("positional ngram fingerprints are 1-1 with per-position gram strings") {
+    import graft.functions.NgramPosHashes.ngram_pos_hashes
+    // small vocab → many REPEATED grams across docs/positions: the
+    // 1-1 check has power (a broken hash that merged or split gram
+    // classes would show up as a non-bijective mapping)
+    val docs = randomDocs(80, vocab = 5, maxLen = 8)
+    val byKernel = docs
+      .select($"doc_id", posexplode(ngram_pos_hashes($"text", 2)))
+      .select($"doc_id", $"pos", $"col.h", $"col.l")
+      .as[(Long, Int, Long, Int)].collect()
+      .map { case (d, p, h, l) => (d, p) -> ((h, l)) }.toMap
+    val byString = docs
+      .select($"doc_id", split($"text", " ").as("arr"))
+      .filter(size($"arr") >= 2)
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, size(arr) - 2), " +
+          "i -> array_join(slice(arr, i + 1, 2), ' '))")))
+      .as[(Long, Int, String)].collect()
+      .map { case (d, p, g) => (d, p) -> g }.toMap
+    assert(byKernel.keySet == byString.keySet) // same (doc, pos) universe
+    // fingerprint equality ≡ gram-string equality, both directions
+    val fpOfGram = byString.groupBy(_._2).view
+      .mapValues(_.keys.map(byKernel).toSet).toMap
+    assert(fpOfGram.values.forall(_.size == 1), "one gram → one fingerprint")
+    val gramsOfFp = byKernel.groupBy(_._2).view
+      .mapValues(_.keys.map(byString).toSet).toMap
+    assert(gramsOfFp.values.forall(_.size == 1), "one fingerprint → one gram")
+    assert(fpOfGram.size > 1 && byKernel.nonEmpty)
+  }
+
   test("WKB round-trip: random convex polygons recover bbox and centroid") {
     import graft.functions.WkbGeom.{wkbPolygon, wkbEnvelopeCentroid}
     // random rectangles (centroid/bbox closed-form) built as columns
