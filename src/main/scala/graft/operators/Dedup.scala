@@ -145,8 +145,17 @@ object Dedup {
     * @return one row (n_truth, n_pred, n_hit, precision, recall). */
   def pairMetrics(truth: DataFrame, predicted: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.round6
+    // persist-with-lineage (the reindex pattern): each input is
+    // referenced TWICE below (its count + the overlap join), and the
+    // inputs are whole detector pipelines — without materialization
+    // each detector would run twice wherever AQE exchange reuse
+    // doesn't already dedupe its subplan. Pair lists are tiny
+    // (pair-key columns only) next to the pipelines that produce
+    // them; the ContextCleaner unpersists when unreferenced.
     val t = truth.select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val p = predicted.select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nT = t.agg(count(lit(1)).as("n_truth"))
     val nP = p.agg(count(lit(1)).as("n_pred"))
     val nH = t.join(p, Seq("a_id", "b_id"))
