@@ -263,14 +263,22 @@ object Dedup {
     import graft.functions.SortedIntersectCount.sorted_intersect_count
     val shA = sh.select(col("id").as("a_id"), col("h64").as("hs_a"),
       size(col("h64")).as("n_a"))
-    val shB = sh.select(col("id").as("b_id"), col("h64").as("hs_b"),
+    val shB = sh.select(col("id").as("__b_key"), col("h64").as("hs_b"),
       size(col("h64")).as("n_b"))
+    // the (unchanged) jaccard acceptance predicate rides IN the second
+    // attach join's condition: a candidate that fails the exact verify
+    // is rejected during the probe and never materializes a row
+    // carrying both shingle arrays (the bitmapPairsFromShingles
+    // relocation, same rationale)
+    val inter = sorted_intersect_count(col("hs_a"), col("hs_b"))
+    val jac = round(inter.cast("double") /
+      (col("n_a") + col("n_b") - inter).cast("double"), 6)
     candidates
-      .join(shA, "a_id").join(shB, "b_id")
-      .withColumn("inter", sorted_intersect_count(col("hs_a"), col("hs_b")))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
+      .join(shA, "a_id")
+      .join(shB, col("b_id") === col("__b_key") && jac >= threshold)
+      .drop("__b_key")
+      .withColumn("inter", inter)
+      .withColumn("jaccard", jac)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
@@ -284,9 +292,9 @@ object Dedup {
     val sigs = simhashSignatures(docs, idCol, textCol)
     val a = sigs.select(col("id").as("a_id"), col("simhash").as("sh_a"))
     val b = sigs.select(col("id").as("b_id"), col("simhash").as("sh_b"))
-    a.join(b, col("a_id") < col("b_id"))
+    a.join(b, col("a_id") < col("b_id") &&
+        hammingDistance(col("sh_a"), col("sh_b")) <= maxHamming)
       .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
@@ -368,11 +376,16 @@ object Dedup {
       size(col("sh")).as("n_a")).repartition(col("a_id"))
     val b = sh.select(col("blk").as("blk_b"), col("id").as("b_id"),
       col("sh").as("sh_b"), size(col("sh")).as("n_b"))
-    a.join(broadcast(b), col("blk") === col("blk_b") && col("a_id") < col("b_id"))
-      .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
+    // acceptance predicate in the join condition (the
+    // bitmapPairsFromShingles relocation): a rejected pair never
+    // materializes a row carrying both shingle arrays
+    val inter = sorted_intersect_count(col("sh_a"), col("sh_b"))
+    val jac = round(inter.cast("double") /
+      (col("n_a") + col("n_b") - inter).cast("double"), 6)
+    a.join(broadcast(b), col("blk") === col("blk_b") &&
+        col("a_id") < col("b_id") && jac >= threshold)
+      .withColumn("inter", inter)
+      .withColumn("jaccard", jac)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
@@ -517,13 +530,18 @@ object Dedup {
       .select(col("a_id"), col("b_id")).distinct()
     val shA = sh.select(col("id").as("a_id"), col("sh").as("sh_a"),
       size(col("sh")).as("n_a"))
-    val shB = sh.select(col("id").as("b_id"), col("sh").as("sh_b"),
+    val shB = sh.select(col("id").as("__b_key"), col("sh").as("sh_b"),
       size(col("sh")).as("n_b"))
-    cand.join(shA, "a_id").join(shB, "b_id")
-      .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
+    // acceptance predicate in the second attach join's condition (the
+    // bitmapPairsFromShingles relocation): a rejected candidate never
+    // materializes a row carrying both shingle arrays
+    val inter = sorted_intersect_count(col("sh_a"), col("sh_b"))
+    val jac = round(inter.cast("double") /
+      (col("n_a") + col("n_b") - inter).cast("double"), 6)
+    cand.join(shA, "a_id")
+      .join(shB, col("b_id") === col("__b_key") && jac >= threshold)
+      .withColumn("inter", inter)
+      .withColumn("jaccard", jac)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
@@ -655,11 +673,15 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, maxDist: Int): DataFrame = {
     val ta = docs.select(col(idCol).as("a_id"), col(textCol).as("__ta"))
-    val tb = docs.select(col(idCol).as("b_id"), col(textCol).as("__tb"))
+    val tb = docs.select(col(idCol).as("__b_key"), col(textCol).as("__tb"))
+    // the distance bound rides IN the second attach join's condition:
+    // a rejected candidate never materializes a row carrying both
+    // texts (the bitmapPairsFromShingles relocation, same rationale)
     pairs.select(col("a_id"), col("b_id"))
-      .join(ta, "a_id").join(tb, "b_id")
+      .join(ta, "a_id")
+      .join(tb, col("b_id") === col("__b_key") &&
+        levenshtein(col("__ta"), col("__tb")) <= maxDist)
       .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
-      .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
