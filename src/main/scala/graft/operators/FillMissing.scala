@@ -49,12 +49,20 @@ object FillMissing {
       .select(col("miss_fid"), col("fill_fid"), (dx * dx + dy * dy).as("d2"))
     val best = scored.groupBy(col("miss_fid").as("best_fid"))
       .agg(min(col("d2")).as("best_d2"))
-    scored
-      .join(broadcast(best),
-        col("miss_fid") === col("best_fid") && col("d2") === col("best_d2"))
-      .groupBy(col("miss_fid"), col("d2"))
+    // Winner recovery re-probes the donors with the d2 == best_d2
+    // equality IN the join condition, with best_d2 attached to the
+    // |miss|-sized side first: the first pass's scored stream feeds a
+    // map-side partial min and never materializes, and this pass
+    // evaluates the same fused distance arithmetic per pair (bit-
+    // identical doubles, so the equality is exact) emitting only the
+    // winners — the previous form materialized the full |miss|·|donors|
+    // scored stream a second time just to filter it against `best`.
+    m.join(broadcast(best), col("miss_fid") === col("best_fid"))
+      .join(broadcast(d), (dx * dx + dy * dy) === col("best_d2"))
+      .groupBy(col("miss_fid"), col("best_d2"))
       .agg(min(col("fill_fid")).as("fill_fid"))
-      .select(col("miss_fid"), col("fill_fid"), sqrt(col("d2")).as("distance"))
+      .select(col("miss_fid"), col("fill_fid"),
+        sqrt(col("best_d2")).as("distance"))
   }
 
   /** F5: split the feature ids of `ts` into (missing, present) based on
