@@ -169,8 +169,11 @@ object Corpus {
       }).as("g"))
       .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
       .localCheckpoint(eager = false) // feeds bigram counts AND the probe
+    // checkpointed: uni feeds the |V| count AND the probe join — the
+    // barrier keeps the explode+aggregate to one evaluation
     val uni = toks.select(explode(col("t")).as("a"))
       .groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+      .localCheckpoint(eager = false)
     val bi = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
     val vocab = uni.count() // |V|: driver scalar, bounded plan parameter
     val contrib = TextFunctions.round6(-log(
@@ -209,15 +212,21 @@ object Corpus {
             i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
       }).as("g"))
       .select(col("g.a").as("a"), col("g.b").as("b"))
+    // checkpointed: uni feeds BOTH join legs below — without a barrier
+    // the explode+aggregate would run once per leg
     val uni = toks.select(explode(col("t")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     val bi = bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
-    val Array(nBi, mUni) = {
-      val r = bigrams.agg(count(lit(1))).head.getLong(0)
-      val m = uni.agg(sum(col("c"))).head.getLong(0)
-      Array(r, m)
-    }
+    // the N/M totals need no explode: per doc, bigrams = max(|t|−1, 0)
+    // and tokens = |t|, so ONE scalar aggregate over the checkpointed
+    // token arrays replaces two jobs that re-ran the explode streams
+    val totals = toks.agg(
+      coalesce(sum(greatest(size(col("t")) - 1, lit(0)).cast("long")),
+        lit(0L)).as("nbi"),
+      coalesce(sum(size(col("t")).cast("long")), lit(0L)).as("muni")).head
+    val (nBi, mUni) = (totals.getLong(0), totals.getLong(1))
     bi.join(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a"), "a")
       .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b"), "b")
       .select(concat(col("a"), lit("_"), col("b")).as("gram"), col("c_ab"),
