@@ -246,4 +246,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("sketch + exact distinct: no sketch buffers keyed by the distinct column") {
+    // the q64 composition rule: a duplicate-insensitive sketch mixed
+    // with countDistinct in ONE aggregate makes Spark group by
+    // (keys, distinct-col) first, allocating and SHUFFLING a sketch
+    // buffer per distinct-key group. distinct-then-sketch keeps sketch
+    // buffers only for the final groups — pin: every ObjectHashAggregate
+    // in the plan groups on [g] alone, never on the distinct key k.
+    import graft.functions.HllDistinct.hll_distinct
+    import graft.functions.PortableHash.portable_hash
+    val df = Seq((1, 10L), (1, 10L), (2, 20L)).toDF("g", "k")
+      .distinct()
+      .select($"g", $"k", portable_hash($"k".cast("string")).as("h"))
+      .groupBy($"g")
+      .agg(hll_distinct($"h").as("est"), count($"k").as("exact"))
+    val p = plan(df)
+    assert(p.contains("ObjectHashAggregate"), p)
+    val objKeys = raw"ObjectHashAggregate\(keys=\[([^\]]*)\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(objKeys.nonEmpty, p)
+    objKeys.foreach { ks =>
+      assert(!ks.contains("k#"),
+        s"sketch buffers keyed by the distinct column: keys=[$ks]\n$p")
+    }
+  }
+
+  test("pair-verify joins: acceptance predicate rides in the join condition") {
+    // the round-10 relocation: a candidate that fails the verify must
+    // be rejected during the hash probe, never materializing an output
+    // row carrying both payloads. Pin: the popcount/verify expression
+    // appears on the Join operator's own line, and no Filter above the
+    // join re-derives it.
+    val docs = Seq((1L, "en", "a b c d"), (2L, "en", "a b c e"))
+      .toDF("doc_id", "lang", "text")
+    val p = plan(graft.operators.Dedup.ngramJaccardPairsBitmap(
+      docs, "doc_id", "text", "lang", n = 2, threshold = 0.4))
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("bitmap_and_count"))
+    assert(joinLine.isDefined,
+      s"bitmap verify not in a join condition:\n$p")
+    val filterLines = p.linesIterator.filter(_.trim.matches("^[+:\\-\\s]*Filter .*"))
+    filterLines.foreach { l =>
+      assert(!l.contains("bitmap_and_count"),
+        s"verify predicate re-applied as a post-join Filter:\n$p")
+    }
+  }
 }
