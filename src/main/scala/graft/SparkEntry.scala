@@ -1590,6 +1590,26 @@ object SparkEntry {
           round(col("humidity"), 4).as("humidity"))
     }),
 
+    // ---- J2 scale path on the oracle surface: grid-binned NN argmin —
+    // donors replicate to their 3×3 cell ring, candidates come from one
+    // equi-join on the miss point's cell, sub-cellSize winners accept
+    // in-ring (provably global), the sparse tail falls back to the
+    // exact broadcast scan. Result-identical to q05's form
+    // (FillMissingSpec pins equality); the oracle is the plain exact
+    // argmin — the binning must be invisible in the values. ----
+    "q104_nn_argmin_binned" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val pts = c.select(col("c_custkey").as("fid"),
+        ((col("c_custkey") % 100) * 0.37).as("lat"),
+        ((col("c_custkey") % 73) * 0.53).as("lon"),
+        col("c_acctbal"))
+      val miss = pts.filter(col("c_acctbal") < 0).drop("c_acctbal")
+      val donors = pts.filter(col("c_acctbal") >= 0).drop("c_acctbal")
+      FillMissing.nearestMappingBinned(miss, donors, cellSize = 2.0)
+        .select(col("miss_fid"), col("fill_fid"),
+          round(col("distance"), 6).as("distance"))
+    }),
+
     // ---- REAL BPE tokenization on the oracle surface: documents →
     // GPT-2-format vocab/merges fixture → per-doc token count and a
     // position-weighted checksum (Σ id_i·i, 1-based) proving token
@@ -3515,6 +3535,24 @@ object SparkEntry {
          |  round(prcp, 4) AS prcp, round(sph, 6) AS sph,
          |  round(humidity, 4) AS humidity
          |FROM rh""".stripMargin,
+
+    // q104: the oracle is the EXACT argmin (q05's window form over 2D
+    // points) — the engine's grid-binning and fallback must be
+    // value-invisible. Literal doubles CAST explicitly (DuckDB would
+    // otherwise compute the coordinate products in DECIMAL).
+    "q104_nn_argmin_binned" ->
+      """WITH pts AS (SELECT c_custkey AS fid,
+        |    (c_custkey % 100) * CAST(0.37 AS DOUBLE) AS lat,
+        |    (c_custkey % 73) * CAST(0.53 AS DOUBLE) AS lon,
+        |    c_acctbal AS bal FROM customer),
+        | m AS (SELECT fid, lat, lon FROM pts WHERE bal < 0),
+        | d AS (SELECT fid, lat, lon FROM pts WHERE bal >= 0),
+        | p AS (SELECT m.fid AS miss_fid, d.fid AS fill_fid,
+        |         sqrt((m.lon-d.lon)*(m.lon-d.lon) + (m.lat-d.lat)*(m.lat-d.lat)) AS dist,
+        |         row_number() OVER (PARTITION BY m.fid
+        |           ORDER BY sqrt((m.lon-d.lon)*(m.lon-d.lon) + (m.lat-d.lat)*(m.lat-d.lat)), d.fid) AS rn
+        |       FROM m CROSS JOIN d)
+        |SELECT miss_fid, fill_fid, round(dist, 6) AS distance FROM p WHERE rn = 1""".stripMargin,
 
     // q102: the BPE merge loop REPLAYED in SQL — a recursive CTE
     // carries each distinct word's symbol list; every step merges all

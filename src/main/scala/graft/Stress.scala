@@ -242,6 +242,20 @@ object Stress {
             "i -> cast(pmod(hash(id, i), 50000) as int))").as("ids"))
         (graft.operators.Packing.packTokenChunks(docs, col("doc_id"),
           col("ids"), contextLen = 2048, nShards = 64), n)
+      }),
+      Scenario("nn_argmin_binned", sp => {
+        // 1M missing × 5M donors scattered over [0,1000)² — 5e12 pairs,
+        // structurally out of reach for the broadcast form; the binned
+        // path probes ~9·density ≈ 180 candidates per point (cell 2.0 →
+        // 20 donors/cell) and the sparse tail falls back exactly
+        val nm = s(1000000); val nd = s(5000000)
+        val mk = (n: Long, salt: Int) => sp.range(n).select(
+          col("id").as("fid"),
+          (pmod(hash(col("id"), lit(salt)), lit(1000000)) / lit(1000.0)).as("lat"),
+          (pmod(hash(col("id"), lit(salt + 1)), lit(1000000)) / lit(1000.0)).as("lon"))
+        (graft.operators.FillMissing.nearestMappingBinned(
+          mk(nm, 7), mk(nd, 23).select((col("fid") + lit(nm)).as("fid"),
+            col("lat"), col("lon")), cellSize = 2.0), nm + nd)
       }))
   }
 

@@ -65,6 +65,89 @@ object FillMissing {
         sqrt(col("best_d2")).as("distance"))
   }
 
+  /** J2 at scale: grid-binned nearest-donor mapping — the documented
+    * scale path for when BOTH sides grow past the broadcast envelope
+    * (the reference's workload never does; [[nearestMapping]] stays the
+    * checked default). Same contract and EXACT same result set as
+    * [[nearestMapping]], spec-pinned.
+    *
+    * Shape: donors replicate to their 3×3 cell neighborhood (9 narrow
+    * rows each), the candidate join is a plain equi-join on the miss
+    * point's own cell — candidates per point ≈ 9 · donor density, not
+    * |donors|. A within-ring winner STRICTLY closer than `cellSize` is
+    * provably global (any donor outside the 3×3 ring sits ≥ one full
+    * cell away, so its distance ≥ cellSize); points with no ring
+    * candidate, a winner at ≥ cellSize, or an exactly-cellSize boundary
+    * tie fall back to the exact broadcast scan — a density-bounded
+    * remainder, so exactness costs only the sparse tail. Winner
+    * recovery and the argmin are the [[nearestMapping]] forms (map-side
+    * partial min; distance equality in the join condition; sqrt on
+    * winners only; ties to the smallest donor fid).
+    *
+    * Choose `cellSize` ≈ the expected NN distance (e.g. a few grid
+    * steps): too small → everything falls back; too large → ring
+    * candidates approach |donors| per point. */
+  def nearestMappingBinned(
+      missing: DataFrame, donors: DataFrame, cellSize: Double): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    val m = missing.select(
+      col("fid").as("miss_fid"), col("lat").as("m_lat"), col("lon").as("m_lon"))
+    val d = donors.select(
+      col("fid").as("fill_fid"), col("lat").as("d_lat"), col("lon").as("d_lon"))
+    val cs = lit(cellSize)
+    // the MISS side (the small one — that asymmetry is the operator's
+    // whole premise) replicates to its 3×3 search ring and donors keep
+    // their own cell: the candidate set is identical either way
+    // (miss-ring ∋ donor-cell ⟺ donor-ring ∋ miss-cell), but the big
+    // side crosses the exchange once, not nine times
+    val dExp = d.select(col("fill_fid"), col("d_lat"), col("d_lon"),
+      floor(col("d_lon") / cs).as("cx"),
+      floor(col("d_lat") / cs).as("cy"))
+    val mc = m
+      .withColumn("__nx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__ny", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("miss_fid"), col("m_lat"), col("m_lon"),
+        (floor(col("m_lon") / cs) + col("__nx")).as("cx"),
+        (floor(col("m_lat") / cs) + col("__ny")).as("cy"))
+    val dx = col("m_lon") - col("d_lon")
+    val dy = col("m_lat") - col("d_lat")
+    val d2 = dx * dx + dy * dy
+    val scored = mc.join(dExp, Seq("cx", "cy"))
+      .select(col("miss_fid"), d2.as("d2"))
+    // strict <: an exact-cellSize winner could be tied from outside the
+    // ring, so the boundary goes to the fallback — never resolved here
+    val safeBest = scored.groupBy(col("miss_fid")).agg(min(col("d2")).as("best_d2"))
+      .filter(col("best_d2") < cs * cs)
+    val mcb = mc.join(safeBest, "miss_fid")
+    val resolved = mcb
+      .join(dExp, mcb("cx") === dExp("cx") && mcb("cy") === dExp("cy") &&
+        d2 === col("best_d2"))
+      .groupBy(col("miss_fid"), col("best_d2"))
+      .agg(min(col("fill_fid")).as("fill_fid"))
+      .select(col("miss_fid"), col("fill_fid"),
+        sqrt(col("best_d2")).as("distance"))
+    val unresolved = m.join(safeBest.select(col("miss_fid")),
+        Seq("miss_fid"), "left_anti")
+    // Fallback broadcast direction is REVERSED from [[nearestMapping]]:
+    // here the donor side is the unbounded one (that is why the binned
+    // form exists), while the unresolved set is cellSize-bounded small.
+    // Donors stream through two fused scans (min pass + winner
+    // recovery, the same shapes as above) against the broadcast
+    // unresolved points; an empty unresolved set degenerates to two
+    // cheap scans with empty build sides, never a donor broadcast.
+    val fScored = d.join(broadcast(unresolved))
+      .select(col("miss_fid"), col("fill_fid"), (dx * dx + dy * dy).as("fd2"))
+    val fBest = fScored.groupBy(col("miss_fid")).agg(min(col("fd2")).as("best_d2"))
+    val fallback = d.join(
+        broadcast(unresolved.join(fBest, "miss_fid")),
+        (dx * dx + dy * dy) === col("best_d2"))
+      .groupBy(col("miss_fid"), col("best_d2"))
+      .agg(min(col("fill_fid")).as("fill_fid"))
+      .select(col("miss_fid"), col("fill_fid"),
+        sqrt(col("best_d2")).as("distance"))
+    resolved.unionByName(fallback)
+  }
+
   /** F5: split the feature ids of `ts` into (missing, present) based on
     * nullness of `probeVar` at the earliest timestep — the reference's
     * exact convention (`helper.py:43-61`: `isel(time=[0])` on tmax). */

@@ -57,4 +57,52 @@ class FillMissingSpec extends SparkSpec {
       (2L, t1, Some(3.0), Some(2.2)),  // donor untouched
       (2L, t2, Some(4.0), None)))
   }
+
+  private def mappingSet(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("miss_fid"), col("fill_fid"),
+        round(col("distance"), 9).as("distance"))
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("nearestMappingBinned equals the exact broadcast argmin (random 2D)") {
+    // deterministic pseudo-random 2D scatter: ~1/4 missing, mixed
+    // densities so some points resolve in-ring and some fall back
+    val pts = (0L until 400L).map { i =>
+      (i, (i * 37 % 101).toDouble * 0.13, (i * 53 % 89).toDouble * 0.17)
+    }
+    val miss = pts.filter(_._1 % 4 == 0).toDF("fid", "lat", "lon")
+    val donors = pts.filter(_._1 % 4 != 0).toDF("fid", "lat", "lon")
+    val exact = mappingSet(FillMissing.nearestMapping(miss, donors))
+    for (cell <- Seq(0.5, 2.0, 50.0)) // tiny (mostly fallback) → huge (one bin)
+      assert(mappingSet(
+        FillMissing.nearestMappingBinned(miss, donors, cell)) == exact,
+        s"cellSize=$cell diverges from the exact argmin")
+  }
+
+  test("nearestMappingBinned: boundary tie at exactly cellSize stays exact") {
+    // donor 2 inside the ring at d=1.0 == cellSize, donor 1 OUTSIDE the
+    // 3x3 ring also at d=1.0 — the smaller fid must win, which only
+    // happens if the boundary case falls back to the exact scan
+    val miss = Seq((10L, 0.0, 0.0)).toDF("fid", "lat", "lon")
+    val donors = Seq((2L, 0.0, 1.0), (1L, 0.0, -1.0)).toDF("fid", "lat", "lon")
+    val out = mappingSet(FillMissing.nearestMappingBinned(miss, donors, 1.0))
+    assert(out == mappingSet(FillMissing.nearestMapping(miss, donors)))
+    assert(out == Set((10L, 1L, 1.0)))
+  }
+
+  test("nearestMappingBinned: isolated point with an empty ring falls back") {
+    val miss = Seq((1L, 0.0, 0.0)).toDF("fid", "lat", "lon")
+    val donors = Seq((7L, 100.0, 100.0)).toDF("fid", "lat", "lon")
+    val out = mappingSet(FillMissing.nearestMappingBinned(miss, donors, 1.0))
+    assert(out == mappingSet(FillMissing.nearestMapping(miss, donors)))
+  }
+
+  test("nearestMappingBinned: negative coordinates bin correctly") {
+    // floor (not int-truncation toward zero) must place negative coords:
+    // a donor at -0.1 and a miss at -0.9 share cell floor(-0.x)= -1
+    val miss = Seq((1L, -0.9, -0.9)).toDF("fid", "lat", "lon")
+    val donors = Seq((2L, -0.1, -0.1), (3L, -5.0, -5.0)).toDF("fid", "lat", "lon")
+    val out = mappingSet(FillMissing.nearestMappingBinned(miss, donors, 1.0))
+    assert(out == mappingSet(FillMissing.nearestMapping(miss, donors)))
+    assert(out.head._2 == 2L)
+  }
 }
