@@ -50,7 +50,14 @@ object Relevance {
       .filter(col("term") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // dl needs NO aggregation pass: the document length is the token
+    // count, a projection over the split array (Σ_terms tf ≡ |tokens|).
+    // The dl > 0 filter preserves the previous derivation's domain —
+    // token-less docs had no tf rows, so they contributed to neither
+    // N nor avgdl, and must not start doing so.
+    val lens = docs.select(col(idCol).as("doc_id"),
+        size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats1 = lens
       .agg(count(lit(1)).cast("double").as("__n"),
