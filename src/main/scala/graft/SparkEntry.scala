@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.{DataFrame, SparkSession, Column, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -220,6 +220,41 @@ object SparkEntry {
   /** Exact money sum: decimal-accumulate, surface as double. */
   private def moneySum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
+
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private val streamSrcDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** FileStreamSource requires a DIRECTORY of arriving files; the
+    * testdata events table is a single parquet file, so it stages once
+    * into a temp dir (per source path, process-lifetime cache) — the
+    * honest shape of a streaming source, one deposited file. */
+  private def eventsStreamDir(dir: String): String =
+    streamSrcDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        d.resolve("events.parquet"))
+      d.toFile.deleteOnExit()
+      d.toString
+    })
+
+  /** Run a bounded (AvailableNow) streaming writer to completion
+    * through the memory sink and return its result table — the seam
+    * that puts REAL Structured Streaming executions (stateful windowed
+    * aggregations, watermarks, the streaming source) on the driver's
+    * DuckDB oracle surface instead of leaving them spec-pinned only.
+    * Each call gets a fresh sink table (bench trials re-execute the
+    * stream, never read a previous trial's sink). */
+  private def runStreamToTable(
+      s: SparkSession,
+      w: org.apache.spark.sql.streaming.DataStreamWriter[Row]): DataFrame = {
+    val name = s"graft_stream_out_${streamSeq.incrementAndGet()}"
+    val q = w.format("memory").queryName(name).start()
+    q.awaitTermination()
+    s.table(name)
+  }
 
   // ---- derived gridmet-shaped inputs over the synthetic tables ----
   // The synthetic star schema stands in for the staged grid + weight
@@ -1634,6 +1669,24 @@ object SparkEntry {
           round(col("distance"), 6).as("distance"))
     }),
 
+    // ---- STREAMING tumbling window ON THE ORACLE SURFACE: the real
+    // Structured Streaming execution (streaming parquet source →
+    // watermark → windowed agg → memory sink, AvailableNow) run to
+    // completion and compared against the plain batch SQL — the
+    // streaming engine itself becomes oracle-checked, not merely
+    // batch-parity spec-pinned ----
+    "q105_tumbling_stream" -> ((s, dir) =>
+      runStreamToTable(s,
+        EventPipeline.tumblingCountsStream(s, eventsStreamDir(dir)))),
+
+    // ---- STREAMING session_window on the oracle surface: native
+    // session-window state merging under the streaming engine, checked
+    // against the batch gap-sessionization SQL (q40's oracle) ----
+    "q106_session_window_stream" -> ((s, dir) =>
+      runStreamToTable(s,
+        EventPipeline.sessionWindowsStream(s, eventsStreamDir(dir),
+          gapMinutes = 30))),
+
     // ---- REAL BPE tokenization on the oracle surface: documents →
     // GPT-2-format vocab/merges fixture → per-doc token count and a
     // position-weighted checksum (Σ id_i·i, 1-based) proving token
@@ -2210,6 +2263,35 @@ object SparkEntry {
     // the session split rule is the same `>` as q24; session_end =
     // max(ts) + gap.
     "q40_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // q105/q106: the STREAMING executions against the BATCH oracles —
+    // the memory-sink tables must carry exactly what the plain SQL
+    // computes, or the streaming engine (watermark handling, state
+    // merging, the streaming source's row delivery) diverged.
+    "q105_tumbling_stream" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q106_session_window_stream" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
