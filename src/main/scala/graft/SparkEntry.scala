@@ -253,7 +253,14 @@ object SparkEntry {
     val name = s"graft_stream_out_${streamSeq.incrementAndGet()}"
     val q = w.format("memory").queryName(name).start()
     q.awaitTermination()
-    s.table(name)
+    // detach the result from the sink before returning: the memory
+    // sink's temp view pins the full result buffer in the session
+    // catalog forever — bench trials would accumulate one per
+    // execution. The checkpoint materializes the (aggregate-sized)
+    // result, then the view drops.
+    val out = s.table(name).localCheckpoint(eager = true)
+    s.catalog.dropTempView(name)
+    out
   }
 
   // ---- derived gridmet-shaped inputs over the synthetic tables ----

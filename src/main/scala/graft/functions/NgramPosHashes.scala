@@ -21,11 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * through interpreted HOFs and then hashed it — O(tokens · n · wordLen)
   * allocations per document. This kernel reads the document bytes once,
   * hashes each gram's bytes directly (same mixed-FNV family as
-  * [[NgramHashes]]; '_' as the inter-token separator), and emits fixed
-  * 12-byte structs. Hash+length equality ≡ gram-string equality modulo
-  * ~2⁻⁶⁴ collisions — the exact-dedup fingerprint precedent, and the
-  * q81 oracle groups on RAW gram strings, so a collision would surface
-  * as a hash mismatch there.
+  * [[NgramHashes]]; ' ' as the inter-token separator — tokens come
+  * from splitting on space so they can never CONTAIN one, making the
+  * hashed byte stream the exact original-text substring and the
+  * (hash, byteLen) fingerprint injective up to hash collisions; a '_'
+  * separator would deterministically merge ["a_b","c"] with
+  * ["a","b_c"]), and emits fixed 12-byte structs. Hash+length equality
+  * ≡ gram-string equality modulo ~2⁻⁶⁴ collisions — the exact-dedup
+  * fingerprint precedent, and the q81 oracle groups on RAW gram
+  * strings, so a collision would surface as a hash mismatch there.
   *
   * Tokenization matches `split(text, " ")` byte-for-byte (every 0x20
   * delimits; empty tokens survive). Documents with fewer than n tokens
@@ -93,7 +97,7 @@ object NgramPosHashes {
       var len = n - 1 // the n-1 separators
       var t = 0
       while (t < n) {
-        if (t > 0) h = (h ^ '_'.toByte) * FnvPrime
+        if (t > 0) h = (h ^ ' '.toByte) * FnvPrime
         var p = starts(w + t)
         val end = starts(w + t + 1) - 1
         len += end - p

@@ -222,10 +222,14 @@ object Corpus {
     // the N/M totals need no explode: per doc, bigrams = max(|t|−1, 0)
     // and tokens = |t|, so ONE scalar aggregate over the checkpointed
     // token arrays replaces two jobs that re-ran the explode streams
+    // greatest(…, 0) on BOTH totals: size(NULL) is -1 under Spark's
+    // default legacy sizeOfNull, and a null-text doc must contribute 0
+    // to M exactly as the explode-derived total counted it
     val totals = toks.agg(
       coalesce(sum(greatest(size(col("t")) - 1, lit(0)).cast("long")),
         lit(0L)).as("nbi"),
-      coalesce(sum(size(col("t")).cast("long")), lit(0L)).as("muni")).head
+      coalesce(sum(greatest(size(col("t")), lit(0)).cast("long")),
+        lit(0L)).as("muni")).head
     val (nBi, mUni) = (totals.getLong(0), totals.getLong(1))
     bi.join(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a"), "a")
       .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b"), "b")

@@ -70,11 +70,18 @@ object Sinks {
     import NetcdfClassic._
     val dataVars = Seq("tmax", "tmin", "prcp", "rhmax", "rhmin", "ws", "humidity")
       .filter(ts.columns.contains)
+    // persist-with-lineage (the reindex pattern): the projection feeds
+    // THREE consumers — the two axis-domain collects and the sorted
+    // record stream — and without a barrier each would re-run the
+    // whole upstream pipeline (typically the full aggregation DAG this
+    // sink is documented for). Executors hold the materialization;
+    // the DRIVER still sees only one time-slice at a time.
     val proj = ts.select(
       col("nhru").cast("long").as("nhru"),
       datediff(col("time").cast("date"), lit(start).cast("date")).cast("long")
         .as("day"),
       struct(dataVars.map(v => col(v).cast("double")): _*).as("vals"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // axis domains: AGGREGATION outputs (|days| and |features| longs —
     // they become the int64 coordinate variables, so this is the
     // file's own axis data, not the matrix)
@@ -183,7 +190,10 @@ object Sinks {
         rowsStreamed += 1
       }
       if (haveDay) flush(curDay)
-    } finally w.close()
+    } finally {
+      w.close()
+      proj.unpersist(blocking = false)
+    }
     NetcdfWriteStats(w.slabsWritten, rowsStreamed, hrus.length)
   }
 

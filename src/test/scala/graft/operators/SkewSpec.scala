@@ -131,4 +131,22 @@ class SkewSpec extends SparkSpec {
     assert(outRows > 0)
     assert(skew <= 4.0, s"weighted-mean byte skew $skew exceeds 4x mean")
   }
+
+  test("saltedJoin: result-identical to the plain join (hot key included)") {
+    import spark.implicits._
+    // one hot left key (70% of rows) + a right side with duplicate key
+    // rows — replication must neither drop nor double any pair
+    val left = (0 until 200).map(i =>
+      (if (i % 10 < 7) 1L else (i % 10).toLong, i)).toDF("k", "lv")
+    val right = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "d"))
+      .toDF("k", "rv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"lv", $"rv").as[(Long, Int, String)]
+        .collect().sorted.toSeq
+    val plain = rows(left.join(right, Seq("k")))
+    assert(plain.nonEmpty)
+    for (buckets <- Seq(1, 4, 16))
+      assert(rows(Skew.saltedJoin(left, right, Seq("k"), buckets)) == plain,
+        s"saltedJoin diverges from the plain join at buckets=$buckets")
+  }
 }
