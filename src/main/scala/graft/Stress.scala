@@ -43,11 +43,25 @@ import graft.tools.StressMetrics
   */
 object Stress {
 
-  /** `build` returns the plan AND the exact generated input-row count
-    * (sizes are derived from `scale` with integer floors, so the count
-    * must come from the same computation that built the plan). */
+  /** `build` returns the TIMED ACTION and the exact generated
+    * input-row count (sizes are derived from `scale` with integer
+    * floors, so the count must come from the same computation that
+    * built the plan). Batch scenarios wrap their plan with [[sink]];
+    * streaming scenarios stage source files during `build` (untimed —
+    * the listener resets after build returns) and the action runs the
+    * bounded query to completion. */
   final case class Scenario(
-      name: String, build: SparkSession => (DataFrame, Long))
+      name: String, build: SparkSession => (() => Unit, Long))
+
+  /** The standard batch action: execute `plan` against the no-op sink.
+    * `plan` is BY-NAME on purpose: operators with driver-side
+    * iteration or training (duplicateClusters' convergence counts,
+    * IVF's Lloyd collects) run real jobs while the plan is being
+    * CONSTRUCTED, and those jobs are part of the operator's cost — so
+    * construction must happen inside the timed window, after the
+    * listener reset, not during build. */
+  private def sink(plan: => DataFrame): () => Unit =
+    () => plan.write.mode("overwrite").format("noop").save()
 
   /** Deterministic token: 't' + (hash of (seed, position) mod vocab). */
   private def tok(seed: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column,
@@ -95,7 +109,15 @@ object Stress {
       spark: SparkSession, cells: Long, days: Int, dup: Int, ens: Int,
       width: Int): DataFrame = {
     val n = cells * days * dup * ens
-    spark.range(n)
+    // Generate with parquet-scan-like split granularity (~128 MB ≈
+    // 2.5M of these ~50 B rows per task), not defaultParallelism's 32
+    // giant slices: a real 50 GB scan hands a map task a bounded
+    // split, and the per-task group count of any downstream partial
+    // aggregation (the preCombine path) is bounded the same way. The
+    // 32-slice shape overstated pre-agg spill ~20× vs the realistic
+    // scan shape.
+    val parts = math.max(32L, n / 2500000L).min(2048L).toInt
+    spark.range(0, n, 1, parts)
       .withColumn("cell", (col("id") / lit(days.toLong * dup * ens)).cast("long"))
       .withColumn("rest", pmod(col("id"), lit(days.toLong * dup * ens)))
       .select(
@@ -136,26 +158,26 @@ object Stress {
         // full reference envelope at scale 1: 1345 days ≈ 1.09e9 cells
         val days = math.max(2, (s(810810L * 1345) / cells).toInt)
         val g = raster(sp, cells, days, dup = 1, ens = 1, width = W)
-        (WeightedMeanRef(g.drop("ens"), weights(sp, 2462, 12, W, H)),
+        (sink(WeightedMeanRef(g.drop("ens"), weights(sp, 2462, 12, W, H))),
           cells * days)
       }),
       Scenario("weighted_mean_precombine", sp => {
         val days = math.max(2, (s(810810L * 10 * 4 * 8) / (cells * 4 * 8)).toInt)
         val g = raster(sp, cells, days, dup = 4, ens = 8, width = W)
-        (graft.operators.WeightedMean(g, weights(sp, 2462, 12, W, H),
-          Seq("tmmx", "tmmn", "pr"), extraKeys = Seq("ens"), preCombine = true),
+        (sink(graft.operators.WeightedMean(g, weights(sp, 2462, 12, W, H),
+          Seq("tmmx", "tmmn", "pr"), extraKeys = Seq("ens"), preCombine = true)),
           cells * days * 4 * 8)
       }),
       Scenario("minhash_band_shuffle", sp => {
         val n = s(250000)
-        (graft.operators.Dedup.minhashLsh(
-          corpus(sp, n, len = 120, vocab = 50000), "id", "text"), n)
+        (sink(graft.operators.Dedup.minhashLsh(
+          corpus(sp, n, len = 120, vocab = 50000), "id", "text")), n)
       }),
       Scenario("ngram_jaccard_postings", sp => {
         val n = s(250000)
-        (graft.operators.Dedup.ngramJaccardPairs(
+        (sink(graft.operators.Dedup.ngramJaccardPairs(
           corpus(sp, n, len = 120, vocab = 50000), "id", "text", "blk",
-          n = 3, threshold = 0.8), n)
+          n = 3, threshold = 0.8)), n)
       }),
       Scenario("span_dedup", sp => {
         // 30% of docs share a 20-token boilerplate run — the hot-gram
@@ -166,29 +188,29 @@ object Stress {
         val docs = base.withColumn("text",
           when(pmod(hash(col("id"), lit(31)), lit(10)) < 3,
             concat(col("text"), lit(" " + boiler))).otherwise(col("text")))
-        (graft.operators.Dedup.repeatedSpans(docs, "id", "text", n = 10), n)
+        (sink(graft.operators.Dedup.repeatedSpans(docs, "id", "text", n = 10)), n)
       }),
       Scenario("sessionize", sp => {
         val n = s(20000000)
-        (graft.streaming.EventPipeline.sessionize(
-          events(sp, n, users = math.max(100L, n / 200), days = 30)), n)
+        (sink(graft.streaming.EventPipeline.sessionize(
+          events(sp, n, users = math.max(100L, n / 200), days = 30))), n)
       }),
       Scenario("proximity_join", sp => {
         val n = s(20000000)
         val ev = events(sp, n, users = math.max(100L, n / 200), days = 30)
-        (graft.operators.RangeJoin.proximityJoin(
+        (sink(graft.operators.RangeJoin.proximityJoin(
           ev.filter(col("event_type") === "error")
             .select(col("event_id").as("l_id"), col("ts")),
           ev.select(col("event_id"), col("ts"), col("value")),
-          "ts", "ts", radiusUs = 1000000L), n)
+          "ts", "ts", radiusUs = 1000000L)), n)
       }),
       Scenario("hll_events", sp => {
         val n = s(100000000)
-        (events(sp, n, users = math.max(100L, n / 20), days = 30)
+        (sink(events(sp, n, users = math.max(100L, n / 20), days = 30)
           .groupBy(window(col("ts"), "1 day").as("day"))
           .agg(graft.functions.HllDistinct.hll_distinct(
             xxhash64(col("user_id"))).as("approx_users"),
-            count(lit(1)).as("n_events")), n)
+            count(lit(1)).as("n_events"))), n)
       }),
       Scenario("asof_join", sp => {
         // 10M probes as-of-joined to 5M reference rows over 100k keys:
@@ -201,8 +223,8 @@ object Stress {
         val r = events(sp, nR, users, days = 30)
           .select(col("user_id"), col("ts").as("rts"),
             col("event_id").as("ref_id"), col("value").as("ref_value"))
-        (graft.operators.AsofJoin.asofBackward(l, r, Seq("user_id"),
-          "ts", "rts", tieBreak = "ref_id"), nL + nR)
+        (sink(graft.operators.AsofJoin.asofBackward(l, r, Seq("user_id"),
+          "ts", "rts", tieBreak = "ref_id")), nL + nR)
       }),
       Scenario("dup_clusters", sp => {
         // hash-min label propagation over 1.6M pair edges / 2M
@@ -213,7 +235,7 @@ object Stress {
         val pairs = sp.range(nV).filter(pmod(col("id"), lit(5)) =!= 0)
           .select((col("id") - pmod(col("id"), lit(5))).as("a_id"),
             col("id").as("b_id"))
-        (graft.operators.Dedup.duplicateClusters(docs, "doc_id", pairs),
+        (sink(graft.operators.Dedup.duplicateClusters(docs, "doc_id", pairs)),
           nV)
       }),
       Scenario("ivf_search", sp => {
@@ -229,8 +251,8 @@ object Stress {
             .as("embedding"))
         val corpus = vecs(sp.range(n).toDF())
         val queries = vecs(sp.range(64).select((col("id") * 37 + 5).as("id")))
-        (graft.operators.Similarity.ivfTopK(corpus, queries, k = 10,
-          nLists = 64, nProbe = 8, trainSampleMod = 16), n)
+        (sink(graft.operators.Similarity.ivfTopK(corpus, queries, k = 10,
+          nLists = 64, nProbe = 8, trainSampleMod = 16)), n)
       }),
       Scenario("token_packing", sp => {
         // 250k docs × 256 tokens → 2048-token chunks over 64 shards:
@@ -240,8 +262,8 @@ object Stress {
         val docs = sp.range(n).select(col("id").as("doc_id"),
           expr("transform(sequence(0, 255), " +
             "i -> cast(pmod(hash(id, i), 50000) as int))").as("ids"))
-        (graft.operators.Packing.packTokenChunks(docs, col("doc_id"),
-          col("ids"), contextLen = 2048, nShards = 64), n)
+        (sink(graft.operators.Packing.packTokenChunks(docs, col("doc_id"),
+          col("ids"), contextLen = 2048, nShards = 64)), n)
       }),
       Scenario("nn_argmin_binned", sp => {
         // 1M missing × 5M donors scattered over [0,1000)² — 5e12 pairs,
@@ -253,9 +275,62 @@ object Stress {
           col("id").as("fid"),
           (pmod(hash(col("id"), lit(salt)), lit(1000000)) / lit(1000.0)).as("lat"),
           (pmod(hash(col("id"), lit(salt + 1)), lit(1000000)) / lit(1000.0)).as("lon"))
-        (graft.operators.FillMissing.nearestMappingBinned(
+        (sink(graft.operators.FillMissing.nearestMappingBinned(
           mk(nm, 7), mk(nd, 23).select((col("fid") + lit(nm)).as("fid"),
-            col("lat"), col("lon")), cellSize = 2.0), nm + nd)
+            col("lat"), col("lon")), cellSize = 2.0)), nm + nd)
+      }),
+      Scenario("sessionize_stateful_stream", sp => {
+        // The flatMapGroupsWithState engine under a REAL bounded
+        // stream: 5M events / 100k users arrive as time-ordered source
+        // files, several files per micro-batch, so the per-user
+        // open-session state crosses micro-batch boundaries through
+        // the state store. Staging happens here in build (untimed; the
+        // listener resets after build) — the timed action runs the
+        // AvailableNow query to completion through the noop sink.
+        // This measures SCALE.md's streaming claim: state is O(users),
+        // not O(events), and throughput is state-store-bound, not
+        // scan-bound.
+        val n = s(5000000)
+        val users = math.max(100L, n / 50)
+        val dir = java.nio.file.Files.createTempDirectory("graft_stress_stream_")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stress_ckpt_")
+        dir.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
+        val files = if (n >= 1000000L) 20 else 4
+        val ev = events(sp, n, users, days = 30)
+        val t00 = 1600000000L * 1000000L
+        val sliceUs = 30L * 86400L * 1000000L / files
+        // one sequential write per time slice: FileStreamSource orders
+        // by modification time, so write order = event-time order and
+        // watermark-style progress is monotone across micro-batches
+        (0 until files).foreach { k =>
+          ev.filter(col("ts") >= timestamp_micros(lit(t00 + k * sliceUs)) &&
+              (if (k == files - 1) lit(true)
+               else col("ts") < timestamp_micros(lit(t00 + (k + 1) * sliceUs))))
+            .repartition(1)
+            .write.mode("append").parquet(dir.toString)
+        }
+        val schema = sp.read.parquet(dir.toString).schema
+        val src = graft.functions.EventTime.normalize(
+            sp.readStream.schema(schema)
+              .option("maxFilesPerTrigger", math.max(1, files / 5).toString)
+              .parquet(dir.toString), "ts")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .as[graft.streaming.EventPipeline.Ev](
+            org.apache.spark.sql.Encoders.product[graft.streaming.EventPipeline.Ev])
+        val writer = graft.streaming.EventPipeline
+          .sessionizeStateful(src, gapMinutes = 30)
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt.toString)
+          .format("noop")
+        // drainAndStop, not awaitTermination: ProcessingTimeTimeout
+        // state keeps shouldRunAnotherBatch true, so an AvailableNow
+        // query with pending session timeouts never self-terminates
+        // (see sessionizeStream scaladoc)
+        (() => { val q = writer.start()
+          require(graft.streaming.EventPipeline.drainAndStop(q, 600000L),
+            "stream did not drain") }, n)
       }))
   }
 
@@ -269,24 +344,47 @@ object Stress {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Shuffle partitioning at stress scale follows the sizing rule the
+    // 100 TB notes prescribe (SCALE.md): pick partition counts so
+    // per-partition aggregate state fits task memory — 4× the core
+    // count here (the bench keeps 32 for sf0.1, where 32 is already
+    // oversized). parallelismFirst=false + a 32 MB advisory size stop
+    // AQE from coalescing right back to one partition per core, which
+    // would rebuild the oversized reducer state this rule exists to
+    // avoid; small exchanges still coalesce to the advisory target.
+    val shufflePartitions = sys.env.getOrElse(
+      "SPARK_GRAFT_STRESS_SHUFFLE", (cpus.toInt * 4).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_STRESS_ADVISORY", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadavg1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble catch { case _: Throwable => -1.0 }
+    // external-contention baseline: the run itself drives the 1-min
+    // loadavg toward ~#cores once scenarios start, so only the
+    // PRE-RUN reading separates "slow box" from "own work"
+    val runStartLoad = loadavg1()
     val listener = new StressMetrics
     spark.sparkContext.addSparkListener(listener)
     val results = scenarios(scale)
       .filter(sc => only.forall(_.contains(sc.name)))
       .map { sc =>
         System.gc()
+        // build BEFORE the listener reset: streaming scenarios stage
+        // their source files in build, and those untimed staging jobs
+        // must not pollute the scenario's task metrics
+        val (action, inputRows) = sc.build(spark)
         listener.reset()
-        val (plan, inputRows) = sc.build(spark)
         val t0 = System.nanoTime()
-        plan.write.mode("overwrite").format("noop").save()
+        action()
         val wall = (System.nanoTime() - t0) / 1e9
         // listener events are delivered async (listenerBus is
         // private[spark]); poll until the task count stops moving
@@ -298,8 +396,15 @@ object Stress {
           if (now == last) settle += 1 else { settle = 0; last = now }
         }
         val m = listener.snapshot()
+        // 1-min loadavg at scenario END (self-load dominated) plus the
+        // pre-run baseline: wall seconds on a shared box are only
+        // interpretable next to the load they ran under (BENCHNOTES.md
+        // documents ±30% machine-state swings); the byte/skew/spill
+        // columns are load-invariant.
+        val load = loadavg1()
         val line =
           s"""{"scenario":"${sc.name}","input_rows":$inputRows,""" +
+          s""""loadavg":$load,"run_loadavg_start":$runStartLoad,""" +
           s""""wall_sec":${math.rint(wall * 100) / 100},""" +
           s""""rows_per_sec":${(inputRows / wall).toLong},""" +
           s""""shuffle_write_bytes":${m.shuffleWriteBytes},""" +

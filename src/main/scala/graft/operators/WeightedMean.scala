@@ -80,17 +80,20 @@ object WeightedMean {
         .agg(aggs.head, aggs.tail: _*)
     } else {
       val cellKeys = (Seq("time") ++ extraKeys ++ Seq("i", "j")).map(col)
+      // a cell has a null for v iff its non-null count trails its row
+      // count (__c_v < __n) — no separate has-null flag in the pre-agg
+      // buffer; the state/shuffle row stays 1 + 2·|vars| columns wide
       val cellAggs = count(lit(1)).as("__n") +: valueCols.flatMap(v => Seq(
         sum(col(v)).as(s"__s_$v"),           // sum over non-null
-        count(col(v)).as(s"__c_$v"),         // non-null count
-        max(col(v).isNull.cast("int")).as(s"__has_null_$v")))
+        count(col(v)).as(s"__c_$v")))        // non-null count
       val cells = grid.groupBy(cellKeys: _*).agg(cellAggs.head, cellAggs.tail: _*)
       val aggs = valueCols.map { v =>
         if (masked)
           (sum(col("wght") * col(s"__s_$v")) /
             sum(col("wght") * col(s"__c_$v"))).as(v)
         else
-          when(max(col(s"__has_null_$v")) === 1, lit(null).cast("double"))
+          when(max((col(s"__c_$v") < col("__n")).cast("int")) === 1,
+              lit(null).cast("double"))
             .otherwise(sum(col("wght") * col(s"__s_$v")) /
               sum(col("wght") * col("__n"))).as(v)
       }

@@ -438,7 +438,40 @@ object EventPipeline extends Serializable {
   /** [[sessionizeStateful]] over a bounded parquet stream (AvailableNow).
     * Emits CLOSED sessions (append mode); sessions still open when the
     * bounded stream ends stay in state — on an unbounded stream the
-    * processing-time timeout flushes them after the gap elapses. */
+    * processing-time timeout flushes them after the gap elapses.
+    *
+    * Termination caveat: with ProcessingTimeTimeout state pending,
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is always true,
+    * so even under Trigger.AvailableNow the query keeps running empty
+    * timeout-check batches after the source drains and NEVER
+    * self-terminates — and because every trigger still constructs a
+    * batch, `processAllAvailable()` never sees its no-new-data signal
+    * and hangs too. Drive bounded runs with [[drainAndStop]]. */
+  /** Run a bounded stateful stream to exhaustion and stop it. A
+    * ProcessingTimeTimeout query ([[sessionizeStream]]) never
+    * self-terminates and never signals `processAllAvailable` (see the
+    * scaladoc there), so "done" must be read from progress telemetry:
+    * a micro-batch with ZERO input rows can only run after the bounded
+    * file source is fully consumed, and batches are sequential, so
+    * every data batch before it has committed. Polls `recentProgress`
+    * for that empty batch, then stops the query. Returns true if the
+    * stream drained inside `timeoutMs` (false = caller's assertion
+    * should fail loudly rather than hang). */
+  def drainAndStop(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 120000L): Boolean = {
+    val t0 = System.currentTimeMillis()
+    var drained = false
+    while (!drained && q.isActive &&
+        System.currentTimeMillis() - t0 < timeoutMs) {
+      drained = q.recentProgress.exists(p =>
+        p.batchId > 0 && p.numInputRows == 0)
+      if (!drained) Thread.sleep(50)
+    }
+    q.stop()
+    drained || !q.isActive
+  }
+
   def sessionizeStream(
       spark: SparkSession, sourceDir: String,
       gapMinutes: Int): DataStreamWriter[Session] = {

@@ -16,10 +16,10 @@ class StressSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       Stress.scenarios(0.0005).foreach { sc =>
+        val (action, inputRows) = sc.build(spark)
         listener.reset()
-        val (plan, inputRows) = sc.build(spark)
         assert(inputRows > 0, sc.name)
-        plan.write.mode("overwrite").format("noop").save()
+        action()
         var last = -1; var stable = 0
         while (stable < 3) {
           Thread.sleep(100)

@@ -53,8 +53,11 @@ class EventPipelineSpec extends SparkSpec {
 
     val q = EventPipeline.sessionizeStream(spark, dir, gapMinutes = 30)
       .format("memory").queryName("sess_test").start()
-    q.awaitTermination(60000)
-    q.stop()
+    // drainAndStop, NOT awaitTermination/processAllAvailable:
+    // ProcessingTimeTimeout state keeps shouldRunAnotherBatch true, so
+    // an AvailableNow query never self-terminates and never raises the
+    // no-new-data signal processAllAvailable waits on
+    assert(EventPipeline.drainAndStop(q))
 
     val streamed = rows(spark.table("sess_test"))
     val batch = rows(EventPipeline.sessionize(spark.read.parquet(dir), gapMinutes = 30)
@@ -196,8 +199,7 @@ class EventPipelineSpec extends SparkSpec {
     ev.write.mode("overwrite").parquet(dir)
     val q = EventPipeline.sessionizeStream(spark, dir, gapMinutes = 30)
       .format("memory").queryName("sess_subms").start()
-    q.awaitTermination(60000)
-    q.stop()
+    assert(EventPipeline.drainAndStop(q))
     // closed sessions: event 1 alone (split by the 500µs-over gap),
     // then event 2 (closed by event 3)
     val closed = spark.table("sess_subms").orderBy("sess_id")
@@ -223,7 +225,7 @@ class EventPipelineSpec extends SparkSpec {
     val q1 = EventPipeline.sessionizeStream(spark, src, gapMinutes = 30)
       .option("checkpointLocation", ckpt).option("path", outDir)
       .format("parquet").start()
-    q1.awaitTermination(60000); q1.stop()
+    assert(EventPipeline.drainAndStop(q1))
     assert(readOut().isEmpty)
     // RUN 2 (new query instance, same checkpoint — the file sink DOES
     // support checkpoint recovery): one continuing event + a far-future
@@ -235,7 +237,7 @@ class EventPipelineSpec extends SparkSpec {
     val q2 = EventPipeline.sessionizeStream(spark, src, gapMinutes = 30)
       .option("checkpointLocation", ckpt).option("path", outDir)
       .format("parquet").start()
-    q2.awaitTermination(60000); q2.stop()
+    assert(EventPipeline.drainAndStop(q2))
     val out = readOut().collect()
     // the emitted session SPANS BOTH RUNS (3 events from 10:00) — only
     // possible if run 2 recovered run 1's open-session state from the
