@@ -240,6 +240,35 @@ object SparkEntry {
       d.toString
     })
 
+  /** Two-file documents stream for q107: the original table, then a
+    * second file carrying THE SAME TEXTS under shifted doc_ids, with
+    * modification times forcing that arrival order (FileStreamSource
+    * delivers in mtime order). Read with `maxFilesPerTrigger = 1` the
+    * copies arrive in a LATER micro-batch than the originals, so
+    * dropping them requires the dedup state to have crossed the batch
+    * boundary through the state store — a single-batch hash table
+    * cannot pass this query. */
+  private def docsDedupStreamDir(s: SparkSession, dir: String): String =
+    streamSrcDirs.getOrElseUpdate("dedup:" + dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_dedup_")
+      val f0 = d.resolve("0_documents.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"), f0)
+      val scratch =
+        java.nio.file.Files.createTempDirectory("graft_stream_dedup_w_")
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = scratch.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val f1 = d.resolve("1_documents_copy.parquet")
+      java.nio.file.Files.move(part.toPath, f1)
+      // strict mtime order: originals strictly before copies
+      f0.toFile.setLastModified(f1.toFile.lastModified() - 60000L)
+      d.toFile.deleteOnExit()
+      d.toString
+    })
+
   /** Run a bounded (AvailableNow) streaming writer to completion
     * through the memory sink and return its result table — the seam
     * that puts REAL Structured Streaming executions (stateful windowed
@@ -1694,6 +1723,20 @@ object SparkEntry {
         EventPipeline.sessionWindowsStream(s, eventsStreamDir(dir),
           gapMinutes = 30))),
 
+    // ---- STREAMING exact dedup on the oracle surface: the original
+    // documents arrive in micro-batch 0 and a full duplicate copy
+    // (same texts, shifted ids) in micro-batch 1 (two files,
+    // maxFilesPerTrigger=1, mtime-ordered), so every copy must be
+    // dropped against STATE-STORE state from the previous batch. The
+    // surviving set projects to the distinct texts; which duplicate
+    // doc_id survives is arrival-order-defined, so the oracle checks
+    // the well-defined column ----
+    "q107_dedup_stream" -> ((s, dir) =>
+      runStreamToTable(s,
+        EventPipeline.dedupDocStream(s, docsDedupStreamDir(s, dir),
+          maxFilesPerTrigger = Some(1)))
+        .select(col("text"))),
+
     // ---- REAL BPE tokenization on the oracle surface: documents →
     // GPT-2-format vocab/merges fixture → per-doc token count and a
     // position-weighted checksum (Σ id_i·i, 1-based) proving token
@@ -2316,6 +2359,13 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // q107: the streaming dedup passes exactly one survivor per
+    // distinct text — batch-1 copies (and the corpus's own intra-file
+    // repeats) all dropped. Any cross-batch state loss doubles ~every
+    // text and fails the hash.
+    "q107_dedup_stream" ->
+      "SELECT DISTINCT text FROM documents",
 
     // q39: bbox + shoelace centroid computed directly from the quad's
     // coordinates — same fold order (edges in vertex order, 0.0-seeded

@@ -22,10 +22,22 @@ object EventPipeline extends Serializable {
     * and the Timestamp-typed case-class encoders below are
     * encoding-proof, like the batch loaders. */
   private def streamSource(
-      spark: SparkSession, sourceDir: String, tsCols: String*): DataFrame = {
+      spark: SparkSession, sourceDir: String, tsCols: String*): DataFrame =
+    pacedStreamSource(spark, sourceDir, None, tsCols: _*)
+
+  /** [[streamSource]] with an explicit files-per-micro-batch cap —
+    * `Some(1)` on a multi-file directory forces the query through
+    * SEVERAL micro-batches, so operator state provably crosses batch
+    * boundaries through the state store instead of resolving inside
+    * one batch's hash table. */
+  private def pacedStreamSource(
+      spark: SparkSession, sourceDir: String,
+      maxFilesPerTrigger: Option[Int], tsCols: String*): DataFrame = {
     val schema = spark.read.parquet(sourceDir).schema
-    graft.functions.EventTime.normalize(
-      spark.readStream.schema(schema).parquet(sourceDir), tsCols: _*)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    graft.functions.EventTime.normalize(reader.parquet(sourceDir), tsCols: _*)
   }
 
   /** Tumbling-window aggregate (batch form): events per (hour, type)
@@ -132,12 +144,14 @@ object EventPipeline extends Serializable {
       spark: SparkSession, sourceDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       tsCol: Option[String] = None,
-      watermarkHorizon: Option[String] = None): DataStreamWriter[Row] = {
+      watermarkHorizon: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataStreamWriter[Row] = {
     require(watermarkHorizon.isEmpty || tsCol.isDefined,
       "watermarkHorizon needs tsCol: a horizon without an event-time " +
         "column would silently fall back to unbounded state — the " +
         "exact failure the horizon exists to prevent")
-    val in = streamSource(spark, sourceDir, tsCol.toSeq: _*)
+    val in = pacedStreamSource(spark, sourceDir, maxFilesPerTrigger,
+      tsCol.toSeq: _*)
       .withColumn("__h", xxhash64(col(textCol)))
       .withColumn("__len", length(col(textCol)))
     val deduped = (tsCol, watermarkHorizon) match {

@@ -268,6 +268,37 @@ class EventPipelineSpec extends SparkSpec {
       Set(Seq("alpha beta"), Seq("gamma"), Seq("delta")))
   }
 
+  test("streaming doc dedup drops duplicates ACROSS micro-batches (q107 shape)") {
+    val base = Files.createTempDirectory("graft-dedup-xbatch").toString
+    // two one-file arrivals: originals, then a duplicate text under a
+    // new id — mtime-ordered so FileStreamSource delivers them in that
+    // order, and maxFilesPerTrigger=1 puts them in SEPARATE batches
+    val a = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val b = Seq((9L, "alpha"), (3L, "gamma")).toDF("doc_id", "text")
+    a.coalesce(1).write.parquet(s"$base/src/part=a")
+    b.coalesce(1).write.parquet(s"$base/src/part=b")
+    new java.io.File(s"$base/src/part=a").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => f.setLastModified(f.lastModified() - 60000L))
+
+    val q = EventPipeline.dedupDocStream(spark, s"$base/src",
+        maxFilesPerTrigger = Some(1))
+      .format("memory").queryName("dedup_xbatch").start()
+    q.awaitTermination(60000)
+    q.stop()
+
+    // the duplicate really did arrive in a LATER batch than its
+    // original — dropping it required state-store state, not an
+    // in-batch hash table
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    val kept = spark.table("dedup_xbatch")
+    assert(kept.count() === 3)
+    // survivor identity is deterministic here BECAUSE the batches are
+    // ordered: batch-0's id 1 holds "alpha", batch-1's id 9 is dropped
+    assert(rows(kept.select($"doc_id", $"text")) ===
+      Set(Seq(1L, "alpha"), Seq(2L, "beta"), Seq(3L, "gamma")))
+  }
+
   test("streaming admission == per-file batch admitIncrement (shared state)") {
     import graft.operators.Dedup
     val base = Files.createTempDirectory("graft-admit-parity").toString
