@@ -240,6 +240,40 @@ object SparkEntry {
       d.toString
     })
 
+  /** Events staged as `files` event-time-ordered slice files with
+    * ascending modification times — read with `maxFilesPerTrigger = 1`
+    * the stream delivers them over SEVERAL micro-batches in event-time
+    * order (monotone watermark progress, no late drops), so q108's
+    * stream-stream join pairs spanning a slice boundary must flow
+    * through join STATE retained across batches. Slices partition the
+    * table exactly (last slice takes the catch-all upper bound). */
+  private def eventsSlicedStreamDir(
+      s: SparkSession, dir: String, files: Int = 4): String =
+    streamSrcDirs.getOrElseUpdate(s"sliced$files:" + dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_sliced_")
+      val ev = events(s, dir)
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val span = math.max(1L, (hi - lo) / files + 1)
+      val base = System.currentTimeMillis()
+      (0 until files).foreach { k =>
+        val scratch =
+          java.nio.file.Files.createTempDirectory("graft_stream_sliced_w_")
+        ev.filter(unix_micros(col("ts")) >= lit(lo + k * span) &&
+            (if (k == files - 1) lit(true)
+             else unix_micros(col("ts")) < lit(lo + (k + 1) * span)))
+          .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = scratch.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val f = d.resolve(f"$k%02d_events.parquet")
+        java.nio.file.Files.move(part.toPath, f)
+        f.toFile.setLastModified(base - (files - k).toLong * 60000L)
+      }
+      d.toFile.deleteOnExit()
+      d.toString
+    })
+
   /** Two-file documents stream for q107: the original table, then a
     * second file carrying THE SAME TEXTS under shifted doc_ids, with
     * modification times forcing that arrival order (FileStreamSource
@@ -1737,6 +1771,24 @@ object SparkEntry {
           maxFilesPerTrigger = Some(1)))
         .select(col("text"))),
 
+    // ---- STREAMING unkeyed proximity join on the oracle surface: the
+    // q47 semantics (every error event ⋈ every event within ±5 min)
+    // under the stream-stream bin-equality join, with the events table
+    // arriving as four event-time-ordered slices in four micro-batches
+    // — pairs spanning a slice boundary only exist if the join state
+    // survived the boundary. The pair set is then aggregated exactly
+    // like q47, so the streaming engine must reproduce the batch
+    // oracle's numbers ----
+    "q108_proximity_stream" -> ((s, dir) =>
+      runStreamToTable(s,
+        EventPipeline.proximityJoinStream(s,
+          eventsSlicedStreamDir(s, dir), leftType = "error",
+          radiusUs = 5L * 60 * 1000000, maxFilesPerTrigger = Some(1)))
+        .groupBy(col("l_id").as("event_id"))
+        .agg(count(lit(1)).as("n_nearby"),
+          sum(col("r_value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))),
+
     // ---- REAL BPE tokenization on the oracle surface: documents →
     // GPT-2-format vocab/merges fixture → per-doc token count and a
     // position-weighted checksum (Σ id_i·i, 1-based) proving token
@@ -2366,6 +2418,19 @@ object SparkEntry {
     // text and fails the hash.
     "q107_dedup_stream" ->
       "SELECT DISTINCT text FROM documents",
+
+    // q108: q47's oracle verbatim — the streaming bin-equality join
+    // over four time-sliced micro-batches must reproduce the batch
+    // ±5-minute pair set exactly (any pair lost at a slice boundary
+    // changes a count/sum and fails the hash).
+    "q108_proximity_stream" ->
+      """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |           FROM events WHERE event_type = 'error'),
+        |a AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t2, value FROM events)
+        |SELECT e.event_id, count(*) AS n_nearby,
+        |  CAST(sum(CAST(a.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM e JOIN a ON abs(a.t2 - e.t) <= 300000000
+        |GROUP BY e.event_id""".stripMargin,
 
     // q39: bbox + shoelace centroid computed directly from the quad's
     // coordinates — same fold order (edges in vertex order, 0.0-seeded

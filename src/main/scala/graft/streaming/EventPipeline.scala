@@ -240,10 +240,11 @@ object EventPipeline extends Serializable {
   def proximityJoinStream(
       spark: SparkSession, sourceDir: String,
       leftType: String, radiusUs: Long,
-      watermark: String = "1 hour"): DataStreamWriter[Row] = {
+      watermark: String = "1 hour",
+      maxFilesPerTrigger: Option[Int] = None): DataStreamWriter[Row] = {
     require(radiusUs > 0, "radius must be positive")
     val w = 2 * radiusUs
-    val src = streamSource(spark, sourceDir, "ts")
+    val src = pacedStreamSource(spark, sourceDir, maxFilesPerTrigger, "ts")
     val left = src.filter(col("event_type") === leftType)
       .select(col("event_id").as("l_id"), col("ts").as("l_ts"))
       .withWatermark("l_ts", watermark)
