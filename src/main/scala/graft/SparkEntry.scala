@@ -312,7 +312,7 @@ object SparkEntry {
     * stream, never read a previous trial's sink). */
   private def runStreamToTable(
       s: SparkSession,
-      w: org.apache.spark.sql.streaming.DataStreamWriter[Row]): DataFrame = {
+      w: org.apache.spark.sql.streaming.DataStreamWriter[_]): DataFrame = {
     val name = s"graft_stream_out_${streamSeq.incrementAndGet()}"
     val q = w.format("memory").queryName(name).start()
     q.awaitTermination()
@@ -1789,6 +1789,18 @@ object SparkEntry {
           sum(col("r_value").cast("decimal(18,6)")).cast("double")
             .as("sum_value"))),
 
+    // ---- STREAMING stateful as-of enrichment on the oracle surface:
+    // the custom flatMapGroupsWithState engine (per-user latest-view
+    // state, O(keys)) over the four time-sliced micro-batches — a
+    // click whose matching view arrived in an EARLIER batch can only
+    // be enriched from the state store. Same tie semantics as the q42
+    // batch operator, so the oracle is q42's ASOF JOIN with the
+    // AsofOut column names ----
+    "q109_asof_stream" -> ((s, dir) =>
+      runStreamToTable(s,
+        EventPipeline.asofStream(s, eventsSlicedStreamDir(s, dir),
+          maxFilesPerTrigger = Some(1)))),
+
     // ---- REAL BPE tokenization on the oracle surface: documents →
     // GPT-2-format vocab/merges fixture → per-doc token count and a
     // position-weighted checksum (Σ id_i·i, 1-based) proving token
@@ -2431,6 +2443,22 @@ object SparkEntry {
         |  CAST(sum(CAST(a.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM e JOIN a ON abs(a.t2 - e.t) <= 300000000
         |GROUP BY e.event_id""".stripMargin,
+
+    // q109: q42's ASOF JOIN oracle with the streaming operator's
+    // output column names — the per-user latest-view STATE must
+    // deliver exactly what the batch whole-timeline sort delivers.
+    "q109_asof_stream" ->
+      """WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, event_id AS r_event_id,
+        |             CAST(ts AS TIMESTAMP) AS r_ts, value AS r_value
+        |      FROM events WHERE event_type = 'view'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY event_id DESC) = 1)
+        |SELECT l.user_id, l.event_id, l.ts, l.value,
+        |       r.r_event_id, r.r_ts, r.r_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.r_ts""".stripMargin,
 
     // q39: bbox + shoelace centroid computed directly from the quad's
     // coordinates — same fold order (edges in vertex order, 0.0-seeded

@@ -347,9 +347,10 @@ object EventPipeline extends Serializable {
   /** [[asofStateful]] over a bounded parquet stream: clicks enriched
     * with the latest view at-or-before, per user. */
   def asofStream(
-      spark: SparkSession, sourceDir: String): DataStreamWriter[AsofOut] = {
+      spark: SparkSession, sourceDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataStreamWriter[AsofOut] = {
     implicit val te = Encoders.product[Tagged]
-    val tagged = streamSource(spark, sourceDir, "ts")
+    val tagged = pacedStreamSource(spark, sourceDir, maxFilesPerTrigger, "ts")
       .filter(col("event_type").isin("click", "view"))
       .select(col("user_id"), col("ts"), col("event_id"), col("value"),
         when(col("event_type") === "view", 0).otherwise(1).as("side"))
