@@ -252,17 +252,24 @@ object SparkEntry {
     streamSrcDirs.getOrElseUpdate(s"sliced$files:" + dir, {
       val d = java.nio.file.Files.createTempDirectory("graft_stream_sliced_")
       val ev = events(s, dir)
-      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-        max(unix_micros(col("ts"))).as("hi")).head()
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val span = math.max(1L, (hi - lo) / files + 1)
+      val n = ev.count()
+      // equal-COUNT slices on the (ts, event_id) rank, not equal-width
+      // time windows: the events table is bursty, so uniform-time cuts
+      // land in empty gaps and almost no q108 pair or q109 lookback
+      // would actually span a boundary — rank cuts fall between
+      // ADJACENT events, putting boundaries inside dense regions.
+      // (Rank cuts CAN split equal-ts rows across slices, which would
+      // break q109's right-before-left tie rule across a batch
+      // boundary; the events tables carry no same-user equal-ts pairs
+      // at any SF, so the cut order is tie-free here.)
+      val ranked = ev.withColumn("__rk", row_number().over(
+        Window.orderBy(col("ts"), col("event_id"))))
       val base = System.currentTimeMillis()
       (0 until files).foreach { k =>
         val scratch =
           java.nio.file.Files.createTempDirectory("graft_stream_sliced_w_")
-        ev.filter(unix_micros(col("ts")) >= lit(lo + k * span) &&
-            (if (k == files - 1) lit(true)
-             else unix_micros(col("ts")) < lit(lo + (k + 1) * span)))
+        ranked.filter(expr(s"((__rk - 1) * $files) DIV ${math.max(1L, n)} = $k"))
+          .drop("__rk")
           .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
         val part = scratch.toFile.listFiles()
           .filter(_.getName.endsWith(".parquet")).head
@@ -314,8 +321,16 @@ object SparkEntry {
       s: SparkSession,
       w: org.apache.spark.sql.streaming.DataStreamWriter[_]): DataFrame = {
     val name = s"graft_stream_out_${streamSeq.incrementAndGet()}"
-    val q = w.format("memory").queryName(name).start()
-    q.awaitTermination()
+    // Streaming state partitioning is a DEPLOYMENT parameter (fixed at
+    // the checkpoint's first batch): each store partition pays a
+    // commit+snapshot per micro-batch, so partitions are sized to the
+    // per-batch state volume — tiny here — not to the batch session's
+    // scan parallelism. Fresh temp checkpoint per run, so the setting
+    // binds cleanly; restored before the batch plan resumes.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try w.format("memory").queryName(name).start().awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
     // detach the result from the sink before returning: the memory
     // sink's temp view pins the full result buffer in the session
     // catalog forever — bench trials would accumulate one per
@@ -324,6 +339,28 @@ object SparkEntry {
     val out = s.table(name).localCheckpoint(eager = true)
     s.catalog.dropTempView(name)
     out
+  }
+
+  /** [[runStreamToTable]] for row-heavy append streams (q108's raw
+    * pair set): the FILE sink keeps the result distributed — the
+    * memory sink would collect every output row to the driver, which
+    * is exactly the driver-side materialization this engine bans on
+    * surfaces whose volume grows with data scale. Exactly-once via the
+    * file sink's commit manifest; the returned frame reads back
+    * through it. */
+  private def runStreamToParquet(
+      s: SparkSession,
+      w: org.apache.spark.sql.streaming.DataStreamWriter[_]): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_sink_")
+    d.toFile.deleteOnExit()
+    val (out, ckpt) = (d.resolve("out"), d.resolve("ckpt"))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try w.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .start().awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(out.toString)
   }
 
   // ---- derived gridmet-shaped inputs over the synthetic tables ----
@@ -1780,7 +1817,7 @@ object SparkEntry {
     // like q47, so the streaming engine must reproduce the batch
     // oracle's numbers ----
     "q108_proximity_stream" -> ((s, dir) =>
-      runStreamToTable(s,
+      runStreamToParquet(s,
         EventPipeline.proximityJoinStream(s,
           eventsSlicedStreamDir(s, dir), leftType = "error",
           radiusUs = 5L * 60 * 1000000, maxFilesPerTrigger = Some(1)))
