@@ -328,10 +328,58 @@ object Stress {
         // state keeps shouldRunAnotherBatch true, so an AvailableNow
         // query with pending session timeouts never self-terminates
         // (see sessionizeStream scaladoc)
-        (() => { val q = writer.start()
+        (() => withStatePartitions(sp) { val q = writer.start()
           require(graft.streaming.EventPipeline.drainAndStop(q, 600000L),
             "stream did not drain") }, n)
+      }),
+      Scenario("proximity_join_stream", sp => {
+        // The STREAM-STREAM unkeyed interval join under a REAL bounded
+        // stream: 5M events as 20 time-ordered files, several per
+        // micro-batch, so both legs' join state crosses batch
+        // boundaries. Unlike the O(users) session state, EVERY event
+        // passes through both sides' state stores (insert, probe,
+        // watermark-evict) — this measures that churn, the honest cost
+        // of stream-stream joins, plus the ~50k-error × ±1s pair
+        // output. Termination is native AvailableNow (watermark-only
+        // state; no ProcessingTimeTimeout, so no drain helper needed).
+        val n = s(5000000)
+        val users = math.max(100L, n / 50)
+        val dir = java.nio.file.Files.createTempDirectory("graft_stress_pjs_")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stress_pjc_")
+        dir.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
+        val files = if (n >= 1000000L) 20 else 4
+        val ev = events(sp, n, users, days = 30)
+        val t00 = 1600000000L * 1000000L
+        val sliceUs = 30L * 86400L * 1000000L / files
+        (0 until files).foreach { k =>
+          ev.filter(col("ts") >= timestamp_micros(lit(t00 + k * sliceUs)) &&
+              (if (k == files - 1) lit(true)
+               else col("ts") < timestamp_micros(lit(t00 + (k + 1) * sliceUs))))
+            .repartition(1)
+            .write.mode("append").parquet(dir.toString)
+        }
+        val writer = graft.streaming.EventPipeline.proximityJoinStream(
+            sp, dir.toString, leftType = "error", radiusUs = 1000000L,
+            maxFilesPerTrigger = Some(math.max(1, files / 5)))
+          .option("checkpointLocation", ckpt.toString)
+          .format("noop")
+        (() => withStatePartitions(sp) {
+          writer.start().awaitTermination() }, n)
       }))
+  }
+
+  /** Run `body` with streaming-sized shuffle partitions. State-store
+    * partitioning is a deployment parameter fixed at the checkpoint's
+    * first batch, and each store partition pays a commit+snapshot per
+    * micro-batch — so streaming scenarios size partitions to per-batch
+    * STATE volume (a few MB here), not to the 4×-cores rule the batch
+    * scenarios use for shuffle/agg state. Mirrors the q105–q109
+    * harness (SparkEntry.runStreamToTable). */
+  private def withStatePartitions(sp: SparkSession, n: Int = 16)(
+      body: => Unit): Unit = {
+    val prev = sp.conf.get("spark.sql.shuffle.partitions")
+    sp.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally sp.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** WeightedMean without preCombine (named so both forms read clearly
