@@ -252,27 +252,36 @@ object SparkEntry {
     streamSrcDirs.getOrElseUpdate(s"sliced$files:" + dir, {
       val d = java.nio.file.Files.createTempDirectory("graft_stream_sliced_")
       val ev = events(s, dir)
-      val n = ev.count()
       // equal-COUNT slices on the (ts, event_id) rank, not equal-width
       // time windows: the events table is bursty, so uniform-time cuts
       // land in empty gaps and almost no q108 pair or q109 lookback
       // would actually span a boundary — rank cuts fall between
       // ADJACENT events, putting boundaries inside dense regions.
-      // (Rank cuts CAN split equal-ts rows across slices, which would
+      // Rank cuts CAN split equal-ts rows across slices, which would
       // break q109's right-before-left tie rule across a batch
-      // boundary; the events tables carry no same-user equal-ts pairs
-      // at any SF, so the cut order is tie-free here.)
-      val ranked = ev.withColumn("__rk", row_number().over(
-        Window.orderBy(col("ts"), col("event_id"))))
+      // boundary — asserted absent below, so a future testdata regen
+      // that introduces a same-user equal-ts pair fails HERE by name
+      // instead of as a silent oracle divergence.
+      require(ev.groupBy(col("user_id"), col("ts")).count()
+          .filter(col("count") > 1).isEmpty,
+        "events table carries same-user equal-ts rows: rank-cut " +
+          "slices could split such a tie across micro-batches and " +
+          "break the as-of right-before-left rule (q109)")
+      // ntile = equal-count buckets without a separate count() (and
+      // without the int-overflow a rank*files product would hit above
+      // ~2^31/files rows); ONE pass writes every slice via partitionBy
+      // (global-window output is a single partition, so one file per
+      // slice directory).
+      val w = Window.orderBy(col("ts"), col("event_id"))
+      val scratch =
+        java.nio.file.Files.createTempDirectory("graft_stream_sliced_w_")
+      ev.withColumn("__slice", ntile(files).over(w) - 1)
+        .write.mode("overwrite").partitionBy("__slice")
+        .parquet(scratch.toString)
       val base = System.currentTimeMillis()
       (0 until files).foreach { k =>
-        val scratch =
-          java.nio.file.Files.createTempDirectory("graft_stream_sliced_w_")
-        ranked.filter(expr(s"((__rk - 1) * $files) DIV ${math.max(1L, n)} = $k"))
-          .drop("__rk")
-          .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-        val part = scratch.toFile.listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
+        val part = new java.io.File(scratch.toFile, s"__slice=$k")
+          .listFiles().filter(_.getName.endsWith(".parquet")).head
         val f = d.resolve(f"$k%02d_events.parquet")
         java.nio.file.Files.move(part.toPath, f)
         f.toFile.setLastModified(base - (files - k).toLong * 60000L)
@@ -317,20 +326,32 @@ object SparkEntry {
     * DuckDB oracle surface instead of leaving them spec-pinned only.
     * Each call gets a fresh sink table (bench trials re-execute the
     * stream, never read a previous trial's sink). */
+  /** Run `body` (a bounded streaming execution) with streaming-sized
+    * shuffle partitions, restoring the session value after. Streaming
+    * state partitioning is a DEPLOYMENT parameter (fixed at the
+    * checkpoint's first batch): each store partition pays a
+    * commit+snapshot per micro-batch, so partitions are sized to the
+    * per-batch state volume — a few MB here — not to the batch
+    * session's scan parallelism. Fresh temp checkpoint per run, so the
+    * setting binds cleanly. */
+  private def withStreamShufflePartitions[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Bounded streaming execution through the MEMORY sink — for
+    * Complete-mode aggregates only (q105/q106), whose result is
+    * re-emitted whole each batch and is the aggregate, not the stream;
+    * the file sink cannot take Complete mode. Append-mode streams with
+    * row-proportional output go through [[runStreamToParquet]]. */
   private def runStreamToTable(
       s: SparkSession,
       w: org.apache.spark.sql.streaming.DataStreamWriter[_]): DataFrame = {
     val name = s"graft_stream_out_${streamSeq.incrementAndGet()}"
-    // Streaming state partitioning is a DEPLOYMENT parameter (fixed at
-    // the checkpoint's first batch): each store partition pays a
-    // commit+snapshot per micro-batch, so partitions are sized to the
-    // per-batch state volume — tiny here — not to the batch session's
-    // scan parallelism. Fresh temp checkpoint per run, so the setting
-    // binds cleanly; restored before the batch plan resumes.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try w.format("memory").queryName(name).start().awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    withStreamShufflePartitions(s) {
+      w.format("memory").queryName(name).start().awaitTermination()
+    }
     // detach the result from the sink before returning: the memory
     // sink's temp view pins the full result buffer in the session
     // catalog forever — bench trials would accumulate one per
@@ -341,11 +362,11 @@ object SparkEntry {
     out
   }
 
-  /** [[runStreamToTable]] for row-heavy append streams (q108's raw
-    * pair set): the FILE sink keeps the result distributed — the
-    * memory sink would collect every output row to the driver, which
-    * is exactly the driver-side materialization this engine bans on
-    * surfaces whose volume grows with data scale. Exactly-once via the
+  /** Bounded streaming execution through the FILE sink — the scale
+    * path for Append-mode output whose volume grows with the data
+    * (q107's surviving corpus, q108's pair set, q109's enriched
+    * clicks): rows stay distributed instead of collecting to the
+    * driver through the memory sink's buffer. Exactly-once via the
     * file sink's commit manifest; the returned frame reads back
     * through it. */
   private def runStreamToParquet(
@@ -354,12 +375,11 @@ object SparkEntry {
     val d = java.nio.file.Files.createTempDirectory("graft_stream_sink_")
     d.toFile.deleteOnExit()
     val (out, ckpt) = (d.resolve("out"), d.resolve("ckpt"))
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try w.format("parquet").option("path", out.toString)
-      .option("checkpointLocation", ckpt.toString)
-      .start().awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    withStreamShufflePartitions(s) {
+      w.format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .start().awaitTermination()
+    }
     s.read.parquet(out.toString)
   }
 
@@ -1803,7 +1823,7 @@ object SparkEntry {
     // doc_id survives is arrival-order-defined, so the oracle checks
     // the well-defined column ----
     "q107_dedup_stream" -> ((s, dir) =>
-      runStreamToTable(s,
+      runStreamToParquet(s,
         EventPipeline.dedupDocStream(s, docsDedupStreamDir(s, dir),
           maxFilesPerTrigger = Some(1)))
         .select(col("text"))),
@@ -1834,7 +1854,7 @@ object SparkEntry {
     // batch operator, so the oracle is q42's ASOF JOIN with the
     // AsofOut column names ----
     "q109_asof_stream" -> ((s, dir) =>
-      runStreamToTable(s,
+      runStreamToParquet(s,
         EventPipeline.asofStream(s, eventsSlicedStreamDir(s, dir),
           maxFilesPerTrigger = Some(1)))),
 

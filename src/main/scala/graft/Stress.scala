@@ -101,6 +101,33 @@ object Stress {
         .otherwise(lit("view")).as("event_type"))
   }
 
+  /** Stage `n` generated events as time-ordered source files for the
+    * streaming scenarios (shared by sessionize_stateful_stream and
+    * proximity_join_stream so their source shapes cannot drift):
+    * 20 slices at full scale, one sequential write per time slice —
+    * FileStreamSource orders by modification time, so write order =
+    * event-time order and watermark progress is monotone across
+    * micro-batches. Returns (sourceDir, checkpointDir, files). */
+  private def stageTimeSlicedEvents(
+      sp: SparkSession, n: Long): (String, String, Int) = {
+    val users = math.max(100L, n / 50)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_stream_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stress_ckpt_")
+    dir.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
+    val files = if (n >= 1000000L) 20 else 4
+    val ev = events(sp, n, users, days = 30)
+    val t00 = 1600000000L * 1000000L
+    val sliceUs = 30L * 86400L * 1000000L / files
+    (0 until files).foreach { k =>
+      ev.filter(col("ts") >= timestamp_micros(lit(t00 + k * sliceUs)) &&
+          (if (k == files - 1) lit(true)
+           else col("ts") < timestamp_micros(lit(t00 + (k + 1) * sliceUs))))
+        .repartition(1)
+        .write.mode("append").parquet(dir.toString)
+    }
+    (dir.toString, ckpt.toString, files)
+  }
+
   /** gridmet-shaped raster: `cells` (i,j) cells × `days` timesteps ×
     * `dup` rows per cell (dup=1 = true raster), `ens` members.
     * 3 value columns; ~1/2000 of cells carry a null (the missing-cell
@@ -291,29 +318,12 @@ object Stress {
         // not O(events), and throughput is state-store-bound, not
         // scan-bound.
         val n = s(5000000)
-        val users = math.max(100L, n / 50)
-        val dir = java.nio.file.Files.createTempDirectory("graft_stress_stream_")
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_stress_ckpt_")
-        dir.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
-        val files = if (n >= 1000000L) 20 else 4
-        val ev = events(sp, n, users, days = 30)
-        val t00 = 1600000000L * 1000000L
-        val sliceUs = 30L * 86400L * 1000000L / files
-        // one sequential write per time slice: FileStreamSource orders
-        // by modification time, so write order = event-time order and
-        // watermark-style progress is monotone across micro-batches
-        (0 until files).foreach { k =>
-          ev.filter(col("ts") >= timestamp_micros(lit(t00 + k * sliceUs)) &&
-              (if (k == files - 1) lit(true)
-               else col("ts") < timestamp_micros(lit(t00 + (k + 1) * sliceUs))))
-            .repartition(1)
-            .write.mode("append").parquet(dir.toString)
-        }
-        val schema = sp.read.parquet(dir.toString).schema
+        val (dir, ckpt, files) = stageTimeSlicedEvents(sp, n)
+        val schema = sp.read.parquet(dir).schema
         val src = graft.functions.EventTime.normalize(
             sp.readStream.schema(schema)
               .option("maxFilesPerTrigger", math.max(1, files / 5).toString)
-              .parquet(dir.toString), "ts")
+              .parquet(dir), "ts")
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
           .as[graft.streaming.EventPipeline.Ev](
             org.apache.spark.sql.Encoders.product[graft.streaming.EventPipeline.Ev])
@@ -322,7 +332,7 @@ object Stress {
           .writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt.toString)
+          .option("checkpointLocation", ckpt)
           .format("noop")
         // drainAndStop, not awaitTermination: ProcessingTimeTimeout
         // state keeps shouldRunAnotherBatch true, so an AvailableNow
@@ -343,25 +353,11 @@ object Stress {
         // output. Termination is native AvailableNow (watermark-only
         // state; no ProcessingTimeTimeout, so no drain helper needed).
         val n = s(5000000)
-        val users = math.max(100L, n / 50)
-        val dir = java.nio.file.Files.createTempDirectory("graft_stress_pjs_")
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_stress_pjc_")
-        dir.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
-        val files = if (n >= 1000000L) 20 else 4
-        val ev = events(sp, n, users, days = 30)
-        val t00 = 1600000000L * 1000000L
-        val sliceUs = 30L * 86400L * 1000000L / files
-        (0 until files).foreach { k =>
-          ev.filter(col("ts") >= timestamp_micros(lit(t00 + k * sliceUs)) &&
-              (if (k == files - 1) lit(true)
-               else col("ts") < timestamp_micros(lit(t00 + (k + 1) * sliceUs))))
-            .repartition(1)
-            .write.mode("append").parquet(dir.toString)
-        }
+        val (dir, ckpt, files) = stageTimeSlicedEvents(sp, n)
         val writer = graft.streaming.EventPipeline.proximityJoinStream(
-            sp, dir.toString, leftType = "error", radiusUs = 1000000L,
+            sp, dir, leftType = "error", radiusUs = 1000000L,
             maxFilesPerTrigger = Some(math.max(1, files / 5)))
-          .option("checkpointLocation", ckpt.toString)
+          .option("checkpointLocation", ckpt)
           .format("noop")
         (() => withStatePartitions(sp) {
           writer.start().awaitTermination() }, n)
@@ -372,9 +368,11 @@ object Stress {
     * partitioning is a deployment parameter fixed at the checkpoint's
     * first batch, and each store partition pays a commit+snapshot per
     * micro-batch — so streaming scenarios size partitions to per-batch
-    * STATE volume (a few MB here), not to the 4×-cores rule the batch
-    * scenarios use for shuffle/agg state. Mirrors the q105–q109
-    * harness (SparkEntry.runStreamToTable). */
+    * STATE volume, not to the 4×-cores rule the batch scenarios use
+    * for shuffle/agg state. Same RULE as the q105–q109 harness
+    * (SparkEntry.withStreamShufflePartitions, which picks 8 for its
+    * few-MB sf0.1 states); the stress streams carry ~10× that state,
+    * hence 16. */
   private def withStatePartitions(sp: SparkSession, n: Int = 16)(
       body: => Unit): Unit = {
     val prev = sp.conf.get("spark.sql.shuffle.partitions")
