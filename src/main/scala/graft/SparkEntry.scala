@@ -1801,18 +1801,21 @@ object SparkEntry {
     // watermark → windowed agg → memory sink, AvailableNow) run to
     // completion and compared against the plain batch SQL — the
     // streaming engine itself becomes oracle-checked, not merely
-    // batch-parity spec-pinned ----
+    // batch-parity spec-pinned. Like q107–q109, the source arrives as
+    // four time-sliced files in four micro-batches, so groups/sessions
+    // accumulate and MERGE across batch boundaries through state ----
     "q105_tumbling_stream" -> ((s, dir) =>
       runStreamToTable(s,
-        EventPipeline.tumblingCountsStream(s, eventsStreamDir(dir)))),
+        EventPipeline.tumblingCountsStream(s, eventsSlicedStreamDir(s, dir),
+          maxFilesPerTrigger = Some(1)))),
 
     // ---- STREAMING session_window on the oracle surface: native
     // session-window state merging under the streaming engine, checked
     // against the batch gap-sessionization SQL (q40's oracle) ----
     "q106_session_window_stream" -> ((s, dir) =>
       runStreamToTable(s,
-        EventPipeline.sessionWindowsStream(s, eventsStreamDir(dir),
-          gapMinutes = 30))),
+        EventPipeline.sessionWindowsStream(s, eventsSlicedStreamDir(s, dir),
+          gapMinutes = 30, maxFilesPerTrigger = Some(1)))),
 
     // ---- STREAMING exact dedup on the oracle surface: the original
     // documents arrive in micro-batch 0 and a full duplicate copy

@@ -54,8 +54,10 @@ object EventPipeline extends Serializable {
 
   /** Streaming form of [[tumblingCounts]]: watermark + windowed agg.
     * Returns a writer ready to `.start()`; tested with the memory sink. */
-  def tumblingCountsStream(spark: SparkSession, sourceDir: String): DataStreamWriter[Row] = {
-    streamSource(spark, sourceDir, "ts")
+  def tumblingCountsStream(
+      spark: SparkSession, sourceDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataStreamWriter[Row] = {
+    pacedStreamSource(spark, sourceDir, maxFilesPerTrigger, "ts")
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -117,8 +119,9 @@ object EventPipeline extends Serializable {
     * bounded stream. */
   def sessionWindowsStream(
       spark: SparkSession, sourceDir: String,
-      gapMinutes: Int = 30): DataStreamWriter[Row] = {
-    streamSource(spark, sourceDir, "ts")
+      gapMinutes: Int = 30,
+      maxFilesPerTrigger: Option[Int] = None): DataStreamWriter[Row] = {
+    pacedStreamSource(spark, sourceDir, maxFilesPerTrigger, "ts")
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
