@@ -226,20 +226,6 @@ object SparkEntry {
   private val streamSrcDirs =
     scala.collection.concurrent.TrieMap[String, String]()
 
-  /** FileStreamSource requires a DIRECTORY of arriving files; the
-    * testdata events table is a single parquet file, so it stages once
-    * into a temp dir (per source path, process-lifetime cache) — the
-    * honest shape of a streaming source, one deposited file. */
-  private def eventsStreamDir(dir: String): String =
-    streamSrcDirs.getOrElseUpdate(dir, {
-      val d = java.nio.file.Files.createTempDirectory("graft_stream_src_")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        d.resolve("events.parquet"))
-      d.toFile.deleteOnExit()
-      d.toString
-    })
-
   /** Events staged as `files` event-time-ordered slice files with
     * ascending modification times — read with `maxFilesPerTrigger = 1`
     * the stream delivers them over SEVERAL micro-batches in event-time
@@ -280,11 +266,16 @@ object SparkEntry {
         .parquet(scratch.toString)
       val base = System.currentTimeMillis()
       (0 until files).foreach { k =>
-        val part = new java.io.File(scratch.toFile, s"__slice=$k")
-          .listFiles().filter(_.getName.endsWith(".parquet")).head
-        val f = d.resolve(f"$k%02d_events.parquet")
-        java.nio.file.Files.move(part.toPath, f)
-        f.toFile.setLastModified(base - (files - k).toLong * 60000L)
+        // a table with fewer rows than `files` leaves some ntile
+        // buckets empty — no __slice=k directory is written; skip
+        // rather than NPE (fewer staged files is still a valid stream)
+        Option(new java.io.File(scratch.toFile, s"__slice=$k").listFiles())
+          .flatMap(_.find(_.getName.endsWith(".parquet")))
+          .foreach { part =>
+            val f = d.resolve(f"$k%02d_events.parquet")
+            java.nio.file.Files.move(part.toPath, f)
+            f.toFile.setLastModified(base - (files - k).toLong * 60000L)
+          }
       }
       d.toFile.deleteOnExit()
       d.toString
@@ -319,13 +310,13 @@ object SparkEntry {
       d.toString
     })
 
-  /** Run a bounded (AvailableNow) streaming writer to completion
-    * through the memory sink and return its result table — the seam
-    * that puts REAL Structured Streaming executions (stateful windowed
-    * aggregations, watermarks, the streaming source) on the driver's
-    * DuckDB oracle surface instead of leaving them spec-pinned only.
-    * Each call gets a fresh sink table (bench trials re-execute the
-    * stream, never read a previous trial's sink). */
+  // runStreamToTable / runStreamToParquet are the seam that puts REAL
+  // Structured Streaming executions (stateful windowed aggregations,
+  // watermarks, the streaming source) on the driver's DuckDB oracle
+  // surface instead of leaving them spec-pinned only. Each call gets a
+  // fresh sink + checkpoint (bench trials re-execute the stream, never
+  // read a previous trial's output).
+
   /** Run `body` (a bounded streaming execution) with streaming-sized
     * shuffle partitions, restoring the session value after. Streaming
     * state partitioning is a DEPLOYMENT parameter (fixed at the
