@@ -40,6 +40,10 @@ import graft.tools.StressMetrics
   *  - sessionize: 20M events / 100k users through the per-user window.
   *  - proximity_join: 200k markers × 20M events, ±1 s radius, binned.
   *  - hll_events: 1e8 rows into per-day HLL + exact-count aggregates.
+  *  - sessionize_stateful_stream / proximity_join_stream: 5M events as
+  *    20 time-ordered source files through flatMapGroupsWithState and
+  *    the stream-stream interval join respectively — real multi-
+  *    micro-batch runs whose state crosses batch boundaries.
   */
 object Stress {
 
