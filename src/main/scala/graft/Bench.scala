@@ -103,6 +103,12 @@ object Bench {
       .withDefaultValue(Vector.empty)
     val trialFails = scala.collection.mutable.Map.empty[String, Int]
       .withDefaultValue(0)
+    // trial-1 times, surfaced as "queries_cold": pass 1 pays any
+    // once-per-corpus artifact training (ANN quantizers, dup pair sets —
+    // the q14/q17/q81 convention), so the medians alone under-read those
+    // queries' cold cost; a cross-round comparator needs both
+    // machine-readable, not buried in "queries_trials" prose.
+    val coldTimes = scala.collection.mutable.Map.empty[String, Double]
     for (t <- 1 to trials; (name, fn) <- names) {
       // Inter-query isolation: round-6 medians showed suite-position
       // coupling — three adjacent queries' inflated trials coincided
@@ -125,7 +131,9 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        trialTimes(name) = trialTimes(name) :+ (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        trialTimes(name) = trialTimes(name) :+ sec
+        if (t == 1) coldTimes(name) = sec
       } catch { case e: Throwable =>
         trialFails(name) += 1
         System.err.println(s"[bench] $name trial $t failed: ${e.getMessage}")
@@ -137,6 +145,9 @@ object Bench {
         .mkString("{", ",", "}")
     val qs = jmap(v => if (v.isEmpty) -1.0 else median(v))
     val qsMin = jmap(v => if (v.isEmpty) -1.0 else v.min)
+    val qsCold = names.map { case (k, _) =>
+      s"\"" + k + "\":" + coldTimes.getOrElse(k, -1.0)
+    }.mkString("{", ",", "}")
     val qsTrials = names.map { case (k, _) =>
       s"\"" + k + "\":" + trialTimes(k).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -154,7 +165,8 @@ object Bench {
       case (k, _) if trialTimes(k).nonEmpty => median(trialTimes(k))
     }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_min":$qsMin,"queries_trials":$qsTrials,"trials":$trials,""" +
+      s""""queries_min":$qsMin,"queries_cold":$qsCold,""" +
+      s""""queries_trials":$qsTrials,"trials":$trials,""" +
       s""""queries_failures":$qsFails,"failed":$allFailed,""" +
       s""""loadavg_start":${load0.mkString("[", ",", "]")},""" +
       s""""loadavg_end":${load1.mkString("[", ",", "]")},""" +

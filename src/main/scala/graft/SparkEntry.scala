@@ -270,10 +270,16 @@ object SparkEntry {
         // buckets empty — no __slice=k directory is written; skip
         // rather than NPE (fewer staged files is still a valid stream)
         Option(new java.io.File(scratch.toFile, s"__slice=$k").listFiles())
-          .flatMap(_.find(_.getName.endsWith(".parquet")))
-          .foreach { part =>
+          .foreach { entries =>
+            val parts = entries.filter(_.getName.endsWith(".parquet"))
+            // the global-window write produces ONE part per slice; if a
+            // plan change ever splits it, taking the head would silently
+            // drop rows from the staged stream — fail by name instead
+            require(parts.length == 1,
+              s"slice $k: expected exactly one parquet part file from " +
+                s"the single-partition write, found ${parts.length}")
             val f = d.resolve(f"$k%02d_events.parquet")
-            java.nio.file.Files.move(part.toPath, f)
+            java.nio.file.Files.move(parts.head.toPath, f)
             f.toFile.setLastModified(base - (files - k).toLong * 60000L)
           }
       }
@@ -328,8 +334,35 @@ object SparkEntry {
   private def withStreamShufflePartitions[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // State-store backend is the second deployment parameter: the
+    // default HDFS-backed store keeps every store partition's map
+    // HEAP-resident — at 100× state volumes (millions of session keys,
+    // wide join horizons) memory-resident state is the scale-killer.
+    // SPARK_GRAFT_STREAM_STATESTORE=rocksdb runs the SAME queries on
+    // RocksDB (native memory + local SST files, bounded heap); the
+    // oracle surface q105–q110 is parity-checked under both (the
+    // driver gate runs default; RocksDbParitySpec + the round capture
+    // run rocksdb).
+    val prevProv =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    if (sys.env.get("SPARK_GRAFT_STREAM_STATESTORE").contains("rocksdb"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        RocksDbProviderClass)
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProv match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
+
+  /** Spark's bundled RocksDB state-store provider (spark-sql jar +
+    * rocksdbjni native lib — no extra dependency). */
+  val RocksDbProviderClass: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   /** Bounded streaming execution through the MEMORY sink — for
     * Complete-mode aggregates only (q105/q106), whose result is
@@ -1852,6 +1885,19 @@ object SparkEntry {
         EventPipeline.asofStream(s, eventsSlicedStreamDir(s, dir),
           maxFilesPerTrigger = Some(1)))),
 
+    // ---- STREAMING tumbling windows in APPEND mode — the 100×
+    // deployment shape (q105 is the Complete-mode oracle harness):
+    // each window emits exactly once when the watermark passes its
+    // end, through the FILE sink, and is evicted from state. On this
+    // bounded stream the emitted set is the windows closed by the
+    // final watermark (floor(max_ts ms) − 1 h); the oracle filters the
+    // batch aggregate with that exact arithmetic, so both the window
+    // values AND the emit-once eviction boundary are hash-checked ----
+    "q110_tumbling_append_stream" -> ((s, dir) =>
+      runStreamToParquet(s,
+        EventPipeline.tumblingCountsStreamAppend(s,
+          eventsSlicedStreamDir(s, dir), maxFilesPerTrigger = Some(1)))),
+
     // ---- REAL BPE tokenization on the oracle surface: documents →
     // GPT-2-format vocab/merges fixture → per-doc token count and a
     // position-weighted checksum (Σ id_i·i, 1-based) proving token
@@ -2474,6 +2520,23 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // q110: q105's aggregate restricted to watermark-CLOSED windows.
+    // Spark tracks event time for watermarks in whole milliseconds
+    // (EventTimeStats truncates micros → ms), so the final watermark is
+    // floor(max_us/1000)·1000 µs − 1 h, and append mode emits exactly
+    // the windows with end ≤ watermark. A window emitted early (no
+    // eviction gate) or late-dropped data both change the row set.
+    "q110_tumbling_append_stream" ->
+      """WITH m AS (SELECT (epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000) * 1000
+        |                  - 3600000000 AS wm_us FROM events)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events, m
+        |GROUP BY 1, 2, m.wm_us
+        |HAVING epoch_us(CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP))
+        |       + 3600000000 <= m.wm_us""".stripMargin,
 
     // q107: the streaming dedup passes exactly one survivor per
     // distinct text — batch-1 copies (and the corpus's own intra-file

@@ -31,6 +31,9 @@ import graft.tools.StressMetrics
   *    join + single hash agg.
   *  - weighted_mean_precombine: 3.2e8 rows with 4 rows/cell + 8
   *    ensemble members, the q103 shape.
+  *  - weighted_mean_bigweights: ~1e8-row weight table (8.3M features —
+  *    the ~100× HRU scale-up where broadcast breaks) sort-merge-joined
+  *    against an (i,j)-bucketed grid staging: zero grid-side exchange.
   *  - minhash_band_shuffle: 250k docs (50× sf0.1) through signature +
   *    band explode + bucket join + exact-Jaccard verify.
   *  - ngram_jaccard_postings: 250k docs through the inverted-index
@@ -87,6 +90,13 @@ object Stress {
         when(pmod(col("id"), lit(100)) === 1, lit(" cloneextra")).otherwise(lit(""))))
       .select(col("id"), col("blk"), col("text"))
 
+  /** Event-time base and span shared by [[events]] and
+    * [[stageTimeSlicedEvents]] — the slicer's filter bounds MUST be the
+    * generator's, or slice 0's lower bound silently drops rows from the
+    * staged stream while input_rows still reports the full count. */
+  private val EventEpochUs = 1600000000L * 1000000L
+  private val StreamDays = 30
+
   /** Synthetic event stream: `n` events over `users` users spanning
     * `days` days; per-user inter-event gaps alternate under/over the
     * 30-min session threshold. Columns: (user_id, ts, event_id,
@@ -97,7 +107,7 @@ object Stress {
       pmod(col("id"), lit(users)).as("user_id"),
       // hash-scatter events over the span: per-user order and gaps are
       // pseudo-random, which exercises both session splits and merges
-      timestamp_micros(lit(1600000000L * 1000000L) +
+      timestamp_micros(lit(EventEpochUs) +
         pmod(hash(col("id")).cast("long") * 1000003L, lit(spanUs))).as("ts"),
       col("id").as("event_id"),
       (pmod(hash(col("id"), lit(7)), lit(1000)) / lit(100.0)).as("value"),
@@ -119,15 +129,28 @@ object Stress {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stress_ckpt_")
     dir.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
     val files = if (n >= 1000000L) 20 else 4
-    val ev = events(sp, n, users, days = 30)
-    val t00 = 1600000000L * 1000000L
-    val sliceUs = 30L * 86400L * 1000000L / files
+    val ev = events(sp, n, users, days = StreamDays)
+    val t00 = EventEpochUs
+    val sliceUs = StreamDays.toLong * 86400L * 1000000L / files
+    var staged = Set.empty[java.io.File]
     (0 until files).foreach { k =>
-      ev.filter(col("ts") >= timestamp_micros(lit(t00 + k * sliceUs)) &&
+      // slice 0 takes the catch-all LOWER bound too: bounds derive from
+      // the same constants events() generates with, but an open lower
+      // edge makes row loss structurally impossible either way
+      ev.filter((if (k == 0) lit(true)
+           else col("ts") >= timestamp_micros(lit(t00 + k * sliceUs))) &&
           (if (k == files - 1) lit(true)
            else col("ts") < timestamp_micros(lit(t00 + (k + 1) * sliceUs))))
         .repartition(1)
         .write.mode("append").parquet(dir.toString)
+      // explicit ascending mtimes, 60 s apart: FileStreamSource orders
+      // by modification time, and two appends landing in the same
+      // millisecond would tie — delivering slices out of event-time
+      // order and late-dropping them at the watermark
+      val now = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") && !staged.contains(f))
+      now.foreach(_.setLastModified(1700000000000L + k * 60000L))
+      staged ++= now
     }
     (dir.toString, ckpt.toString, files)
   }
@@ -198,6 +221,40 @@ object Stress {
         (sink(graft.operators.WeightedMean(g, weights(sp, 2462, 12, W, H),
           Seq("tmmx", "tmmn", "pr"), extraKeys = Seq("ens"), preCombine = true)),
           cells * days * 4 * 8)
+      }),
+      Scenario("weighted_mean_bigweights", sp => {
+        // the ~100× feature scale-up where the weight broadcast breaks
+        // (round-10 verdict: 10⁷ HRUs → ~10⁸ weight rows, gigabytes):
+        // WeightJoin.SortMerge over an (i,j)-bucketed+sorted grid
+        // staging — the grid side joins with ZERO exchange (weights
+        // shuffle once into the bucket layout), the shape a 100 TB grid
+        // forces. Staging happens in build (untimed); the timed action
+        // runs the co-located join + final (fid,time) aggregation.
+        val W2 = if (scale >= 0.1) 4386 else 1386 // 10× conus cells full-scale
+        val cells2 = if (scale >= 0.1) W2.toLong * 1850
+          else math.max(4096L, (810810L * scale * 10).toLong)
+        val H2 = math.max(1L, cells2 / W2).toInt
+        val feats = math.max(1000L, (8300000L * scale).toLong) // ×12 cells ≈ 1e8 rows
+        val days = 4
+        val g = raster(sp, cells2, days, dup = 1, ens = 1, width = W2).drop("ens")
+        sp.sql("DROP TABLE IF EXISTS graft_stress_grid_buck")
+        // a crashed prior run can leave the managed location on disk with
+        // no catalog entry — saveAsTable then fails LOCATION_ALREADY_EXISTS
+        val loc = new java.io.File(new java.net.URI(sp.conf
+          .get("spark.sql.warehouse.dir")).getPath, "graft_stress_grid_buck")
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(loc)
+        }
+        graft.sources.Staging.stageGrid(g, "graft_stress_grid_buck",
+          partitionCols = Nil, bucketCols = Seq("i", "j"), buckets = 64)
+        val staged = sp.table("graft_stress_grid_buck")
+        val w = weights(sp, feats.toInt, 12, W2, H2)
+        (sink(graft.operators.WeightedMean(staged, w, Seq("tmmx", "tmmn", "pr"),
+          strategy = graft.operators.WeightJoin.SortMerge)),
+          cells2 * days + feats * 12)
       }),
       Scenario("minhash_band_shuffle", sp => {
         val n = s(250000)
@@ -398,13 +455,20 @@ object Stress {
     // 100 TB notes prescribe (SCALE.md): pick partition counts so
     // per-partition aggregate state fits task memory — 4× the core
     // count here (the bench keeps 32 for sf0.1, where 32 is already
-    // oversized). parallelismFirst=false + a 32 MB advisory size stop
+    // oversized). parallelismFirst=false + an 8 MB advisory size stop
     // AQE from coalescing right back to one partition per core, which
     // would rebuild the oversized reducer state this rule exists to
     // avoid; small exchanges still coalesce to the advisory target.
     val shufflePartitions = sys.env.getOrElse(
       "SPARK_GRAFT_STRESS_SHUFFLE", (cpus.toInt * 4).toString)
-    val spark = SparkSession.builder()
+    // Streaming state backend (SPARK_GRAFT_STRESS_STATESTORE):
+    // "hdfs" (default) = heap-resident store maps; "rocksdb" = Spark's
+    // bundled RocksDB provider (native memory + local SSTs, bounded
+    // heap) — the 100× deployment backend for the two streaming
+    // scenarios. Recorded per scenario line so stress_out.json rows
+    // are self-describing.
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STRESS_STATESTORE", "hdfs")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
@@ -413,7 +477,10 @@ object Stress {
         sys.env.getOrElse("SPARK_GRAFT_STRESS_ADVISORY", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (stateStore == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        SparkEntry.RocksDbProviderClass)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def loadavg1(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString
@@ -454,6 +521,7 @@ object Stress {
         val load = loadavg1()
         val line =
           s"""{"scenario":"${sc.name}","input_rows":$inputRows,""" +
+          s""""state_store":"$stateStore",""" +
           s""""loadavg":$load,"run_loadavg_start":$runStartLoad,""" +
           s""""wall_sec":${math.rint(wall * 100) / 100},""" +
           s""""rows_per_sec":${(inputRows / wall).toLong},""" +

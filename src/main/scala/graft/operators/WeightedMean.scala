@@ -27,8 +27,58 @@ import org.apache.spark.sql.functions._
   * broadcast keeps the join shuffle-free; the group-by key cardinality is
   * |features| × |timesteps| (× |ens|) which is far smaller than the input,
   * so partial aggregation collapses most rows before the single shuffle.
+  *
+  * The weight table itself scales with |features| (~11 cells/feature in
+  * the reference weights): at the reference envelope it is ~28k rows and
+  * broadcast is strictly right, but at a ~100× feature scale-up (10⁷
+  * HRUs → ~10⁸ weight rows, gigabytes) a forced broadcast breaks the
+  * driver/executor memory cap. [[WeightJoin]] makes the join strategy an
+  * explicit, size-aware choice instead of a hard-coded hint.
   */
+
+/** Join strategy for the grid ⋈ weights equi-join on (i, j). */
+sealed trait WeightJoin
+object WeightJoin {
+
+  /** Decide from the weight table's optimizer size estimate: broadcast
+    * when it fits `spark.sql.autoBroadcastJoinThreshold`, else
+    * [[SortMerge]]. The default — at reference scale this always picks
+    * broadcast (28k rows ≪ 10 MB), and the switchover needs no code
+    * change, only the data growing. */
+  case object Auto extends WeightJoin
+
+  /** Force the broadcast hash join (zero shuffle anywhere). */
+  case object Broadcast extends WeightJoin
+
+  /** Force a sort-merge join on (i, j). The scale path for huge weight
+    * tables: with the grid staged bucketed+sorted on (i, j)
+    * ([[graft.sources.Staging.stageGrid]]) the 100 TB side joins with
+    * ZERO exchange and ZERO sort — only the weight table shuffles, once,
+    * into the grid's bucket layout. */
+  case object SortMerge extends WeightJoin
+}
+
 object WeightedMean {
+
+  /** The weight side of the join, wrapped per [[WeightJoin]] strategy. */
+  private def weightSide(weights: DataFrame, strategy: WeightJoin): DataFrame =
+    strategy match {
+      case WeightJoin.Broadcast => broadcast(weights)
+      case WeightJoin.SortMerge => weights.hint("merge")
+      case WeightJoin.Auto =>
+        // optimizer size estimate — no job runs; threshold parse handles
+        // plain longs ("-1", "10485760") and suffixed forms ("10MB"),
+        // -1 (broadcast disabled) falls through to sort-merge
+        val bytes = weights.queryExecution.optimizedPlan.stats.sizeInBytes
+        val raw = weights.sparkSession.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        val threshold = try raw.trim.toLong catch {
+          case _: NumberFormatException =>
+            org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        }
+        if (threshold > 0 && bytes <= BigInt(threshold)) broadcast(weights)
+        else weights.hint("merge")
+    }
 
   /** Weighted-mean aggregate columns for one variable. */
   private def meanCol(v: String, masked: Boolean): Column = {
@@ -62,6 +112,11 @@ object WeightedMean {
     *                  row per cell): it would add a full-grid shuffle
     *                  for nothing — the broadcast-join path has no
     *                  pre-agg shuffle at all.
+    * @param strategy  weight-join strategy ([[WeightJoin]]): Auto sizes
+    *                  the weight table against the broadcast threshold;
+    *                  SortMerge is the huge-weight-table path (pair with
+    *                  an (i,j)-bucketed grid staging for a zero-exchange
+    *                  grid side).
     */
   def apply(
       grid: DataFrame,
@@ -69,13 +124,15 @@ object WeightedMean {
       valueCols: Seq[String],
       masked: Boolean = false,
       extraKeys: Seq[String] = Nil,
-      preCombine: Boolean = false): DataFrame = {
+      preCombine: Boolean = false,
+      strategy: WeightJoin = WeightJoin.Auto): DataFrame = {
     require(valueCols.nonEmpty, "at least one value column")
     val keys = (Seq("fid", "time") ++ extraKeys).map(col)
+    val w = weightSide(weights, strategy)
     if (!preCombine) {
       val aggs = valueCols.map(meanCol(_, masked))
       grid
-        .join(broadcast(weights), Seq("i", "j"), "inner") // J1
+        .join(w, Seq("i", "j"), "inner") // J1
         .groupBy(keys: _*)
         .agg(aggs.head, aggs.tail: _*)
     } else {
@@ -98,7 +155,7 @@ object WeightedMean {
               sum(col("wght") * col("__n"))).as(v)
       }
       cells
-        .join(broadcast(weights), Seq("i", "j"), "inner")
+        .join(w, Seq("i", "j"), "inner")
         .groupBy(keys: _*)
         .agg(aggs.head, aggs.tail: _*)
     }

@@ -52,19 +52,47 @@ object EventPipeline extends Serializable {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
 
-  /** Streaming form of [[tumblingCounts]]: watermark + windowed agg.
-    * Returns a writer ready to `.start()`; tested with the memory sink. */
-  def tumblingCountsStream(
-      spark: SparkSession, sourceDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataStreamWriter[Row] = {
-    pacedStreamSource(spark, sourceDir, maxFilesPerTrigger, "ts")
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+  /** The windowed aggregation both streaming tumbling forms share. */
+  private def tumblingAgg(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** Streaming form of [[tumblingCounts]]: watermark + windowed agg.
+    * Complete mode — the whole aggregate re-emits each micro-batch,
+    * which is the oracle-comparison harness (the memory-sink table IS
+    * the aggregate) but pays a per-batch re-emission that grows with
+    * the window count. The deployment shape at scale is
+    * [[tumblingCountsStreamAppend]]. */
+  def tumblingCountsStream(
+      spark: SparkSession, sourceDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataStreamWriter[Row] = {
+    tumblingAgg(pacedStreamSource(spark, sourceDir, maxFilesPerTrigger, "ts")
+        .withWatermark("ts", "1 hour"))
       .writeStream.outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+  }
+
+  /** APPEND-mode tumbling aggregate — the 100× deployment shape: each
+    * window row is emitted exactly ONCE, when the watermark passes its
+    * end, and evicted from state; per-batch output is proportional to
+    * the windows that CLOSED, not to all windows ever seen, and the
+    * sink can be a file sink (exactly-once manifest) instead of a
+    * driver-resident table. On a bounded stream the emitted set is the
+    * windows whose end precedes the final watermark,
+    * `floor(max_ts_us/1000)·1000 − delay` (Spark tracks event time for
+    * watermarks in whole milliseconds); windows still open when the
+    * stream ends stay in state — on an unbounded stream they emit as
+    * the watermark advances. */
+  def tumblingCountsStreamAppend(
+      spark: SparkSession, sourceDir: String,
+      delay: String = "1 hour",
+      maxFilesPerTrigger: Option[Int] = None): DataStreamWriter[Row] = {
+    tumblingAgg(pacedStreamSource(spark, sourceDir, maxFilesPerTrigger, "ts")
+        .withWatermark("ts", delay))
+      .writeStream.outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
   }
 
@@ -469,26 +497,59 @@ object EventPipeline extends Serializable {
   /** Run a bounded stateful stream to exhaustion and stop it. A
     * ProcessingTimeTimeout query ([[sessionizeStream]]) never
     * self-terminates and never signals `processAllAvailable` (see the
-    * scaladoc there), so "done" must be read from progress telemetry:
-    * a micro-batch with ZERO input rows can only run after the bounded
-    * file source is fully consumed, and batches are sequential, so
-    * every data batch before it has committed. Polls `recentProgress`
-    * for that empty batch, then stops the query. Returns true if the
-    * stream drained inside `timeoutMs` (false = caller's assertion
-    * should fail loudly rather than hang). */
+    * scaladoc there), so "done" must be read from progress telemetry.
+    *
+    * "Drained" means the SOURCE is exhausted, not merely "some batch
+    * had zero input". The round-10 test (`recentProgress.exists` of
+    * any `batchId > 0` zero-input entry) was racy: after a checkpoint
+    * restart, the WAL-replayed batch can itself be a zero-input
+    * timeout batch with `batchId > 0` — observed BEFORE the restarted
+    * query has even listed the directory for the new files — so
+    * `stop()` could interrupt the following data batch's sink write
+    * mid-commit (the 315/316 flake). Comparing `endOffset` to
+    * `latestOffset` doesn't work either: the v1 FileStreamSource
+    * reports `latestOffset = null` in every progress entry (verified
+    * empirically — the field is only populated for DSv2 sources).
+    *
+    * The sound signal is TWO zero-input progress entries with
+    * increasing batchIds. The replayed batch re-executes offsets
+    * planned pre-crash without listing the source, but at most ONE
+    * batch replays, and every batch with a higher id is freshly
+    * planned — its trigger re-listed the directory and found nothing
+    * new, and batches are sequential, so every data batch before it
+    * has committed. A data batch between the two observations resets
+    * the count, so the pair can never straddle undelivered input.
+    *
+    * Returns true only if the stream drained inside `timeoutMs`,
+    * observed BEFORE stopping: either the two-empty-batch condition
+    * held, or the query self-terminated cleanly (an AvailableNow query
+    * with no pending timeout state stops itself exactly when the
+    * source is exhausted). Liveness must be read before `q.stop()` —
+    * stop blocks until termination, so `!q.isActive` afterwards is a
+    * tautology, not evidence. A query that died on an exception
+    * surfaces it here rather than reading as drained. */
   def drainAndStop(
       q: org.apache.spark.sql.streaming.StreamingQuery,
       timeoutMs: Long = 120000L): Boolean = {
     val t0 = System.currentTimeMillis()
     var drained = false
-    while (!drained && q.isActive &&
+    var selfFinished = false
+    var firstEmptyBatch = -1L
+    while (!drained && !selfFinished &&
         System.currentTimeMillis() - t0 < timeoutMs) {
-      drained = q.recentProgress.exists(p =>
-        p.batchId > 0 && p.numInputRows == 0)
-      if (!drained) Thread.sleep(50)
+      val p = q.lastProgress
+      if (p != null) {
+        if (p.numInputRows == 0) {
+          if (firstEmptyBatch < 0) firstEmptyBatch = p.batchId
+          else if (p.batchId > firstEmptyBatch) drained = true
+        } else firstEmptyBatch = -1L // data batch: restart the pair
+      }
+      selfFinished = !q.isActive
+      if (!drained && !selfFinished) Thread.sleep(50)
     }
+    q.exception.foreach(e => throw e)
     q.stop()
-    drained || !q.isActive
+    drained || selfFinished
   }
 
   def sessionizeStream(

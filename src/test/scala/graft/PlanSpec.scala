@@ -29,6 +29,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("weighted mean SortMerge strategy: sort-merge join, weight side never broadcast") {
+    // the huge-weight-table path (10⁷ features → 10⁸ weight rows):
+    // forced sort-merge regardless of the (here tiny) table size
+    val p = plan(graft.operators.WeightedMean(grid, weights, Seq("v"),
+      strategy = graft.operators.WeightJoin.SortMerge))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("weighted mean Auto: flips to sort-merge when weights exceed the broadcast threshold") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val p = plan(graft.operators.WeightedMean(grid, weights, Seq("v")))
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("weighted mean preCombine: per-cell pre-aggregation sits BELOW the broadcast join") {
     // the q103 shape: a grid with several rows per (time, i, j) cell
     // must collapse to per-cell sums BEFORE the weight join, or the

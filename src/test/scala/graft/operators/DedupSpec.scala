@@ -97,6 +97,66 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(state).count() === 2L)
   }
 
+  test("admitIncrement crash AFTER durable output: re-run duplicates the sink rows and nothing else") {
+    // the exact crash window the scaladoc contract is about: the
+    // caller's output write COMPLETED durably, the crash hit before
+    // the fingerprint append. Recovery = re-run the batch: admission
+    // is deterministic given (state, batch), so the same rows admit,
+    // the sink gains an at-least-once DUPLICATE of the batch — and
+    // that duplicate must be the ONLY effect (state ends identical to
+    // a crash-free run; no row lost, none invented).
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-crash2")
+    val state = base.resolve("fp").toString
+    val outDir = base.resolve("out").toString
+    val batch = Seq((1L, "doc a"), (2L, "doc b"), (3L, "doc a"))
+      .toDF("doc_id", "text") // 3 = in-batch dup, admitted set = {1, 2}
+    def persistThenCrash(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+      throw new RuntimeException("simulated crash after durable output")
+    }
+    intercept[RuntimeException] {
+      Dedup.admitIncrement(state, batch, "doc_id", "text", persistThenCrash)
+    }
+    // output written, state un-grown — the recoverable half-state
+    assert(spark.read.parquet(outDir).count() === 2L)
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state)))
+    // recovery re-run with the normal (non-crashing) sink
+    val rerun = Dedup.admitIncrement(state, batch, "doc_id", "text",
+      persistAdmitted = _.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(outDir))
+    assert(rerun.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // the sink holds exactly ONE duplicate of the admitted batch …
+    val sunk = spark.read.parquet(outDir).groupBy("doc_id", "text").count()
+    assert(rows(sunk) == Set(Seq[Any](1L, "doc a", 2L), Seq[Any](2L, "doc b", 2L)))
+    // … and state equals a crash-free run's: the two fingerprints, once
+    assert(spark.read.parquet(state).count() === 2L)
+    assert(spark.read.parquet(state).distinct().count() === 2L)
+    // a following batch behaves as if no crash ever happened
+    assert(Dedup.admitIncrement(state, batch, "doc_id", "text").count() === 0L)
+  }
+
+  test("admitIncrement REVERSE ordering (state-first) is unrecoverable — the contract's why") {
+    // the scaladoc forbids append-state-then-write-output; pin the
+    // documented failure mode by simulating it: state grown, crash
+    // before output. The re-run anti-joins against the already-
+    // appended fingerprints and silently admits NOTHING — the batch
+    // is permanently dropped, no error anywhere.
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-rev")
+    val state = base.resolve("fp").toString
+    val batch = Seq((1L, "doc a"), (2L, "doc b")).toDF("doc_id", "text")
+    // simulate the forbidden order's crash window: fingerprints landed …
+    Dedup.fingerprints(batch, "text")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(state)
+    // … output never did. Recovery attempt:
+    var sinkRows = -1L
+    val readmitted = Dedup.admitIncrement(state, batch, "doc_id", "text",
+      persistAdmitted = df => sinkRows = df.count())
+    assert(readmitted.count() === 0L)
+    assert(sinkRows === 0L) // the sink never sees the dropped batch
+  }
+
   test("pairMetrics: counts, ratios, and NULL on empty sides") {
     val truth = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("a_id", "b_id")
     val pred = Seq((1L, 2L), (4L, 5L), (6L, 7L), (8L, 9L)).toDF("a_id", "b_id")

@@ -59,6 +59,19 @@ class WeightedMeanSpec extends SparkSpec {
     }
   }
 
+  test("SortMerge strategy gives identical results to broadcast (all variants)") {
+    val dup = grid.union(grid)
+    for (masked <- Seq(false, true); pre <- Seq(false, true)) {
+      val bc = WeightedMean(dup, weights, Seq("v"), masked = masked,
+        preCombine = pre, strategy = WeightJoin.Broadcast)
+      val sm = WeightedMean(dup, weights, Seq("v"), masked = masked,
+        preCombine = pre, strategy = WeightJoin.SortMerge)
+      val a = bc.select($"fid", $"time", round($"v", 9).as("v"))
+      val b = sm.select($"fid", $"time", round($"v", 9).as("v"))
+      assert(rows(a) == rows(b), s"masked=$masked preCombine=$pre")
+    }
+  }
+
   test("ens as extra grouping key replaces the member loop") {
     val g = Seq(
       (t1, 0, 0, 0, 10.0), (t1, 1, 0, 0, 20.0),

@@ -34,4 +34,32 @@ class StagingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
     }
   }
+
+  test("SortMerge weighted mean over a bucketed grid: the grid side joins with zero exchange") {
+    // the huge-weight-table deployment shape (WeightJoin.SortMerge +
+    // (i,j)-bucketed grid staging): exactly two exchanges in the whole
+    // plan — the weight table shuffling into the grid's bucket layout,
+    // and the final (fid, time) aggregation. The 100 TB grid side: none.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t1 = java.sql.Timestamp.valueOf("2021-01-01 00:00:00")
+      val g = (0 until 1000).map(k => (t1, k % 25, k % 10, k.toDouble))
+        .toDF("time", "i", "j", "v")
+      Staging.stageGrid(g, "graft_bucket_g", partitionCols = Nil, buckets = 4)
+      val tg = Staging.readTable(spark, "graft_bucket_g")
+      val w = (0 until 250).map(k => ((k % 50).toLong, k % 25, k % 10, 0.5))
+        .toDF("fid", "i", "j", "wght")
+      val out = graft.operators.WeightedMean(tg, w, Seq("v"),
+        strategy = graft.operators.WeightJoin.SortMerge)
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges == 2,
+        s"expected 2 exchanges (weights shuffle + final agg), got $exchanges:\n$p")
+      assert(out.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_g")
+    }
+  }
 }

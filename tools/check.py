@@ -11,6 +11,17 @@ import sys, json, glob, os, time, threading
 import duckdb
 import pandas as pd
 
+# --json PATH: also write per-query results ({name: {"pass": bool,
+# "rows": int}} plus "_oracle_secs") for artifact generation
+# (tools/sf01_spot.py). Stripped before positional parsing.
+json_out = None
+_argv = sys.argv[:]
+if "--json" in _argv:
+    i = _argv.index("--json")
+    json_out = _argv[i + 1]
+    del _argv[i:i + 2]
+sys.argv = _argv
+
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 # Per-oracle wall budget. One pathological oracle (q92's un-materialized
@@ -64,6 +75,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 fails = []
 oracle_secs = {}
+rowcounts = {}
 for name in names:
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
@@ -72,6 +84,7 @@ for name in names:
         print(f"FAIL {name}: {err}"); fails.append(name); continue
     got_raw = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
     got = canon(got_raw)
+    rowcounts[name] = len(got)
     if name not in oracle:
         print(f"ROWS-ONLY {name}: {len(got)} rows " + ("OK" if len(got) else "EMPTY!"))
         if not len(got): fails.append(name)
@@ -130,5 +143,11 @@ if oracle_secs:
     print("\nslowest oracles: " + ", ".join(f"{n}={s:.1f}s" for n, s in slow))
 fails.extend(_dead)
 total = len(names) + len(_dead)
+if json_out:
+    results = {n: {"pass": n not in fails, "rows": rowcounts.get(n, 0)}
+               for n in names + _dead}
+    results["_oracle_secs"] = {k: round(v, 1) for k, v in
+                               sorted(oracle_secs.items(), key=lambda kv: -kv[1])}
+    json.dump(results, open(json_out, "w"), indent=1)
 print(f"\n{total-len(fails)}/{total} pass" + (f"; FAILURES: {fails}" if fails else ""))
 sys.exit(1 if fails else 0)
