@@ -1898,6 +1898,18 @@ object SparkEntry {
         EventPipeline.tumblingCountsStreamAppend(s,
           eventsSlicedStreamDir(s, dir), maxFilesPerTrigger = Some(1)))),
 
+    // ---- STREAMING session windows in APPEND mode: merging session
+    // state + emit-once eviction together — a session emits when the
+    // watermark passes its end (last event + gap) and leaves state.
+    // Oracle = q106's gap-sessionization restricted to sessions closed
+    // by the final watermark (same ms-floor arithmetic as q110; the
+    // <= eviction boundary is spec-pinned for session windows too) ----
+    "q111_session_append_stream" -> ((s, dir) =>
+      runStreamToParquet(s,
+        EventPipeline.sessionWindowsStreamAppend(s,
+          eventsSlicedStreamDir(s, dir), gapMinutes = 30,
+          maxFilesPerTrigger = Some(1)))),
+
     // ---- REAL BPE tokenization on the oracle surface: documents →
     // GPT-2-format vocab/merges fixture → per-doc token count and a
     // position-weighted checksum (Σ id_i·i, 1-based) proving token
@@ -2537,6 +2549,32 @@ object SparkEntry {
         |GROUP BY 1, 2, m.wm_us
         |HAVING epoch_us(CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP))
         |       + 3600000000 <= m.wm_us""".stripMargin,
+
+    // q111: q106's session oracle restricted to sessions CLOSED by the
+    // final watermark (end = last event + gap; same ms-floor watermark
+    // arithmetic and <= eviction boundary as q110).
+    "q111_session_append_stream" ->
+      """WITH m AS (SELECT (epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000) * 1000
+        |                  - 3600000000 AS wm_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sess, m GROUP BY user_id, sid, m.wm_us
+        |HAVING epoch_us(CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE)
+        |       <= m.wm_us""".stripMargin,
 
     // q107: the streaming dedup passes exactly one survivor per
     // distinct text — batch-1 copies (and the corpus's own intra-file

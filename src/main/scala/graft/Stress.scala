@@ -248,8 +248,12 @@ object Stress {
           }
           rm(loc)
         }
+        // 256 buckets: bucket count is the deployment knob that sizes
+        // the per-task SMJ sort — 1e8 weight rows / 256 ≈ 390k rows
+        // (~12 MB) per sort, which fits task memory at 32-way
+        // concurrency (64 buckets ⇒ 1.6M-row sorts spilled ~7 GB)
         graft.sources.Staging.stageGrid(g, "graft_stress_grid_buck",
-          partitionCols = Nil, bucketCols = Seq("i", "j"), buckets = 64)
+          partitionCols = Nil, bucketCols = Seq("i", "j"), buckets = 256)
         val staged = sp.table("graft_stress_grid_buck")
         val w = weights(sp, feats.toInt, 12, W2, H2)
         (sink(graft.operators.WeightedMean(staged, w, Seq("tmmx", "tmmn", "pr"),

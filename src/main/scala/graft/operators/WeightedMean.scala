@@ -60,15 +60,13 @@ object WeightJoin {
 
 object WeightedMean {
 
-  /** The weight side of the join, wrapped per [[WeightJoin]] strategy. */
-  private def weightSide(weights: DataFrame, strategy: WeightJoin): DataFrame =
+  /** Resolve [[WeightJoin.Auto]] to a concrete strategy from the weight
+    * table's optimizer size estimate (no job runs; threshold parse
+    * handles plain longs ("-1", "10485760") and suffixed forms
+    * ("10MB"); -1 = broadcast disabled falls through to sort-merge). */
+  private def resolve(weights: DataFrame, strategy: WeightJoin): WeightJoin =
     strategy match {
-      case WeightJoin.Broadcast => broadcast(weights)
-      case WeightJoin.SortMerge => weights.hint("merge")
       case WeightJoin.Auto =>
-        // optimizer size estimate — no job runs; threshold parse handles
-        // plain longs ("-1", "10485760") and suffixed forms ("10MB"),
-        // -1 (broadcast disabled) falls through to sort-merge
         val bytes = weights.queryExecution.optimizedPlan.stats.sizeInBytes
         val raw = weights.sparkSession.conf
           .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
@@ -76,8 +74,36 @@ object WeightedMean {
           case _: NumberFormatException =>
             org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
         }
-        if (threshold > 0 && bytes <= BigInt(threshold)) broadcast(weights)
-        else weights.hint("merge")
+        if (threshold > 0 && bytes <= BigInt(threshold)) WeightJoin.Broadcast
+        else WeightJoin.SortMerge
+      case s => s
+    }
+
+  /** The weight side of the join, wrapped per resolved strategy. */
+  private def weightSide(weights: DataFrame, strategy: WeightJoin): DataFrame =
+    strategy match {
+      case WeightJoin.SortMerge => weights.hint("merge")
+      case _ => broadcast(weights)
+    }
+
+  /** Final-aggregation input under the resolved strategy. On the
+    * sort-merge (huge-weights) path the join output is repartitioned on
+    * the GROUP keys before aggregating: each feature's ~dozen cells
+    * hash across the whole (i,j) space, so every join partition sees
+    * almost EVERY (fid, time) group — map-side combine collapses
+    * nothing and its hash state approaches |all groups| per task
+    * (measured: 75 GB of spill at the 10⁸-weight-row stress shape).
+    * Moving the raw join rows once costs ~the combine ratio (~12×) in
+    * exchange bytes but bounds aggregation state to groups/partition —
+    * spill-free at any |features|. The broadcast path keeps the plain
+    * zero-extra-exchange partial aggregation: there each map task's
+    * split covers few features, so partial aggregation both collapses
+    * rows and stays small. */
+  private def aggInput(joined: DataFrame, keys: Seq[Column],
+      strategy: WeightJoin): DataFrame =
+    strategy match {
+      case WeightJoin.SortMerge => joined.repartition(keys: _*)
+      case _ => joined
     }
 
   /** Weighted-mean aggregate columns for one variable. */
@@ -128,11 +154,11 @@ object WeightedMean {
       strategy: WeightJoin = WeightJoin.Auto): DataFrame = {
     require(valueCols.nonEmpty, "at least one value column")
     val keys = (Seq("fid", "time") ++ extraKeys).map(col)
-    val w = weightSide(weights, strategy)
+    val resolved = resolve(weights, strategy)
+    val w = weightSide(weights, resolved)
     if (!preCombine) {
       val aggs = valueCols.map(meanCol(_, masked))
-      grid
-        .join(w, Seq("i", "j"), "inner") // J1
+      aggInput(grid.join(w, Seq("i", "j"), "inner"), keys, resolved) // J1
         .groupBy(keys: _*)
         .agg(aggs.head, aggs.tail: _*)
     } else {
@@ -154,8 +180,7 @@ object WeightedMean {
             .otherwise(sum(col("wght") * col(s"__s_$v")) /
               sum(col("wght") * col("__n"))).as(v)
       }
-      cells
-        .join(w, Seq("i", "j"), "inner")
+      aggInput(cells.join(w, Seq("i", "j"), "inner"), keys, resolved)
         .groupBy(keys: _*)
         .agg(aggs.head, aggs.tail: _*)
     }

@@ -161,6 +161,32 @@ object EventPipeline extends Serializable {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** APPEND-mode session windows — the 100× deployment shape of
+    * [[sessionWindowsStream]]: a session emits exactly ONCE, when the
+    * watermark passes its end (last event + gap), and its merge state
+    * is evicted; Complete mode re-emits every session ever seen each
+    * batch. Session extension is safe under the eviction boundary: an
+    * event can only extend a session whose end it reaches (closed
+    * boundary, `ts <= end`), and such an event would be late-dropped
+    * anyway once the watermark passed that end — the spec pins the
+    * exact `<=`/`<` eviction edge so the q111 oracle encodes what the
+    * engine does, not what the docs say. */
+  def sessionWindowsStreamAppend(
+      spark: SparkSession, sourceDir: String,
+      gapMinutes: Int = 30, delay: String = "1 hour",
+      maxFilesPerTrigger: Option[Int] = None): DataStreamWriter[Row] = {
+    pacedStreamSource(spark, sourceDir, maxFilesPerTrigger, "ts")
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Incremental exact dedup of a document stream — the streaming form
     * of `Dedup.exact`: arriving documents are keyed by
     * (xxhash64(text), length) and only first occurrences pass. Two

@@ -39,7 +39,10 @@ class StagingSpec extends SparkSpec {
     // the huge-weight-table deployment shape (WeightJoin.SortMerge +
     // (i,j)-bucketed grid staging): exactly two exchanges in the whole
     // plan — the weight table shuffling into the grid's bucket layout,
-    // and the final (fid, time) aggregation. The 100 TB grid side: none.
+    // and the group-key repartition of the join output (which also
+    // satisfies the aggregation's distribution, so BOTH agg phases run
+    // above it with per-task state bounded to groups/partition — the
+    // spill guard for 10⁸-row weight tables). The 100 TB grid side: none.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val t1 = java.sql.Timestamp.valueOf("2021-01-01 00:00:00")
