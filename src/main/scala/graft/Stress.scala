@@ -407,6 +407,34 @@ object Stress {
           require(graft.streaming.EventPipeline.drainAndStop(q, 600000L),
             "stream did not drain") }, n)
       }),
+      Scenario("windowed_agg_stream", sp => {
+        // APPEND-mode KEYED tumbling windows — the q110/q111 deployment
+        // shape at state volume: 5M events / 100k users over 30 days,
+        // groupBy(window(ts, 1h), user_id). ~5M distinct (hour, user)
+        // windows flow through the state store and each EMITS exactly
+        // once when the watermark passes its end — this measures
+        // watermark-eviction churn (insert + evict per window, state
+        // bounded by the watermark lag, ~1 batch of windows), not
+        // Complete-mode re-aggregation. Native AvailableNow
+        // termination (watermark-only state, no timeout).
+        val n = s(5000000)
+        val (dir, ckpt, files) = stageTimeSlicedEvents(sp, n)
+        val schema = sp.read.parquet(dir).schema
+        val writer = graft.functions.EventTime.normalize(
+            sp.readStream.schema(schema)
+              .option("maxFilesPerTrigger", math.max(1, files / 5).toString)
+              .parquet(dir), "ts")
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .format("noop")
+        (() => withStatePartitions(sp) {
+          writer.start().awaitTermination() }, n)
+      }),
       Scenario("proximity_join_stream", sp => {
         // The STREAM-STREAM unkeyed interval join under a REAL bounded
         // stream: 5M events as 20 time-ordered files, several per
