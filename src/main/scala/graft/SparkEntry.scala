@@ -1910,6 +1910,31 @@ object SparkEntry {
           eventsSlicedStreamDir(s, dir), gapMinutes = 30,
           maxFilesPerTrigger = Some(1)))),
 
+    // ---- PII scrub (C4/Dolma-style pre-training redaction): emails /
+    // phones / IPv4s replaced with typed tags + per-doc counts, one
+    // codegen map pass, zero shuffle. The synthetic corpus carries no
+    // PII, so the query first injects deterministic doc_id-derived
+    // emails/phones/IPs into a subset of docs (same arithmetic in the
+    // oracle) — the oracle then checks the scrub kernel match-for-match
+    // on text that actually exercises all three patterns, including
+    // docs with none ----
+    "q112_pii_scrub" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@ex-ample.org now"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 1,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 2,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string"),
+            lit(" logged"))).otherwise(lit(""))).as("text"))
+      graft.operators.Corpus.piiScrub(injected, "doc_id", "text")
+    }),
+
     // ---- REAL BPE tokenization on the oracle surface: documents →
     // GPT-2-format vocab/merges fixture → per-doc token count and a
     // position-weighted checksum (Σ id_i·i, 1-based) proving token
@@ -2575,6 +2600,35 @@ object SparkEntry {
         |FROM sess, m GROUP BY user_id, sid, m.wm_us
         |HAVING epoch_us(CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE)
         |       <= m.wm_us""".stripMargin,
+
+    // q112: the same injection arithmetic, then the same three
+    // regexes (ASCII character classes only — the Java/RE2 common
+    // subset, so Spark codegen and DuckDB agree match-for-match) with
+    // 'g' replacement; counts on the pre-scrub text.
+    "q112_pii_scrub" -> {
+      val (em, ph, ip) = (graft.operators.Corpus.EmailPattern,
+        graft.operators.Corpus.PhonePattern,
+        graft.operators.Corpus.Ipv4Pattern)
+      s"""WITH injected AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact u' ||
+         |      CAST(doc_id AS VARCHAR) || '@ex-ample.org now' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 1 THEN ' call +1-555-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 2 THEN ' from 10.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |      CAST(doc_id % 100 AS VARCHAR) || ' logged' ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$em', '<EMAIL>', 'g'),
+         |    '$ph', '<PHONE>', 'g'),
+         |    '$ip', '<IP>', 'g') AS clean_text,
+         |  len(regexp_extract_all(text, '$em')) AS n_emails,
+         |  len(regexp_extract_all(text, '$ph')) AS n_phones,
+         |  len(regexp_extract_all(text, '$ip')) AS n_ips
+         |FROM injected""".stripMargin
+    },
 
     // q107: the streaming dedup passes exactly one survivor per
     // distinct text — batch-1 copies (and the corpus's own intra-file

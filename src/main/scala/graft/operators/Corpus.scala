@@ -16,6 +16,50 @@ import graft.functions.NgramHashes.ngram_hashes
   */
 object Corpus {
 
+  /** Email pattern — deliberately ASCII character-class-only (no \d,
+    * \b, backreferences or lookaround), so Java regex (Spark codegen)
+    * and RE2 (DuckDB oracle) agree match-for-match. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone pattern: international-prefix form (+C[-C]-NNN-NNNN with
+    * -, dot or space separators). The mandatory leading '+' keeps it
+    * disjoint from bare numbers in prose and from the other patterns,
+    * so scrub order cannot change counts. */
+  val PhonePattern =
+    "\\+[0-9]{1,2}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{4})?"
+
+  /** IPv4 pattern (syntactic dotted quad). */
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII SCRUB — the standard pre-training redaction pass (C4/Dolma
+    * pipelines scrub or flag emails, phone numbers and IP addresses
+    * before anything else sees the text). One codegen pass per
+    * document, no shuffle at all: three `regexp_replace`s produce
+    * `clean_text` (emails → `<EMAIL>`, phones → `<PHONE>`, IPv4s →
+    * `<IP>`) and three `regexp_extract_all` counts report what was
+    * found, counted on the ORIGINAL text so the counts are
+    * order-independent (the three patterns are mutually disjoint by
+    * construction — see [[PhonePattern]]). At 100 TB this is a pure
+    * map stage that fuses into whatever scan or filter surrounds it;
+    * the regexes are anchored to character classes only so the same
+    * strings drive the DuckDB oracle (q112) match-for-match. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"),
+        Ipv4Pattern, "<IP>").as("clean_text"),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0)))
+        .cast("long").as("n_ips"))
+  }
+
   /** Benchmark DECONTAMINATION: for every corpus document, count the
     * distinct word n-grams it shares with a benchmark/eval set — the
     * standard train/test-overlap filter run before LLM training

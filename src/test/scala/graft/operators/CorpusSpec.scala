@@ -119,4 +119,21 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(out === Map((1L, 2L) -> 1))
   }
+
+  test("piiScrub redacts emails/phones/IPs with typed tags and exact counts") {
+    val d = Seq(
+      (1L, "mail a.user+tag@sub.ex-ample.org or b_2@x.io, call +1-555-0042 now"),
+      (2L, "server 192.168.0.1 and 10.0.300.7 respond; dial +44 207-946-0958"),
+      (3L, "no pii here, just 1234 plain words and version 2.5")
+    ).toDF("doc_id", "text")
+    val out = Corpus.piiScrub(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === (("mail <EMAIL> or <EMAIL>, call <PHONE> now", 2L, 1L, 0L)))
+    // 10.0.300.7 is syntactically a dotted quad (the pattern is
+    // syntactic, like C4's, not range-validating); version 2.5 is not
+    assert(out(2L) === (("server <IP> and <IP> respond; dial <PHONE>", 0L, 1L, 2L)))
+    assert(out(3L) === (("no pii here, just 1234 plain words and version 2.5",
+      0L, 0L, 0L)))
+  }
 }
