@@ -307,4 +307,32 @@ class PropertySpec extends SparkSpec {
     // cannot silently degenerate into an all-kept corpus
     assert(out.count(!_._3) >= 20)
   }
+
+  test("piiScrub is idempotent, and zero counts imply the text is unchanged") {
+    // random word soup with PII fragments spliced at random positions;
+    // the replacement tags (<EMAIL>/<PHONE>/<IP>) contain no '@', '+'
+    // or dotted quads, so a second scrub must be a no-op — and a doc
+    // whose three counts are all zero must pass through byte-identical
+    val words = Seq("alpha", "beta", "gamma", "delta", "x9", "v2.5", "a+b")
+    val pii = Seq("u%d@ex.org", "+1-555-%04d", "10.0.0.%d")
+    val docs = (0 until 200).map { k =>
+      val base = Seq.fill(8)(words(rnd.nextInt(words.length)))
+      val withPii =
+        if (rnd.nextBoolean()) base
+        else rnd.shuffle(base :+ pii(rnd.nextInt(3)).format(k % 100))
+      (k.toLong, withPii.mkString(" "))
+    }.toDF("doc_id", "text")
+    val once = graft.operators.Corpus.piiScrub(docs, "doc_id", "text")
+    val twice = graft.operators.Corpus.piiScrub(
+      once.withColumnRenamed("clean_text", "text"), "doc_id", "text")
+    assert(rows(once.select($"doc_id", $"clean_text")) ==
+      rows(twice.select($"doc_id", $"clean_text")))
+    // second pass finds nothing (tags are not PII-shaped)
+    assert(twice.filter($"n_emails" + $"n_phones" + $"n_ips" > 0).isEmpty)
+    // zero-count docs are byte-identical to their input
+    val joined = docs.join(once, "doc_id")
+      .filter($"n_emails" + $"n_phones" + $"n_ips" === 0)
+    assert(joined.filter($"text" =!= $"clean_text").isEmpty)
+    assert(joined.count() > 0) // some PII-free docs existed
+  }
 }
