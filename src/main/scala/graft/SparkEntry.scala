@@ -500,6 +500,37 @@ object SparkEntry {
       |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.4""".stripMargin
 
+  /** Shared CTE chain deriving the corpus near-dup PAIR set (word-
+    * trigram shingles, exact Jaccard ≥ 0.8) — used verbatim by the
+    * q14/q43/q46/q52/q61/q69 oracles so the pair definition can never
+    * drift between them. Derivation: candidates from the shingle
+    * POSTING self-join + per-pair intersection COUNT, not the all-pairs
+    * O(n²) `list_intersect` join — EXACT for any positive threshold (a
+    * qualifying pair shares ≥ 1 shingle, so it appears in the posting
+    * join; on the `list_distinct`ed shingle lists the match count IS
+    * |a∩b| and |a∪b| = m_a + m_b − |a∩b|, so the jaccard value is
+    * bit-identical and rounds identically). Cost drops from n² list
+    * intersections to Σ_g count(g)² cheap row matches: the q69 oracle
+    * alone went 930 s → ~1 s at sf0.1 (round-11 verdict ask #5).
+    * Emits CTEs `sh(doc_id, s)` and `pairs(a_id, b_id, jaccard)`. */
+  private def dupPairsSqlCtes: String =
+    """sh AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+      |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |dp_post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |dp_sz AS (SELECT doc_id, len(s) AS m FROM sh),
+      |dp_inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |  FROM dp_post a JOIN dp_post b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS MATERIALIZED (
+      |  SELECT a_id, b_id,
+      |    round(CAST(c AS DOUBLE) / (sa.m + sb.m - c), 6) AS jaccard
+      |  FROM dp_inter JOIN dp_sz sa ON sa.doc_id = a_id
+      |  JOIN dp_sz sb ON sb.doc_id = b_id
+      |  WHERE round(CAST(c AS DOUBLE) / (sa.m + sb.m - c), 6) >= 0.8)""".stripMargin
+
   /** q21's oracle body — exact brute-force cosine top-5 for queries
     * vec_id < 8. A def (not inline) so q85's recall evaluation can
     * nest the SAME derivation as a CTE subquery — engine and oracle
@@ -2186,17 +2217,8 @@ object SparkEntry {
         |FROM doubled GROUP BY text""".stripMargin,
 
     "q14_minhash_lsh" ->
-      """WITH sh AS MATERIALIZED (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-        |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-        |  WHERE len(t) >= 3)
-        |SELECT a_id, b_id, jaccard FROM (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.8""".stripMargin,
+      s"""WITH $dupPairsSqlCtes
+         |SELECT a_id, b_id, jaccard FROM pairs""".stripMargin,
 
     "q15_simhash" ->
       s"""WITH h AS (SELECT doc_id,
@@ -2773,18 +2795,7 @@ object SparkEntry {
     // form), then a recursive-CTE transitive closure; min reachable id
     // = the propagation fixpoint.
     "q43_dup_clusters" ->
-      """WITH RECURSIVE sh AS MATERIALIZED (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-        |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-        |  WHERE len(t) >= 3),
-        |pairs AS MATERIALIZED (
-        |  SELECT a_id, b_id FROM (
-        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |            / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.8),
+      s"""WITH RECURSIVE $dupPairsSqlCtes,
         |edges AS (SELECT a_id AS x, b_id AS y FROM pairs
         |          UNION SELECT b_id, a_id FROM pairs),
         |reach(x, y) AS (
@@ -2822,18 +2833,7 @@ object SparkEntry {
       val quality = r6(s"""0.4 * least(CAST(len(t) AS DOUBLE)/200.0, 1.0)
          |      + 0.3 * least($meanLen/8.0, 1.0)
          |      + 0.3 * least($stopR*5.0, 1.0)""".stripMargin)
-      s"""WITH RECURSIVE sh AS MATERIALIZED (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-         |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-         |  WHERE len(t) >= 3),
-         |pairs AS MATERIALIZED (
-         |  SELECT a_id, b_id FROM (
-         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |            / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |  WHERE jaccard >= 0.8),
+      s"""WITH RECURSIVE $dupPairsSqlCtes,
          |edges AS (SELECT a_id AS x, b_id AS y FROM pairs
          |          UNION SELECT b_id, a_id FROM pairs),
          |reach(x, y) AS (
@@ -2931,18 +2931,7 @@ object SparkEntry {
       val quality = r6(s"""0.4 * least(CAST(len(t) AS DOUBLE)/200.0, 1.0)
          |      + 0.3 * least($meanLen/8.0, 1.0)
          |      + 0.3 * least($stopR*5.0, 1.0)""".stripMargin)
-      s"""WITH RECURSIVE sh AS MATERIALIZED (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-         |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-         |  WHERE len(t) >= 3),
-         |pairs AS MATERIALIZED (
-         |  SELECT a_id, b_id FROM (
-         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |            / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |  WHERE jaccard >= 0.8),
+      s"""WITH RECURSIVE $dupPairsSqlCtes,
          |edges AS (SELECT a_id AS x, b_id AS y FROM pairs
          |          UNION SELECT b_id, a_id FROM pairs),
          |reach(x, y) AS (
@@ -3160,17 +3149,7 @@ object SparkEntry {
     // q61: candidates are exactly q14's verified pair set (jaccard ≥
     // 0.8), confirmed here by character-exact Levenshtein.
     "q61_edit_distance" ->
-      """WITH sh AS MATERIALIZED (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-        |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-        |  WHERE len(t) >= 3),
-        |pairs AS MATERIALIZED (SELECT a_id, b_id FROM (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.8)
+      s"""WITH $dupPairsSqlCtes
         |SELECT p.a_id AS a_id, p.b_id AS b_id,
         |       levenshtein(da.text, db.text) AS dist
         |FROM pairs p
@@ -3571,17 +3550,7 @@ object SparkEntry {
            |    (1000000000000 * 15 // 100 // nv.n) + coalesce(c.in_sum, 0) AS r
            |  FROM verts v CROSS JOIN nv LEFT JOIN c$i c ON v.id = c.dst)""".stripMargin
       }
-      s"""WITH sh AS MATERIALIZED (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-         |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-         |  WHERE len(t) >= 3),
-         |pairs AS MATERIALIZED (SELECT a_id, b_id FROM (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |  WHERE jaccard >= 0.8),
+      s"""WITH $dupPairsSqlCtes,
          |verts AS (SELECT doc_id AS id FROM documents),
          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
          |          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),

@@ -240,8 +240,16 @@ object Stress {
         sp.sql("DROP TABLE IF EXISTS graft_stress_grid_buck")
         // a crashed prior run can leave the managed location on disk with
         // no catalog entry — saveAsTable then fails LOCATION_ALREADY_EXISTS
-        val loc = new java.io.File(new java.net.URI(sp.conf
-          .get("spark.sql.warehouse.dir")).getPath, "graft_stress_grid_buck")
+        // the warehouse dir may be a URI (file:/…) or a plain path —
+        // possibly with URI-illegal characters — so try URI first and
+        // fall back to treating it as a filesystem path
+        val whDir = sp.conf.get("spark.sql.warehouse.dir")
+        val whPath =
+          try {
+            val u = new java.net.URI(whDir)
+            if (u.getPath != null && u.getPath.nonEmpty) u.getPath else whDir
+          } catch { case _: java.net.URISyntaxException => whDir }
+        val loc = new java.io.File(whPath, "graft_stress_grid_buck")
         if (loc.exists()) {
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

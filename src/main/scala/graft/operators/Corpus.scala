@@ -23,10 +23,12 @@ object Corpus {
 
   /** Phone pattern: international-prefix form (+C[-C]-NNN-NNNN with
     * -, dot or space separators). The mandatory leading '+' keeps it
-    * disjoint from bare numbers in prose and from the other patterns,
-    * so scrub order cannot change counts. */
+    * disjoint from bare numbers in prose and from the email pattern.
+    * The optional 4-digit tail is a NON-capturing group: with a capture
+    * group, `regexp_extract_all` only works because both engines are
+    * explicitly told group 0 — `(?:…)` removes that footgun. */
   val PhonePattern =
-    "\\+[0-9]{1,2}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{4})?"
+    "\\+[0-9]{1,2}[-. ][0-9]{3}[-. ][0-9]{3,4}(?:[-. ][0-9]{4})?"
 
   /** IPv4 pattern (syntactic dotted quad). */
   val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
@@ -37,9 +39,14 @@ object Corpus {
     * document, no shuffle at all: three `regexp_replace`s produce
     * `clean_text` (emails → `<EMAIL>`, phones → `<PHONE>`, IPv4s →
     * `<IP>`) and three `regexp_extract_all` counts report what was
-    * found, counted on the ORIGINAL text so the counts are
-    * order-independent (the three patterns are mutually disjoint by
-    * construction — see [[PhonePattern]]). At 100 TB this is a pure
+    * found, counted on the ORIGINAL text. The email and phone patterns
+    * are mutually disjoint by construction (see [[PhonePattern]]); the
+    * IPv4 pattern is NOT fully disjoint from the email pattern — a
+    * dotted quad embedded in an email's local/domain part matches both,
+    * so in that corner case `n_ips` (counted on the original text) can
+    * report an IP that no longer appears in `clean_text` because the
+    * email scrub ran first. The oracle applies the identical order and
+    * counting, so parity is unaffected. At 100 TB this is a pure
     * map stage that fuses into whatever scan or filter surrounds it;
     * the regexes are anchored to character classes only so the same
     * strings drive the DuckDB oracle (q112) match-for-match. */

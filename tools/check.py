@@ -11,13 +11,16 @@ import sys, json, glob, os, time, threading
 import duckdb
 import pandas as pd
 
-# --json PATH: also write per-query results ({name: {"pass": bool,
-# "rows": int}} plus "_oracle_secs") for artifact generation
-# (tools/sf01_spot.py). Stripped before positional parsing.
+# --json PATH: also write per-query results ({"queries": {name:
+# {"pass": bool, "rows": int}}, "_oracle_secs": {...}}) for artifact
+# generation (tools/sf01_spot.py). Stripped before positional parsing.
 json_out = None
 _argv = sys.argv[:]
 if "--json" in _argv:
     i = _argv.index("--json")
+    if i + 1 >= len(_argv):
+        print("usage: check.py [sfdir] [outdir] [names] --json PATH")
+        sys.exit(2)
     json_out = _argv[i + 1]
     del _argv[i:i + 2]
 sys.argv = _argv
@@ -144,10 +147,14 @@ if oracle_secs:
 fails.extend(_dead)
 total = len(names) + len(_dead)
 if json_out:
-    results = {n: {"pass": n not in fails, "rows": rowcounts.get(n, 0)}
-               for n in names + _dead}
-    results["_oracle_secs"] = {k: round(v, 1) for k, v in
-                               sorted(oracle_secs.items(), key=lambda kv: -kv[1])}
+    # Per-query results live under their own key so a query literally
+    # named "_oracle_secs" could never collide with the timing map.
+    results = {
+        "queries": {n: {"pass": n not in fails, "rows": rowcounts.get(n, 0)}
+                    for n in names + _dead},
+        "_oracle_secs": {k: round(v, 1) for k, v in
+                         sorted(oracle_secs.items(), key=lambda kv: -kv[1])},
+    }
     json.dump(results, open(json_out, "w"), indent=1)
 print(f"\n{total-len(fails)}/{total} pass" + (f"; FAILURES: {fails}" if fails else ""))
 sys.exit(1 if fails else 0)

@@ -43,8 +43,17 @@ cmp_proc = subprocess.run(
     [sys.executable, os.path.join(os.path.dirname(__file__), "check.py"),
      sfdir, outdir, lst, "--json", results_tmp], env=env2)
 
-results = json.load(open(results_tmp))
-oracle_secs = results.pop("_oracle_secs", {})
+# check.py writes the JSON only after its full compare loop; if it
+# crashed earlier (bad outdir, duckdb error) the file is absent and the
+# REAL failure is its exit code — surface that instead of a masking
+# FileNotFoundError from json.load.
+if not os.path.exists(results_tmp):
+    print(f"[sf01-spot] ERROR: check.py exited {cmp_proc.returncode} "
+          f"without writing {results_tmp} — see its output above")
+    sys.exit(cmp_proc.returncode or 1)
+payload = json.load(open(results_tmp))
+results = payload["queries"]
+oracle_secs = payload.get("_oracle_secs", {})
 npass = sum(1 for v in results.values() if v.get("pass"))
 artifact = {
     "_meta": {
