@@ -1966,6 +1966,21 @@ object SparkEntry {
       graft.operators.Corpus.piiScrub(injected, "doc_id", "text")
     }),
 
+    // ---- EVENT-TIME-timeout sessionization: the deterministic close
+    // signal — a session emits when a later same-user event exceeds
+    // the gap (any batch) OR when the WATERMARK passes last-event +
+    // gap via GroupStateTimeout.EventTimeTimeout; bounded runs
+    // self-terminate with no drain helper (unlike the processing-time
+    // form, whose close depends on a wall clock). The oracle encodes
+    // the exact closure rule: every non-final session, plus final
+    // sessions whose ms-floored end is STRICTLY before the final
+    // watermark (the `<` edge is spec-pinned, EventTimeSessionSpec) ----
+    "q114_session_eventtime_stream" -> ((s, dir) =>
+      runStreamToParquet(s,
+        EventPipeline.sessionizeEventTimeStream(s,
+          eventsSlicedStreamDir(s, dir), gapMinutes = 30,
+          maxFilesPerTrigger = Some(1)))),
+
     // ---- REAL BPE tokenization on the oracle surface: documents →
     // GPT-2-format vocab/merges fixture → per-doc token count and a
     // position-weighted checksum (Σ id_i·i, 1-based) proving token
@@ -2651,6 +2666,42 @@ object SparkEntry {
          |  len(regexp_extract_all(text, '$ip')) AS n_ips
          |FROM injected""".stripMargin
     },
+
+    // q114: the custom-state sessionization under EVENT-TIME timeout.
+    // Closure rule (EventTimeSessionSpec pins every edge): a session
+    // with a successor (sid < per-user max) closed via the gap split
+    // and always emits; a user's FINAL session emits iff its ms-floored
+    // end (floor(last_us/1000)·1000 + gap) is STRICTLY before the final
+    // watermark (ms-floored global max − delay) — Spark fires
+    // EventTimeTimeout only when timeoutTimestamp < watermark. Session
+    // content/numbering arithmetic is q106's lag-split chain.
+    "q114_session_eventtime_stream" ->
+      """WITH m AS (SELECT (epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000) * 1000
+        |                  - 3600000000 AS wm_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sid, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        |  FROM sess GROUP BY user_id, sid),
+        |mx AS (SELECT user_id, max(sid) AS max_sid FROM agg GROUP BY user_id)
+        |SELECT agg.user_id, CAST(sid AS BIGINT) AS sess_id, session_start,
+        |  n_events, sum_value
+        |FROM agg JOIN mx USING (user_id), m
+        |WHERE sid < max_sid
+        |   OR (last_us // 1000) * 1000 + 1800000000 < m.wm_us""".stripMargin,
 
     // q107: the streaming dedup passes exactly one survivor per
     // distinct text — batch-1 copies (and the corpus's own intra-file

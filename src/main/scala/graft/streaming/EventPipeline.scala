@@ -439,6 +439,23 @@ object EventPipeline extends Serializable {
       user_id: Long, sess_id: Long, session_start: java.sql.Timestamp,
       n_events: Long, sum_value: Double)
 
+  /** Project a closed session out of its accumulator. The sum is an
+    * exact scaled long (micro-units) — the incremental mirror of the
+    * batch form's DECIMAL(18,6) accumulator: order-independent, and
+    * sumMicros/1e6 is the correctly-rounded double of the same decimal
+    * value the batch cast produces. */
+  private def emitSession(userId: Long, s: SessState): Session =
+    Session(userId, s.sessId, microsToTs(s.startUs), s.n, s.sumMicros / 1e6)
+
+  /** Match Spark's double→DECIMAL(18,6) cast exactly: HALF_UP on the
+    * SHORTEST decimal representation (math.rint is half-even on the
+    * binary product and can differ by 1e-6 at .5-at-6dp inputs). */
+  private def valueMicros(v: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(v))
+      .movePointRight(6)
+      .setScale(0, java.math.RoundingMode.HALF_UP)
+      .longValueExact()
+
   /** Streaming sessionization with CUSTOM STATE — the
     * `flatMapGroupsWithState` form of [[sessionize]]: per-user state
     * holds the open session; a processing-time timeout flushes sessions
@@ -455,21 +472,8 @@ object EventPipeline extends Serializable {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     implicit val se = Encoders.product[Session]
     implicit val ste = Encoders.product[SessState]
-    // state holds the sum as an exact scaled long (micro-units), the
-    // incremental mirror of the batch form's DECIMAL(18,6) accumulator:
-    // order-independent, and sumMicros/1e6 is the correctly-rounded
-    // double of the same decimal value the batch cast produces
-    def emit(userId: Long, s: SessState): Session =
-      Session(userId, s.sessId, microsToTs(s.startUs),
-        s.n, s.sumMicros / 1e6)
-    // match Spark's double→DECIMAL(18,6) cast exactly: HALF_UP on the
-    // SHORTEST decimal representation (math.rint is half-even on the
-    // binary product and can differ by 1e-6 at .5-at-6dp inputs)
-    def micros(v: Double): Long =
-      new java.math.BigDecimal(java.lang.Double.toString(v))
-        .movePointRight(6)
-        .setScale(0, java.math.RoundingMode.HALF_UP)
-        .longValueExact()
+    def emit(userId: Long, s: SessState): Session = emitSession(userId, s)
+    def micros(v: Double): Long = valueMicros(v)
     events
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessState, Session](
@@ -576,6 +580,115 @@ object EventPipeline extends Serializable {
     q.exception.foreach(e => throw e)
     q.stop()
     drained || selfFinished
+  }
+
+  /** EVENT-TIME-timeout sessionization — the deterministic form of
+    * [[sessionizeStateful]] (round-11 verdict ask #2): sessions close
+    * when the WATERMARK passes last-event + gap, not when a
+    * wall clock does. Identical session content/numbering; what
+    * changes is the CLOSE signal:
+    *
+    *  - a later same-user event beyond the gap still closes the
+    *    previous session immediately (the gap split — deterministic in
+    *    both variants);
+    *  - a session with NO successor closes via
+    *    `GroupStateTimeout.EventTimeTimeout` when the watermark
+    *    (ms-floored global event-time max − delay) passes
+    *    `floor(last_us/1000) + gap` — a pure function of the DATA, so
+    *    bounded runs emit a deterministic, oracle-checkable session
+    *    set (q114) and self-terminate under Trigger.AvailableNow with
+    *    no [[drainAndStop]] helper: `shouldRunAnotherBatch` is true
+    *    only while the watermark advances, unlike the processing-time
+    *    variant's always-true. Keep [[sessionizeStateful]] for
+    *    wall-clock use cases (close idle sessions even when the event
+    *    stream stalls — an event-time watermark cannot advance without
+    *    new events).
+    *
+    * State: one [[SessState]] per user, O(users). After a timeout
+    * emission the state is kept as a TOMBSTONE (`n = 0`, no timeout
+    * re-armed) rather than removed: the next event must continue the
+    * per-user session NUMBERING (`sessId + 1`) — removing state would
+    * restart it at 1 and diverge from the batch ordinal. The timeout
+    * timestamp is always legal to set: a non-late event has
+    * `ts_ms ≥ watermark`, so `end = ts_ms + gap > watermark` for any
+    * positive gap (Spark rejects timeouts at or before the watermark);
+    * the `require` pins the positive-gap precondition.
+    *
+    * Eviction boundary (spec-pinned, EventTimeSessionSpec): Spark
+    * fires the timeout only when `timeoutTimestamp < watermark`
+    * STRICTLY — a session whose end lands exactly ON the final
+    * watermark stays open. The q114 oracle encodes exactly this: all
+    * non-final sessions (closed by the gap split) plus final sessions
+    * with `floor(last_us/1000) + gap < floor(max_ts_us/1000) − delay`. */
+  def sessionizeStatefulEventTime(
+      events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    require(gapMinutes > 0, "event-time sessionization needs a positive gap")
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val gapMs = gapMinutes.toLong * 60000L
+    implicit val se = Encoders.product[Session]
+    implicit val ste = Encoders.product[SessState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed the open session's end: emit once and
+            // leave the numbering tombstone behind
+            val out = state.getOption.filter(_.n > 0).map(emitSession(userId, _))
+            state.getOption.foreach(s =>
+              state.update(SessState(s.sessId, 0L, 0L, 0L, 0L)))
+            out.iterator
+          } else {
+            val sorted = it.toVector.sortBy(e => (tsMicros(e.ts), e.event_id))
+            var open = state.getOption.filter(_.n > 0)
+            // tombstones carry the last emitted session's ordinal
+            var lastId = state.getOption.map(_.sessId).getOrElse(0L)
+            val closed = Vector.newBuilder[SessState]
+            sorted.foreach { e =>
+              val us = tsMicros(e.ts)
+              open match {
+                case Some(cur) if us - cur.lastUs <= gapUs =>
+                  open = Some(cur.copy(lastUs = us, n = cur.n + 1,
+                    sumMicros = cur.sumMicros + valueMicros(e.value)))
+                case Some(cur) =>
+                  closed += cur
+                  open = Some(SessState(cur.sessId + 1, us, us, 1, valueMicros(e.value)))
+                case None =>
+                  open = Some(SessState(lastId + 1, us, us, 1, valueMicros(e.value)))
+              }
+              lastId = open.get.sessId
+            }
+            open.foreach { cur =>
+              state.update(cur)
+              // end > watermark always holds here (non-late events +
+              // positive gap, see scaladoc) — the timeout arms cleanly
+              state.setTimeoutTimestamp(
+                Math.floorDiv(cur.lastUs, 1000L) + gapMs)
+            }
+            closed.result().iterator.map(emitSession(userId, _))
+          }
+        })
+  }
+
+  /** [[sessionizeStatefulEventTime]] over a bounded parquet stream:
+    * watermark on `ts` (the delay that defines the close boundary),
+    * Append output, AvailableNow — and unlike [[sessionizeStream]] the
+    * bounded run SELF-TERMINATES (plain `awaitTermination`, no drain
+    * helper), because the only pending-timeout condition is watermark
+    * advancement, which stops when the source drains. */
+  def sessionizeEventTimeStream(
+      spark: SparkSession, sourceDir: String,
+      gapMinutes: Int, delay: String = "1 hour",
+      maxFilesPerTrigger: Option[Int] = None): DataStreamWriter[Session] = {
+    implicit val ee = Encoders.product[Ev]
+    val events = pacedStreamSource(spark, sourceDir, maxFilesPerTrigger, "ts")
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[Ev]
+    sessionizeStatefulEventTime(events, gapMinutes)
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
   }
 
   def sessionizeStream(

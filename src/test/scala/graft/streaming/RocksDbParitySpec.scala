@@ -48,6 +48,38 @@ class RocksDbParitySpec extends SparkSpec {
     spark.catalog.dropTempView("rocks_sess")
   }
 
+  test("EVENT-TIME-timeout sessionization on RocksDB == default provider") {
+    // the q114 parity shape: a gap-split session, a watermark-timed-out
+    // session, and two held ones — identical emitted set on both
+    // backends (the timeout path reads and clears state through the
+    // provider, so a RocksDB-side divergence would change the row set)
+    val ev = Seq(
+      (1L, ts("2021-06-01 10:00:00"), 1L, 1.5),
+      (1L, ts("2021-06-01 10:10:00"), 2L, 2.25),
+      (1L, ts("2021-06-01 11:00:00"), 3L, 4.0),  // splits 1's session
+      (2L, ts("2021-06-01 10:05:00"), 4L, 8.0),  // times out at wm 11:00
+      (3L, ts("2021-06-01 12:00:00"), 5L, 16.0)  // max ts; held
+    ).toDF("user_id", "ts", "event_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rocks-etsess").toString
+    ev.write.mode("overwrite").parquet(dir)
+    def run(name: String, rocks: Boolean): Set[Seq[Any]] = {
+      def go(): Unit = {
+        val q = EventPipeline.sessionizeEventTimeStream(spark, dir,
+            gapMinutes = 30, delay = "1 hour")
+          .format("memory").queryName(name).start()
+        assert(q.awaitTermination(120000)); q.stop()
+      }
+      if (rocks) withRocksDb(go()) else go()
+      val out = rows(spark.table(name))
+      spark.catalog.dropTempView(name)
+      out
+    }
+    val onRocks = run("rocks_etsess", rocks = true)
+    val onDefault = run("heap_etsess", rocks = false)
+    assert(onRocks == onDefault)
+    assert(onRocks.map(r => (r(0), r(1))) == Set((1L, 1L), (2L, 1L)))
+  }
+
   test("append-mode windowed aggregate on RocksDB == watermark-closed batch windows") {
     val ev = Seq(
       (1L, ts("2021-01-01 10:00:00"), 1L, 1.0, "view"),
