@@ -287,6 +287,40 @@ object SparkEntry {
       d.toString
     })
 
+  /** The staged-grid drop-box for q113: the synthetic grid with time
+    * truncated to YEAR, staged as one file per distinct time value
+    * with ascending modification times — the reference's daily staging
+    * cadence at a coarser calendar grain (7 "days" → 7 micro-batches
+    * at sf0.01), satisfying IncrementalEtl's day-atomicity contract
+    * (each time value's rows land whole in one file). */
+  private def gridDailyStreamDir(s: SparkSession, dir: String): String =
+    streamSrcDirs.getOrElseUpdate("griddaily:" + dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_grid_daily_")
+      val g = gridFromLineitem(t(s, dir, "lineitem"), nullify = false)
+        .withColumn("time", date_trunc("year", col("time")).cast("date"))
+      val scratch =
+        java.nio.file.Files.createTempDirectory("graft_grid_daily_w_")
+      // repartition BY the year: each year's rows land in one task, so
+      // the partitioned write emits exactly one file per year directory
+      g.withColumn("__y", year(col("time")))
+        .repartition(col("__y"))
+        .write.mode("overwrite").partitionBy("__y").parquet(scratch.toString)
+      val base = System.currentTimeMillis()
+      val years = Option(scratch.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("__y=")).sortBy(_.getName)
+      years.zipWithIndex.foreach { case (yd, k) =>
+        val parts = yd.listFiles().filter(_.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"${yd.getName}: expected one parquet part from the one-task " +
+            s"write, found ${parts.length}")
+        val f = d.resolve(f"$k%02d_grid.parquet")
+        java.nio.file.Files.move(parts.head.toPath, f)
+        f.toFile.setLastModified(base - (years.length - k).toLong * 60000L)
+      }
+      d.toFile.deleteOnExit()
+      d.toString
+    })
+
   /** Two-file documents stream for q107: the original table, then a
     * second file carrying THE SAME TEXTS under shifted doc_ids, with
     * modification times forcing that arrival order (FileStreamSource
@@ -1981,6 +2015,40 @@ object SparkEntry {
           eventsSlicedStreamDir(s, dir), gapMinutes = 30,
           maxFilesPerTrigger = Some(1)))),
 
+    // ---- INCREMENTAL DAILY-ETL CADENCE — the reference's operational
+    // shape (`Gridmet_current.py:24-48` gating `etl.py:570-810`) run
+    // natively: staged day-files arrive as a drop-box stream, each
+    // micro-batch consults the REAL AvailabilityGate decision rule
+    // (injected probe: the staged day is published) and weighted-means
+    // exactly the new day into the accumulating contract table via
+    // idempotent day-partition overwrite. Oracle = the BATCH pipeline
+    // over the full range: any day double-ETL'd, lost, or aggregated
+    // from a partial plane changes rows and fails the hash.
+    // Restart/no-dup/no-loss is additionally spec-pinned
+    // (IncrementalEtlSpec) ----
+    "q113_daily_etl_stream" -> ((s, dir) => {
+      val w = weightsFromPart(t(s, dir, "part"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_daily_etl_")
+      tmp.toFile.deleteOnExit()
+      val (out, ckpt) = (tmp.resolve("out"), tmp.resolve("ckpt"))
+      val gate: String => Boolean = dayStr => {
+        val day = java.time.LocalDate.parse(dayStr)
+        graft.cli.AvailabilityGate.isCurrent(
+          java.time.ZonedDateTime.of(day.plusDays(1),
+            java.time.LocalTime.NOON, java.time.ZoneOffset.UTC))(_ => day)
+      }
+      withStreamShufflePartitions(s) {
+        graft.etl.IncrementalEtl.dailyWeightedMeanStream(s,
+            gridDailyStreamDir(s, dir), w, Seq("pr"), out.toString,
+            gate = gate)
+          .option("checkpointLocation", ckpt.toString)
+          .start().awaitTermination()
+      }
+      graft.etl.IncrementalEtl.readAccumulated(s, out.toString)
+        .select(col("fid"), col("time").cast("date").as("time"),
+          round(col("pr"), 4).as("wmean_pr"))
+    }),
+
     // ---- REAL BPE tokenization on the oracle surface: documents →
     // GPT-2-format vocab/merges fixture → per-doc token count and a
     // position-weighted checksum (Σ id_i·i, 1-based) proving token
@@ -2666,6 +2734,21 @@ object SparkEntry {
          |  len(regexp_extract_all(text, '$ip')) AS n_ips
          |FROM injected""".stripMargin
     },
+
+    // q113: the incremental cadence must accumulate EXACTLY the batch
+    // pipeline's table — q01's weighted-mean oracle at the staging's
+    // year grain. Per-day aggregation is exact because each (fid, time)
+    // group's rows arrive whole in one micro-batch (day-atomic files);
+    // the 4 dp round absorbs FP summation order, as in q01.
+    "q113_daily_etl_stream" ->
+      s"""WITH g AS (SELECT CAST(date_trunc('year', l_shipdate) AS DATE) AS time,
+         |            l_partkey % 25 AS i, l_suppkey % 10 AS j,
+         |            l_extendedprice AS pr FROM lineitem),
+         | w AS ($weightsSql)
+         |SELECT w.fid AS fid, g.time AS time,
+         |       round(sum(w.wght*g.pr)/sum(w.wght), 4) AS wmean_pr
+         |FROM g JOIN w ON g.i = w.i AND g.j = w.j
+         |GROUP BY 1, 2""".stripMargin,
 
     // q114: the custom-state sessionization under EVENT-TIME timeout.
     // Closure rule (EventTimeSessionSpec pins every edge): a session
