@@ -1975,6 +1975,20 @@ object SparkEntry {
           eventsSlicedStreamDir(s, dir), gapMinutes = 30,
           maxFilesPerTrigger = Some(1)))),
 
+    // ---- SEEDED GLOBAL SHUFFLE + SOURCE-MIX SHARDING: the training
+    // ORDER of the packing surface made deterministic policy — each
+    // source subsampled to its target proportion (largest
+    // mix-respecting total), round-robin sharded so the mix holds PER
+    // SHARD, interleaved through each shard by the seeded permutation
+    // key. Pure integer/hash arithmetic end-to-end → the oracle
+    // replays the whole construction including the quota math ----
+    "q115_shuffle_shards" -> ((s, dir) =>
+      graft.operators.Packing.shuffleShards(docs(s, dir), "doc_id",
+          "source", seed = 20260814L, nShards = 8,
+          mix = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .select(col("shard"), col("pos"), col("id").as("doc_id"),
+          col("source"))),
+
     // ---- PII scrub (C4/Dolma-style pre-training redaction): emails /
     // phones / IPv4s replaced with typed tags + per-doc counts, one
     // codegen map pass, zero shuffle. The synthetic corpus carries no
@@ -2749,6 +2763,36 @@ object SparkEntry {
          |       round(sum(w.wght*g.pr)/sum(w.wght), 4) AS wmean_pr
          |FROM g JOIN w ON g.i = w.i AND g.j = w.j
          |GROUP BY 1, 2""".stripMargin,
+
+    // q115: the seeded-shuffle construction replayed end-to-end — the
+    // portable-hash permutation key, per-source ranks, the
+    // N = min_s floor(C_s/p_s) quota arithmetic (identical IEEE
+    // double ops in both engines), round-robin shard assignment, and
+    // the per-shard interleave order.
+    "q115_shuffle_shards" -> {
+      val h = hashSql(
+        "(repeat('20260814:' || CAST(doc_id AS VARCHAR) || ';', 3))")
+      s"""WITH hsh AS MATERIALIZED (SELECT doc_id, source, $h AS h
+         |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+         |p AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25),
+         |                            ('src2', 0.25)) t(source, w)),
+         |cnt AS (SELECT source, count(*) AS c FROM hsh GROUP BY 1),
+         |tot AS (SELECT CAST(min(floor(c / w)) AS BIGINT) AS total
+         |        FROM cnt JOIN p USING (source)),
+         |qt AS (SELECT p.source, CAST(floor(tot.total * p.w) AS BIGINT)
+         |         AS quota FROM p, tot),
+         |rk AS (SELECT doc_id, source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |      - 1 AS r
+         |  FROM hsh),
+         |sel AS (SELECT rk.doc_id, rk.source, rk.h, rk.r % 8 AS shard
+         |        FROM rk JOIN qt USING (source) WHERE rk.r < qt.quota)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |       - 1 AS BIGINT) AS pos,
+         |  doc_id, source
+         |FROM sel""".stripMargin
+    },
 
     // q114: the custom-state sessionization under EVENT-TIME timeout.
     // Closure rule (EventTimeSessionSpec pins every edge): a session

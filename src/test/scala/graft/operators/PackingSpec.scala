@@ -109,6 +109,41 @@ class PackingSpec extends SparkSpec {
     assert(out.filter(c => c._2 == 0L).forall(_._3.nonEmpty))
   }
 
+  test("shuffleShards: per-shard mix enforced, seeded order deterministic, seed-sensitive") {
+    // 3 sources × 40 docs, interleaved ids so source blocks don't align
+    val docs = (0L until 120L)
+      .map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val mix = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+    def run(seed: Long) = Packing.shuffleShards(docs, "doc_id", "source",
+      seed, nShards = 4, mix = mix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(r => (r._1, r._2))
+    val a = run(7L)
+    // quotas: N = min(floor(40/.5)=80, floor(40/.25)=160) = 80 →
+    // src0 40, src1 20, src2 20 docs
+    assert(a.length === 80)
+    assert(a.count(_._4 == "src0") === 40)
+    assert(a.count(_._4 == "src1") === 20)
+    // the MIX holds per shard (round-robin): each of 4 shards gets
+    // exactly 10 src0 + 5 src1 + 5 src2
+    (0L until 4L).foreach { sh =>
+      val s = a.filter(_._1 == sh)
+      assert(s.count(_._4 == "src0") === 10, s"shard $sh")
+      assert(s.count(_._4 == "src1") === 5, s"shard $sh")
+      assert(s.count(_._4 == "src2") === 5, s"shard $sh")
+      // positions are dense 0..n-1
+      assert(s.map(_._2).toSeq === (0L until s.length.toLong).toSeq)
+    }
+    // identical seed reproduces the run bit-for-bit
+    assert(run(7L).toSeq === a.toSeq)
+    // a different seed permutes the training order
+    assert(run(8L).map(_._3).toSeq !== a.map(_._3).toSeq)
+    // sources interleave within shards rather than arriving in blocks:
+    // shard 0's first 10 positions can't all be one source
+    assert(a.filter(_._1 == 0L).take(10).map(_._4).distinct.length > 1)
+  }
+
   test("slidingChunks: overlap, tail clamp, short-doc single chunk") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens
