@@ -189,7 +189,10 @@ object Stress {
   }
 
   /** Weight table: `features` features × `cellsPerFeature` covered
-    * cells hashed into the `width`×`height` grid, uniform weights. */
+    * cells hashed into the `width`×`height` grid, uniform weights.
+    * Cells SCATTER independently — the adversarial layout for any
+    * locality-based plan (each feature touches ~cellsPerFeature
+    * distinct buckets/tiles). */
   private def weights(
       spark: SparkSession, features: Int, cellsPerFeature: Int,
       width: Int, height: Int): DataFrame =
@@ -198,6 +201,56 @@ object Stress {
       pmod(hash(col("id"), lit(11)), lit(width)).as("i"),
       pmod(hash(col("id"), lit(13)), lit(height)).as("j"),
       (lit(1.0) / lit(cellsPerFeature)).as("wght"))
+
+  /** Weight table with REALISTIC compact footprints: each feature
+    * covers a contiguous 4×3 cell rectangle at a hash-scattered
+    * anchor — the reference weight map's shape (an HRU is a compact
+    * watershed polygon, ~11 ADJACENT cells; `data/nhru_01a`), which is
+    * what spatial-tile staging exploits. Same 12 cells/feature and
+    * uniform weights as [[weights]], so the two bigweights scenarios
+    * are size-identical and differ only in layout. */
+  private def weightsCompact(
+      spark: SparkSession, features: Int,
+      width: Int, height: Int): DataFrame = {
+    val aw = math.max(1, width - 4)
+    val ah = math.max(1, height - 3)
+    // scan-like split granularity (same reasoning as raster()): a real
+    // weight TABLE arrives in bounded parquet splits, and the tile
+    // exchange's writer buffers are sized by rows-per-map-task — the
+    // 32-slice default hands each task 3.1M rows (~130 MB buffered),
+    // which force-spills the sort-based shuffle writer at the 8 GiB
+    // envelope even though the shuffle itself is small
+    val parts = math.max(64L, features.toLong * 12 / 1000000L).min(2048L).toInt
+    spark.range(0, features.toLong * 12, 1, parts).select(
+      expr("id DIV 12").as("fid"),
+      (pmod(hash(expr("id DIV 12"), lit(21)), lit(aw)) +
+        expr("CAST(pmod(id, 12) % 4 AS INT)")).as("i"),
+      (pmod(hash(expr("id DIV 12"), lit(23)), lit(ah)) +
+        expr("CAST(pmod(id, 12) DIV 4 AS INT)")).as("j"),
+      (lit(1.0) / lit(12)).as("wght"))
+  }
+
+  /** DROP the managed table and remove any stale on-disk location a
+    * crashed prior run left behind (saveAsTable otherwise fails
+    * LOCATION_ALREADY_EXISTS). The warehouse dir may be a URI
+    * (file:/…) or a plain path — possibly with URI-illegal
+    * characters — so try URI first, fall back to a filesystem path. */
+  private def dropStaleManagedLocation(sp: SparkSession, table: String): Unit = {
+    sp.sql(s"DROP TABLE IF EXISTS $table")
+    val whDir = sp.conf.get("spark.sql.warehouse.dir")
+    val whPath =
+      try {
+        val u = new java.net.URI(whDir)
+        if (u.getPath != null && u.getPath.nonEmpty) u.getPath else whDir
+      } catch { case _: java.net.URISyntaxException => whDir }
+    val loc = new java.io.File(whPath, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+  }
 
   def scenarios(scale: Double): Seq[Scenario] = {
     def s(n: Long): Long = math.max(1000L, (n * scale).toLong)
@@ -237,25 +290,7 @@ object Stress {
         val feats = math.max(1000L, (8300000L * scale).toLong) // ×12 cells ≈ 1e8 rows
         val days = 4
         val g = raster(sp, cells2, days, dup = 1, ens = 1, width = W2).drop("ens")
-        sp.sql("DROP TABLE IF EXISTS graft_stress_grid_buck")
-        // a crashed prior run can leave the managed location on disk with
-        // no catalog entry — saveAsTable then fails LOCATION_ALREADY_EXISTS
-        // the warehouse dir may be a URI (file:/…) or a plain path —
-        // possibly with URI-illegal characters — so try URI first and
-        // fall back to treating it as a filesystem path
-        val whDir = sp.conf.get("spark.sql.warehouse.dir")
-        val whPath =
-          try {
-            val u = new java.net.URI(whDir)
-            if (u.getPath != null && u.getPath.nonEmpty) u.getPath else whDir
-          } catch { case _: java.net.URISyntaxException => whDir }
-        val loc = new java.io.File(whPath, "graft_stress_grid_buck")
-        if (loc.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(loc)
-        }
+        dropStaleManagedLocation(sp, "graft_stress_grid_buck")
         // 256 buckets: bucket count is the deployment knob that sizes
         // the per-task SMJ sort — 1e8 weight rows / 256 ≈ 390k rows
         // (~12 MB) per sort, which fits task memory at 32-way
@@ -266,6 +301,49 @@ object Stress {
         val w = weights(sp, feats.toInt, 12, W2, H2)
         (sink(graft.operators.WeightedMean(staged, w, Seq("tmmx", "tmmn", "pr"),
           strategy = graft.operators.WeightJoin.SortMerge)),
+          cells2 * days + feats * 12)
+      }),
+      Scenario("weighted_mean_bigweights_tiled", sp => {
+        // round-11 ask #4, head-to-head with weighted_mean_bigweights
+        // (same 1e8-row weight envelope, same grid, same bucket count):
+        // COMPACT 4×3 footprints over a SPATIAL-TILE staging +
+        // SortMergeTiled. Tile locality lets map-side partial
+        // aggregation combine each feature's cells inside its tile
+        // partition, so the aggregation exchange moves ~|features ×
+        // tiles-touched| partial rows instead of bigweights' full raw-
+        // join-row repartition (~12× fewer rows) with per-task agg
+        // state bounded by features-per-tile — compare the two
+        // scenarios' exchange-byte and spill columns.
+        val W2 = if (scale >= 0.1) 4386 else 1386
+        val cells2 = if (scale >= 0.1) W2.toLong * 1850
+          else math.max(4096L, (810810L * scale * 10).toLong)
+        val H2 = math.max(1L, cells2 / W2).toInt
+        val feats = math.max(1000L, (8300000L * scale).toLong)
+        val days = 4
+        val g = raster(sp, cells2, days, dup = 1, ens = 1, width = W2).drop("ens")
+        // subset co-partitioning (HashPartitioning(tile) vs join keys
+        // (tile,i,j)) — the documented deployment conf for the tiled
+        // recipe; without it Spark reshuffles both sides and discards
+        // the bucket layout
+        sp.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        // with ONE sorted file per bucket (stageGridTiled pre-shuffles
+        // by the bucket key), the scan's (tile,i,j) sort order is
+        // usable — but since Spark 3.0 the planner only consumes it
+        // under this conf; without it a grid-side Sort node re-sorts
+        // (and spills, measured 4.26 GB) what the staging already
+        // sorted on disk
+        sp.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        dropStaleManagedLocation(sp, "graft_stress_grid_tiled")
+        // 64×24-cell tiles: ≫ the footprint diameter (tiles-touched ≈
+        // 1–2) and ~21 tiles/bucket at 256 buckets keeps the per-task
+        // SMJ sort at the bigweights size (~390k weight rows)
+        graft.sources.Staging.stageGridTiled(g, "graft_stress_grid_tiled",
+          tileW = 64, tileH = 24, partitionCols = Nil, buckets = 256)
+        val staged = sp.table("graft_stress_grid_tiled")
+        val w = weightsCompact(sp, feats.toInt, W2, H2)
+        (sink(graft.operators.WeightedMean(staged, w,
+          Seq("tmmx", "tmmn", "pr"),
+          strategy = graft.operators.WeightJoin.SortMergeTiled(64, 24))),
           cells2 * days + feats * 12)
       }),
       Scenario("minhash_band_shuffle", sp => {

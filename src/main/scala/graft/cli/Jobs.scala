@@ -11,6 +11,16 @@ import graft.sinks.Sinks
   * retargeted at staged-parquet inputs (S1 staging is outside the data
   * plane, SURVEY.md §7.3).
   *
+  * COMPRESSED `.nc` OUTPUT (K2, WONTFIX — COVERAGE.md §2.7): the
+  * emitted NetCDF is classic CDF-5, which has no in-format
+  * compression (the reference's `zlib=True` lives in an HDF5-backed
+  * NetCDF-4 container). Consumers needing a deflated file run the
+  * public post-step over the output:
+  * {{{ nccopy -d2 out.nc out_deflated.nc }}}
+  * The header contract (gm_header.md, golden-tested) is
+  * container-independent; the engine's compressed data plane is
+  * parquet-zstd (`Sinks.writeContract`).
+  *
   * Usage:
   *   graft.cli.Jobs gridmet-etl --start-date 2021-01-01 --end-date ...
   *     --grid-path g.parquet --target-file feats.parquet

@@ -54,8 +54,44 @@ object WeightJoin {
     * tables: with the grid staged bucketed+sorted on (i, j)
     * ([[graft.sources.Staging.stageGrid]]) the 100 TB side joins with
     * ZERO exchange and ZERO sort — only the weight table shuffles, once,
-    * into the grid's bucket layout. */
+    * into the grid's bucket layout. Layout-agnostic: correct whatever
+    * the weight footprints look like, at the cost of repartitioning the
+    * RAW join rows on the group keys before aggregating (see
+    * [[WeightedMean.aggInput]]) — ~cells-per-feature× more exchange
+    * bytes than [[SortMergeTiled]] moves. */
   case object SortMerge extends WeightJoin
+
+  /** Sort-merge join over a SPATIAL-TILE staging
+    * ([[graft.sources.Staging.stageGridTiled]]): the grid is bucketed
+    * by a tile id derived from (i, j) — `tileW`×`tileH` cells per
+    * tile — and the join adds tile equality (implied by the (i, j)
+    * equality, so the pair set is unchanged). Because real feature
+    * footprints are spatially COMPACT (a watershed covers adjacent
+    * cells — the reference weight map averages ~11 contiguous cells
+    * per HRU), a feature's cells land in ~1–2 tiles instead of
+    * hash-scattering across every bucket, which restores what the
+    * plain [[SortMerge]] path loses: map-side partial aggregation
+    * combines a feature's cells WITHIN its tile partition, so
+    *  - per-task aggregation state is bounded by features-per-tile ×
+    *    timesteps (not all groups — the 75 GB pathology), and
+    *  - the aggregation exchange carries ~|features × tiles-touched|
+    *    partial rows instead of every raw join row: ~cells-per-feature
+    *    (≈12×) fewer bytes, with no group-key repartition at all.
+    * Tile size is the locality dial: tiles ≫ footprint diameter keep
+    * tiles-touched ≈ 1; buckets × tiles-per-bucket size the SMJ sort.
+    *
+    * Deployment conf: set
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` — the
+    * grid's HashPartitioning(tile) bucket layout satisfies the
+    * (tile, i, j) join clustering as a KEY SUBSET, which Spark's
+    * planner only accepts for co-partitioning under that conf (default
+    * true demands all keys and reshuffles BOTH sides, silently
+    * discarding the bucket layout). Results are identical either way
+    * (StagingSpec pins the zero-grid-exchange plan under the conf;
+    * WeightedMeanSpec pins result identity without it). */
+  final case class SortMergeTiled(tileW: Int, tileH: Int) extends WeightJoin {
+    require(tileW > 0 && tileH > 0, "tile dims must be positive")
+  }
 }
 
 object WeightedMean {
@@ -82,8 +118,30 @@ object WeightedMean {
   /** The weight side of the join, wrapped per resolved strategy. */
   private def weightSide(weights: DataFrame, strategy: WeightJoin): DataFrame =
     strategy match {
-      case WeightJoin.SortMerge => weights.hint("merge")
+      case WeightJoin.SortMerge | _: WeightJoin.SortMergeTiled =>
+        weights.hint("merge")
       case _ => broadcast(weights)
+    }
+
+  /** Join inputs + keys under the resolved strategy. The tiled path
+    * adds the tile column to BOTH sides with the shared formula
+    * ([[graft.sources.Staging.tileId]]) — a grid already staged with
+    * [[graft.sources.Staging.stageGridTiled]] carries it as its bucket
+    * column (zero-exchange grid side); deriving it on an unstaged grid
+    * is still correct, just not exchange-free. */
+  private def joinSides(
+      grid: DataFrame, weights: DataFrame,
+      strategy: WeightJoin): (DataFrame, DataFrame, Seq[String]) =
+    strategy match {
+      case WeightJoin.SortMergeTiled(tw, th) =>
+        val g =
+          if (grid.columns.contains("tile")) grid
+          else grid.withColumn("tile",
+            graft.sources.Staging.tileId(col("i"), col("j"), tw, th))
+        val w = weights.withColumn("tile",
+          graft.sources.Staging.tileId(col("i"), col("j"), tw, th))
+        (g, weightSide(w, strategy), Seq("tile", "i", "j"))
+      case s => (grid, weightSide(weights, s), Seq("i", "j"))
     }
 
   /** Final-aggregation input under the resolved strategy. On the
@@ -98,7 +156,14 @@ object WeightedMean {
     * spill-free at any |features|. The broadcast path keeps the plain
     * zero-extra-exchange partial aggregation: there each map task's
     * split covers few features, so partial aggregation both collapses
-    * rows and stays small. */
+    * rows and stays small.
+    *
+    * [[WeightJoin.SortMergeTiled]] deliberately takes the broadcast
+    * branch here: tile locality bounds partial-aggregation state AND
+    * pre-combines a feature's cells, so the plain two-phase
+    * aggregation is both safe and ~cells-per-feature× cheaper on the
+    * wire than this repartition (measured head-to-head by the
+    * `weighted_mean_bigweights[_tiled]` stress pair). */
   private def aggInput(joined: DataFrame, keys: Seq[Column],
       strategy: WeightJoin): DataFrame =
     strategy match {
@@ -155,21 +220,24 @@ object WeightedMean {
     require(valueCols.nonEmpty, "at least one value column")
     val keys = (Seq("fid", "time") ++ extraKeys).map(col)
     val resolved = resolve(weights, strategy)
-    val w = weightSide(weights, resolved)
+    val (g, w, joinKeys) = joinSides(grid, weights, resolved)
     if (!preCombine) {
       val aggs = valueCols.map(meanCol(_, masked))
-      aggInput(grid.join(w, Seq("i", "j"), "inner"), keys, resolved) // J1
+      aggInput(g.join(w, joinKeys, "inner"), keys, resolved) // J1
         .groupBy(keys: _*)
         .agg(aggs.head, aggs.tail: _*)
     } else {
-      val cellKeys = (Seq("time") ++ extraKeys ++ Seq("i", "j")).map(col)
+      // the tile id (functionally dependent on (i, j)) rides as an
+      // extra cell key on the tiled path, so a tile-bucketed staging
+      // satisfies the pre-aggregation's distribution too
+      val cellKeys = (Seq("time") ++ extraKeys ++ joinKeys).map(col)
       // a cell has a null for v iff its non-null count trails its row
       // count (__c_v < __n) — no separate has-null flag in the pre-agg
       // buffer; the state/shuffle row stays 1 + 2·|vars| columns wide
       val cellAggs = count(lit(1)).as("__n") +: valueCols.flatMap(v => Seq(
         sum(col(v)).as(s"__s_$v"),           // sum over non-null
         count(col(v)).as(s"__c_$v")))        // non-null count
-      val cells = grid.groupBy(cellKeys: _*).agg(cellAggs.head, cellAggs.tail: _*)
+      val cells = g.groupBy(cellKeys: _*).agg(cellAggs.head, cellAggs.tail: _*)
       val aggs = valueCols.map { v =>
         if (masked)
           (sum(col("wght") * col(s"__s_$v")) /
@@ -180,7 +248,7 @@ object WeightedMean {
             .otherwise(sum(col("wght") * col(s"__s_$v")) /
               sum(col("wght") * col("__n"))).as(v)
       }
-      aggInput(cells.join(w, Seq("i", "j"), "inner"), keys, resolved)
+      aggInput(cells.join(w, joinKeys, "inner"), keys, resolved)
         .groupBy(keys: _*)
         .agg(aggs.head, aggs.tail: _*)
     }

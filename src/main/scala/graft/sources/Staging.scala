@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, floor, lit}
 
 /** S1 staging layout control. The grid is the 100 TB table; how it lands
   * on disk decides every downstream plan:
@@ -36,4 +37,48 @@ object Staging {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Spatial-tile id of cell (i, j) under `tileW`×`tileH`-cell tiles —
+    * the ONE formula both the staged grid and any joining table must
+    * use ([[graft.operators.WeightJoin.SortMergeTiled]] applies it to
+    * the weight side). Row-major over tile coordinates; the 1e6 stride
+    * keeps ids unique for grids narrower than 1e6·tileW cells (three
+    * orders past any earth grid at gridMET resolution). */
+  def tileId(i: Column, j: Column, tileW: Int, tileH: Int): Column =
+    (floor(j / lit(tileH)) * lit(1000000L) + floor(i / lit(tileW)))
+      .cast("long")
+
+  /** Stage a long-form grid bucketed by SPATIAL TILE — the layout that
+    * makes the huge-weight-table join AND its aggregation cheap at
+    * once (vs [[stageGrid]]'s (i, j)-hash buckets, which scatter every
+    * feature's cells across all buckets): neighboring cells share a
+    * tile, so compact feature footprints stay co-located and the
+    * weighted mean's partial aggregation combines them before the
+    * exchange. Sorted by (tile, i, j) within buckets so the tiled
+    * sort-merge join reads pre-sorted runs. */
+  def stageGridTiled(
+      df: DataFrame, table: String, tileW: Int, tileH: Int,
+      partitionCols: Seq[String] = Seq("time"),
+      buckets: Int = 32): Unit = {
+    // ONE FILE PER BUCKET: pre-shuffle by the bucket key with the
+    // write's own bucket count (same murmur3 HashPartitioning), so
+    // each task holds exactly one bucket's rows and the bucketed write
+    // emits a single sorted file per bucket. FileSourceScanExec only
+    // reports the sortBy order when a bucket has at most one file —
+    // with it, the tiled sort-merge join needs NO grid-side Sort node
+    // at read time (measured: the Sort was spilling ~4 GB per
+    // bigweights-scale run); the sort cost moves into this write-once
+    // staging, where a 100 TB deployment wants it anyway.
+    val withTile = df.withColumn("tile",
+      tileId(col("i"), col("j"), tileW, tileH))
+      .repartition(buckets, col("tile"))
+    val w = withTile.write.mode(SaveMode.Overwrite)
+    val partitioned =
+      if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+    partitioned
+      .bucketBy(buckets, "tile")
+      .sortBy("tile", "i", "j")
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -72,6 +72,30 @@ class WeightedMeanSpec extends SparkSpec {
     }
   }
 
+  test("SortMergeTiled gives identical results to broadcast (all variants, tile-straddling footprints)") {
+    // footprints deliberately CROSS tile boundaries (tiles are 2×2
+    // cells; feature 3 spans cells in two tiles) — correctness must
+    // not depend on the locality the strategy optimizes for
+    val w3 = weights.union(Seq((3L, 1, 0, 0.5), (3L, 2, 0, 0.5))
+      .toDF("fid", "i", "j", "wght"))
+    val g3 = grid.union(Seq((t1, 2, 0, Option(60.0)), (t2, 2, 0, Option(6.0)))
+      .toDF("time", "i", "j", "v"))
+    val dup = g3.union(g3)
+    for (masked <- Seq(false, true); pre <- Seq(false, true)) {
+      val bc = WeightedMean(dup, w3, Seq("v"), masked = masked,
+        preCombine = pre, strategy = WeightJoin.Broadcast)
+      val tiled = WeightedMean(dup, w3, Seq("v"), masked = masked,
+        preCombine = pre, strategy = WeightJoin.SortMergeTiled(2, 2))
+      val a = bc.select($"fid", $"time", round($"v", 9).as("v"))
+      val b = tiled.select($"fid", $"time", round($"v", 9).as("v"))
+      assert(rows(a) == rows(b), s"masked=$masked preCombine=$pre")
+      // and the join really is sort-merge with no broadcast
+      val p = tiled.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
   test("ens as extra grouping key replaces the member loop") {
     val g = Seq(
       (t1, 0, 0, 0, 10.0), (t1, 1, 0, 0, 20.0),

@@ -35,6 +35,61 @@ class StagingSpec extends SparkSpec {
     }
   }
 
+  test("SortMergeTiled over a tile-bucketed grid: zero grid exchange AND partial agg below the one agg exchange") {
+    // the round-11 ask #4 shape: vs plain SortMerge (whose 2nd
+    // exchange repartitions RAW join rows), the tiled plan's 2nd
+    // exchange carries PARTIAL aggregation rows — tile locality lets
+    // map-side combine run safely, so the partial HashAggregate must
+    // sit BELOW the (fid, time) exchange, and the grid side must still
+    // join with zero exchange off its tile buckets.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // subset co-partitioning: the grid's HashPartitioning(tile) bucket
+    // layout satisfies the (tile, i, j) join clustering, but by default
+    // Spark demands ALL cluster keys for co-partition and reshuffles
+    // both sides — this deployment conf is part of the tiled recipe
+    // (documented on WeightJoin.SortMergeTiled)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val t1 = java.sql.Timestamp.valueOf("2021-01-01 00:00:00")
+      // 20×10 grid, tiles of 4×4 cells
+      val g = (0 until 1000).map(k => (t1, k % 20, (k / 20) % 10, k.toDouble))
+        .toDF("time", "i", "j", "v")
+      Staging.stageGridTiled(g, "graft_bucket_tiled", tileW = 4, tileH = 4,
+        partitionCols = Nil, buckets = 4)
+      val tg = Staging.readTable(spark, "graft_bucket_tiled")
+      // compact 2×1 footprints
+      val w = (0 until 100).map { f =>
+        Seq((f.toLong, (f * 2) % 20, f % 10, 0.5),
+          (f.toLong, (f * 2 + 1) % 20, f % 10, 0.5))
+      }.flatten.toDF("fid", "i", "j", "wght")
+      val out = graft.operators.WeightedMean(tg, w, Seq("v"),
+        strategy = graft.operators.WeightJoin.SortMergeTiled(4, 4))
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      // bucketed scan actually engaged (not "disabled by query planner")
+      assert(p.contains("Bucketed: true"), p)
+      // exactly 2 exchanges: weights → tile buckets, partial-agg rows →
+      // (fid, time); the 100 TB grid side: none
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 2,
+        s"expected 2 exchanges (weights→tile buckets + agg), got $exchanges:\n$p")
+      // the weights exchange is on the TILE key alone (grid's bucket
+      // spec), proving the grid's layout drove the co-partitioning
+      assert(p.contains("Exchange hashpartitioning(tile"), p)
+      // the agg exchange carries PARTIAL rows: the partial HashAggregate
+      // prints BELOW (after) the (fid, time) exchange in the tree
+      val aggEx = p.indexOf("Exchange hashpartitioning(fid")
+      assert(aggEx >= 0, p)
+      assert(p.indexOf("partial_sum", aggEx) > aggEx,
+        s"no partial aggregate below the (fid,time) exchange:\n$p")
+      assert(out.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_tiled")
+    }
+  }
+
   test("SortMerge weighted mean over a bucketed grid: the grid side joins with zero exchange") {
     // the huge-weight-table deployment shape (WeightJoin.SortMerge +
     // (i,j)-bucketed grid staging): exactly two exchanges in the whole
