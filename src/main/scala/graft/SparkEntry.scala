@@ -753,6 +753,23 @@ object SparkEntry {
         .select(col("fid"), col("time"), round(col("pr"), 4).as("wmean_pr"))
     }),
 
+    // ---- A1 under the SPATIAL-TILE sort-merge strategy: same
+    // aggregation as q01 through the SortMergeTiled join path (tile
+    // id derived on both sides, (tile,i,j) equi-join, plain two-phase
+    // aggregation — no group-key repartition). Same oracle as q01:
+    // the added tile equality is implied by (i,j) equality, so any
+    // divergence (a pair lost at a tile boundary, a partial-agg
+    // miscombine) fails the hash. Plan-shape properties (zero
+    // grid-side exchange over a staged table) are StagingSpec-pinned;
+    // this row proves the semantics on the oracle surface ----
+    "q116_weighted_mean_tiled" -> ((s, dir) => {
+      val g = gridFromLineitem(t(s, dir, "lineitem"), nullify = false)
+      val w = weightsFromPart(t(s, dir, "part"))
+      WeightedMean(g, w, Seq("pr"),
+          strategy = graft.operators.WeightJoin.SortMergeTiled(8, 4))
+        .select(col("fid"), col("time"), round(col("pr"), 4).as("wmean_pr"))
+    }),
+
     // ---- A2: masked weighted mean (`--partial`) ----
     "q02_masked_mean" -> ((s, dir) => {
       val g = gridFromLineitem(t(s, dir, "lineitem"), nullify = true)
@@ -2194,6 +2211,15 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q01_weighted_mean" ->
+      s"""WITH g AS ($gridSqlPlain), w AS ($weightsSql)
+         |SELECT w.fid AS fid, g.time AS time,
+         |       round(sum(w.wght*g.pr)/sum(w.wght), 4) AS wmean_pr
+         |FROM g JOIN w ON g.i = w.i AND g.j = w.j
+         |GROUP BY 1, 2""".stripMargin,
+
+    // q116: q01's oracle verbatim — the tiled strategy must be
+    // result-invisible (the tile join key is implied by (i,j)).
+    "q116_weighted_mean_tiled" ->
       s"""WITH g AS ($gridSqlPlain), w AS ($weightsSql)
          |SELECT w.fid AS fid, g.time AS time,
          |       round(sum(w.wght*g.pr)/sum(w.wght), 4) AS wmean_pr

@@ -214,11 +214,34 @@ object Jobs {
       case _ => throw new IllegalArgumentException(
         "--bpe-vocab and --bpe-merges must be given together")
     }
+    val contextLen = a.get("context-len").getOrElse("512").toInt
+    val nShards = a.get("n-shards").getOrElse("8").toInt
     val tok = docs.select(col(idCol).as("id"), ids.as("ids"))
-    val chunks = graft.operators.Packing.packTokenChunks(
-      tok, col("id"), col("ids"),
-      contextLen = a.get("context-len").getOrElse("512").toInt,
-      nShards = a.get("n-shards").getOrElse("8").toInt)
+    // --shuffle-seed + --mix "src0=0.5,src1=0.25,...": shards follow
+    // the SEEDED training order with the source mix enforced per shard
+    // (Packing.shuffleShards) instead of hash-of-id corpus order; the
+    // run is reproducible bit-for-bit from (corpus, seed, mix) —
+    // TokenSinkSpec proves byte-identical shard files across runs
+    val chunks = a.get("shuffle-seed") match {
+      case Some(seed) =>
+        val mixArg = a.get("mix").getOrElse(throw new IllegalArgumentException(
+          "--shuffle-seed needs --mix source=weight[,source=weight...]"))
+        val mix = mixArg.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+          kv.split("=") match {
+            case Array(s, w) => s -> w.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"bad --mix entry '$kv' (want source=weight)")
+          }
+        }.toMap
+        val assigned = graft.operators.Packing.shuffleShards(
+          docs, idCol, a.get("source-col").getOrElse("source"),
+          seed.toLong, nShards, mix)
+        graft.operators.Packing.packTokenChunksAssigned(
+          assigned, tok, col("id"), col("ids"), contextLen)
+      case None =>
+        graft.operators.Packing.packTokenChunks(
+          tok, col("id"), col("ids"), contextLen, nShards)
+    }
     val out = a("output-path")
     graft.sinks.TokenSink.writePackedTokens(chunks, out)
     out

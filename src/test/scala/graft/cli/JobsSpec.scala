@@ -153,6 +153,41 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  test("pack-tokens --shuffle-seed + --mix: seeded training order with per-source quotas") {
+    val dir = Files.createTempDirectory("graft-pack-shuf").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma", "web"), (2L, "delta epsilon", "web"),
+      (3L, "zeta eta theta iota", "web"), (4L, "kappa lambda", "web"),
+      (5L, "mu nu xi", "book"), (6L, "omicron pi rho sigma", "book"))
+      .toDF("doc_id", "text", "source")
+    docs.write.parquet(s"$dir/docs")
+    // mix 0.5/0.5 over 4 web + 2 book docs: N = min(8, 4) = 4 →
+    // quotas 2 web + 2 book; the shards carry exactly the 4 selected
+    // docs' tokens (which 2 web docs is the seeded permutation's pick)
+    val out = Jobs.runPackTokens(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/shards",
+      "--context-len", "4", "--n-shards", "2",
+      "--shuffle-seed", "42", "--mix", "web=0.5,book=0.5")))
+    val assigned = graft.operators.Packing.shuffleShards(
+      docs, "doc_id", "source", 42L, 2, Map("web" -> 0.5, "book" -> 0.5))
+      .collect().map(r => (r.getLong(2), r.getString(3)))
+    assert(assigned.length === 4)
+    assert(assigned.count(_._2 == "web") === 2)
+    assert(assigned.count(_._2 == "book") === 2)
+    val tokCounts = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length).toMap
+    val expectedTokens = assigned.map(a => tokCounts(a._1)).sum.toLong
+    val back = graft.sinks.TokenSink.readPackedTokens(spark, out)
+    assert(back.selectExpr("sum(size(token_ids))").as[Long].head() ===
+      expectedTokens)
+    // a missing --mix fails loudly rather than silently packing all
+    intercept[IllegalArgumentException] {
+      Jobs.runPackTokens(spark, Jobs.parseArgs(Seq(
+        "--input-path", s"$dir/docs", "--output-path", s"$dir/shards2",
+        "--shuffle-seed", "42")))
+    }
+  }
+
   test("catalog T/X/Y-name indirection normalizes staged coordinates") {
     import graft.etl.GridmetPipeline
     val g = Seq((Timestamp.valueOf("2021-01-01 00:00:00"), 40.0, -100.0, 1.0))
