@@ -192,6 +192,46 @@ object Jobs {
     out
   }
 
+  /** The reference's production loop (`Gridmet_current.py:24-48`) as a
+    * durable incremental job: staged day-files in `--grid-stream-path`
+    * (a drop-box directory) are ETL'd exactly once each through
+    * [[graft.etl.IncrementalEtl.dailyWeightedMeanStream]], gated per
+    * day and checkpointed at `--checkpoint-path` so re-invocations (the
+    * scheduler's daily cron) resume at the first unprocessed day.
+    *
+    * Gate: `--published-through yyyy-mm-dd` injects the upstream
+    * availability probe's RESULT (the HTTP+XML probe itself is
+    * driver-side and environment-injected — S8, AvailabilityGate); a
+    * staged day later than it aborts the cycle nonzero, exactly the
+    * reference's scheduler contract, and the next invocation retries
+    * from that day. Omit the flag to process everything staged.
+    * Variables default to every non-coordinate grid column; override
+    * with `--vars a,b,c`. `--partial` = masked mean, as in gridmet-etl. */
+  def runDailyEtl(spark: SparkSession, a: Args): String = {
+    val weights = Sources.weightsCsv(spark, a("weights-file"), a("fid"))
+    val gridDir = a("grid-stream-path")
+    val coords = Set("time", "i", "j", "lat", "lon", "ens")
+    val vars = a.get("vars") match {
+      case Some(v) => v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => spark.read.parquet(gridDir).schema.fieldNames.toSeq
+        .filterNot(coords)
+    }
+    val gate: String => Boolean = a.get("published-through") match {
+      case Some(p) =>
+        val through = java.time.LocalDate.parse(validDate(p))
+        day => !java.time.LocalDate.parse(day).isAfter(through)
+      case None => _ => true
+    }
+    val out = a("output-path")
+    val q = graft.etl.IncrementalEtl.dailyWeightedMeanStream(
+        spark, gridDir, weights, vars, out,
+        gate = gate, masked = a.has("partial"))
+      .option("checkpointLocation", a("checkpoint-path"))
+      .start()
+    q.awaitTermination() // a gate refusal surfaces here, exit nonzero
+    out
+  }
+
   /** Corpus → pretraining shards: tokenize `--input-path` documents,
     * pack into `--context-len` windows across `--n-shards`
     * deterministic streams, and write packed `.bin`/`.idx` shard files
@@ -249,7 +289,8 @@ object Jobs {
 
   def main(argv: Array[String]): Unit = {
     require(argv.nonEmpty,
-      "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf | dedup-admit | pack-tokens")
+      "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf | " +
+        "daily-etl | dedup-admit | pack-tokens")
     val a = parseArgs(argv.tail.toSeq)
     val spark = session()
     try {
@@ -257,6 +298,7 @@ object Jobs {
         case "gridmet-etl" => runGridmet(spark, a)
         case "cfsv2-etl" => runCfsv2(spark, a)
         case "stage-netcdf" => runStageNetcdf(spark, a)
+        case "daily-etl" => runDailyEtl(spark, a)
         case "dedup-admit" => runDedupAdmit(spark, a)
         case "pack-tokens" => runPackTokens(spark, a)
         case other => sys.error(s"unknown subcommand: $other")

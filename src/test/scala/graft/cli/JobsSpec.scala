@@ -281,6 +281,51 @@ class JobsSpec extends SparkSpec {
     assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("ens=")))
   }
 
+  test("daily-etl job: gated incremental cycles over a day-file drop-box (the Gridmet_current loop)") {
+    import graft.operators.WeightedMean
+    val dir = Files.createTempDirectory("graft-daily-job").toString
+    def plane(d: Int) = Seq((0, 0), (0, 1), (1, 0), (1, 1)).toDF("i", "j")
+      .select(lit(f"2021-07-$d%02d").cast("date").as("time"), $"i", $"j",
+        (lit(d * 10.0) + $"i" * 2 + $"j").as("pr"))
+    (1 to 3).foreach { d =>
+      plane(d).coalesce(1).write.parquet(s"$dir/drop/part=$d")
+      new java.io.File(s"$dir/drop/part=$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(1700000000000L + d * 60000L))
+    }
+    val w = Seq((7L, 0, 0, 0.5), (7L, 0, 1, 0.5), (8L, 1, 0, 1.0))
+      .toDF("fid", "i", "j", "wght")
+    // weights CSV in the Sources.weightsCsv shape (fidCol,i,j,wght)
+    val wcsv = s"$dir/w.csv"
+    val lines = "nhru_v1_1,i,j,wght" +: w.collect().map(r =>
+      s"${r.getLong(0)},${r.getInt(1)},${r.getInt(2)},${r.getDouble(3)}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(wcsv),
+      lines.mkString("\n").getBytes)
+    def run(publishedThrough: Option[String]): Either[Throwable, String] = {
+      val args = Seq("--grid-stream-path", s"$dir/drop",
+        "--weights-file", wcsv, "--fid", "nhru_v1_1",
+        "--output-path", s"$dir/out", "--checkpoint-path", s"$dir/ckpt") ++
+        publishedThrough.toSeq.flatMap(p => Seq("--published-through", p))
+      try Right(Jobs.runDailyEtl(spark, Jobs.parseArgs(args)))
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        Left(e) }
+    }
+    // cycle 1: upstream published through day 2 — day 3 aborts the run
+    val r1 = run(Some("2021-07-02"))
+    assert(r1.isLeft && r1.swap.toOption.get.toString.contains("availability gate"))
+    val mid = spark.read.parquet(s"$dir/out")
+    assert(mid.select(date_format($"time", "yyyy-MM-dd")).distinct()
+      .as[String].collect().sorted.toSeq === Seq("2021-07-01", "2021-07-02"))
+    // cycle 2 (next cron tick, upstream caught up): resumes at day 3
+    assert(run(Some("2021-07-03")).isRight)
+    val all = spark.read.parquet(s"$dir/out").drop("__day")
+      .select($"fid", $"time", $"pr")
+    val batch = WeightedMean(spark.read.parquet(s"$dir/drop"),
+      w, Seq("pr")).select($"fid", $"time", $"pr")
+    assert(rows(all) == rows(batch))
+    assert(all.count() === 6L) // 2 features × 3 days, no day re-appended
+  }
+
   test("availability gate: stale variable blocks the run") {
     // 2021-06-02 01:00 UTC = 2021-06-01 18:00 UTC-7 → yesterday = 05-31
     val now = ZonedDateTime.of(2021, 6, 2, 1, 0, 0, 0, ZoneOffset.UTC)
