@@ -335,4 +335,53 @@ class PropertySpec extends SparkSpec {
     assert(joined.filter($"text" =!= $"clean_text").isEmpty)
     assert(joined.count() > 0) // some PII-free docs existed
   }
+
+  test("shuffleShards invariants hold on random corpora (quotas, per-shard mix, density, determinism)") {
+    import graft.operators.Packing
+    for (trial <- 1 to 3) {
+      val nSrc = 2 + rnd.nextInt(3)
+      val sources = (0 until nSrc).map(s => s"s$s")
+      // uneven random source populations, non-contiguous ids
+      val docs = (0 until 300 + rnd.nextInt(200)).map { k =>
+        (k.toLong * 7 + rnd.nextInt(3), sources(rnd.nextInt(nSrc)))
+      }.distinct.toDF("doc_id", "source")
+      // exact-binary proportions over a random subset of sources
+      val chosen = rnd.shuffle(sources.toList).take(1 + rnd.nextInt(nSrc))
+      val raw = chosen.map(_ -> (1 + rnd.nextInt(4)).toDouble)
+      val tot = raw.map(_._2).sum
+      val mix = raw.map { case (s, w) => s -> w / tot }.toMap
+      val nShards = 2 + rnd.nextInt(4)
+      val seed = rnd.nextLong()
+      val out = Packing.shuffleShards(docs, "doc_id", "source",
+        seed, nShards, mix).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      // quotas: per-source count = floor(N * p) with N = min floor(C/p)
+      val counts = docs.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = mix.map { case (s, p) => math.floor(counts(s) / p).toLong }.min
+      mix.foreach { case (s, p) =>
+        val quota = math.floor(n * p).toLong
+        assert(out.count(_._4 == s) === quota, s"trial $trial source $s")
+        // round-robin: per-shard count of s is quota/nShards floor/ceil
+        (0L until nShards).foreach { sh =>
+          val c = out.count(r => r._1 == sh && r._4 == s)
+          assert(c == quota / nShards || c == quota / nShards + 1,
+            s"trial $trial source $s shard $sh count $c quota $quota")
+        }
+      }
+      // only mixed sources appear; positions dense per shard; ids unique
+      assert(out.map(_._4).toSet.subsetOf(mix.keySet))
+      assert(out.map(_._3).distinct.length === out.length)
+      out.groupBy(_._1).foreach { case (sh, rows0) =>
+        assert(rows0.map(_._2).sorted.toSeq ===
+          (0L until rows0.length.toLong).toSeq, s"trial $trial shard $sh")
+      }
+      // same seed reproduces exactly
+      val again = Packing.shuffleShards(docs, "doc_id", "source",
+        seed, nShards, mix).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(again.sortBy(r => (r._1, r._2)).toSeq ===
+        out.sortBy(r => (r._1, r._2)).toSeq)
+    }
+  }
 }
