@@ -2006,6 +2006,23 @@ object SparkEntry {
         .select(col("shard"), col("pos"), col("id").as("doc_id"),
           col("source"))),
 
+    // ---- TEMPERATURE (power-law) source sampling — the mT5/XLM-R
+    // reweighting: each source contributes floor(k · C_s^0.5) docs in
+    // the seeded permutation order, flattening source imbalance (the
+    // skewed big/mid/small classes derived from doc_id make the
+    // flattening visible: the small class's selected SHARE rises).
+    // α = 0.5 ⇒ sqrt, correctly rounded IEEE in both engines, so the
+    // oracle replays the quota arithmetic bit-for-bit ----
+    "q117_temperature_sample" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 16 < 12, lit("big"))
+          .when(col("doc_id") % 16 < 15, lit("mid"))
+          .otherwise(lit("small")).as("src"))
+      graft.operators.Sampling.temperatureSample(d, "doc_id", "src",
+          alpha = 0.5, unitBudget = 3.0, seed = 7L)
+        .select(col("id").as("doc_id"), col("source"), col("pos"))
+    }),
+
     // ---- PII scrub (C4/Dolma-style pre-training redaction): emails /
     // phones / IPv4s replaced with typed tags + per-doc counts, one
     // codegen map pass, zero shuffle. The synthetic corpus carries no
@@ -2818,6 +2835,29 @@ object SparkEntry {
          |       - 1 AS BIGINT) AS pos,
          |  doc_id, source
          |FROM sel""".stripMargin
+    },
+
+    // q117: the temperature-sampling construction replayed — the
+    // seeded permutation key, per-source sqrt quotas (no cross-source
+    // FP sum anywhere, so floor(k·sqrt(C)) is bit-identical), rank
+    // selection.
+    "q117_temperature_sample" -> {
+      val h = hashSql("(repeat('7:' || CAST(doc_id AS VARCHAR) || ';', 3))")
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 16 < 12 THEN 'big'
+         |         WHEN doc_id % 16 < 15 THEN 'mid'
+         |         ELSE 'small' END AS source
+         |  FROM documents),
+         |cnt AS (SELECT source, count(*) AS c FROM d GROUP BY 1),
+         |qt AS (SELECT source, CAST(floor(3.0 * sqrt(c)) AS BIGINT)
+         |         AS quota FROM cnt),
+         |hs AS MATERIALIZED (SELECT doc_id, source, $h AS h FROM d),
+         |rk AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |      - 1 AS r
+         |  FROM hs)
+         |SELECT doc_id, source, CAST(r AS BIGINT) AS pos
+         |FROM rk JOIN qt USING (source) WHERE r < quota""".stripMargin
     },
 
     // q114: the custom-state sessionization under EVENT-TIME timeout.

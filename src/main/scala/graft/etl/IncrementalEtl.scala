@@ -63,13 +63,24 @@ object IncrementalEtl {
     *             [[graft.cli.AvailabilityGate]] supplies the reference
     *             decision rule); a refusal throws [[GateNotCurrent]].
     * @param strategy weight-join strategy, passed through to
-    *             [[WeightedMean]] (Auto sizes the weight table). */
+    *             [[WeightedMean]] (Auto sizes the weight table).
+    * @param finalize per-day post-aggregation stage (the reference's
+    *             `finalize` — rename/unit conversion,
+    *             [[Convert.gridmetFinalize]]) applied to each
+    *             micro-batch's aggregate before the write. Must be a
+    *             PER-ROW map over (fid, time, vars) for the
+    *             incremental = batch identity to hold (the pipeline's
+    *             conversions are; a cross-day operator would need the
+    *             whole range and doesn't belong in the increment). It
+    *             must also preserve a `time` column — the day
+    *             partition key derives from it after finalize. */
   def dailyWeightedMeanStream(
       spark: SparkSession, gridDir: String, weights: DataFrame,
       vars: Seq[String], outDir: String,
       gate: String => Boolean = _ => true,
       masked: Boolean = false,
       strategy: WeightJoin = WeightJoin.Auto,
+      finalize: DataFrame => DataFrame = identity,
       maxFilesPerTrigger: Option[Int] = Some(1)): DataStreamWriter[Row] = {
     val schema = spark.read.parquet(gridDir).schema
     val reader = spark.readStream.schema(schema)
@@ -85,8 +96,8 @@ object IncrementalEtl {
           .distinct().collect().map(_.getString(0)).sorted
         days.find(!gate(_)).foreach(d => throw GateNotCurrent(d))
         if (days.nonEmpty) {
-          WeightedMean(batch, weights, vars, masked = masked,
-              strategy = strategy)
+          finalize(WeightedMean(batch, weights, vars, masked = masked,
+              strategy = strategy))
             .withColumn("__day", date_format(col("time"), "yyyy-MM-dd"))
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")

@@ -179,6 +179,54 @@ object Sampling {
       .drop("__g", "__thr")
   }
 
+  /** TEMPERATURE (power-law) source sampling — the multilingual-
+    * pretraining reweighting (mT5/XLM-R): draw from source s in
+    * proportion to C_s^α; α < 1 flattens source imbalance, so
+    * low-population sources are RELATIVELY upsampled (at α → 0 every
+    * source contributes equally, at α = 1 sampling is proportional).
+    * Formulated with an explicit per-unit budget instead of a
+    * normalized probability: source s contributes its first
+    * ⌊unitBudget · C_s^α⌋ docs in the SEEDED permutation order (the
+    * same 3×-repeated-string portable-hash key as
+    * [[Packing.shuffleShards]], and the same reason). No cross-source
+    * FP sum anywhere, so the quota arithmetic is bit-mirrorable by an
+    * external oracle — at α = 0.5 the power is `sqrt`, correctly
+    * rounded IEEE in every engine (q117); other α go through `pow`,
+    * whose last-ulp behavior is engine-specific — keep those off
+    * hash-compared surfaces.
+    *
+    * Scale: the counts collect is |sources|-bounded; the selection is
+    * one per-source window rank over narrow (id, source, hash) rows —
+    * document payloads join back by id downstream.
+    * @return (id, source, pos) — pos is the doc's seeded rank within
+    *         its source (0-based, dense over the selected set). */
+  def temperatureSample(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double, unitBudget: Double, seed: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(unitBudget > 0, "unitBudget must be positive")
+    val counts = docs.groupBy(col(sourceCol)).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val quotas = counts.map { case (s, c) =>
+      val powered =
+        if (alpha == 0.5) math.sqrt(c.toDouble)
+        else if (alpha == 1.0) c.toDouble
+        else math.pow(c.toDouble, alpha)
+      s -> math.floor(unitBudget * powered).toLong
+    }
+    val h = portable_hash(repeat(
+      concat(lit(s"$seed:"), col("id").cast("string"), lit(";")), 3))
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("__h"), col("id"))
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        col(sourceCol).cast("string").as("source"))
+      .withColumn("__h", h)
+      .withColumn("pos", row_number().over(bySource).cast("long") - 1)
+      .filter(col("pos") < element_at(typedLit(quotas), col("source")))
+      .select(col("id"), col("source"), col("pos"))
+  }
+
   /** Deterministic TRAIN/VAL/TEST split — every training pipeline's
     * first partitioning step, as a pure hash predicate: the id's
     * portable-hash bucket (mod 100) is cut by cumulative percentage

@@ -102,6 +102,33 @@ class IncrementalEtlSpec extends SparkSpec {
     assert(accumulated(base).count() === 6L)
   }
 
+  test("per-day finalize (rename + unit conversion) == batch finalize over the full range") {
+    // the reference's daily cycle runs the FULL etl incl. finalize;
+    // finalize is a per-row map over (fid, time, vars), so applying it
+    // per micro-batch must equal applying it once over the batch range
+    val base = Files.createTempDirectory("graft-inc-final").toString
+    Seq(1, 2, 3).zipWithIndex.foreach { case (d, k) =>
+      plane(d).withColumnRenamed("pr", "tmmx") // Kelvin-ish input var
+        .coalesce(1).write.parquet(s"$base/src/part=$k")
+      new java.io.File(s"$base/src/part=$k").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(1700000000000L + k * 60000L))
+    }
+    val q = IncrementalEtl.dailyWeightedMeanStream(spark, s"$base/src",
+        weights, Seq("tmmx"), s"$base/out",
+        finalize = Convert.gridmetFinalize)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination(); q.stop()
+    val streamed = IncrementalEtl.readAccumulated(spark, s"$base/out")
+      .select(col("nhru"), col("time"), round(col("tmax"), 9).as("tmax"))
+    val batch = Convert.gridmetFinalize(
+        WeightedMean(spark.read.parquet(s"$base/src"), weights, Seq("tmmx")))
+      .select(col("nhru"), col("time"), round(col("tmax"), 9).as("tmax"))
+    assert(rows(streamed) == rows(batch))
+    // and the conversion really ran: outputs are °C (input − 273.15)
+    assert(streamed.agg(max(col("tmax"))).as[Double].head() < 100.0)
+  }
+
   test("catch-up batch with several whole days rewrites each day partition correctly") {
     val base = Files.createTempDirectory("graft-inc-catchup").toString
     val src = stage(base, Seq(1, 2, 3, 4))

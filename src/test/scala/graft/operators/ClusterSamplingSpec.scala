@@ -174,6 +174,42 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(msgs(ex).exists(m => m != null && m.contains("perGroupCap")))
   }
 
+  // ---- temperature (power-law) source sampling ----
+
+  test("temperatureSample: exact sqrt quotas, flattening toward small sources, deterministic") {
+    // skewed populations: 800 / 200 / 50
+    val docs = (0 until 1050).map { k =>
+      val src = if (k < 800) "big" else if (k < 1000) "mid" else "small"
+      (k.toLong, src)
+    }.toDF("doc_id", "src")
+    def run(seed: Long, alpha: Double) = Sampling.temperatureSample(
+      docs, "doc_id", "src", alpha, unitBudget = 2.0, seed = seed)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val out = run(11L, alpha = 0.5)
+    // quotas = floor(2·sqrt(C)): big 56, mid 28, small 14
+    assert(out.count(_._2 == "big") === 56)
+    assert(out.count(_._2 == "mid") === 28)
+    assert(out.count(_._2 == "small") === 14)
+    // flattening: selected SHARE of the small source (14/98 ≈ 14%) far
+    // exceeds its corpus share (50/1050 ≈ 4.8%); big's shrinks
+    // (56/98 ≈ 57% < 800/1050 ≈ 76%)
+    val n = out.length.toDouble
+    assert(out.count(_._2 == "small") / n > 50.0 / 1050)
+    assert(out.count(_._2 == "big") / n < 800.0 / 1050)
+    // positions dense per source, ids unique
+    out.groupBy(_._2).foreach { case (s, rows0) =>
+      assert(rows0.map(_._3).sorted.toSeq ===
+        (0L until rows0.length.toLong).toSeq, s)
+    }
+    assert(out.map(_._1).distinct.length === out.length)
+    // same seed bit-reproduces; another seed picks a different set
+    assert(run(11L, 0.5).sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+    assert(run(12L, 0.5).map(_._1).toSet !== out.map(_._1).toSet)
+    // α = 1 is proportional: quotas 2·C
+    val prop = run(11L, alpha = 1.0)
+    assert(prop.count(_._2 == "big") === 1600.min(800)) // capped by population
+  }
+
   // ---- bloom semi join ----
 
   test("bloomSemiJoin equals plain left-semi and prunes before the join") {

@@ -90,6 +90,51 @@ class StagingSpec extends SparkSpec {
     }
   }
 
+  test("tiled staging composes with time partitioning: partition PRUNING and the zero-exchange join together") {
+    // the deployment layout at 100 TB: partitionBy(day) for F3 time
+    // pruning (directories skipped, not read) AND tile buckets for the
+    // weighted-mean join — the two must compose in one plan: the scan
+    // shows a partition filter, stays bucketed, and the join still
+    // needs no grid-side exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val g = (0 until 2000).map { k =>
+        (if (k % 2 == 0) "2021-01-01" else "2021-01-02",
+          k % 20, (k / 20) % 10, k.toDouble)
+      }.toDF("day", "i", "j", "v")
+        .select(col("day").cast("date").as("day"),
+          col("day").cast("date").cast("timestamp").as("time"),
+          col("i"), col("j"), col("v"))
+      Staging.stageGridTiled(g, "graft_bucket_tiled_part",
+        tileW = 4, tileH = 4, partitionCols = Seq("day"), buckets = 4)
+      val tg = Staging.readTable(spark, "graft_bucket_tiled_part")
+        .filter(col("day") === lit("2021-01-01").cast("date"))
+      val w = (0 until 50).map(f =>
+        (f.toLong, (f * 2) % 20, f % 10, 0.5)).toDF("fid", "i", "j", "wght")
+      val out = graft.operators.WeightedMean(tg, w, Seq("v"),
+        strategy = graft.operators.WeightJoin.SortMergeTiled(4, 4))
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // the day predicate became a PARTITION filter (pruned at listing,
+      // not a data filter over read rows)
+      assert(p.contains("PartitionFilters: [") &&
+        p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("day"), p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+      // values: equal to the broadcast strategy over the same subset
+      val bc = graft.operators.WeightedMean(tg, w, Seq("v"),
+        strategy = graft.operators.WeightJoin.Broadcast)
+      assert(rows(out) == rows(bc))
+      assert(out.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_tiled_part")
+    }
+  }
+
   test("SortMerge weighted mean over a bucketed grid: the grid side joins with zero exchange") {
     // the huge-weight-table deployment shape (WeightJoin.SortMerge +
     // (i,j)-bucketed grid staging): exactly two exchanges in the whole
