@@ -649,7 +649,16 @@ object EventPipeline extends Serializable {
               val us = tsMicros(e.ts)
               open match {
                 case Some(cur) if us - cur.lastUs <= gapUs =>
-                  open = Some(cur.copy(lastUs = us, n = cur.n + 1,
+                  // min/max merge instead of plain assignment: FMGWS
+                  // does NOT filter rows behind the watermark (pinned
+                  // empirically, EventTimeSessionSpec), so a LATE
+                  // event can fold into an already-open session — it
+                  // must never REGRESS the session's end (or advance
+                  // its start); under per-user-ordered input this is
+                  // the identity
+                  open = Some(cur.copy(
+                    startUs = math.min(cur.startUs, us),
+                    lastUs = math.max(cur.lastUs, us), n = cur.n + 1,
                     sumMicros = cur.sumMicros + valueMicros(e.value)))
                 case Some(cur) =>
                   closed += cur
@@ -660,11 +669,25 @@ object EventPipeline extends Serializable {
               lastId = open.get.sessId
             }
             open.foreach { cur =>
-              state.update(cur)
-              // end > watermark always holds here (non-late events +
-              // positive gap, see scaladoc) — the timeout arms cleanly
-              state.setTimeoutTimestamp(
-                Math.floorDiv(cur.lastUs, 1000L) + gapMs)
+              val endMs = Math.floorDiv(cur.lastUs, 1000L) + gapMs
+              // LATE-DATA guard: a sufficiently late event can leave
+              // the folded session's end AT or BEHIND the current
+              // watermark — arming a timeout there throws (Spark
+              // rejects timeouts ≤ watermark) and would kill the
+              // query. Such a session is already expired: emit it NOW,
+              // once, ordinal preserved via the tombstone — exactly
+              // what the timeout would have done on on-time input.
+              // UNREACHABLE for non-late events: ts_ms ≥ watermark ⇒
+              // end = ts_ms + gap > watermark for any positive gap, so
+              // the pinned strict-< final-watermark boundary is
+              // untouched (both behaviors spec-pinned).
+              if (endMs <= state.getCurrentWatermarkMs()) {
+                closed += cur
+                state.update(SessState(cur.sessId, 0L, 0L, 0L, 0L))
+              } else {
+                state.update(cur)
+                state.setTimeoutTimestamp(endMs)
+              }
             }
             closed.result().iterator.map(emitSession(userId, _))
           }
