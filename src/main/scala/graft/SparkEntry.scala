@@ -321,6 +321,68 @@ object SparkEntry {
       d.toString
     })
 
+  /** The q118 late-data fixture: (file, user_id, ts, event_id, value) —
+    * value kept as the literal string so the Spark frame and the oracle
+    * VALUES render the identical number. Files stage in order (one
+    * micro-batch each, delay 1 h, gap 30 min), so the watermark during
+    * file k is max(ts over files < k) − 1 h; files 1–2 deliberately
+    * carry BEHIND-WATERMARK events exercising every late-data arm of
+    * [[graft.streaming.EventPipeline.sessionizeStatefulEventTime]]
+    * (LateDataSpec pins each in isolation):
+    *  - u10 11:40 @file1 (wm 14:00): 2 h 20 m late, folds into the open
+    *    [12:00–12:05] session (start regresses) and leaves its end
+    *    12:35 behind the watermark → expired on arrival, emitted once;
+    *    u10's 16:10 then continues the numbering via the tombstone;
+    *  - u20 10:00 @file1: beyond the gap BEFORE the open [13:00]
+    *    session — must NOT fold (round-12 advice): its own session 1,
+    *    the open session shifted to ordinal 2 and itself expired;
+    *  - u80 13:30 @file1: late singleton whose end 14:00 equals the
+    *    CURRENT watermark exactly — arms its timeout AT the watermark
+    *    (legal; strictly-behind only is rejected) and closes when the
+    *    file-2 watermark 15:00 strictly passes;
+    *  - u60 16:30 @file2: end 17:00 equals the FINAL watermark — held
+    *    open (the q114 strict-< rule, now pinned on the late surface);
+    *  - u30/u40/u50/u70: on-time fillers that drive the watermark.
+    * Every shape lands exactly on batch sessionization + the q114
+    * closure rule, so the oracle is the q114 SQL chain over these rows. */
+  private val lateEventRows: Seq[(Int, Long, String, Long, String)] = Seq(
+    (0, 10L, "2021-06-01 12:00:00", 1L, "1.0"),
+    (0, 10L, "2021-06-01 12:05:00", 2L, "2.0"),
+    (0, 20L, "2021-06-01 13:00:00", 3L, "1.5"),
+    (0, 40L, "2021-06-01 15:00:00", 4L, "4.0"),
+    (1, 10L, "2021-06-01 11:40:00", 5L, "8.0"),
+    (1, 20L, "2021-06-01 10:00:00", 6L, "2.5"),
+    (1, 30L, "2021-06-01 14:30:00", 7L, "0.5"),
+    (1, 80L, "2021-06-01 13:30:00", 8L, "1.25"),
+    (1, 50L, "2021-06-01 16:00:00", 9L, "3.0"),
+    (2, 10L, "2021-06-01 16:10:00", 10L, "16.0"),
+    (2, 60L, "2021-06-01 16:30:00", 11L, "5.0"),
+    (2, 70L, "2021-06-01 18:00:00", 12L, "32.0"))
+
+  /** Stage [[lateEventRows]] as one parquet file per fixture file with
+    * ascending mtimes (FileStreamSource delivers in mtime order). */
+  private def lateEventsStreamDir(s: SparkSession): String =
+    streamSrcDirs.getOrElseUpdate("late-events", {
+      import s.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_late_")
+      val base = System.currentTimeMillis()
+      lateEventRows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (k, rs) =>
+        val df = rs.map(r =>
+            (r._2, java.sql.Timestamp.valueOf(r._3), r._4, r._5.toDouble))
+          .toDF("user_id", "ts", "event_id", "value")
+        val scratch =
+          java.nio.file.Files.createTempDirectory("graft_stream_late_w_")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = scratch.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val f = d.resolve(f"$k%02d_late.parquet")
+        java.nio.file.Files.move(part.toPath, f)
+        f.toFile.setLastModified(base - (3 - k).toLong * 60000L)
+      }
+      d.toFile.deleteOnExit()
+      d.toString
+    })
+
   /** Two-file documents stream for q107: the original table, then a
     * second file carrying THE SAME TEXTS under shifted doc_ids, with
     * modification times forcing that arrival order (FileStreamSource
@@ -2063,6 +2125,20 @@ object SparkEntry {
           eventsSlicedStreamDir(s, dir), gapMinutes = 30,
           maxFilesPerTrigger = Some(1)))),
 
+    // ---- q114 under DELIBERATE late data: the fixture's later files
+    // carry behind-watermark events (FMGWS does not filter them)
+    // hitting every late arm — fold-with-start-regression, expired on
+    // arrival, no-fold-beyond-gap insert-before, the arm-AT-watermark
+    // edge, and the strict-< final boundary on the late path (see
+    // lateEventRows). Each shape equals batch sessionization + the
+    // q114 closure rule, so CORRECTNESS owns the late-data guard, not
+    // just specs ----
+    "q118_session_late_data_stream" -> ((s, dir) =>
+      runStreamToParquet(s,
+        EventPipeline.sessionizeEventTimeStream(s,
+          lateEventsStreamDir(s), gapMinutes = 30,
+          maxFilesPerTrigger = Some(1)))),
+
     // ---- INCREMENTAL DAILY-ETL CADENCE — the reference's operational
     // shape (`Gridmet_current.py:24-48` gating `etl.py:570-810`) run
     // natively: staged day-files arrive as a drop-box stream, each
@@ -2895,6 +2971,46 @@ object SparkEntry {
         |FROM agg JOIN mx USING (user_id), m
         |WHERE sid < max_sid
         |   OR (last_us // 1000) * 1000 + 1800000000 < m.wm_us""".stripMargin,
+
+    // q118: q114's closure-rule chain over the literal late-data
+    // fixture (rendered from the SAME lateEventRows the stream stages,
+    // so the two sides cannot drift) — the late events are designed to
+    // land exactly on batch sessionization, which is what the stream's
+    // gap-merge-over-the-unemitted-horizon guarantees for them.
+    "q118_session_late_data_stream" -> {
+      val vals = lateEventRows.map(r =>
+        s"(${r._2}, TIMESTAMP '${r._3}', ${r._4}, ${r._5})")
+        .mkString(",\n|    ")
+      s"""WITH ev AS (SELECT * FROM (VALUES
+         |    $vals) t(user_id, ts, event_id, value)),
+         |m AS (SELECT (epoch_us(MAX(ts)) // 1000) * 1000
+         |             - 3600000000 AS wm_us FROM ev),
+         |flagged AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM flagged),
+         |agg AS (
+         |  SELECT user_id, sid, min(ts) AS session_start,
+         |    count(*) AS n_events,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+         |    max(epoch_us(ts)) AS last_us
+         |  FROM sess GROUP BY user_id, sid),
+         |mx AS (SELECT user_id, max(sid) AS max_sid FROM agg GROUP BY user_id)
+         |SELECT CAST(agg.user_id AS BIGINT) AS user_id,
+         |  CAST(sid AS BIGINT) AS sess_id, session_start,
+         |  n_events, sum_value
+         |FROM agg JOIN mx USING (user_id), m
+         |WHERE sid < max_sid
+         |   OR (last_us // 1000) * 1000 + 1800000000 < m.wm_us""".stripMargin
+    },
 
     // q107: the streaming dedup passes exactly one survivor per
     // distinct text — batch-1 copies (and the corpus's own intra-file

@@ -608,11 +608,41 @@ object EventPipeline extends Serializable {
     * emission the state is kept as a TOMBSTONE (`n = 0`, no timeout
     * re-armed) rather than removed: the next event must continue the
     * per-user session NUMBERING (`sessId + 1`) — removing state would
-    * restart it at 1 and diverge from the batch ordinal. The timeout
-    * timestamp is always legal to set: a non-late event has
-    * `ts_ms ≥ watermark`, so `end = ts_ms + gap > watermark` for any
-    * positive gap (Spark rejects timeouts at or before the watermark);
-    * the `require` pins the positive-gap precondition.
+    * restart it at 1 and diverge from the batch ordinal.
+    *
+    * LATE DATA (FMGWS does NOT filter behind-watermark rows — pinned
+    * empirically, LateDataSpec): each invocation gap-merges the carried
+    * open session (as a time interval) together with the batch's events
+    * in EVENT-TIME order — i.e. batch sessionization restricted to the
+    * not-yet-emitted horizon. A late event therefore
+    *  - folds into the open session when within the gap of its span
+    *    (never regressing `last` or advancing `start` — the min/max is
+    *    inherent to interval merging; the counters are exact longs, so
+    *    fold order cannot change any emitted value),
+    *  - BRIDGES two runs that are each within the gap of it into one
+    *    session, and
+    *  - forms its own EARLIER session when beyond the gap before the
+    *    open session's start — emitted as a closed predecessor, with
+    *    the open session's ordinal shifted up by one (nothing with that
+    *    ordinal has been emitted yet, so numbering matches the batch
+    *    oracle; round-12 advice: such an event must NOT fold).
+    * All of these equal the batch result. The one irrecoverable shape —
+    * an event within the gap of a session already EMITTED — starts a
+    * fresh session at the next ordinal (you cannot un-emit; the q118
+    * fixture avoids it, LateDataSpec documents it).
+    *
+    * Expired-on-arrival guard: a fold can leave the merged session's
+    * end BEHIND the current watermark; its timeout would throw (Spark
+    * rejects `timestamp < watermark` STRICTLY — verified against the
+    * 4.1.2 `GroupStateImpl.setTimeoutTimestamp` bytecode: `ifge` skips
+    * the throw, so arming exactly AT the watermark is legal). Such a
+    * session is emitted immediately, once, ordinal preserved via the
+    * tombstone — exactly what the timeout would have done on on-time
+    * input. A session ending exactly ON the watermark is NOT expired:
+    * its timeout arms at `== watermark` and Spark fires it only when a
+    * later watermark strictly passes it, which is precisely the q114
+    * oracle's `<` rule (a late fold must not close an ON-boundary
+    * session early — round-12 advice's off-by-one).
     *
     * Eviction boundary (spec-pinned, EventTimeSessionSpec): Spark
     * fires the timeout only when `timeoutTimestamp < watermark`
@@ -640,56 +670,51 @@ object EventPipeline extends Serializable {
               state.update(SessState(s.sessId, 0L, 0L, 0L, 0L)))
             out.iterator
           } else {
-            val sorted = it.toVector.sortBy(e => (tsMicros(e.ts), e.event_id))
-            var open = state.getOption.filter(_.n > 0)
-            // tombstones carry the last emitted session's ordinal
-            var lastId = state.getOption.map(_.sessId).getOrElse(0L)
-            val closed = Vector.newBuilder[SessState]
-            sorted.foreach { e =>
-              val us = tsMicros(e.ts)
-              open match {
-                case Some(cur) if us - cur.lastUs <= gapUs =>
-                  // min/max merge instead of plain assignment: FMGWS
-                  // does NOT filter rows behind the watermark (pinned
-                  // empirically, EventTimeSessionSpec), so a LATE
-                  // event can fold into an already-open session — it
-                  // must never REGRESS the session's end (or advance
-                  // its start); under per-user-ordered input this is
-                  // the identity
-                  open = Some(cur.copy(
-                    startUs = math.min(cur.startUs, us),
-                    lastUs = math.max(cur.lastUs, us), n = cur.n + 1,
-                    sumMicros = cur.sumMicros + valueMicros(e.value)))
-                case Some(cur) =>
-                  closed += cur
-                  open = Some(SessState(cur.sessId + 1, us, us, 1, valueMicros(e.value)))
-                case None =>
-                  open = Some(SessState(lastId + 1, us, us, 1, valueMicros(e.value)))
+            val carried = state.getOption.filter(_.n > 0)
+            // first ordinal not yet emitted: the open session's own,
+            // or the tombstone's + 1
+            val base = state.getOption
+              .map(s => if (s.n > 0) s.sessId else s.sessId + 1)
+              .getOrElse(1L)
+            // gap-merge over the not-yet-emitted horizon (see scaladoc):
+            // atoms = carried open interval + this batch's events, in
+            // event-time order; adjacent atoms within the gap merge.
+            // (start, last, n, sumMicros) — n/sum are exact longs, so
+            // the merge is order-insensitive in every emitted value.
+            val atoms = (carried
+                .map(c => (c.startUs, c.lastUs, c.n, c.sumMicros)).toVector ++
+              it.map { e =>
+                val us = tsMicros(e.ts); (us, us, 1L, valueMicros(e.value))
+              }).sortBy(a => (a._1, a._2))
+            if (atoms.isEmpty) Iterator.empty
+            else {
+              val runs = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Long, Long, Long)]
+              atoms.foreach { a =>
+                if (runs.nonEmpty && a._1 - runs.last._2 <= gapUs) {
+                  val p = runs.last
+                  runs(runs.length - 1) = (p._1, math.max(p._2, a._2),
+                    p._3 + a._3, p._4 + a._4)
+                } else runs += a
               }
-              lastId = open.get.sessId
-            }
-            open.foreach { cur =>
-              val endMs = Math.floorDiv(cur.lastUs, 1000L) + gapMs
-              // LATE-DATA guard: a sufficiently late event can leave
-              // the folded session's end AT or BEHIND the current
-              // watermark — arming a timeout there throws (Spark
-              // rejects timeouts ≤ watermark) and would kill the
-              // query. Such a session is already expired: emit it NOW,
-              // once, ordinal preserved via the tombstone — exactly
-              // what the timeout would have done on on-time input.
-              // UNREACHABLE for non-late events: ts_ms ≥ watermark ⇒
-              // end = ts_ms + gap > watermark for any positive gap, so
-              // the pinned strict-< final-watermark boundary is
-              // untouched (both behaviors spec-pinned).
-              if (endMs <= state.getCurrentWatermarkMs()) {
-                closed += cur
-                state.update(SessState(cur.sessId, 0L, 0L, 0L, 0L))
+              val sess = runs.toVector.zipWithIndex.map {
+                case ((s0, l, n, sm), k) => SessState(base + k, s0, l, n, sm)
+              }
+              val last = sess.last
+              val endMs = Math.floorDiv(last.lastUs, 1000L) + gapMs
+              // expired-on-arrival (strict <, see scaladoc): end AT the
+              // watermark stays open with its timeout armed AT it —
+              // legal, and Spark's own strict-< firing then owns the
+              // q114 boundary; end BEHIND it emits now, once
+              if (endMs < state.getCurrentWatermarkMs()) {
+                state.update(SessState(last.sessId, 0L, 0L, 0L, 0L))
+                sess.iterator.map(emitSession(userId, _))
               } else {
-                state.update(cur)
+                state.update(last)
                 state.setTimeoutTimestamp(endMs)
+                sess.init.iterator.map(emitSession(userId, _))
               }
             }
-            closed.result().iterator.map(emitSession(userId, _))
           }
         })
   }
