@@ -70,6 +70,20 @@ object Stress {
   private def sink(plan: => DataFrame): () => Unit =
     () => plan.write.mode("overwrite").format("noop").save()
 
+  /** Run `act` and RESTORE the named session confs after (whether act
+    * set them itself or an operator did — WeightedMean's tiled path
+    * sets its two deployment confs at plan construction): a scenario
+    * must not leak plan-shape confs into every later scenario's
+    * measured plan (round-12 advice). */
+  private def restoringConfs(sp: SparkSession, keys: Seq[String])(
+      act: () => Unit): () => Unit = () => {
+    val prev = keys.map(k => k -> sp.conf.getOption(k))
+    try act() finally prev.foreach {
+      case (k, Some(v)) => sp.conf.set(k, v)
+      case (k, None) => sp.conf.unset(k)
+    }
+  }
+
   /** Deterministic token: 't' + (hash of (seed, position) mod vocab). */
   private def tok(seed: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column,
       vocab: Int) =
@@ -321,18 +335,11 @@ object Stress {
         val feats = math.max(1000L, (8300000L * scale).toLong)
         val days = 4
         val g = raster(sp, cells2, days, dup = 1, ens = 1, width = W2).drop("ens")
-        // subset co-partitioning (HashPartitioning(tile) vs join keys
-        // (tile,i,j)) — the documented deployment conf for the tiled
-        // recipe; without it Spark reshuffles both sides and discards
-        // the bucket layout
-        sp.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-        // with ONE sorted file per bucket (stageGridTiled pre-shuffles
-        // by the bucket key), the scan's (tile,i,j) sort order is
-        // usable — but since Spark 3.0 the planner only consumes it
-        // under this conf; without it a grid-side Sort node re-sorts
-        // (and spills, measured 4.26 GB) what the staging already
-        // sorted on disk
-        sp.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        // the two tiled deployment confs (subset co-partitioning +
+        // bucketed-scan sort order) are set by WeightedMean ITSELF when
+        // the tiled strategy engages — at plan construction, inside the
+        // timed action below — and restored by the restoringConfs wrap
+        // so they cannot leak into later scenarios' measured plans
         dropStaleManagedLocation(sp, "graft_stress_grid_tiled")
         // 64×24-cell tiles: ≫ the footprint diameter (tiles-touched ≈
         // 1–2) and ~21 tiles/bucket at 256 buckets keeps the per-task
@@ -341,10 +348,62 @@ object Stress {
           tileW = 64, tileH = 24, partitionCols = Nil, buckets = 256)
         val staged = sp.table("graft_stress_grid_tiled")
         val w = weightsCompact(sp, feats.toInt, W2, H2)
-        (sink(graft.operators.WeightedMean(staged, w,
-          Seq("tmmx", "tmmn", "pr"),
-          strategy = graft.operators.WeightJoin.SortMergeTiled(64, 24))),
+        (restoringConfs(sp, Seq(
+          "spark.sql.requireAllClusterKeysForCoPartition",
+          "spark.sql.legacy.bucketedTableScan.outputOrdering"))(
+          sink(graft.operators.WeightedMean(staged, w,
+            Seq("tmmx", "tmmn", "pr"),
+            strategy = graft.operators.WeightJoin.SortMergeTiled(64, 24)))),
           cells2 * days + feats * 12)
+      }),
+      Scenario("daily_etl_catchup", sp => {
+        // the month-of-downtime shape (round-12 verdict ask #4a): 30
+        // staged day-files at the reference raster envelope (~811k
+        // cells/day ⇒ ~24M rows at scale 1) arrive in ONE AvailableNow
+        // catch-up batch through the incremental daily-ETL cadence —
+        // gate consulted, day-atomicity ledger checked and appended,
+        // every day's partition written whole via dynamic overwrite.
+        // Measures that catch-up cost is ∝ the backlog (one
+        // WeightedMean plan over the 30 planes) and that the per-day
+        // commit machinery does not change the aggregation's
+        // spill-free scale shape.
+        val days = 30
+        val W2 = 1386
+        val cells = math.max(8192L, (811000L * scale).toLong)
+        val feats = math.max(500, (2462 * scale).toInt)
+        val drop = java.nio.file.Files.createTempDirectory("graft_stress_etl_drop_")
+        val out = java.nio.file.Files.createTempDirectory("graft_stress_etl_out_")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stress_etl_ckpt_")
+        Seq(drop, out, ckpt).foreach(_.toFile.deleteOnExit())
+        // stage one file per day, ascending mtimes (the drop-box
+        // contract: each day lands whole) — untimed build work
+        val scratch = java.nio.file.Files.createTempDirectory("graft_stress_etl_w_")
+        raster(sp, cells, days, dup = 1, ens = 1, width = W2).drop("ens")
+          .withColumn("__d", date_format(col("time"), "yyyy-MM-dd"))
+          .repartition(col("__d"))
+          .write.mode("overwrite").partitionBy("__d").parquet(scratch.toString)
+        val dayDirs = Option(scratch.toFile.listFiles())
+          .getOrElse(Array.empty).filter(_.getName.startsWith("__d="))
+          .sortBy(_.getName)
+        require(dayDirs.length == days, s"staged ${dayDirs.length} days")
+        dayDirs.zipWithIndex.foreach { case (dd, k) =>
+          val parts = dd.listFiles().filter(_.getName.endsWith(".parquet"))
+          require(parts.length == 1,
+            s"${dd.getName}: expected one file from the day-repartition " +
+              s"write, found ${parts.length}")
+          val f = drop.resolve(f"$k%02d_day.parquet")
+          java.nio.file.Files.move(parts.head.toPath, f)
+          f.toFile.setLastModified(1700000000000L + k * 60000L)
+        }
+        val w = weights(sp, feats, 12, W2,
+          math.max(1L, cells / W2).toInt)
+        (() => withStatePartitions(sp) {
+          graft.etl.IncrementalEtl.dailyWeightedMeanStream(sp,
+              drop.toString, w, Seq("tmmx", "tmmn", "pr"), out.toString,
+              maxFilesPerTrigger = None)
+            .option("checkpointLocation", ckpt.toString)
+            .start().awaitTermination()
+        }, cells * days)
       }),
       Scenario("minhash_band_shuffle", sp => {
         val n = s(250000)
@@ -492,6 +551,27 @@ object Stress {
         (() => withStatePartitions(sp) { val q = writer.start()
           require(graft.streaming.EventPipeline.drainAndStop(q, 600000L),
             "stream did not drain") }, n)
+      }),
+      Scenario("sessionize_eventtime_stream", sp => {
+        // the q114 operator (EventTimeTimeout + gap-merge late-data
+        // handling) at sessionize_stateful_stream's 5M-event shape
+        // (round-12 verdict ask #4b): same O(users) open-session state
+        // crossing micro-batch boundaries, but closure is
+        // WATERMARK-driven — deterministic emissions and native
+        // AvailableNow self-termination (shouldRunAnotherBatch follows
+        // watermark advance; no drain helper), which is exactly the
+        // deployment difference this row measures against its
+        // processing-time sibling above.
+        val n = s(5000000)
+        val (dir, ckpt, files) = stageTimeSlicedEvents(sp, n)
+        val writer = graft.streaming.EventPipeline
+          .sessionizeEventTimeStream(sp, dir, gapMinutes = 30,
+            delay = "1 hour",
+            maxFilesPerTrigger = Some(math.max(1, files / 5)))
+          .option("checkpointLocation", ckpt)
+          .format("noop")
+        (() => withStatePartitions(sp) {
+          writer.start().awaitTermination() }, n)
       }),
       Scenario("windowed_agg_stream", sp => {
         // APPEND-mode KEYED tumbling windows — the q110/q111 deployment

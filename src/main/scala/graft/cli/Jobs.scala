@@ -213,8 +213,31 @@ object Jobs {
     val coords = Set("time", "i", "j", "lat", "lon", "ens")
     val vars = a.get("vars") match {
       case Some(v) => v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      case None => spark.read.parquet(gridDir).schema.fieldNames.toSeq
-        .filterNot(coords)
+      case None =>
+        // Hive-style partition directories in the drop-box (part=N
+        // layouts) surface as DIRECTORY-inferred columns on the
+        // directory read but are absent from the files themselves —
+        // they are staging bookkeeping, not grid variables, and must
+        // not get spurious weighted-mean columns (round-12 advice).
+        // One data file's schema is the variable universe; --vars
+        // overrides when files disagree.
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val files = fs.listFiles(new org.apache.hadoop.fs.Path(gridDir), true)
+        var one: Option[String] = None
+        while (one.isEmpty && files.hasNext) {
+          val f = files.next()
+          val n = f.getPath.getName
+          if (f.isFile && n.endsWith(".parquet") &&
+              !n.startsWith("_") && !n.startsWith("."))
+            one = Some(f.getPath.toString)
+        }
+        val fileFields = one.map(p =>
+            spark.read.parquet(p).schema.fieldNames.toSet)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no parquet data files under $gridDir to infer --vars from"))
+        spark.read.parquet(gridDir).schema.fieldNames.toSeq
+          .filter(fileFields).filterNot(coords)
     }
     val gate: String => Boolean = a.get("published-through") match {
       case Some(p) =>

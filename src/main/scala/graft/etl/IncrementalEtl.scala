@@ -37,6 +37,35 @@ object IncrementalEtl {
     s"availability gate: upstream not current for staged day $day; " +
       "cycle aborted (restart resumes at this day)")
 
+  /** The day-atomicity TRIPWIRE fired (round-12 verdict ask #3): a
+    * micro-batch carries rows for a day that a PRIOR batch already
+    * committed. Proceeding would silently overwrite that day's
+    * partition with only this batch's partial plane — the one
+    * silent-corruption mode of the idempotent-overwrite design — so
+    * the stream aborts loudly instead. The staging bug to fix is
+    * upstream: a calendar day's rows were split across drop-box files
+    * that landed in different micro-batches. */
+  final case class DayAtomicityViolation(
+      day: String, priorBatch: Long, batch: Long) extends RuntimeException(
+    s"day-atomicity violation: micro-batch $batch carries rows for day " +
+      s"$day already committed by batch $priorBatch — a day's rows must " +
+      "not span micro-batches (partial-plane overwrite aborted; fix the " +
+      "drop-box staging so each day lands whole in one batch)")
+
+  /** Committed-day ledger directory under the output (underscore
+    * prefix: invisible to parquet reads of the output itself). One row
+    * per (batch_id, day) committed; appended in the same foreachBatch
+    * as the data write, AFTER it, so a crash between the two replays
+    * the batch with the ledger still missing the entry — the replay
+    * passes (at-least-once), rewrites the day idempotently, and lands
+    * the entry. Keyed by batch_id so a replay of the SAME batch is
+    * always admitted; it is therefore scoped to the checkpoint's batch
+    * numbering — wipe it together with the checkpoint unless the
+    * source replays with identical file→batch mapping (a deterministic
+    * drop-box under the same trigger settings does, which is what the
+    * replay-idempotence spec pins). */
+  val LedgerDir = "_day_ledger"
+
   /** Incremental weighted-mean ETL over a drop-box of staged daily
     * grid files: each micro-batch aggregates the newly-arrived day(s)
     * with [[WeightedMean]] and OVERWRITES exactly those days'
@@ -50,13 +79,18 @@ object IncrementalEtl {
     * with a wiped checkpoint into the same output and proves the table
     * unchanged.
     *
-    * Day-atomicity contract: a calendar day's grid rows must not span
-    * micro-batches (the natural shape of a daily drop-box: one staged
-    * file per day). A day split across two batches would have its
-    * partition overwritten with partial data by the second. Within a
-    * batch any number of whole days is fine — catch-up after downtime
-    * processes several day-files in one batch and each day's partition
-    * is rewritten whole.
+    * Day-atomicity contract — ENFORCED, not prose: a calendar day's
+    * grid rows must not span micro-batches (the natural shape of a
+    * daily drop-box: one staged file per day). A day split across two
+    * batches would have its partition overwritten with partial data by
+    * the second — so each batch is checked against the committed-day
+    * ledger ([[LedgerDir]]) and a day already committed by a PRIOR
+    * batch aborts the stream with [[DayAtomicityViolation]] before
+    * anything is written (silent corruption → loud abort). Replay of
+    * the SAME batch (at-least-once) passes: the ledger is keyed by
+    * batch_id. Within a batch any number of whole days is fine —
+    * catch-up after downtime processes several day-files in one batch
+    * and each day's partition is rewritten whole.
     *
     * @param gate ISO-day → available? Consulted for every day in the
     *             batch BEFORE aggregating (the S8 probe,
@@ -88,7 +122,7 @@ object IncrementalEtl {
       reader.option("maxFilesPerTrigger", m.toString))
     reader.parquet(gridDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // bounded collect: distinct DAYS in one micro-batch (≈ the
         // files per trigger), not grid rows
         val days = batch.select(
@@ -96,6 +130,22 @@ object IncrementalEtl {
           .distinct().collect().map(_.getString(0)).sorted
         days.find(!gate(_)).foreach(d => throw GateNotCurrent(d))
         if (days.nonEmpty) {
+          val sp = batch.sparkSession
+          val ledger = s"$outDir/$LedgerDir"
+          // tripwire BEFORE the write: any of this batch's days
+          // committed by a prior batch ⇒ partial-plane overwrite ahead
+          val ledgerPath = new org.apache.hadoop.fs.Path(ledger)
+          val fs = ledgerPath.getFileSystem(
+            sp.sparkContext.hadoopConfiguration)
+          if (fs.exists(ledgerPath)) {
+            // bounded: rows for THIS batch's day set only
+            sp.read.parquet(ledger)
+              .filter(col("day").isin(days.toSeq: _*) &&
+                col("batch_id") =!= batchId)
+              .select(col("day"), col("batch_id")).limit(1).collect()
+              .foreach(r => throw DayAtomicityViolation(
+                r.getString(0), r.getLong(1), batchId))
+          }
           finalize(WeightedMean(batch, weights, vars, masked = masked,
               strategy = strategy))
             .withColumn("__day", date_format(col("time"), "yyyy-MM-dd"))
@@ -103,6 +153,11 @@ object IncrementalEtl {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__day")
             .parquet(outDir)
+          // ledger append AFTER the data write (see LedgerDir scaladoc
+          // for the crash-window argument); |days| rows, one file
+          import sp.implicits._
+          days.toSeq.map(d => (batchId, d)).toDF("batch_id", "day")
+            .coalesce(1).write.mode(SaveMode.Append).parquet(ledger)
         }
         ()
       }

@@ -41,10 +41,14 @@ sealed trait WeightJoin
 object WeightJoin {
 
   /** Decide from the weight table's optimizer size estimate: broadcast
-    * when it fits `spark.sql.autoBroadcastJoinThreshold`, else
-    * [[SortMerge]]. The default — at reference scale this always picks
-    * broadcast (28k rows ≪ 10 MB), and the switchover needs no code
-    * change, only the data growing. */
+    * when it fits `spark.sql.autoBroadcastJoinThreshold`; otherwise
+    * [[SortMergeTiled]] with the STAGED geometry when the grid carries
+    * a [[graft.sources.Staging.stageGridTiled]] tile column (the
+    * measured 5.2×-less-shuffle scale plan — round-12 verdict: Auto
+    * must reach it without manual opt-in), else [[SortMerge]]. The
+    * default — at reference scale this always picks broadcast (28k
+    * rows ≪ 10 MB), and the switchover needs no code change, only the
+    * data growing (and the scale switchover needs only the staging). */
   case object Auto extends WeightJoin
 
   /** Force the broadcast hash join (zero shuffle anywhere). */
@@ -99,8 +103,12 @@ object WeightedMean {
   /** Resolve [[WeightJoin.Auto]] to a concrete strategy from the weight
     * table's optimizer size estimate (no job runs; threshold parse
     * handles plain longs ("-1", "10485760") and suffixed forms
-    * ("10MB"); -1 = broadcast disabled falls through to sort-merge). */
-  private def resolve(weights: DataFrame, strategy: WeightJoin): WeightJoin =
+    * ("10MB"); -1 = broadcast disabled falls through to sort-merge).
+    * Over-threshold weights prefer the TILED sort-merge when the grid
+    * is tile-staged — the geometry rides the `tile` column's field
+    * metadata, so the weight side derives matching tile ids. */
+  private def resolve(
+      grid: DataFrame, weights: DataFrame, strategy: WeightJoin): WeightJoin =
     strategy match {
       case WeightJoin.Auto =>
         val bytes = weights.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -111,9 +119,32 @@ object WeightedMean {
             org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
         }
         if (threshold > 0 && bytes <= BigInt(threshold)) WeightJoin.Broadcast
-        else WeightJoin.SortMerge
+        else graft.sources.Staging.tileGeometry(grid)
+          .map { case (tw, th) => WeightJoin.SortMergeTiled(tw, th) }
+          .getOrElse(WeightJoin.SortMerge)
       case s => s
     }
+
+  /** The session confs the tiled plan needs at execution-planning time,
+    * set in ONE place (round-12 verdict: not per-caller) whenever a
+    * tiled strategy is engaged — resolved by Auto or requested
+    * explicitly. Both are plan-shape confs, not semantics: results are
+    * identical without them (WeightedMeanSpec pins that), but
+    *  - `requireAllClusterKeysForCoPartition=false` lets the planner
+    *    accept the grid's HashPartitioning(tile) bucket layout for the
+    *    (tile, i, j) join clustering as a KEY SUBSET — default true
+    *    reshuffles BOTH sides and silently discards the bucket layout;
+    *  - `legacy.bucketedTableScan.outputOrdering=true` lets the scan
+    *    report the staged (tile, i, j) sort order (one file per
+    *    bucket), eliminating the grid-side Sort (measured ~4 GB of
+    *    sort spill at the 10⁸-weight stress shape without it).
+    * Sticky by design — a deployment sets them cluster-wide (SCALE.md
+    * deployment-conf table); a caller that must isolate them wraps the
+    * EXECUTION in save/restore (Stress does). */
+  private def setTiledSessionConfs(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+  }
 
   /** The weight side of the join, wrapped per resolved strategy. */
   private def weightSide(weights: DataFrame, strategy: WeightJoin): DataFrame =
@@ -219,7 +250,12 @@ object WeightedMean {
       strategy: WeightJoin = WeightJoin.Auto): DataFrame = {
     require(valueCols.nonEmpty, "at least one value column")
     val keys = (Seq("fid", "time") ++ extraKeys).map(col)
-    val resolved = resolve(weights, strategy)
+    val resolved = resolve(grid, weights, strategy)
+    resolved match {
+      case _: WeightJoin.SortMergeTiled =>
+        setTiledSessionConfs(grid.sparkSession)
+      case _ => ()
+    }
     val (g, w, joinKeys) = joinSides(grid, weights, resolved)
     if (!preCombine) {
       val aggs = valueCols.map(meanCol(_, masked))

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, floor, lit}
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
 
 /** S1 staging layout control. The grid is the 100 TB table; how it lands
   * on disk decides every downstream plan:
@@ -48,6 +49,32 @@ object Staging {
     (floor(j / lit(tileH)) * lit(1000000L) + floor(i / lit(tileW)))
       .cast("long")
 
+  /** Field-metadata keys carrying the tile geometry on a staged grid's
+    * `tile` column. Written by [[stageGridTiled]], persisted through
+    * the parquet/catalog round trip, and read back by
+    * [[graft.operators.WeightedMean]] so `WeightJoin.Auto` can resolve
+    * to the tiled strategy with the STAGED geometry (round-12 verdict
+    * ask #2) — the weight side must derive its tile ids with the same
+    * (tileW, tileH) the grid was bucketed under, or the join keys
+    * would disagree. */
+  val TileWKey = "graft.tileW"
+  val TileHKey = "graft.tileH"
+
+  /** The tile geometry a [[stageGridTiled]]-staged frame carries, if
+    * any (None for unstaged grids or a user-made `tile` column). */
+  def tileGeometry(df: DataFrame): Option[(Int, Int)] =
+    df.schema.fields.find(_.name == "tile").flatMap { f =>
+      val m = f.metadata
+      if (m.contains(TileWKey) && m.contains(TileHKey))
+        Some((m.getLong(TileWKey).toInt, m.getLong(TileHKey).toInt))
+      else None
+    }
+
+  private def tileMeta(tileW: Int, tileH: Int): Metadata =
+    new MetadataBuilder()
+      .putLong(TileWKey, tileW.toLong).putLong(TileHKey, tileH.toLong)
+      .build()
+
   /** Stage a long-form grid bucketed by SPATIAL TILE — the layout that
     * makes the huge-weight-table join AND its aggregation cheap at
     * once (vs [[stageGrid]]'s (i, j)-hash buckets, which scatter every
@@ -69,8 +96,9 @@ object Staging {
     // at read time (measured: the Sort was spilling ~4 GB per
     // bigweights-scale run); the sort cost moves into this write-once
     // staging, where a 100 TB deployment wants it anyway.
-    val withTile = df.withColumn("tile",
-      tileId(col("i"), col("j"), tileW, tileH))
+    val withTile = df.select(col("*"),
+      tileId(col("i"), col("j"), tileW, tileH)
+        .as("tile", tileMeta(tileW, tileH)))
       .repartition(buckets, col("tile"))
     val w = withTile.write.mode(SaveMode.Overwrite)
     val partitioned =

@@ -318,6 +318,12 @@ class JobsSpec extends SparkSpec {
       .as[String].collect().sorted.toSeq === Seq("2021-07-01", "2021-07-02"))
     // cycle 2 (next cron tick, upstream caught up): resumes at day 3
     assert(run(Some("2021-07-03")).isRight)
+    // the drop-box's part=N directories are Hive-partition bookkeeping:
+    // variable auto-inference must NOT turn them into a spurious
+    // weighted-mean column (round-12 advice — the contract table's
+    // columns are exactly coords + real grid variables)
+    assert(spark.read.parquet(s"$dir/out").columns.sorted.toSeq ===
+      Seq("__day", "fid", "pr", "time"))
     val all = spark.read.parquet(s"$dir/out").drop("__day")
       .select($"fid", $"time", $"pr")
     val batch = WeightedMean(spark.read.parquet(s"$dir/drop"),

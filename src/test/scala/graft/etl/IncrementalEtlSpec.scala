@@ -129,6 +129,29 @@ class IncrementalEtlSpec extends SparkSpec {
     assert(streamed.agg(max(col("tmax"))).as[Double].head() < 100.0)
   }
 
+  test("day-atomicity tripwire: a day split across micro-batches aborts loudly instead of silently overwriting") {
+    val base = Files.createTempDirectory("graft-inc-split").toString
+    // the staging bug the contract forbids: day 2's plane lands in TWO
+    // drop-box files (half the cells each), so its second half arrives
+    // in a LATER micro-batch after batch 1 already committed the day
+    val halves = Seq(plane(2).filter($"i" === 0), plane(2).filter($"i" === 1))
+    (plane(1) +: halves).zipWithIndex.foreach { case (df, k) =>
+      df.coalesce(1).write.parquet(s"$base/src/part=$k")
+      new java.io.File(s"$base/src/part=$k").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(1700000000000L + k * 60000L))
+    }
+    val r = run(s"$base/src", base)
+    assert(r.isLeft, "a split day must abort the stream, not overwrite")
+    assert(r.swap.toOption.get.toString.contains("day-atomicity violation"),
+      r.swap.toOption.get.toString)
+    // without the tripwire the second half would have silently REPLACED
+    // day 2's partition with a half-plane aggregate; the abort left
+    // batch 1's day-2 rows (complete at commit time) in place
+    assert(accumulated(base).filter($"time" === lit(day(2)).cast("date"))
+      .count() > 0)
+  }
+
   test("catch-up batch with several whole days rewrites each day partition correctly") {
     val base = Files.createTempDirectory("graft-inc-catchup").toString
     val src = stage(base, Seq(1, 2, 3, 4))

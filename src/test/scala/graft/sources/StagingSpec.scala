@@ -90,6 +90,68 @@ class StagingSpec extends SparkSpec {
     }
   }
 
+  test("Auto resolves to SortMergeTiled on a tile-staged grid: staged geometry detected, confs set in one place, zero grid exchange") {
+    // round-12 verdict ask #2: the measured 5.2×-less-shuffle tiled
+    // plan must be reachable WITHOUT manual opt-in — Auto + an
+    // over-threshold weight table + a stageGridTiled grid must produce
+    // the exact plan the explicit SortMergeTiled(4,4) test above pins,
+    // with WeightedMean itself supplying the subset-co-partition conf
+    // (no per-caller conf juggling).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val prevCoPart =
+      spark.conf.getOption("spark.sql.requireAllClusterKeysForCoPartition")
+    val prevOrd =
+      spark.conf.getOption("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    try {
+      val t1 = java.sql.Timestamp.valueOf("2021-01-01 00:00:00")
+      val g = (0 until 1000).map(k => (t1, k % 20, (k / 20) % 10, k.toDouble))
+        .toDF("time", "i", "j", "v")
+      Staging.stageGridTiled(g, "graft_bucket_auto_tiled", tileW = 4,
+        tileH = 4, partitionCols = Nil, buckets = 4)
+      val tg = Staging.readTable(spark, "graft_bucket_auto_tiled")
+      // the geometry survives the parquet/catalog round trip as field
+      // metadata — that is what Auto keys on
+      assert(Staging.tileGeometry(tg) === Some((4, 4)))
+      val w = (0 until 100).flatMap { f =>
+        Seq((f.toLong, (f * 2) % 20, f % 10, 0.5),
+          (f.toLong, (f * 2 + 1) % 20, f % 10, 0.5))
+      }.toDF("fid", "i", "j", "wght")
+      val out = graft.operators.WeightedMean(tg, w, Seq("v")) // strategy = Auto
+      // WeightedMean set the deployment confs itself (the "one place")
+      assert(spark.conf
+        .get("spark.sql.requireAllClusterKeysForCoPartition") === "false")
+      assert(spark.conf
+        .get("spark.sql.legacy.bucketedTableScan.outputOrdering") === "true")
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 2,
+        s"expected 2 exchanges (weights→tile buckets + agg), got $exchanges:\n$p")
+      assert(p.contains("Exchange hashpartitioning(tile"), p)
+      // result identity with the broadcast strategy over the same input
+      val bc = graft.operators.WeightedMean(tg, w, Seq("v"),
+        strategy = graft.operators.WeightJoin.Broadcast)
+      assert(rows(out) == rows(bc))
+      assert(out.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      prevCoPart match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", v)
+        case None =>
+          spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      }
+      prevOrd match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", v)
+        case None =>
+          spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_auto_tiled")
+    }
+  }
+
   test("tiled staging composes with time partitioning: partition PRUNING and the zero-exchange join together") {
     // the deployment layout at 100 TB: partitionBy(day) for F3 time
     // pruning (directories skipped, not read) AND tile buckets for the
