@@ -26,7 +26,22 @@ import graft.sinks.Sinks
   *     --grid-path g.parquet --target-file feats.parquet
   *     --weights-file w.csv --fid nhru_v1_1 --output-path out/
   *     [--file-prefix p_] [--partial] [--fill-missing]
+  *     [--weight-join auto|broadcast|sort-merge|tiled:WxH]
   *   graft.cli.Jobs cfsv2-etl ... --method 1|2 --model-param-file params
+  *   graft.cli.Jobs daily-etl --grid-stream-path drop/ --weights-file
+  *     w.csv --fid nhru_v1_1 --output-path out/ --checkpoint-path ckpt/
+  *     [--published-through yyyy-mm-dd] [--vars a,b,c] [--partial]
+  *     [--weight-join auto|broadcast|sort-merge|tiled:WxH]
+  *
+  * Deployment confs (100× clusters; see SCALE.md's deployment-conf
+  * table): the tiled weight-join strategy — requested via
+  * `--weight-join tiled:WxH` or auto-resolved from a
+  * `Staging.stageGridTiled` grid — needs
+  * `spark.sql.requireAllClusterKeysForCoPartition=false` and
+  * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`;
+  * WeightedMean sets both on the session when the strategy engages
+  * (JobsSpec pins it), and a cluster sets the same pair in
+  * spark-defaults so every session agrees.
   */
 object Jobs {
 
@@ -59,6 +74,47 @@ object Jobs {
   /** Date check mirroring `cli.py:14-19`. */
   def validDate(s: String): String = {
     java.time.LocalDate.parse(s) // throws on bad format
+    s
+  }
+
+  private val TiledSpec = "tiled:(\\d+)x(\\d+)".r
+
+  /** Parse `--weight-join`: `auto` (default — sizes the weight table
+    * against the broadcast threshold, and resolves to the tiled
+    * sort-merge when the grid is tile-staged), `broadcast`,
+    * `sort-merge`, or `tiled:WxH` (explicit tile geometry, for grids
+    * not staged through `Staging.stageGridTiled`). Requesting or
+    * auto-resolving a tiled strategy engages the two session-level
+    * deployment confs — set by WeightedMean itself, in one place:
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` (accept the
+    * grid's tile-bucket layout as a join-key SUBSET) and
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (consume
+    * the staged per-bucket sort). A cluster deployment sets the same
+    * pair cluster-wide — see SCALE.md's deployment-conf table. */
+  def parseWeightJoin(s: String): graft.operators.WeightJoin = s match {
+    case "auto" => graft.operators.WeightJoin.Auto
+    case "broadcast" => graft.operators.WeightJoin.Broadcast
+    case "sort-merge" => graft.operators.WeightJoin.SortMerge
+    case TiledSpec(w, h) =>
+      graft.operators.WeightJoin.SortMergeTiled(w.toInt, h.toInt)
+    case other => sys.error(
+      s"bad --weight-join '$other' (want auto|broadcast|sort-merge|tiled:WxH)")
+  }
+
+  /** Resolve `--weight-join` and, when a tiled strategy is explicitly
+    * requested, engage the deployment confs on THIS session up front:
+    * a streaming job's foreachBatch plans inside a session clone that
+    * inherits conf at stream start, so WeightedMean's own in-batch
+    * engagement would reach only the clone. */
+  private def weightJoinArg(
+      spark: SparkSession, a: Args): graft.operators.WeightJoin = {
+    val s = a.get("weight-join").map(parseWeightJoin)
+      .getOrElse(graft.operators.WeightJoin.Auto)
+    s match {
+      case _: graft.operators.WeightJoin.SortMergeTiled =>
+        graft.operators.WeightedMean.engageTiledConfs(spark)
+      case _ => ()
+    }
     s
   }
 
@@ -99,7 +155,8 @@ object Jobs {
         // build the unfilled series ONCE, derive + persist the mapping,
         // and fill that same series — no second aggregation DAG
         val unfilled = GridmetPipeline.gridmet(grid, weights, features,
-          start = start, end = end, partial = a.has("partial"))
+          start = start, end = end, partial = a.has("partial"),
+          strategy = weightJoinArg(spark, a))
         GridmetPipeline.fillMapping(unfilled, features) match {
           case None => unfilled
           case Some(m) =>
@@ -117,7 +174,8 @@ object Jobs {
           else None
         GridmetPipeline.gridmet(grid, weights, features,
           start = start, end = end,
-          partial = a.has("partial"), fillMissing = filled, mapping = mapping)
+          partial = a.has("partial"), fillMissing = filled,
+          mapping = mapping, strategy = weightJoinArg(spark, a))
       }
     val name = a.get("file-prefix").getOrElse("") + Sinks.outputName(start, filled)
     val path = s"${a("output-path")}/$name"
@@ -248,7 +306,8 @@ object Jobs {
     val out = a("output-path")
     val q = graft.etl.IncrementalEtl.dailyWeightedMeanStream(
         spark, gridDir, weights, vars, out,
-        gate = gate, masked = a.has("partial"))
+        gate = gate, masked = a.has("partial"),
+        strategy = weightJoinArg(spark, a))
       .option("checkpointLocation", a("checkpoint-path"))
       .start()
     q.awaitTermination() // a gate refusal surfaces here, exit nonzero

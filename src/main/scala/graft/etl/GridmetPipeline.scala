@@ -151,10 +151,13 @@ object GridmetPipeline {
       start: String, end: String,
       partial: Boolean = false, fillMissing: Boolean = false,
       preCombine: Boolean = false,
-      mapping: Option[DataFrame] = None): DataFrame = {
+      mapping: Option[DataFrame] = None,
+      strategy: graft.operators.WeightJoin =
+        graft.operators.WeightJoin.Auto): DataFrame = {
     val subset = timeSubset(bboxSubset(grid, features), start, end)
     val agg = reindex(
-      WeightedMean(subset, weights, vars, masked = partial, preCombine = preCombine),
+      WeightedMean(subset, weights, vars, masked = partial,
+        preCombine = preCombine, strategy = strategy),
       features, Nil)
     val out = Convert.gridmetFinalize(agg)
     if (!fillMissing) out

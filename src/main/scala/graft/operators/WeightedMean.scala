@@ -140,8 +140,13 @@ object WeightedMean {
     *    sort spill at the 10⁸-weight stress shape without it).
     * Sticky by design — a deployment sets them cluster-wide (SCALE.md
     * deployment-conf table); a caller that must isolate them wraps the
-    * EXECUTION in save/restore (Stress does). */
-  private def setTiledSessionConfs(spark: org.apache.spark.sql.SparkSession): Unit = {
+    * EXECUTION in save/restore (Stress does). Public so the CLI can
+    * engage them on the OUTER session before starting a stream
+    * (foreachBatch plans inside a session CLONE that inherits conf at
+    * stream start — [[apply]]'s own call inside the batch reaches only
+    * the clone, which executes the plan but is invisible to the
+    * operator's session; JobsSpec pins the CLI behavior). */
+  def engageTiledConfs(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
   }
@@ -252,8 +257,7 @@ object WeightedMean {
     val keys = (Seq("fid", "time") ++ extraKeys).map(col)
     val resolved = resolve(grid, weights, strategy)
     resolved match {
-      case _: WeightJoin.SortMergeTiled =>
-        setTiledSessionConfs(grid.sparkSession)
+      case _: WeightJoin.SortMergeTiled => engageTiledConfs(grid.sparkSession)
       case _ => ()
     }
     val (g, w, joinKeys) = joinSides(grid, weights, resolved)

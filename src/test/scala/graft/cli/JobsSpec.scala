@@ -332,6 +332,51 @@ class JobsSpec extends SparkSpec {
     assert(all.count() === 6L) // 2 features × 3 days, no day re-appended
   }
 
+  test("--weight-join parses every strategy and rejects junk") {
+    import graft.operators.WeightJoin
+    assert(Jobs.parseWeightJoin("auto") === WeightJoin.Auto)
+    assert(Jobs.parseWeightJoin("broadcast") === WeightJoin.Broadcast)
+    assert(Jobs.parseWeightJoin("sort-merge") === WeightJoin.SortMerge)
+    assert(Jobs.parseWeightJoin("tiled:64x24") === WeightJoin.SortMergeTiled(64, 24))
+    intercept[RuntimeException](Jobs.parseWeightJoin("tiled:64"))
+    intercept[RuntimeException](Jobs.parseWeightJoin("hash"))
+  }
+
+  test("daily-etl with --weight-join tiled:WxH sets the deployment confs (via WeightedMean, the one place)") {
+    val dir = Files.createTempDirectory("graft-daily-tiled").toString
+    val plane = Seq((0, 0), (0, 1), (1, 0), (1, 1)).toDF("i", "j")
+      .select(lit("2021-08-01").cast("date").as("time"), $"i", $"j",
+        (lit(5.0) + $"i" * 2 + $"j").as("pr"))
+    plane.coalesce(1).write.parquet(s"$dir/drop")
+    val wcsv = s"$dir/w.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(wcsv),
+      "nhru_v1_1,i,j,wght\n7,0,0,0.5\n7,0,1,0.5\n8,1,0,1.0".getBytes)
+    val keys = Seq("spark.sql.requireAllClusterKeysForCoPartition",
+      "spark.sql.legacy.bucketedTableScan.outputOrdering")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.unset)
+      Jobs.runDailyEtl(spark, Jobs.parseArgs(Seq(
+        "--grid-stream-path", s"$dir/drop", "--weights-file", wcsv,
+        "--fid", "nhru_v1_1", "--output-path", s"$dir/out",
+        "--checkpoint-path", s"$dir/ckpt", "--weight-join", "tiled:2x2")))
+      // the tiled strategy engaged ⇒ WeightedMean set both confs on the
+      // session — the CLI operator needs no extra conf juggling (the
+      // cluster-wide equivalent is documented in SCALE.md)
+      assert(spark.conf
+        .get("spark.sql.requireAllClusterKeysForCoPartition") === "false")
+      assert(spark.conf
+        .get("spark.sql.legacy.bucketedTableScan.outputOrdering") === "true")
+      // and the cadence's output is the strategy-independent aggregate
+      val out = spark.read.parquet(s"$dir/out").drop("__day")
+        .select($"fid", $"pr").as[(Long, Double)].collect().toSet
+      assert(out === Set((7L, 5.5), (8L, 7.0)))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("availability gate: stale variable blocks the run") {
     // 2021-06-02 01:00 UTC = 2021-06-01 18:00 UTC-7 → yesterday = 05-31
     val now = ZonedDateTime.of(2021, 6, 2, 1, 0, 0, 0, ZoneOffset.UTC)
