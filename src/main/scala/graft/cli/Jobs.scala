@@ -279,9 +279,12 @@ object Jobs {
         // not get spurious weighted-mean columns (round-12 advice).
         // One data file's schema is the variable universe; --vars
         // overrides when files disagree.
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val files = fs.listFiles(new org.apache.hadoop.fs.Path(gridDir), true)
+        val dirPath = new org.apache.hadoop.fs.Path(gridDir)
+        // the drop-box's OWN filesystem, not the default one — a
+        // deployment's drop-box is routinely on object storage while
+        // fs.defaultFS stays hdfs/local
+        val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files = fs.listFiles(dirPath, true)
         var one: Option[String] = None
         while (one.isEmpty && files.hasNext) {
           val f = files.next()
