@@ -2099,6 +2099,26 @@ object SparkEntry {
               lit(0L), (a, x) => a + x)).as("checksum"))
     }),
 
+    // ---- TWO-PHASE CURRICULUM (anneal) training order: phase 0 =
+    // the seeded mix-enforced bulk (q115 semantics over the docs the
+    // quality gate does NOT select), phase 1 = the quality-selected
+    // anneal tail appended per shard in its own seeded order (hash
+    // shard assignment — no global window at any scale). The anneal
+    // predicate is the q20 quality formula (identical rounded value
+    // in both engines) against a representable threshold, so the
+    // oracle replays the gate, both permutations, the quota math and
+    // the per-shard position offsets exactly ----
+    "q120_curriculum_order" -> ((s, dir) => {
+      val quality = graft.functions.TextKernels.text_stats(col("text"),
+        TextFunctions.LangProfiles("en")).getField("quality")
+      graft.operators.Packing.curriculumOrder(docs(s, dir), "doc_id",
+          "source", seed = 20260814L, nShards = 8,
+          mix = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+          annealWhen = quality >= lit(0.42))
+        .select(col("shard"), col("pos"), col("id").as("doc_id"),
+          col("source"), col("phase"))
+    }),
+
     // ---- TEMPERATURE (power-law) source sampling — the mT5/XLM-R
     // reweighting: each source contributes floor(k · C_s^0.5) docs in
     // the seeded permutation order, flattening source imbalance (the
@@ -3008,6 +3028,63 @@ object SparkEntry {
          |    AS checksum
          |FROM toks
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // q120: the two-phase curriculum replayed — q20's quality formula
+    // gates the anneal set, the bulk phase is q115's CTE chain over
+    // the NOT-annealed pool, the tail draws its own permutation from
+    // the '~anneal' derived seed with hash-mod shard assignment and
+    // per-shard positions offset by the bulk counts.
+    "q120_curriculum_order" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      val meanLen = r6("(length(text) - (CAST(len(t) AS DOUBLE) - 1))/len(t)")
+      val stopR = r6("CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t)")
+      val qual = r6(s"""0.4 * least(CAST(len(t) AS DOUBLE)/200.0, 1.0)
+        |      + 0.3 * least($meanLen/8.0, 1.0)
+        |      + 0.3 * least($stopR*5.0, 1.0)""".stripMargin)
+      val h0 = hashSql(
+        "(repeat('20260814:' || CAST(doc_id AS VARCHAR) || ';', 3))")
+      val h1 = hashSql(
+        "(repeat('20260814~anneal:' || CAST(doc_id AS VARCHAR) || ';', 3))")
+      s"""WITH q AS MATERIALIZED (SELECT doc_id, source, $qual AS q
+         |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS t
+         |        FROM documents
+         |        WHERE source IN ('src0', 'src1', 'src2'))),
+         |blk AS MATERIALIZED (SELECT doc_id, source, $h0 AS h
+         |  FROM q WHERE NOT (q >= 0.42)),
+         |p AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25),
+         |                            ('src2', 0.25)) t(source, w)),
+         |cnt AS (SELECT source, count(*) AS c FROM blk GROUP BY 1),
+         |tot AS (SELECT CAST(min(floor(c / w)) AS BIGINT) AS total
+         |        FROM cnt JOIN p USING (source)),
+         |qt AS (SELECT p.source, CAST(floor(tot.total * p.w) AS BIGINT)
+         |         AS quota FROM p, tot),
+         |rk AS (SELECT doc_id, source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |      - 1 AS r
+         |  FROM blk),
+         |sel AS (SELECT rk.doc_id, rk.source, rk.h, rk.r % 8 AS shard
+         |        FROM rk JOIN qt USING (source) WHERE rk.r < qt.quota),
+         |ord AS MATERIALIZED (SELECT shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |      - 1 AS pos,
+         |    doc_id, source
+         |  FROM sel),
+         |n0 AS (SELECT shard, count(*) AS n0 FROM ord GROUP BY 1),
+         |ah AS (SELECT doc_id, source, $h1 AS h
+         |  FROM q WHERE q >= 0.42),
+         |ar AS (SELECT doc_id, source, h, h % 8 AS shard FROM ah),
+         |tail AS (SELECT ar.shard,
+         |    COALESCE(n0.n0, 0)
+         |      + row_number() OVER (PARTITION BY ar.shard
+         |                           ORDER BY ar.h, ar.doc_id) - 1 AS pos,
+         |    ar.doc_id, ar.source
+         |  FROM ar LEFT JOIN n0 USING (shard))
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(pos AS BIGINT) AS pos,
+         |  doc_id, source, CAST(0 AS BIGINT) AS phase FROM ord
+         |UNION ALL
+         |SELECT CAST(shard AS BIGINT), CAST(pos AS BIGINT), doc_id, source,
+         |  CAST(1 AS BIGINT) FROM tail""".stripMargin
     },
 
     // q117: the temperature-sampling construction replayed — the

@@ -620,6 +620,67 @@ object Stress {
           .format("noop")
         (() => withStatePartitions(sp) {
           writer.start().awaitTermination() }, n)
+      }),
+      Scenario("dedup_admit_stream", sp => {
+        // STREAMING incremental-dedup admission at state volume — the
+        // nightly-ingest deployment shape of the q86/q97/q107 family:
+        // a 1M-doc prior corpus's persisted fingerprint table is the
+        // admission state; 500k incoming docs (30% exact duplicates of
+        // prior docs) arrive as a 10-file drop-box, one micro-batch
+        // per file. Each batch anti-joins its ~50k docs against the
+        // 1M-row state and appends admitted rows + their fingerprints
+        // — measures that per-batch cost is the increment anti-join +
+        // one state scan (12 B/row fingerprints, never the prior
+        // TEXT), and that the state re-read stays spill-free as the
+        // table grows across the run.
+        val n = s(1000000)
+        val inc = s(500000)
+        // fingerprint table under a NOT-yet-existing child path: the
+        // bootstrap admit must see "no state" (an existing empty dir
+        // would read as state and fail schema inference)
+        val state = java.nio.file.Files
+          .createTempDirectory("graft_stress_admit_state_").resolve("fp")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_stress_admit_out_").resolve("out")
+        val drop = java.nio.file.Files
+          .createTempDirectory("graft_stress_admit_drop_")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_stress_admit_ckpt_")
+        Seq(state, drop, ckpt).foreach(_.toFile.deleteOnExit())
+        // untimed build: bootstrap the fingerprint state from the
+        // prior corpus (the "yesterday" batch admit), then stage the
+        // increment as 10 id-ranged files with ascending mtimes —
+        // duplicates clone a PRIOR doc's seed, so their fingerprints
+        // hit state built batches (or a corpus) ago, never this file
+        graft.operators.Dedup.admitIncrement(state.toString,
+          corpus(sp, n, len = 40, vocab = 50000), "id", "text")
+        val incr = sp.range(n, n + inc)
+          .withColumn("seed", when(pmod(col("id"), lit(10)) < 3,
+            pmod(col("id"), lit(n))).otherwise(col("id")))
+          .withColumn("text", array_join(
+            transform(sequence(lit(0), lit(39)),
+              i => tok(col("seed"), i, 50000)), " "))
+          .select(col("id"), col("text"))
+        val files = 10
+        val per = (inc + files - 1) / files
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_stress_admit_w_")
+        (0 until files).foreach { k =>
+          incr.filter(col("id") >= n + k * per &&
+              col("id") < n + (k + 1) * per)
+            .repartition(1).write.parquet(s"$scratch/b$k")
+          new java.io.File(s"$scratch/b$k").listFiles()
+            .filter(_.getName.endsWith(".parquet")).foreach { f =>
+              val t = drop.resolve(f"$k%02d_inc.parquet")
+              java.nio.file.Files.move(f.toPath, t)
+              t.toFile.setLastModified(1700000000000L + k * 60000L)
+            }
+        }
+        val writer = graft.streaming.EventPipeline.admitStream(sp,
+            drop.toString, state.toString, out.toString, idCol = "id")
+          .option("checkpointLocation", ckpt.toString)
+        (() => withStatePartitions(sp) {
+          writer.start().awaitTermination() }, inc)
       }))
   }
 

@@ -124,6 +124,74 @@ object Packing {
       .select(col("shard"), col("pos"), col("id"), col("source"))
   }
 
+  /** TWO-PHASE CURRICULUM training order — the ANNEAL schedule
+    * (public recipe: train the bulk of the run on the broad source
+    * mix, then finish on a held-out high-quality subset; the
+    * mid-training "annealing" phase of recent open pipelines, e.g.
+    * MiniCPM's two-stage WSD data schedule and OLMo 2's late-stage
+    * high-quality anneal):
+    *
+    *  - **phase 0 (bulk)**: [[shuffleShards]] semantics — seeded
+    *    permutation + enforced source mix — over every eligible doc
+    *    the anneal predicate does NOT select (quotas computed on that
+    *    remaining pool);
+    *  - **phase 1 (anneal tail)**: the predicate-selected docs
+    *    (restricted to `mix` sources; mix NOT enforced — the anneal
+    *    set is quality-chosen, which is the point), appended AFTER
+    *    phase 0 within each shard, in their own seeded order.
+    *
+    * Anneal docs are HELD OUT of phase 0 (each doc trains once); the
+    * repeat-in-bulk variant is the union of plain [[shuffleShards]]
+    * with this tail. A null predicate value means "not anneal".
+    *
+    * Scale shape — deliberately different from phase 0's round-robin:
+    * the tail's shard is `h mod nShards` (hash assignment, balanced in
+    * expectation) and its rank is computed PER SHARD, so no stage
+    * needs a global (single-partition) window at any corpus size; the
+    * per-shard phase-0 counts join back as an nShards-row broadcast.
+    * Everything is the same narrow (id, source, h) metadata wire as
+    * [[shuffleShards]] — the payload never rides these exchanges.
+    *
+    * Determinism: the tail's permutation key derives from
+    * `"<seed>~anneal:"` — disjoint from phase 0's `"<seed>:"` prefix
+    * by construction (`~` cannot appear in a decimal seed), so the
+    * two phases draw independent orders from one seed, and the whole
+    * layout replays bit-for-bit (q120 oracle).
+    *
+    * @param annealWhen boolean Column over `docs`' columns selecting
+    *                   the anneal set (e.g. a quality-score threshold)
+    * @return (shard, pos, id, source, phase): `pos` is the training
+    *         order within the shard across BOTH phases (phase-1
+    *         positions continue after phase 0); `phase` ∈ {0, 1}. */
+  def curriculumOrder(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      seed: Long, nShards: Int, mix: Map[String, Double],
+      annealWhen: Column): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val isAnneal = coalesce(annealWhen, lit(false))
+    val bulk = shuffleShards(docs.filter(!isAnneal), idCol, sourceCol,
+      seed, nShards, mix)
+    val bulkCounts = bulk.groupBy(col("shard"))
+      .agg(count(lit(1)).as("__n0"))
+    val h1 = portable_hash(repeat(
+      concat(lit(s"$seed~anneal:"), col("id").cast("string"), lit(";")), 3))
+    val byShard = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col("id"))
+    val tail = docs
+      .filter(isAnneal && col(sourceCol).isin(mix.keys.toSeq: _*))
+      .select(col(idCol).cast("long").as("id"), col(sourceCol).as("source"))
+      .withColumn("__h", h1)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("__r", row_number().over(byShard).cast("long") - 1)
+      .join(broadcast(bulkCounts), Seq("shard"), "left")
+      .select(col("shard"),
+        (coalesce(col("__n0"), lit(0L)) + col("__r")).as("pos"),
+        col("id"), col("source"), lit(1L).as("phase"))
+    bulk.select(col("shard"), col("pos"), col("id"), col("source"),
+        lit(0L).as("phase"))
+      .unionByName(tail)
+  }
+
   /** [[packTokenChunks]] under an EXTERNAL shard assignment + order —
     * pairs with [[shuffleShards]]: the chunk layout follows the seeded
     * training order instead of the id order. `assigned` carries

@@ -144,6 +144,53 @@ class PackingSpec extends SparkSpec {
     assert(a.filter(_._1 == 0L).take(10).map(_._4).distinct.length > 1)
   }
 
+  test("curriculumOrder: anneal tail held out of the bulk, appended per shard, deterministic") {
+    val docs = (0L until 120L)
+      .map(i => (i, s"src${i % 3}", if (i % 5 == 0) 0.9 else 0.1))
+      .toDF("doc_id", "source", "qual")
+    val mix = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+    def run(seed: Long) = Packing.curriculumOrder(docs, "doc_id", "source",
+      seed, nShards = 4, mix = mix, annealWhen = col("qual") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).sortBy(r => (r._1, r._2))
+    val a = run(7L)
+    val annealIds = (0L until 120L).filter(_ % 5 == 0).toSet
+    // phase 1 is EXACTLY the predicate-selected docs (24 of 120)...
+    assert(a.filter(_._5 == 1L).map(_._3).toSet === annealIds)
+    // ...and the bulk never contains one (held out, trained once)
+    assert(a.filter(_._5 == 0L).map(_._3).toSet.intersect(annealIds).isEmpty)
+    assert(a.map(_._3).distinct.length === a.length)
+    (0L until 4L).foreach { sh =>
+      val s = a.filter(_._1 == sh)
+      // positions are dense 0..n-1 across BOTH phases...
+      assert(s.map(_._2).toSeq === (0L until s.length.toLong).toSeq)
+      // ...with every phase-0 position strictly before every phase-1
+      val n0 = s.count(_._5 == 0L)
+      assert(s.filter(_._5 == 0L).forall(_._2 < n0), s"shard $sh")
+      assert(s.filter(_._5 == 1L).forall(_._2 >= n0), s"shard $sh")
+    }
+    // bulk-phase mix is enforced on the REMAINING pool: 32 src0 +
+    // 16 src1 + 16 src2 per the quota rule over 96 non-anneal docs
+    val bulk = a.filter(_._5 == 0L)
+    assert(bulk.count(_._4 == "src0") === 32)
+    assert(bulk.count(_._4 == "src1") === 16)
+    assert(bulk.count(_._4 == "src2") === 16)
+    // identical seed reproduces bit-for-bit; another seed permutes
+    assert(run(7L).toSeq === a.toSeq)
+    assert(run(8L).map(_._3).toSeq !== a.map(_._3).toSeq)
+    // an all-false predicate reduces to plain shuffleShards + phase 0
+    val plain = Packing.shuffleShards(docs, "doc_id", "source", 7L,
+      nShards = 4, mix = mix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(r => (r._1, r._2))
+    val none = Packing.curriculumOrder(docs, "doc_id", "source", 7L,
+      nShards = 4, mix = mix, annealWhen = lit(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).sortBy(r => (r._1, r._2))
+    assert(none.forall(_._5 == 0L))
+    assert(none.map(r => (r._1, r._2, r._3, r._4)).toSeq === plain.toSeq)
+  }
+
   test("slidingChunks: overlap, tail clamp, short-doc single chunk") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens
