@@ -2099,6 +2099,28 @@ object SparkEntry {
               lit(0L), (a, x) => a + x)).as("checksum"))
     }),
 
+    // ---- DOCUMENT-BOUNDARY INDEX of the packed layout — the
+    // per-chunk sample index (Megatron sample_idx shape) a loader
+    // needs to reset attention at doc starts inside packed windows:
+    // one row per doc locating (shard, chunk, offset) of its first
+    // token under the SAME seeded assignment as q119, from the same
+    // cumulative-offset derivation the chunk contents slice by ----
+    "q121_chunk_doc_boundaries" -> ((s, dir) => {
+      import graft.functions.PortableHash.portable_hash
+      val d = docs(s, dir)
+      val assigned = graft.operators.Packing.shuffleShards(d, "doc_id",
+        "source", seed = 20260814L, nShards = 8,
+        mix = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+      val tok = d.select(col("doc_id").as("id"),
+        transform(
+          filter(split(col("text"), " "), w => w =!= ""),
+          w => pmod(portable_hash(w), lit(65536L)).cast("int")).as("ids"))
+      graft.operators.Packing.chunkDocBoundaries(assigned, tok,
+          col("id"), col("ids"), contextLen = 64)
+        .select(col("shard"), col("chunk_id"), col("boundary"),
+          col("id").as("doc_id"))
+    }),
+
     // ---- TWO-PHASE CURRICULUM (anneal) training order: phase 0 =
     // the seeded mix-enforced bulk (q115 semantics over the docs the
     // quality gate does NOT select), phase 1 = the quality-selected
@@ -3028,6 +3050,46 @@ object SparkEntry {
          |    AS checksum
          |FROM toks
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // q121: q119's offset chain with doc_id kept — each doc's first
+    // token located in the chunk grid by integer div/mod over the
+    // same cumulative offsets.
+    "q121_chunk_doc_boundaries" -> {
+      val h = hashSql(
+        "(repeat('20260814:' || CAST(doc_id AS VARCHAR) || ';', 3))")
+      s"""WITH hsh AS MATERIALIZED (SELECT doc_id, source, $h AS h
+         |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+         |p AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25),
+         |                            ('src2', 0.25)) t(source, w)),
+         |cnt AS (SELECT source, count(*) AS c FROM hsh GROUP BY 1),
+         |tot AS (SELECT CAST(min(floor(c / w)) AS BIGINT) AS total
+         |        FROM cnt JOIN p USING (source)),
+         |qt AS (SELECT p.source, CAST(floor(tot.total * p.w) AS BIGINT)
+         |         AS quota FROM p, tot),
+         |rk AS (SELECT doc_id, source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |      - 1 AS r
+         |  FROM hsh),
+         |sel AS (SELECT rk.doc_id, rk.h, rk.r % 8 AS shard
+         |        FROM rk JOIN qt USING (source) WHERE rk.r < qt.quota),
+         |ord AS (SELECT doc_id, shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |      - 1 AS pos
+         |  FROM sel),
+         |tok AS MATERIALIZED (SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), w -> w <> ''))
+         |      AS n_tok
+         |  FROM documents),
+         |off AS (SELECT shard, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY shard ORDER BY pos)
+         |      - n_tok AS start_off
+         |  FROM ord JOIN tok USING (doc_id))
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(start_off // 64 AS BIGINT) AS chunk_id,
+         |  CAST(start_off % 64 AS INT) AS boundary,
+         |  doc_id
+         |FROM off WHERE n_tok > 0""".stripMargin
     },
 
     // q120: the two-phase curriculum replayed — q20's quality formula

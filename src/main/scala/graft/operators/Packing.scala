@@ -203,16 +203,50 @@ object Packing {
       assigned: DataFrame, docs: DataFrame, idCol: Column,
       tokenIdsCol: Column, contextLen: Int): DataFrame = {
     require(contextLen > 0, "contextLen must be positive")
+    sliceAndReassemble(assignedOffsets(assigned, docs, idCol, tokenIdsCol),
+      contextLen)
+  }
+
+  /** Shared head of the assigned-order paths: join token arrays onto
+    * the (shard, pos, id) assignment and derive each doc's stream
+    * offset via the per-shard cumulative sum. Zero-token docs occupy
+    * no stream space and are excluded. */
+  private def assignedOffsets(
+      assigned: DataFrame, docs: DataFrame, idCol: Column,
+      tokenIdsCol: Column): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val toks = docs.select(idCol.cast("long").as("id"),
       tokenIdsCol.cast("array<int>").as("ids"))
-    val offs = assigned.select(col("shard"), col("pos"), col("id"))
+    assigned.select(col("shard"), col("pos"), col("id"))
       .join(toks, "id")
       .withColumn("cum", sum(size(col("ids")).cast("long")).over(w))
       .withColumn("start_off", col("cum") - size(col("ids")))
       .filter(size(col("ids")) > 0)
-    sliceAndReassemble(offs, contextLen)
+  }
+
+  /** DOCUMENT-BOUNDARY INDEX of the assigned-order packed layout —
+    * the per-chunk sample index a training loader needs to reset
+    * attention (and loss masking) at document starts inside each
+    * packed context window (the Megatron-LM `sample_idx`/document
+    * index shape): one row per document, locating where it begins in
+    * the chunk grid. A chunk that appears in no row is a CONTINUATION
+    * (its whole window belongs to a doc begun earlier); `boundary` is
+    * the 0-based offset of the doc's first token within its first
+    * chunk. Derives from [[assignedOffsets]] — the SAME cumulative-sum
+    * derivation [[packTokenChunksAssigned]] slices by, so the index
+    * and the chunk contents cannot drift — and is a pure narrow map
+    * after that window: no exchange of its own, no per-token rows.
+    * Zero-token docs occupy no stream space and are excluded.
+    * @return (shard, chunk_id, boundary, id). */
+  def chunkDocBoundaries(
+      assigned: DataFrame, docs: DataFrame, idCol: Column,
+      tokenIdsCol: Column, contextLen: Int): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val L = contextLen.toLong
+    assignedOffsets(assigned, docs, idCol, tokenIdsCol)
+      .select(col("shard"), expr(s"start_off DIV $L").as("chunk_id"),
+        (col("start_off") % L).cast("int").as("boundary"), col("id"))
   }
 
   /** Shared tail of the materialized-packing paths: split each doc's

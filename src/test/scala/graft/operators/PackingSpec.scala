@@ -191,6 +191,34 @@ class PackingSpec extends SparkSpec {
     assert(none.map(r => (r._1, r._2, r._3, r._4)).toSeq === plain.toSeq)
   }
 
+  test("chunkDocBoundaries: locates every doc's first token; continuation chunks absent; empty docs excluded") {
+    // shard 0: doc 1 (5 toks @ 0) then doc 2 (7 toks @ 5) under L=4 →
+    // chunks 0,1,2; doc 2 begins mid-chunk-1; chunk 2 is pure
+    // continuation. doc 4 is zero-token. shard 1: doc 3 alone.
+    val assigned = Seq((0L, 0L, 1L), (0L, 1L, 2L), (0L, 2L, 4L),
+      (1L, 0L, 3L)).toDF("shard", "pos", "id")
+    val toks = Seq(
+      (1L, Seq(10, 11, 12, 13, 14)),
+      (2L, Seq(20, 21, 22, 23, 24, 25, 26)),
+      (3L, Seq(30, 31)),
+      (4L, Seq.empty[Int])).toDF("id", "ids")
+    val b = Packing.chunkDocBoundaries(assigned, toks, col("id"),
+        col("ids"), contextLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(b === Set((0L, 0L, 0, 1L), (0L, 1L, 1, 2L), (1L, 0L, 0, 3L)))
+    // the index agrees with the packed contents: the token AT each
+    // boundary is its doc's first token (same offs derivation, but
+    // pin it end-to-end anyway)
+    val chunks = Packing.packTokenChunksAssigned(assigned, toks,
+        col("id"), col("ids"), contextLen = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getSeq[Int](2))).toMap
+    val firstTok = Map(1L -> 10, 2L -> 20, 3L -> 30)
+    b.foreach { case (sh, ch, off, id) =>
+      assert(chunks((sh, ch))(off) === firstTok(id), s"doc $id") }
+  }
+
   test("slidingChunks: overlap, tail clamp, short-doc single chunk") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens
