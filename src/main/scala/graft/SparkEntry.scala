@@ -2099,6 +2099,18 @@ object SparkEntry {
               lit(0L), (a, x) => a + x)).as("checksum"))
     }),
 
+    // ---- MULTI-EPOCH training order (the data-constrained recipe:
+    // repeat the same quota-selected corpus, reshuffled each epoch
+    // from a derived seed; positions continue per shard because
+    // round-robin per-shard counts are permutation-invariant) ----
+    "q122_epoch_order" -> ((s, dir) =>
+      graft.operators.Packing.epochOrder(docs(s, dir), "doc_id",
+          "source", seed = 20260814L, nShards = 8,
+          mix = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+          epochs = 2)
+        .select(col("shard"), col("pos"), col("id").as("doc_id"),
+          col("source"), col("epoch"))),
+
     // ---- DOCUMENT-BOUNDARY INDEX of the packed layout — the
     // per-chunk sample index (Megatron sample_idx shape) a loader
     // needs to reset attention at doc starts inside packed windows:
@@ -3050,6 +3062,55 @@ object SparkEntry {
          |    AS checksum
          |FROM toks
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // q122: q115's chain as epoch 0, then the selected set re-ranked
+    // under the '~epoch1' derived key — shard by rank round-robin,
+    // per-shard positions offset by the (permutation-invariant)
+    // epoch-0 shard counts.
+    "q122_epoch_order" -> {
+      val h0 = hashSql(
+        "(repeat('20260814:' || CAST(doc_id AS VARCHAR) || ';', 3))")
+      val h1 = hashSql(
+        "(repeat('20260814~epoch1:' || CAST(doc_id AS VARCHAR) || ';', 3))")
+      s"""WITH hsh AS MATERIALIZED (SELECT doc_id, source, $h0 AS h
+         |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+         |p AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25),
+         |                            ('src2', 0.25)) t(source, w)),
+         |cnt AS (SELECT source, count(*) AS c FROM hsh GROUP BY 1),
+         |tot AS (SELECT CAST(min(floor(c / w)) AS BIGINT) AS total
+         |        FROM cnt JOIN p USING (source)),
+         |qt AS (SELECT p.source, CAST(floor(tot.total * p.w) AS BIGINT)
+         |         AS quota FROM p, tot),
+         |rk AS (SELECT doc_id, source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |      - 1 AS r
+         |  FROM hsh),
+         |sel AS MATERIALIZED (SELECT rk.doc_id, rk.source, rk.h,
+         |        rk.r % 8 AS shard
+         |        FROM rk JOIN qt USING (source) WHERE rk.r < qt.quota),
+         |e0 AS MATERIALIZED (SELECT shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |      - 1 AS pos,
+         |    doc_id, source
+         |  FROM sel),
+         |n0 AS (SELECT shard, count(*) AS n0 FROM e0 GROUP BY 1),
+         |r1 AS (SELECT doc_id, source, $h1 AS h FROM sel),
+         |k1 AS (SELECT doc_id, source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |      - 1 AS r
+         |  FROM r1),
+         |s1 AS (SELECT doc_id, source, h, r % 8 AS shard FROM k1),
+         |e1 AS (SELECT s1.shard,
+         |    n0.n0 + row_number() OVER (PARTITION BY s1.shard
+         |                               ORDER BY s1.h, s1.doc_id) - 1 AS pos,
+         |    s1.doc_id, s1.source
+         |  FROM s1 JOIN n0 USING (shard))
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(pos AS BIGINT) AS pos,
+         |  doc_id, source, CAST(0 AS BIGINT) AS epoch FROM e0
+         |UNION ALL
+         |SELECT CAST(shard AS BIGINT), CAST(pos AS BIGINT), doc_id, source,
+         |  CAST(1 AS BIGINT) FROM e1""".stripMargin
     },
 
     // q121: q119's offset chain with doc_id kept — each doc's first

@@ -124,6 +124,66 @@ object Packing {
       .select(col("shard"), col("pos"), col("id"), col("source"))
   }
 
+  /** MULTI-EPOCH training order — the data-constrained recipe
+    * (public result: repeating a fixed corpus for a handful of epochs
+    * is near-as-good as fresh data — Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"; every practical pretraining
+    * loader implements "reshuffle each epoch"): the SAME
+    * quota-selected corpus trains `epochs` times, each epoch in its
+    * own independently-seeded order, so no document ordering repeats
+    * across epochs and the whole multi-epoch stream is one
+    * deterministic artifact.
+    *
+    *  - **selection is epoch-invariant**: the doc set is
+    *    [[shuffleShards]]'s quota rule under the BASE seed — every
+    *    epoch trains exactly that set (epoch 0 IS the q115 layout);
+    *  - **epoch e > 0** re-ranks the selected docs per source under
+    *    the derived key `"<seed>~epoch<e>:"`, round-robins shards by
+    *    that rank (so the per-shard source mix holds in EVERY epoch),
+    *    and interleaves within the shard by the epoch's own key;
+    *  - **positions continue across epochs**: round-robin assignment
+    *    makes per-shard counts permutation-INVARIANT (the count of
+    *    ranks r < quota with r mod nShards = k does not depend on
+    *    which doc got which rank), so epoch e's positions offset by
+    *    e·n0(shard) with n0 computed once — dense 0..(epochs·n0−1)
+    *    per shard.
+    *
+    * Same narrow metadata wire as [[shuffleShards]], one extra
+    * per-source + per-shard window pair per epoch; the nShards-row
+    * count table joins back as a broadcast.
+    *
+    * @return (shard, pos, id, source, epoch) — `pos` is the training
+    *         order within the shard across ALL epochs. */
+  def epochOrder(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      seed: Long, nShards: Int, mix: Map[String, Double],
+      epochs: Int): DataFrame = {
+    require(epochs > 0, "epochs must be positive")
+    val base = shuffleShards(docs, idCol, sourceCol, seed, nShards, mix)
+      .withColumn("epoch", lit(0L))
+    if (epochs == 1) return base
+    val n0 = base.groupBy(col("shard")).agg(count(lit(1)).as("__n0"))
+    val sel = base.select(col("id"), col("source"))
+    val later = (1 until epochs).map { e =>
+      val he = portable_hash(repeat(
+        concat(lit(s"$seed~epoch$e:"), col("id").cast("string"), lit(";")),
+        3))
+      val bySource = Window.partitionBy(col("source"))
+        .orderBy(col("__h"), col("id"))
+      val byShard = Window.partitionBy(col("shard"))
+        .orderBy(col("__h"), col("id"))
+      sel
+        .withColumn("__h", he)
+        .withColumn("__r", row_number().over(bySource).cast("long") - 1)
+        .withColumn("shard", col("__r") % nShards)
+        .withColumn("__p", row_number().over(byShard).cast("long") - 1)
+        .join(broadcast(n0), Seq("shard"))
+        .select(col("shard"), (col("__n0") * e + col("__p")).as("pos"),
+          col("id"), col("source"), lit(e.toLong).as("epoch"))
+    }
+    later.foldLeft(base)(_ unionByName _)
+  }
+
   /** TWO-PHASE CURRICULUM training order — the ANNEAL schedule
     * (public recipe: train the bulk of the run on the broad source
     * mix, then finish on a held-out high-quality subset; the

@@ -191,6 +191,48 @@ class PackingSpec extends SparkSpec {
     assert(none.map(r => (r._1, r._2, r._3, r._4)).toSeq === plain.toSeq)
   }
 
+  test("epochOrder: same doc set every epoch, per-shard mix and counts invariant, orders differ, positions dense across epochs") {
+    val docs = (0L until 120L)
+      .map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val mix = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+    def run(seed: Long) = Packing.epochOrder(docs, "doc_id", "source",
+      seed, nShards = 4, mix = mix, epochs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).sortBy(r => (r._1, r._2))
+    val a = run(7L)
+    assert(a.length === 3 * 80)
+    val byEpoch = a.groupBy(_._5)
+    // every epoch trains EXACTLY the quota-selected set
+    val set0 = byEpoch(0L).map(_._3).toSet
+    assert(set0.size === 80)
+    (1L to 2L).foreach(e => assert(byEpoch(e).map(_._3).toSet === set0))
+    // per-shard source mix and counts hold in every epoch
+    (0L until 4L).foreach { sh =>
+      (0L to 2L).foreach { e =>
+        val s = a.filter(r => r._1 == sh && r._5 == e)
+        assert(s.count(_._4 == "src0") === 10, s"shard $sh epoch $e")
+        assert(s.count(_._4 == "src1") === 5, s"shard $sh epoch $e")
+        assert(s.length === 20, s"shard $sh epoch $e")
+      }
+      // positions are dense 0..59 across the three epochs, in
+      // epoch-major order (epoch e occupies [20e, 20e+20))
+      val s = a.filter(_._1 == sh)
+      assert(s.map(_._2).toSeq === (0L until 60L).toSeq)
+      s.foreach(r => assert(r._2 / 20 === r._5, s"$r"))
+    }
+    // each epoch draws a DIFFERENT order of the same docs
+    assert(byEpoch(0L).map(_._3).toSeq !== byEpoch(1L).map(_._3).toSeq)
+    assert(byEpoch(1L).map(_._3).toSeq !== byEpoch(2L).map(_._3).toSeq)
+    // deterministic; epoch 0 IS the q115 layout
+    assert(run(7L).toSeq === a.toSeq)
+    val plain = Packing.shuffleShards(docs, "doc_id", "source", 7L,
+      nShards = 4, mix = mix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(r => (r._1, r._2))
+    assert(byEpoch(0L).map(r => (r._1, r._2, r._3, r._4)).toSeq === plain.toSeq)
+  }
+
   test("chunkDocBoundaries: locates every doc's first token; continuation chunks absent; empty docs excluded") {
     // shard 0: doc 1 (5 toks @ 0) then doc 2 (7 toks @ 5) under L=4 →
     // chunks 0,1,2; doc 2 begins mid-chunk-1; chunk 2 is pure
