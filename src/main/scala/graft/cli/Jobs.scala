@@ -32,6 +32,10 @@ import graft.sinks.Sinks
   *     w.csv --fid nhru_v1_1 --output-path out/ --checkpoint-path ckpt/
   *     [--published-through yyyy-mm-dd] [--vars a,b,c] [--partial]
   *     [--weight-join auto|broadcast|sort-merge|tiled:WxH]
+  *   graft.cli.Jobs pack-tokens --input-path docs/ --output-path out/
+  *     [--context-len 512] [--n-shards 8] [--bpe-vocab v --bpe-merges m]
+  *     [--shuffle-seed S --mix src0=0.5,src1=0.25
+  *       [--epochs N | --anneal-quality θ] [--boundaries-out idx/]]
   *
   * Deployment confs (100× clusters; see SCALE.md's deployment-conf
   * table): the tiled weight-join strategy — requested via
@@ -347,6 +351,15 @@ object Jobs {
     // (Packing.shuffleShards) instead of hash-of-id corpus order; the
     // run is reproducible bit-for-bit from (corpus, seed, mix) —
     // TokenSinkSpec proves byte-identical shard files across runs
+    // Training-order family under --shuffle-seed (mutually exclusive
+    // refinements): --epochs N repeats the quota-selected corpus with
+    // a per-epoch reshuffle (Packing.epochOrder); --anneal-quality θ
+    // holds out the docs whose q20 quality score reaches θ and appends
+    // them as the phase-1 anneal tail (Packing.curriculumOrder).
+    // --boundaries-out PATH additionally writes the per-chunk
+    // document-boundary index (Packing.chunkDocBoundaries) the loader
+    // needs for attention resets — derived from the same offsets the
+    // shards pack by.
     val chunks = a.get("shuffle-seed") match {
       case Some(seed) =>
         val mixArg = a.get("mix").getOrElse(throw new IllegalArgumentException(
@@ -358,12 +371,37 @@ object Jobs {
               s"bad --mix entry '$kv' (want source=weight)")
           }
         }.toMap
-        val assigned = graft.operators.Packing.shuffleShards(
-          docs, idCol, a.get("source-col").getOrElse("source"),
-          seed.toLong, nShards, mix)
+        val srcCol = a.get("source-col").getOrElse("source")
+        val assigned = (a.get("epochs"), a.get("anneal-quality")) match {
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            "--epochs and --anneal-quality are mutually exclusive " +
+              "(an annealed multi-epoch schedule is two pack-tokens runs)")
+          case (Some(e), None) =>
+            graft.operators.Packing.epochOrder(docs, idCol, srcCol,
+              seed.toLong, nShards, mix, epochs = e.toInt)
+          case (None, Some(th)) =>
+            val quality = graft.functions.TextKernels.text_stats(
+              col(textCol), graft.functions.TextFunctions.LangProfiles("en"))
+              .getField("quality")
+            graft.operators.Packing.curriculumOrder(docs, idCol, srcCol,
+              seed.toLong, nShards, mix,
+              annealWhen = quality >= lit(th.toDouble))
+          case (None, None) =>
+            graft.operators.Packing.shuffleShards(docs, idCol, srcCol,
+              seed.toLong, nShards, mix)
+        }
+        a.get("boundaries-out").foreach { bp =>
+          graft.operators.Packing.chunkDocBoundaries(assigned, tok,
+              col("id"), col("ids"), contextLen)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(bp)
+        }
         graft.operators.Packing.packTokenChunksAssigned(
           assigned, tok, col("id"), col("ids"), contextLen)
       case None =>
+        a.get("boundaries-out").foreach(_ =>
+          throw new IllegalArgumentException(
+            "--boundaries-out needs --shuffle-seed (the index is " +
+              "defined over the assigned training order)"))
         graft.operators.Packing.packTokenChunks(
           tok, col("id"), col("ids"), contextLen, nShards)
     }

@@ -188,6 +188,59 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  test("pack-tokens --epochs / --anneal-quality / --boundaries-out: training-order family on the CLI") {
+    val dir = Files.createTempDirectory("graft-pack-curr").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma", "web"), (2L, "delta epsilon", "web"),
+      (3L, "zeta eta theta iota", "web"), (4L, "kappa lambda", "web"),
+      (5L, "mu nu xi", "book"), (6L, "omicron pi rho sigma", "book"))
+      .toDF("doc_id", "text", "source")
+    docs.write.parquet(s"$dir/docs")
+    // --epochs 2 doubles the packed stream (same selected docs, two
+    // seeded orders); boundaries index agrees with the doubled layout
+    val out = Jobs.runPackTokens(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/shards",
+      "--context-len", "4", "--n-shards", "2",
+      "--shuffle-seed", "42", "--mix", "web=0.5,book=0.5",
+      "--epochs", "2", "--boundaries-out", s"$dir/bounds")))
+    val assigned = graft.operators.Packing.shuffleShards(
+      docs, "doc_id", "source", 42L, 2, Map("web" -> 0.5, "book" -> 0.5))
+      .collect().map(r => r.getLong(2))
+    val tokCounts = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length).toMap
+    val perEpoch = assigned.map(tokCounts(_)).sum.toLong
+    val back = graft.sinks.TokenSink.readPackedTokens(spark, out)
+    assert(back.selectExpr("sum(size(token_ids))").as[Long].head() ===
+      2L * perEpoch)
+    // one boundary row per (doc, epoch) — each selected doc starts
+    // twice in the doubled stream
+    val bounds = spark.read.parquet(s"$dir/bounds")
+    assert(bounds.count() === 2L * assigned.length)
+    assert(bounds.groupBy("id").count().collect()
+      .forall(_.getLong(1) === 2L))
+    // --anneal-quality: a never-true threshold reduces to the plain
+    // seeded layout (same total tokens as the single-epoch run)
+    val out2 = Jobs.runPackTokens(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/shards2",
+      "--context-len", "4", "--n-shards", "2",
+      "--shuffle-seed", "42", "--mix", "web=0.5,book=0.5",
+      "--anneal-quality", "9.9")))
+    assert(graft.sinks.TokenSink.readPackedTokens(spark, out2)
+      .selectExpr("sum(size(token_ids))").as[Long].head() === perEpoch)
+    // loud refusals: the combination, and boundaries without a seed
+    intercept[IllegalArgumentException] {
+      Jobs.runPackTokens(spark, Jobs.parseArgs(Seq(
+        "--input-path", s"$dir/docs", "--output-path", s"$dir/x",
+        "--shuffle-seed", "42", "--mix", "web=0.5,book=0.5",
+        "--epochs", "2", "--anneal-quality", "0.5")))
+    }
+    intercept[IllegalArgumentException] {
+      Jobs.runPackTokens(spark, Jobs.parseArgs(Seq(
+        "--input-path", s"$dir/docs", "--output-path", s"$dir/y",
+        "--boundaries-out", s"$dir/z")))
+    }
+  }
+
   test("catalog T/X/Y-name indirection normalizes staged coordinates") {
     import graft.etl.GridmetPipeline
     val g = Seq((Timestamp.valueOf("2021-01-01 00:00:00"), 40.0, -100.0, 1.0))
