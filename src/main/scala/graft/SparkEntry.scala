@@ -2153,6 +2153,27 @@ object SparkEntry {
           col("source"), col("phase"))
     }),
 
+    // ---- SPAN CORRUPTION (the T5/UL2 denoising-objective assembly
+    // step) made block-deterministic: blocks of 16 tokens corrupt with
+    // probability 1/2, each hiding one 5-token span at a seeded offset
+    // (expected noise 15.6% — T5's operating point). One row per span
+    // pins the pattern (start_pos), the target side (span_checksum)
+    // and the input side (kept_checksum, the q99 position-weighted
+    // convention over all surviving tokens) — the oracle replays the
+    // per-block hash gate, the offset arithmetic and both checksums
+    // exactly. Pure narrow map: zero shuffle at any corpus size ----
+    "q123_span_corruption" -> ((s, dir) => {
+      import graft.functions.PortableHash.portable_hash
+      val tok = docs(s, dir).select(col("doc_id"),
+        transform(
+          filter(split(col("text"), " "), w => w =!= ""),
+          w => pmod(portable_hash(w), lit(65536L)).cast("int")).as("ids"))
+      graft.operators.Packing.spanCorruption(tok, col("doc_id"),
+          col("ids"), seed = 20260814L)
+        .select(col("id").as("doc_id"), col("span_idx"),
+          col("start_pos"), col("span_checksum"), col("kept_checksum"))
+    }),
+
     // ---- TEMPERATURE (power-law) source sampling — the mT5/XLM-R
     // reweighting: each source contributes floor(k · C_s^0.5) docs in
     // the seeded permutation order, flattening source imbalance (the
@@ -3208,6 +3229,54 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(shard AS BIGINT), CAST(pos AS BIGINT), doc_id, source,
          |  CAST(1 AS BIGINT) FROM tail""".stripMargin
+    },
+
+    // q123: the block-deterministic span-corruption construction
+    // replayed — per-block hash gate (h % 2 = 0), seeded in-block
+    // offset ((h // 2) % 12), span/target checksum over ids[start+j]·j
+    // and the kept-token checksum as total − Σ absolute-position span
+    // sums. Token ids derive exactly as q119's (word-hash mod 65536).
+    "q123_span_corruption" -> {
+      val hb = hashSql(
+        "(repeat('20260814~sc:' || CAST(doc_id AS VARCHAR) || ':' " +
+          "|| CAST(b AS VARCHAR) || ';', 3))")
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id,
+         |    list_transform(list_filter(string_split(text, ' '),
+         |                               w -> w <> ''),
+         |      w -> ${hashSql("w")} % 65536) AS ids
+         |  FROM documents),
+         |base AS MATERIALIZED (SELECT doc_id, ids, len(ids) AS n,
+         |    len(ids) // 16 AS nb
+         |  FROM tok WHERE len(ids) // 16 > 0),
+         |blocks AS MATERIALIZED (SELECT doc_id, ids, b, $hb AS h
+         |  FROM base, unnest(range(0, nb)) AS t(b)),
+         |spans AS MATERIALIZED (SELECT doc_id, ids, b,
+         |    b * 16 + ((h // 2) % 12) AS start
+         |  FROM blocks WHERE h % 2 = 0),
+         |tot AS MATERIALIZED (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len(ids) + 1),
+         |        ti -> ids[ti] * ti)), (a, x) -> a + x) AS total
+         |  FROM base),
+         |sp AS MATERIALIZED (SELECT doc_id, b, start,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 6),
+         |        sj -> ids[start + sj] * sj)), (a, x) -> a + x)
+         |      AS span_checksum,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 6),
+         |        sj -> ids[start + sj] * (start + sj))), (a, x) -> a + x)
+         |      AS abs_ck
+         |  FROM spans)
+         |SELECT sp.doc_id,
+         |  row_number() OVER (PARTITION BY sp.doc_id ORDER BY sp.b)
+         |    - 1 AS span_idx,
+         |  CAST(sp.start AS BIGINT) AS start_pos,
+         |  CAST(sp.span_checksum AS BIGINT) AS span_checksum,
+         |  CAST(tot.total - sum(sp.abs_ck)
+         |         OVER (PARTITION BY sp.doc_id) AS BIGINT)
+         |    AS kept_checksum
+         |FROM sp JOIN tot USING (doc_id)""".stripMargin
     },
 
     // q117: the temperature-sampling construction replayed — the

@@ -681,6 +681,46 @@ object Stress {
           .option("checkpointLocation", ckpt.toString)
         (() => withStatePartitions(sp) {
           writer.start().awaitTermination() }, inc)
+      }),
+      Scenario("training_order", sp => {
+        // the q115/q122 seeded-permutation machinery at corpus-count
+        // volume: 50M docs (uneven 5:2:1 source skew), quota-selected
+        // to a 0.5/0.25/0.25 mix, through TWO epoch orders — four
+        // two-level rank passes over the narrow (id, source, h)
+        // metadata wire. Head-to-head with training_order_flat (the
+        // identical plan under the naive per-source/per-shard
+        // row_number windows): the flat form funnels each rank
+        // through |sources|=3 and |shards|=8 reducer tasks — compare
+        // wall and max_task_skew; results are bit-identical
+        // (PackingSpec pins equality on random corpora).
+        val n = s(50000000L)
+        val d = sp.range(n).select(col("id").as("doc_id"),
+          concat(lit("src"),
+            when(pmod(col("id"), lit(8L)) < 5, lit(0L))
+              .when(pmod(col("id"), lit(8L)) < 7, lit(1L))
+              .otherwise(lit(2L)).cast("string")).as("source"))
+        (sink(graft.operators.Packing.epochOrder(d, "doc_id", "source",
+          seed = 7L, nShards = 8,
+          mix = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+          epochs = 2)), n * 2)
+      }),
+      Scenario("training_order_flat", sp => {
+        val n = s(50000000L)
+        val d = sp.range(n).select(col("id").as("doc_id"),
+          concat(lit("src"),
+            when(pmod(col("id"), lit(8L)) < 5, lit(0L))
+              .when(pmod(col("id"), lit(8L)) < 7, lit(1L))
+              .otherwise(lit(2L)).cast("string")).as("source"))
+        (restoringConfs(sp, Seq("spark.graft.pack.twoLevelRank"))(() => {
+          // conf read at PLAN CONSTRUCTION (inside sink's by-name
+          // plan), so it must be set inside the timed act, before
+          // construction — and restored by the restoringConfs wrap
+          sp.conf.set("spark.graft.pack.twoLevelRank", "false")
+          sink(graft.operators.Packing.epochOrder(d, "doc_id", "source",
+            seed = 7L, nShards = 8,
+            mix = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+            epochs = 2))()
+        }), n * 2)
       }))
   }
 

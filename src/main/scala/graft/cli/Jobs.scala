@@ -36,6 +36,8 @@ import graft.sinks.Sinks
   *     [--context-len 512] [--n-shards 8] [--bpe-vocab v --bpe-merges m]
   *     [--shuffle-seed S --mix src0=0.5,src1=0.25
   *       [--epochs N | --anneal-quality θ] [--boundaries-out idx/]]
+  *     [--span-corrupt-out spans/ [--span-seed S] [--span-block 16]
+  *       [--span-len 5] [--span-one-in 2]]
   *
   * Deployment confs (100× clusters; see SCALE.md's deployment-conf
   * table): the tiled weight-join strategy — requested via
@@ -346,6 +348,21 @@ object Jobs {
     val contextLen = a.get("context-len").getOrElse("512").toInt
     val nShards = a.get("n-shards").getOrElse("8").toInt
     val tok = docs.select(col(idCol).as("id"), ids.as("ids"))
+    // --span-corrupt-out PATH [--span-seed S --span-block B --span-len L
+    // --span-one-in M]: additionally write the block-deterministic
+    // span-corruption index (Packing.spanCorruption) over the SAME
+    // token derivation the shards pack — the denoising objective's
+    // span table for the run, replayable from (corpus, seed) alone.
+    // Corruption is per-document, so it composes with any --shuffle-*
+    // training order without depending on it.
+    a.get("span-corrupt-out").foreach { sp =>
+      graft.operators.Packing.spanCorruption(tok, col("id"), col("ids"),
+          a.get("span-seed").getOrElse("0").toLong,
+          blockLen = a.get("span-block").getOrElse("16").toInt,
+          spanLen = a.get("span-len").getOrElse("5").toInt,
+          corruptOneIn = a.get("span-one-in").getOrElse("2").toInt)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sp)
+    }
     // --shuffle-seed + --mix "src0=0.5,src1=0.25,...": shards follow
     // the SEEDED training order with the source mix enforced per shard
     // (Packing.shuffleShards) instead of hash-of-id corpus order; the

@@ -109,19 +109,80 @@ object Packing {
       s -> math.floor(total * p).toLong }
     val h = portable_hash(repeat(
       concat(lit(s"$seed:"), col("id").cast("string"), lit(";")), 3))
-    val bySource = Window.partitionBy(col("source"))
-      .orderBy(col("__h"), col("id"))
-    val byShard = Window.partitionBy(col("shard"))
-      .orderBy(col("__h"), col("id"))
-    docs
-      .select(col(idCol).cast("long").as("id"), col(sourceCol).as("source"))
-      .filter(col("source").isin(mix.keys.toSeq: _*))
-      .withColumn("__h", h)
-      .withColumn("__r", row_number().over(bySource).cast("long") - 1)
-      .filter(col("__r") < element_at(typedLit(quotas), col("source")))
-      .withColumn("shard", col("__r") % nShards)
-      .withColumn("pos", row_number().over(byShard).cast("long") - 1)
+    val ranked = rankByHash(
+      docs
+        .select(col(idCol).cast("long").as("id"), col(sourceCol).as("source"))
+        .filter(col("source").isin(mix.keys.toSeq: _*))
+        .withColumn("__h", h),
+      "source", "__r")
+    rankByHash(
+      ranked
+        .filter(col("__r") < element_at(typedLit(quotas), col("source")))
+        .withColumn("shard", col("__r") % nShards),
+      "shard", "pos")
       .select(col("shard"), col("pos"), col("id"), col("source"))
+  }
+
+  /** Rank blocks for [[rankByHash]]: the portable-hash range
+    * [0, 1_000_000_007) splits into this many equal-width ordered
+    * blocks. |groups|·RankBlocks concurrent sorts replace |groups|
+    * single-reducer sorts; the offsets side table is
+    * |groups|·RankBlocks rows — broadcast-sized for any corpus.
+    * Overridable (spark.graft.pack.rankBlocks) so the spec can force
+    * many-block layouts on small corpora; the value does not affect
+    * results, only parallelism. */
+  private val RankBlocks = 1024L
+  private val HashMod = 1000000007L
+
+  /** 0-based rank within `groupCol` by the strict total order
+    * (__h, id) — the seeded-permutation rank every training-order
+    * operator sorts by — computed TWO-LEVEL so it scales.
+    *
+    * A `row_number() OVER (PARTITION BY source ...)` funnels the whole
+    * corpus through |sources| reducer tasks: at 10¹⁰ docs that is a
+    * ~100 GB single-task sort — the one non-scalable shape in this
+    * family's round-12 form. Because the order key `__h` is uniform on
+    * [0, HashMod), range-blocking it is monotone in the sort order:
+    * rank = (rows of the group in EARLIER blocks) + (local rank within
+    * this block). Local ranks run per (group, block) — parallelism
+    * |groups|·[[RankBlocks]] instead of |groups| — and the block row
+    * counts prefix-sum into offsets in a side table small enough to
+    * broadcast at any corpus size. Both exchanges hash on the same
+    * (group, block) key, so AQE's exchange reuse dedupes the scan.
+    *
+    * Bit-identical to the naive window (same strict total order; ties
+    * impossible — id is unique), so the q115/q119–q122 oracles see no
+    * difference. `spark.graft.pack.twoLevelRank=false` restores the
+    * naive window (the stress suite measures the two head-to-head:
+    * `training_order[_flat]`). Input must carry `__h` and `id`. */
+  private def rankByHash(df: DataFrame, groupCol: String,
+      rankName: String): DataFrame = {
+    val twoLevel = df.sparkSession.conf
+      .getOption("spark.graft.pack.twoLevelRank").forall(_.toBoolean)
+    if (!twoLevel) {
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(col("__h"), col("id"))
+      return df.withColumn(rankName,
+        row_number().over(w).cast("long") - 1)
+    }
+    val nBlocks = df.sparkSession.conf
+      .getOption("spark.graft.pack.rankBlocks")
+      .map(_.toLong).getOrElse(RankBlocks)
+    val width = (HashMod + nBlocks - 1) / nBlocks
+    val withB = df.withColumn("__rb",
+      (col("__h") / width).cast("long"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__rb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy(col(groupCol), col("__rb"))
+      .agg(count(lit(1)).as("__rc"))
+      .withColumn("__roff", coalesce(sum(col("__rc")).over(wOff), lit(0L)))
+      .select(col(groupCol), col("__rb"), col("__roff"))
+    val wLoc = Window.partitionBy(col(groupCol), col("__rb"))
+      .orderBy(col("__h"), col("id"))
+    withB.join(broadcast(offs), Seq(groupCol, "__rb"))
+      .withColumn(rankName,
+        col("__roff") + row_number().over(wLoc).cast("long") - 1)
+      .drop("__rb", "__roff")
   }
 
   /** MULTI-EPOCH training order — the data-constrained recipe
@@ -168,15 +229,10 @@ object Packing {
       val he = portable_hash(repeat(
         concat(lit(s"$seed~epoch$e:"), col("id").cast("string"), lit(";")),
         3))
-      val bySource = Window.partitionBy(col("source"))
-        .orderBy(col("__h"), col("id"))
-      val byShard = Window.partitionBy(col("shard"))
-        .orderBy(col("__h"), col("id"))
-      sel
-        .withColumn("__h", he)
-        .withColumn("__r", row_number().over(bySource).cast("long") - 1)
-        .withColumn("shard", col("__r") % nShards)
-        .withColumn("__p", row_number().over(byShard).cast("long") - 1)
+      rankByHash(
+        rankByHash(sel.withColumn("__h", he), "source", "__r")
+          .withColumn("shard", col("__r") % nShards),
+        "shard", "__p")
         .join(broadcast(n0), Seq("shard"))
         .select(col("shard"), (col("__n0") * e + col("__p")).as("pos"),
           col("id"), col("source"), lit(e.toLong).as("epoch"))
@@ -235,14 +291,14 @@ object Packing {
       .agg(count(lit(1)).as("__n0"))
     val h1 = portable_hash(repeat(
       concat(lit(s"$seed~anneal:"), col("id").cast("string"), lit(";")), 3))
-    val byShard = Window.partitionBy(col("shard"))
-      .orderBy(col("__h"), col("id"))
-    val tail = docs
-      .filter(isAnneal && col(sourceCol).isin(mix.keys.toSeq: _*))
-      .select(col(idCol).cast("long").as("id"), col(sourceCol).as("source"))
-      .withColumn("__h", h1)
-      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
-      .withColumn("__r", row_number().over(byShard).cast("long") - 1)
+    val tail = rankByHash(
+      docs
+        .filter(isAnneal && col(sourceCol).isin(mix.keys.toSeq: _*))
+        .select(col(idCol).cast("long").as("id"),
+          col(sourceCol).as("source"))
+        .withColumn("__h", h1)
+        .withColumn("shard", pmod(col("__h"), lit(nShards.toLong))),
+      "shard", "__r")
       .join(broadcast(bulkCounts), Seq("shard"), "left")
       .select(col("shard"),
         (coalesce(col("__n0"), lit(0L)) + col("__r")).as("pos"),
@@ -267,22 +323,62 @@ object Packing {
       contextLen)
   }
 
+  /** Block length for the two-level per-shard cumulative sum in
+    * [[assignedOffsets]]: `pos` is dense per shard (0..n−1 from
+    * [[shuffleShards]]; 0..epochs·n0−1 from [[epochOrder]]), so
+    * fixed-width pos blocks are balanced and monotone in the stream
+    * order; the block-totals side table is docs/PosBlock rows —
+    * broadcast-sized at any corpus size (10¹⁰ docs → 10⁴ rows).
+    * Overridable (spark.graft.pack.posBlock) so the spec can force
+    * multi-block layouts on small corpora; results are invariant. */
+  private val PosBlock = 1L << 20
+
   /** Shared head of the assigned-order paths: join token arrays onto
     * the (shard, pos, id) assignment and derive each doc's stream
-    * offset via the per-shard cumulative sum. Zero-token docs occupy
-    * no stream space and are excluded. */
+    * offset via the per-shard cumulative token sum. Like [[rankByHash]]
+    * the sum is TWO-LEVEL (local running sum per (shard, pos-block) +
+    * broadcast block offsets) — a running sum `OVER (PARTITION BY
+    * shard)` alone would funnel the corpus through nShards reducer
+    * tasks. Bit-identical to the naive window (same order, integer
+    * sums); `spark.graft.pack.twoLevelRank=false` restores the naive
+    * form. Zero-token docs occupy no stream space and are excluded. */
   private def assignedOffsets(
       assigned: DataFrame, docs: DataFrame, idCol: Column,
       tokenIdsCol: Column): DataFrame = {
-    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val toks = docs.select(idCol.cast("long").as("id"),
       tokenIdsCol.cast("array<int>").as("ids"))
-    assigned.select(col("shard"), col("pos"), col("id"))
+    val joined = assigned.select(col("shard"), col("pos"), col("id"))
       .join(toks, "id")
-      .withColumn("cum", sum(size(col("ids")).cast("long")).over(w))
-      .withColumn("start_off", col("cum") - size(col("ids")))
+      .withColumn("__t", size(col("ids")).cast("long"))
+    val twoLevel = assigned.sparkSession.conf
+      .getOption("spark.graft.pack.twoLevelRank").forall(_.toBoolean)
+    val cum = if (!twoLevel) {
+      val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joined.withColumn("cum", sum(col("__t")).over(w))
+    } else {
+      val posBlock = assigned.sparkSession.conf
+        .getOption("spark.graft.pack.posBlock")
+        .map(_.toLong).getOrElse(PosBlock)
+      val withB = joined.withColumn("__pb", expr(s"pos DIV ${posBlock}L"))
+      val wOff = Window.partitionBy(col("shard")).orderBy(col("__pb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = withB.groupBy(col("shard"), col("__pb"))
+        .agg(sum(col("__t")).as("__bs"))
+        .withColumn("__boff",
+          coalesce(sum(col("__bs")).over(wOff), lit(0L)))
+        .select(col("shard"), col("__pb"), col("__boff"))
+      val wLoc = Window.partitionBy(col("shard"), col("__pb"))
+        .orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withB.join(broadcast(offs), Seq("shard", "__pb"))
+        .withColumn("cum", col("__boff") + sum(col("__t")).over(wLoc))
+        .drop("__pb", "__boff")
+    }
+    cum
+      .withColumn("start_off", col("cum") - col("__t"))
       .filter(size(col("ids")) > 0)
+      .drop("__t")
   }
 
   /** DOCUMENT-BOUNDARY INDEX of the assigned-order packed layout —
@@ -403,5 +499,100 @@ object Packing {
         array_join(slice(col("__toks"),
           (col("start_tok") + 1).cast("int"), lit(chunkTokens)), " ")
           .as("chunk_text"))
+  }
+
+  /** SPAN CORRUPTION — the denoising-objective assembly step of
+    * T5-style pretraining (public recipe: replace ~15% of tokens with
+    * sentinel-marked noise spans and train to reconstruct them —
+    * Raffel et al. 2020 §3.1.4; the UL2 denoiser mixture generalizes
+    * span length/rate — Tay et al. 2022), made BLOCK-DETERMINISTIC so
+    * the exact corruption pattern of a run is a replayable artifact
+    * instead of an RNG trace:
+    *
+    *  - each document's token stream splits into fixed blocks of
+    *    `blockLen`; the tail partial block is never corrupted;
+    *  - block b of doc d corrupts iff
+    *    `portable_hash(repeat("<seed>~sc:<d>:<b>;", 3)) mod
+    *    corruptOneIn == 0` (the repeat-3 key-decorrelation convention
+    *    of [[shuffleShards]]), giving a 1/corruptOneIn block rate;
+    *  - a corrupted block hides ONE span of exactly `spanLen` tokens
+    *    at offset `(h div corruptOneIn) mod (blockLen − spanLen + 1)`
+    *    — spans cannot overlap (one per block) and cannot cross block
+    *    bounds, which is what makes the construction closed-form: no
+    *    sequential overlap-suppression scan, every block decides
+    *    independently. Expected noise fraction =
+    *    spanLen / (blockLen · corruptOneIn) — the defaults
+    *    (16, 5, 2) give 15.6%, T5's operating point.
+    *
+    * Output is one row per span, pinning BOTH sides of the objective
+    * without materializing per-token rows: `span_checksum`
+    * (Σ tokenᵢ·i over the span, 1-based span-relative — the target
+    * side) and `kept_checksum` (Σ tokenᵢ·i over all NON-noise tokens
+    * at their 1-based absolute positions, identical on every row of a
+    * doc — the input side; the q99 position-weighted convention, so
+    * any drift in pattern or content fails the oracle hash). Docs
+    * shorter than one block (or with no block selected) emit no rows.
+    *
+    * Scale shape: a pure per-row narrow map — integer hash arithmetic
+    * and array slices inside higher-order functions, zero shuffle,
+    * zero state; 100 TB of documents corrupt embarrassingly parallel.
+    *
+    * @return (id, span_idx, start_pos, span_checksum, kept_checksum):
+    *         `span_idx` 0-based in block order, `start_pos` the
+    *         0-based token index of the span's first token. */
+  def spanCorruption(
+      docs: DataFrame, idCol: Column, tokenIdsCol: Column, seed: Long,
+      blockLen: Int = 16, spanLen: Int = 5,
+      corruptOneIn: Int = 2): DataFrame = {
+    require(blockLen > 0 && spanLen > 0 && spanLen <= blockLen,
+      "need 0 < spanLen <= blockLen")
+    require(corruptOneIn >= 1, "corruptOneIn must be >= 1")
+    val B = blockLen.toLong; val L = spanLen; val m = corruptOneIn.toLong
+    val offs = (blockLen - spanLen + 1).toLong
+    // per-block corruption decision + span start, one struct per block
+    // (h and h div m stay exact: h < 1e9 is far inside double range,
+    // so floor(h / m) is the integer quotient)
+    val marked = transform(sequence(lit(0L), col("__nb") - 1),
+      b => {
+        val h = portable_hash(repeat(concat(
+          lit(s"$seed~sc:"), col("id").cast("string"),
+          lit(":"), b.cast("string"), lit(";")), 3))
+        struct(
+          (h % m === 0).as("hit"),
+          (b * B + pmod(floor(h / m).cast("long"), lit(offs)))
+            .as("start"))
+      })
+    val posW = (ids: Column, from1: Column, len: Int, weightFrom: Column) =>
+      aggregate(
+        zip_with(
+          slice(ids, from1.cast("int"), lit(len)),
+          transform(sequence(lit(0), lit(len - 1)),
+            j => weightFrom + j.cast("long")),
+          (t, w) => t.cast("long") * w),
+        lit(0L), (a, x) => a + x)
+    docs
+      .select(idCol.cast("long").as("id"),
+        tokenIdsCol.cast("array<int>").as("ids"))
+      .withColumn("__n", size(col("ids")).cast("long"))
+      .withColumn("__nb", expr(s"__n DIV ${B}L"))
+      .filter(col("__nb") > 0)
+      .withColumn("__spans",
+        filter(marked, s => s("hit")))
+      .withColumn("__total",
+        aggregate(
+          zip_with(col("ids"), sequence(lit(1), size(col("ids"))),
+            (t, i) => t.cast("long") * i.cast("long")),
+          lit(0L), (a, x) => a + x))
+      .withColumn("kept_checksum",
+        col("__total") - aggregate(col("__spans"), lit(0L),
+          (a, s) => a + posW(col("ids"), s("start") + 1, L,
+            s("start") + 1)))
+      .select(col("id"), col("ids"), col("kept_checksum"),
+        posexplode(col("__spans")).as(Seq("span_idx", "s")))
+      .select(col("id"), col("span_idx").cast("long").as("span_idx"),
+        col("s.start").as("start_pos"),
+        posW(col("ids"), col("s.start") + 1, L, lit(1L))
+          .as("span_checksum"),
+        col("kept_checksum"))
   }
 }

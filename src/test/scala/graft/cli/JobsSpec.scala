@@ -241,6 +241,30 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  test("pack-tokens --span-corrupt-out: span table matches the operator over the CLI's own tokenization") {
+    val dir = Files.createTempDirectory("graft-pack-span").toString
+    // docs long enough to carry ≥2 full 16-token blocks
+    val docs = (0L until 30L).map(i =>
+      (i, (0 until 40).map(j => s"w${(i * 7 + j) % 90}").mkString(" "),
+        "web"))
+      .toDF("doc_id", "text", "source")
+    docs.write.parquet(s"$dir/docs")
+    Jobs.runPackTokens(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/shards",
+      "--context-len", "8", "--n-shards", "2",
+      "--span-corrupt-out", s"$dir/spans", "--span-seed", "11")))
+    val spans = spark.read.parquet(s"$dir/spans")
+    // the CLI's fallback tokenizer (xxhash64 buckets) — the span table
+    // must be computed over exactly these ids
+    val tok = docs.select(col("doc_id").as("id"),
+      expr("transform(filter(split(text, ' '), w -> w <> ''), " +
+        "w -> CAST(pmod(xxhash64(w), 65536L) AS INT))").as("ids"))
+    val expect = graft.operators.Packing.spanCorruption(
+      tok, col("id"), col("ids"), 11L)
+    assert(spans.count() > 0)
+    assert(rows(spans) === rows(expect))
+  }
+
   test("catalog T/X/Y-name indirection normalizes staged coordinates") {
     import graft.etl.GridmetPipeline
     val g = Seq((Timestamp.valueOf("2021-01-01 00:00:00"), 40.0, -100.0, 1.0))

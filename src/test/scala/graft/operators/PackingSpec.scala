@@ -291,4 +291,92 @@ class PackingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("spanCorruption: matches a brute-force reference; spans bounded, block-disjoint, rate near 1/corruptOneIn") {
+    def phash(s: String): Long = {
+      var h = 0L
+      s.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+      h
+    }
+    val seed = 99L
+    val docs = (0L until 200L)
+      .map(i => (i, (0 until (i % 40).toInt).map(j =>
+        ((i * 131 + j * 17) % 65536).toInt).toArray))
+      .toDF("doc_id", "ids")
+    val out = Packing.spanCorruption(docs, col("doc_id"), col("ids"),
+        seed, blockLen = 16, spanLen = 5, corruptOneIn = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // brute-force reference over the same corpus
+    val expect = (0L until 200L).flatMap { i =>
+      val ids = (0 until (i % 40).toInt).map(j =>
+        ((i * 131 + j * 17) % 65536).toLong)
+      val tot = ids.zipWithIndex.map { case (t, k) => t * (k + 1) }.sum
+      val spans = (0L until ids.length / 16).flatMap { b =>
+        val h = phash(s"$seed~sc:$i:$b;" * 3)
+        if (h % 2 == 0) Some((b, b * 16 + (h / 2) % 12)) else None
+      }
+      val keptSum = tot - spans.map { case (_, st) =>
+        (0 until 5).map(j => ids(st.toInt + j) * (st + j + 1)).sum }.sum
+      spans.zipWithIndex.map { case ((_, st), k) =>
+        (i, k.toLong, st,
+          (0 until 5).map(j => ids(st.toInt + j) * (j + 1)).sum, keptSum)
+      }
+    }
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ===
+      expect.sortBy(r => (r._1, r._2)))
+    assert(out.nonEmpty)
+    // structural guarantees: spans stay inside their block (so they
+    // never overlap or cross a block boundary) and inside the doc
+    out.foreach { case (d, _, st, _, _) =>
+      val n = (d % 40).toInt
+      assert(st % 16 <= 11 && st + 5 <= (n / 16) * 16, s"doc $d start $st")
+    }
+    // rate: roughly half of all full blocks carry a span
+    val blocks = (0L until 200L).map(i => (i % 40) / 16).sum
+    assert(out.length > blocks * 0.3 && out.length < blocks * 0.7,
+      s"${out.length} spans over $blocks blocks")
+  }
+
+  test("two-level rank/offset parity: bucketed form is bit-identical to the naive windows") {
+    // the scale form (hash-range-blocked ranks + blocked per-shard
+    // cumulative sums) must produce EXACTLY the flat-window results on
+    // every training-order operator — block sizes forced tiny so the
+    // multi-block offset arithmetic is actually exercised (defaults
+    // would put this whole corpus in a handful of blocks)
+    val docs = (0L until 600L)
+      .map(i => (i * 7 % 1000, s"src${i % 8 % 3}",
+        (0 until (i % 5).toInt).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val mix = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+    val toks = docs.select(col("doc_id").as("id"),
+      transform(filter(split(col("text"), " "), w => w =!= ""),
+        w => pmod(graft.functions.PortableHash.portable_hash(w),
+          lit(65536L)).cast("int")).as("ids"))
+    def withConfs(pairs: (String, String)*)(body: => Seq[Set[Seq[Any]]]) = {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    def all() = Seq(
+      Packing.shuffleShards(docs, "doc_id", "source", 7L, 4, mix),
+      Packing.epochOrder(docs, "doc_id", "source", 7L, 4, mix, epochs = 3),
+      Packing.curriculumOrder(docs, "doc_id", "source", 7L, 4, mix,
+        annealWhen = col("doc_id") % 5 === 0),
+      Packing.packTokenChunksAssigned(
+        Packing.shuffleShards(docs, "doc_id", "source", 7L, 4, mix),
+        toks, col("id"), col("ids"), contextLen = 6),
+      Packing.chunkDocBoundaries(
+        Packing.shuffleShards(docs, "doc_id", "source", 7L, 4, mix),
+        toks, col("id"), col("ids"), contextLen = 6)
+    ).map(rows)
+    val blocked = withConfs(
+      "spark.graft.pack.rankBlocks" -> "11",
+      "spark.graft.pack.posBlock" -> "7")(all())
+    val flat = withConfs(
+      "spark.graft.pack.twoLevelRank" -> "false")(all())
+    blocked.zip(flat).zipWithIndex.foreach { case ((b, f), i) =>
+      assert(b === f, s"operator $i diverged between rank forms")
+      assert(b.nonEmpty, s"operator $i returned nothing")
+    }
+  }
 }
