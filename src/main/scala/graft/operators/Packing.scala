@@ -154,8 +154,10 @@ object Packing {
     * impossible — id is unique), so the q115/q119–q122 oracles see no
     * difference. `spark.graft.pack.twoLevelRank=false` restores the
     * naive window (the stress suite measures the two head-to-head:
-    * `training_order[_flat]`). Input must carry `__h` and `id`. */
-  private def rankByHash(df: DataFrame, groupCol: String,
+    * `training_order[_flat]`). Input must carry `__h` and `id`.
+    * Shared with [[Sampling.temperatureSample]], which ranks by the
+    * same key shape. */
+  private[operators] def rankByHash(df: DataFrame, groupCol: String,
       rankName: String): DataFrame = {
     val twoLevel = df.sparkSession.conf
       .getOption("spark.graft.pack.twoLevelRank").forall(_.toBoolean)

@@ -196,8 +196,9 @@ object Sampling {
     * hash-compared surfaces.
     *
     * Scale: the counts collect is |sources|-bounded; the selection is
-    * one per-source window rank over narrow (id, source, hash) rows —
-    * document payloads join back by id downstream.
+    * one two-level per-source rank ([[Packing.rankByHash]] — blocked,
+    * never a |sources|-reducer window) over narrow (id, source, hash)
+    * rows — document payloads join back by id downstream.
     * @return (id, source, pos) — pos is the doc's seeded rank within
     *         its source (0-based, dense over the selected set). */
   def temperatureSample(
@@ -216,13 +217,15 @@ object Sampling {
     }
     val h = portable_hash(repeat(
       concat(lit(s"$seed:"), col("id").cast("string"), lit(";")), 3))
-    val bySource = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("__h"), col("id"))
-    docs
-      .select(col(idCol).cast("long").as("id"),
-        col(sourceCol).cast("string").as("source"))
-      .withColumn("__h", h)
-      .withColumn("pos", row_number().over(bySource).cast("long") - 1)
+    // per-source rank via Packing's two-level form (hash-range blocks
+    // + broadcast offsets): a plain per-source window funnels the
+    // corpus through |sources| reducer tasks at scale
+    Packing.rankByHash(
+      docs
+        .select(col(idCol).cast("long").as("id"),
+          col(sourceCol).cast("string").as("source"))
+        .withColumn("__h", h),
+      "source", "pos")
       .filter(col("pos") < element_at(typedLit(quotas), col("source")))
       .select(col("id"), col("source"), col("pos"))
   }
