@@ -2174,6 +2174,22 @@ object SparkEntry {
           col("start_pos"), col("span_checksum"), col("kept_checksum"))
     }),
 
+    // ---- length-homogeneous bin packing — the padding-minimizing
+    // whole-document layout SFT pipelines need (examples must not be
+    // split across windows, unlike the q99 pretraining concat):
+    // docs of truncated length L pack floor(64/L) per bin, seeded
+    // rank orders them, bins number densely per shard ----
+    "q124_binpack_by_length" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id").as("id"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("n_tokens"))
+      graft.operators.Packing.binPackByLength(tok, col("id"),
+          col("n_tokens"), contextLen = 64, nShards = 4,
+          seed = 20260814L)
+        .select(col("id").as("doc_id"), col("shard"), col("len"),
+          col("truncated"), col("bin"), col("slot"), col("bin_off"))
+    }),
+
     // ---- TEMPERATURE (power-law) source sampling — the mT5/XLM-R
     // reweighting: each source contributes floor(k · C_s^0.5) docs in
     // the seeded permutation order, flattening source imbalance (the
@@ -3277,6 +3293,43 @@ object SparkEntry {
          |         OVER (PARTITION BY sp.doc_id) AS BIGINT)
          |    AS kept_checksum
          |FROM sp JOIN tot USING (doc_id)""".stripMargin
+    },
+
+    // q124: the length-homogeneous bin packing replayed — whitespace
+    // token count truncated to the context, hash shard, seeded rank
+    // within (shard, len), floor(64/len) docs per bin, dense
+    // per-shard bin numbering by ascending length via a prefix sum
+    // over the (shard, len) bin counts.
+    "q124_binpack_by_length" -> {
+      val h = hashSql(
+        "(repeat('20260814:' || CAST(doc_id AS VARCHAR) || ';', 3))")
+      s"""WITH t AS MATERIALIZED (SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '),
+         |                    w -> w <> '')) AS n
+         |  FROM documents),
+         |hsh AS MATERIALIZED (SELECT doc_id, LEAST(n, 64) AS len,
+         |    n > 64 AS truncated,
+         |    ${hashSql("CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+         |    $h AS h
+         |  FROM t WHERE n > 0),
+         |rk AS MATERIALIZED (SELECT doc_id, len, truncated, shard,
+         |    row_number() OVER (PARTITION BY shard, len
+         |                       ORDER BY h, doc_id) - 1 AS r,
+         |    64 // len AS cap
+         |  FROM hsh),
+         |offs AS (SELECT shard, len,
+         |    COALESCE(sum(mr // cap + 1) OVER (PARTITION BY shard
+         |        ORDER BY len
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS boff
+         |  FROM (SELECT shard, len, max(r) AS mr, 64 // len AS cap
+         |        FROM rk GROUP BY 1, 2))
+         |SELECT rk.doc_id, CAST(rk.shard AS BIGINT) AS shard,
+         |  CAST(rk.len AS BIGINT) AS len, rk.truncated,
+         |  CAST(offs.boff + rk.r // rk.cap AS BIGINT) AS bin,
+         |  CAST(rk.r % rk.cap AS BIGINT) AS slot,
+         |  CAST((rk.r % rk.cap) * rk.len AS BIGINT) AS bin_off
+         |FROM rk JOIN offs USING (shard, len)""".stripMargin
     },
 
     // q117: the temperature-sampling construction replayed — the

@@ -699,10 +699,15 @@ object Stress {
             when(pmod(col("id"), lit(8L)) < 5, lit(0L))
               .when(pmod(col("id"), lit(8L)) < 7, lit(1L))
               .otherwise(lit(2L)).cast("string")).as("source"))
-        (sink(graft.operators.Packing.epochOrder(d, "doc_id", "source",
-          seed = 7L, nShards = 8,
-          mix = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
-          epochs = 2)), n * 2)
+        (restoringConfs(sp, Seq("spark.graft.pack.twoLevelRank"))(() => {
+          // forced (not left to the adaptive size cut-over) so the
+          // captured row pins the two-level form by construction
+          sp.conf.set("spark.graft.pack.twoLevelRank", "true")
+          sink(graft.operators.Packing.epochOrder(d, "doc_id", "source",
+            seed = 7L, nShards = 8,
+            mix = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+            epochs = 2))()
+        }), n * 2)
       }),
       Scenario("training_order_flat", sp => {
         val n = s(50000000L)

@@ -363,6 +363,18 @@ object Jobs {
           corruptOneIn = a.get("span-one-in").getOrElse("2").toInt)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sp)
     }
+    // --binpack-out PATH [--binpack-seed S]: additionally write the
+    // length-homogeneous WHOLE-document bin assignment
+    // (Packing.binPackByLength) over the SAME token derivation — the
+    // SFT layout (examples never split across windows), sharing the
+    // run's context length and shard count.
+    a.get("binpack-out").foreach { bp =>
+      graft.operators.Packing.binPackByLength(
+          tok.select(col("id"), size(col("ids")).cast("long").as("n")),
+          col("id"), col("n"), contextLen, nShards,
+          a.get("binpack-seed").getOrElse("0").toLong)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(bp)
+    }
     // --shuffle-seed + --mix "src0=0.5,src1=0.25,...": shards follow
     // the SEEDED training order with the source mix enforced per shard
     // (Packing.shuffleShards) instead of hash-of-id corpus order; the

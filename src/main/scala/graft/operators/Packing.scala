@@ -134,6 +134,15 @@ object Packing {
   private val RankBlocks = 1024L
   private val HashMod = 1000000007L
 
+  /** Adaptive cut-over for [[rankByHash]]: inputs whose Catalyst
+    * size estimate is below this run the naive single window (the
+    * two-level form's extra scan + broadcast cost more than they
+    * save), at or above it the two-level form (a single-reducer sort
+    * of a ≥256 MB group slice is where spill/serialization start to
+    * dominate). Purely a plan choice — both forms produce
+    * bit-identical ranks. */
+  private val TwoLevelThresholdBytes = 256L * 1024 * 1024
+
   /** 0-based rank within `groupCol` by the strict total order
     * (__h, id) — the seeded-permutation rank every training-order
     * operator sorts by — computed TWO-LEVEL so it scales.
@@ -152,15 +161,37 @@ object Packing {
     *
     * Bit-identical to the naive window (same strict total order; ties
     * impossible — id is unique), so the q115/q119–q122 oracles see no
-    * difference. `spark.graft.pack.twoLevelRank=false` restores the
-    * naive window (the stress suite measures the two head-to-head:
+    * difference — which makes the CHOICE of form a pure plan
+    * decision, taken ADAPTIVELY like Spark's own broadcast threshold:
+    * the two-level form's extra stages (a second input scan for the
+    * block counts, the offsets broadcast) are pure overhead on a
+    * small corpus (measured 2.5–4× on the sf0.1 bench rows), so it
+    * engages only when the input's Catalyst size estimate exceeds
+    * [[TwoLevelThresholdBytes]] (conf
+    * `spark.graft.pack.twoLevelRankThresholdBytes`). Explicit
+    * `spark.graft.pack.twoLevelRank=true|false` forces either form
+    * (the stress suite pins the two head-to-head:
     * `training_order[_flat]`). Input must carry `__h` and `id`.
     * Shared with [[Sampling.temperatureSample]], which ranks by the
     * same key shape. */
+  /** The adaptive two-level decision shared by [[rankByHash]] and
+    * [[assignedOffsets]]: an explicit
+    * `spark.graft.pack.twoLevelRank=true|false` wins; otherwise the
+    * blocked form engages when the input's Catalyst size estimate
+    * reaches the threshold. Plan choice only — results identical. */
+  private def useTwoLevel(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("spark.graft.pack.twoLevelRank") match {
+      case Some(s) => s.toBoolean
+      case None =>
+        val threshold = df.sparkSession.conf
+          .getOption("spark.graft.pack.twoLevelRankThresholdBytes")
+          .map(_.toLong).getOrElse(TwoLevelThresholdBytes)
+        df.queryExecution.optimizedPlan.stats.sizeInBytes >= threshold
+    }
+
   private[operators] def rankByHash(df: DataFrame, groupCol: String,
       rankName: String): DataFrame = {
-    val twoLevel = df.sparkSession.conf
-      .getOption("spark.graft.pack.twoLevelRank").forall(_.toBoolean)
+    val twoLevel = useTwoLevel(df)
     if (!twoLevel) {
       val w = Window.partitionBy(col(groupCol))
         .orderBy(col("__h"), col("id"))
@@ -342,8 +373,9 @@ object Packing {
     * broadcast block offsets) — a running sum `OVER (PARTITION BY
     * shard)` alone would funnel the corpus through nShards reducer
     * tasks. Bit-identical to the naive window (same order, integer
-    * sums); `spark.graft.pack.twoLevelRank=false` restores the naive
-    * form. Zero-token docs occupy no stream space and are excluded. */
+    * sums); [[useTwoLevel]] picks the form adaptively (explicit
+    * `spark.graft.pack.twoLevelRank` overrides). Zero-token docs
+    * occupy no stream space and are excluded. */
   private def assignedOffsets(
       assigned: DataFrame, docs: DataFrame, idCol: Column,
       tokenIdsCol: Column): DataFrame = {
@@ -352,9 +384,7 @@ object Packing {
     val joined = assigned.select(col("shard"), col("pos"), col("id"))
       .join(toks, "id")
       .withColumn("__t", size(col("ids")).cast("long"))
-    val twoLevel = assigned.sparkSession.conf
-      .getOption("spark.graft.pack.twoLevelRank").forall(_.toBoolean)
-    val cum = if (!twoLevel) {
+    val cum = if (!useTwoLevel(joined)) {
       val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       joined.withColumn("cum", sum(col("__t")).over(w))
@@ -596,5 +626,86 @@ object Packing {
         posW(col("ids"), col("s.start") + 1, L, lit(1L))
           .as("span_checksum"),
         col("kept_checksum"))
+  }
+
+  /** LENGTH-HOMOGENEOUS BIN PACKING (q124) — the padding-minimizing
+    * layout FINE-TUNING pipelines feed on (no reference analog;
+    * extension surface). Unlike [[concatChunks]], which splits
+    * documents across window boundaries (fine for pretraining,
+    * wrong for SFT where an example must stay whole), each context
+    * window ("bin") here holds only WHOLE documents — all of the same
+    * truncated length L, `contextLen DIV L` of them per bin — so no
+    * example is ever cut and the per-bin padding is the fixed
+    * `contextLen mod (cap·L)` remainder plus the one partially-filled
+    * last bin per (shard, L). Homogeneous-length binning is the
+    * deterministic, exchange-free-to-verify member of the packing
+    * family (first-fit variants chase the last few padding points
+    * with a sequential scan that neither distributes nor
+    * oracle-replays; the histogram-driven strategies in the packing
+    * literature start from exactly this length-grouped layout).
+    *
+    * Construction (every step integer/window arithmetic, fully
+    * oracle-expressible):
+    *  1. length L = min(n_tokens, contextLen), truncation flagged;
+    *     empty docs are excluded (they occupy no window);
+    *  2. shard = hash(id) mod nShards ([[concatChunks]]'s rule), the
+    *     independent-stream parallelism unit;
+    *  3. seeded rank r within (shard, L) by the q115 permutation key
+    *     — computed via [[rankByHash]], so no (shard, L) group ever
+    *     funnels through one reducer;
+    *  4. cap = contextLen DIV L; local bin = r DIV cap,
+    *     slot = r mod cap, offset = slot·L;
+    *  5. bins number densely per shard across lengths (ascending L):
+    *     the per-(shard, L) bin counts aggregate to ≤ nShards·
+    *     contextLen rows — broadcast-sized at any corpus — and
+    *     prefix-sum into offsets.
+    *
+    * Scale shape: the corpus-sized exchanges are the rankByHash
+    * blocks over narrow (id, len, h) metadata rows; the bin-offset
+    * side table is bounded by nShards·contextLen regardless of
+    * corpus size. Padding efficiency per shard is derivable from the
+    * output: sum(len) / ((max(bin)+1)·contextLen).
+    *
+    * @return (id, shard, len, truncated, bin, slot, bin_off) — `bin`
+    *         is the shard-global window index, `slot` the doc's
+    *         position within it, `bin_off = slot·len` its token
+    *         offset. */
+  def binPackByLength(
+      docs: DataFrame, idCol: Column, nTokensCol: Column,
+      contextLen: Int, nShards: Int, seed: Long): DataFrame = {
+    require(contextLen > 0 && nShards > 0,
+      "contextLen and nShards must be positive")
+    val ctx = contextLen.toLong
+    val h = portable_hash(repeat(
+      concat(lit(s"$seed:"), col("id").cast("string"), lit(";")), 3))
+    val base = docs
+      .select(idCol.cast("long").as("id"),
+        nTokensCol.cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("len", least(col("__n"), lit(ctx)))
+      .withColumn("truncated", col("__n") > ctx)
+      .withColumn("shard",
+        pmod(portable_hash(col("id").cast("string")), lit(nShards.toLong)))
+      .withColumn("__h", h)
+      .withColumn("__g", concat(col("shard").cast("string"), lit("~"),
+        col("len").cast("string")))
+    val ranked = rankByHash(base, "__g", "__r")
+      .withColumn("cap", expr(s"${ctx}L DIV len"))
+    // dense per-shard bin numbering: nbins per (shard, len) is a
+    // <= nShards*contextLen-row aggregate; prefix-sum by ascending len
+    val wOff = Window.partitionBy(col("shard")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy(col("shard"), col("len"))
+      .agg(max(col("__r")).as("__mr"))
+      .withColumn("__nbins",
+        expr(s"__mr DIV (${ctx}L DIV len) + 1"))
+      .withColumn("__boff",
+        coalesce(sum(col("__nbins")).over(wOff), lit(0L)))
+      .select(col("shard"), col("len"), col("__boff"))
+    ranked.join(broadcast(offs), Seq("shard", "len"))
+      .withColumn("bin", col("__boff") + expr("__r DIV cap"))
+      .withColumn("slot", col("__r") % col("cap"))
+      .select(col("id"), col("shard"), col("len"), col("truncated"),
+        col("bin"), col("slot"), (col("slot") * col("len")).as("bin_off"))
   }
 }

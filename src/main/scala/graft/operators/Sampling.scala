@@ -196,9 +196,10 @@ object Sampling {
     * hash-compared surfaces.
     *
     * Scale: the counts collect is |sources|-bounded; the selection is
-    * one two-level per-source rank ([[Packing.rankByHash]] — blocked,
-    * never a |sources|-reducer window) over narrow (id, source, hash)
-    * rows — document payloads join back by id downstream.
+    * one per-source rank ([[Packing.rankByHash]] — adaptively
+    * blocked at volume, so the |sources|-reducer funnel never appears
+    * at scale) over narrow (id, source, hash) rows — document
+    * payloads join back by id downstream.
     * @return (id, source, pos) — pos is the doc's seeded rank within
     *         its source (0-based, dense over the selected set). */
   def temperatureSample(
@@ -217,9 +218,9 @@ object Sampling {
     }
     val h = portable_hash(repeat(
       concat(lit(s"$seed:"), col("id").cast("string"), lit(";")), 3))
-    // per-source rank via Packing's two-level form (hash-range blocks
-    // + broadcast offsets): a plain per-source window funnels the
-    // corpus through |sources| reducer tasks at scale
+    // per-source rank via Packing's adaptive form: a plain per-source
+    // window funnels the corpus through |sources| reducer tasks at
+    // scale, so big inputs take the hash-range-blocked two-level path
     Packing.rankByHash(
       docs
         .select(col(idCol).cast("long").as("id"),

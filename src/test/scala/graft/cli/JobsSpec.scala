@@ -265,6 +265,28 @@ class JobsSpec extends SparkSpec {
     assert(rows(spans) === rows(expect))
   }
 
+  test("pack-tokens --binpack-out: bin assignment matches the operator over the CLI's own tokenization") {
+    val dir = Files.createTempDirectory("graft-pack-bin").toString
+    val docs = (0L until 30L).map(i =>
+      (i, (0 until ((i % 12) + 1).toInt)
+        .map(j => s"w${(i * 7 + j) % 90}").mkString(" "), "web"))
+      .toDF("doc_id", "text", "source")
+    docs.write.parquet(s"$dir/docs")
+    Jobs.runPackTokens(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/shards",
+      "--context-len", "8", "--n-shards", "2",
+      "--binpack-out", s"$dir/bins", "--binpack-seed", "11")))
+    val bins = spark.read.parquet(s"$dir/bins")
+    val tok = docs.select(col("doc_id").as("id"),
+      expr("transform(filter(split(text, ' '), w -> w <> ''), " +
+        "w -> CAST(pmod(xxhash64(w), 65536L) AS INT))").as("ids"))
+    val expect = graft.operators.Packing.binPackByLength(
+      tok.select(col("id"), size(col("ids")).cast("long").as("n")),
+      col("id"), col("n"), contextLen = 8, nShards = 2, seed = 11L)
+    assert(bins.count() > 0)
+    assert(rows(bins) === rows(expect))
+  }
+
   test("catalog T/X/Y-name indirection normalizes staged coordinates") {
     import graft.etl.GridmetPipeline
     val g = Seq((Timestamp.valueOf("2021-01-01 00:00:00"), 40.0, -100.0, 1.0))

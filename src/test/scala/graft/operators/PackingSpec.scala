@@ -370,6 +370,7 @@ class PackingSpec extends SparkSpec {
         toks, col("id"), col("ids"), contextLen = 6)
     ).map(rows)
     val blocked = withConfs(
+      "spark.graft.pack.twoLevelRank" -> "true",
       "spark.graft.pack.rankBlocks" -> "11",
       "spark.graft.pack.posBlock" -> "7")(all())
     val flat = withConfs(
@@ -378,5 +379,81 @@ class PackingSpec extends SparkSpec {
       assert(b === f, s"operator $i diverged between rank forms")
       assert(b.nonEmpty, s"operator $i returned nothing")
     }
+  }
+
+  test("binPackByLength: whole docs only, homogeneous bins, dense numbering, padding bound") {
+    val ctx = 16
+    // lengths 0..24: empties (excluded), truncations (> ctx), and a
+    // spread of lengths that exercises cap values 1, 2, 3, 4, 8, 16
+    val docsDf = (0L until 400L).map(i => (i, (i * 13 % 25)))
+      .toDF("id", "n_tokens")
+    val out = Packing.binPackByLength(docsDf, col("id"), col("n_tokens"),
+        contextLen = ctx, nShards = 3, seed = 7L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val expected = (0L until 400L).map(i => (i, i * 13 % 25))
+      .filter(_._2 > 0)
+    assert(out.map(_._1).sorted === expected.map(_._1).sorted,
+      "every non-empty doc packed exactly once")
+    out.foreach { case (id, _, len, trunc, _, slot, off) =>
+      val n = id * 13 % 25
+      assert(len === math.min(n, ctx.toLong), s"doc $id len")
+      assert(trunc === (n > ctx), s"doc $id truncated flag")
+      assert(off === slot * len, s"doc $id bin_off")
+    }
+    // bins are homogeneous in length, hold <= floor(ctx/len) docs
+    // with dense slots, and never exceed the context
+    out.groupBy(b => (b._2, b._5)).foreach { case ((sh, bin), ds) =>
+      val lens = ds.map(_._3).distinct
+      assert(lens.length === 1, s"bin ($sh,$bin) mixes lengths")
+      val cap = ctx / lens.head
+      assert(ds.length <= cap && lens.head * ds.length <= ctx,
+        s"bin ($sh,$bin) overfull")
+      assert(ds.map(_._6).sorted === (0L until ds.length).toSeq,
+        s"bin ($sh,$bin) slots not dense")
+    }
+    // per-shard bin ids are dense from 0
+    out.groupBy(_._2).foreach { case (sh, ds) =>
+      val bins = ds.map(_._5).distinct.sorted
+      assert(bins === (0L until bins.length).toSeq,
+        s"shard $sh bins not dense")
+    }
+  }
+
+  test("rank form is chosen adaptively by input size (plan inspection, no execution)") {
+    // both forms are bit-identical, so the choice is a pure plan
+    // decision: a small corpus must get the naive window (no extra
+    // scan/broadcast — the sf0.1 bench rows measured the blocked
+    // form 2.5-4x slower there), a large one the blocked form. The
+    // discriminator in the plan: only the two-level form contains a
+    // join (the broadcast block-offsets side table).
+    def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      Packing.rankByHash(df.withColumn("__h",
+        graft.functions.PortableHash.portable_hash(
+          col("id").cast("string"))), "source", "r")
+    val small = (0L until 100L).map(i => (i, s"src${i % 3}"))
+      .toDF("id", "source")
+    assert(!hasJoin(ranked(small)),
+      "small input must take the naive window")
+    // 100M-row range: stats-only, the plan is inspected, never run
+    val big = spark.range(100000000L).select(col("id"),
+      concat(lit("src"), pmod(col("id"), lit(3L)).cast("string"))
+        .as("source"))
+    assert(hasJoin(ranked(big)),
+      "large input must take the two-level form")
+    // explicit conf overrides the size heuristic in both directions
+    spark.conf.set("spark.graft.pack.twoLevelRank", "true")
+    try assert(hasJoin(ranked(small)),
+      "conf=true must force the two-level form")
+    finally spark.conf.unset("spark.graft.pack.twoLevelRank")
+    spark.conf.set("spark.graft.pack.twoLevelRank", "false")
+    try assert(!hasJoin(ranked(big)),
+      "conf=false must force the naive window")
+    finally spark.conf.unset("spark.graft.pack.twoLevelRank")
   }
 }
