@@ -2190,6 +2190,20 @@ object SparkEntry {
           col("truncated"), col("bin"), col("slot"), col("bin_off"))
     }),
 
+    // ---- leakage-safe split: q73's hash split keyed on the q43
+    // dup-cluster canonical id, so near-duplicates of a training doc
+    // can never land in val/test (the contamination mode a per-doc
+    // split invites) — the split-after-dedup step corpus pipelines
+    // run; the aggregate proves whole clusters move together ----
+    "q125_leakage_safe_split" -> ((s, dir) =>
+      graft.operators.Sampling.leakageSafeSplit(docs(s, dir),
+          col("doc_id"), dupClusters(s, dir),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canon_id")).as("n_clusters"),
+          sum(length(col("text")).cast("long")).as("chars"))),
+
     // ---- TEMPERATURE (power-law) source sampling — the mT5/XLM-R
     // reweighting: each source contributes floor(k · C_s^0.5) docs in
     // the seeded permutation order, flattening source imbalance (the
@@ -3331,6 +3345,32 @@ object SparkEntry {
          |  CAST((rk.r % rk.cap) * rk.len AS BIGINT) AS bin_off
          |FROM rk JOIN offs USING (shard, len)""".stripMargin
     },
+
+    // q125: the q43 transitive closure labels every doc with its
+    // cluster's canonical id; the q73 bucket rule then cuts on
+    // hash(canon_id) — whole clusters share a bucket by construction.
+    "q125_leakage_safe_split" ->
+      s"""WITH RECURSIVE $dupPairsSqlCtes,
+        |edges AS (SELECT a_id AS x, b_id AS y FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+        |  WHERE e.y <> r.x),
+        |lab AS (SELECT x AS doc_id, least(min(y), x) AS canon_id
+        |        FROM reach GROUP BY x),
+        |lab2 AS (SELECT d.doc_id, length(d.text) AS chars,
+        |         coalesce(l.canon_id, d.doc_id) AS canon_id
+        |         FROM documents d LEFT JOIN lab l USING (doc_id)),
+        |b AS (SELECT doc_id, chars, canon_id,
+        |    ${hashSql("CAST(canon_id AS VARCHAR)")} % 100 AS bk
+        |  FROM lab2)
+        |SELECT CASE WHEN bk < 80 THEN 'train'
+        |            WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, count(DISTINCT canon_id) AS n_clusters,
+        |  CAST(sum(chars) AS BIGINT) AS chars
+        |FROM b GROUP BY 1""".stripMargin,
 
     // q117: the temperature-sampling construction replayed — the
     // seeded permutation key, per-source sqrt quotas (no cross-source

@@ -253,4 +253,34 @@ object Sampling {
       }
     df.withColumn("split", label)
   }
+
+  /** LEAKAGE-SAFE train/val/test split — [[hashSplit]] keyed on the
+    * near-dup CLUSTER rather than the document: every member of a
+    * duplicate cluster hashes through its `canon_id`, so near-copies
+    * of a training document can never land in val/test (the
+    * contamination mode a per-doc split invites the moment the corpus
+    * contains duplicates — the reason corpus pipelines split AFTER
+    * dedup clustering, on the cluster). Same stability properties as
+    * [[hashSplit]]: membership is a computed column of `canon_id`,
+    * so growing a cluster never moves it between splits.
+    *
+    * Scale shape: one equi-join of docs against the O(V) label table
+    * (`clusters` is [[Dedup.duplicateClusters]] output — doc_id,
+    * canon_id, ...), then per-row arithmetic; no shuffle beyond the
+    * join. Docs absent from `clusters` are their own singleton
+    * cluster (canon_id = doc_id), matching duplicateClusters'
+    * coalesce rule.
+    * @return df plus `canon_id` and `split` columns. */
+  def leakageSafeSplit(
+      df: DataFrame, idCol: Column, clusters: DataFrame,
+      splits: Seq[(String, Int)]): DataFrame = {
+    val lab = clusters.select(col("doc_id").cast("long").as("__lss_id"),
+      col("canon_id").cast("long").as("canon_id"))
+    val joined = df
+      .join(lab, idCol.cast("long") === col("__lss_id"), "left")
+      .drop("__lss_id")
+      .withColumn("canon_id",
+        coalesce(col("canon_id"), idCol.cast("long")))
+    hashSplit(joined, col("canon_id"), splits)
+  }
 }

@@ -226,4 +226,35 @@ class ClusterSamplingSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain")) // bloom predicate reached the scan side
   }
+
+  test("leakageSafeSplit: whole clusters move together; singletons match hashSplit") {
+    val docs = (1L to 200L).toDF("doc_id")
+    // clusters: {1..5}, {10,11}, everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val clusters = Dedup.duplicateClusters(docs, "doc_id", pairs)
+    val out = Sampling.leakageSafeSplit(docs, col("doc_id"), clusters,
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+    val byDoc = out.select($"doc_id", $"canon_id", $"split")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(byDoc.size === 200, "exhaustive, one split per doc")
+    // the leakage property: every cluster lands entirely in ONE split
+    assert(byDoc.values.groupBy(_._1).forall(_._2.map(_._2).toSet.size == 1),
+      "a cluster straddles splits")
+    assert((1L to 5L).map(byDoc(_)).distinct.size === 1)
+    assert(byDoc(10L) === byDoc(11L))
+    // singletons (not in any pair) split exactly as plain hashSplit
+    val plain = Sampling.hashSplit(docs, col("doc_id"),
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Set(1L, 2L, 3L, 4L, 5L, 10L, 11L)
+    (1L to 200L).filterNot(clustered).foreach { id =>
+      assert(byDoc(id)._2 === plain(id), s"singleton $id diverges")
+    }
+    // deterministic across invocations
+    val again = Sampling.leakageSafeSplit(docs, col("doc_id"), clusters,
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+    assert(rows(out) === rows(again))
+  }
 }
