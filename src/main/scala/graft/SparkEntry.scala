@@ -2204,6 +2204,22 @@ object SparkEntry {
           countDistinct(col("canon_id")).as("n_clusters"),
           sum(length(col("text")).cast("long")).as("chars"))),
 
+    // ---- TOKEN-BUDGET data selection: keep the highest-quality docs
+    // (q20's rounded score, strict (quality desc, doc_id) order) while
+    // the cumulative token count stays within the budget — "the best B
+    // tokens", computed two-level (quantized-score block sums +
+    // broadcast prefix), never one all-rows window ----
+    "q126_token_budget_select" -> ((s, dir) => {
+      val st = graft.functions.TextKernels.text_stats(col("text"),
+        TextFunctions.LangProfiles("en"))
+      graft.operators.Sampling.selectByTokenBudget(
+          docs(s, dir).select(col("doc_id"),
+            st.getField("ws_tokens").as("n"), st.getField("quality").as("q")),
+          col("doc_id"), col("q"), col("n"), budget = 12000L)
+        .select(col("id").as("doc_id"), col("score").as("quality"),
+          col("n_tokens"), col("cum_tokens"))
+    }),
+
     // ---- TEMPERATURE (power-law) source sampling — the mT5/XLM-R
     // reweighting: each source contributes floor(k · C_s^0.5) docs in
     // the seeded permutation order, flattening source imbalance (the
@@ -3371,6 +3387,30 @@ object SparkEntry {
         |  count(*) AS n_docs, count(DISTINCT canon_id) AS n_clusters,
         |  CAST(sum(chars) AS BIGINT) AS chars
         |FROM b GROUP BY 1""".stripMargin,
+
+    // q126: the q20 quality formula feeds a plain global cumulative
+    // window (the oracle-side form of the engine's two-level sum —
+    // identical because the quantization is lossless and ties break
+    // by doc_id in both).
+    "q126_token_budget_select" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      val meanLen = r6("(length(text) - (CAST(len(t) AS DOUBLE) - 1))/len(t)")
+      val stopR = r6("CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t)")
+      s"""WITH q AS (SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    ${r6(s"""0.4 * least(CAST(len(t) AS DOUBLE)/200.0, 1.0)
+         |        + 0.3 * least($meanLen/8.0, 1.0)
+         |        + 0.3 * least($stopR*5.0, 1.0)""")} AS quality
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+         |        FROM documents)),
+         |c AS (SELECT doc_id, quality, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, quality, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 12000""".stripMargin
+    },
 
     // q117: the temperature-sampling construction replayed — the
     // seeded permutation key, per-source sqrt quotas (no cross-source

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash.portable_hash
 
@@ -282,5 +283,57 @@ object Sampling {
       .withColumn("canon_id",
         coalesce(col("canon_id"), idCol.cast("long")))
     hashSplit(joined, col("canon_id"), splits)
+  }
+
+  /** TOKEN-BUDGET DATA SELECTION — keep the highest-scoring documents
+    * until a token budget fills (the DCLM/FineWeb-style selection step:
+    * "train on the best B tokens", not "the best p %"): docs ordered by
+    * (score DESC, id ASC — a strict total order), selected while the
+    * cumulative token count stays ≤ `budget` (inclusive; the first doc
+    * that would overflow is dropped, as are all below it).
+    *
+    * The global running sum is computed TWO-LEVEL, never as one
+    * all-rows window (a single-reducer sort of the corpus):
+    *  1. block = floor(score · 10⁶) — monotone in score, so block
+    *     order refines to the global order; scores live in [0, 1]
+    *     rounded to 6 dp ([[graft.functions.TextFunctions.qualityScore]]),
+    *     making the quantization LOSSLESS (block ⇔ score) and the
+    *     block-aggregate table ≤ 10⁶+1 rows regardless of corpus size;
+    *  2. per-block token sums prefix-sum over the ASCENDING-block
+    *     window on that bounded table (higher blocks first in the
+    *     global order ⇒ offset = Σ tokens of strictly-higher blocks),
+    *     broadcast back;
+    *  3. within-block running sum via a window PARTITIONED by block —
+    *     rows per reducer bounded by the largest score tie-class, not
+    *     the corpus.
+    * All arithmetic is exact longs; ties break by id, so the selected
+    * SET is bit-stable across engines and layouts.
+    *
+    * @param scoreCol  double in [0, 1], 6-dp-rounded (quantization
+    *                  must be lossless for cross-engine identity)
+    * @return (id, score, n_tokens, cum_tokens) for selected docs —
+    *         cum_tokens the inclusive global running total. */
+  def selectByTokenBudget(
+      docs: DataFrame, idCol: Column, scoreCol: Column,
+      nTokensCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val base = docs.select(idCol.cast("long").as("id"),
+        scoreCol.cast("double").as("score"),
+        nTokensCol.cast("long").as("n_tokens"))
+      .withColumn("__blk", floor(col("score") * lit(1000000L)).cast("long"))
+    val wOff = Window.orderBy(col("__blk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy(col("__blk"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__boff", coalesce(sum(col("__bt")).over(wOff), lit(0L)))
+      .select(col("__blk"), col("__boff"))
+    val wCum = Window.partitionBy(col("__blk"))
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offs), Seq("__blk"))
+      .withColumn("cum_tokens",
+        col("__boff") + sum(col("n_tokens")).over(wCum))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("id"), col("score"), col("n_tokens"), col("cum_tokens"))
   }
 }

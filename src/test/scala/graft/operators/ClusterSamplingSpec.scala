@@ -257,4 +257,50 @@ class ClusterSamplingSpec extends SparkSpec {
       Seq(("train", 80), ("val", 10), ("test", 10)))
     assert(rows(out) === rows(again))
   }
+
+  test("selectByTokenBudget equals the brute-force prefix; boundary doc excluded") {
+    // deterministic pseudo-random scores/lengths with heavy ties (the
+    // case the block quantization + within-block window must order)
+    val rows0 = (1L to 300L).map { i =>
+      (i, math.floor((i * 37 % 11) / 10.0 * 1e6) / 1e6, (i * 13 % 40) + 1)
+    }
+    val df = rows0.toDF("id", "score", "n")
+    val budget = 3000L
+    val got = Sampling.selectByTokenBudget(df, col("id"), col("score"),
+        col("n"), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // brute force: sort by (score desc, id), inclusive prefix <= budget
+    var cum = 0L
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    rows0.sortBy { case (i, s, _) => (-s, i) }.foreach { case (i, _, n) =>
+      cum += n
+      if (cum <= budget) want(i) = cum
+    }
+    assert(got === want.toMap)
+    // the first doc past the budget is excluded even if a later
+    // (smaller) doc would still fit: the selection is a strict prefix
+    val ids = rows0.sortBy { case (i, s, _) => (-s, i) }.map(_._1)
+    val firstOut = ids.find(!got.contains(_)).get
+    assert(ids.dropWhile(got.contains).forall(!got.contains(_)),
+      "selection is not a prefix")
+    assert(firstOut > 0)
+    // scale shape: no window over the whole corpus without a partition
+    // key — every corpus-sized Window node must carry partitionBy
+    val plan = Sampling.selectByTokenBudget(df, col("id"), col("score"),
+      col("n"), budget).queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "within-block window must be partitioned")
+    // the only unpartitioned window runs over the block AGGREGATE
+    // (bounded rows), never over the raw corpus: its child must
+    // contain an Aggregate
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val agg = w.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(agg.nonEmpty, "unpartitioned window not over the block aggregate")
+    }
+  }
 }
