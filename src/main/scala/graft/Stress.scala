@@ -726,6 +726,37 @@ object Stress {
             mix = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
             epochs = 2))()
         }), n * 2)
+      }),
+      Scenario("binpack_by_length", sp => {
+        // q124's SFT layout at corpus volume: 50M docs, lengths 1..2400
+        // against a 2048 context (~15% truncated — the one hot length
+        // class a real SFT corpus has), through the forced two-level
+        // rank — the corpus-sized wire is the narrow (id, len, h)
+        // metadata; the bin-offset side table stays ≤ nShards·ctx rows.
+        val n = s(50000000L)
+        val d = sp.range(n).select(col("id"),
+          (pmod(col("id") * 37L, lit(2400L)) + 1L).as("n_tokens"))
+        (restoringConfs(sp, Seq("spark.graft.pack.twoLevelRank"))(() => {
+          sp.conf.set("spark.graft.pack.twoLevelRank", "true")
+          sink(graft.operators.Packing.binPackByLength(d, col("id"),
+            col("n_tokens"), contextLen = 2048, nShards = 16, seed = 7L))()
+        }), n)
+      }),
+      Scenario("token_budget_select", sp => {
+        // q126's best-B-tokens selection at corpus volume: 100M docs
+        // whose scores span the FULL 10^6 quantization range (the
+        // worst case for the block-aggregate side table — every block
+        // occupied) with ~100 ties per block; budget = ~half the
+        // corpus tokens. The corpus-sized exchanges are one block
+        // aggregate + one block-partitioned window over narrow rows.
+        val n = s(100000000L)
+        val d = sp.range(n).select(col("id"),
+          (pmod(col("id") * 37L, lit(1000001L)).cast("double") / 1e6)
+            .as("score"),
+          (pmod(col("id") * 13L, lit(40L)) + 1L).as("n_tokens"))
+        (sink(graft.operators.Sampling.selectByTokenBudget(
+          d, col("id"), col("score"), col("n_tokens"),
+          budget = math.max(1L, n / 2 * 20))), n)
       }))
   }
 

@@ -190,7 +190,7 @@ object Packing {
     }
 
   private[operators] def rankByHash(df: DataFrame, groupCol: String,
-      rankName: String): DataFrame = {
+      rankName: String, blocksHint: Option[Long] = None): DataFrame = {
     val twoLevel = useTwoLevel(df)
     if (!twoLevel) {
       val w = Window.partitionBy(col(groupCol))
@@ -198,9 +198,17 @@ object Packing {
       return df.withColumn(rankName,
         row_number().over(w).cast("long") - 1)
     }
+    // block-count resolution: explicit conf > caller's hint > default.
+    // The hint exists for callers that KNOW their group cardinality
+    // (binPackByLength's nShards·ctx length classes): the offsets
+    // table is O(groups × blocks), and at the default 1024 blocks a
+    // many-small-groups caller turns the offsets aggregate into a
+    // corpus-sized hash-agg (measured: 4.6 GB deterministic map-side
+    // fallback spill at the 50M-doc binpack envelope). Rank values do
+    // not depend on the block count — any choice is bit-identical.
     val nBlocks = df.sparkSession.conf
       .getOption("spark.graft.pack.rankBlocks")
-      .map(_.toLong).getOrElse(RankBlocks)
+      .map(_.toLong).orElse(blocksHint).getOrElse(RankBlocks)
     val width = (HashMod + nBlocks - 1) / nBlocks
     val withB = df.withColumn("__rb",
       (col("__h") / width).cast("long"))
@@ -212,7 +220,16 @@ object Packing {
       .select(col(groupCol), col("__rb"), col("__roff"))
     val wLoc = Window.partitionBy(col(groupCol), col("__rb"))
       .orderBy(col("__h"), col("id"))
-    withB.join(broadcast(offs), Seq(groupCol, "__rb"))
+    // NO broadcast hint on the offsets side: its row count is the
+    // number of DISTINCT (group, block) pairs present — tiny for few
+    // large groups (the q115/q117 shape), but approaching the corpus
+    // size for many small groups (q124's nShards×lengths classes,
+    // where ~every group touches ~every block). A forced broadcast of
+    // that table spills every task (measured: 4.6 GB spill / 3.3 GB
+    // peak task mem at the 50M-doc binpack envelope); left to AQE it
+    // broadcasts exactly when small and sort-merge-joins otherwise —
+    // both sides already hash-partition on (group, block).
+    withB.join(offs, Seq(groupCol, "__rb"))
       .withColumn(rankName,
         col("__roff") + row_number().over(wLoc).cast("long") - 1)
       .drop("__rb", "__roff")
@@ -689,7 +706,14 @@ object Packing {
       .withColumn("__h", h)
       .withColumn("__g", concat(col("shard").cast("string"), lit("~"),
         col("len").cast("string")))
-    val ranked = rankByHash(base, "__g", "__r")
+    // block hint: the rank's group cardinality is KNOWN here
+    // (≤ nShards·ctx length classes), so size the hash-block count to
+    // keep the offsets table ≈ 2M rows — still splitting a hot class
+    // (the len == ctx truncation bucket) across blocks, without the
+    // default 1024 blocks turning the offsets aggregate corpus-sized
+    val blocks = math.max(8L,
+      math.min(RankBlocks, 2000000L / math.max(1L, nShards.toLong * ctx)))
+    val ranked = rankByHash(base, "__g", "__r", blocksHint = Some(blocks))
       .withColumn("cap", expr(s"${ctx}L DIV len"))
     // dense per-shard bin numbering: nbins per (shard, len) is a
     // <= nShards*contextLen-row aggregate; prefix-sum by ascending len
