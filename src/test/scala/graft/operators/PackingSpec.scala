@@ -367,7 +367,10 @@ class PackingSpec extends SparkSpec {
         toks, col("id"), col("ids"), contextLen = 6),
       Packing.chunkDocBoundaries(
         Packing.shuffleShards(docs, "doc_id", "source", 7L, 4, mix),
-        toks, col("id"), col("ids"), contextLen = 6)
+        toks, col("id"), col("ids"), contextLen = 6),
+      Packing.binPackByLength(
+        toks.select(col("id"), size(col("ids")).cast("long").as("n")),
+        col("id"), col("n"), contextLen = 6, nShards = 4, seed = 7L)
     ).map(rows)
     val blocked = withConfs(
       "spark.graft.pack.twoLevelRank" -> "true",
