@@ -32,6 +32,9 @@ import graft.sinks.Sinks
   *     w.csv --fid nhru_v1_1 --output-path out/ --checkpoint-path ckpt/
   *     [--published-through yyyy-mm-dd] [--vars a,b,c] [--partial]
   *     [--weight-join auto|broadcast|sort-merge|tiled:WxH]
+  *   graft.cli.Jobs select-corpus --input-path docs/ --output-path out/
+  *     [--budget N] [--splits train=80,val=10,test=10]
+  *     [--clusters labels/] [--id-col doc_id --text-col text]
   *   graft.cli.Jobs pack-tokens --input-path docs/ --output-path out/
   *     [--context-len 512] [--n-shards 8] [--bpe-vocab v --bpe-merges m]
   *     [--shuffle-seed S --mix src0=0.5,src1=0.25
@@ -331,6 +334,51 @@ object Jobs {
     * the [[graft.functions.Bpe]] codegen kernel — the shards carry
     * actual BPE ids; without them it falls back to the whitespace
     * hash-bucket stub (plumbing-only runs). */
+  /** CORPUS SELECTION job — the curation step between `dedup-admit`
+    * and `pack-tokens`: score every document with the q20 quality
+    * formula, optionally keep only the best `--budget` tokens
+    * ([[graft.operators.Sampling.selectByTokenBudget]], q126), then
+    * assign train/val/test membership — leakage-safe through a
+    * dup-cluster label table (`--clusters`, the
+    * [[graft.operators.Dedup.duplicateClusters]] output; q125) when
+    * one is given, plain per-doc hash buckets (q73) otherwise.
+    * Output: the selected docs plus (quality, n_tokens, split[,
+    * canon_id]) columns. */
+  def runSelectCorpus(spark: SparkSession, a: Args): String = {
+    val docs = spark.read.parquet(a("input-path"))
+    val idCol = a.get("id-col").getOrElse("doc_id")
+    val textCol = a.get("text-col").getOrElse("text")
+    val st = graft.functions.TextKernels.text_stats(col(textCol),
+      graft.functions.TextFunctions.LangProfiles("en"))
+    val scored = docs
+      .withColumn("quality", st.getField("quality"))
+      .withColumn("n_tokens", st.getField("ws_tokens").cast("long"))
+    val kept = a.get("budget").map(_.toLong) match {
+      case Some(b) =>
+        val sel = graft.operators.Sampling.selectByTokenBudget(
+          scored, col(idCol), col("quality"), col("n_tokens"), b)
+        scored.join(sel.select(col("id").as("__sel_id")),
+            col(idCol).cast("long") === col("__sel_id"), "left_semi")
+      case None => scored
+    }
+    val splits = a.get("splits")
+      .getOrElse("train=80,val=10,test=10").split(",").toSeq
+      .map(_.split("=") match {
+        case Array(n, p) => (n.trim, p.trim.toInt)
+        case other => throw new IllegalArgumentException(
+          s"bad --splits entry: ${other.mkString("=")}")
+      })
+    val out = a("output-path")
+    val labeled = a.get("clusters") match {
+      case Some(cp) => graft.operators.Sampling.leakageSafeSplit(
+        kept, col(idCol), spark.read.parquet(cp), splits)
+      case None => graft.operators.Sampling.hashSplit(
+        kept, col(idCol), splits)
+    }
+    labeled.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    out
+  }
+
   def runPackTokens(spark: SparkSession, a: Args): String = {
     val docs = spark.read.parquet(a("input-path"))
     val idCol = a.get("id-col").getOrElse("doc_id")
@@ -442,7 +490,7 @@ object Jobs {
   def main(argv: Array[String]): Unit = {
     require(argv.nonEmpty,
       "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf | " +
-        "daily-etl | dedup-admit | pack-tokens")
+        "daily-etl | dedup-admit | select-corpus | pack-tokens")
     val a = parseArgs(argv.tail.toSeq)
     val spark = session()
     try {
@@ -452,6 +500,7 @@ object Jobs {
         case "stage-netcdf" => runStageNetcdf(spark, a)
         case "daily-etl" => runDailyEtl(spark, a)
         case "dedup-admit" => runDedupAdmit(spark, a)
+        case "select-corpus" => runSelectCorpus(spark, a)
         case "pack-tokens" => runPackTokens(spark, a)
         case other => sys.error(s"unknown subcommand: $other")
       }

@@ -287,6 +287,41 @@ class JobsSpec extends SparkSpec {
     assert(rows(bins) === rows(expect))
   }
 
+  test("select-corpus: budget + cluster-keyed split matches the operator composition") {
+    val dir = Files.createTempDirectory("graft-select").toString
+    val docs = (0L until 60L).map(i =>
+      (i, (0 until ((i % 15) + 2).toInt)
+        .map(j => if (j % 3 == 0) "the" else s"w${(i * 7 + j) % 90}")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/docs")
+    val clusters = graft.operators.Dedup.duplicateClusters(docs, "doc_id",
+      Seq((1L, 2L), (2L, 3L), (40L, 41L)).toDF("a_id", "b_id"))
+    clusters.write.parquet(s"$dir/clusters")
+    Jobs.runSelectCorpus(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/out",
+      "--budget", "300", "--clusters", s"$dir/clusters",
+      "--splits", "train=90,test=10")))
+    val got = spark.read.parquet(s"$dir/out")
+    // expected: score+count, budget-select, leakage-safe split
+    val st = graft.functions.TextKernels.text_stats(col("text"),
+      graft.functions.TextFunctions.LangProfiles("en"))
+    val scored = docs.withColumn("quality", st.getField("quality"))
+      .withColumn("n_tokens", st.getField("ws_tokens").cast("long"))
+    val sel = graft.operators.Sampling.selectByTokenBudget(
+      scored, col("doc_id"), col("quality"), col("n_tokens"), 300L)
+    val expect = graft.operators.Sampling.leakageSafeSplit(
+      scored.join(sel.select(col("id")),
+        col("doc_id") === col("id"), "left_semi"),
+      col("doc_id"), clusters, Seq(("train", 90), ("test", 10)))
+    assert(got.count() > 0 && got.count() < 60)
+    assert(rows(got) === rows(expect))
+    // split column present and clusters unsplit
+    val byCanon = got.select($"canon_id", $"split").distinct().collect()
+      .groupBy(_.getLong(0))
+    assert(byCanon.values.forall(_.length == 1))
+  }
+
   test("catalog T/X/Y-name indirection normalizes staged coordinates") {
     import graft.etl.GridmetPipeline
     val g = Seq((Timestamp.valueOf("2021-01-01 00:00:00"), 40.0, -100.0, 1.0))
