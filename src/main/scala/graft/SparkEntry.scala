@@ -650,7 +650,11 @@ object SparkEntry {
 
   /** q36's oracle body — IVF-probed cosine top-5 (same query set,
     * same 6dp cosine as [[bruteCosineTopKSql]]); shared with q85. */
-  private def ivfCosineTopKSql: String =
+  private def ivfCosineTopKSql: String = ivfCosineTopKSql(5)
+
+  /** As above with a parametric fetch depth — q128's over-fetch
+    * candidate stage reuses the whole probe chain at rank ≤ `fetch`. */
+  private def ivfCosineTopKSql(fetch: Int): String =
     s"""WITH ea AS MATERIALIZED (SELECT vec_id AS id,
        |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -681,7 +685,7 @@ object SparkEntry {
        |SELECT q_id, n_id, sim, rank FROM (
        |  SELECT q_id, n_id, sim,
        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
-       |  FROM sc) WHERE rank <= 5""".stripMargin
+       |  FROM sc) WHERE rank <= $fetch""".stripMargin
 
   /** q89's oracle body — Gram + covariance over the 64-dim embedding
     * corpus (round6 products, DECIMAL sums); a def so q92's power
@@ -1224,6 +1228,27 @@ object SparkEntry {
         Similarity.ivfTopK(e, q, k = 5, ivfArtifact(s, dir), nProbe = 4,
           idCol = "vec_id", vecCol = "embedding"),
         k = 5)
+    }),
+
+    // ---- hard-negative mining (contrastive/retrieval training):
+    // per query the top-5 most-similar vectors with a DIFFERENT
+    // label, capped at sim <= 0.999 (the false-negative denoising
+    // rule). Exact form (the verifier); q128 is the IVF scale path ----
+    "q127_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 8), k = 5,
+        posCol = "label", maxSim = 0.999)
+    }),
+
+    // ---- the same mining through the shared IVF artifact with
+    // over-fetch 15 then post-filter — the production shape (FAISS
+    // top-(k+m), filter, re-rank); deterministic, so its recall loss
+    // vs q127 is itself oracle-replayed ----
+    "q128_hard_negatives_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.hardNegativesIvf(e, e.filter(col("vec_id") < 8), k = 5,
+        ivfArtifact(s, dir), nProbe = 4, overFetch = 15,
+        posCol = "label", maxSim = 0.999)
     }),
 
     // ---- semi / anti joins ----
@@ -2679,6 +2704,45 @@ object SparkEntry {
     },
 
     "q21_ann_cosine_topk" -> bruteCosineTopKSql,
+
+    // q127: the q21 brute-force scan with the two mining filters
+    // below the ranking window — different label, sim capped at the
+    // denoising bound.
+    "q127_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS ql
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, embedding AS cv, label AS nl
+        |      FROM embeddings),
+        |s AS (SELECT q_id, n_id,
+        |  round(
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv)+1),
+        |      zi -> CAST(qv[zi] AS DOUBLE) * CAST(cv[zi] AS DOUBLE))), (a, x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv)+1),
+        |         zi -> CAST(qv[zi] AS DOUBLE) * CAST(qv[zi] AS DOUBLE))), (a, x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(cv)+1),
+        |         zi -> CAST(cv[zi] AS DOUBLE) * CAST(cv[zi] AS DOUBLE))), (a, x) -> a + x))), 6) AS sim
+        |  FROM q CROSS JOIN c WHERE q_id <> n_id AND ql <> nl)
+        |SELECT q_id, n_id, sim, rank FROM (
+        |  SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |  FROM s WHERE sim <= 0.999) WHERE rank <= 5""".stripMargin,
+
+    // q128: the q36 probe chain over-fetched to 20, labels joined
+    // back, positives and the sim band dropped, survivors re-ranked
+    // to 5 — the production miner replayed end to end, recall loss
+    // included.
+    "q128_hard_negatives_ivf" ->
+      s"""WITH approx AS (${ivfCosineTopKSql(20)}),
+        |lab AS (SELECT vec_id, label FROM embeddings)
+        |SELECT q_id, n_id, sim, rank FROM (
+        |  SELECT a.q_id, a.n_id, a.sim,
+        |    row_number() OVER (PARTITION BY a.q_id
+        |                       ORDER BY a.sim DESC, a.n_id ASC) AS rank
+        |  FROM approx a
+        |  JOIN lab ql ON ql.vec_id = a.q_id
+        |  JOIN lab nl ON nl.vec_id = a.n_id
+        |  WHERE ql.label <> nl.label AND a.sim <= 0.999)
+        |WHERE rank <= 5""".stripMargin,
 
     // q22: the sign-bit LSH is fully deterministic (integer hyperplane
     // formula + left-fold dots), so the bucketed result has an EXACT

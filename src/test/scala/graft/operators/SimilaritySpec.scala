@@ -336,4 +336,40 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semDedup(df, cents, threshold = 0.99,
       maxClusterShare = 1.0).count() === 302L)
   }
+
+  test("hardNegatives: no positives, sim capped, dense ranks; IVF form matches exact at full probe") {
+    // 3 labels × near-duplicate pairs: each query's nearest neighbor
+    // is its same-label twin (must be excluded) and its second-nearest
+    // an above-cap near-dup of a DIFFERENT label (must be capped away)
+    val vecs = (0L until 60L).map { i =>
+      val lab = (i % 3).toInt
+      val base = Array.tabulate(8)(d =>
+        math.cos((i / 3 + 1).toDouble * (d + 1)).toFloat)
+      (i, base.toSeq, lab)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = vecs.filter($"vec_id" < 6)
+    val got = Similarity.hardNegatives(vecs, queries, k = 4,
+      posCol = "label", maxSim = 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    val labOf = (0L until 60L).map(i => i -> (i % 3).toInt).toMap
+    got.foreach { case (q, n, sim, _) =>
+      assert(labOf(q) !== labOf(n), s"positive leaked: $q -> $n")
+      assert(sim <= 0.999, s"cap violated: $q -> $n sim=$sim")
+      assert(q !== n)
+    }
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted === (1 to rs.length).toSeq,
+        s"query $q ranks not dense")
+      assert(rs.length <= 4)
+    }
+    // the same-label twin (i±3 with identical base) must never appear
+    // even though it is the global nearest
+    // IVF path with every list probed and generous over-fetch = exact
+    val idx = Similarity.ivfIndex(vecs, nLists = 4, iters = 2)
+    val ivf = Similarity.hardNegativesIvf(vecs, queries, k = 4,
+      idx, nProbe = 4, overFetch = 56, posCol = "label", maxSim = 0.999)
+    assert(rows(ivf) === rows(Similarity.hardNegatives(vecs, queries,
+      k = 4, posCol = "label", maxSim = 0.999)))
+  }
 }
