@@ -1105,6 +1105,17 @@ object SparkEntry {
         media(s, dir).filter(length(col("bytes")) > lit(16) + col("n_frames")),
         stride = 2)),
 
+    // ---- multimodal near-dup: perceptual-hash (aHash) image dedup —
+    // 60-bit byte-grid hash per payload (zero shuffle), pigeonhole-
+    // blocked Hamming pairs (lossless recall ≤ maxHamming). Threshold
+    // 10: the byte-level stand-in hash is noisier than a pixel aHash
+    // (near-dup TEXTS shift byte positions), and the oracle replays
+    // the chosen operating point exactly either way ----
+    "q129_media_neardup_phash" -> ((s, dir) =>
+      graft.operators.Multimodal.mediaNearDupPairs(
+        media(s, dir).filter(col("modality") === "image"),
+        maxHamming = 10)),
+
     // ---- embedding-cosine near-duplicate pairs: LSH-bucketed scale
     // path is the CHECKED path (deterministic hyperplanes → exact
     // oracle incl. recall loss); the quadratic exact form verifies it
@@ -2789,6 +2800,25 @@ object SparkEntry {
          |  round(CAST(list_sum(list_transform(range(1, length(text)+1),
          |          mb_i -> ascii(text[mb_i]))) AS DOUBLE) / length(text), 6) AS mean_byte
          |FROM documents""".stripMargin,
+
+    // q129: the 60-bit average-hash replayed — evenly-spaced byte
+    // samples, integer mean threshold (60·b > Σb), brute-force pair
+    // join at hamming <= 10 (the blocked join is lossless by
+    // pigeonhole, so the quadratic form IS its result).
+    "q129_media_neardup_phash" ->
+      """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+        |           WHERE doc_id % 3 = 0 AND length(text) >= 1),
+        |b AS (SELECT media_id, list_transform(range(0, 60),
+        |        i -> ascii(text[CAST(i * length(text) // 60 AS INT) + 1])) AS sb
+        |      FROM m),
+        |h AS (SELECT media_id, CAST(list_sum(list_transform(range(0, 60),
+        |        i -> CASE WHEN 60 * sb[CAST(i AS INT) + 1] > list_sum(sb)
+        |             THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS ph
+        |      FROM b)
+        |SELECT a.media_id AS a_id, b.media_id AS b_id,
+        |       bit_count(xor(a.ph, b.ph)) AS hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 10""".stripMargin,
 
     "q26_frame_sample" ->
       s"""WITH m AS (

@@ -313,14 +313,30 @@ object Dedup {
     * scale plan; widen the signature, not the query, to scale it. */
   def simhashPairsBlocked(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bits: Int = 30): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 30): DataFrame =
+    hammingPairsBlocked(simhashSignatures(docs, idCol, textCol),
+      maxHamming, bits)
+
+  /** Pigeonhole-blocked Hamming near-dup pairs over ARBITRARY integer
+    * signatures `(id, simhash)` — the blocking core shared by
+    * [[simhashPairsBlocked]] (30-bit text simhash) and
+    * [[Multimodal.mediaNearDupPairs]] (60-bit perceptual hash): split
+    * the signature into maxHamming+1 disjoint bit blocks; any pair
+    * within distance maxHamming agrees EXACTLY on ≥1 block
+    * (pigeonhole — lossless recall), so candidates come from an
+    * equi-join on (block index, block key) and the Hamming verify +
+    * first-matching-band dedup ride in the join condition. */
+  def hammingPairsBlocked(
+      sigs: DataFrame, maxHamming: Int, bits: Int): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    require(bits >= maxHamming + 1 && bits <= 63,
+      "bits must be in [maxHamming+1, 63]")
     val nb = maxHamming + 1
     def blockKey(c: Column, j: Int): Column = {
       val lo = j * bits / nb
       val len = (j + 1) * bits / nb - lo
       shiftright(c, lo).bitwiseAND(lit((1L << len) - 1))
     }
-    val sigs = simhashSignatures(docs, idCol, textCol)
     val banded = sigs.select(col("id"), col("simhash"),
         explode(array((0 until nb).map { j =>
           struct(lit(j).as("band"), blockKey(col("simhash"), j).as("key"))

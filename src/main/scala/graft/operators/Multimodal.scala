@@ -183,6 +183,54 @@ object Multimodal {
     length(bytes).as("byte_len"),
     portable_hash(bytes).as("checksum"))
 
+  /** Signature width of [[perceptualHash]]: 60 bits — not the
+    * classic 64 — so the packed value stays strictly positive in any
+    * engine with signed-64 integers (2^63 overflows DuckDB's BIGINT
+    * and flips the Scala Long sign; 60 divides evenly into the 2–6
+    * pigeonhole blocks the pair join uses). */
+  val PHashBits = 60
+
+  /** PERCEPTUAL (average) HASH over a binary payload — the image-dedup
+    * fingerprint (aHash family: sample a fixed grid, threshold each
+    * sample against the sample mean; near-identical payloads differ in
+    * few bits). Adapted to the opaque-binary column model: the "grid"
+    * is [[PHashBits]] byte positions evenly spaced over the payload
+    * (`pos_i = i·len DIV 60` — scale-invariant, so a payload and a
+    * lightly-edited copy sample ~the same content), and the threshold
+    * compare is INTEGER (`60·b_i > Σb` ⟺ `b_i > mean` — no FP, so the
+    * bit pattern replays exactly in any engine). Pure codegen
+    * projections (substr/hex/conv) — zero shuffle, the payload never
+    * leaves its scan. A real deployment swaps this column for a
+    * decoded-pixel aHash behind the same signature; every downstream
+    * step (the blocked pair join, clustering) is unchanged. */
+  def perceptualHash(bytes: Column): Column = {
+    val n = length(bytes).cast("long")
+    def byteAt(i: Int): Column = conv(
+      hex(bytes.substr(((lit(i.toLong) * n / lit(60L)).cast("long") + 1L)
+        .cast("int"), lit(1))), 16, 10).cast("long")
+    val samples = (0 until PHashBits).map(byteAt)
+    val total = samples.reduce(_ + _)
+    samples.zipWithIndex.map { case (s, i) =>
+      when(s * lit(PHashBits.toLong) > total, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Perceptual-hash NEAR-DUPLICATE pairs over a media table — image
+    * dedup as the text operators do it: per-row [[perceptualHash]]
+    * (zero shuffle), then [[Dedup.hammingPairsBlocked]]'s pigeonhole
+    * equi-join (lossless recall at ≤ maxHamming; the only exchange is
+    * the tiny (band, key) posting shuffle — payload bytes never
+    * shuffle). Empty payloads are excluded (no content to hash).
+    * @return (a_id, b_id, hamming). */
+  def mediaNearDupPairs(
+      media: DataFrame, maxHamming: Int = 3,
+      idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame =
+    Dedup.hammingPairsBlocked(
+      media.filter(length(col(bytesCol)) >= 1)
+        .select(col(idCol).as("id"),
+          perceptualHash(col(bytesCol)).as("simhash")),
+      maxHamming, bits = PHashBits)
+
   /** Per-batch decode over a typed Dataset — the Scala analog of
     * `mapInPandas`: partition iterator → `batchSize` groups → ONE codec
     * call per batch. Batching shape is what matters; the stub is the
