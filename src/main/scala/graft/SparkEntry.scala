@@ -1105,6 +1105,15 @@ object SparkEntry {
         media(s, dir).filter(length(col("bytes")) > lit(16) + col("n_frames")),
         stride = 2)),
 
+    // ---- BPE tokenizer TRAINING (the learning side of the q102
+    // seam): 8 ranked merges from the corpus — one corpus pass for
+    // word counts, then vocabulary-sized rounds (weighted adjacency
+    // argmax + greedy left-to-right merge), every step deterministic
+    // so the oracle replays the whole sequential loop unrolled ----
+    "q130_bpe_train_merges" -> ((s, dir) =>
+      graft.operators.BpeTrain.trainMerges(docs(s, dir), "text",
+        nMerges = 8)),
+
     // ---- multimodal near-dup: perceptual-hash (aHash) image dedup —
     // 60-bit byte-grid hash per payload (zero shuffle), pigeonhole-
     // blocked Hamming pairs (lossless recall ≤ maxHamming). Threshold
@@ -2800,6 +2809,39 @@ object SparkEntry {
          |  round(CAST(list_sum(list_transform(range(1, length(text)+1),
          |          mb_i -> ascii(text[mb_i]))) AS DOUBLE) / length(text), 6) AS mean_byte
          |FROM documents""".stripMargin,
+
+    // q130: the training loop unrolled — per round, adjacency counts
+    // over the delimited-symbol words, the (count desc, lhs, rhs)
+    // argmax, and the greedy non-overlapping merge via plain string
+    // replace (left-to-right scan in both engines).
+    "q130_bpe_train_merges" -> {
+      def round(r: Int): String =
+        s"""p$r AS (SELECT s[CAST(i AS INT)] AS lhs, s[CAST(i AS INT)+1] AS rhs,
+           |    CAST(sum(n) AS BIGINT) AS c
+           |  FROM (SELECT list_filter(string_split(w, chr(31)),
+           |          x -> x <> '') AS s, n FROM w$r) t,
+           |       unnest(range(1, len(t.s))) u(i)
+           |  GROUP BY 1, 2),
+           |m$r AS (SELECT lhs, rhs, c FROM p$r
+           |        ORDER BY c DESC, lhs, rhs LIMIT 1),
+           |w${r + 1} AS (SELECT
+           |  replace(w, chr(31)||lhs||chr(31)||chr(31)||rhs||chr(31),
+           |             chr(31)||lhs||rhs||chr(31)) AS w, n
+           |  FROM w$r CROSS JOIN m$r)""".stripMargin
+      val rounds = (0 until 8).map(round).mkString(",\n")
+      val out = (0 until 8).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, c AS pair_count FROM m$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH wc AS MATERIALIZED (SELECT word, count(*) AS n FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '),
+         |             x -> x <> '')) AS word FROM documents) GROUP BY word),
+         |w0 AS (SELECT chr(31) || chr(31) ||
+         |    regexp_replace(word, '(.)', '\\1' || chr(31) || chr(31),
+         |      'g') AS w, n
+         |  FROM wc),
+         |$rounds
+         |$out""".stripMargin
+    },
 
     // q129: the 60-bit average-hash replayed — evenly-spaced byte
     // samples, integer mean threshold (60·b > Σb), brute-force pair
