@@ -742,6 +742,19 @@ object Stress {
             col("n_tokens"), contextLen = 2048, nShards = 16, seed = 7L))()
         }), n)
       }),
+      Scenario("bpe_train", sp => {
+        // q130's trainer at corpus volume: 2M docs × 100 tokens (200M
+        // word occurrences) through ONE corpus-pass word count, then
+        // 16 merge rounds over the vocabulary-sized (~65k-row)
+        // distinct-word table — the corpus cost is the first
+        // aggregate; each round is a tiny argmax + narrow replace.
+        val n = s(2000000L)
+        val d = corpus(sp, n, len = 100, vocab = 65536)
+        (() => {
+          val m = graft.operators.BpeTrain.trainMerges(d, "text", 16)
+          require(m.count() == 16L, "bpe_train: expected 16 merges")
+        }, n * 100)
+      }),
       Scenario("token_budget_select", sp => {
         // q126's best-B-tokens selection at corpus volume: 100M docs
         // whose scores span the FULL 10^6 quantization range (the

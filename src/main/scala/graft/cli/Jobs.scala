@@ -35,6 +35,8 @@ import graft.sinks.Sinks
   *   graft.cli.Jobs select-corpus --input-path docs/ --output-path out/
   *     [--budget N] [--splits train=80,val=10,test=10]
   *     [--clusters labels/] [--id-col doc_id --text-col text]
+  *   graft.cli.Jobs train-bpe --input-path docs/ --output-path model/
+  *     [--n-merges 256] [--text-col text]
   *   graft.cli.Jobs pack-tokens --input-path docs/ --output-path out/
   *     [--context-len 512] [--n-shards 8] [--bpe-vocab v --bpe-merges m]
   *     [--shuffle-seed S --mix src0=0.5,src1=0.25
@@ -379,6 +381,47 @@ object Jobs {
     out
   }
 
+  /** TOKENIZER-TRAINING job — learns `--n-merges` BPE merges from the
+    * corpus ([[graft.operators.BpeTrain.trainMerges]], q130) and writes
+    * the PUBLIC GPT-2 artifact pair (`vocab.json` + `merges.txt`,
+    * huggingface flavor) that `pack-tokens --bpe-vocab/--bpe-merges`
+    * — and [[graft.functions.Bpe.load]] generally — consumes: train a
+    * tokenizer, then shard the corpus with it, end to end in this CLI.
+    * Vocab ids: `<unk>`=0, then the corpus's distinct characters in
+    * code-point order, then the merge products in rank order (the
+    * artifact convention: every merge's product is a token). Both
+    * collects are bounded — alphabet-sized and nMerges-sized. */
+  def runTrainBpe(spark: SparkSession, a: Args): String = {
+    val docs = spark.read.parquet(a("input-path"))
+    val textCol = a.get("text-col").getOrElse("text")
+    val nMerges = a.get("n-merges").getOrElse("256").toInt
+    val merges = graft.operators.BpeTrain
+      .trainMerges(docs, textCol, nMerges)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val chars = graft.operators.BpeTrain.wordCounts(docs, textCol)
+      .select(explode(split(col("word"), "")).as("c"))
+      .filter(col("c") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted
+    val dir = java.nio.file.Paths.get(a("output-path"))
+    java.nio.file.Files.createDirectories(dir)
+    def jsonEsc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val tokens = Seq("<unk>") ++ chars ++ merges.map { case (l, r) => l + r }
+    val vocabJson = tokens.zipWithIndex
+      .map { case (t, i) => s""""${jsonEsc(t)}": $i""" }
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.writeString(dir.resolve("vocab.json"), vocabJson)
+    java.nio.file.Files.writeString(dir.resolve("merges.txt"),
+      ("#version: 0.2" +: merges.map { case (l, r) => s"$l $r" })
+        .mkString("", "\n", "\n"))
+    a("output-path")
+  }
+
   def runPackTokens(spark: SparkSession, a: Args): String = {
     val docs = spark.read.parquet(a("input-path"))
     val idCol = a.get("id-col").getOrElse("doc_id")
@@ -490,7 +533,7 @@ object Jobs {
   def main(argv: Array[String]): Unit = {
     require(argv.nonEmpty,
       "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf | " +
-        "daily-etl | dedup-admit | select-corpus | pack-tokens")
+        "daily-etl | dedup-admit | select-corpus | train-bpe | pack-tokens")
     val a = parseArgs(argv.tail.toSeq)
     val spark = session()
     try {
@@ -501,6 +544,7 @@ object Jobs {
         case "daily-etl" => runDailyEtl(spark, a)
         case "dedup-admit" => runDedupAdmit(spark, a)
         case "select-corpus" => runSelectCorpus(spark, a)
+        case "train-bpe" => runTrainBpe(spark, a)
         case "pack-tokens" => runPackTokens(spark, a)
         case other => sys.error(s"unknown subcommand: $other")
       }

@@ -322,6 +322,43 @@ class JobsSpec extends SparkSpec {
     assert(byCanon.values.forall(_.length == 1))
   }
 
+  test("train-bpe: learned artifacts load through Bpe and tokenize with the learned merges") {
+    val dir = Files.createTempDirectory("graft-bpe-train").toString
+    val docs = Seq(
+      "low low low low low lower lower newest newest",
+      "newest newest newest newest widest widest widest")
+      .toDF("text")
+    docs.write.parquet(s"$dir/docs")
+    Jobs.runTrainBpe(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/model",
+      "--n-merges", "6")))
+    // the artifact pair must round-trip through the PUBLIC loader
+    val model = graft.functions.Bpe.load(
+      s"$dir/model/vocab.json", s"$dir/model/merges.txt")
+    val got = docs.limit(1).select(
+        graft.functions.Bpe.bpe_tokenize(col("text"), model).as("ids"))
+      .collect().head.getSeq[Int](0)
+    assert(got.nonEmpty)
+    // ids must decode back through the vocab: every id is a real token,
+    // and the tokens' concatenation per word reconstructs the text
+    val vocab = graft.functions.Bpe
+      .parseVocab(s"$dir/model/vocab.json").map(_.swap).toMap
+    val text = "low low low low low lower lower newest newest"
+    assert(got.forall(vocab.contains))
+    assert(got.map(vocab).mkString === text.replace(" ", ""))
+    // the learned merges actually merge: far fewer ids than characters
+    assert(got.length < text.replace(" ", "").length)
+    // e2e composition: pack-tokens consumes the trained artifacts
+    docs.withColumn("doc_id", monotonically_increasing_id())
+      .write.parquet(s"$dir/docs_id")
+    Jobs.runPackTokens(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs_id", "--output-path", s"$dir/shards",
+      "--context-len", "8", "--n-shards", "2",
+      "--bpe-vocab", s"$dir/model/vocab.json",
+      "--bpe-merges", s"$dir/model/merges.txt")))
+    assert(new java.io.File(s"$dir/shards").listFiles().nonEmpty)
+  }
+
   test("catalog T/X/Y-name indirection normalizes staged coordinates") {
     import graft.etl.GridmetPipeline
     val g = Seq((Timestamp.valueOf("2021-01-01 00:00:00"), 40.0, -100.0, 1.0))
