@@ -2833,10 +2833,11 @@ object SparkEntry {
         s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, c AS pair_count FROM m$r")
         .mkString("\nUNION ALL ")
       s"""WITH wc AS MATERIALIZED (SELECT word, count(*) AS n FROM (
-         |    SELECT unnest(list_filter(string_split(text, ' '),
+         |    SELECT unnest(list_filter(
+         |             regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0B]+'),
          |             x -> x <> '')) AS word FROM documents) GROUP BY word),
          |w0 AS (SELECT chr(31) || chr(31) ||
-         |    regexp_replace(word, '(.)', '\\1' || chr(31) || chr(31),
+         |    regexp_replace(word, '(?s)(.)', '\\1' || chr(31) || chr(31),
          |      'g') AS w, n
          |  FROM wc),
          |$rounds

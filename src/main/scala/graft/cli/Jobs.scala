@@ -403,20 +403,33 @@ object Jobs {
       .select(explode(split(col("word"), "")).as("c"))
       .filter(col("c") =!= "").distinct()
       .collect().map(_.getString(0)).sorted
-    val dir = java.nio.file.Paths.get(a("output-path"))
-    java.nio.file.Files.createDirectories(dir)
+    // the artifacts follow the OUTPUT path's filesystem, like every
+    // other job here — with an object-storage --output-path a
+    // java.nio write would land on local driver disk instead
+    val dirPath = new org.apache.hadoop.fs.Path(a("output-path"))
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
     def jsonEsc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val tokens = Seq("<unk>") ++ chars ++ merges.map { case (l, r) => l + r }
+    // distinct: two merges can yield the same product string (e.g.
+    // (a,bc) and (ab,c) both produce "abc"), and a product can equal
+    // a seed character — first occurrence keeps its id, so the id
+    // space has no holes and the token→id map is parser-independent
+    val tokens =
+      (Seq("<unk>") ++ chars ++ merges.map { case (l, r) => l + r }).distinct
     val vocabJson = tokens.zipWithIndex
       .map { case (t, i) => s""""${jsonEsc(t)}": $i""" }
       .mkString("{", ", ", "}")
-    java.nio.file.Files.writeString(dir.resolve("vocab.json"), vocabJson)
-    java.nio.file.Files.writeString(dir.resolve("merges.txt"),
+    def writeUtf8(name: String, body: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dirPath, name), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    writeUtf8("vocab.json", vocabJson)
+    writeUtf8("merges.txt",
       ("#version: 0.2" +: merges.map { case (l, r) => s"$l $r" })
         .mkString("", "\n", "\n"))
     a("output-path")

@@ -52,10 +52,19 @@ object BpeTrain {
   val Sep = "\u001f"
   private val SS = Sep + Sep
 
+  /** Whitespace contract: words are maximal runs between ASCII
+    * whitespace (space, tab, LF, CR, FF, VT) — an EXPLICIT class, not
+    * `\s`, because Java's and RE2's `\s` disagree on VT and an oracle
+    * must replay the split byte-for-byte. Symbol seeding uses
+    * `(?s)(.)` so control characters inside words (which a
+    * non-DOTALL `.` skips at line terminators) still become
+    * single-character initial symbols. */
+  val WhitespaceClass = "[ \t\n\r\f\u000B]+"
+
   /** One-pass corpus word-frequency table: (word, n). The ONLY
     * corpus-sized stage of training. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(filter(split(col(textCol), " "),
+    docs.select(explode(filter(split(col(textCol), WhitespaceClass),
         w => w =!= "")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
 
@@ -68,9 +77,10 @@ object BpeTrain {
     require(nMerges >= 1, "nMerges must be >= 1")
     val spark = docs.sparkSession
     // ␟␟c1␟␟c2␟␟…␟␟ — one regexp pass appends ␟␟ to every char
+    // ((?s): match control chars inside words too — see WhitespaceClass)
     var words = wordCounts(docs, textCol)
       .select(concat(lit(SS),
-          regexp_replace(col("word"), "(.)", "$1" + SS)).as("w"),
+          regexp_replace(col("word"), "(?s)(.)", "$1" + SS)).as("w"),
         col("n"))
       .localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer

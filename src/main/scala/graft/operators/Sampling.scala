@@ -294,11 +294,17 @@ object Sampling {
     *
     * The global running sum is computed TWO-LEVEL, never as one
     * all-rows window (a single-reducer sort of the corpus):
-    *  1. block = floor(score · 10⁶) — monotone in score, so block
-    *     order refines to the global order; scores live in [0, 1]
-    *     rounded to 6 dp ([[graft.functions.TextFunctions.qualityScore]]),
-    *     making the quantization LOSSLESS (block ⇔ score) and the
-    *     block-aggregate table ≤ 10⁶+1 rows regardless of corpus size;
+    *  1. block = floor(score · 10⁶) — MONOTONE in score (equal scores
+    *     share a block; the global (score desc) order refines the
+    *     (block desc) order), and that monotonicity is the ONLY
+    *     property the construction needs: step 3 re-orders within a
+    *     block by the true score, so a 6-dp score that double
+    *     arithmetic floors into the adjacent lower block (the
+    *     0.29·100 = 28.999… class) merely widens that block's
+    *     tie-class. Do NOT lean on block ⇔ score bijectivity (e.g. by
+    *     ordering within a block by id alone) — it does not hold.
+    *     Scores in [0, 1] keep the block-aggregate table ≤ 10⁶+1 rows
+    *     regardless of corpus size;
     *  2. per-block token sums prefix-sum over the ASCENDING-block
     *     window on that bounded table (higher blocks first in the
     *     global order ⇒ offset = Σ tokens of strictly-higher blocks),

@@ -357,6 +357,11 @@ class JobsSpec extends SparkSpec {
       "--bpe-vocab", s"$dir/model/vocab.json",
       "--bpe-merges", s"$dir/model/merges.txt")))
     assert(new java.io.File(s"$dir/shards").listFiles().nonEmpty)
+    // vocab.json well-formedness: unique token keys (the id map is
+    // parser-independent) and a contiguous 0..n-1 id space
+    val entries = graft.functions.Bpe.parseVocab(s"$dir/model/vocab.json")
+    assert(entries.map(_._1).distinct.length === entries.length)
+    assert(entries.map(_._2).sorted === entries.indices.toList)
   }
 
   test("catalog T/X/Y-name indirection normalizes staged coordinates") {

@@ -12,7 +12,7 @@ class BpeTrainSpec extends SparkSpec {
   private def reference(
       corpus: Seq[String], nMerges: Int): Seq[(Long, String, String, Long)] = {
     var words: Map[Vector[String], Long] = corpus
-      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .flatMap(_.split(BpeTrain.WhitespaceClass).filter(_.nonEmpty))
       .groupBy(identity).map { case (w, ws) =>
         w.map(_.toString).toVector -> ws.size.toLong
       }
@@ -87,5 +87,29 @@ class BpeTrainSpec extends SparkSpec {
         (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
       .sortBy(_._1)
     assert(got === reference(corpus, 10))
+  }
+
+  test("whitespace contract: tabs/newlines/CRLF split words like spaces") {
+    // pre-fix, "low\nlow" was ONE word whose \n became a multi-char
+    // 'initial symbol' ("w\nl"), silently violating chars-then-merges
+    val corpus = Seq("low\nlow\tlow low\r\nlower\flower",
+      "newestnewest\n\nnewest  newest newest widest\twidest widest")
+    val docs = corpus.toDF("text")
+    val got = BpeTrain.trainMerges(docs, "text", nMerges = 6)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(got === reference(corpus, 6))
+    // identical to the same corpus with plain spaces — the split class
+    // is behavior-invisible beyond tokenization
+    val spaced = corpus.map(_.replaceAll("[ \t\n\r\f]+", " "))
+    val got2 = BpeTrain.trainMerges(spaced.toDF("text"), "text", nMerges = 6)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(got === got2)
+    // no learned symbol may contain whitespace
+    assert(got.forall { case (_, l, r, _) =>
+      !(l + r).exists(c => " \t\n\r\f".contains(c)) })
   }
 }
