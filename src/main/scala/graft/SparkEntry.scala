@@ -1114,6 +1114,14 @@ object SparkEntry {
       graft.operators.BpeTrain.trainMerges(docs(s, dir), "text",
         nMerges = 8)),
 
+    // ---- Gopher rule-based quality gate: the published Rae et al.
+    // 2021 document filter heuristics — eight integer counts from ONE
+    // fused codegen scan per doc (GopherCounts), ratios round6'd
+    // before thresholding so every flag replays bit-for-bit ----
+    "q131_gopher_gate" -> ((s, dir) =>
+      graft.operators.Corpus.gopherQualityGate(
+        docs(s, dir), col("doc_id"), col("text"))),
+
     // ---- multimodal near-dup: perceptual-hash (aHash) image dedup —
     // 60-bit byte-grid hash per payload (zero shuffle), pigeonhole-
     // blocked Hamming pairs (lossless recall ≤ maxHamming). Threshold
@@ -2842,6 +2850,65 @@ object SparkEntry {
          |  FROM wc),
          |$rounds
          |$out""".stripMargin
+    },
+
+    // q131: the Gopher gate replayed — same whitespace word split,
+    // same line trim, integer counts, round6'd ratios, identical
+    // threshold comparisons on the identical rounded doubles.
+    "q131_gopher_gate" -> {
+      def r6(e: String): String =
+        s"(floor(($e)*1000000.0 + 0.5)/1000000.0)"
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0B]+'),
+         |      x -> x <> '') AS ws,
+         |    list_filter(list_transform(string_split(text, chr(10)),
+         |      l -> trim(l, ' ' || chr(9) || chr(13) || chr(12) || chr(11))),
+         |      x -> x <> '') AS ls
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    len(ws) AS n_words,
+         |    coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS sum_chars,
+         |    len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS n_sym,
+         |    len(ls) AS n_lines,
+         |    len(list_filter(ls, l -> l[1] = '-' OR l[1] = '*')) AS n_bullet,
+         |    len(list_filter(ls, l -> ends_with(l, '...'))) AS n_ell,
+         |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         |    ($stops) AS n_stop
+         |  FROM base),
+         |r AS (SELECT doc_id AS id,
+         |    CAST(n_words AS INT) AS n_words,
+         |    CASE WHEN n_words = 0 THEN 0.0
+         |         ELSE ${r6("CAST(sum_chars AS DOUBLE)/n_words")} END AS mean_word_len,
+         |    CASE WHEN n_words = 0 THEN 0.0
+         |         ELSE ${r6("CAST(n_sym AS DOUBLE)/n_words")} END AS symbol_ratio,
+         |    CASE WHEN n_lines = 0 THEN 0.0
+         |         ELSE ${r6("CAST(n_bullet AS DOUBLE)/n_lines")} END AS bullet_ratio,
+         |    CASE WHEN n_lines = 0 THEN 0.0
+         |         ELSE ${r6("CAST(n_ell AS DOUBLE)/n_lines")} END AS ellipsis_ratio,
+         |    CASE WHEN n_words = 0 THEN 0.0
+         |         ELSE ${r6("CAST(n_alpha AS DOUBLE)/n_words")} END AS alpha_ratio,
+         |    CAST(n_stop AS INT) AS n_stop_present
+         |  FROM c)
+         |SELECT *,
+         |  CAST((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+         |   + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END)
+         |   + (CASE WHEN symbol_ratio <= 0.1 THEN 0 ELSE 1 END)
+         |   + (CASE WHEN bullet_ratio <= 0.9 THEN 0 ELSE 1 END)
+         |   + (CASE WHEN ellipsis_ratio <= 0.3 THEN 0 ELSE 1 END)
+         |   + (CASE WHEN alpha_ratio >= 0.8 THEN 0 ELSE 1 END)
+         |   + (CASE WHEN n_stop_present >= 2 THEN 0 ELSE 1 END) AS INT)
+         |    AS n_rules_failed,
+         |  ((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+         |   + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END)
+         |   + (CASE WHEN symbol_ratio <= 0.1 THEN 0 ELSE 1 END)
+         |   + (CASE WHEN bullet_ratio <= 0.9 THEN 0 ELSE 1 END)
+         |   + (CASE WHEN ellipsis_ratio <= 0.3 THEN 0 ELSE 1 END)
+         |   + (CASE WHEN alpha_ratio >= 0.8 THEN 0 ELSE 1 END)
+         |   + (CASE WHEN n_stop_present >= 2 THEN 0 ELSE 1 END)) = 0 AS pass
+         |FROM r""".stripMargin
     },
 
     // q129: the 60-bit average-hash replayed — evenly-spaced byte

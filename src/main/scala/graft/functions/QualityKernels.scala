@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass codegen kernel behind the Gopher-style rule-based document
+  * quality gate ([[graft.operators.Corpus.gopherQualityGate]]): the
+  * published repetition-free subset of the Gopher quality heuristics
+  * (Rae et al. 2021, "Scaling Language Models", table A1) needs eight
+  * integer counts per document — words, word characters, symbol words,
+  * non-blank lines, bullet lines, ellipsis lines, alphabetic words and
+  * required-stopword presence. Computing them as HOF `filter`/`size`
+  * chains re-splits the text per predicate (interpreted, the q129
+  * lesson); this kernel makes them ONE fused scan per row, and every
+  * output is an exact integer so the downstream ratio/flag arithmetic
+  * replays bit-for-bit in an external SQL oracle.
+  *
+  * Contract (shared verbatim with the oracle):
+  *  - words: maximal runs between ASCII whitespace
+  *    `[ \t\n\r\f] plus VT` ([[graft.operators.BpeTrain.WhitespaceClass]]),
+  *    empties dropped; word characters are UTF-8 code points;
+  *  - lines: `\n`-separated; a line is counted only if non-blank after
+  *    trimming `[ \t\r\f] plus VT`; bullet = trimmed line starts with
+  *    `-` or `*`; ellipsis = trimmed line ends with `...`;
+  *  - symbol word: contains `#` or `...`; alphabetic word: contains
+  *    `[A-Za-z]`;
+  *  - required stopwords: case-sensitive exact-token presence of each
+  *    of (the, be, to, of, and, that, have, with), each counted once.
+  */
+case class GopherCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("sum_word_chars", IntegerType, nullable = false),
+    StructField("n_symbol_words", IntegerType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_bullet_lines", IntegerType, nullable = false),
+    StructField("n_ellipsis_lines", IntegerType, nullable = false),
+    StructField("n_alpha_words", IntegerType, nullable = false),
+    StructField("n_stop_present", IntegerType, nullable = false)))
+  override def prettyName: String = "gopher_counts"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gopher_counts needs STRING, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    QualityKernels.gopherCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.QualityKernels.gopherCounts($s);")
+  override protected def withNewChildInternal(newChild: Expression): GopherCounts =
+    copy(child = newChild)
+}
+
+object QualityKernels {
+
+  /** The Gopher "required words" list (Rae et al. 2021 §A1.1). */
+  val RequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private val StopBytes: Array[Array[Byte]] =
+    RequiredStopwords.map(_.getBytes("UTF-8")).toArray
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+
+  /** Static entry for [[GopherCounts]] — one scan over the UTF-8 bytes. */
+  def gopherCounts(text: UTF8String): GenericInternalRow = {
+    val bytes = text.getBytes
+    var nWords = 0
+    var sumChars = 0
+    var nSym = 0
+    var nAlpha = 0
+    var stopMask = 0
+    var nLines = 0
+    var nBullet = 0
+    var nEllipsis = 0
+    // ---- word pass ----
+    var i = 0
+    while (i < bytes.length) {
+      if (!isWs(bytes(i))) {
+        val start = i
+        var chars = 0
+        var hasHash = false
+        var hasAlpha = false
+        var dots = 0
+        var hasEll = false
+        while (i < bytes.length && !isWs(bytes(i))) {
+          val b = bytes(i)
+          if ((b & 0xC0) != 0x80) chars += 1
+          if (b == '#') hasHash = true
+          if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) hasAlpha = true
+          if (b == '.') { dots += 1; if (dots >= 3) hasEll = true }
+          else dots = 0
+          i += 1
+        }
+        nWords += 1
+        sumChars += chars
+        if (hasHash || hasEll) nSym += 1
+        if (hasAlpha) nAlpha += 1
+        val len = i - start
+        var s = 0
+        while (s < StopBytes.length) {
+          if ((stopMask & (1 << s)) == 0) {
+            val w = StopBytes(s)
+            if (w.length == len) {
+              var j = 0
+              while (j < len && w(j) == bytes(start + j)) j += 1
+              if (j == len) stopMask |= 1 << s
+            }
+          }
+          s += 1
+        }
+      } else i += 1
+    }
+    // ---- line pass: \n-separated, trim [ \t\r\f] plus VT ----
+    var lineStart = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == '\n') {
+        var a = lineStart
+        var e = i
+        while (a < e && isWs(bytes(a))) a += 1
+        while (e > a && isWs(bytes(e - 1))) e -= 1
+        if (e > a) {
+          nLines += 1
+          val first = bytes(a)
+          if (first == '-' || first == '*') nBullet += 1
+          if (e - a >= 3 && bytes(e - 1) == '.' && bytes(e - 2) == '.' &&
+              bytes(e - 3) == '.') nEllipsis += 1
+        }
+        lineStart = i + 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      nWords, sumChars, nSym, nLines, nBullet, nEllipsis, nAlpha,
+      Integer.bitCount(stopMask)))
+  }
+
+  def gopher_counts(text: Column): Column =
+    Bridge.column(GopherCounts(Bridge.expression(text)))
+}

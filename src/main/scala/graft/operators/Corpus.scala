@@ -290,4 +290,58 @@ object Corpus {
             ((col("c_a").cast("double") / lit(mUni.toDouble)) *
              (col("c_b").cast("double") / lit(mUni.toDouble))))).as("pmi"))
   }
+
+  /** GOPHER RULE-BASED QUALITY GATE — the published document-level
+    * filter heuristics from Rae et al. 2021 (table A1), the standard
+    * first-pass curation gate (MassiveText/RefinedWeb/Dolma lineage):
+    *  - word count in [50, 100000];
+    *  - mean word length in [3, 10] characters;
+    *  - symbol-word ratio (words containing `#` or `...`) ≤ 0.1;
+    *  - ≤ 90 % of non-blank lines start with a bullet (`-`/`*`);
+    *  - ≤ 30 % of non-blank lines end with `...`;
+    *  - ≥ 80 % of words contain an alphabetic character;
+    *  - ≥ 2 of the required stopwords (the, be, to, of, and, that,
+    *    have, with) occur as exact tokens.
+    *
+    * Shape at 100 TB: the eight counts come from ONE fused codegen
+    * scan per document ([[graft.functions.GopherCounts]] — never a
+    * HOF re-split per rule), ratios and flags are plain projections on
+    * those integers, and nothing shuffles: the gate composes with the
+    * scan (filter pushdown keeps `pass=true` consumers scan-side).
+    * Ratios are [[TextFunctions.round6]]-rounded BEFORE the threshold
+    * comparisons, so the flag arithmetic is engine-portable (the same
+    * rounded decimal compares identically everywhere).
+    *
+    * @return (id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+    *         ellipsis_ratio, alpha_ratio, n_stop_present,
+    *         n_rules_failed, pass) */
+  def gopherQualityGate(
+      docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    import TextFunctions.round6
+    val c = graft.functions.QualityKernels.gopher_counts(textCol)
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0))
+        .otherwise(round6(num.cast("double") / den.cast("double")))
+    val base = docs.select(idCol.as("id"), c.as("__c"))
+      .select(col("id"),
+        col("__c.n_words").as("n_words"),
+        when(col("__c.n_words") === 0, lit(0.0))
+          .otherwise(round6(col("__c.sum_word_chars").cast("double") /
+            col("__c.n_words").cast("double"))).as("mean_word_len"),
+        ratio(col("__c.n_symbol_words"), col("__c.n_words")).as("symbol_ratio"),
+        ratio(col("__c.n_bullet_lines"), col("__c.n_lines")).as("bullet_ratio"),
+        ratio(col("__c.n_ellipsis_lines"), col("__c.n_lines")).as("ellipsis_ratio"),
+        ratio(col("__c.n_alpha_words"), col("__c.n_words")).as("alpha_ratio"),
+        col("__c.n_stop_present").as("n_stop_present"))
+    val failed =
+      when(col("n_words") >= 50 && col("n_words") <= 100000, lit(0)).otherwise(lit(1)) +
+      when(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0, lit(0)).otherwise(lit(1)) +
+      when(col("symbol_ratio") <= 0.1, lit(0)).otherwise(lit(1)) +
+      when(col("bullet_ratio") <= 0.9, lit(0)).otherwise(lit(1)) +
+      when(col("ellipsis_ratio") <= 0.3, lit(0)).otherwise(lit(1)) +
+      when(col("alpha_ratio") >= 0.8, lit(0)).otherwise(lit(1)) +
+      when(col("n_stop_present") >= 2, lit(0)).otherwise(lit(1))
+    base.withColumn("n_rules_failed", failed)
+      .withColumn("pass", col("n_rules_failed") === 0)
+  }
 }
