@@ -1122,6 +1122,26 @@ object SparkEntry {
       graft.operators.Corpus.gopherQualityGate(
         docs(s, dir), col("doc_id"), col("text"))),
 
+    // ---- markup text extraction (the WET pass): each doc wrapped in
+    // a deterministic HTML page (title/style/script/list chrome around
+    // the body text, entities in the footer), then the HtmlExtract
+    // kernel strips script+style with content, tags to spaces, decodes
+    // the safe entity set (amp LAST), collapses whitespace. The
+    // wrapper rides INSIDE the query so the oracle builds the same
+    // page and replays the same regex chain ----
+    "q132_html_extract" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><style type=\"text/css\">p { color: #333; }</style>" +
+          "<script>if (1 < 2 && 2 > 1) { track(\"d"), id,
+        lit("\"); }</script></head><body><h1>Doc "), id,
+        lit("</h1><ul><li>alpha</li><li>beta</li></ul><p>"), col("text"),
+        lit("</p><br/><div>footer &amp; more &lt;raw&gt;</div></body></html>"))
+      graft.operators.Corpus.extractHtmlText(
+        docs(s, dir).withColumn("html", html), col("doc_id"), col("html"))
+    }),
+
     // ---- multimodal near-dup: perceptual-hash (aHash) image dedup —
     // 60-bit byte-grid hash per payload (zero shuffle), pigeonhole-
     // blocked Hamming pairs (lossless recall ≤ maxHamming). Threshold
@@ -2910,6 +2930,35 @@ object SparkEntry {
          |   + (CASE WHEN n_stop_present >= 2 THEN 0 ELSE 1 END)) = 0 AS pass
          |FROM r""".stripMargin
     },
+
+    // q132: the same wrapper page built in SQL, the same five-step
+    // chain replayed with RE2 — script/style blocks with content,
+    // tags to one space, safe entities (amp last), collapse + trim.
+    "q132_html_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         |  '</title><style type="text/css">p { color: #333; }</style>' ||
+         |  '<script>if (1 < 2 && 2 > 1) { track("d' || CAST(doc_id AS VARCHAR) ||
+         |  '"); }</script></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+         |  '</h1><ul><li>alpha</li><li>beta</li></ul><p>' || text ||
+         |  '</p><br/><div>footer &amp; more &lt;raw&gt;</div></body></html>'
+         |    AS html
+         |  FROM documents),
+         |x AS (SELECT doc_id AS id,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(html,
+         |            '(?is)<script[^>]*>.*?</script>', '', 'g'),
+         |          '(?is)<style[^>]*>.*?</style>', '', 'g'),
+         |        '(?s)<[^>]*>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+         |    '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), ' ') AS clean_text
+         |  FROM h)
+         |SELECT id, clean_text, CAST(length(clean_text) AS INT) AS n_chars
+         |FROM x""".stripMargin,
 
     // q129: the 60-bit average-hash replayed — evenly-spaced byte
     // samples, integer mean threshold (60·b > Σb), brute-force pair

@@ -58,6 +58,43 @@ case class GopherCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** MARKUP TEXT EXTRACTION — the WET-style "HTML in, prose out" pass
+  * every web-crawl pipeline runs before any quality scoring (CCNet /
+  * C4 / RefinedWeb lineage). One fused kernel per row; the pipeline is
+  * a FIXED, documented chain so an external SQL oracle can replay it
+  * with the same regexes in the same order:
+  *  1. remove `(?is)<script[^>]*>.*?</script>` blocks (with content);
+  *  2. remove `(?is)<style[^>]*>.*?</style>` blocks (with content);
+  *  3. replace every remaining `(?s)<[^>]*>` tag with ONE space
+  *     (unterminated `<…` at end-of-input is left as text, exactly as
+  *     the regex leaves it);
+  *  4. decode the safe entity set — `&lt; &gt; &quot; &#39; &nbsp;`
+  *     then `&amp;` LAST (so `&amp;lt;` decodes to the literal
+  *     `&lt;`, not `<`); decoded `<`/`>` are NOT re-parsed as tags
+  *     (decode runs after tag stripping, the correct extraction
+  *     order);
+  *  5. collapse ASCII whitespace runs to one space and trim.
+  * The patterns are ASCII, non-backtracking-hazard-free, and carry
+  * identical semantics in java.util.regex (this kernel) and RE2 (the
+  * DuckDB oracle): `(?is)`, non-greedy `.*?`, and `[^>]*` agree
+  * engine-to-engine. */
+case class HtmlExtract(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_extract"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"html_extract needs STRING, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    QualityKernels.extractHtmlText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.QualityKernels.extractHtmlText($s);")
+  override protected def withNewChildInternal(newChild: Expression): HtmlExtract =
+    copy(child = newChild)
+}
+
 object QualityKernels {
 
   /** The Gopher "required words" list (Rae et al. 2021 §A1.1). */
@@ -146,4 +183,34 @@ object QualityKernels {
 
   def gopher_counts(text: Column): Column =
     Bridge.column(GopherCounts(Bridge.expression(text)))
+
+  // ---- HtmlExtract statics (patterns compiled once per JVM) ----
+  private val ScriptP = java.util.regex.Pattern
+    .compile("(?is)<script[^>]*>.*?</script>")
+  private val StyleP = java.util.regex.Pattern
+    .compile("(?is)<style[^>]*>.*?</style>")
+  private val TagP = java.util.regex.Pattern.compile("(?s)<[^>]*>")
+  private val WsRunP = java.util.regex.Pattern
+    .compile("[ \\t\\n\\r\\f\\x0B]+")
+
+  /** Static entry for [[HtmlExtract]] — the documented five-step
+    * chain. */
+  def extractHtmlText(html: UTF8String): UTF8String = {
+    var s = html.toString
+    s = ScriptP.matcher(s).replaceAll("")
+    s = StyleP.matcher(s).replaceAll("")
+    s = TagP.matcher(s).replaceAll(" ")
+    s = s.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&nbsp;", " ").replace("&amp;", "&")
+    s = WsRunP.matcher(s).replaceAll(" ")
+    var a = 0
+    var e = s.length
+    while (a < e && s.charAt(a) == ' ') a += 1
+    while (e > a && s.charAt(e - 1) == ' ') e -= 1
+    UTF8String.fromString(s.substring(a, e))
+  }
+
+  def html_extract(html: Column): Column =
+    Bridge.column(HtmlExtract(Bridge.expression(html)))
 }

@@ -344,4 +344,16 @@ object Corpus {
     base.withColumn("n_rules_failed", failed)
       .withColumn("pass", col("n_rules_failed") === 0)
   }
+
+  /** MARKUP TEXT EXTRACTION — prose out of HTML-ish markup (the WET
+    * extraction pass; see [[graft.functions.HtmlExtract]] for the
+    * documented five-step contract). One codegen projection per row,
+    * zero shuffle; at 100 TB this runs scan-side so the raw markup
+    * never crosses the wire.
+    * @return (id, clean_text, n_chars) */
+  def extractHtmlText(
+      docs: DataFrame, idCol: Column, htmlCol: Column): DataFrame =
+    docs.select(idCol.as("id"),
+        graft.functions.QualityKernels.html_extract(htmlCol).as("clean_text"))
+      .withColumn("n_chars", length(col("clean_text")))
 }
