@@ -1142,6 +1142,25 @@ object SparkEntry {
         docs(s, dir).withColumn("html", html), col("doc_id"), col("html"))
     }),
 
+    // ---- REAL audio codec round trip: each audio payload becomes a
+    // signed 16-bit PCM waveform (byte-delta DPCM synth), is wrapped
+    // in a spec-correct RIFF/WAVE container by the WavCodec WRITER,
+    // then flows through the batched decode seam where the strict
+    // chunk-walking PARSER recovers the samples and computes the
+    // curation features (peak/RMS/zero-crossings). The oracle computes
+    // the same features directly from the payload bytes — an
+    // independent path that never sees the container, so it checks the
+    // writer AND parser agree with the spec ----
+    "q133_wav_features" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val enc = org.apache.spark.sql.Encoders.product[Multimodal.Media]
+      val ds = media(s, dir).filter(col("modality") === "audio")
+        .as[Multimodal.Media](enc)
+        .map(m => m.copy(bytes = Multimodal.WavCodec.encode(
+          Multimodal.WavCodec.pcm16FromByteDeltas(m.bytes))))(enc)
+      Multimodal.mapDecodeWavBatches(ds).toDF()
+    }),
+
     // ---- multimodal near-dup: perceptual-hash (aHash) image dedup —
     // 60-bit byte-grid hash per payload (zero shuffle), pigeonhole-
     // blocked Hamming pairs (lossless recall ≤ maxHamming). Threshold
@@ -2930,6 +2949,33 @@ object SparkEntry {
          |   + (CASE WHEN n_stop_present >= 2 THEN 0 ELSE 1 END)) = 0 AS pass
          |FROM r""".stripMargin
     },
+
+    // q133: the waveform replayed WITHOUT the container — samples are
+    // the byte deltas << 8, features recomputed from first principles
+    // (peak, floor-rounded RMS over exact long Σs², sign-flip
+    // crossings, floor-div duration) — so a header-layout bug in the
+    // writer or a chunk-walk bug in the parser breaks the match.
+    "q133_wav_features" ->
+      """WITH a AS (SELECT doc_id AS media_id, text FROM documents
+        |           WHERE doc_id % 3 = 1),
+        |d AS (SELECT media_id, list_transform(range(1, length(text)),
+        |        wi -> (ascii(text[CAST(wi AS INT) + 1]) -
+        |               ascii(text[CAST(wi AS INT)])) * 256) AS s
+        |      FROM a)
+        |SELECT media_id,
+        |  8000 AS sample_rate,
+        |  CAST(len(s) AS INT) AS n_samples,
+        |  CAST(len(s) AS BIGINT) * 1000 // 8000 AS duration_ms,
+        |  CAST(CASE WHEN len(s) = 0 THEN 0
+        |       ELSE list_max(list_transform(s, x -> abs(x))) END AS INT) AS peak,
+        |  CASE WHEN len(s) = 0 THEN 0.0
+        |       ELSE floor(sqrt(CAST(list_sum(list_transform(s,
+        |              x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / len(s))
+        |            * 1000000.0 + 0.5) / 1000000.0 END AS rms,
+        |  CAST(len(list_filter(range(2, len(s) + 1),
+        |    zi -> (s[CAST(zi AS INT) - 1] < 0) <> (s[CAST(zi AS INT)] < 0)))
+        |    AS INT) AS zero_crossings
+        |FROM d""".stripMargin,
 
     // q132: the same wrapper page built in SQL, the same five-step
     // chain replayed with RE2 — script/style blocks with content,

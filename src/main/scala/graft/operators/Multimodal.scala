@@ -267,6 +267,162 @@ object Multimodal {
             col("frame_len"))).as("frame_checksum"))
   }
 
+  // ---------------------------------------------------------------------
+  // REAL AUDIO CODEC — WAV (RIFF/WAVE, 16-bit PCM mono). Like PpmCodec
+  // for images: a genuine container format written AND parsed by hand
+  // (RIFF chunk walk, fmt validation, odd-size pad bytes), so the audio
+  // leg of the multimodal seam carries a real byte format end to end.
+  // The WRITER wraps PCM samples in a spec-correct container; the
+  // READER is a strict chunk walker that skips unknown chunks (LIST,
+  // cue, …) and fails loudly on non-PCM/non-mono/non-16-bit payloads.
+  // ---------------------------------------------------------------------
+
+  /** Decoded WAV: format header fields + the 16-bit sample plane. */
+  final case class WavAudio(
+      sampleRate: Int, nChannels: Int, bitsPerSample: Int,
+      samples: Array[Short])
+
+  /** Per-clip audio features from the decoded SAMPLES (not the file
+    * bytes) — the standard cheap audio-curation signals: length,
+    * loudness (peak/RMS) and zero-crossing count (a noisiness
+    * proxy). All-integer except rms (round6'd — oracle-portable). */
+  final case class WavFeatures(
+      media_id: Long, sample_rate: Int, n_samples: Int, duration_ms: Long,
+      peak: Int, rms: Double, zero_crossings: Int)
+
+  object WavCodec {
+    val DefaultRate = 8000
+
+    /** 8-bit differential stream → 16-bit PCM (the DPCM-style synth
+      * that turns an opaque byte payload into a signed waveform):
+      * sample_i = (b[i+1] − b[i]) << 8 over unsigned bytes — n−1
+      * samples, oscillating sign, exactly replayable from the bytes. */
+    def pcm16FromByteDeltas(payload: Array[Byte]): Array[Short] = {
+      if (payload.length < 2) return Array.emptyShortArray
+      val out = new Array[Short](payload.length - 1)
+      var i = 0
+      while (i < out.length) {
+        out(i) = (((payload(i + 1) & 0xff) - (payload(i) & 0xff)) << 8).toShort
+        i += 1
+      }
+      out
+    }
+
+    /** Spec-correct RIFF/WAVE writer: canonical 44-byte header (fmt
+      * chunk first, PCM, mono, 16-bit) + the little-endian sample
+      * plane. */
+    def encode(samples: Array[Short], sampleRate: Int = DefaultRate): Array[Byte] = {
+      require(sampleRate > 0, "sampleRate must be positive")
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort)            // PCM
+        .putShort(1.toShort)            // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2)         // byte rate
+        .putShort(2.toShort)            // block align
+        .putShort(16.toShort)           // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+      buf.array()
+    }
+
+    /** Strict RIFF chunk-walking parser: validates the RIFF/WAVE
+      * magic, walks chunks honoring the odd-size pad rule, requires a
+      * PCM mono 16-bit `fmt ` chunk BEFORE `data` (the spec's
+      * ordering), and fails loudly otherwise — corrupt media must
+      * surface, not zero-fill. Unknown chunks (LIST, cue, fact, …)
+      * are skipped. */
+    def decode(bytes: Array[Byte]): WavAudio = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"WAV: $msg")
+      if (bytes.length < 12) fail("too short for a RIFF header")
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      if (fourcc() != "RIFF") fail("missing RIFF magic")
+      buf.getInt // declared riff size; real files lie, walk to EOF
+      if (fourcc() != "WAVE") fail("missing WAVE form type")
+      var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
+      while (buf.remaining() >= 8) {
+        val id = fourcc()
+        val size = buf.getInt
+        if (size < 0 || size > buf.remaining()) fail(s"bad $id chunk size $size")
+        if (id == "fmt ") {
+          if (size < 16) fail(s"fmt chunk too small ($size)")
+          val start = buf.position()
+          val audioFormat = buf.getShort & 0xffff
+          val channels = buf.getShort & 0xffff
+          val rate = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align
+          val bits = buf.getShort & 0xffff
+          if (audioFormat != 1) fail(s"not PCM (format $audioFormat)")
+          if (channels != 1) fail(s"not mono ($channels channels)")
+          if (bits != 16) fail(s"not 16-bit ($bits)")
+          fmt = Some((rate, channels, bits))
+          buf.position(start + size + (size & 1)) // pad byte on odd size
+        } else if (id == "data") {
+          val (rate, ch, bits) = fmt.getOrElse(fail("data chunk before fmt"))
+          val n = size / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = buf.getShort; i += 1 }
+          return WavAudio(rate, ch, bits, samples)
+        } else {
+          buf.position(buf.position() + size + (size & 1))
+        }
+      }
+      fail("no data chunk")
+    }
+
+    /** Features from a decoded clip — exact integer arithmetic plus
+      * one round6'd RMS (Σs² fits a long: 2³⁰ per sample). Crossing =
+      * sign-bit flip between consecutive samples (0 counts as
+      * non-negative). */
+    def features(mediaId: Long, audio: WavAudio): WavFeatures = {
+      val s = audio.samples
+      var peak = 0
+      var sumSq = 0L
+      var zc = 0
+      var i = 0
+      while (i < s.length) {
+        val v = s(i).toInt
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sumSq += v.toLong * v
+        if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+        i += 1
+      }
+      val n = s.length
+      val rms =
+        if (n == 0) 0.0
+        else math.floor(math.sqrt(sumSq.toDouble / n) * 1e6 + 0.5) / 1e6
+      WavFeatures(mediaId, audio.sampleRate, n,
+        if (audio.sampleRate == 0) 0L else n.toLong * 1000L / audio.sampleRate,
+        peak, rms, zc)
+    }
+
+    /** Batch decode — the mapInPandas-shaped contract, real parser. */
+    def decodeBatch(batch: Seq[Media]): Seq[WavFeatures] =
+      batch.map(m => features(m.media_id, decode(m.bytes)))
+  }
+
+  /** Per-batch REAL audio decode (WAV payloads): identical plumbing to
+    * [[mapDecodeBatches]] with the RIFF parser as the codec. */
+  def mapDecodeWavBatches(
+      media: Dataset[Media], batchSize: Int = 64): Dataset[WavFeatures] = {
+    implicit val enc = Encoders.product[WavFeatures]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => WavCodec.decodeBatch(b.toSeq))
+    }
+  }
+
   /** Resize stub: recompute target dims preserving aspect ratio; payload
     * passes through untouched (a real resize rewrites bytes — dims math
     * and schema are the tested plumbing). */
