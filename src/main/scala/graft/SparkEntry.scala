@@ -1142,6 +1142,27 @@ object SparkEntry {
         docs(s, dir).withColumn("html", html), col("doc_id"), col("html"))
     }),
 
+    // ---- URL-canonical crawl dedup: two messy variants per doc
+    // (uppercase host, default port, tracking params, fragment,
+    // shuffled param order) collapse to one canonical key; clusters
+    // aggregate per canonical URL. The whole fixture + normalization
+    // contract replays in the oracle ----
+    "q134_url_canonical_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val id7 = (col("doc_id") % 7).cast("string")
+      val id41 = (col("doc_id") % 41).cast("string")
+      val id13 = (col("doc_id") % 13).cast("string")
+      val u1 = concat(lit("HTTP://WWW.Site"), id7, lit(".COM:80/Articles/"),
+        id41, lit("?utm_source=feed&ref="), col("source"),
+        lit("&id="), id13, lit("#section-2"))
+      val u2 = concat(lit("http://www.site"), id7, lit(".com/Articles/"),
+        id41, lit("?id="), id13, lit("&ref="), col("source"),
+        lit("&gclid=XYZ"))
+      graft.operators.Corpus.urlDupClusters(
+        d.select(col("doc_id"), explode(array(u1, u2)).as("url")),
+        col("doc_id"), col("url"))
+    }),
+
     // ---- REAL audio codec round trip: each audio payload becomes a
     // signed 16-bit PCM waveform (byte-delta DPCM synth), is wrapped
     // in a spec-correct RIFF/WAVE container by the WavCodec WRITER,
@@ -2949,6 +2970,60 @@ object SparkEntry {
          |   + (CASE WHEN n_stop_present >= 2 THEN 0 ELSE 1 END)) = 0 AS pass
          |FROM r""".stripMargin
     },
+
+    // q134: fixture + canonicalization contract replayed — fragment
+    // strip, scheme/authority lowercase, default-port strip,
+    // tracking-param filter, binary param sort — then the same
+    // per-canonical-key aggregate.
+    "q134_url_canonical_dedup" ->
+      """WITH u AS (SELECT doc_id, unnest([
+        |    'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.COM:80/Articles/' || CAST(doc_id % 41 AS VARCHAR) ||
+        |      '?utm_source=feed&ref=' || source ||
+        |      '&id=' || CAST(doc_id % 13 AS VARCHAR) || '#section-2',
+        |    'http://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.com/Articles/' || CAST(doc_id % 41 AS VARCHAR) ||
+        |      '?id=' || CAST(doc_id % 13 AS VARCHAR) ||
+        |      '&ref=' || source || '&gclid=XYZ']) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, string_split(url, '#')[1] AS s0 FROM u),
+        |q AS (SELECT doc_id,
+        |    lower(regexp_extract(s0, '^([^:/?#]+)://', 1)) AS scheme,
+        |    regexp_replace(s0, '^[^:/?#]+://', '') AS rest
+        |  FROM p),
+        |r AS (SELECT doc_id, scheme,
+        |    lower(regexp_extract(rest, '^([^/?]*)', 1)) AS auth0,
+        |    substring(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1)
+        |      AS tail
+        |  FROM q),
+        |t AS (SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http' AND ends_with(auth0, ':80')
+        |           THEN left(auth0, length(auth0) - 3)
+        |         WHEN scheme = 'https' AND ends_with(auth0, ':443')
+        |           THEN left(auth0, length(auth0) - 4)
+        |         ELSE auth0 END AS auth,
+        |    CASE WHEN contains(tail, '?')
+        |         THEN left(tail, strpos(tail, '?') - 1) ELSE tail END AS path,
+        |    CASE WHEN contains(tail, '?')
+        |         THEN substring(tail, strpos(tail, '?') + 1) ELSE '' END AS qs
+        |  FROM r),
+        |c AS (SELECT doc_id,
+        |    scheme || '://' || auth || path ||
+        |    CASE WHEN len(kept) = 0 THEN ''
+        |         ELSE '?' || array_to_string(kept, '&') END AS canon_url
+        |  FROM (SELECT *,
+        |      list_sort(list_filter(string_split(qs, '&'),
+        |        pp -> pp <> '' AND NOT (
+        |          starts_with(string_split(pp, '=')[1], 'utm_') OR
+        |          string_split(pp, '=')[1] IN ('gclid', 'fbclid', 'msclkid'))))
+        |        AS kept
+        |    FROM t))
+        |SELECT canon_url,
+        |  regexp_extract(canon_url, '^[^:/?#]+://([^/?]*)', 1) AS host,
+        |  count(*) AS n_urls,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  min(doc_id) AS min_doc
+        |FROM c GROUP BY canon_url""".stripMargin,
 
     // q133: the waveform replayed WITHOUT the container — samples are
     // the byte deltas << 8, features recomputed from first principles

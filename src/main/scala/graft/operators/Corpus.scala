@@ -356,4 +356,26 @@ object Corpus {
     docs.select(idCol.as("id"),
         graft.functions.QualityKernels.html_extract(htmlCol).as("clean_text"))
       .withColumn("n_chars", length(col("clean_text")))
+
+  /** URL-CANONICAL DUPLICATE CLUSTERS — crawl dedup by normalized URL
+    * (the cheapest, first dedup pass every web corpus runs before any
+    * content fingerprinting): canonicalize
+    * ([[graft.functions.CanonicalizeUrl]] — fragment/tracking-param
+    * stripped, authority lowercased, default ports dropped, params
+    * sorted), then one hash aggregation per canonical key.
+    *
+    * Scale: the canonicalizer is a scan-side codegen projection; only
+    * the narrow (id, canon_url) rows reach the exchange, and the
+    * aggregate is map-side combinable — per-URL state, never per-doc
+    * content. @return (canon_url, host, n_urls, n_docs, min_doc) */
+  def urlDupClusters(
+      urls: DataFrame, idCol: Column, urlCol: Column): DataFrame =
+    urls.select(idCol.as("id"),
+        graft.functions.UrlKernels.canonicalize_url(urlCol).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("id")).as("n_docs"),
+        min(col("id")).as("min_doc"))
+      .withColumn("host",
+        regexp_extract(col("canon_url"), "^[^:/?#]+://([^/?]*)", 1))
 }
