@@ -1305,6 +1305,16 @@ object SparkEntry {
         idCol = "vec_id", vecCol = "embedding")
     }),
 
+    // ---- incremental index maintenance: a "new daily batch" of
+    // vectors (id % 10 = 7) routed to the FROZEN per-corpus IVF
+    // artifact's lists with zero retraining (the Faiss add path) —
+    // one codegen projection over the increment, dist2 as the
+    // centroid-drift monitoring signal ----
+    "q135_ivf_incremental_assign" -> ((s, dir) =>
+      Similarity.ivfAssign(
+        embs(s, dir).filter(col("vec_id") % 10 === 7),
+        ivfArtifact(s, dir))),
+
     // ---- ANN index evaluation: recall@5 of the IVF-probed search
     // against exact brute force under the same cosine metric — the
     // accept/reject measurement for any index config ----
@@ -3240,6 +3250,30 @@ object SparkEntry {
     // engine's centroids bit-for-bit, and the final probe/rank stages
     // are exact.
     "q36_ann_ivf_topk" -> ivfCosineTopKSql,
+
+    // q135: the same unrolled 3-iteration training chain (c3 = the
+    // frozen artifact's centroids), then the increment's argmin with
+    // the (d2, cid) tie rule and the full squared distance round6'd
+    // in the same addition order ((−2·v·c + c·c) + v·v).
+    "q135_ivf_incremental_assign" ->
+      s"""WITH ea AS MATERIALIZED (SELECT vec_id AS id,
+         |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |e AS MATERIALIZED (SELECT * FROM ea WHERE id % 2 = 0),
+         |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
+         |${ivfIterSql(1, "c0")},
+         |${ivfIterSql(2, "c1")},
+         |${ivfIterSql(3, "c2")},
+         |nv AS (SELECT id, v FROM ea WHERE id % 10 = 7),
+         |s AS (SELECT nv.id, c.cid,
+         |  ${dotSql("nv.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2,
+         |  ${dotSql("nv.v", "nv.v")} AS vv
+         |  FROM nv CROSS JOIN c3 c)
+         |SELECT id AS vec_id, cid,
+         |  floor((d2 + vv) * 1000000.0 + 0.5) / 1000000.0 AS dist2
+         |FROM (SELECT id, cid, d2, vv,
+         |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |  FROM s) WHERE rn = 1""".stripMargin,
 
     // q85: recall@5 of the IVF-pruned search (q36) against exact
     // brute force (q21) — SAME cosine metric, so the measured loss is
