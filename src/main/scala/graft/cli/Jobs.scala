@@ -543,10 +543,55 @@ object Jobs {
     out
   }
 
+  /** CURATION job — the web-corpus front door, composing this round's
+    * operators end to end: optional markup extraction (`--html true`
+    * rewrites the text column through [[graft.functions.HtmlExtract]]),
+    * optional canonical-URL dedup (`--url-col <c>` keeps the min-id
+    * row per [[graft.functions.CanonicalizeUrl]] key), then the Gopher
+    * rule gate ([[graft.operators.Corpus.gopherQualityGate]]) keeps
+    * `pass = true` docs (`--keep-all true` keeps everything and writes
+    * the per-rule columns instead — the audit mode). Every stage is a
+    * scan-side projection except the URL dedup's one keyed window. */
+  def runCurate(spark: SparkSession, a: Args): String = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(a("input-path"))
+    val idCol = a.get("id-col").getOrElse("doc_id")
+    val textCol = a.get("text-col").getOrElse("text")
+    val extracted =
+      if (a.get("html").contains("true"))
+        docs.withColumn(textCol,
+          graft.functions.QualityKernels.html_extract(col(textCol)))
+      else docs
+    val deduped = a.get("url-col") match {
+      case Some(u) =>
+        val w = Window.partitionBy(col("__canon")).orderBy(col(idCol))
+        extracted
+          .withColumn("__canon",
+            graft.functions.UrlKernels.canonicalize_url(col(u)))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "__canon")
+      case None => extracted
+    }
+    val gated = graft.operators.Corpus.gopherQualityGate(
+      deduped, col(idCol), col(textCol))
+    val out = a("output-path")
+    val result =
+      if (a.get("keep-all").contains("true"))
+        deduped.join(gated.withColumnRenamed("id", "__gid"),
+          col(idCol).cast("long") === col("__gid")).drop("__gid")
+      else
+        deduped.join(
+          gated.filter(col("pass")).select(col("id").as("__gid")),
+          col(idCol).cast("long") === col("__gid"), "left_semi")
+    result.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    out
+  }
+
   def main(argv: Array[String]): Unit = {
     require(argv.nonEmpty,
       "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf | " +
-        "daily-etl | dedup-admit | select-corpus | train-bpe | pack-tokens")
+        "daily-etl | dedup-admit | select-corpus | curate | train-bpe | " +
+        "pack-tokens")
     val a = parseArgs(argv.tail.toSeq)
     val spark = session()
     try {
@@ -557,6 +602,7 @@ object Jobs {
         case "daily-etl" => runDailyEtl(spark, a)
         case "dedup-admit" => runDedupAdmit(spark, a)
         case "select-corpus" => runSelectCorpus(spark, a)
+        case "curate" => runCurate(spark, a)
         case "train-bpe" => runTrainBpe(spark, a)
         case "pack-tokens" => runPackTokens(spark, a)
         case other => sys.error(s"unknown subcommand: $other")

@@ -364,6 +364,41 @@ class JobsSpec extends SparkSpec {
     assert(entries.map(_._2).sorted === entries.indices.toList)
   }
 
+  test("curate job: html extraction -> canonical-URL dedup -> gopher gate") {
+    val dir = Files.createTempDirectory("graft-curate").toString
+    val good = (("the quick brown fox jumps over the lazy dog to be " +
+      "sure of that and it will have done so with ease ") * 3).trim
+    def page(body: String) =
+      s"<html><head><script>t(1 < 2);</script></head><body><p>$body</p></body></html>"
+    Seq(
+      (1L, page(good), "HTTP://Ex.COM:80/a?utm_x=1&k=2"),
+      (2L, page(good), "http://ex.com/a?k=2"),        // url-dup of 1
+      (3L, page(good), "http://ex.com/b"),
+      (4L, page("too short"), "http://ex.com/c"))     // fails the gate
+      .toDF("doc_id", "text", "url")
+      .write.parquet(s"$dir/docs")
+    Jobs.runCurate(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/kept",
+      "--html", "true", "--url-col", "url")))
+    val kept = spark.read.parquet(s"$dir/kept").orderBy("doc_id").collect()
+    assert(kept.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // extraction ran before the gate: prose only, no markup
+    kept.foreach { r =>
+      val t = r.getString(1)
+      assert(!t.contains("<") && !t.contains("t(1"))
+      assert(t.startsWith("the quick brown fox"))
+    }
+    // audit mode: every row survives, per-rule columns ride along
+    Jobs.runCurate(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/audit",
+      "--html", "true", "--keep-all", "true")))
+    val audit = spark.read.parquet(s"$dir/audit")
+    assert(audit.count() === 4L)
+    assert(audit.columns.contains("pass") &&
+      audit.columns.contains("n_rules_failed"))
+    assert(audit.filter(col("pass")).count() === 3L) // no URL dedup here
+  }
+
   test("catalog T/X/Y-name indirection normalizes staged coordinates") {
     import graft.etl.GridmetPipeline
     val g = Seq((Timestamp.valueOf("2021-01-01 00:00:00"), 40.0, -100.0, 1.0))
