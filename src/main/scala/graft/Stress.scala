@@ -770,6 +770,75 @@ object Stress {
         (sink(graft.operators.Sampling.selectByTokenBudget(
           d, col("id"), col("score"), col("n_tokens"),
           budget = math.max(1L, n / 2 * 20))), n)
+      }),
+      Scenario("curate_kernels", sp => {
+        // q132+q131 fused at corpus volume: 2M ~1 KB HTML pages
+        // through HtmlExtract composed INTO the Gopher gate — one
+        // scan-side projection chain, zero exchange; the wall clock IS
+        // the two kernels' throughput.
+        val n = s(2000000L)
+        val d = corpus(sp, n, len = 120, vocab = 50000)
+        val html = concat(lit("<html><head><title>D"),
+          col("id").cast("string"),
+          lit("</title><style>p{c:1}</style>" +
+            "<script>if(1<2){t()}</script></head><body><h1>H</h1><p>"),
+          col("text"),
+          lit("</p><div>f &amp; g</div></body></html>"))
+        (sink(graft.operators.Corpus.gopherQualityGate(
+          d.withColumn("html", html), col("id"),
+          graft.functions.QualityKernels.html_extract(col("html")))), n)
+      }),
+      Scenario("url_dedup", sp => {
+        // q134 at crawl volume: 50M messy URLs canonicalized scan-side,
+        // then the cluster aggregate — the only exchange is the narrow
+        // (id, canon_url) rows into a map-side-combinable hash agg.
+        val n = s(50000000L)
+        val urls = sp.range(n).select(col("id"),
+          concat(lit("HTTP://Site"),
+            pmod(col("id"), lit(1000)).cast("string"),
+            lit(".COM:80/p/"),
+            pmod(col("id"), lit(100000)).cast("string"),
+            lit("?utm_source=x&b="), pmod(col("id"), lit(7)).cast("string"),
+            lit("&a="), pmod(col("id"), lit(3)).cast("string"),
+            lit("#f")).as("url"))
+        (sink(graft.operators.Corpus.urlDupClusters(
+          urls, col("id"), col("url"))), n)
+      }),
+      Scenario("wav_codec", sp => {
+        // q133's codec seam at media volume: 1M × 2 KB clips synth'd,
+        // RIFF-encoded and chunk-walk decoded per batch — ~4 GB through
+        // the writer AND parser, all inside mapPartitions (no shuffle).
+        val n = s(1000000L)
+        import sp.implicits._
+        val media = sp.range(n).map { id =>
+          val bytes = new Array[Byte](2048)
+          var x = id
+          var k = 0
+          while (k < bytes.length) {
+            x = x * 6364136223846793005L + 1442695040888963407L
+            bytes(k) = (x >>> 33).toByte
+            k += 1
+          }
+          graft.operators.Multimodal.Media(id, "audio",
+            graft.operators.Multimodal.WavCodec.encode(
+              graft.operators.Multimodal.WavCodec.pcm16FromByteDeltas(bytes)),
+            0, 0, 0)
+        }
+        (sink(graft.operators.Multimodal.mapDecodeWavBatches(media).toDF()), n)
+      }),
+      Scenario("ivf_assign", sp => {
+        // q135 at ingest volume: 10M new 64-dim vectors routed to a
+        // FROZEN 64-list quantizer (trained untimed in build — the
+        // served-artifact model); the timed action is the pure
+        // zero-shuffle assignment projection.
+        val n = s(10000000L)
+        def vecs(m: Long) = sp.range(m).select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), " +
+            "i -> cast(pmod(hash(id, i), 1000) / 500.0 - 1.0 as float))")
+            .as("embedding"))
+        val index = graft.operators.Similarity.ivfIndex(
+          vecs(math.max(1000L, n / 100)), nLists = 64, iters = 2)
+        (sink(graft.operators.Similarity.ivfAssign(vecs(n), index)), n)
       }))
   }
 
