@@ -1142,6 +1142,26 @@ object SparkEntry {
         docs(s, dir).withColumn("html", html), col("doc_id"), col("html"))
     }),
 
+    // ---- C4 line-level filter: each doc becomes a multi-line page
+    // (raw text + crafted lines exercising every rule: short, no
+    // terminal punct, javascript, brace, lorem-ipsum per residue
+    // class), then the one-scan kernel keeps terminal-punct ≥5-word
+    // javascript-free lines and flags doc-level kill conditions ----
+    "q136_c4_line_filter" -> ((s, dir) => {
+      val page = concat_ws("\n",
+        col("text"),
+        lit("This line has five words."),
+        lit("Too short."),
+        lit("A line with JavaScript code embedded here."),
+        lit("No terminal punctuation here at all"),
+        when(col("doc_id") % 11 === 0, lit("code { block }"))
+          .otherwise(lit("Filler line number six right here.")),
+        when(col("doc_id") % 13 === 0, lit("Lorem Ipsum dolor sit amet."))
+          .otherwise(lit("Final sentence to close things out.")))
+      graft.operators.Corpus.c4LineFilter(
+        docs(s, dir).withColumn("page", page), col("doc_id"), col("page"))
+    }),
+
     // ---- URL-canonical crawl dedup: two messy variants per doc
     // (uppercase host, default port, tracking params, fragment,
     // shuffled param order) collapse to one canonical key; clusters
@@ -2980,6 +3000,45 @@ object SparkEntry {
          |   + (CASE WHEN n_stop_present >= 2 THEN 0 ELSE 1 END)) = 0 AS pass
          |FROM r""".stripMargin
     },
+
+    // q136: fixture + the line rules replayed — same trim class, same
+    // terminal-punct set, same word split, ASCII-case-insensitive
+    // javascript/lorem probes, kept lines re-joined with \n.
+    "q136_c4_line_filter" ->
+      """WITH p AS (SELECT doc_id AS id,
+        |    concat_ws(chr(10), text,
+        |      'This line has five words.',
+        |      'Too short.',
+        |      'A line with JavaScript code embedded here.',
+        |      'No terminal punctuation here at all',
+        |      CASE WHEN doc_id % 11 = 0 THEN 'code { block }'
+        |           ELSE 'Filler line number six right here.' END,
+        |      CASE WHEN doc_id % 13 = 0 THEN 'Lorem Ipsum dolor sit amet.'
+        |           ELSE 'Final sentence to close things out.' END) AS page
+        |  FROM documents),
+        |l AS (SELECT id, page,
+        |    list_transform(string_split(page, chr(10)),
+        |      li -> trim(li, ' ' || chr(9) || chr(13) || chr(12) || chr(11)))
+        |      AS ls
+        |  FROM p),
+        |k AS (SELECT id, page, len(ls) AS n_total,
+        |    list_filter(ls, li -> li <> ''
+        |      AND (ends_with(li, '.') OR ends_with(li, '!') OR
+        |           ends_with(li, '?') OR ends_with(li, '"'))
+        |      AND len(list_filter(
+        |            regexp_split_to_array(li, '[ \t\n\r\f\x0B]+'),
+        |            w -> w <> '')) >= 5
+        |      AND NOT contains(lower(li), 'javascript')) AS kept
+        |  FROM l)
+        |SELECT id,
+        |  array_to_string(kept, chr(10)) AS clean_text,
+        |  CAST(len(kept) AS INT) AS n_lines_kept,
+        |  CAST(n_total - len(kept) AS INT) AS n_lines_dropped,
+        |  contains(lower(page), 'lorem ipsum') AS has_lorem,
+        |  contains(page, '{') AS has_brace,
+        |  (NOT contains(lower(page), 'lorem ipsum')
+        |   AND NOT contains(page, '{') AND len(kept) >= 3) AS keep_doc
+        |FROM k""".stripMargin,
 
     // q134: fixture + canonicalization contract replayed — fragment
     // strip, scheme/authority lowercase, default-port strip,

@@ -546,8 +546,11 @@ object Jobs {
   /** CURATION job — the web-corpus front door, composing this round's
     * operators end to end: optional markup extraction (`--html true`
     * rewrites the text column through [[graft.functions.HtmlExtract]]),
-    * optional canonical-URL dedup (`--url-col <c>` keeps the min-id
-    * row per [[graft.functions.CanonicalizeUrl]] key), then the Gopher
+    * optional C4 line rules (`--line-rules true` rewrites text to the
+    * kept lines and drops line-pass-killed docs — the C4-then-Gopher
+    * order real pipelines use), optional canonical-URL dedup
+    * (`--url-col <c>` keeps the min-id row per
+    * [[graft.functions.CanonicalizeUrl]] key), then the Gopher
     * rule gate ([[graft.operators.Corpus.gopherQualityGate]]) keeps
     * `pass = true` docs (`--keep-all true` keeps everything and writes
     * the per-rule columns instead — the audit mode). Every stage is a
@@ -562,15 +565,27 @@ object Jobs {
         docs.withColumn(textCol,
           graft.functions.QualityKernels.html_extract(col(textCol)))
       else docs
+    // optional C4 line rules (`--line-rules true`): rewrite the text
+    // column to the kept lines and drop docs the line pass kills,
+    // BEFORE the document-level gate (the C4-then-Gopher order real
+    // pipelines use)
+    val lineFiltered =
+      if (a.get("line-rules").contains("true")) {
+        val c = graft.functions.QualityKernels.c4_line_filter(col(textCol))
+        extracted.withColumn("__c4", c)
+          .filter(col("__c4.keep_doc"))
+          .withColumn(textCol, col("__c4.clean_text"))
+          .drop("__c4")
+      } else extracted
     val deduped = a.get("url-col") match {
       case Some(u) =>
         val w = Window.partitionBy(col("__canon")).orderBy(col(idCol))
-        extracted
+        lineFiltered
           .withColumn("__canon",
             graft.functions.UrlKernels.canonicalize_url(col(u)))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn", "__canon")
-      case None => extracted
+      case None => lineFiltered
     }
     val gated = graft.operators.Corpus.gopherQualityGate(
       deduped, col(idCol), col(textCol))

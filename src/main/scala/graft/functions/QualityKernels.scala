@@ -95,6 +95,47 @@ case class HtmlExtract(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** C4 LINE-LEVEL FILTER — the line-granular cleaning pass from Raffel
+  * et al. 2020 (the C4 recipe), the other canonical curation gate
+  * beside the Gopher document rules: per `\n`-line, KEEP only lines
+  * that (a) end in terminal punctuation (`.` `!` `?` `"`), (b) have at
+  * least 5 words, and (c) do not contain `javascript` (any case);
+  * kept lines re-join with `\n`. Document-level flags ride along: C4
+  * drops the whole page when the raw text contains `lorem ipsum` or a
+  * `{` (code smell), or when fewer than 3 lines survive.
+  *
+  * Contract details (shared with the oracle): lines split on `\n` and
+  * are trimmed of `[ \t\r\f]` plus VT before the rules; words are
+  * maximal non-whitespace runs ([[graft.operators.BpeTrain.WhitespaceClass]]);
+  * the `javascript` match is ASCII-case-insensitive substring; the
+  * doc-level `lorem ipsum`/`{` probes run on the RAW text (before any
+  * line is dropped), `lorem ipsum` ASCII-case-insensitively.
+  * Output: struct(clean_text, n_lines_kept int, n_lines_dropped int,
+  * has_lorem boolean, has_brace boolean, keep_doc boolean). */
+case class C4LineFilter(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_lines_kept", IntegerType, nullable = false),
+    StructField("n_lines_dropped", IntegerType, nullable = false),
+    StructField("has_lorem", BooleanType, nullable = false),
+    StructField("has_brace", BooleanType, nullable = false),
+    StructField("keep_doc", BooleanType, nullable = false)))
+  override def prettyName: String = "c4_line_filter"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"c4_line_filter needs STRING, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    QualityKernels.c4LineFilter(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.QualityKernels.c4LineFilter($s);")
+  override protected def withNewChildInternal(newChild: Expression): C4LineFilter =
+    copy(child = newChild)
+}
+
 object QualityKernels {
 
   /** The Gopher "required words" list (Rae et al. 2021 §A1.1). */
@@ -213,4 +254,76 @@ object QualityKernels {
 
   def html_extract(html: Column): Column =
     Bridge.column(HtmlExtract(Bridge.expression(html)))
+
+  private val LoremNeedle = "lorem ipsum".getBytes("US-ASCII")
+  private val JsNeedle = "javascript".getBytes("US-ASCII")
+
+  private def asciiLower(b: Byte): Byte =
+    if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+
+  private def matchesAt(
+      bytes: Array[Byte], pos: Int, limit: Int, needle: Array[Byte]): Boolean = {
+    if (pos + needle.length > limit) return false
+    var j = 0
+    while (j < needle.length && asciiLower(bytes(pos + j)) == needle(j)) j += 1
+    j == needle.length
+  }
+
+  /** Static entry for [[C4LineFilter]] — one scan for the doc-level
+    * probes, one line walk for the rules. */
+  def c4LineFilter(text: UTF8String): GenericInternalRow = {
+    val bytes = text.getBytes
+    var hasBrace = false
+    var hasLorem = false
+    var i = 0
+    while (i < bytes.length && !(hasBrace && hasLorem)) {
+      if (bytes(i) == '{') hasBrace = true
+      if (!hasLorem && matchesAt(bytes, i, bytes.length, LoremNeedle))
+        hasLorem = true
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var kept = 0
+    var total = 0
+    var lineStart = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == '\n') {
+        total += 1
+        var a = lineStart
+        var e = i
+        while (a < e && isWs(bytes(a))) a += 1
+        while (e > a && isWs(bytes(e - 1))) e -= 1
+        if (e > a) {
+          val lastB = bytes(e - 1)
+          if (lastB == '.' || lastB == '!' || lastB == '?' || lastB == '"') {
+            var words = 0
+            var inRun = false
+            var hasJs = false
+            var k = a
+            while (k < e) {
+              val ws = isWs(bytes(k))
+              if (!ws && !inRun) words += 1
+              inRun = !ws
+              if (!hasJs && matchesAt(bytes, k, e, JsNeedle)) hasJs = true
+              k += 1
+            }
+            if (words >= 5 && !hasJs) {
+              if (kept > 0) out.write('\n')
+              out.write(bytes, a, e - a)
+              kept += 1
+            }
+          }
+        }
+        lineStart = i + 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromBytes(out.toByteArray), kept, total - kept,
+      hasLorem, hasBrace, !hasLorem && !hasBrace && kept >= 3))
+  }
+
+  def c4_line_filter(text: Column): Column =
+    Bridge.column(C4LineFilter(Bridge.expression(text)))
 }

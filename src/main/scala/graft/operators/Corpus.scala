@@ -357,6 +357,27 @@ object Corpus {
         graft.functions.QualityKernels.html_extract(htmlCol).as("clean_text"))
       .withColumn("n_chars", length(col("clean_text")))
 
+  /** C4 LINE-LEVEL FILTER — the Raffel et al. 2020 line-granular
+    * cleaning pass ([[graft.functions.C4LineFilter]] holds the exact
+    * contract): keep lines ending in terminal punctuation with ≥ 5
+    * words and no `javascript`; flag docs containing `lorem ipsum` or
+    * `{`; a doc survives with ≥ 3 kept lines and neither flag. One
+    * codegen scan per document, zero shuffle — like the Gopher gate,
+    * this composes scan-side under a `keep_doc` filter pushdown.
+    * @return (id, clean_text, n_lines_kept, n_lines_dropped,
+    *         has_lorem, has_brace, keep_doc) */
+  def c4LineFilter(
+      docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.select(idCol.as("id"),
+        graft.functions.QualityKernels.c4_line_filter(textCol).as("__c"))
+      .select(col("id"),
+        col("__c.clean_text").as("clean_text"),
+        col("__c.n_lines_kept").as("n_lines_kept"),
+        col("__c.n_lines_dropped").as("n_lines_dropped"),
+        col("__c.has_lorem").as("has_lorem"),
+        col("__c.has_brace").as("has_brace"),
+        col("__c.keep_doc").as("keep_doc"))
+
   /** URL-CANONICAL DUPLICATE CLUSTERS — crawl dedup by normalized URL
     * (the cheapest, first dedup pass every web corpus runs before any
     * content fingerprinting): canonicalize

@@ -397,6 +397,21 @@ class JobsSpec extends SparkSpec {
     assert(audit.columns.contains("pass") &&
       audit.columns.contains("n_rules_failed"))
     assert(audit.filter(col("pass")).count() === 3L) // no URL dedup here
+    // --line-rules: C4 pass runs before the gate; a lorem-ipsum doc
+    // dies there even though its body would pass Gopher
+    val sentences = (1 to 10).map(i =>
+      s"Sentence number $i of the body keeps the quick brown fox busy " +
+        "with the lazy dog to be sure of that and have it done.")
+    Seq(
+      (10L, sentences.mkString("\n")),
+      (11L, (sentences :+ "Some Lorem Ipsum for flavor.").mkString("\n")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs2")
+    Jobs.runCurate(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs2", "--output-path", s"$dir/kept2",
+      "--line-rules", "true")))
+    val kept2 = spark.read.parquet(s"$dir/kept2").collect()
+    assert(kept2.map(_.getLong(0)).toSeq === Seq(10L))
+    assert(kept2.head.getString(1).startsWith("Sentence number 1"))
   }
 
   test("catalog T/X/Y-name indirection normalizes staged coordinates") {
