@@ -66,6 +66,8 @@ object SparkEntry {
   val annTrainings = new java.util.concurrent.atomic.AtomicInteger(0)
   private val ivfCache =
     scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]()
+  private val bpeMergesCache =
+    scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]()
   private val pqCache =
     scala.collection.concurrent.TrieMap[String, IndexedSeq[IndexedSeq[Array[Double]]]]()
 
@@ -85,6 +87,20 @@ object SparkEntry {
         // pass does not perturb training)
         Similarity.ivfIndex(embs(s, dir), nLists = 16, iters = 3,
           trainSampleMod = 2)
+      })
+    }
+
+  /** The corpus's trained tokenizer (q130's 8 ranked merges) — like
+    * the ANN quantizers, a per-corpus artifact trained once and served
+    * to every consumer (q130 surfaces the training itself; q137
+    * evaluates fertility through the same values). */
+  private def bpeMergesArtifact(
+      s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergesCache.synchronized {
+      bpeMergesCache.getOrElseUpdate(dir, {
+        graft.operators.BpeTrain.trainMerges(docs(s, dir), "text", 8)
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
       })
     }
 
@@ -725,6 +741,37 @@ object SparkEntry {
        |w$k AS MATERIALIZED (SELECT i, ${r6("u / n")} AS x FROM u$k CROSS JOIN n$k)""".stripMargin
   }
 
+  /** Shared q130/q137 oracle fragment: the 8-round BPE training loop
+    * unrolled as WITH-body CTEs — `wc` (word counts), `w0` (delimited
+    * words), then per round r: `p_r` (adjacency counts), `m_r` (the
+    * argmax merge) and `w_{r+1}` (the greedy replace). q130 reads
+    * m0..m7 as its result; q137 reuses them as the frozen artifact. */
+  private def bpeTrainChainSql: String = {
+    def round(r: Int): String =
+      s"""p$r AS (SELECT s[CAST(i AS INT)] AS lhs, s[CAST(i AS INT)+1] AS rhs,
+         |    CAST(sum(n) AS BIGINT) AS c
+         |  FROM (SELECT list_filter(string_split(w, chr(31)),
+         |          x -> x <> '') AS s, n FROM w$r) t,
+         |       unnest(range(1, len(t.s))) u(i)
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT lhs, rhs, c FROM p$r
+         |        ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w${r + 1} AS (SELECT
+         |  replace(w, chr(31)||lhs||chr(31)||chr(31)||rhs||chr(31),
+         |             chr(31)||lhs||rhs||chr(31)) AS w, n
+         |  FROM w$r CROSS JOIN m$r)""".stripMargin
+    val rounds = (0 until 8).map(round).mkString(",\n")
+    s"""wc AS MATERIALIZED (SELECT word, count(*) AS n FROM (
+       |    SELECT unnest(list_filter(
+       |             regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0B]+'),
+       |             x -> x <> '')) AS word FROM documents) GROUP BY word),
+       |w0 AS (SELECT chr(31) || chr(31) ||
+       |    regexp_replace(word, '(?s)(.)', '\\1' || chr(31) || chr(31),
+       |      'g') AS w, n
+       |  FROM wc),
+       |$rounds""".stripMargin
+  }
+
   private def hashSql(expr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($expr)+1), ch_i -> ascii($expr[ch_i]))), " +
@@ -1161,6 +1208,15 @@ object SparkEntry {
       graft.operators.Corpus.c4LineFilter(
         docs(s, dir).withColumn("page", page), col("doc_id"), col("page"))
     }),
+
+    // ---- tokenizer fertility eval: the trained per-corpus merge
+    // artifact (q130's 8 merges, served from the artifact cache like
+    // the ANN quantizers) applied over per-source distinct-word tables
+    // via the trainer's own greedy replace — tokens-per-word /
+    // chars-per-token per source, the tokenizer-fit measurement ----
+    "q137_tokenizer_fertility" -> ((s, dir) =>
+      graft.operators.BpeTrain.tokenizerFertility(
+        docs(s, dir), "source", "text", bpeMergesArtifact(s, dir))),
 
     // ---- URL-canonical crawl dedup: two messy variants per doc
     // (uppercase host, default port, tracking params, fragment,
@@ -2913,33 +2969,44 @@ object SparkEntry {
     // argmax, and the greedy non-overlapping merge via plain string
     // replace (left-to-right scan in both engines).
     "q130_bpe_train_merges" -> {
-      def round(r: Int): String =
-        s"""p$r AS (SELECT s[CAST(i AS INT)] AS lhs, s[CAST(i AS INT)+1] AS rhs,
-           |    CAST(sum(n) AS BIGINT) AS c
-           |  FROM (SELECT list_filter(string_split(w, chr(31)),
-           |          x -> x <> '') AS s, n FROM w$r) t,
-           |       unnest(range(1, len(t.s))) u(i)
-           |  GROUP BY 1, 2),
-           |m$r AS (SELECT lhs, rhs, c FROM p$r
-           |        ORDER BY c DESC, lhs, rhs LIMIT 1),
-           |w${r + 1} AS (SELECT
-           |  replace(w, chr(31)||lhs||chr(31)||chr(31)||rhs||chr(31),
-           |             chr(31)||lhs||rhs||chr(31)) AS w, n
-           |  FROM w$r CROSS JOIN m$r)""".stripMargin
-      val rounds = (0 until 8).map(round).mkString(",\n")
       val out = (0 until 8).map(r =>
         s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, c AS pair_count FROM m$r")
         .mkString("\nUNION ALL ")
-      s"""WITH wc AS MATERIALIZED (SELECT word, count(*) AS n FROM (
-         |    SELECT unnest(list_filter(
+      s"WITH $bpeTrainChainSql\n$out"
+    },
+
+    // q137: the SAME training chain (m0..m7 = the served artifact's
+    // values), then the apply side unrolled — per-(source, word)
+    // counts delimited and folded through the 8 replaces in rank
+    // order, token counts weighted back, ratios round6'd.
+    "q137_tokenizer_fertility" -> {
+      val applies = (0 until 8).map(r =>
+        s"""a${r + 1} AS (SELECT grp, word, n,
+           |  replace(w, chr(31)||m$r.lhs||chr(31)||chr(31)||m$r.rhs||chr(31),
+           |             chr(31)||m$r.lhs||m$r.rhs||chr(31)) AS w
+           |  FROM a$r CROSS JOIN m$r)""".stripMargin).mkString(",\n")
+      s"""WITH $bpeTrainChainSql,
+         |swc AS (SELECT source AS grp, word, count(*) AS n FROM (
+         |    SELECT source, unnest(list_filter(
          |             regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0B]+'),
-         |             x -> x <> '')) AS word FROM documents) GROUP BY word),
-         |w0 AS (SELECT chr(31) || chr(31) ||
+         |             x -> x <> '')) AS word FROM documents) GROUP BY 1, 2),
+         |a0 AS (SELECT grp, word, n, chr(31) || chr(31) ||
          |    regexp_replace(word, '(?s)(.)', '\\1' || chr(31) || chr(31),
-         |      'g') AS w, n
-         |  FROM wc),
-         |$rounds
-         |$out""".stripMargin
+         |      'g') AS w
+         |  FROM swc),
+         |$applies,
+         |f AS (SELECT grp, n, length(word) AS chars,
+         |    len(list_filter(string_split(w, chr(31)), x -> x <> '')) AS toks
+         |  FROM a8)
+         |SELECT grp AS source,
+         |  CAST(sum(n) AS BIGINT) AS n_words,
+         |  CAST(sum(toks * n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(chars * n) AS BIGINT) AS n_chars,
+         |  floor(CAST(sum(toks * n) AS DOUBLE) / sum(n)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS tokens_per_word,
+         |  floor(CAST(sum(chars * n) AS DOUBLE) / sum(toks * n)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token
+         |FROM f GROUP BY grp""".stripMargin
     },
 
     // q131: the Gopher gate replayed — same whitespace word split,

@@ -68,6 +68,47 @@ object BpeTrain {
         w => w =!= "")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
 
+  /** TOKENIZER FERTILITY EVALUATION — the standard "how well does this
+    * tokenizer fit this corpus" measurement (tokens-per-word /
+    * chars-per-token, the fertility metric multilingual-tokenizer
+    * papers report per language; here per `groupCol`, e.g. source).
+    * Applies an already-learned ranked merge list by replaying the
+    * SAME double-delimited greedy replace the trainer uses (BPE
+    * application ≡ applying merges in rank order — each replace is the
+    * trainer's own rule, so train-then-eval is exactly consistent),
+    * chained as ONE nested-replace projection over the per-group
+    * DISTINCT-WORD table — vocabulary-sized work per group, the corpus
+    * is touched once for the (group, word) counts.
+    * @return (group, n_words, n_tokens, n_chars, tokens_per_word,
+    *         chars_per_token) — ratios round6'd. */
+  def tokenizerFertility(
+      docs: DataFrame, groupCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import graft.functions.TextFunctions.round6
+    val wc = docs
+      .select(col(groupCol).as("grp"),
+        explode(filter(split(col(textCol), WhitespaceClass),
+          w => w =!= "")).as("word"))
+      .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("n"))
+    val delimited = concat(lit(SS),
+      regexp_replace(col("word"), "(?s)(.)", "$1" + SS))
+    val applied = merges.foldLeft(delimited) { case (acc, (l, r)) =>
+      replace(acc, lit(Sep + l + SS + r + Sep), lit(Sep + l + r + Sep))
+    }
+    wc.select(col("grp"), col("n"), length(col("word")).as("chars"),
+        size(filter(split(applied, Sep), s => s =!= "")).as("toks"))
+      .groupBy(col("grp"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("toks").cast("long") * col("n")).as("n_tokens"),
+        sum(col("chars").cast("long") * col("n")).as("n_chars"))
+      .select(col("grp").as(groupCol), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        round6(col("n_tokens").cast("double") /
+          col("n_words").cast("double")).as("tokens_per_word"),
+        round6(col("n_chars").cast("double") /
+          col("n_tokens").cast("double")).as("chars_per_token"))
+  }
+
   /** Learn `nMerges` ranked merges from the corpus.
     * @return (rank, lhs, rhs, pair_count) — rank 0-based in learning
     *         order; pair_count the weighted adjacency count that won

@@ -112,4 +112,50 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.forall { case (_, l, r, _) =>
       !(l + r).exists(c => " \t\n\r\f".contains(c)) })
   }
+  test("tokenizerFertility matches a word-level reference under the trained merges") {
+    val corpus = Seq(
+      ("a", "low low lower lowest low"),
+      ("b", "newest newest widest new"),
+      ("b", "low newest lowest lowest"))
+    val docs = corpus.toDF("source", "text")
+    val merges = BpeTrain.trainMerges(docs, "text", nMerges = 6)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = BpeTrain.tokenizerFertility(docs, "source", "text", merges)
+      .orderBy("source").collect()
+    // reference: apply merges in rank order to each word
+    def tokens(word: String): Int = {
+      var syms = word.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms.length
+    }
+    def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val bySource = corpus.groupBy(_._1).map { case (src, rows) =>
+      val words = rows.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      val nT = words.map(tokens).sum.toLong
+      val nC = words.map(_.length.toLong).sum
+      (src, words.length.toLong, nT, nC)
+    }
+    got.foreach { r =>
+      val (_, nw, nt, nc) = bySource.find(_._1 == r.getString(0)).get
+      assert(r.getLong(1) === nw)
+      assert(r.getLong(2) === nt)
+      assert(r.getLong(3) === nc)
+      assert(r.getDouble(4) === round6(nt.toDouble / nw))
+      assert(r.getDouble(5) === round6(nc.toDouble / nt))
+    }
+    // no merges -> every token is a character
+    val flat = BpeTrain.tokenizerFertility(docs, "source", "text", Nil)
+      .collect()
+    flat.foreach(r => assert(r.getLong(2) === r.getLong(3)))
+  }
 }
