@@ -1239,6 +1239,19 @@ object SparkEntry {
         col("doc_id"), col("url"))
     }),
 
+    // ---- per-host document cap (domain balance): messy URLs bucket
+    // to their canonical host (case/port/params collapse), at most 3
+    // lowest-id docs kept per host ----
+    "q138_per_host_cap" -> ((s, dir) => {
+      val idS = col("doc_id").cast("string")
+      val url = concat(lit("HTTP://WWW.Site"),
+        (col("doc_id") % 7).cast("string"), lit(".COM:80/Articles/"), idS,
+        lit("?utm_source=feed&id="), idS)
+      graft.operators.Corpus.perHostCap(
+        docs(s, dir).select(col("doc_id"), url.as("url")),
+        col("doc_id"), col("url"), cap = 3)
+    }),
+
     // ---- REAL audio codec round trip: each audio payload becomes a
     // signed 16-bit PCM waveform (byte-delta DPCM synth), is wrapped
     // in a spec-correct RIFF/WAVE container by the WavCodec WRITER,
@@ -3160,6 +3173,35 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS n_docs,
         |  min(doc_id) AS min_doc
         |FROM c GROUP BY canon_url""".stripMargin,
+
+    // q138: the canonical-host derivation replayed (fragment, scheme,
+    // authority lowercase, default-port strip), then the same
+    // per-host (id asc) rank and cap.
+    "q138_per_host_cap" ->
+      """WITH u AS (SELECT doc_id,
+        |    'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.COM:80/Articles/' || CAST(doc_id AS VARCHAR) ||
+        |    '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, string_split(url, '#')[1] AS s0 FROM u),
+        |q AS (SELECT doc_id,
+        |    lower(regexp_extract(s0, '^([^:/?#]+)://', 1)) AS scheme,
+        |    regexp_replace(s0, '^[^:/?#]+://', '') AS rest
+        |  FROM p),
+        |r AS (SELECT doc_id,
+        |    lower(regexp_extract(rest, '^([^/?]*)', 1)) AS auth0, scheme
+        |  FROM q),
+        |h AS (SELECT doc_id AS id,
+        |    CASE WHEN scheme = 'http' AND ends_with(auth0, ':80')
+        |           THEN left(auth0, length(auth0) - 3)
+        |         WHEN scheme = 'https' AND ends_with(auth0, ':443')
+        |           THEN left(auth0, length(auth0) - 4)
+        |         ELSE auth0 END AS host
+        |  FROM r)
+        |SELECT id, host, CAST(rn AS INT) AS host_rank
+        |FROM (SELECT id, host,
+        |    row_number() OVER (PARTITION BY host ORDER BY id) AS rn
+        |  FROM h) WHERE rn <= 3""".stripMargin,
 
     // q133: the waveform replayed WITHOUT the container — samples are
     // the byte deltas << 8, features recomputed from first principles

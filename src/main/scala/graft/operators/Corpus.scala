@@ -378,6 +378,34 @@ object Corpus {
         col("__c.has_brace").as("has_brace"),
         col("__c.keep_doc").as("keep_doc"))
 
+  /** PER-HOST DOCUMENT CAP — the domain-balance rule (RefinedWeb-style
+    * "no single site dominates the corpus"): keep at most `cap` docs
+    * per canonical host, deterministically the lowest-id ones. Host
+    * comes from the [[graft.functions.CanonicalizeUrl]] key (scan-side
+    * kernel + one regexp), so `HTTP://X.COM:80/..` and `http://x.com`
+    * count against the same budget.
+    *
+    * Scale: the only exchange is narrow (id, host) rows into a
+    * per-host window; rows per reducer are bounded by the biggest
+    * host's page count — acceptable because the window input is ~16
+    * B/row (a 10⁸-page megahost is ~1.6 GB through one task before
+    * the cap cuts it; a deployment that must bound that too runs the
+    * cap in two stages, per-(host, id-block) then global, the q126
+    * two-level pattern — the semantic stays identical).
+    * @return (id, host, host_rank) for KEPT docs, host_rank 1-based. */
+  def perHostCap(
+      urls: DataFrame, idCol: Column, urlCol: Column, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val host = regexp_extract(
+      graft.functions.UrlKernels.canonicalize_url(urlCol),
+      "^[^:/?#]+://([^/?]*)", 1)
+    val w = Window.partitionBy(col("host")).orderBy(col("id"))
+    urls.select(idCol.as("id"), host.as("host"))
+      .withColumn("host_rank", row_number().over(w))
+      .filter(col("host_rank") <= cap)
+  }
+
   /** URL-CANONICAL DUPLICATE CLUSTERS — crawl dedup by normalized URL
     * (the cheapest, first dedup pass every web corpus runs before any
     * content fingerprinting): canonicalize

@@ -53,6 +53,21 @@ class UrlKernelsSpec extends SparkSpec {
     assert(canon("://nohost") === "://nohost")
   }
 
+  test("perHostCap: messy variants share one host budget; lowest ids win") {
+    import graft.operators.Corpus
+    val urls = Seq(
+      (5L, "HTTP://A.COM:80/x"),
+      (1L, "http://a.com/y?utm_q=1"),
+      (3L, "http://A.com/z#f"),
+      (9L, "http://a.com/w"),
+      (2L, "https://b.org/only")).toDF("doc_id", "url")
+    val got = Corpus.perHostCap(urls, col("doc_id"), col("url"), cap = 2)
+      .orderBy("host", "host_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq === Seq(
+      (1L, "a.com", 1), (3L, "a.com", 2), (2L, "b.org", 1)))
+  }
+
   test("null passes through") {
     val got = Seq(Option.empty[String]).toDF("u")
       .select(UrlKernels.canonicalize_url(col("u")).as("c")).collect()
