@@ -1236,7 +1236,26 @@ object SparkEntry {
         lit("&gclid=XYZ"))
       graft.operators.Corpus.urlDupClusters(
         d.select(col("doc_id"), explode(array(u1, u2)).as("url")),
-        col("doc_id"), col("url"))
+        col("doc_id"), col("url"), countDocs = true)
+    }),
+
+    // ---- int8 embedding quantization: per-tensor absmax calibration
+    // (one scalar aggregate → plan parameter), then quantize +
+    // reconstruction error as a zero-shuffle projection ----
+    "q140_int8_quantize" -> ((s, dir) =>
+      graft.operators.EmbedStats.int8Quantize(embs(s, dir))),
+
+    // ---- corpus snapshot diff: the v1→v2 churn report (drop one
+    // residue class, edit another, add a third under new ids) via the
+    // fingerprint full-outer join — content never crosses the wire ----
+    "q139_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val v2 = d.filter(col("doc_id") % 17 =!= 3)
+        .withColumn("text", when(col("doc_id") % 17 === 5,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 17 === 7)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      graft.operators.Corpus.snapshotDiff(d, v2, "doc_id", "text")
     }),
 
     // ---- per-host document cap (domain balance): messy URLs bucket
@@ -3173,6 +3192,46 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS n_docs,
         |  min(doc_id) AS min_doc
         |FROM c GROUP BY canon_url""".stripMargin,
+
+    // q140: scale from the same max-abs aggregate, half-up-toward-+∞
+    // rounding, clamp, and the ascending-index error fold replayed.
+    "q140_int8_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, qx -> CAST(qx AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT max(list_max(list_transform(v, qx -> abs(qx)))) / 127.0
+        |    AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |    list_transform(v, qx -> CAST(greatest(-127.0, least(127.0,
+        |      floor(qx / scale + 0.5))) AS INT)) AS qvec
+        |  FROM e CROSS JOIN s)
+        |SELECT vec_id, qvec,
+        |  floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, len(v) + 1),
+        |        qi -> (v[qi] - qvec[qi] * scale) * (v[qi] - qvec[qi] * scale))),
+        |      (acc, x) -> acc + x) / len(v)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS mse
+        |FROM q""".stripMargin,
+
+    // q139: the same v2 construction, status from RAW text equality
+    // (fingerprint-equal ⇔ text-equal on collision-free data — the
+    // exact-dedup surface's standing assumption).
+    "q139_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id AS id, text FROM documents),
+        |n AS (SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 17 = 5 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS id, text FROM documents
+        |  WHERE doc_id % 17 = 7)
+        |SELECT coalesce(o.id, n.id) AS id,
+        |  CASE WHEN o.id IS NULL THEN 'added'
+        |       WHEN n.id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  CAST(length(o.text) AS INT) AS old_len,
+        |  CAST(length(n.text) AS INT) AS new_len
+        |FROM o FULL OUTER JOIN n ON o.id = n.id""".stripMargin,
 
     // q138: the canonical-host derivation replayed (fragment, scheme,
     // authority lowercase, default-port strip), then the same

@@ -19,6 +19,46 @@ import org.apache.spark.sql.functions._
   */
 object EmbedStats {
 
+  /** INT8 EMBEDDING QUANTIZATION — the serving-side compression every
+    * vector store offers (per-tensor absmax scheme: scale =
+    * max|x|/127, q = round(x/scale), 4× smaller than float32): one
+    * map-side-combinable scalar aggregate calibrates the scale (a
+    * bounded plan parameter, the centroid pattern), then quantization
+    * and the reconstruction error are a single zero-shuffle
+    * projection.
+    *
+    * Portability contract: rounding is `floor(x/scale + 0.5)`
+    * (half-up toward +∞ for BOTH signs — engine `round()` functions
+    * disagree at midpoints), clamped to ±127; `mse` is the ascending-
+    * index left-fold of (x − q·scale)² divided by dim, round6'd — the
+    * exact IEEE sequence an oracle's `list_reduce` replays.
+    * @return (vec_id, qvec array<int>, mse) */
+  def int8Quantize(
+      embs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.TextFunctions.round6
+    val base = embs.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("__v"))
+    val absmax = base
+      .agg(max(array_max(transform(col("__v"), x => abs(x))))).head
+      .getDouble(0)
+    require(absmax > 0.0,
+      "int8Quantize: all-zero corpus has no quantization scale")
+    val scale = absmax / 127.0
+    val q = base.withColumn("qvec",
+      transform(col("__v"), x =>
+        greatest(lit(-127), least(lit(127),
+          floor(x / lit(scale) + lit(0.5)))).cast("int")))
+    q.select(col("vec_id"), col("qvec"),
+      round6(aggregate(
+        zip_with(col("__v"), col("qvec"), (x, qi) => {
+          val e = x - qi.cast("double") * lit(scale)
+          e * e
+        }),
+        lit(0.0), (acc, e) => acc + e) /
+        size(col("__v")).cast("double")).as("mse"))
+  }
+
   /** Upper-triangle Gram sums G_ij = Σ round6(v_i·v_j) and covariance
     * cov_ij = G_ij/n − (S_i/n)(S_j/n) for an embedding column of width
     * `dim`. Rows whose vector length ≠ `dim` are excluded (ragged
