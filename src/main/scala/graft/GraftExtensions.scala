@@ -87,6 +87,11 @@ object GraftFunctions {
           case Literal(n: Int, _) => graft.functions.RepetitionStatsExpr(args(0), n)
           case other => sys.error(s"repetition_stats n must be an int literal, got $other")
         } }),
+    (FunctionIdentifier("normalize_text"),
+      info("normalize_text",
+        "normalize_text(text) - struct(clean_text, n_stripped, changed): CRLF->LF, NFC, zero-width/control strip"),
+      args => { require(args.length == 1, "normalize_text takes 1 argument")
+        graft.functions.NormalizeTextExpr(args.head) }),
     (FunctionIdentifier("upper_tri_products"),
       info("upper_tri_products",
         "upper_tri_products(vec, dim) - round6'd upper-triangle products v_i*v_j, i-major"),

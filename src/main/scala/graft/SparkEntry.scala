@@ -1242,6 +1242,56 @@ object SparkEntry {
     // ---- int8 embedding quantization: per-tensor absmax calibration
     // (one scalar aggregate → plan parameter), then quantize +
     // reconstruction error as a zero-shuffle projection ----
+    // ---- global paragraph-level dedup (CCNet first pass): pages get
+    // a shared subscribe banner (one global cluster), a %5 cluster
+    // line, a whitespace-only paragraph, an intra-doc banner repeat
+    // and a shared footer; only the globally-first copy of each
+    // paragraph survives, docs rebuilt in original order ----
+    "q141_paragraph_dedup" -> ((s, dir) => {
+      val page = concat_ws("\n",
+        col("text"),
+        lit("Subscribe to our newsletter today."),
+        lit("   "),
+        concat(lit("Cluster line number "),
+          (col("doc_id") % 5).cast("string"), lit(".")),
+        lit("Subscribe to our newsletter today."),
+        lit("All rights reserved."))
+      graft.operators.Corpus.paragraphDedup(
+        docs(s, dir).withColumn("page", page),
+        col("doc_id"), col("page"))
+    }),
+
+    // ---- domain-suffix blocklist filter: messy URLs canonicalize to
+    // hosts like a.b.site1.com; listing site1.com blocks the whole
+    // registrable domain, cdn.site2.com only that subdomain, and the
+    // LONGEST listed suffix wins the matched_domain credit ----
+    "q142_blocklist_filter" -> ((s, dir) => {
+      import s.implicits._
+      val sub = when(col("doc_id") % 3 === 0, lit("www"))
+        .when(col("doc_id") % 3 === 1, lit("a.b"))
+        .otherwise(lit("cdn"))
+      val url = concat(lit("HTTPS://"), sub, lit(".Site"),
+        (col("doc_id") % 7).cast("string"), lit(".COM:443/page/"),
+        col("doc_id").cast("string"))
+      val blocked = Seq("site1.com", "site4.com", "cdn.site2.com",
+        "a.b.site1.com", "evil.org").toDF("domain")
+      graft.operators.Corpus.blocklistFilter(
+        docs(s, dir).select(col("doc_id"), url.as("url")),
+        col("doc_id"), col("url"), blocked)
+    }),
+
+    // ---- Unicode normalization cleanup: every 4th doc gets a messy
+    // wrapper (decomposed accent, CRLF, zero-widths, C0 control, DEL,
+    // BOM); the kernel folds newlines, NFC-composes and strips, the
+    // rest pass through unchanged ----
+    "q143_normalize_text" -> ((s, dir) => {
+      val messy = concat(lit("Cafe\u0301 du parc\r\n"), col("text"),
+        lit("\u200Bzero\u200Cwidth\u200D\u0001\u007F\uFEFF tail"))
+      val t = when(col("doc_id") % 4 === 0, messy).otherwise(col("text"))
+      graft.operators.Corpus.normalizeText(
+        docs(s, dir).withColumn("t", t), col("doc_id"), col("t"))
+    }),
+
     "q140_int8_quantize" -> ((s, dir) =>
       graft.operators.EmbedStats.int8Quantize(embs(s, dir))),
 
@@ -3192,6 +3242,80 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS n_docs,
         |  min(doc_id) AS min_doc
         |FROM c GROUP BY canon_url""".stripMargin,
+
+    // q141: the same page built in SQL; first-occurrence election by
+    // RAW trimmed-paragraph equality (fingerprint-equal ⇔ text-equal
+    // on collision-free data, the q139 convention), docs rebuilt via
+    // ordered string_agg; whitespace-only paragraphs never counted.
+    "q141_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    text || chr(10) || 'Subscribe to our newsletter today.' ||
+        |    chr(10) || '   ' || chr(10) ||
+        |    'Cluster line number ' || CAST(doc_id % 5 AS VARCHAR) || '.' ||
+        |    chr(10) || 'Subscribe to our newsletter today.' ||
+        |    chr(10) || 'All rights reserved.' AS page
+        |  FROM documents),
+        |x AS (SELECT id, unnest(string_split(page, chr(10))) AS p0,
+        |    unnest(range(0, len(string_split(page, chr(10))))) AS pos
+        |  FROM d),
+        |ne AS (SELECT id, pos, trim(p0) AS p FROM x
+        |       WHERE length(trim(p0)) > 0),
+        |kept AS (SELECT id, pos, p FROM (
+        |    SELECT id, pos, p, row_number() OVER
+        |      (PARTITION BY p ORDER BY id, pos) AS rk FROM ne)
+        |  WHERE rk = 1),
+        |agg AS (SELECT id, string_agg(p, chr(10) ORDER BY pos) AS ct,
+        |    COUNT(*) AS n_kept FROM kept GROUP BY id),
+        |np AS (SELECT id, COUNT(*) AS n_paras FROM ne GROUP BY id)
+        |SELECT d.id, coalesce(agg.ct, '') AS clean_text,
+        |  CAST(coalesce(np.n_paras, 0) AS BIGINT) AS n_paras,
+        |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM d LEFT JOIN np ON d.id = np.id
+        |LEFT JOIN agg ON d.id = agg.id""".stripMargin,
+
+    // q142: canonical host replayed (lowercase, https:443 stripped),
+    // dot-suffix explode, blocklist VALUES join, longest match wins.
+    "q142_blocklist_filter" ->
+      """WITH u AS (SELECT doc_id AS id,
+        |    lower(CASE WHEN doc_id % 3 = 0 THEN 'www'
+        |               WHEN doc_id % 3 = 1 THEN 'a.b'
+        |               ELSE 'cdn' END ||
+        |      '.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM') AS host
+        |  FROM documents),
+        |b(domain) AS (VALUES ('site1.com'), ('site4.com'),
+        |  ('cdn.site2.com'), ('a.b.site1.com'), ('evil.org')),
+        |sfx AS (SELECT id, host,
+        |    unnest(list_transform(
+        |      range(1, len(string_split(host, '.')) + 1),
+        |      si -> array_to_string(
+        |        string_split(host, '.')[CAST(si AS INT):], '.'))) AS suffix
+        |  FROM u),
+        |m AS (SELECT id, max_by(sfx.suffix, length(sfx.suffix)) AS md
+        |  FROM sfx JOIN b ON sfx.suffix = b.domain GROUP BY id)
+        |SELECT u.id, u.host, m.md IS NOT NULL AS blocked,
+        |  m.md AS matched_domain
+        |FROM u LEFT JOIN m ON u.id = m.id""".stripMargin,
+
+    // q143: the identical step chain — CRLF/CR fold, nfc_normalize,
+    // RE2 strip class ≡ the kernel's drop predicate — with n_stripped
+    // as the codepoint-length delta and changed vs the ORIGINAL text.
+    "q143_normalize_text" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |      'Cafe' || chr(769) || ' du parc' || chr(13) || chr(10) ||
+        |      text || chr(8203) || 'zero' || chr(8204) || 'width' ||
+        |      chr(8205) || chr(1) || chr(127) || chr(65279) || ' tail'
+        |    ELSE text END AS t FROM documents),
+        |s1 AS (SELECT id, t,
+        |    replace(replace(t, chr(13) || chr(10), chr(10)),
+        |      chr(13), chr(10)) AS lf FROM d),
+        |s2 AS (SELECT id, t, nfc_normalize(lf) AS nfc FROM s1),
+        |s3 AS (SELECT id, t, nfc, regexp_replace(nfc,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+        |    '', 'g') AS clean FROM s2)
+        |SELECT id, clean AS clean_text,
+        |  CAST(length(nfc) - length(clean) AS BIGINT) AS n_stripped,
+        |  clean <> t AS changed FROM s3""".stripMargin,
 
     // q140: scale from the same max-abs aggregate, half-up-toward-+∞
     // rounding, clamp, and the ascending-index error fold replayed.

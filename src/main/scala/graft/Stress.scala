@@ -104,6 +104,23 @@ object Stress {
         when(pmod(col("id"), lit(100)) === 1, lit(" cloneextra")).otherwise(lit(""))))
       .select(col("id"), col("blk"), col("text"))
 
+  /** Shared input for the paragraph_dedup[_flat] head-to-head: n pages
+    * of 8 newline-joined paragraphs drawn from a pool 20× smaller, so
+    * every paragraph recurs ~20× SCATTERED across the id range (the
+    * cross-site boilerplate regime). */
+  private def paragraphPages(
+      sp: SparkSession, scale: Double): (DataFrame, Long) = {
+    val n = math.max(1000L, (5000000L * scale).toLong)
+    val pool = math.max(500L, n * 8 / 20)
+    val filler =
+      "the quick brown fox jumps over the lazy dog near the riverbank "
+    val slots = (0 until 8).map { k =>
+      concat(lit(filler),
+        pmod(col("id") * 8 + lit(k), lit(pool)).cast("string"))
+    }
+    (sp.range(n).select(col("id"), concat_ws("\n", slots: _*).as("page")), n)
+  }
+
   /** Event-time base and span shared by [[events]] and
     * [[stageTimeSlicedEvents]] — the slicer's filter bounds MUST be the
     * generator's, or slice 0's lower bound silently drops rows from the
@@ -803,6 +820,35 @@ object Stress {
             lit("#f")).as("url"))
         (sink(graft.operators.Corpus.urlDupClusters(
           urls, col("id"), col("url"))), n)
+      }),
+      Scenario("paragraph_dedup", sp => {
+        // q141 at corpus volume: 5M pages × 8 ~75 B paragraphs from a
+        // pool 20× smaller (the scattered-boilerplate regime) — the
+        // shipped narrow election: content never rides the dedup
+        // window, one id-join rebuild.
+        val (d, n) = paragraphPages(sp, scale)
+        (sink(graft.operators.Corpus.paragraphDedup(
+          d, col("id"), col("page"))), n)
+      }),
+      Scenario("paragraph_dedup_flat", sp => {
+        // the naive foil on IDENTICAL input: window partitioned by the
+        // full paragraph STRING + groupBy-collect rebuild — content
+        // shuffles and sorts twice.
+        import org.apache.spark.sql.expressions.Window
+        val (d, n) = paragraphPages(sp, scale)
+        val paras = d
+          .select(col("id"), posexplode(split(col("page"), "\n")))
+          .select(col("id"), col("pos"), trim(col("col")).as("p"))
+          .filter(length(col("p")) > 0)
+        val kept = paras
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("p")).orderBy(col("id"), col("pos"))))
+          .filter(col("rk") === 1)
+        (sink(kept.groupBy(col("id"))
+          .agg(array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("p")))),
+              s => s.getField("p")), "\n").as("clean_text"),
+            count(lit(1)).as("n_kept"))), n)
       }),
       Scenario("wav_codec", sp => {
         // q133's codec seam at media volume: 1M × 2 KB clips synth'd,

@@ -160,9 +160,70 @@ case class RepetitionStatsExpr(child: Expression, n: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** One-pass Unicode text normalization — the cleanup every corpus runs
+  * before fingerprinting/tokenization (the ftfy-lite subset that is
+  * engine-portable): CRLF/CR folded to LF, Unicode NFC composition
+  * (java.text.Normalizer — `café` arrives byte-identical whether the
+  * crawl emitted it composed or decomposed, so exact dedup stops
+  * splitting on encoding accidents), then zero-width characters
+  * (U+200B–U+200D, U+FEFF) and C0 controls (TAB and LF excepted, plus
+  * DEL) stripped. Steps run in EXACTLY that order — the DuckDB oracle
+  * chains `replace`/`nfc_normalize`/`regexp_replace` in the same order,
+  * so parity holds even where the passes interact.
+  * Output: struct(clean_text string, n_stripped int, changed boolean);
+  * `n_stripped` counts stripped codepoints (all BMP), `changed`
+  * compares against the ORIGINAL input. */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_stripped", IntegerType, nullable = false),
+    StructField("changed", BooleanType, nullable = false)))
+  override def prettyName: String = "normalize_text"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"normalize_text needs STRING, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.normalizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.normalizeText($s);")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
+    copy(child = newChild)
+}
+
 object TextKernels {
 
   private final val Mod = 1000000007L
+
+  /** Static entry for [[NormalizeTextExpr]]. */
+  def normalizeText(
+      text: UTF8String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val raw = text.toString
+    // 1. CRLF -> LF, stray CR -> LF.
+    val lf = raw.replace("\r\n", "\n").replace('\r', '\n')
+    // 2. Unicode NFC composition.
+    val nfc =
+      if (java.text.Normalizer.isNormalized(lf, java.text.Normalizer.Form.NFC)) lf
+      else java.text.Normalizer.normalize(lf, java.text.Normalizer.Form.NFC)
+    // 3. Strip zero-width + C0 controls (TAB/LF excepted) + DEL.
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var stripped = 0
+    var i = 0
+    while (i < nfc.length) {
+      val c = nfc.charAt(i)
+      val drop = (c <= 0x1f && c != '\t' && c != '\n') || c == 0x7f ||
+        (c >= 0x200b && c <= 0x200d) || c == 0xfeff
+      if (drop) stripped += 1 else sb.append(c)
+      i += 1
+    }
+    val clean = sb.toString
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(clean), stripped,
+        java.lang.Boolean.valueOf(clean != raw)))
+  }
 
   /** Static entry for [[RepetitionStatsExpr]]. */
   def repetitionStats(
@@ -416,4 +477,7 @@ object TextKernels {
 
   def repetition_stats(text: Column, n: Int): Column =
     Bridge.column(RepetitionStatsExpr(Bridge.expression(text), n))
+
+  def normalize_text(text: Column): Column =
+    Bridge.column(NormalizeTextExpr(Bridge.expression(text)))
 }

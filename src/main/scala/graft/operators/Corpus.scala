@@ -490,4 +490,133 @@ object Corpus {
       .withColumn("host",
         regexp_extract(col("canon_url"), "^[^:/?#]+://([^/?]*)", 1))
   }
+
+  /** GLOBAL PARAGRAPH-LEVEL DEDUP — the CCNet/RefinedWeb first content
+    * pass (Wenzek et al. 2020 dedup paragraphs across the WHOLE corpus
+    * before any document-level fingerprinting — boilerplate like
+    * cookie banners and nav footers repeats across millions of pages
+    * but each page is still "unique" at document granularity):
+    * documents split on `sep`, each trimmed non-empty paragraph keeps
+    * only its GLOBALLY FIRST occurrence (lowest (doc id, position),
+    * so intra-document repeats drop too), and every document is
+    * rebuilt from its kept paragraphs in original order.
+    *
+    * Scale shape — content never rides the election: paragraphs
+    * reduce to (id, pos, xxhash64, length) fingerprints (~28 B/row)
+    * at the scan; the first-occurrence election is a window over
+    * those narrow rows (per-reducer volume = a cluster's duplicate
+    * count × 28 B, even for a 10⁸-copy cookie banner), kept positions
+    * aggregate to ONE array row per surviving document, and the
+    * rebuild is a scan-side HOF re-split of the original text joined
+    * against that position table on id — document content crosses the
+    * wire exactly once (the id join), never through the dedup window.
+    * The naive form (window partitioned by the paragraph STRING,
+    * rebuild via groupBy-collect) shuffles and sorts full content
+    * twice; the stress scenario `paragraph_dedup[_flat]` measures the
+    * two head-to-head.
+    *
+    * Trim/empty contract: paragraphs are `trim`med (ASCII space) for
+    * fingerprinting and output; whitespace-only paragraphs are
+    * dropped before the election (they are formatting, not content)
+    * and `n_paras` counts non-empty paragraphs only. `sep` is a
+    * LITERAL separator (regex-quoted for Spark's `split`), so the
+    * oracle's `string_split` sees the identical cut points.
+    * @return (id, clean_text, n_paras, n_kept) — one row per input
+    *         document; fully-deduplicated documents keep clean_text =
+    *         "" with n_kept = 0 (the caller applies CCNet's drop). */
+  def paragraphDedup(
+      docs: DataFrame, idCol: Column, textCol: Column,
+      sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val base = docs.select(idCol.cast("long").as("id"), textCol.as("__t"))
+    val narrow = base
+      .select(col("id"), posexplode(split(col("__t"), quoted)))
+      .select(col("id"), col("pos"), trim(col("col")).as("__p"))
+      .filter(length(col("__p")) > 0)
+      .select(col("id"), col("pos"),
+        xxhash64(col("__p")).as("__h"), length(col("__p")).as("__l"))
+    val w = Window.partitionBy(col("__h"), col("__l"))
+      .orderBy(col("id"), col("pos"))
+    val keptPos = narrow
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__keep"),
+        count(lit(1)).cast("long").as("n_kept"))
+    val parts = split(col("__t"), quoted)
+    val indexed = filter(
+      transform(parts, (p, i) => struct(i.as("i"), trim(p).as("p"))),
+      s => length(s.getField("p")) > 0)
+    base.join(keptPos, Seq("id"), "left")
+      .select(col("id"),
+        array_join(transform(
+            filter(indexed, s => array_contains(
+              coalesce(col("__keep"), array().cast("array<int>")),
+              s.getField("i"))),
+            s => s.getField("p")), sep).as("clean_text"),
+        size(indexed).cast("long").as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** DOMAIN-SUFFIX BLOCKLIST FILTER — the URL-level safety/quality
+    * gate every web pipeline runs against curated domain lists (UT1,
+    * adult/malware blocklists, RefinedWeb's banned domains): a URL is
+    * blocked when ANY dot-suffix of its canonical host equals a
+    * listed domain, so listing `example.com` blocks
+    * `a.b.example.com` and case/port/tracking-param variants share
+    * the verdict through the [[graft.functions.CanonicalizeUrl]] key
+    * (the q134/q138 host derivation).
+    *
+    * Scale shape: hosts explode to their dot-suffixes — bounded by
+    * label count (≤ ~5 for real hosts), narrow (id, suffix) rows —
+    * and semi-join the blocklist, which is ALWAYS the broadcast side
+    * (the largest public lists are ~10⁶ domains ≈ tens of MB); the
+    * most-specific (longest) match aggregates per id map-side. No
+    * wide exchange touches URL strings beyond the suffix rows.
+    * @return (id, host, blocked, matched_domain) — `matched_domain`
+    *         is the LONGEST matching listed suffix, NULL when
+    *         `blocked` is false. */
+  def blocklistFilter(
+      urls: DataFrame, idCol: Column, urlCol: Column,
+      blocked: DataFrame): DataFrame = {
+    val host = regexp_extract(
+      graft.functions.UrlKernels.canonicalize_url(urlCol),
+      "^[^:/?#]+://([^/?]*)", 1)
+    val hosts = urls.select(idCol.cast("long").as("id"), host.as("host"))
+    // host "a.b.c" -> suffixes ["a.b.c", "b.c", "c"]: drop i labels
+    // from the front for i in 0..n-1.
+    val labels = split(col("host"), "\\.")
+    val suffixes = transform(
+      sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels)), "."))
+    val matches = hosts
+      .select(col("id"), col("host"), explode(suffixes).as("suffix"))
+      .join(broadcast(blocked.select(col("domain").as("suffix"))), Seq("suffix"))
+      .groupBy(col("id"))
+      .agg(max_by(col("suffix"), length(col("suffix"))).as("matched_domain"))
+    hosts.join(matches, Seq("id"), "left")
+      .select(col("id"), col("host"),
+        col("matched_domain").isNotNull.as("blocked"),
+        col("matched_domain"))
+  }
+
+  /** UNICODE TEXT NORMALIZATION — the cleanup pass that runs before
+    * anything fingerprints or tokenizes the text
+    * ([[graft.functions.NormalizeTextExpr]] holds the exact contract:
+    * CRLF/CR → LF, NFC composition, zero-width + C0-control strip).
+    * Composed/decomposed encodings of the same visible text become
+    * byte-identical, so exact dedup and shingle hashing stop treating
+    * encoding accidents as distinct content. One codegen scan per
+    * document, zero shuffle — fuses into the surrounding stage like
+    * the Gopher/C4 kernels.
+    * @return (id, clean_text, n_stripped, changed). */
+  def normalizeText(
+      docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.select(idCol.as("id"),
+        graft.functions.TextKernels.normalize_text(textCol).as("__n"))
+      .select(col("id"),
+        col("__n.clean_text").as("clean_text"),
+        col("__n.n_stripped").cast("long").as("n_stripped"),
+        col("__n.changed").as("changed"))
 }
