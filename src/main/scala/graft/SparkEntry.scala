@@ -1292,6 +1292,22 @@ object SparkEntry {
         docs(s, dir).withColumn("t", t), col("doc_id"), col("t"))
     }),
 
+    // ---- incremental NEAR-dup admission (the crawl-refresh gate):
+    // the batch carries verbatim corpus copies (rejected), one-word
+    // appends (near-dups, rejected wherever J >= 0.8) and word-
+    // reversed texts (trigram-disjoint from their originals, admitted
+    // unless near-dupping a LOWER-id reversed batch twin) ----
+    "q144_incremental_neardup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val batch = d.select((col("doc_id") + 200000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" extraword")))
+          .otherwise(array_join(reverse(split(col("text"), " ")), " "))
+          .as("text"))
+      graft.operators.Dedup.incrementalNear(d, batch, "doc_id", "text")
+    }),
+
     "q140_int8_quantize" -> ((s, dir) =>
       graft.operators.EmbedStats.int8Quantize(embs(s, dir))),
 
@@ -3316,6 +3332,45 @@ object SparkEntry {
         |SELECT id, clean AS clean_text,
         |  CAST(length(nfc) - length(clean) AS BIGINT) AS n_stripped,
         |  clean <> t AS changed FROM s3""".stripMargin,
+
+    // q144: the corpus∪batch near-pair set from the q14 posting-join
+    // derivation (raw trigram strings — collision-free ⇔ the engine's
+    // 64-bit hash sets), then the side-aware rejection rule: a batch
+    // doc dies on any corpus match or a lower-id batch match.
+    "q144_incremental_neardup" ->
+      """WITH alldocs AS (
+        |  SELECT doc_id, 0 AS side, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 1,
+        |    CASE WHEN doc_id % 3 = 0 THEN text
+        |         WHEN doc_id % 3 = 1 THEN text || ' extraword'
+        |         ELSE array_to_string(
+        |           list_reverse(string_split(text, ' ')), ' ') END
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, side, list_distinct(list_transform(range(1, len(t)-1),
+        |           sh_i -> t[sh_i] || '_' || t[sh_i+1] || '_' || t[sh_i+2])) AS s
+        |  FROM (SELECT doc_id, side, string_split(text, ' ') AS t FROM alldocs)
+        |  WHERE len(t) >= 3),
+        |post AS (SELECT doc_id, side, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS m FROM sh),
+        |inter AS (SELECT a.doc_id AS a_id, a.side AS a_side,
+        |    b.doc_id AS b_id, b.side AS b_side, count(*) AS c
+        |  FROM post a JOIN post b
+        |    ON a.g = b.g AND a.doc_id < b.doc_id
+        |   AND (a.side = 1 OR b.side = 1)
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (SELECT a_id, a_side, b_id, b_side
+        |  FROM inter JOIN sz sa ON sa.doc_id = a_id
+        |  JOIN sz sb ON sb.doc_id = b_id
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.m + sb.m - c), 6) >= 0.8),
+        |rejected AS (SELECT DISTINCT
+        |    CASE WHEN a_side = 1 AND b_side = 0 THEN a_id
+        |         ELSE b_id END AS doc_id
+        |  FROM pairs)
+        |SELECT doc_id, text FROM alldocs
+        |WHERE side = 1
+        |  AND doc_id NOT IN (SELECT doc_id FROM rejected)""".stripMargin,
 
     // q140: scale from the same max-abs aggregate, half-up-toward-+∞
     // rounding, clamp, and the ascending-index error fold replayed.

@@ -112,13 +112,40 @@ object Stress {
       sp: SparkSession, scale: Double): (DataFrame, Long) = {
     val n = math.max(1000L, (5000000L * scale).toLong)
     val pool = math.max(500L, n * 8 / 20)
-    val filler =
-      "the quick brown fox jumps over the lazy dog near the riverbank "
+    // ~260 B per paragraph with digit-varied "words" so shuffle
+    // compression sits in a realistic band (a constant-filler fixture
+    // compresses ~50× and hides the foil's content-volume penalty).
+    val words = Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "near", "river", "bank", "dawn", "mist", "trail",
+      "stone", "glade")
+    def para(pi: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat_ws(" ",
+      words.zipWithIndex.map { case (w, j) =>
+        concat(lit(w), pmod(pi * lit(2 * j + 31), lit(99991L)).cast("string"))
+      }: _*)
     val slots = (0 until 8).map { k =>
-      concat(lit(filler),
-        pmod(col("id") * 8 + lit(k), lit(pool)).cast("string"))
+      para(pmod(col("id") * 8 + lit(k), lit(pool)))
     }
     (sp.range(n).select(col("id"), concat_ws("\n", slots: _*).as("page")), n)
+  }
+
+  /** [[paragraphPages]] staged to parquet once per JVM (build-time,
+    * untimed) so both paragraph scenarios read the identical columnar
+    * input — re-generating the synthetic pages per scan would charge
+    * the two-scan narrow election ~130 concat ops/doc the one-scan
+    * form never pays, a harness artifact no parquet deployment has. */
+  @volatile private var paraStaged: Option[(String, Long)] = None
+  private def stagedParagraphPages(
+      sp: SparkSession, scale: Double): (DataFrame, Long) = {
+    val (dir, n) = paraStaged.getOrElse {
+      val (d, rows) = paragraphPages(sp, scale)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_stress_paras_").toString
+      d.write.mode("overwrite").parquet(path)
+      val v = (path, rows)
+      paraStaged = Some(v)
+      v
+    }
+    (sp.read.parquet(dir), n)
   }
 
   /** Event-time base and span shared by [[events]] and
@@ -822,20 +849,26 @@ object Stress {
           urls, col("id"), col("url"))), n)
       }),
       Scenario("paragraph_dedup", sp => {
-        // q141 at corpus volume: 5M pages × 8 ~75 B paragraphs from a
-        // pool 20× smaller (the scattered-boilerplate regime) — the
-        // shipped narrow election: content never rides the dedup
-        // window, one id-join rebuild.
-        val (d, n) = paragraphPages(sp, scale)
+        // q141 at corpus volume: 5M pages × 8 ~260 B paragraphs from a
+        // pool 20× smaller (the scattered-boilerplate regime), staged
+        // to parquet in build (the operator reads its corpus twice —
+        // narrow election pass + rebuild pass — so the deployment cost
+        // is two columnar scans, not two re-generations). The shipped
+        // narrow election: content never rides the dedup window (zero
+        // sort spill, fingerprint-sized window state); content crosses
+        // the wire once, id-keyed.
+        val (d, n) = stagedParagraphPages(sp, scale)
         (sink(graft.operators.Corpus.paragraphDedup(
           d, col("id"), col("page"))), n)
       }),
       Scenario("paragraph_dedup_flat", sp => {
-        // the naive foil on IDENTICAL input: window partitioned by the
-        // full paragraph STRING + groupBy-collect rebuild — content
-        // shuffles and sorts twice.
+        // the content-window form on IDENTICAL staged input: window
+        // partitioned by the full paragraph STRING + groupBy-collect
+        // rebuild. One scan, and duplicate colocation makes its
+        // exchange compress well — but the window sorts/spills
+        // CONTENT, and that state grows with paragraph length.
         import org.apache.spark.sql.expressions.Window
-        val (d, n) = paragraphPages(sp, scale)
+        val (d, n) = stagedParagraphPages(sp, scale)
         val paras = d
           .select(col("id"), posexplode(split(col("page"), "\n")))
           .select(col("id"), col("pos"), trim(col("col")).as("p"))

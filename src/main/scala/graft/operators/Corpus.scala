@@ -548,15 +548,23 @@ object Corpus {
     val indexed = filter(
       transform(parts, (p, i) => struct(i.as("i"), trim(p).as("p"))),
       s => length(s.getField("p")) > 0)
+    // __idx materializes in its OWN projection: HOF chains are
+    // interpreted with no common-subexpression elimination, so
+    // referencing `indexed` from both clean_text and n_paras in one
+    // select would re-split and re-trim every paragraph per reference
+    // (CollapseProject keeps the split because the producer expression
+    // is non-cheap and consumed twice).
     base.join(keptPos, Seq("id"), "left")
+      .select(col("id"), indexed.as("__idx"),
+        coalesce(col("__keep"), array().cast("array<int>")).as("__k"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .select(col("id"),
         array_join(transform(
-            filter(indexed, s => array_contains(
-              coalesce(col("__keep"), array().cast("array<int>")),
-              s.getField("i"))),
+            filter(col("__idx"),
+              s => array_contains(col("__k"), s.getField("i"))),
             s => s.getField("p")), sep).as("clean_text"),
-        size(indexed).cast("long").as("n_paras"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        size(col("__idx")).cast("long").as("n_paras"),
+        col("n_kept"))
   }
 
   /** DOMAIN-SUFFIX BLOCKLIST FILTER — the URL-level safety/quality

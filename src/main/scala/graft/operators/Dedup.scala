@@ -132,6 +132,118 @@ object Dedup {
     admitted
   }
 
+  /** The near-dup SIGNATURE artifact of a document set — (id, h64,
+    * sig): 64-bit shingle identities (exact-Jaccard verification
+    * side) + the k-slot minhash signature (LSH candidate side). This
+    * is what an incremental NEAR-dedup deployment persists between
+    * batches, the [[fingerprints]] analogue: ~(k + |shingles|)·8 B
+    * per accepted document, read instead of ever re-shingling the
+    * accepted corpus. Shingle-less documents (< n words) carry no
+    * signature and are absent. */
+  def nearSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64): DataFrame = {
+    import graft.functions.TextKernels.ngram_portable_hashes
+    import graft.functions.NgramHashes.ngram_hashes
+    docs.select(
+        col(idCol).as("id"),
+        ngram_portable_hashes(col(textCol), n).as("hashes"),
+        ngram_hashes(col(textCol), n).as("h64"))
+      .filter(size(col("hashes")) > 0)
+      .select(col("id"), col("h64"),
+        minhashSignature(col("hashes"), k).as("sig"))
+  }
+
+  /** INCREMENTAL near-dup admission — [[incrementalExact]] lifted to
+    * NEAR duplicates (the crawl-refresh gate: a re-rendered page is
+    * not byte-identical, so exact admission re-admits it forever): a
+    * batch document is REJECTED when an LSH candidate pair
+    * (band-signature collision) verifies at exact Jaccard ≥
+    * `threshold` against (a) ANY accepted-corpus document or (b) a
+    * LOWER-id document of the same batch — the one-pass greedy
+    * election ([[minhashLsh]]'s a<b normal form; like all greedy
+    * near-dup elections it is order-deterministic, not transitive).
+    * Ids must be unique across corpus ∪ batch (incremental ingestion
+    * assigns monotone ids). Shingle-less docs (< n words) admit
+    * unconditionally, the [[incrementalExact]] length-0 analogue.
+    *
+    * Scale shape: the corpus side is the persisted [[nearSignatures]]
+    * artifact — never re-shingled; the band explode covers corpus AND
+    * batch (n·bands narrow rows), but corpus-corpus pairs are pruned
+    * IN the bucket-join condition, so candidate volume is ∝ batch
+    * collisions, not corpus². Verification joins fetch h64 sets for
+    * candidate ids only. The [[minhashLsh]] hot-bucket tripwire
+    * applies unchanged (exact-dedup upstream keeps buckets small).
+    * @return the admitted rows of `incoming` (all its columns). */
+  def incrementalNearFp(
+      corpusSig: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 100000): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, "k must be divisible by bands")
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    val batchSig = nearSignatures(incoming, idCol, textCol, n, k)
+    // side 0 = accepted corpus, side 1 = batch; one banded self-join
+    // with corpus-corpus pairs pruned in the condition.
+    val sig = corpusSig.select(col("id"), col("h64"), col("sig"),
+        lit(0).as("side"))
+      .unionByName(batchSig.select(col("id"), col("h64"), col("sig"),
+        lit(1).as("side")))
+      .repartition(col("id"))
+    val banded = sig.select(col("id"), col("side"),
+        explode(bandKeys(col("sig"), bands, r)).as("bk"))
+      .select(col("id"), col("side"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val stats = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)).as("__mxb"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id") &&
+          (col("a.side") === 1 || col("b.side") === 1))
+      .select(col("a.id").as("a_id"), col("a.side").as("a_side"),
+        col("b.id").as("b_id"), col("b.side").as("b_side"))
+      .distinct()
+      .crossJoin(broadcast(stats))
+      .where(assert_true(col("__mxb") <= lit(maxBucketSize.toLong),
+        lit(s"incrementalNearFp: a band bucket exceeds maxBucketSize=" +
+          s"$maxBucketSize signatures. Run exact dedup upstream " +
+          "(Dedup.exact / incrementalExact) to collapse identical " +
+          "texts, or raise maxBucketSize")).isNull)
+      .drop("__mxb")
+    val hs = sig.select(col("id"), col("h64"), size(col("h64")).as("m"))
+    val inter = sorted_intersect_count(col("hs_a"), col("hs_b"))
+    val jac = round(inter.cast("double") /
+      (col("n_a") + col("n_b") - inter).cast("double"), 6)
+    val verified = candidates
+      .join(hs.select(col("id").as("a_id"), col("h64").as("hs_a"),
+        col("m").as("n_a")), "a_id")
+      .join(hs.select(col("id").as("__bk"), col("h64").as("hs_b"),
+        col("m").as("n_b")),
+        col("b_id") === col("__bk") && jac >= lit(threshold))
+      .select(col("a_id"), col("a_side"), col("b_id"), col("b_side"))
+    val rejected = verified.select(
+        when(col("a_side") === 1 && col("b_side") === 0, col("a_id"))
+          .otherwise(col("b_id")).as("__rid"))
+      .distinct()
+    incoming.join(rejected,
+      col(idCol) === col("__rid"), "left_anti")
+  }
+
+  /** [[incrementalNearFp]] with the corpus side given as documents —
+    * the bootstrap / ad-hoc form; steady state persists
+    * [[nearSignatures]] and calls the Fp variant. */
+  def incrementalNear(
+      corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 100000): DataFrame =
+    incrementalNearFp(nearSignatures(corpus, idCol, textCol, n, k),
+      incoming, idCol, textCol, n, k, bands, threshold, maxBucketSize)
+
   /** PAIR-SET EVALUATION — precision/recall of one near-dup detector
     * against another treated as ground truth (the calibration loop for
     * choosing simhash distance bounds, LSH band counts, or jaccard
