@@ -560,11 +560,38 @@ object Jobs {
     val docs = spark.read.parquet(a("input-path"))
     val idCol = a.get("id-col").getOrElse("doc_id")
     val textCol = a.get("text-col").getOrElse("text")
+    // optional domain blocklist (`--blocklist <file>` + `--url-col`):
+    // one listed domain per line blocks its whole registrable subtree —
+    // runs FIRST, before any content work (the cheapest kill).
+    val unblocked = a.get("blocklist") match {
+      case Some(blPath) =>
+        val u = a.get("url-col").getOrElse(
+          sys.error("--blocklist requires --url-col"))
+        val blocked = spark.read.text(blPath)
+          .select(trim(col("value")).as("domain"))
+          .filter(length(col("domain")) > 0)
+        docs.join(
+          graft.operators.Corpus.blocklistFilter(
+              docs, col(idCol), col(u), blocked)
+            .filter(col("blocked")).select(col("id").as("__bid")),
+          col(idCol).cast("long") === col("__bid"), "left_anti")
+      case None => docs
+    }
     val extracted =
       if (a.get("html").contains("true"))
-        docs.withColumn(textCol,
+        unblocked.withColumn(textCol,
           graft.functions.QualityKernels.html_extract(col(textCol)))
-      else docs
+      else unblocked
+    // optional Unicode cleanup (`--normalize true`): CRLF/CR fold, NFC
+    // composition, zero-width/control strip — BEFORE any pass that
+    // fingerprints or splits the text, so encoding accidents cannot
+    // defeat the dedups below.
+    val normalized =
+      if (a.get("normalize").contains("true"))
+        extracted.withColumn(textCol,
+          graft.functions.TextKernels.normalize_text(col(textCol))
+            .getField("clean_text"))
+      else extracted
     // optional C4 line rules (`--line-rules true`): rewrite the text
     // column to the kept lines and drop docs the line pass kills,
     // BEFORE the document-level gate (the C4-then-Gopher order real
@@ -572,11 +599,11 @@ object Jobs {
     val lineFiltered =
       if (a.get("line-rules").contains("true")) {
         val c = graft.functions.QualityKernels.c4_line_filter(col(textCol))
-        extracted.withColumn("__c4", c)
+        normalized.withColumn("__c4", c)
           .filter(col("__c4.keep_doc"))
           .withColumn(textCol, col("__c4.clean_text"))
           .drop("__c4")
-      } else extracted
+      } else normalized
     val deduped = a.get("url-col") match {
       case Some(u) =>
         val w = Window.partitionBy(col("__canon")).orderBy(col(idCol))
@@ -587,15 +614,32 @@ object Jobs {
           .filter(col("__rn") === 1).drop("__rn", "__canon")
       case None => lineFiltered
     }
+    // optional cross-corpus paragraph dedup (`--paragraph-dedup true`,
+    // separator via `--paragraph-sep`, default "\n"): rewrite each doc
+    // to its globally-first paragraphs (q141) and drop fully-
+    // deduplicated docs — the CCNet order, before the document gate.
+    val paraDeduped =
+      if (a.get("paragraph-dedup").contains("true")) {
+        val sep = a.get("paragraph-sep").getOrElse("\n")
+        deduped.join(
+          graft.operators.Corpus.paragraphDedup(
+              deduped, col(idCol), col(textCol), sep)
+            .filter(col("n_kept") > 0)
+            .select(col("id").as("__pid"),
+              col("clean_text").as("__ptext")),
+          col(idCol).cast("long") === col("__pid"))
+          .withColumn(textCol, col("__ptext"))
+          .drop("__pid", "__ptext")
+      } else deduped
     val gated = graft.operators.Corpus.gopherQualityGate(
-      deduped, col(idCol), col(textCol))
+      paraDeduped, col(idCol), col(textCol))
     val out = a("output-path")
     val result =
       if (a.get("keep-all").contains("true"))
-        deduped.join(gated.withColumnRenamed("id", "__gid"),
+        paraDeduped.join(gated.withColumnRenamed("id", "__gid"),
           col(idCol).cast("long") === col("__gid")).drop("__gid")
       else
-        deduped.join(
+        paraDeduped.join(
           gated.filter(col("pass")).select(col("id").as("__gid")),
           col(idCol).cast("long") === col("__gid"), "left_semi")
     result.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)

@@ -414,6 +414,40 @@ class JobsSpec extends SparkSpec {
     assert(kept2.head.getString(1).startsWith("Sentence number 1"))
   }
 
+  test("curate job: blocklist, normalize and paragraph-dedup stages") {
+    val dir = Files.createTempDirectory("graft-curate2").toString
+    val body = (("the quick brown fox jumps over the lazy dog to be " +
+      "sure of that and it will have done so with ease ") * 3).trim
+    val banner = "Subscribe to the newsletter for updates on the dog."
+    // --blocklist: listed domain kills doc 3 (subdomain) before
+    // anything else; --normalize: doc 1 carries a decomposed accent +
+    // zero-width that must be gone from the output; --paragraph-dedup:
+    // the shared banner survives only in doc 1.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "blocked.txt"),
+      "banned.com\n".getBytes("UTF-8"))
+    Seq(
+      (1L, s"$body Café​.\n$banner", "http://ok.com/a"),
+      (2L, s"$body two.\n$banner", "http://ok.com/b"),
+      (3L, s"$body three.\n$banner", "http://a.b.Banned.COM/c"))
+      .toDF("doc_id", "text", "url")
+      .write.parquet(s"$dir/docs")
+    Jobs.runCurate(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/kept",
+      "--url-col", "url", "--blocklist", s"$dir/blocked.txt",
+      "--normalize", "true", "--paragraph-dedup", "true")))
+    val kept = spark.read.parquet(s"$dir/kept")
+      .orderBy("doc_id").collect()
+    assert(kept.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val t1 = kept(0).getString(1)
+    val t2 = kept(1).getString(1)
+    // normalization: NFC-composed é, zero-width stripped — BEFORE the
+    // paragraph fingerprints
+    assert(t1.contains("Café.") && !t1.contains("​"))
+    // paragraph dedup: banner kept only in the globally-first doc
+    assert(t1.contains(banner) && !t2.contains(banner))
+  }
+
   test("catalog T/X/Y-name indirection normalizes staged coordinates") {
     import graft.etl.GridmetPipeline
     val g = Seq((Timestamp.valueOf("2021-01-01 00:00:00"), 40.0, -100.0, 1.0))
