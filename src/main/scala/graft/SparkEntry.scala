@@ -1308,6 +1308,19 @@ object SparkEntry {
       graft.operators.Dedup.incrementalNear(d, batch, "doc_id", "text")
     }),
 
+    // ---- quality-filter calibration sweep: the q20 quality score
+    // against the lang=='en' proxy label across nine thresholds, all
+    // from ONE scalar aggregate pass (2 conditional sums per
+    // threshold), exploded to the calibration-curve rows ----
+    "q145_threshold_sweep" -> ((s, dir) => {
+      val st = graft.functions.TextKernels.text_stats(col("text"),
+        TextFunctions.LangProfiles("en"))
+      graft.operators.Corpus.thresholdSweep(
+        docs(s, dir).select(col("lang"), st.getField("quality").as("q")),
+        col("q"), col("lang") === "en",
+        Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+    }),
+
     "q140_int8_quantize" -> ((s, dir) =>
       graft.operators.EmbedStats.int8Quantize(embs(s, dir))),
 
@@ -3332,6 +3345,41 @@ object SparkEntry {
         |SELECT id, clean AS clean_text,
         |  CAST(length(nfc) - length(clean) AS BIGINT) AS n_stripped,
         |  clean <> t AS changed FROM s3""".stripMargin,
+
+    // q145: the q20 quality formula feeding per-threshold conditional
+    // sums (one cross join against the 9-value threshold list), ratios
+    // round6'd with 0/0 -> NULL.
+    "q145_threshold_sweep" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      val meanLen = r6("(length(text) - (CAST(len(t) AS DOUBLE) - 1))/len(t)")
+      val stopR = r6("CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t)")
+      def ratio(num: String, den: String) =
+        s"CASE WHEN $den = 0 THEN NULL ELSE " +
+          r6(s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE)") + " END"
+      s"""WITH s AS (SELECT lang,
+         |    ${r6(s"""0.4 * least(CAST(len(t) AS DOUBLE)/200.0, 1.0)
+         |        + 0.3 * least($meanLen/8.0, 1.0)
+         |        + 0.3 * least($stopR*5.0, 1.0)""")} AS q
+         |  FROM (SELECT lang, text, string_split(text, ' ') AS t
+         |        FROM documents)),
+         |th(threshold) AS (VALUES (0.1), (0.2), (0.3), (0.4), (0.5),
+         |  (0.6), (0.7), (0.8), (0.9)),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos FROM s),
+         |per AS (SELECT th.threshold,
+         |    CAST(sum(CASE WHEN s.q >= th.threshold THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_kept,
+         |    CAST(sum(CASE WHEN s.q >= th.threshold AND s.lang = 'en'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_kept
+         |  FROM th CROSS JOIN s GROUP BY th.threshold)
+         |SELECT per.threshold, per.n_kept, per.n_pos_kept,
+         |  agg.n_docs, agg.n_pos,
+         |  ${ratio("per.n_pos_kept", "per.n_kept")} AS precision,
+         |  ${ratio("per.n_pos_kept", "agg.n_pos")} AS recall,
+         |  ${ratio("per.n_kept", "agg.n_docs")} AS frac_kept
+         |FROM per CROSS JOIN agg""".stripMargin
+    },
 
     // q144: the corpus∪batch near-pair set from the q14 posting-join
     // derivation (raw trigram strings — collision-free ⇔ the engine's

@@ -609,6 +609,51 @@ object Corpus {
         col("matched_domain"))
   }
 
+  /** QUALITY-FILTER CALIBRATION SWEEP — the threshold-tuning loop a
+    * pipeline runs before committing to a quality cut (the DCLM/
+    * FineWeb "what fraction survives at t, and how much of the good
+    * stuff do we keep" curve): for each candidate threshold, keep
+    * docs with `scoreCol` ≥ t and report kept counts, precision and
+    * recall against a boolean `labelCol` (a labeled subset, an LM
+    * judge, or any proxy signal), plus the kept fraction.
+    *
+    * Scale shape: ONE scalar aggregate pass — each threshold
+    * contributes two conditional sums to a single map-side-combined
+    * aggregate (2·|thresholds|+2 running longs of state), then the
+    * one-row result explodes to |thresholds| rows driver-side-free.
+    * Never a per-threshold scan, never a shuffle of doc rows.
+    * @return (threshold, n_kept, n_pos_kept, n_docs, n_pos,
+    *         precision, recall, frac_kept); 0/0 ratios are NULL. */
+  def thresholdSweep(
+      docs: DataFrame, scoreCol: Column, labelCol: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    import graft.functions.TextFunctions.round6
+    val aggs =
+      Seq(count(lit(1)).as("n_docs"),
+        sum(when(labelCol, 1L).otherwise(0L)).as("n_pos")) ++
+      thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(scoreCol >= t, 1L).otherwise(0L)).as(s"__k$i"),
+        sum(when(scoreCol >= t && labelCol, 1L).otherwise(0L))
+          .as(s"__p$i")) }
+    def ratio(num: Column, den: Column) =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round6(num.cast("double") / den.cast("double")))
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"__k$i").as("n_kept"),
+        col(s"__p$i").as("n_pos_kept")) }
+    docs.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_docs"), col("n_pos"),
+        explode(array(rows: _*)).as("r"))
+      .select(col("r.threshold").as("threshold"),
+        col("r.n_kept").as("n_kept"),
+        col("r.n_pos_kept").as("n_pos_kept"),
+        col("n_docs"), col("n_pos"),
+        ratio(col("r.n_pos_kept"), col("r.n_kept")).as("precision"),
+        ratio(col("r.n_pos_kept"), col("n_pos")).as("recall"),
+        ratio(col("r.n_kept"), col("n_docs")).as("frac_kept"))
+  }
+
   /** UNICODE TEXT NORMALIZATION — the cleanup pass that runs before
     * anything fingerprints or tokenizes the text
     * ([[graft.functions.NormalizeTextExpr]] holds the exact contract:

@@ -136,4 +136,42 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) === (("no pii here, just 1234 plain words and version 2.5",
       0L, 0L, 0L)))
   }
+
+  test("thresholdSweep: counts, ratios and NULL conventions per threshold") {
+    import org.apache.spark.sql.functions.col
+    // scores: 0.1(pos), 0.5(pos), 0.5(neg), 0.9(neg)
+    val d = Seq((0.1, true), (0.5, true), (0.5, false), (0.9, false))
+      .toDF("q", "pos")
+    val got = Corpus.thresholdSweep(d, col("q"), col("pos"),
+        Seq(0.0, 0.5, 0.9, 1.0))
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        Option(r.get(5)), Option(r.get(6)), Option(r.get(7))))
+    assert(got(0) === ((0.0, 4L, 2L, Some(0.5), Some(1.0), Some(1.0))))
+    assert(got(1) === ((0.5, 3L, 1L,
+      Some(0.333333), Some(0.5), Some(0.75))))
+    assert(got(2) === ((0.9, 1L, 0L, Some(0.0), Some(0.0), Some(0.25))))
+    // nothing survives t=1.0: precision is NULL (0/0), recall 0
+    assert(got(3) === ((1.0, 0L, 0L, None, Some(0.0), Some(0.0))))
+  }
+
+  test("thresholdSweep: all-negative labels give NULL recall") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq((0.5, false)).toDF("q", "pos")
+    val got = Corpus.thresholdSweep(d, col("q"), col("pos"), Seq(0.4))
+      .collect().head
+    assert(got.getLong(3) === 1L && got.getLong(4) === 0L)
+    assert(got.isNullAt(6)) // recall 0/0
+  }
+
+  test("thresholdSweep plan: one aggregate, no per-threshold scan") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq((0.5, true)).toDF("q", "pos")
+    val plan = Corpus.thresholdSweep(d, col("q"), col("pos"),
+      Seq(0.1, 0.5, 0.9)).queryExecution.optimizedPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size === 1, plan.toString)
+  }
 }
