@@ -643,6 +643,29 @@ object SparkEntry {
       |  JOIN dp_sz sb ON sb.doc_id = b_id
       |  WHERE round(CAST(c AS DOUBLE) / (sa.m + sb.m - c), 6) >= 0.8)""".stripMargin
 
+  /** q75's oracle body — corpus-trained add-one bigram LM, per-doc avg
+    * −ln p. A def so q146's bucketing can nest the SAME derivation as
+    * a CTE subquery (the q85/q91 composition pattern). */
+  private def lmScoreSql: String = {
+    val contrib = graft.functions.TextFunctions.round6Sql(
+      "-ln(CAST(c_ab + 1 AS DOUBLE) / CAST(c_a + v.vocab AS DOUBLE))")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |pairs AS (SELECT doc_id, g['a'] AS a, g['b'] AS b FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |      pi -> struct_pack(a := t[pi], b := t[pi+1]))) AS g
+       |    FROM tk WHERE len(t) >= 2)),
+       |uni AS (SELECT a, count(*) AS c_a FROM (
+       |    SELECT unnest(t) AS a FROM tk) GROUP BY 1),
+       |bi AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+       |v AS (SELECT count(*) AS vocab FROM uni)
+       |SELECT p.doc_id AS doc_id, count(*) AS n_pairs,
+       |  ${graft.functions.TextFunctions.round6Sql(
+           "CAST(sum(CAST(" + contrib + " AS DECIMAL(28,6))) AS DOUBLE)" +
+             " / CAST(count(*) AS DOUBLE)")} AS nll
+       |FROM pairs p JOIN bi USING (a, b) JOIN uni USING (a) CROSS JOIN v
+       |GROUP BY 1""".stripMargin
+  }
+
   /** q21's oracle body — exact brute-force cosine top-5 for queries
     * vec_id < 8. A def (not inline) so q85's recall evaluation can
     * nest the SAME derivation as a CTE subquery — engine and oracle
@@ -1306,6 +1329,18 @@ object SparkEntry {
           .otherwise(array_join(reverse(split(col("text"), " ")), " "))
           .as("text"))
       graft.operators.Dedup.incrementalNear(d, batch, "doc_id", "text")
+    }),
+
+    // ---- CCNet head/middle/tail perplexity buckets: q75's LM scores
+    // split per language at the 1/3 and 2/3 exact quantiles — the
+    // selection step the perplexity filter exists for ----
+    "q146_perplexity_buckets" -> ((s, dir) => {
+      val scored = graft.operators.Corpus.lmScore(
+          docs(s, dir), "doc_id", "text")
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      graft.operators.Corpus.perplexityBuckets(
+          scored, Seq("lang"), col("nll"))
+        .select(col("doc_id"), col("lang"), col("nll"), col("bucket"))
     }),
 
     // ---- quality-filter calibration sweep: the q20 quality score
@@ -3346,6 +3381,23 @@ object SparkEntry {
         |  CAST(length(nfc) - length(clean) AS BIGINT) AS n_stripped,
         |  clean <> t AS changed FROM s3""".stripMargin,
 
+    // q146: q75's whole LM derivation nested as a subquery, joined to
+    // lang, quantile_cont bounds (≡ Spark percentile interpolation)
+    // and the same <=-chain bucket labels.
+    "q146_perplexity_buckets" ->
+      s"""WITH scored AS ($lmScoreSql),
+         |sl AS (SELECT s.doc_id, d.lang, s.nll
+         |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+         |b AS (SELECT lang,
+         |    quantile_cont(nll, 1.0/3) AS lo,
+         |    quantile_cont(nll, 2.0/3) AS hi
+         |  FROM sl GROUP BY lang)
+         |SELECT sl.doc_id, sl.lang, sl.nll,
+         |  CASE WHEN sl.nll <= b.lo THEN 'head'
+         |       WHEN sl.nll <= b.hi THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sl JOIN b ON sl.lang = b.lang""".stripMargin,
+
     // q145: the q20 quality formula feeding per-threshold conditional
     // sums (one cross join against the 9-value threshold list), ratios
     // round6'd with 0/0 -> NULL.
@@ -5356,25 +5408,7 @@ object SparkEntry {
     // q75: contribs mirror Spark term-for-term (same +1/+|V| add-one
     // arithmetic, same round6 before the DECIMAL(28,6) sum, division
     // after the exact sum).
-    "q75_lm_score" -> {
-      val contrib = graft.functions.TextFunctions.round6Sql(
-        "-ln(CAST(c_ab + 1 AS DOUBLE) / CAST(c_a + v.vocab AS DOUBLE))")
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |pairs AS (SELECT doc_id, g['a'] AS a, g['b'] AS b FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
-         |      pi -> struct_pack(a := t[pi], b := t[pi+1]))) AS g
-         |    FROM tk WHERE len(t) >= 2)),
-         |uni AS (SELECT a, count(*) AS c_a FROM (
-         |    SELECT unnest(t) AS a FROM tk) GROUP BY 1),
-         |bi AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
-         |v AS (SELECT count(*) AS vocab FROM uni)
-         |SELECT p.doc_id AS doc_id, count(*) AS n_pairs,
-         |  ${graft.functions.TextFunctions.round6Sql(
-             "CAST(sum(CAST(" + contrib + " AS DECIMAL(28,6))) AS DOUBLE)" +
-               " / CAST(count(*) AS DOUBLE)")} AS nll
-         |FROM pairs p JOIN bi USING (a, b) JOIN uni USING (a) CROSS JOIN v
-         |GROUP BY 1""".stripMargin
-    },
+    "q75_lm_score" -> lmScoreSql,
 
     // q79: each column's profile block mirrors the Spark aggregates —
     // non-null counts, the q38 KMV estimate formula over the same

@@ -609,6 +609,45 @@ object Corpus {
         col("matched_domain"))
   }
 
+  /** PERPLEXITY HEAD/MIDDLE/TAIL BUCKETS — the CCNet selection step
+    * that [[lmScore]]'s doc says it feeds (Wenzek et al. 2020: score
+    * every document with an LM, split each language at the ⅓ and ⅔
+    * perplexity quantiles, keep head — or sample buckets at different
+    * rates): per-key exact interpolated percentile bounds (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, the q53/q82 precedent —
+    * no rounding policy needed), then a bucket label per row. Lower
+    * score = better (an NLL), so `head` is score ≤ the pHead bound.
+    *
+    * Scale: one hash aggregate to key-count-sized bounds (exact
+    * percentile state is O(distinct scores) per key — the [[lmScore]]
+    * output is round6'd, capping distinct values; the
+    * [[Quantiles.histogramQuantiles]] dial applies beyond that, and
+    * the same state tripwire as winsorize guards the plan), then a
+    * broadcast-friendly join back; scored rows never shuffle. NULL
+    * scores get a NULL bucket.
+    * @return `scored` + `bucket` ∈ head|middle|tail. */
+  def perplexityBuckets(
+      scored: DataFrame, keys: Seq[String], scoreCol: Column,
+      pHead: Double = 1.0 / 3, pTail: Double = 2.0 / 3,
+      maxDistinctPerKey: Long = 4000000L): DataFrame = {
+    require(keys.nonEmpty, "perplexityBuckets needs at least one key")
+    require(0.0 < pHead && pHead < pTail && pTail < 1.0,
+      s"need 0 < pHead < pTail < 1, got ($pHead, $pTail)")
+    val v = scoreCol.cast("double")
+    val bounds = scored.groupBy(keys.map(col): _*)
+      .agg(percentile(v, lit(pHead)).as("__lo"),
+        percentile(v, lit(pTail)).as("__hi"),
+        approx_count_distinct(v).as("__cd"))
+    Normalize.guardDistinctState(scored.join(bounds, keys),
+        "perplexityBuckets", maxDistinctPerKey)
+      .withColumn("bucket",
+        when(v.isNull, lit(null).cast("string"))
+          .when(v <= col("__lo"), lit("head"))
+          .when(v <= col("__hi"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__lo", "__hi", "__cd")
+  }
+
   /** QUALITY-FILTER CALIBRATION SWEEP — the threshold-tuning loop a
     * pipeline runs before committing to a quality cut (the DCLM/
     * FineWeb "what fraction survives at t, and how much of the good

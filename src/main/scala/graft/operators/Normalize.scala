@@ -45,7 +45,7 @@ object Normalize {
     * row over it" trip identically — except a NULL-key group, whose
     * rows the equi-join drops anyway (see [[zscore]]'s NULL-key
     * contract: coalesce keys upstream if that stratum matters). */
-  private def guardDistinctState(
+  private[operators] def guardDistinctState(
       joined: DataFrame, op: String, maxDistinctPerKey: Long): DataFrame = {
     require(maxDistinctPerKey >= 1, "maxDistinctPerKey must be >= 1")
     joined.where(assert_true(

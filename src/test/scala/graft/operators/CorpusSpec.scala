@@ -137,6 +137,30 @@ class CorpusSpec extends SparkSpec {
       0L, 0L, 0L)))
   }
 
+  test("perplexityBuckets: thirds per key, lower score is head") {
+    import org.apache.spark.sql.functions.col
+    val d = ((1 to 9).map(i => ("en", i.toDouble)) ++
+      Seq(("de", 100.0), ("de", 200.0), ("de", 300.0)))
+      .toDF("lang", "nll")
+    val got = Corpus.perplexityBuckets(d, Seq("lang"), col("nll"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    val en = got.filter(_._1 == "en").sortBy(_._2).map(_._3)
+    // bounds: (9-1)/3 -> 3.667, 2*(9-1)/3 -> 6.333
+    assert(en.toSeq === Seq("head", "head", "head", "middle", "middle",
+      "middle", "tail", "tail", "tail"))
+    val de = got.filter(_._1 == "de").sortBy(_._2).map(_._3)
+    assert(de.toSeq === Seq("head", "middle", "tail"))
+  }
+
+  test("perplexityBuckets: NULL scores get a NULL bucket") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(("en", Some(1.0)), ("en", Some(2.0)), ("en", Some(3.0)),
+      ("en", None)).toDF("lang", "nll")
+    val got = Corpus.perplexityBuckets(d, Seq("lang"), col("nll"))
+      .filter(col("nll").isNull).collect()
+    assert(got.length === 1 && got.head.isNullAt(2))
+  }
+
   test("thresholdSweep: counts, ratios and NULL conventions per threshold") {
     import org.apache.spark.sql.functions.col
     // scores: 0.1(pos), 0.5(pos), 0.5(neg), 0.9(neg)
