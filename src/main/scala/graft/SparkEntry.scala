@@ -1331,6 +1331,14 @@ object SparkEntry {
       graft.operators.Dedup.incrementalNear(d, batch, "doc_id", "text")
     }),
 
+    // ---- learned quality classifier (fastText-style): logistic
+    // regression over 16 hashed bag-of-words buckets, 8 full-batch GD
+    // steps against the lang=='en' proxy label, every step on the 6dp
+    // grid — trained weights AND scores replay exactly in SQL ----
+    "q147_quality_classifier" -> ((s, dir) =>
+      graft.operators.Classifier.qualityClassifierScores(
+        docs(s, dir), "doc_id", "text", col("lang") === "en")),
+
     // ---- CCNet head/middle/tail perplexity buckets: q75's LM scores
     // split per language at the 1/3 and 2/3 exact quantiles — the
     // selection step the perplexity filter exists for ----
@@ -3380,6 +3388,43 @@ object SparkEntry {
         |SELECT id, clean AS clean_text,
         |  CAST(length(nfc) - length(clean) AS BIGINT) AS n_stripped,
         |  clean <> t AS changed FROM s3""".stripMargin,
+
+    // q147: the full 8-step GD training unrolled — hashed features,
+    // round6'd sigmoid, per-term-rounded DECIMAL gradient sums, the
+    // exact lr=0.5 update — then the final weights score every doc.
+    "q147_quality_classifier" -> {
+      val dim = 16
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      val hash = hashSql("tok")
+      val dot = dotSql("f.x", "wp.w")
+      val z = r6(s"$dot + wp.w[${dim + 1}]")
+      val prob = r6(s"1.0/(1.0 + exp(-($z)))")
+      def iter(k: Int): String = {
+        val gTerms = (0 until dim).map(j =>
+          r6(s"CAST(sum(CAST(${r6(s"e * x[${j + 1}]")} AS DECIMAL(28,6))) AS DOUBLE) / nt.n")) :+
+          r6("CAST(sum(CAST(e AS DECIMAL(28,6))) AS DOUBLE) / nt.n")
+        s"""e$k AS (SELECT f.id, f.y, f.x, ${r6(s"$prob - f.y")} AS e
+           |  FROM f CROSS JOIN w${k - 1} wp),
+           |g$k AS (SELECT [${gTerms.mkString(",\n    ")}] AS g
+           |  FROM e$k CROSS JOIN nt GROUP BY nt.n),
+           |w$k AS (SELECT list_transform(range(1, ${dim + 2}),
+           |    wi -> ${r6("wp.w[wi] - 0.5 * g.g[wi]")}) AS w
+           |  FROM w${k - 1} wp CROSS JOIN g$k g)""".stripMargin
+      }
+      s"""WITH tk AS (SELECT doc_id AS id,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    string_split(text, ' ') AS t FROM documents),
+         |f AS MATERIALIZED (SELECT id, y, list_transform(range(0, $dim),
+         |    fj -> CAST(len(list_filter(t, tok -> ($hash) % $dim = fj))
+         |          AS DOUBLE) / len(t)) AS x
+         |  FROM tk WHERE len(t) >= 1),
+         |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+         |w0 AS (SELECT [${Seq.fill(dim + 1)("0.0").mkString(", ")}] AS w),
+         |${(1 to 8).map(iter).mkString(",\n")},
+         |sc AS (SELECT f.id, f.y, $prob AS score
+         |  FROM f CROSS JOIN w8 wp)
+         |SELECT id, y, score, score >= 0.5 AS pred FROM sc""".stripMargin
+    },
 
     // q146: q75's whole LM derivation nested as a subquery, joined to
     // lang, quantile_cont bounds (≡ Spark percentile interpolation)

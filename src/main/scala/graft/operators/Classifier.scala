@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions.round6
+import graft.functions.PortableHash.portable_hash
+
+/** LEARNED quality classifier — the fastText-style filter the
+  * DCLM/LLaMA pipelines train to replace hand-tuned rules (a tiny
+  * linear model over hashed bag-of-words features, trained against a
+  * proxy label: a trusted-source flag, an LM judge, a labeled
+  * subset): logistic regression by FULL-BATCH gradient descent with a
+  * FIXED iteration count, every arithmetic step on the 6dp grid so
+  * the trained weights — and therefore every score — replay exactly
+  * in the DuckDB oracle (the pcaProject/IVF-Lloyd determinism
+  * recipe).
+  *
+  * Determinism contract (mirrored op-for-op in the q147 oracle):
+  *  - features x_j = count(tokens hashing to bucket j) / n_tokens —
+  *    [[graft.functions.PortableHash]] char fold mod `dim`, exact
+  *    IEEE division, no rounding needed;
+  *  - z = round6(foldDot(x, w) + bias) — ascending-index left fold;
+  *  - p = round6(1 / (1 + exp(−z))) — the one transcendental; its
+  *    input AND output are re-rounded to the 6dp grid, the same
+  *    discipline that keeps q75's ln cross-engine exact;
+  *  - per-term round6(e·x_j) summed as DECIMAL(28,6) — order-free
+  *    exact gradients at any partitioning;
+  *  - w′_j = round6(w_j − lr·grad_j), lr = 0.5 (a power of two, so
+  *    the product is exact).
+  *
+  * Scale shape: the feature build is one explode + two hash
+  * aggregations (narrow (id, bucket) rows — document text never
+  * crosses the wire after tokenization), checkpointed ONCE; each GD
+  * iteration is then a single map-side-combined scalar aggregate
+  * carrying dim+1 DECIMAL sums (the thresholdSweep shape), and the
+  * weight vector is a bounded driver artifact (dim+1 doubles, the
+  * IVF-centroid class). Training cost = `iters` passes over the
+  * feature table — NOT the corpus; scoring is a zero-shuffle
+  * projection with w as a literal.
+  */
+object Classifier {
+
+  /** Hashed bag-of-words features: (id, y, x) with x_j =
+    * bucket-j token count / token count, dense length-`dim` array.
+    * Token-less docs are excluded (no features to learn from). */
+  def hashedFeatures(
+      docs: DataFrame, idCol: String, textCol: String, labelCol: Column,
+      dim: Int): DataFrame = {
+    require(dim >= 2, "dim must be >= 2")
+    val t0 = docs.select(col(idCol).cast("long").as("id"),
+        labelCol.cast("double").as("y"),
+        TextFunctions.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("id"), col("y"), col("t"),
+        size(col("t")).cast("double").as("n"))
+    val counts = t0.select(col("id"), col("n"), explode(col("t")).as("tok"))
+      .groupBy(col("id"), col("n"),
+        pmod(portable_hash(col("tok")), lit(dim)).as("j"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy(col("id"), col("n"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("c"))))
+        .as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("m"), j), lit(0.0)) / col("n"))
+          .as("x"))
+    t0.select(col("id"), col("y")).join(counts, Seq("id"))
+  }
+
+  /** Train by `iters` full-batch GD steps; returns dim+1 weights,
+    * bias LAST. `feats` is evaluated iters+1 times — callers pass a
+    * checkpointed frame (as [[qualityClassifierScores]] does). */
+  def trainLogistic(
+      feats: DataFrame, dim: Int, iters: Int, lr: Double): Array[Double] = {
+    require(iters >= 1, "iters must be >= 1")
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val nDocs = feats.count().toDouble
+    require(nDocs > 0, "trainLogistic: no feature rows")
+    var w = Array.fill(dim + 1)(0.0)
+    for (_ <- 1 to iters) {
+      val e = errCol(w, dim)
+      val aggs = (0 until dim).map(j =>
+        sum(round6(e * element_at(col("x"), j + 1))
+          .cast("decimal(28,6)")).as(s"g$j")) :+
+        sum(e.cast("decimal(28,6)")).as("gb")
+      val row = feats.agg(aggs.head, aggs.tail: _*).collect().head
+      w = Array.tabulate(dim + 1) { j =>
+        val g = r6(row.getDecimal(j).doubleValue() / nDocs)
+        r6(w(j) - lr * g)
+      }
+    }
+    w
+  }
+
+  /** round6(p − y) under weights `w` — the shared train/score body:
+    * z = round6(x·w + bias), p = round6(σ(z)). */
+  private def errCol(w: Array[Double], dim: Int): Column =
+    round6(probCol(w, dim) - col("y"))
+
+  private def probCol(w: Array[Double], dim: Int): Column = {
+    val wv = typedLit(w.slice(0, dim).toSeq)
+    val z = round6(
+      graft.functions.VecFunctions.foldDot(col("x"), wv) + lit(w(dim)))
+    round6(lit(1.0) / (lit(1.0) + exp(-z)))
+  }
+
+  /** End-to-end: build features once (checkpointed), train, score
+    * every doc with the trained weights.
+    * @return (id, y, score, pred) — pred = score ≥ 0.5. */
+  def qualityClassifierScores(
+      docs: DataFrame, idCol: String, textCol: String, labelCol: Column,
+      dim: Int = 16, iters: Int = 8, lr: Double = 0.5): DataFrame = {
+    val feats = hashedFeatures(docs, idCol, textCol, labelCol, dim)
+      .localCheckpoint()
+    val w = trainLogistic(feats, dim, iters, lr)
+    feats.select(col("id"), col("y"),
+        probCol(w, dim).as("score"))
+      .withColumn("pred", col("score") >= 0.5)
+  }
+}
