@@ -848,6 +848,24 @@ object Stress {
         (sink(graft.operators.Corpus.urlDupClusters(
           urls, col("id"), col("url"))), n)
       }),
+      Scenario("classifier_train", sp => {
+        // q147 training at corpus volume: 2M × 120-token docs through
+        // the feature build (one explode + two narrow hash aggs,
+        // checkpointed) + 8 full-batch GD steps, each ONE scalar
+        // aggregate of 17 DECIMAL sums over the feature table. The
+        // whole loop is the timed action (driver-looped jobs are the
+        // operator's cost, the IVF-Lloyd convention).
+        val n = s(2000000L)
+        val d = corpus(sp, n, len = 120, vocab = 50000)
+          .withColumn("label", pmod(hash(col("id")), lit(2)) === 0)
+        (() => {
+          val feats = graft.operators.Classifier.hashedFeatures(
+            d, "id", "text", col("label"), dim = 16).localCheckpoint()
+          graft.operators.Classifier.trainLogistic(
+            feats, dim = 16, iters = 8, lr = 0.5)
+          ()
+        }, n)
+      }),
       Scenario("paragraph_dedup", sp => {
         // q141 at corpus volume: 5M pages × 8 ~260 B paragraphs from a
         // pool 20× smaller (the scattered-boilerplate regime), staged

@@ -435,6 +435,46 @@ object Jobs {
     a("output-path")
   }
 
+  /** Train the learned quality classifier (q147's operator) against a
+    * boolean proxy-label column and persist the weights artifact —
+    * a whitespace text format whose doubles round-trip exactly
+    * (shortest-repr toString ↔ parseDouble), written through the
+    * output path's Hadoop filesystem like every other artifact. */
+  def runTrainClassifier(spark: SparkSession, a: Args): String = {
+    val docs = spark.read.parquet(a("input-path"))
+    val idCol = a.get("id-col").getOrElse("doc_id")
+    val textCol = a.get("text-col").getOrElse("text")
+    val labelCol = a("label-col")
+    val dim = a.get("dim").getOrElse("16").toInt
+    val iters = a.get("iters").getOrElse("8").toInt
+    val feats = graft.operators.Classifier.hashedFeatures(
+        docs, idCol, textCol, col(labelCol), dim)
+      .localCheckpoint()
+    val w = graft.operators.Classifier.trainLogistic(
+      feats, dim, iters, lr = 0.5)
+    val outPath = new org.apache.hadoop.fs.Path(a("output-path"))
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = s"dim $dim\niters $iters\nlr 0.5\n" +
+      w.map(_.toString).mkString("w ", " ", "\n")
+    val out = fs.create(outPath, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    a("output-path")
+  }
+
+  /** Parse the [[runTrainClassifier]] artifact back to weights. */
+  def loadClassifierWeights(
+      spark: SparkSession, path: String): Array[Double] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val wLine = body.linesIterator.find(_.startsWith("w "))
+      .getOrElse(sys.error(s"no weights line in classifier artifact $path"))
+    wLine.drop(2).trim.split("\\s+").map(_.toDouble)
+  }
+
   def runPackTokens(spark: SparkSession, a: Args): String = {
     val docs = spark.read.parquet(a("input-path"))
     val idCol = a.get("id-col").getOrElse("doc_id")
@@ -642,7 +682,22 @@ object Jobs {
         paraDeduped.join(
           gated.filter(col("pass")).select(col("id").as("__gid")),
           col(idCol).cast("long") === col("__gid"), "left_semi")
-    result.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    // optional learned-filter stage (`--classifier <weights>` +
+    // `--min-score`, default 0.5): score the surviving docs with the
+    // train-classifier artifact and keep score >= min-score — runs
+    // LAST, after the rule gates, the DCLM layering.
+    val classed = a.get("classifier") match {
+      case Some(wPath) =>
+        val w = loadClassifierWeights(spark, wPath)
+        val minScore = a.get("min-score").getOrElse("0.5").toDouble
+        result.join(
+          graft.operators.Classifier.scoreDocs(result, idCol, textCol, w)
+            .filter(col("score") >= minScore)
+            .select(col("id").as("__cid")),
+          col(idCol).cast("long") === col("__cid"), "left_semi")
+      case None => result
+    }
+    classed.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     out
   }
 
@@ -650,7 +705,7 @@ object Jobs {
     require(argv.nonEmpty,
       "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf | " +
         "daily-etl | dedup-admit | select-corpus | curate | train-bpe | " +
-        "pack-tokens")
+        "train-classifier | pack-tokens")
     val a = parseArgs(argv.tail.toSeq)
     val spark = session()
     try {
@@ -663,6 +718,7 @@ object Jobs {
         case "select-corpus" => runSelectCorpus(spark, a)
         case "curate" => runCurate(spark, a)
         case "train-bpe" => runTrainBpe(spark, a)
+        case "train-classifier" => runTrainClassifier(spark, a)
         case "pack-tokens" => runPackTokens(spark, a)
         case other => sys.error(s"unknown subcommand: $other")
       }

@@ -105,6 +105,17 @@ object Classifier {
     round6(lit(1.0) / (lit(1.0) + exp(-z)))
   }
 
+  /** Score unlabeled docs with trained weights (the serving path —
+    * `curate --classifier`): features built fresh, zero-shuffle
+    * sigmoid projection. @return (id, score). */
+  def scoreDocs(
+      docs: DataFrame, idCol: String, textCol: String,
+      w: Array[Double]): DataFrame = {
+    val dim = w.length - 1
+    hashedFeatures(docs, idCol, textCol, lit(0.0), dim)
+      .select(col("id"), probCol(w, dim).as("score"))
+  }
+
   /** End-to-end: build features once (checkpointed), train, score
     * every doc with the trained weights.
     * @return (id, y, score, pred) — pred = score ≥ 0.5. */

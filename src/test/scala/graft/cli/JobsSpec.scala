@@ -448,6 +448,36 @@ class JobsSpec extends SparkSpec {
     assert(t1.contains(banner) && !t2.contains(banner))
   }
 
+  test("train-classifier artifact round-trips and gates curate") {
+    val dir = Files.createTempDirectory("graft-clf").toString
+    val goodBody = (("the quick brown fox jumps over the lazy dog to " +
+      "be sure of that and it will have done so with ease ") * 3).trim
+    val badBody = (("the omega psi of the chi and delta to sigma in " +
+      "theta is kappa epsilon and the zeta eta of iota nu xi tau ") * 3).trim
+    Seq((1L, goodBody, true), (2L, badBody, false),
+      (3L, goodBody + " indeed.", true), (4L, badBody + " more.", false))
+      .toDF("doc_id", "text", "label")
+      .write.parquet(s"$dir/docs")
+    Jobs.runTrainClassifier(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/weights.txt",
+      "--label-col", "label")))
+    val w = Jobs.loadClassifierWeights(spark, s"$dir/weights.txt")
+    assert(w.length === 17)
+    // shortest-repr round trip is exact: training again from the
+    // loaded artifact's dims scores identically
+    val scores = graft.operators.Classifier.scoreDocs(
+        spark.read.parquet(s"$dir/docs"), "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > 0.5 && scores(2L) < 0.5)
+    // curate --classifier keeps only the docs the learned filter likes
+    Jobs.runCurate(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/kept",
+      "--classifier", s"$dir/weights.txt")))
+    val kept = spark.read.parquet(s"$dir/kept")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L))
+  }
+
   test("catalog T/X/Y-name indirection normalizes staged coordinates") {
     import graft.etl.GridmetPipeline
     val g = Seq((Timestamp.valueOf("2021-01-01 00:00:00"), 40.0, -100.0, 1.0))
