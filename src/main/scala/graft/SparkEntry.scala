@@ -1339,6 +1339,16 @@ object SparkEntry {
       graft.operators.Classifier.qualityClassifierScores(
         docs(s, dir), "doc_id", "text", col("lang") === "en")),
 
+    // ---- DSIR importance resampling (Xie et al. 2023): hashed-
+    // unigram log importance ratio against the lang=='en' target
+    // subset, then Gumbel-max top-100 ∝ exp(logw) — the label-free
+    // "looks like the trusted corpus" selection step; weights AND
+    // the seeded draw replay exactly in SQL ----
+    "q148_dsir_resample" -> ((s, dir) =>
+      graft.operators.Dsir.resample(
+        docs(s, dir), "doc_id", "text", col("lang") === "en",
+        dim = 64, k = 100)),
+
     // ---- CCNet head/middle/tail perplexity buckets: q75's LM scores
     // split per language at the 1/3 and 2/3 exact quantiles — the
     // selection step the perplexity filter exists for ----
@@ -3424,6 +3434,46 @@ object SparkEntry {
          |sc AS (SELECT f.id, f.y, $prob AS score
          |  FROM f CROSS JOIN w8 wp)
          |SELECT id, y, score, score >= 0.5 AS pred FROM sc""".stripMargin
+    },
+
+    // q148: the DSIR chain replayed — per-doc hashed bucket counts,
+    // add-one-smoothed target/raw log-probs (each ln round6'd on an
+    // exact integer-ratio input), λ differences on the 6dp grid,
+    // DECIMAL-summed per-doc log-weights, then the hash-seeded
+    // Gumbel-max draw (u over Mod+2, the round6+clamp between the
+    // nested lns) ranked (key desc, id asc).
+    "q148_dsir_resample" -> {
+      val dim = 64
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      val hash = hashSql("tok")
+      val u = s"CAST(${hashSql("CAST(id AS VARCHAR)")} + 1 AS DOUBLE)" +
+        " / 1000000009.0"
+      val gk = r6(s"-ln(greatest(${r6(s"-ln($u)")}, 0.000001))")
+      s"""WITH tk AS (SELECT doc_id AS id, lang = 'en' AS tgt,
+         |    string_split(text, ' ') AS t FROM documents),
+         |d AS MATERIALIZED (SELECT id, tgt, ($hash) % $dim AS j,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT id, tgt, unnest(t) AS tok FROM tk)
+         |  GROUP BY id, tgt, j),
+         |b AS (SELECT j,
+         |    sum(CASE WHEN tgt THEN c ELSE 0 END) AS ct, sum(c) AS cr
+         |  FROM d GROUP BY j),
+         |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM b),
+         |lam AS (SELECT j,
+         |    ${r6(s"ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + $dim AS DOUBLE))")}
+         |    - ${r6(s"ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + $dim AS DOUBLE))")}
+         |      AS lam
+         |  FROM b CROSS JOIN tot),
+         |w AS (SELECT id, CAST(sum(CAST(CAST(c AS DOUBLE) * lam
+         |      AS DECIMAL(28,6))) AS DOUBLE) AS logw
+         |  FROM d JOIN lam USING (j) GROUP BY id),
+         |win AS (SELECT id, p,
+         |    row_number() OVER (ORDER BY p DESC, id ASC) AS rn
+         |  FROM (SELECT id, logw + $gk AS p FROM w))
+         |SELECT w.id, w.logw,
+         |  CASE WHEN win.rn <= 100 THEN win.p END AS key,
+         |  CASE WHEN win.rn <= 100 THEN CAST(win.rn AS INTEGER) END AS rank
+         |FROM w JOIN win ON w.id = win.id""".stripMargin
     },
 
     // q146: q75's whole LM derivation nested as a subquery, joined to
