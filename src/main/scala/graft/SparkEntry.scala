@@ -1349,6 +1349,14 @@ object SparkEntry {
         docs(s, dir), "doc_id", "text", col("lang") === "en",
         dim = 64, k = 100)),
 
+    // ---- prototype-distance data pruning (Sorscher et al. 2022):
+    // keep the hardest half of each IVF cluster by distance to its
+    // prototype — the embedding-space selection step, through the
+    // SAME frozen coarse quantizer as q36/q135 ----
+    "q149_prototype_prune" -> ((s, dir) =>
+      Similarity.prototypePrune(
+        embs(s, dir), ivfArtifact(s, dir), keepFrac = 0.5)),
+
     // ---- CCNet head/middle/tail perplexity buckets: q75's LM scores
     // split per language at the 1/3 and 2/3 exact quantiles — the
     // selection step the perplexity filter exists for ----
@@ -3875,6 +3883,34 @@ object SparkEntry {
          |FROM (SELECT id, cid, d2, vv,
          |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
          |  FROM s) WHERE rn = 1""".stripMargin,
+
+    // q149: the q135 training chain (c3 = the frozen artifact), ALL
+    // vectors assigned with the same (d2, cid) argmin + round6'd full
+    // distance, then per-cluster quantile_cont(0.5) thresholds (≡
+    // Spark percentile interpolation, the q146 precedent) and the
+    // >=-cut.
+    "q149_prototype_prune" ->
+      s"""WITH ea AS MATERIALIZED (SELECT vec_id AS id,
+         |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |e AS MATERIALIZED (SELECT * FROM ea WHERE id % 2 = 0),
+         |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
+         |${ivfIterSql(1, "c0")},
+         |${ivfIterSql(2, "c1")},
+         |${ivfIterSql(3, "c2")},
+         |s AS (SELECT nv.id, c.cid,
+         |  ${dotSql("nv.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2,
+         |  ${dotSql("nv.v", "nv.v")} AS vv
+         |  FROM ea nv CROSS JOIN c3 c),
+         |a AS (SELECT id AS vec_id, cid,
+         |  floor((d2 + vv) * 1000000.0 + 0.5) / 1000000.0 AS dist2
+         |  FROM (SELECT id, cid, d2, vv,
+         |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM s) WHERE rn = 1),
+         |b AS (SELECT cid, quantile_cont(dist2, 0.5) AS thr
+         |  FROM a GROUP BY cid)
+         |SELECT a.vec_id, a.cid, a.dist2, b.thr, a.dist2 >= b.thr AS kept
+         |FROM a JOIN b USING (cid)""".stripMargin,
 
     // q85: recall@5 of the IVF-pruned search (q36) against exact
     // brute force (q21) — SAME cosine metric, so the measured loss is

@@ -372,4 +372,34 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(ivf) === rows(Similarity.hardNegatives(vecs, queries,
       k = 4, posCol = "label", maxSim = 0.999)))
   }
+
+  test("prototypePrune: keeps the hardest tail of each cluster at the quantile cut") {
+    // two tight clusters with a planted QUADRATIC offset ladder —
+    // asymmetric around the cluster mean, so every member's distance
+    // to the learned prototype is distinct (a linear ladder pairs up
+    // symmetrically around the mean and ties the cut)
+    val data = (0 until 10).flatMap { m =>
+      Seq((m.toLong * 2, Seq(10f + m * m * 0.01f, 0f, 0f, 0f)),
+        (m.toLong * 2 + 1, Seq(0f, 10f + m * m * 0.01f, 0f, 0f)))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(data, nLists = 2, iters = 2)
+    val got = Similarity.prototypePrune(data, idx, keepFrac = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.length === 20)
+    got.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.length === 10)
+      val kept = members.filter(_._5).map(_._3)
+      val dropped = members.filterNot(_._5).map(_._3)
+      // the kept set is exactly the dist2-largest tail
+      assert(kept.nonEmpty && dropped.nonEmpty)
+      assert(kept.min >= dropped.max)
+      // thr = the interpolated 0.6 quantile, and the cut honors it
+      val thr = members.head._4
+      assert(members.forall(m => m._5 === (m._3 >= thr)))
+      // keepFrac 0.4 over 10 members -> 4 survivors at the quantile cut
+      assert(kept.length === 4)
+    }
+  }
 }
