@@ -1430,6 +1430,22 @@ object SparkEntry {
       Multimodal.mapDecodeWavBatches(ds).toDF()
     }),
 
+    // ---- VAD-style energy-gated speech segments: the q133 clips
+    // framed at 32 samples, per-frame grid RMS, runs of frames with
+    // rms >= 12000 merged to segments — the silence-trimming step
+    // between audio decode and packing; replayed from the payload
+    // bytes by the oracle (container-independent, like q133) ----
+    "q150_audio_vad_segments" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val enc = org.apache.spark.sql.Encoders.product[Multimodal.Media]
+      val ds = media(s, dir).filter(col("modality") === "audio")
+        .as[Multimodal.Media](enc)
+        .map(m => m.copy(bytes = Multimodal.WavCodec.encode(
+          Multimodal.WavCodec.pcm16FromByteDeltas(m.bytes))))(enc)
+      Multimodal.mapVadBatches(ds, frameLen = 32, threshold = 12000.0)
+        .toDF()
+    }),
+
     // ---- multimodal near-dup: perceptual-hash (aHash) image dedup —
     // 60-bit byte-grid hash per payload (zero shuffle), pigeonhole-
     // blocked Hamming pairs (lossless recall ≤ maxHamming). Threshold
@@ -3670,6 +3686,44 @@ object SparkEntry {
         |    zi -> (s[CAST(zi AS INT) - 1] < 0) <> (s[CAST(zi AS INT)] < 0)))
         |    AS INT) AS zero_crossings
         |FROM d""".stripMargin,
+
+    // q150: the q133 waveform replayed without the container, framed
+    // at 32 samples (full frames only), per-frame floor-rounded RMS
+    // over exact long Σs², the >= 12000 gate, and gaps-and-islands
+    // run merging (k − row_number) with floor-div ms bounds.
+    "q150_audio_vad_segments" ->
+      """WITH a AS (SELECT doc_id AS media_id, text FROM documents
+        |           WHERE doc_id % 3 = 1),
+        |d AS (SELECT media_id, list_transform(range(1, length(text)),
+        |        wi -> (ascii(text[CAST(wi AS INT) + 1]) -
+        |               ascii(text[CAST(wi AS INT)])) * 256) AS s
+        |      FROM a),
+        |f AS (SELECT media_id, s,
+        |        CAST(unnest(range(0, len(s) // 32)) AS INT) AS k
+        |      FROM d),
+        |e AS (SELECT media_id, k,
+        |    floor(sqrt(CAST(list_sum(list_transform(
+        |        range(k * 32 + 1, k * 32 + 33),
+        |        si -> CAST(s[CAST(si AS INT)] AS BIGINT) *
+        |              s[CAST(si AS INT)])) AS DOUBLE) / 32.0)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS rms
+        |  FROM f),
+        |act AS (SELECT media_id, k, rms FROM e WHERE rms >= 12000.0),
+        |isl AS (SELECT media_id, k, rms,
+        |    k - row_number() OVER (PARTITION BY media_id ORDER BY k) AS g
+        |  FROM act),
+        |sg AS (SELECT media_id, min(k) AS start_frame,
+        |    CAST(count(*) AS INT) AS n_frames, max(rms) AS max_rms
+        |  FROM isl GROUP BY media_id, g)
+        |SELECT media_id,
+        |  CAST(row_number() OVER (PARTITION BY media_id
+        |    ORDER BY start_frame) AS INT) AS seg,
+        |  CAST(start_frame AS INT) AS start_frame, n_frames,
+        |  CAST(start_frame AS BIGINT) * 32 * 1000 // 8000 AS start_ms,
+        |  CAST(start_frame + n_frames AS BIGINT) * 32 * 1000 // 8000
+        |    AS end_ms,
+        |  max_rms
+        |FROM sg""".stripMargin,
 
     // q132: the same wrapper page built in SQL, the same five-step
     // chain replayed with RE2 — script/style blocks with content,

@@ -411,6 +411,80 @@ object Multimodal {
     /** Batch decode — the mapInPandas-shaped contract, real parser. */
     def decodeBatch(batch: Seq[Media]): Seq[WavFeatures] =
       batch.map(m => features(m.media_id, decode(m.bytes)))
+
+    /** ENERGY-GATED SPEECH SEGMENTS (VAD-style silence trimming — the
+      * step an audio-training pipeline runs between decode and
+      * transcription/packing: drop the silence, keep utterances):
+      * frame the clip into fixed `frameLen`-sample windows (FULL
+      * frames only — a partial tail is dropped, documented contract),
+      * per-frame RMS on the 6dp grid (exact long Σs² then one
+      * round6'd sqrt, the [[features]] discipline), a frame is ACTIVE
+      * iff rms ≥ threshold (threshold chosen on the grid), and
+      * maximal runs of active frames become segments. All arithmetic
+      * integer or grid-rounded, so the oracle replays it from the
+      * payload bytes without the container. Millisecond bounds are
+      * floor integer division by the sample rate. */
+    def vadSegments(
+        mediaId: Long, audio: WavAudio, frameLen: Int,
+        threshold: Double): Seq[VadSegment] = {
+      require(frameLen >= 1, "frameLen must be >= 1")
+      val s = audio.samples
+      val rate = audio.sampleRate
+      val nF = s.length / frameLen
+      val out = scala.collection.mutable.ArrayBuffer.empty[VadSegment]
+      var segStart = -1
+      var segMax = 0.0
+      var seg = 0
+      def flush(endFrame: Int): Unit = if (segStart >= 0) {
+        seg += 1
+        out += VadSegment(mediaId, seg, segStart, endFrame - segStart,
+          segStart.toLong * frameLen * 1000L / rate,
+          endFrame.toLong * frameLen * 1000L / rate, segMax)
+        segStart = -1
+        segMax = 0.0
+      }
+      var k = 0
+      while (k < nF) {
+        var sumSq = 0L
+        var i = k * frameLen
+        val end = i + frameLen
+        while (i < end) {
+          val v = s(i).toInt
+          sumSq += v.toLong * v
+          i += 1
+        }
+        val rms =
+          math.floor(math.sqrt(sumSq.toDouble / frameLen) * 1e6 + 0.5) / 1e6
+        if (rms >= threshold) {
+          if (segStart < 0) segStart = k
+          if (rms > segMax) segMax = rms
+        } else flush(k)
+        k += 1
+      }
+      flush(nF)
+      out.toSeq
+    }
+  }
+
+  /** One energy-gated segment of a clip: frame-index bounds (end
+    * exclusive), floor-divided millisecond bounds, and the loudest
+    * frame's grid-rounded RMS. `seg` is 1-based in time order. */
+  final case class VadSegment(
+      media_id: Long, seg: Int, start_frame: Int, n_frames: Int,
+      start_ms: Long, end_ms: Long, max_rms: Double)
+
+  /** Per-batch VAD segmentation over WAV payloads — the same batched
+    * executor-side codec seam as [[mapDecodeWavBatches]]; each clip
+    * explodes to its segments (clips with no active frame vanish). */
+  def mapVadBatches(
+      media: Dataset[Media], frameLen: Int, threshold: Double,
+      batchSize: Int = 64): Dataset[VadSegment] = {
+    implicit val enc = Encoders.product[VadSegment]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap(m =>
+        WavCodec.vadSegments(m.media_id, WavCodec.decode(m.bytes),
+          frameLen, threshold)))
+    }
   }
 
   /** Per-batch REAL audio decode (WAV payloads): identical plumbing to

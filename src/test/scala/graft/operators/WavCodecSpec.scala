@@ -119,4 +119,45 @@ class WavCodecSpec extends SparkSpec {
     assert(got(1).zero_crossings === 1)
     assert(got(1).peak === 1000)
   }
+
+  test("vadSegments: loud runs merge, quiet gaps split, tail frame drops") {
+    // frameLen=2 @ rate 1000: frames of |s|=4000 (rms 4000) are
+    // active at threshold 3000; |s|=100 frames are not. Layout:
+    // [loud loud] [quiet] [loud] + one dangling sample (dropped).
+    val s = Array[Short](4000, -4000, 4000, 4000, 100, -100, 4000, 4000, 9)
+    val audio = Multimodal.WavAudio(1000, 1, 16, s)
+    val segs = WavCodec.vadSegments(7L, audio, frameLen = 2,
+      threshold = 3000.0)
+    assert(segs.length === 2)
+    val a = segs(0)
+    assert((a.seg, a.start_frame, a.n_frames) === ((1, 0, 2)))
+    assert((a.start_ms, a.end_ms) === ((0L, 4L)))
+    assert(a.max_rms === 4000.0)
+    val b = segs(1)
+    assert((b.seg, b.start_frame, b.n_frames) === ((2, 3, 1)))
+    assert((b.start_ms, b.end_ms) === ((6L, 8L)))
+    // all-quiet clip yields nothing
+    assert(WavCodec.vadSegments(8L,
+      Multimodal.WavAudio(1000, 1, 16, Array[Short](1, -1, 2, -2)),
+      frameLen = 2, threshold = 3000.0).isEmpty)
+    // boundary: rms EXACTLY at threshold is active
+    assert(WavCodec.vadSegments(9L,
+      Multimodal.WavAudio(1000, 1, 16, Array[Short](3000, -3000)),
+      frameLen = 2, threshold = 3000.0).length === 1)
+  }
+
+  test("mapVadBatches: per-clip segments through the batched seam") {
+    val clip = WavCodec.encode(
+      Array[Short](4000, -4000, 10, -10, 4000, 4000), sampleRate = 8000)
+    val media = Seq(Media(1L, "audio", clip, 0, 0, 0),
+      Media(2L, "audio", WavCodec.encode(Array[Short](1, -1)), 0, 0, 0))
+      .toDS()
+    val got = Multimodal.mapVadBatches(media, frameLen = 2,
+        threshold = 3000.0, batchSize = 1)
+      .collect().sortBy(r => (r.media_id, r.seg))
+    assert(got.map(_.media_id).toSeq === Seq(1L, 1L)) // clip 2 silent
+    assert(got.map(_.start_frame).toSeq === Seq(0, 2))
+    assert(got.map(_.n_frames).toSeq === Seq(1, 1))
+    assert(got.map(_.seg).toSeq === Seq(1, 2))
+  }
 }
