@@ -1349,6 +1349,13 @@ object SparkEntry {
         docs(s, dir), "doc_id", "text", col("lang") === "en",
         dim = 64, k = 100)),
 
+    // ---- Kneser–Ney smoothed bigram LM scoring (the CCNet/KenLM
+    // smoothing family): absolute discount 0.75 + continuation-
+    // probability backoff — q75's add-one baseline upgraded to the
+    // smoothing production perplexity filters actually use ----
+    "q151_kneser_ney_score" -> ((s, dir) =>
+      graft.operators.Corpus.knScore(docs(s, dir), "doc_id", "text")),
+
     // ---- prototype-distance data pruning (Sorscher et al. 2022):
     // keep the hardest half of each IVF cluster by distance to its
     // prototype — the embedding-space selection step, through the
@@ -5594,6 +5601,36 @@ object SparkEntry {
     // arithmetic, same round6 before the DECIMAL(28,6) sum, division
     // after the exact sum).
     "q75_lm_score" -> lmScoreSql,
+
+    // q151: the q75 pair derivation with Kneser–Ney arithmetic — the
+    // context/continuation tables DERIVED from the bigram counts, the
+    // |bigrams| scalar, and the one-transcendental contribution whose
+    // operand tree matches the engine expression operand-for-operand.
+    "q151_kneser_ney_score" -> {
+      val contrib = graft.functions.TextFunctions.round6Sql(
+        "-ln((greatest(CAST(c_ab AS DOUBLE) - 0.75, 0.0) + " +
+          "0.75 * CAST(n1a AS DOUBLE) * " +
+          "(CAST(n1b AS DOUBLE) / CAST(nb.n_bigrams AS DOUBLE))) / " +
+          "CAST(c_a AS DOUBLE))")
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pairs AS (SELECT doc_id, g['a'] AS a, g['b'] AS b FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |      pi -> struct_pack(a := t[pi], b := t[pi+1]))) AS g
+         |    FROM tk WHERE len(t) >= 2)),
+         |bi AS MATERIALIZED (SELECT a, b, count(*) AS c_ab
+         |  FROM pairs GROUP BY 1, 2),
+         |ctx AS (SELECT a, sum(c_ab) AS c_a, count(*) AS n1a
+         |  FROM bi GROUP BY 1),
+         |rights AS (SELECT b, count(*) AS n1b FROM bi GROUP BY 1),
+         |nb AS (SELECT count(*) AS n_bigrams FROM bi)
+         |SELECT p.doc_id AS doc_id, count(*) AS n_pairs,
+         |  ${graft.functions.TextFunctions.round6Sql(
+             "CAST(sum(CAST(" + contrib + " AS DECIMAL(28,6))) AS DOUBLE)" +
+               " / CAST(count(*) AS DOUBLE)")} AS nll
+         |FROM pairs p JOIN bi USING (a, b) JOIN ctx USING (a)
+         |  JOIN rights USING (b) CROSS JOIN nb
+         |GROUP BY 1""".stripMargin
+    },
 
     // q79: each column's profile block mirrors the Spark aggregates —
     // non-null counts, the q38 KMV estimate formula over the same

@@ -242,6 +242,70 @@ object Corpus {
           col("n_pairs").cast("double")).as("nll"))
   }
 
+  /** KNESER–NEY SMOOTHED bigram LM scoring — the smoothing family the
+    * CCNet/KenLM perplexity filter actually ships (absolute
+    * discounting + continuation-probability backoff), upgrading
+    * [[lmScore]]'s add-one baseline: P(b|a) = max(c(ab)−d, 0)/c(a) +
+    * d·N₁₊(a,·)/c(a) · N₁₊(·,b)/|bigrams| — a word is likely not
+    * because it is frequent but because it follows MANY contexts (the
+    * "San Francisco" correction). Context counts c(a) are pair-left
+    * counts (Σ_b c(ab)), so the model is self-consistent at document
+    * edges; scoring covers the training corpus itself, so every
+    * scored pair is seen and the max() never zeroes a probability.
+    *
+    * Determinism: all model inputs are exact longs; each pair's
+    * contribution −ln P is ONE transcendental whose operand tree is
+    * replicated operand-for-operand in the q151 oracle, round6'd, and
+    * summed as DECIMAL(28,6) (the q75 discipline).
+    *
+    * Scale shape: identical to [[lmScore]] — vocabulary/bigram-bounded
+    * hash aggregations (the context and continuation tables DERIVE
+    * from the bigram table: one extra narrow agg each, never a second
+    * corpus pass), token-keyed joins whose wire traffic is aggregation
+    * output, the |bigrams| scalar a bounded driver plan parameter.
+    * @return (doc_id, n_pairs, nll) over docs with ≥ 2 tokens. */
+  def knScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    import TextFunctions.bindOnce
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("t"))
+    val pairs = toks.select(col("doc_id"), explode(bindOnce(col("t")) { t =>
+        when(size(t) < 2, array().cast("array<struct<a:string,b:string>>")).otherwise(
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
+      }).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+      .localCheckpoint(eager = false) // feeds bigram counts AND the probe
+    // checkpointed: bi derives ctx, rights AND the |bigrams| scalar
+    // AND joins the probe — one evaluation serves all four
+    val bi = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(eager = false)
+    val ctx = bi.groupBy(col("a"))
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1a"))
+    val rights = bi.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
+    val nBigrams = bi.count() // bounded driver plan parameter (q75's vocab)
+    val p = (greatest(col("c_ab").cast("double") - lit(discount), lit(0.0)) +
+      lit(discount) * col("n1a").cast("double") *
+        (col("n1b").cast("double") / lit(nBigrams.toDouble))) /
+      col("c_a").cast("double")
+    val contrib = TextFunctions.round6(-log(p))
+    pairs
+      .join(bi, Seq("a", "b"))
+      .join(ctx, Seq("a"))
+      .join(rights, Seq("b"))
+      .select(col("doc_id"), contrib.as("x"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast("decimal(28,6)")).as("s"))
+      .select(col("doc_id"), col("n_pairs"),
+        TextFunctions.round6(col("s").cast("double") /
+          col("n_pairs").cast("double")).as("nll"))
+  }
+
   /** PMI COLLOCATIONS: pointwise mutual information of adjacent token
     * pairs over the whole corpus — ln((c_ab/N) / ((c_a/M)(c_b/M))) for
     * pairs seen ≥ minCount times. The standard phrase-mining /

@@ -88,6 +88,38 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L) === out(20L))
   }
 
+  test("kneser-ney: hand-checked probabilities, discounted + backoff mass") {
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    // bi: (a,b)=2 (b,a)=1 (a,c)=1 → D=3; ctx a: c=3 n1=2; b: c=1 n1=1
+    // rights: a=1 b=1 c=1
+    val d = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = Corpus.knScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Set(1L, 2L)) // 1-token doc has no pairs
+    val pBA = (math.max(2.0 - 0.75, 0.0) + 0.75 * 2.0 * (1.0 / 3.0)) / 3.0
+    val pAB = (math.max(1.0 - 0.75, 0.0) + 0.75 * 1.0 * (1.0 / 3.0)) / 1.0
+    val pCA = (math.max(1.0 - 0.75, 0.0) + 0.75 * 2.0 * (1.0 / 3.0)) / 3.0
+    val exp1 = r6((BigDecimal(r6(-math.log(pBA))) * 2 +
+      BigDecimal(r6(-math.log(pAB)))).toDouble / 3.0)
+    assert(out(1L) === ((3L, exp1)))
+    assert(out(2L) === ((1L, r6(-math.log(pCA)))))
+  }
+
+  test("kneser-ney: continuation backoff rewards many-context tokens") {
+    // 'rare' has appeared after 10 DIFFERENT contexts; 'only1' after
+    // exactly one. Docs 30/31 pair each ONCE with 'san' (equal c_ab,
+    // same context), so the ordering isolates the continuation term:
+    // the many-context token must be the likelier continuation — the
+    // "San Francisco" correction add-one smoothing cannot make.
+    val d = ((1L to 10L).map(i => (i, s"ctx$i rare")) ++
+      (11L to 20L).map(i => (i, "san francisco")) ++
+      Seq((30L, "san rare"), (31L, "san only1"))).toDF("doc_id", "text")
+    val out = Corpus.knScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(30L) < out(31L))
+  }
+
   test("pmi: independent vs always-adjacent pairs rank as expected") {
     // "p q" always adjacent; fillers vary
     val d = (1L to 20L).map(i => (i, s"p q f$i p q")).toDF("doc_id", "text")
