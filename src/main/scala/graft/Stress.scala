@@ -936,6 +936,48 @@ object Stress {
         val index = graft.operators.Similarity.ivfIndex(
           vecs(math.max(1000L, n / 100)), nLists = 64, iters = 2)
         (sink(graft.operators.Similarity.ivfAssign(vecs(n), index)), n)
+      }),
+      Scenario("dsir_weights", sp => {
+        // q148 at corpus volume: 2M × 120-token docs through the full
+        // DSIR chain — one tokenize+explode to narrow (id,tgt,j,c)
+        // rows, 4096-bucket stats, broadcast-λ scoring, Gumbel-max
+        // top-200k. Nothing proportional to text bytes crosses an
+        // exchange after the first reduce.
+        val n = s(2000000L)
+        val d = corpus(sp, n, len = 120, vocab = 50000)
+          .withColumn("tgt", pmod(hash(col("id")), lit(5)) === 0)
+        (sink(graft.operators.Dsir.resample(
+          d, "id", "text", col("tgt"), dim = 4096,
+          k = math.max(1000, (n / 10).toInt))), n)
+      }),
+      Scenario("prototype_prune", sp => {
+        // q149 at corpus volume: 5M × 64-dim vectors against a FROZEN
+        // 64-list quantizer (trained untimed — the served-artifact
+        // model); timed = zero-shuffle assignment + |lists| percentile
+        // bounds + broadcast cut. ~78k dist2 values per list through
+        // the exact-percentile state (tripwire headroom measured).
+        val n = s(5000000L)
+        def vecs(m: Long) = sp.range(m).select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), " +
+            "i -> cast(pmod(hash(id, i), 1000) / 500.0 - 1.0 as float))")
+            .as("embedding"))
+        val index = graft.operators.Similarity.ivfIndex(
+          vecs(math.max(1000L, n / 100)), nLists = 64, iters = 2)
+        (sink(graft.operators.Similarity.prototypePrune(
+          vecs(n), index, keepFrac = 0.5)), n)
+      }),
+      Scenario("kneser_ney", sp => {
+        // q151 at corpus volume: 1M × 120-token docs → 119M scored
+        // pairs over a 2k vocab, so bigram TYPES (≤ 4M) ≪ pairs — the
+        // Zipfian-reuse regime every natural corpus has and the one
+        // the model tables' "vocab-bounded" premise is about (a
+        // uniform 50k-vocab draw makes every bigram unique, which
+        // stresses nothing but the pathological-corpus case). The
+        // probe pays ONE (a,b)-keyed join against the finished
+        // broadcast-decorated x-table.
+        val n = s(1000000L)
+        (sink(graft.operators.Corpus.knScore(
+          corpus(sp, n, len = 120, vocab = 2000), "id", "text")), n)
       }))
   }
 

@@ -258,11 +258,15 @@ object Corpus {
     * replicated operand-for-operand in the q151 oracle, round6'd, and
     * summed as DECIMAL(28,6) (the q75 discipline).
     *
-    * Scale shape: identical to [[lmScore]] — vocabulary/bigram-bounded
-    * hash aggregations (the context and continuation tables DERIVE
-    * from the bigram table: one extra narrow agg each, never a second
-    * corpus pass), token-keyed joins whose wire traffic is aggregation
-    * output, the |bigrams| scalar a bounded driver plan parameter.
+    * Scale shape: the corpus tokenizes TWICE (bigram counts, probe) —
+    * never cached: checkpointing corpus-scale pair rows trades a
+    * cheap scan-side map for storage that strangles join memory (the
+    * DSIR lesson; first-cut stress spilled 77 GB). The model JOINS
+    * happen at BIGRAM-TABLE size: contribution x(a,b) is finished on
+    * the (checkpointed, vocab-bounded) bigram aggregate joined with
+    * its two derived tables, and the corpus-scale probe then pays ONE
+    * (a,b)-keyed join against the finished x-table instead of three.
+    * The |bigrams| scalar is a bounded driver plan parameter.
     * @return (doc_id, n_pairs, nll) over docs with ≥ 2 tokens. */
   def knScore(
       docs: DataFrame, idCol: String, textCol: String,
@@ -270,17 +274,17 @@ object Corpus {
     import TextFunctions.bindOnce
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("t"))
-    val pairs = toks.select(col("doc_id"), explode(bindOnce(col("t")) { t =>
+    def pairs = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), explode(bindOnce(col("t")) { t =>
         when(size(t) < 2, array().cast("array<struct<a:string,b:string>>")).otherwise(
           transform(sequence(lit(1), size(t) - 1),
             i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
       }).as("g"))
       .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
-      .localCheckpoint(eager = false) // feeds bigram counts AND the probe
-    // checkpointed: bi derives ctx, rights AND the |bigrams| scalar
-    // AND joins the probe — one evaluation serves all four
+    // checkpointed: bi derives ctx, rights, the |bigrams| scalar AND
+    // the x-table — one evaluation serves all four, and it is the
+    // model-sized table (vocab-bounded on real corpora), not the pairs
     val bi = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c_ab"))
       .localCheckpoint(eager = false)
@@ -292,12 +296,18 @@ object Corpus {
       lit(discount) * col("n1a").cast("double") *
         (col("n1b").cast("double") / lit(nBigrams.toDouble))) /
       col("c_a").cast("double")
-    val contrib = TextFunctions.round6(-log(p))
+    // ctx/rights are |vocab| rows — broadcast them so the x-table is
+    // a map-side decoration of bi, never a string-keyed SMJ
+    val xtab = bi
+      .join(broadcast(ctx), Seq("a"))
+      .join(broadcast(rights), Seq("b"))
+      .select(col("a"), col("b"), TextFunctions.round6(-log(p)).as("x"))
+    // hash join, x-table as build side: an SMJ would SORT the corpus-
+    // scale pair stream (measured 20 GB of sort spill at the 119M-pair
+    // stress point); hashing the bigram-bounded side costs its
+    // partition's types only and the pair stream just flows through
     pairs
-      .join(bi, Seq("a", "b"))
-      .join(ctx, Seq("a"))
-      .join(rights, Seq("b"))
-      .select(col("doc_id"), contrib.as("x"))
+      .join(xtab.hint("shuffle_hash"), Seq("a", "b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("x").cast("decimal(28,6)")).as("s"))

@@ -38,17 +38,22 @@ import graft.functions.PortableHash.portable_hash
   *    safe for log-weights of either sign where exp(logw) would
   *    under/overflow).
   *
-  * Scale shape: ONE tokenize+explode pass reduced immediately to
-  * narrow (id, tgt, j, c) rows (document text never crosses the wire;
-  * lazily checkpointed because it feeds both the bucket statistics and
-  * the per-doc scores — the [[Corpus.lmScore]] barrier pattern). The
-  * bucket table is `dim` rows, its totals one further tiny aggregate
-  * kept lazy as a cross-joined scalar, and λ joins back BROADCAST —
-  * so per-doc scoring is a map-side join + one hash aggregation on
-  * the doc id. Selection is the bounded-heap [[graft.functions.TopKBy]]
+  * Scale shape: TWO tokenize passes over the corpus, neither caching
+  * anything (caching the exploded token rows at 100 TB would pin
+  * corpus-scale storage against execution memory — measured OOM at
+  * the 240M-token stress point; re-tokenizing is a cheap scan-side
+  * map). Pass 1 reduces tokens straight to the `dim`-row bucket
+  * table (perfect map-side combine — the aggregate state is dim
+  * entries per task, never per-doc); its totals stay lazy as a
+  * cross-joined scalar and λ is a dim-row BROADCAST. Pass 2 joins
+  * each token's λ map-side and feeds ONE hash aggregation on the doc
+  * id whose DECIMAL partials collapse per partition — summing λ
+  * once per token is exactly Σ c·λ on the 6dp grid, so no per-doc
+  * bucket-count table (per-(doc,bucket) cardinality!) ever exists.
+  * Selection is the bounded-heap [[graft.functions.TopKBy]]
   * aggregate: O(k) state, map-side partials, no global sort. At
-  * 100 TB: two narrow exchanges of aggregation output + a dim-row
-  * broadcast, nothing proportional to text bytes.
+  * 100 TB: one dim-row exchange + one doc-id exchange of partial
+  * sums, nothing proportional to text bytes.
   */
 object Dsir {
 
@@ -62,26 +67,23 @@ object Dsir {
       docs: DataFrame, idCol: String, textCol: String, targetCol: Column,
       dim: Int): DataFrame = {
     require(dim >= 2, "dim must be >= 2")
-    val d = docs.select(col(idCol).cast("long").as("id"),
+    def tokd = docs.select(col(idCol).cast("long").as("id"),
         targetCol.cast("boolean").as("tgt"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .groupBy(col("id"), col("tgt"),
+      .select(col("id"), col("tgt"),
         pmod(portable_hash(col("tok")), lit(dim)).as("j"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false) // feeds bucket stats AND scores
-    val b = d.groupBy(col("j"))
-      .agg(sum(when(col("tgt"), col("c")).otherwise(lit(0L))).as("ct"),
-        sum(col("c")).as("cr"))
+    val b = tokd.groupBy(col("j"))
+      .agg(sum(when(col("tgt"), lit(1L)).otherwise(lit(0L))).as("ct"),
+        count(lit(1)).as("cr"))
     val t = b.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     val lam = b.crossJoin(t).select(col("j"),
       (round6(log((col("ct") + lit(1L)).cast("double") /
           (col("tt") + lit(dim.toLong)).cast("double"))) -
         round6(log((col("cr") + lit(1L)).cast("double") /
           (col("tr") + lit(dim.toLong)).cast("double")))).as("lam"))
-    d.join(broadcast(lam), Seq("j"))
+    tokd.join(broadcast(lam), Seq("j"))
       .groupBy(col("id"))
-      .agg(sum((col("c").cast("double") * col("lam"))
-        .cast("decimal(28,6)")).as("s"))
+      .agg(sum(col("lam").cast("decimal(28,6)")).as("s"))
       .select(col("id"), col("s").cast("double").as("logw"))
   }
 
