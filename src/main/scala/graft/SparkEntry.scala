@@ -2568,6 +2568,23 @@ object SparkEntry {
           col("start_pos"), col("span_checksum"), col("kept_checksum"))
     }),
 
+    // ---- fill-in-the-middle transform (Bavarian et al. 2022): a
+    // seeded half of the docs rearranged PSM ([PRE]prefix[SUF]suffix
+    // [MID]middle) with hash-drawn cut points; the reordered stream
+    // pinned by the q99 position-weighted checksum over NEW positions
+    // + sentinel contributions. Pure narrow map, zero shuffle ----
+    "q152_fim_transform" -> ((s, dir) => {
+      import graft.functions.PortableHash.portable_hash
+      val tok = docs(s, dir).select(col("doc_id"),
+        transform(
+          filter(split(col("text"), " "), w => w =!= ""),
+          w => pmod(portable_hash(w), lit(65536L)).cast("int")).as("ids"))
+      graft.operators.Packing.fimTransform(tok, col("doc_id"),
+          col("ids"), seed = 20260815L)
+        .select(col("id").as("doc_id"), col("fim"), col("cut1"),
+          col("cut2"), col("out_len"), col("out_checksum"))
+    }),
+
     // ---- length-homogeneous bin packing — the padding-minimizing
     // whole-document layout SFT pipelines need (examples must not be
     // split across windows, unlike the q99 pretraining concat):
@@ -4429,6 +4446,44 @@ object SparkEntry {
          |         OVER (PARTITION BY sp.doc_id) AS BIGINT)
          |    AS kept_checksum
          |FROM sp JOIN tot USING (doc_id)""".stripMargin
+    },
+
+    // q152: the FIM construction replayed — q123's token derivation,
+    // the repeat-3 hash gate (% 100 < 50), two ~f1/~f2 cut draws mod
+    // n+1 ordered lo/hi, and the position-weighted checksum over the
+    // REORDERED positions + the three sentinel contributions.
+    "q152_fim_transform" -> {
+      def key(tag: String) = hashSql(
+        s"(repeat('20260815~$tag:' || CAST(id AS VARCHAR) || ';', 3))")
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id AS id,
+         |    list_transform(list_filter(string_split(text, ' '),
+         |                               w -> w <> ''),
+         |      w -> ${hashSql("w")} % 65536) AS ids
+         |  FROM documents),
+         |base AS MATERIALIZED (SELECT id, ids, len(ids) AS n
+         |  FROM tok WHERE len(ids) > 0),
+         |g AS (SELECT id, ids, n,
+         |    (${key("fim")}) % 100 < 50 AS fim,
+         |    (${key("f1")}) % (n + 1) AS h1,
+         |    (${key("f2")}) % (n + 1) AS h2
+         |  FROM base),
+         |c AS (SELECT id, ids, n, fim,
+         |    CASE WHEN fim THEN least(h1, h2) END AS cut1,
+         |    CASE WHEN fim THEN greatest(h1, h2) END AS cut2
+         |  FROM g)
+         |SELECT id AS doc_id, fim, cut1, cut2,
+         |  CASE WHEN fim THEN n + 3 ELSE n END AS out_len,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, n + 1),
+         |      p -> ids[p] * (CASE WHEN NOT fim THEN p
+         |                     WHEN p <= cut1 THEN p + 1
+         |                     WHEN p > cut2 THEN p - cut2 + cut1 + 2
+         |                     ELSE p + 3 + (n - cut2) END))),
+         |    (a, x) -> a + x)
+         |  + CASE WHEN fim THEN 65536 + 65537 * (cut1 + 2)
+         |         + 65538 * (cut1 + 3 + (n - cut2)) ELSE 0 END
+         |    AS out_checksum
+         |FROM c""".stripMargin
     },
 
     // q124: the length-homogeneous bin packing replayed — whitespace

@@ -355,13 +355,30 @@ object Jobs {
     val scored = docs
       .withColumn("quality", st.getField("quality"))
       .withColumn("n_tokens", st.getField("ws_tokens").cast("long"))
+    // DSIR pre-selection (`--dsir-target-col <bool col>` +
+    // `--dsir-k <n>` [+ `--dsir-dim`]): importance-resample k docs
+    // toward the target subset's token distribution BEFORE the
+    // quality/budget machinery — the label-free "looks like the
+    // trusted corpus" first cut (q148's operator).
+    val pooled = a.get("dsir-target-col") match {
+      case Some(tcol) =>
+        val k = a.get("dsir-k").getOrElse(sys.error(
+          "--dsir-target-col requires --dsir-k")).toInt
+        val dim = a.get("dsir-dim").getOrElse("1024").toInt
+        val sel = graft.operators.Dsir.resample(
+            scored, idCol, textCol, col(tcol), dim, k)
+          .filter(col("rank").isNotNull)
+        scored.join(sel.select(col("id").as("__dsir_id")),
+          col(idCol).cast("long") === col("__dsir_id"), "left_semi")
+      case None => scored
+    }
     val kept = a.get("budget").map(_.toLong) match {
       case Some(b) =>
         val sel = graft.operators.Sampling.selectByTokenBudget(
-          scored, col(idCol), col("quality"), col("n_tokens"), b)
-        scored.join(sel.select(col("id").as("__sel_id")),
+          pooled, col(idCol), col("quality"), col("n_tokens"), b)
+        pooled.join(sel.select(col("id").as("__sel_id")),
             col(idCol).cast("long") === col("__sel_id"), "left_semi")
-      case None => scored
+      case None => pooled
     }
     val splits = a.get("splits")
       .getOrElse("train=80,val=10,test=10").split(",").toSeq
@@ -479,19 +496,36 @@ object Jobs {
     val docs = spark.read.parquet(a("input-path"))
     val idCol = a.get("id-col").getOrElse("doc_id")
     val textCol = a.get("text-col").getOrElse("text")
+    // --fim-pct reserves the TOP of the 2-byte shard-packing space for
+    // the three PSM sentinels (65533–65535), so hash tokenization
+    // shrinks to mod 65533 — sentinel ids can never collide with a
+    // content token and still byte-pack (TokenSink's 2-byte contract).
+    val fimPct = a.get("fim-pct").map(_.toInt)
+    val hashMod = if (fimPct.isDefined) 65533L else 65536L
     val ids = (a.get("bpe-vocab"), a.get("bpe-merges")) match {
       case (Some(v), Some(m)) =>
         graft.functions.Bpe.bpe_tokenize(col(textCol),
           graft.functions.Bpe.load(v, m))
       case (None, None) =>
         expr(s"transform(filter(split($textCol, ' '), w -> w <> ''), " +
-          "w -> CAST(pmod(xxhash64(w), 65536L) AS INT))")
+          s"w -> CAST(pmod(xxhash64(w), ${hashMod}L) AS INT))")
       case _ => throw new IllegalArgumentException(
         "--bpe-vocab and --bpe-merges must be given together")
     }
     val contextLen = a.get("context-len").getOrElse("512").toInt
     val nShards = a.get("n-shards").getOrElse("8").toInt
-    val tok = docs.select(col(idCol).as("id"), ids.as("ids"))
+    val tokRaw = docs.select(col(idCol).as("id"), ids.as("ids"))
+    // --fim-pct P [--fim-seed S]: rearrange a seeded P% of documents
+    // into the PSM fill-in-the-middle layout (Packing.fimApply) BEFORE
+    // packing — the joint FIM+AR recipe; sentinel ids sit just above
+    // the 65536 hash-token space (or the BPE vocab's specials).
+    val tok = fimPct match {
+      case Some(p) => graft.operators.Packing.fimApply(
+        tokRaw, col("id"), col("ids"),
+        seed = a.get("fim-seed").getOrElse("0").toLong, fimPct = p,
+        preTok = 65533, sufTok = 65534, midTok = 65535)
+      case None => tokRaw
+    }
     // --span-corrupt-out PATH [--span-seed S --span-block B --span-len L
     // --span-one-in M]: additionally write the block-deterministic
     // span-corruption index (Packing.spanCorruption) over the SAME

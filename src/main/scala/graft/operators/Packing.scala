@@ -645,6 +645,110 @@ object Packing {
         col("kept_checksum"))
   }
 
+  /** FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022 — the
+    * infilling objective code models train on): a seeded fraction of
+    * documents is rearranged into the PSM layout
+    * `[PRE] prefix [SUF] suffix [MID] middle`, teaching the model to
+    * infill; the rest pass through untouched (the paper's joint
+    * FIM+AR recipe).
+    *
+    * Deterministic construction (replayed by the q152 oracle):
+    *  - doc transforms iff `portable_hash(repeat("<seed>~fim:<id>;",
+    *    3)) mod 100 < fimPct` (the repeat-3 key-decorrelation
+    *    convention);
+    *  - two independent cut points `pmod(h, n+1)` from `~f1`/`~f2`
+    *    keys, lo/hi ordered — prefix = tokens[1..lo], middle =
+    *    (lo..hi], suffix = (hi..n] (any may be empty);
+    *  - the transformed stream is pinned WITHOUT materializing it by
+    *    the q99 position-weighted checksum over the REORDERED
+    *    positions: token p's new position is p+1 (prefix),
+    *    p−hi+lo+2 (suffix) or p+3+(n−hi) (middle), plus the three
+    *    sentinel contributions at positions 1, lo+2 and lo+3+(n−hi);
+    *    untransformed docs carry the plain Σ tokenᵢ·i. All integer —
+    *    exact on any engine.
+    *
+    * Scale shape: a pure per-row narrow map — one zip_with over the
+    * token array with a conditional weight, zero shuffle, zero state.
+    * Token-less docs emit no row (nothing to transform).
+    *
+    * @return (id, fim, cut1, cut2, out_len, out_checksum); out_len =
+    *         n+3 for transformed docs (three sentinels). */
+  def fimTransform(
+      docs: DataFrame, idCol: Column, tokenIdsCol: Column, seed: Long,
+      fimPct: Int = 50, preTok: Int = 65536, sufTok: Int = 65537,
+      midTok: Int = 65538): DataFrame = {
+    require(fimPct >= 0 && fimPct <= 100, "fimPct must be in [0, 100]")
+    def key(tag: String): Column = portable_hash(repeat(concat(
+      lit(s"$seed~$tag:"), col("id").cast("string"), lit(";")), 3))
+    docs
+      .select(idCol.cast("long").as("id"),
+        tokenIdsCol.cast("array<int>").as("ids"))
+      .withColumn("__n", size(col("ids")).cast("long"))
+      .filter(col("__n") > 0)
+      .withColumn("fim", pmod(key("fim"), lit(100L)) < fimPct)
+      .withColumn("cut1",
+        when(col("fim"), least(pmod(key("f1"), col("__n") + 1),
+          pmod(key("f2"), col("__n") + 1))))
+      .withColumn("cut2",
+        when(col("fim"), greatest(pmod(key("f1"), col("__n") + 1),
+          pmod(key("f2"), col("__n") + 1))))
+      .withColumn("out_len",
+        when(col("fim"), col("__n") + 3).otherwise(col("__n")))
+      .withColumn("out_checksum", {
+        val lo = col("cut1"); val hi = col("cut2"); val n = col("__n")
+        val newPos = (p: Column) => when(!col("fim"), p)
+          .when(p <= lo, p + 1)
+          .when(p > hi, p - hi + lo + 2)
+          .otherwise(p + 3 + (n - hi))
+        val toks = aggregate(
+          zip_with(col("ids"), sequence(lit(1L), n),
+            (t, p) => t.cast("long") * newPos(p)),
+          lit(0L), (a, x) => a + x)
+        toks + when(col("fim"),
+          lit(preTok.toLong) + lit(sufTok.toLong) * (lo + 2) +
+            lit(midTok.toLong) * (lo + 3 + (n - hi))).otherwise(lit(0L))
+      })
+      .select(col("id"), col("fim"), col("cut1"), col("cut2"),
+        col("out_len"), col("out_checksum"))
+  }
+
+  /** [[fimTransform]]'s MATERIALIZING sibling for the packing path:
+    * the same gate/cut construction, but emitting the actual
+    * rearranged token arrays (sentinels inline) so the result feeds
+    * [[packTokenChunks]]/`pack-tokens --fim-pct` directly. Kept
+    * separate from the checksum form on purpose: the audit query
+    * (q152) never pays array materialization, the packing path never
+    * pays a second pass. PackingSpec pins the two agree checksum-for-
+    * checksum. @return (id, ids) with ids rearranged where selected. */
+  def fimApply(
+      docs: DataFrame, idCol: Column, tokenIdsCol: Column, seed: Long,
+      fimPct: Int = 50, preTok: Int = 65536, sufTok: Int = 65537,
+      midTok: Int = 65538): DataFrame = {
+    require(fimPct >= 0 && fimPct <= 100, "fimPct must be in [0, 100]")
+    def key(tag: String): Column = portable_hash(repeat(concat(
+      lit(s"$seed~$tag:"), col("id").cast("string"), lit(";")), 3))
+    docs
+      .select(idCol.cast("long").as("id"),
+        tokenIdsCol.cast("array<int>").as("ids"))
+      .withColumn("__n", size(col("ids")).cast("long"))
+      .filter(col("__n") > 0)
+      .withColumn("__fim", pmod(key("fim"), lit(100L)) < fimPct)
+      .withColumn("__lo", least(pmod(key("f1"), col("__n") + 1),
+        pmod(key("f2"), col("__n") + 1)).cast("int"))
+      .withColumn("__hi", greatest(pmod(key("f1"), col("__n") + 1),
+        pmod(key("f2"), col("__n") + 1)).cast("int"))
+      .select(col("id"),
+        when(!col("__fim"), col("ids")).otherwise(concat(
+          array(lit(preTok)),
+          slice(col("ids"), lit(1), col("__lo")),
+          array(lit(sufTok)),
+          slice(col("ids"), col("__hi") + 1,
+            col("__n").cast("int") - col("__hi")),
+          array(lit(midTok)),
+          slice(col("ids"), col("__lo") + 1, col("__hi") - col("__lo"))))
+          .as("ids"))
+  }
+
   /** LENGTH-HOMOGENEOUS BIN PACKING (q124) — the padding-minimizing
     * layout FINE-TUNING pipelines feed on (no reference analog;
     * extension surface). Unlike [[concatChunks]], which splits

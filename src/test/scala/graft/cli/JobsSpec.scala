@@ -153,6 +153,30 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  test("pack-tokens --fim-pct: PSM rearrangement feeds the shards (sentinels counted)") {
+    val dir = Files.createTempDirectory("graft-pack-fim").toString
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta"),
+      (3L, "eta theta iota kappa lambda mu nu xi"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/docs")
+    val out = Jobs.runPackTokens(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/shards",
+      "--context-len", "4", "--n-shards", "2",
+      "--fim-pct", "100", "--fim-seed", "7")))
+    val back = graft.sinks.TokenSink.readPackedTokens(spark, out)
+    // every doc transformed: 14 tokens + 3 sentinels per doc = 23
+    assert(back.selectExpr("sum(size(token_ids))").as[Long].head() === 23L)
+    // each transformed stream carries exactly one of each sentinel
+    // (65533–65535: the top of the 2-byte packing space, which the
+    // hash tokenization vacates under --fim-pct)
+    val counts = back.selectExpr(
+        "sum(size(filter(token_ids, t -> t = 65533)))",
+        "sum(size(filter(token_ids, t -> t = 65534)))",
+        "sum(size(filter(token_ids, t -> t = 65535)))")
+      .as[(Long, Long, Long)].head()
+    assert(counts === ((3L, 3L, 3L)))
+  }
+
   test("pack-tokens --shuffle-seed + --mix: seeded training order with per-source quotas") {
     val dir = Files.createTempDirectory("graft-pack-shuf").toString
     val docs = Seq(
@@ -285,6 +309,30 @@ class JobsSpec extends SparkSpec {
       col("id"), col("n"), contextLen = 8, nShards = 2, seed = 11L)
     assert(bins.count() > 0)
     assert(rows(bins) === rows(expect))
+  }
+
+  test("select-corpus --dsir-target-col: importance resample gates the pool") {
+    val dir = Files.createTempDirectory("graft-select-dsir").toString
+    // half the pool speaks the target vocabulary, half something else
+    val docs = (0L until 40L).map { i =>
+      val tgt = i % 4 == 0
+      val text = if (tgt || i % 2 == 1) "alpha beta gamma delta alpha beta"
+        else "omega psi chi tau omega nu"
+      (i, text, tgt)
+    }.toDF("doc_id", "text", "is_target")
+    docs.write.parquet(s"$dir/docs")
+    Jobs.runSelectCorpus(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/out",
+      "--dsir-target-col", "is_target", "--dsir-k", "12",
+      "--dsir-dim", "64", "--splits", "train=100")))
+    val got = spark.read.parquet(s"$dir/out")
+    assert(got.count() === 12)
+    // the CLI path must equal the operator composition exactly
+    val sel = graft.operators.Dsir.resample(docs, "doc_id", "text",
+        col("is_target"), dim = 64, k = 12)
+      .filter(col("rank").isNotNull)
+    assert(got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      sel.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
   test("select-corpus: budget + cluster-keyed split matches the operator composition") {

@@ -338,6 +338,69 @@ class PackingSpec extends SparkSpec {
       s"${out.length} spans over $blocks blocks")
   }
 
+  test("fimTransform: checksum equals a literally-materialized PSM stream; passthrough keeps plain order") {
+    def phash(s: String): Long = {
+      var h = 0L
+      s.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+      h
+    }
+    val seed = 77L
+    val docs = (0L until 200L)
+      .map(i => (i, (0 until (i % 23).toInt).map(j =>
+        ((i * 131 + j * 17) % 65536).toInt).toArray))
+      .toDF("doc_id", "ids")
+    val out = Packing.fimTransform(docs, col("doc_id"), col("ids"), seed)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    // reference: BUILD the actual reordered stream and checksum it —
+    // independent of the operator's closed-form position arithmetic
+    val expect = (0L until 200L).flatMap { i =>
+      val ids = (0 until (i % 23).toInt).map(j =>
+        ((i * 131 + j * 17) % 65536).toLong)
+      val n = ids.length
+      if (n == 0) None else {
+        val fim = phash(s"$seed~fim:$i;" * 3) % 100 < 50
+        if (fim) {
+          val h1 = phash(s"$seed~f1:$i;" * 3) % (n + 1)
+          val h2 = phash(s"$seed~f2:$i;" * 3) % (n + 1)
+          val (lo, hi) = (math.min(h1, h2), math.max(h1, h2))
+          val stream = Seq(65536L) ++ ids.slice(0, lo.toInt) ++
+            Seq(65537L) ++ ids.slice(hi.toInt, n) ++
+            Seq(65538L) ++ ids.slice(lo.toInt, hi.toInt)
+          val ck = stream.zipWithIndex.map { case (t, k) => t * (k + 1) }.sum
+          Some((i, true, lo, hi, stream.length.toLong, ck))
+        } else {
+          val ck = ids.zipWithIndex.map { case (t, k) => t * (k + 1) }.sum
+          Some((i, false, -1L, -1L, n.toLong, ck))
+        }
+      }
+    }
+    assert(out.toSeq === expect.sortBy(_._1))
+    assert(out.exists(_._2) && out.exists(!_._2), "need both arms")
+    // empty-cut degenerate shapes exist and still checksum correctly
+    assert(out.filter(_._2).exists(r => r._3 == 0L || r._4 == r._5 - 3),
+      "expected at least one empty prefix or empty suffix")
+  }
+
+  test("fimApply: materialized arrays carry exactly fimTransform's length and checksum") {
+    val docs = (0L until 200L)
+      .map(i => (i, (0 until (i % 23).toInt).map(j =>
+        ((i * 131 + j * 17) % 65536).toInt).toArray))
+      .toDF("doc_id", "ids")
+    val applied = Packing.fimApply(docs, col("doc_id"), col("ids"), 77L)
+      .select(col("id"), size(col("ids")).cast("long").as("n"),
+        aggregate(
+          zip_with(col("ids"), sequence(lit(1), size(col("ids"))),
+            (t, p) => t.cast("long") * p.cast("long")),
+          lit(0L), (a, x) => a + x).as("ck"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val audit = Packing.fimTransform(docs, col("doc_id"), col("ids"), 77L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(applied === audit)
+  }
+
   test("two-level rank/offset parity: bucketed form is bit-identical to the naive windows") {
     // the scale form (hash-range-blocked ranks + blocked per-shard
     // cumulative sums) must produce EXACTLY the flat-window results on
