@@ -666,6 +666,110 @@ object SparkEntry {
        |GROUP BY 1""".stripMargin
   }
 
+  /** q19's oracle body — a def so q153's fused signal sheet nests the
+    * SAME derivation as a CTE subquery (the lmScoreSql convention). */
+  private def langIdSql: String = {
+    def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+    val en = r6("CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t)")
+    val de = r6("CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS DOUBLE)/len(t)")
+    val fr = r6("CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est','un'))) AS DOUBLE)/len(t)")
+    s"""SELECT doc_id,
+       |  $en AS en_score, $de AS de_score, $fr AS fr_score,
+       |  CASE
+       |    WHEN $fr >= $en AND $fr >= $de THEN 'fr'
+       |    WHEN $en >= $de THEN 'en' ELSE 'de' END AS pred_lang
+       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
+  }
+
+  /** q20's oracle body (shared with q153). */
+  private def textQualitySql: String = {
+    def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+    val meanLen = r6("(length(text) - (CAST(len(t) AS DOUBLE) - 1))/len(t)")
+    val stopR = r6("CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t)")
+    s"""SELECT doc_id,
+       |  len(t) AS ws_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS re_tokens,
+       |  ${r6(s"""0.4 * least(CAST(len(t) AS DOUBLE)/200.0, 1.0)
+       |      + 0.3 * least($meanLen/8.0, 1.0)
+       |      + 0.3 * least($stopR*5.0, 1.0)""")} AS quality
+       |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)""".stripMargin
+  }
+
+  /** q56's oracle body (shared with q153). */
+  private def repetitionSql: String = {
+    def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+    s"""WITH g AS (SELECT doc_id, t,
+       |  CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+       |       ELSE list_transform(range(1, len(t)-1),
+       |         rp_i -> t[rp_i] || '_' || t[rp_i+1] || '_' || t[rp_i+2]) END AS gs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+       |SELECT doc_id, len(t) AS n_tokens,
+       |  ${r6("""CASE WHEN len(gs) > 0
+       |    THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE)
+       |    ELSE 0.0 END""")} AS dup_ngram_ratio,
+       |  ${r6("""CAST(list_max(list_transform(list_distinct(t),
+       |    x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / CAST(len(t) AS DOUBLE)""")}
+       |    AS top_token_ratio
+       |FROM g""".stripMargin
+  }
+
+  /** q131's oracle body (shared with q153). */
+  private def gopherGateSql: String = {
+    def r6(e: String): String =
+      s"(floor(($e)*1000000.0 + 0.5)/1000000.0)"
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH base AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0B]+'),
+       |      x -> x <> '') AS ws,
+       |    list_filter(list_transform(string_split(text, chr(10)),
+       |      l -> trim(l, ' ' || chr(9) || chr(13) || chr(12) || chr(11))),
+       |      x -> x <> '') AS ls
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |    len(ws) AS n_words,
+       |    coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS sum_chars,
+       |    len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS n_sym,
+       |    len(ls) AS n_lines,
+       |    len(list_filter(ls, l -> l[1] = '-' OR l[1] = '*')) AS n_bullet,
+       |    len(list_filter(ls, l -> ends_with(l, '...'))) AS n_ell,
+       |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+       |    ($stops) AS n_stop
+       |  FROM base),
+       |r AS (SELECT doc_id AS id,
+       |    CAST(n_words AS INT) AS n_words,
+       |    CASE WHEN n_words = 0 THEN 0.0
+       |         ELSE ${r6("CAST(sum_chars AS DOUBLE)/n_words")} END AS mean_word_len,
+       |    CASE WHEN n_words = 0 THEN 0.0
+       |         ELSE ${r6("CAST(n_sym AS DOUBLE)/n_words")} END AS symbol_ratio,
+       |    CASE WHEN n_lines = 0 THEN 0.0
+       |         ELSE ${r6("CAST(n_bullet AS DOUBLE)/n_lines")} END AS bullet_ratio,
+       |    CASE WHEN n_lines = 0 THEN 0.0
+       |         ELSE ${r6("CAST(n_ell AS DOUBLE)/n_lines")} END AS ellipsis_ratio,
+       |    CASE WHEN n_words = 0 THEN 0.0
+       |         ELSE ${r6("CAST(n_alpha AS DOUBLE)/n_words")} END AS alpha_ratio,
+       |    CAST(n_stop AS INT) AS n_stop_present
+       |  FROM c)
+       |SELECT *,
+       |  CAST((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+       |   + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END)
+       |   + (CASE WHEN symbol_ratio <= 0.1 THEN 0 ELSE 1 END)
+       |   + (CASE WHEN bullet_ratio <= 0.9 THEN 0 ELSE 1 END)
+       |   + (CASE WHEN ellipsis_ratio <= 0.3 THEN 0 ELSE 1 END)
+       |   + (CASE WHEN alpha_ratio >= 0.8 THEN 0 ELSE 1 END)
+       |   + (CASE WHEN n_stop_present >= 2 THEN 0 ELSE 1 END) AS INT)
+       |    AS n_rules_failed,
+       |  ((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+       |   + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END)
+       |   + (CASE WHEN symbol_ratio <= 0.1 THEN 0 ELSE 1 END)
+       |   + (CASE WHEN bullet_ratio <= 0.9 THEN 0 ELSE 1 END)
+       |   + (CASE WHEN ellipsis_ratio <= 0.3 THEN 0 ELSE 1 END)
+       |   + (CASE WHEN alpha_ratio >= 0.8 THEN 0 ELSE 1 END)
+       |   + (CASE WHEN n_stop_present >= 2 THEN 0 ELSE 1 END)) = 0 AS pass
+       |FROM r""".stripMargin
+  }
+
   /** q21's oracle body — exact brute-force cosine top-5 for queries
     * vec_id < 8. A def (not inline) so q85's recall evaluation can
     * nest the SAME derivation as a CTE subquery — engine and oracle
@@ -1348,6 +1452,14 @@ object SparkEntry {
       graft.operators.Dsir.resample(
         docs(s, dir), "doc_id", "text", col("lang") === "en",
         dim = 64, k = 100)),
+
+    // ---- RedPajama-V2-style quality-signals sheet: every cheap
+    // text-local signal (length/tokens, q20 quality, q19 lang-id,
+    // q56 repetition, the q131 Gopher panel) from ONE scan, zero
+    // shuffle — the signals parquet downstream selection reads
+    // instead of re-touching text; plan-pinned single-Project ----
+    "q153_quality_signals" -> ((s, dir) =>
+      graft.operators.Corpus.qualitySignals(docs(s, dir), "doc_id", "text")),
 
     // ---- Kneser–Ney smoothed bigram LM scoring (the CCNet/KenLM
     // smoothing family): absolute discount 0.75 + continuation-
@@ -3063,31 +3175,9 @@ object SparkEntry {
          |  FROM g)
          |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM m""".stripMargin,
 
-    "q19_langid" -> {
-      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
-      val en = r6("CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t)")
-      val de = r6("CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS DOUBLE)/len(t)")
-      val fr = r6("CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est','un'))) AS DOUBLE)/len(t)")
-      s"""SELECT doc_id,
-         |  $en AS en_score, $de AS de_score, $fr AS fr_score,
-         |  CASE
-         |    WHEN $fr >= $en AND $fr >= $de THEN 'fr'
-         |    WHEN $en >= $de THEN 'en' ELSE 'de' END AS pred_lang
-         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
-    },
+    "q19_langid" -> langIdSql,
 
-    "q20_text_quality" -> {
-      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
-      val meanLen = r6("(length(text) - (CAST(len(t) AS DOUBLE) - 1))/len(t)")
-      val stopR = r6("CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t)")
-      s"""SELECT doc_id,
-         |  len(t) AS ws_tokens,
-         |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS re_tokens,
-         |  ${r6(s"""0.4 * least(CAST(len(t) AS DOUBLE)/200.0, 1.0)
-         |      + 0.3 * least($meanLen/8.0, 1.0)
-         |      + 0.3 * least($stopR*5.0, 1.0)""")} AS quality
-         |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)""".stripMargin
-    },
+    "q20_text_quality" -> textQualitySql,
 
     "q21_ann_cosine_topk" -> bruteCosineTopKSql,
 
@@ -3224,61 +3314,7 @@ object SparkEntry {
     // q131: the Gopher gate replayed — same whitespace word split,
     // same line trim, integer counts, round6'd ratios, identical
     // threshold comparisons on the identical rounded doubles.
-    "q131_gopher_gate" -> {
-      def r6(e: String): String =
-        s"(floor(($e)*1000000.0 + 0.5)/1000000.0)"
-      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-        .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH base AS (SELECT doc_id,
-         |    list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0B]+'),
-         |      x -> x <> '') AS ws,
-         |    list_filter(list_transform(string_split(text, chr(10)),
-         |      l -> trim(l, ' ' || chr(9) || chr(13) || chr(12) || chr(11))),
-         |      x -> x <> '') AS ls
-         |  FROM documents),
-         |c AS (SELECT doc_id,
-         |    len(ws) AS n_words,
-         |    coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS sum_chars,
-         |    len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS n_sym,
-         |    len(ls) AS n_lines,
-         |    len(list_filter(ls, l -> l[1] = '-' OR l[1] = '*')) AS n_bullet,
-         |    len(list_filter(ls, l -> ends_with(l, '...'))) AS n_ell,
-         |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
-         |    ($stops) AS n_stop
-         |  FROM base),
-         |r AS (SELECT doc_id AS id,
-         |    CAST(n_words AS INT) AS n_words,
-         |    CASE WHEN n_words = 0 THEN 0.0
-         |         ELSE ${r6("CAST(sum_chars AS DOUBLE)/n_words")} END AS mean_word_len,
-         |    CASE WHEN n_words = 0 THEN 0.0
-         |         ELSE ${r6("CAST(n_sym AS DOUBLE)/n_words")} END AS symbol_ratio,
-         |    CASE WHEN n_lines = 0 THEN 0.0
-         |         ELSE ${r6("CAST(n_bullet AS DOUBLE)/n_lines")} END AS bullet_ratio,
-         |    CASE WHEN n_lines = 0 THEN 0.0
-         |         ELSE ${r6("CAST(n_ell AS DOUBLE)/n_lines")} END AS ellipsis_ratio,
-         |    CASE WHEN n_words = 0 THEN 0.0
-         |         ELSE ${r6("CAST(n_alpha AS DOUBLE)/n_words")} END AS alpha_ratio,
-         |    CAST(n_stop AS INT) AS n_stop_present
-         |  FROM c)
-         |SELECT *,
-         |  CAST((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
-         |   + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END)
-         |   + (CASE WHEN symbol_ratio <= 0.1 THEN 0 ELSE 1 END)
-         |   + (CASE WHEN bullet_ratio <= 0.9 THEN 0 ELSE 1 END)
-         |   + (CASE WHEN ellipsis_ratio <= 0.3 THEN 0 ELSE 1 END)
-         |   + (CASE WHEN alpha_ratio >= 0.8 THEN 0 ELSE 1 END)
-         |   + (CASE WHEN n_stop_present >= 2 THEN 0 ELSE 1 END) AS INT)
-         |    AS n_rules_failed,
-         |  ((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
-         |   + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END)
-         |   + (CASE WHEN symbol_ratio <= 0.1 THEN 0 ELSE 1 END)
-         |   + (CASE WHEN bullet_ratio <= 0.9 THEN 0 ELSE 1 END)
-         |   + (CASE WHEN ellipsis_ratio <= 0.3 THEN 0 ELSE 1 END)
-         |   + (CASE WHEN alpha_ratio >= 0.8 THEN 0 ELSE 1 END)
-         |   + (CASE WHEN n_stop_present >= 2 THEN 0 ELSE 1 END)) = 0 AS pass
-         |FROM r""".stripMargin
-    },
+    "q131_gopher_gate" -> gopherGateSql,
 
     // q136: fixture + the line rules replayed — same trim class, same
     // terminal-punct set, same word split, ASCII-case-insensitive
@@ -5077,22 +5113,7 @@ object SparkEntry {
          |FROM per LEFT JOIN nf USING (doc_id)""".stripMargin
     },
 
-    "q56_repetition" -> {
-      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
-      s"""WITH g AS (SELECT doc_id, t,
-         |  CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
-         |       ELSE list_transform(range(1, len(t)-1),
-         |         rp_i -> t[rp_i] || '_' || t[rp_i+1] || '_' || t[rp_i+2]) END AS gs
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
-         |SELECT doc_id, len(t) AS n_tokens,
-         |  ${r6("""CASE WHEN len(gs) > 0
-         |    THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE)
-         |    ELSE 0.0 END""")} AS dup_ngram_ratio,
-         |  ${r6("""CAST(list_max(list_transform(list_distinct(t),
-         |    x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / CAST(len(t) AS DOUBLE)""")}
-         |    AS top_token_ratio
-         |FROM g""".stripMargin
-    },
+    "q56_repetition" -> repetitionSql,
 
     // q57: the sketch construction (seeded portable hash mod width,
     // min over depth rows) is mirrored exactly — including the
@@ -5656,6 +5677,29 @@ object SparkEntry {
     // arithmetic, same round6 before the DECIMAL(28,6) sum, division
     // after the exact sum).
     "q75_lm_score" -> lmScoreSql,
+
+    // q153: definitional identity with the standalone queries — the
+    // q19/q20/q56/q131 oracle bodies nest as CTEs and join on doc_id
+    // (plus one n_chars projection); any drift in the fused kernel
+    // pass breaks the corresponding column's hash.
+    "q153_quality_signals" ->
+      s"""WITH ql AS ($langIdSql),
+         |qt AS ($textQualitySql),
+         |qr AS ($repetitionSql),
+         |qg AS ($gopherGateSql),
+         |nc AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars
+         |       FROM documents)
+         |SELECT nc.doc_id, nc.n_chars,
+         |  qt.ws_tokens, qt.re_tokens, qt.quality,
+         |  ql.en_score, ql.pred_lang,
+         |  qr.dup_ngram_ratio, qr.top_token_ratio,
+         |  qg.n_words, qg.mean_word_len, qg.symbol_ratio,
+         |  qg.bullet_ratio, qg.ellipsis_ratio, qg.alpha_ratio,
+         |  qg.n_stop_present, qg.n_rules_failed,
+         |  qg.pass AS gopher_pass
+         |FROM nc
+         |JOIN ql USING (doc_id) JOIN qt USING (doc_id)
+         |JOIN qr USING (doc_id) JOIN qg ON qg.id = nc.doc_id""".stripMargin,
 
     // q151: the q75 pair derivation with Kneser–Ney arithmetic — the
     // context/continuation tables DERIVED from the bigram counts, the

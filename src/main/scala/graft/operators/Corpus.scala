@@ -242,6 +242,67 @@ object Corpus {
           col("n_pairs").cast("double")).as("nll"))
   }
 
+  /** QUALITY-SIGNALS SHEET — the RedPajama-V2-style per-document
+    * signal table: instead of running each curation query separately,
+    * ONE scan emits every cheap signal side by side (length/token
+    * counts, the q20 quality score, q19 language id, q56 repetition
+    * ratios, the full q131 Gopher rule panel) so downstream selection
+    * reads a signals parquet instead of re-touching text. Every value
+    * is definitionally identical to its standalone query — the q153
+    * oracle nests those queries' exact SQL bodies and joins them.
+    *
+    * Scale shape: one Project over one scan — four codegen kernels per
+    * row, ZERO shuffle, zero state (plan-pinned in CorpusSpec: no
+    * Exchange, one scan). At 100 TB this is the cheapest possible
+    * pass; everything text-local a pipeline wants should ride it. */
+  def qualitySignals(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.{QualityKernels, TextKernels}
+    import TextFunctions.round6
+    val profiles = TextFunctions.LangProfiles
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0))
+        .otherwise(round6(num.cast("double") / den.cast("double")))
+    val base = docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).cast("int").as("n_chars"),
+      TextKernels.text_stats(col(textCol), profiles("en")).as("__st"),
+      TextKernels.lang_scores(col(textCol),
+        profiles.toSeq.sortBy(_._1)).as("__ls"),
+      TextKernels.repetition_stats(col(textCol), 3).as("__rp"),
+      QualityKernels.gopher_counts(col(textCol)).as("__gc"))
+    val cols = base.select(col("doc_id"), col("n_chars"),
+      col("__st.ws_tokens").as("ws_tokens"),
+      col("__st.re_tokens").as("re_tokens"),
+      col("__st.quality").as("quality"),
+      col("__ls.en_score").as("en_score"),
+      col("__ls.pred_lang").as("pred_lang"),
+      round6(when(col("__rp.n_ngrams") > 0,
+          lit(1.0) - col("__rp.n_distinct").cast("double") /
+            col("__rp.n_ngrams").cast("double")).otherwise(lit(0.0)))
+        .as("dup_ngram_ratio"),
+      round6(col("__rp.top_tok").cast("double") /
+        col("__rp.n_tokens").cast("double")).as("top_token_ratio"),
+      col("__gc.n_words").cast("int").as("n_words"),
+      when(col("__gc.n_words") === 0, lit(0.0))
+        .otherwise(round6(col("__gc.sum_word_chars").cast("double") /
+          col("__gc.n_words").cast("double"))).as("mean_word_len"),
+      ratio(col("__gc.n_symbol_words"), col("__gc.n_words")).as("symbol_ratio"),
+      ratio(col("__gc.n_bullet_lines"), col("__gc.n_lines")).as("bullet_ratio"),
+      ratio(col("__gc.n_ellipsis_lines"), col("__gc.n_lines")).as("ellipsis_ratio"),
+      ratio(col("__gc.n_alpha_words"), col("__gc.n_words")).as("alpha_ratio"),
+      col("__gc.n_stop_present").cast("int").as("n_stop_present"))
+    val failed =
+      when(col("n_words") >= 50 && col("n_words") <= 100000, lit(0)).otherwise(lit(1)) +
+      when(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0, lit(0)).otherwise(lit(1)) +
+      when(col("symbol_ratio") <= 0.1, lit(0)).otherwise(lit(1)) +
+      when(col("bullet_ratio") <= 0.9, lit(0)).otherwise(lit(1)) +
+      when(col("ellipsis_ratio") <= 0.3, lit(0)).otherwise(lit(1)) +
+      when(col("alpha_ratio") >= 0.8, lit(0)).otherwise(lit(1)) +
+      when(col("n_stop_present") >= 2, lit(0)).otherwise(lit(1))
+    cols.withColumn("n_rules_failed", failed)
+      .withColumn("gopher_pass", col("n_rules_failed") === 0)
+  }
+
   /** KNESER–NEY SMOOTHED bigram LM scoring — the smoothing family the
     * CCNet/KenLM perplexity filter actually ships (absolute
     * discounting + continuation-probability backoff), upgrading

@@ -88,6 +88,40 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L) === out(20L))
   }
 
+  test("qualitySignals: column-identical to the standalone queries, zero-exchange plan") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and the fox"),
+      (2L, "der der der der der der der der"),
+      (3L, "- bullet line\n- another bullet\nplain text here..."))
+      .toDF("doc_id", "text")
+    val got = Corpus.qualitySignals(d, "doc_id", "text")
+    // identity against the standalone operators/kernels
+    val st = graft.functions.TextKernels.text_stats(col("text"),
+      graft.functions.TextFunctions.LangProfiles("en"))
+    val q20 = d.select(col("doc_id"), st.getField("ws_tokens").as("ws_tokens"),
+        st.getField("re_tokens").as("re_tokens"),
+        st.getField("quality").as("quality"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    val q56 = Corpus.repetitionStats(d, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    val q131 = Corpus.gopherQualityGate(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(8), r.getBoolean(9)))).toMap
+    got.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getInt(2), r.getInt(3), r.getDouble(4)) === q20(id))
+      assert((r.getDouble(7), r.getDouble(8)) === q56(id))
+      assert((r.getInt(16), r.getBoolean(17)) === q131(id))
+    }
+    // plan: one scan-side pass — no Exchange anywhere
+    val plan = got.queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, plan.toString)
+  }
+
   test("kneser-ney: hand-checked probabilities, discounted + backoff mass") {
     def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
     // bi: (a,b)=2 (b,a)=1 (a,c)=1 → D=3; ctx a: c=3 n1=2; b: c=1 n1=1
