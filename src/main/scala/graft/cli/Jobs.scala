@@ -731,6 +731,13 @@ object Jobs {
           col(idCol).cast("long") === col("__cid"), "left_semi")
       case None => result
     }
+    // --signals-out PATH: additionally write the q153 quality-signals
+    // sheet over the SURVIVING docs — the per-run audit artifact
+    // (RedPajama-V2's signals parquet); one extra scan-side pass.
+    a.get("signals-out").foreach { sp =>
+      graft.operators.Corpus.qualitySignals(classed, idCol, textCol)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sp)
+    }
     classed.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     out
   }

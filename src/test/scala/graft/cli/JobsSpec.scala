@@ -496,6 +496,24 @@ class JobsSpec extends SparkSpec {
     assert(t1.contains(banner) && !t2.contains(banner))
   }
 
+  test("curate --signals-out: the q153 sheet covers exactly the survivors") {
+    val dir = Files.createTempDirectory("graft-curate-signals").toString
+    val longDoc = (("the quick brown fox jumps over the lazy dog and " +
+      "then runs back home to rest for a while before dinner ") * 5).trim
+    Seq((1L, longDoc), (2L, "tiny"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Jobs.runCurate(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/kept",
+      "--signals-out", s"$dir/signals")))
+    val kept = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sig = spark.read.parquet(s"$dir/signals")
+    assert(sig.select("doc_id").collect().map(_.getLong(0)).toSet === kept)
+    assert(Seq("quality", "pred_lang", "dup_ngram_ratio", "gopher_pass")
+      .forall(sig.columns.contains))
+    assert(sig.filter(col("gopher_pass")).count() === sig.count())
+  }
+
   test("train-classifier artifact round-trips and gates curate") {
     val dir = Files.createTempDirectory("graft-clf").toString
     val goodBody = (("the quick brown fox jumps over the lazy dog to " +
