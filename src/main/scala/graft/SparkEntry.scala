@@ -1698,6 +1698,16 @@ object SparkEntry {
         embs(s, dir).filter(col("vec_id") % 10 === 7),
         ivfArtifact(s, dir))),
 
+    // ---- embedding-space decontamination: kill training vectors
+    // within cosine 0.9 of ANY benchmark vector (the paraphrase-proof
+    // sibling of q54's n-gram overlap); benchmark broadcast, corpus
+    // collapses through a map-side max — never shuffles raw sims ----
+    "q154_embedding_decontaminate" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.embeddingDecontaminate(
+        e, e.filter(col("vec_id") < 8), threshold = 0.9)
+    }),
+
     // ---- ANN index evaluation: recall@5 of the IVF-probed search
     // against exact brute force under the same cosine metric — the
     // accept/reject measurement for any index config ----
@@ -4025,6 +4035,25 @@ object SparkEntry {
          |  FROM a GROUP BY cid)
          |SELECT a.vec_id, a.cid, a.dist2, b.thr, a.dist2 >= b.thr AS kept
          |FROM a JOIN b USING (cid)""".stripMargin,
+
+    // q154: every (corpus, benchmark) cosine on the 6dp FLOOR grid
+    // (round6, the engine's form — NOT SQL round(): they differ on
+    // negative midpoints), max per corpus vector, >= 0.9 flag.
+    "q154_embedding_decontaminate" -> {
+      val sim = graft.functions.TextFunctions.round6Sql(
+        """list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(cv)+1),
+          |      zi -> CAST(cv[zi] AS DOUBLE) * CAST(bv[zi] AS DOUBLE))), (a, x) -> a + x)
+          |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(cv)+1),
+          |         zi -> CAST(cv[zi] AS DOUBLE) * CAST(cv[zi] AS DOUBLE))), (a, x) -> a + x))
+          |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(bv)+1),
+          |         zi -> CAST(bv[zi] AS DOUBLE) * CAST(bv[zi] AS DOUBLE))), (a, x) -> a + x)))""".stripMargin)
+      s"""WITH c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id < 8),
+         |s AS (SELECT c.vec_id, $sim AS sim FROM c CROSS JOIN b)
+         |SELECT vec_id, max(sim) AS max_sim,
+         |  max(sim) >= 0.9 AS contaminated
+         |FROM s GROUP BY vec_id""".stripMargin
+    },
 
     // q85: recall@5 of the IVF-pruned search (q36) against exact
     // brute force (q21) — SAME cosine metric, so the measured loss is

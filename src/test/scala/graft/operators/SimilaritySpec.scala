@@ -373,6 +373,26 @@ class SimilaritySpec extends SparkSpec {
       k = 4, posCol = "label", maxSim = 0.999)))
   }
 
+  test("embeddingDecontaminate: benchmark members and scaled copies die, orthogonal survives") {
+    val bench = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = (bench.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1))).toSeq ++ Seq(
+        (10L, Seq(2.0f, 0.0f, 0.0f, 0.0f)),   // scaled copy: cos = 1
+        (11L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),   // near bench 0
+        (12L, Seq(0.0f, 0.0f, 1.0f, 0.0f))))  // orthogonal to both
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDecontaminate(corpus, bench, 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got.keySet === Set(0L, 1L, 10L, 11L, 12L))
+    assert(got(0L) === ((1.0, true)) && got(1L) === ((1.0, true)))
+    assert(got(10L) === ((1.0, true)), "scale-invariant copy must die")
+    assert(got(11L)._2 && got(11L)._1 > 0.9 && got(11L)._1 < 1.0)
+    assert(got(12L) === ((0.0, false)), "orthogonal vector survives")
+  }
+
   test("prototypePrune: keeps the hardest tail of each cluster at the quantile cut") {
     // two tight clusters with a planted QUADRATIC offset ladder —
     // asymmetric around the cluster mean, so every member's distance
