@@ -1698,6 +1698,20 @@ object SparkEntry {
         embs(s, dir).filter(col("vec_id") % 10 === 7),
         ivfArtifact(s, dir))),
 
+    // ---- incremental SemDeDup admission: the q144 crawl-refresh
+    // gate in embedding space — the id%10==7 "new batch" admitted
+    // against the rest of the corpus through the SHARED frozen IVF
+    // quantizer (same-list comparisons only, the q71 recall trade);
+    // rejected on cosine >= 0.35 vs any corpus vector or a lower-id
+    // batch vector (one-pass greedy election) ----
+    "q155_semdedup_admit" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.semDedupAdmit(
+        e.filter(col("vec_id") % 10 =!= 7),
+        e.filter(col("vec_id") % 10 === 7),
+        ivfArtifact(s, dir), threshold = 0.35)
+    }),
+
     // ---- embedding-space decontamination: kill training vectors
     // within cosine 0.9 of ANY benchmark vector (the paraphrase-proof
     // sibling of q54's n-gram overlap); benchmark broadcast, corpus
@@ -4035,6 +4049,41 @@ object SparkEntry {
          |  FROM a GROUP BY cid)
          |SELECT a.vec_id, a.cid, a.dist2, b.thr, a.dist2 >= b.thr AS kept
          |FROM a JOIN b USING (cid)""".stripMargin,
+
+    // q155: the q135 training chain + all-vector assignment, then the
+    // admission rule — same-list batch×corpus and batch×lower-id-batch
+    // cosines on the round6 grid against the 0.35 bound.
+    "q155_semdedup_admit" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      def cosSql(a: String, bb: String) = r6(
+        s"""${dotSql(a, bb)}
+           |    / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(bb, bb)}))""".stripMargin)
+      s"""WITH ea AS MATERIALIZED (SELECT vec_id AS id,
+         |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |e AS MATERIALIZED (SELECT * FROM ea WHERE id % 2 = 0),
+         |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
+         |${ivfIterSql(1, "c0")},
+         |${ivfIterSql(2, "c1")},
+         |${ivfIterSql(3, "c2")},
+         |s AS (SELECT nv.id, c.cid,
+         |  ${dotSql("nv.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM ea nv CROSS JOIN c3 c),
+         |asg AS MATERIALIZED (SELECT ea.id, cid, ea.v
+         |  FROM (SELECT id, cid,
+         |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM s) a JOIN ea ON a.id = ea.id WHERE rn = 1),
+         |cor AS (SELECT * FROM asg WHERE id % 10 <> 7),
+         |bat AS (SELECT * FROM asg WHERE id % 10 = 7),
+         |vc AS (SELECT DISTINCT b.id FROM bat b JOIN cor c USING (cid)
+         |  WHERE ${cosSql("b.v", "c.v")} >= 0.35),
+         |vb AS (SELECT DISTINCT b.id FROM bat b JOIN bat l USING (cid)
+         |  WHERE l.id < b.id AND ${cosSql("b.v", "l.v")} >= 0.35)
+         |SELECT b.id AS vec_id, b.cid,
+         |  (vc.id IS NULL AND vb.id IS NULL) AS admitted
+         |FROM bat b LEFT JOIN vc ON vc.id = b.id
+         |  LEFT JOIN vb ON vb.id = b.id""".stripMargin
+    },
 
     // q154: every (corpus, benchmark) cosine on the 6dp FLOOR grid
     // (round6, the engine's form — NOT SQL round(): they differ on

@@ -393,6 +393,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got(12L) === ((0.0, false)), "orthogonal vector survives")
   }
 
+  test("semDedupAdmit: corpus near-dups and higher-id batch twins die, novel vectors admit") {
+    val corpus = (0 until 10).flatMap { m =>
+      Seq((m.toLong * 2, Seq(10f + m * 0.01f, 0f, 0f, 0f)),
+        (m.toLong * 2 + 1, Seq(0f, 10f + m * 0.01f, 0f, 0f)))
+    }.toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, Seq(10.5f, 0f, 0f, 0f)),   // ~parallel to cluster A -> dies vs corpus
+      (101L, Seq(0f, 0f, 10f, 0.1f)),   // novel direction, LOWER id -> admitted
+      (102L, Seq(0f, 0f, 10f, 0.1f)),   // identical twin, higher id -> election kills
+      (103L, Seq(0f, 10.2f, 0f, 0f)),   // ~parallel to cluster B -> dies vs corpus
+      (104L, Seq(0f, 0f, 0f, 10f)))     // orthogonal to everything -> admitted
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(corpus, nLists = 2, iters = 2)
+    val got = Similarity.semDedupAdmit(corpus, batch, idx, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(100L -> false, 101L -> true, 102L -> false,
+      103L -> false, 104L -> true))
+  }
+
   test("prototypePrune: keeps the hardest tail of each cluster at the quantile cut") {
     // two tight clusters with a planted QUADRATIC offset ladder —
     // asymmetric around the cluster mean, so every member's distance
