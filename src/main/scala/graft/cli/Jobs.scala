@@ -65,7 +65,7 @@ object Jobs {
 
   /** cyclopts-style parse: `--key value` pairs + boolean flags. */
   def parseArgs(argv: Seq[String]): Args = {
-    val boolFlags = Set("partial", "fill-missing", "verbose", "genmap")
+    val boolFlags = Set("partial", "fill-missing", "verbose", "genmap", "near")
     @annotation.tailrec
     def loop(rest: List[String], m: Map[String, String], f: Set[String]): Args =
       rest match {
@@ -249,15 +249,25 @@ object Jobs {
   def runDedupAdmit(spark: SparkSession, a: Args): String = {
     val incoming = spark.read.parquet(a("input-path"))
     val out = a("output-path")
-    // output write rides INSIDE admitIncrement, before the state
+    val idCol = a.get("id-col").getOrElse("doc_id")
+    val textCol = a.get("text-col").getOrElse("text")
+    val persist: org.apache.spark.sql.DataFrame => Unit = _.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    // output write rides INSIDE the admit call, before the state
     // append — a crash between the two re-runs cleanly (Overwrite),
-    // whereas writing after the append could permanently drop a batch
-    graft.operators.Dedup.admitIncrement(
-      a("state-path"), incoming,
-      idCol = a.get("id-col").getOrElse("doc_id"),
-      textCol = a.get("text-col").getOrElse("text"),
-      persistAdmitted = _.write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out))
+    // whereas writing after the append could permanently drop a batch.
+    // `--near [--threshold J]` switches to the NEAR-dup lifecycle
+    // (q144): state = the nearSignatures artifact, re-rendered pages
+    // die on verified Jaccard >= J instead of byte identity.
+    if (a.has("near"))
+      graft.operators.Dedup.admitIncrementNear(
+        a("state-path"), incoming, idCol, textCol,
+        threshold = a.get("threshold").getOrElse("0.8").toDouble,
+        persistAdmitted = persist)
+    else
+      graft.operators.Dedup.admitIncrement(
+        a("state-path"), incoming, idCol, textCol,
+        persistAdmitted = persist)
     out
   }
 

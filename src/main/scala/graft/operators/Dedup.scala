@@ -132,6 +132,39 @@ object Dedup {
     admitted
   }
 
+  /** [[admitIncrement]]'s NEAR-dup lifecycle sibling (the q144
+    * operator as a durable job): the persisted state is the
+    * [[nearSignatures]] artifact — the corpus is never re-shingled —
+    * and each cycle admits the batch through [[incrementalNearFp]]
+    * (rejected on a verified Jaccard ≥ `threshold` pair against any
+    * accepted doc or a lower-id batch doc), persists the survivors
+    * FIRST, then appends their signatures: a crash between the two
+    * re-runs cleanly (Overwrite), whereas the reverse order could
+    * permanently drop a batch. Missing state = bootstrap (the batch
+    * still self-elects). @return the admitted incoming rows. */
+  def admitIncrementNear(
+      statePath: String, incoming: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 100000,
+      persistAdmitted: DataFrame => Unit = _ => ()): DataFrame = {
+    val spark = incoming.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(statePath)
+    val stateExists = hPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(hPath)
+    val seen =
+      if (stateExists) spark.read.parquet(statePath)
+      else nearSignatures(incoming.limit(0), idCol, textCol, n, k)
+    val admitted = incrementalNearFp(seen, incoming, idCol, textCol,
+        n, k, bands, threshold, maxBucketSize)
+      .localCheckpoint()
+    persistAdmitted(admitted)
+    nearSignatures(admitted, idCol, textCol, n, k)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statePath)
+    admitted
+  }
+
   /** The near-dup SIGNATURE artifact of a document set — (id, h64,
     * sig): 64-bit shingle identities (exact-Jaccard verification
     * side) + the k-slot minhash signature (LSH candidate side). This

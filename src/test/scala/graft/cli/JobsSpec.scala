@@ -496,6 +496,32 @@ class JobsSpec extends SparkSpec {
     assert(t1.contains(banner) && !t2.contains(banner))
   }
 
+  test("dedup-admit --near: near-dup lifecycle across two batches with persisted signatures") {
+    val dir = Files.createTempDirectory("graft-admit-near").toString
+    val base = "the quick brown fox jumps over the lazy dog every morning"
+    Seq((1L, base), (2L, base + " extraword"), (3L, "completely different words in this other document right here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/b1")
+    Jobs.runDedupAdmit(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/b1", "--output-path", s"$dir/out1",
+      "--state-path", s"$dir/state", "--near")))
+    // batch-internal election: 2 is a near-dup of lower-id 1
+    assert(spark.read.parquet(s"$dir/out1")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    Seq((10L, base + " indeed"), (11L, "a totally novel batch two document with its own fresh content"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/b2")
+    Jobs.runDedupAdmit(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/b2", "--output-path", s"$dir/out2",
+      "--state-path", s"$dir/state", "--near")))
+    // 10 near-dups the ACCEPTED doc 1 through the persisted signature
+    // artifact (never re-shingled); 11 is novel
+    assert(spark.read.parquet(s"$dir/out2")
+      .collect().map(_.getLong(0)).toSeq === Seq(11L))
+    // state carries signatures for exactly the admitted docs
+    assert(spark.read.parquet(s"$dir/state")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 3L, 11L))
+  }
+
   test("curate --signals-out: the q153 sheet covers exactly the survivors") {
     val dir = Files.createTempDirectory("graft-curate-signals").toString
     val longDoc = (("the quick brown fox jumps over the lazy dog and " +
