@@ -1453,6 +1453,15 @@ object SparkEntry {
         docs(s, dir), "doc_id", "text", col("lang") === "en",
         dim = 64, k = 100)),
 
+    // ---- unigram-LM tokenizer TRAINING (SentencePiece family, Kudo
+    // 2018): substring candidates, add-one M-steps, two Viterbi-EM
+    // rounds with the tie rule pinned — the OTHER production
+    // tokenizer next to q130's BPE; the full EM replays in SQL ----
+    "q156_unigram_train" -> ((s, dir) =>
+      graft.operators.UnigramLm.trainUnigram(
+        docs(s, dir), "text", maxPieceLen = 4, minCount = 2,
+        maxVocab = 500, iters = 2)),
+
     // ---- RedPajama-V2-style quality-signals sheet: every cheap
     // text-local signal (length/tokens, q20 quality, q19 lang-id,
     // q56 repetition, the q131 Gopher panel) from ONE scan, zero
@@ -5755,6 +5764,86 @@ object SparkEntry {
     // arithmetic, same round6 before the DECIMAL(28,6) sum, division
     // after the exact sum).
     "q75_lm_score" -> lmScoreSql,
+
+    // q156: the whole Viterbi-EM unrolled — candidate substrings,
+    // round6'd log-prob maps, the forward DP as a flat [best, choice]
+    // list fold, and the backtrack as a RECURSIVE CTE walk. Two
+    // DuckDB-1.0 lambda hazards are designed around (found by
+    // per-word differential testing against an independent python
+    // DP): (a) a list_reduce nested INSIDE a list_reduce lambda
+    // cross-contaminates rows — the inner argmax is therefore a
+    // list_transform + list_aggregate('max') + list_filter two-pass
+    // (same j-ascending strict-> tie rule: the filter picks the
+    // FIRST j attaining the max); (b) a second row-referencing
+    // list_reduce (the backtrack) contaminates too — hence the
+    // set-based recursive walk, no lambda at all. Missing pieces are
+    // the engine's exact -1e9 penalty; add-one M-steps; final prune.
+    "q156_unigram_train" -> {
+      val maxLen = 4
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      val innerBs =
+        s"""list_aggregate(list_transform(range(greatest(CAST(stx[1] AS INT) - $maxLen, 0), CAST(stx[1] AS INT)),
+           |        j -> acc[CAST(2 * j + 1 AS INT)] + coalesce(sc[word[CAST(j + 1 AS INT):CAST(stx[1] AS INT)]][1], CAST(-1e9 AS DOUBLE))), 'max')""".stripMargin
+      val innerBj =
+        s"""CAST(list_filter(range(greatest(CAST(stx[1] AS INT) - $maxLen, 0), CAST(stx[1] AS INT)),
+           |        j -> acc[CAST(2 * j + 1 AS INT)] + coalesce(sc[word[CAST(j + 1 AS INT):CAST(stx[1] AS INT)]][1], CAST(-1e9 AS DOUBLE)) = ($innerBs))[1] AS DOUBLE)""".stripMargin
+      def eStep(m: String, fw: String, walk: String, seg: String,
+          u: String) =
+        s"""$fw AS MATERIALIZED (SELECT word, n, length(word) AS L, sc,
+           |  list_reduce(
+           |    list_prepend([CAST(0.0 AS DOUBLE), CAST(0 AS DOUBLE)],
+           |      list_transform(range(1, length(word) + 1), i -> [CAST(i AS DOUBLE)])),
+           |    (acc, stx) -> list_append(list_append(acc, ($innerBs)), ($innerBj))) AS dp
+           |  FROM wc CROSS JOIN $m),
+           |$walk(word, n, pos, piece) AS (
+           |  SELECT word, n, CAST(L AS INT), CAST(NULL AS VARCHAR) FROM $fw
+           |  UNION ALL
+           |  SELECT f.word, f.n, CAST(f.dp[CAST(2 * w.pos + 2 AS INT)] AS INT),
+           |    f.word[CAST(f.dp[CAST(2 * w.pos + 2 AS INT)] AS INT) + 1:w.pos]
+           |  FROM $walk w JOIN $fw f ON f.word = w.word WHERE w.pos > 0),
+           |$seg AS (SELECT n, piece FROM $walk WHERE piece IS NOT NULL),
+           |$u AS (SELECT piece, sum(n) AS u FROM $seg GROUP BY piece)""".stripMargin
+      s"""WITH RECURSIVE wc AS MATERIALIZED (SELECT word, count(*) AS n FROM (
+         |    SELECT unnest(list_filter(
+         |      regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0B]+'),
+         |      x -> x <> '')) AS word
+         |    FROM documents) GROUP BY word),
+         |subs AS (SELECT piece, sum(n) AS c FROM (
+         |    SELECT n, unnest(flatten(list_transform(
+         |      range(1, length(word) + 1),
+         |      i -> list_transform(
+         |        range(1, least($maxLen, length(word) - i + 1) + 1),
+         |        l -> word[CAST(i AS INT):CAST(i + l - 1 AS INT)])))) AS piece
+         |    FROM wc) GROUP BY piece),
+         |kept AS MATERIALIZED (
+         |  SELECT piece, c FROM subs WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, c FROM (
+         |    SELECT piece, c, row_number() OVER (
+         |        ORDER BY c DESC, piece ASC) AS rnk
+         |    FROM subs WHERE length(piece) > 1 AND c >= 2)
+         |  WHERE rnk <= 500),
+         |tv AS (SELECT sum(c) AS T, count(*) AS V FROM kept),
+         |m0 AS (SELECT map_from_entries(list(struct_pack(
+         |    k := piece,
+         |    v := ${r6("ln(CAST(c AS DOUBLE) / CAST(tv.T AS DOUBLE))")}))) AS sc
+         |  FROM kept CROSS JOIN tv),
+         |${eStep("m0", "fw1", "walk1", "seg1", "u1")},
+         |ut1 AS (SELECT sum(u) AS U FROM u1),
+         |m1 AS (SELECT map_from_entries(list(struct_pack(
+         |    k := kept.piece,
+         |    v := ${r6("ln(CAST(coalesce(u1.u, 0) + 1 AS DOUBLE) / CAST(ut1.U + tv.V AS DOUBLE))")}))) AS sc
+         |  FROM kept LEFT JOIN u1 ON kept.piece = u1.piece
+         |  CROSS JOIN ut1 CROSS JOIN tv),
+         |${eStep("m1", "fw2", "walk2", "seg2", "u2")},
+         |ut2 AS (SELECT sum(u) AS U FROM u2)
+         |SELECT kept.piece,
+         |  ${r6("ln(CAST(coalesce(u2.u, 0) + 1 AS DOUBLE) / CAST(ut2.U + tv.V AS DOUBLE))")} AS score,
+         |  CAST(coalesce(u2.u, 0) AS BIGINT) AS usage
+         |FROM kept LEFT JOIN u2 ON kept.piece = u2.piece
+         |CROSS JOIN ut2 CROSS JOIN tv
+         |WHERE coalesce(u2.u, 0) > 0 OR length(kept.piece) = 1""".stripMargin
+    },
 
     // q153: definitional identity with the standalone queries — the
     // q19/q20/q56/q131 oracle bodies nest as CTEs and join on doc_id

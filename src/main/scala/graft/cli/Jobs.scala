@@ -488,6 +488,32 @@ object Jobs {
     a("output-path")
   }
 
+  /** Train the unigram-LM tokenizer (q156's operator, the
+    * SentencePiece family next to train-bpe's BPE) and persist the
+    * piece table as a TSV artifact (piece, score, usage) — scores
+    * round-trip exactly (shortest-repr toString ↔ parseDouble),
+    * written through the output path's Hadoop filesystem. */
+  def runTrainUnigram(spark: SparkSession, a: Args): String = {
+    val docs = spark.read.parquet(a("input-path"))
+    val textCol = a.get("text-col").getOrElse("text")
+    val pieces = graft.operators.UnigramLm.trainUnigram(
+        docs, textCol,
+        maxPieceLen = a.get("max-piece-len").getOrElse("4").toInt,
+        minCount = a.get("min-count").getOrElse("2").toLong,
+        maxVocab = a.get("max-vocab").getOrElse("1000").toInt,
+        iters = a.get("iters").getOrElse("2").toInt)
+      .orderBy(col("score").desc, col("piece").asc)
+      .collect() // vocab-bounded artifact (the train-bpe pattern)
+    val outPath = new org.apache.hadoop.fs.Path(a("output-path"))
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = pieces.map(r =>
+      s"${r.getString(0)}\t${r.getDouble(1)}\t${r.getLong(2)}")
+      .mkString("", "\n", "\n")
+    val out = fs.create(outPath, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    a("output-path")
+  }
+
   /** Parse the [[runTrainClassifier]] artifact back to weights. */
   def loadClassifierWeights(
       spark: SparkSession, path: String): Array[Double] = {
@@ -756,7 +782,7 @@ object Jobs {
     require(argv.nonEmpty,
       "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf | " +
         "daily-etl | dedup-admit | select-corpus | curate | train-bpe | " +
-        "train-classifier | pack-tokens")
+        "train-classifier | train-unigram | pack-tokens")
     val a = parseArgs(argv.tail.toSeq)
     val spark = session()
     try {
@@ -770,6 +796,7 @@ object Jobs {
         case "curate" => runCurate(spark, a)
         case "train-bpe" => runTrainBpe(spark, a)
         case "train-classifier" => runTrainClassifier(spark, a)
+        case "train-unigram" => runTrainUnigram(spark, a)
         case "pack-tokens" => runPackTokens(spark, a)
         case other => sys.error(s"unknown subcommand: $other")
       }

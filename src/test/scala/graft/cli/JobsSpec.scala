@@ -540,6 +540,29 @@ class JobsSpec extends SparkSpec {
     assert(sig.filter(col("gopher_pass")).count() === sig.count())
   }
 
+  test("train-unigram: piece-table artifact matches the operator, scores round-trip") {
+    val dir = Files.createTempDirectory("graft-unigram").toString
+    (1 to 20).map(_ => "shop shut shed").toDF("text")
+      .write.parquet(s"$dir/docs")
+    Jobs.runTrainUnigram(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/pieces.tsv",
+      "--max-piece-len", "3", "--min-count", "5")))
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/pieces.tsv")), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).toSeq
+    val parsed = lines.map { l =>
+      val Array(p, s, u) = l.split("\t")
+      (p, s.toDouble, u.toLong)
+    }
+    val expect = graft.operators.UnigramLm.trainUnigram(
+        spark.read.parquet(s"$dir/docs"), "text",
+        maxPieceLen = 3, minCount = 5, maxVocab = 1000, iters = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(parsed.toSet === expect.toSet)
+    // artifact order is (score desc, piece asc) — deterministic
+    assert(parsed === parsed.sortBy(t => (-t._2, t._1)))
+  }
+
   test("train-classifier artifact round-trips and gates curate") {
     val dir = Files.createTempDirectory("graft-clf").toString
     val goodBody = (("the quick brown fox jumps over the lazy dog to " +
