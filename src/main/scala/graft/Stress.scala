@@ -966,6 +966,22 @@ object Stress {
         (sink(graft.operators.Similarity.prototypePrune(
           vecs(n), index, keepFrac = 0.5)), n)
       }),
+      Scenario("unigram_train", sp => {
+        // q156 at corpus volume: 2M × 120-token docs (240M tokens)
+        // through the full Viterbi-EM — the corpus is touched ONCE
+        // (word counts); candidates + both EM rounds run over the
+        // 50k-row distinct-word table with the score maps as bounded
+        // driver artifacts (the driver-looped cost IS the operator's,
+        // the IVF-Lloyd convention).
+        val n = s(2000000L)
+        val d = corpus(sp, n, len = 120, vocab = 50000)
+        (() => {
+          graft.operators.UnigramLm.trainUnigram(
+            d, "text", maxPieceLen = 4, minCount = 2,
+            maxVocab = 2000, iters = 2)
+            .write.mode("overwrite").format("noop").save()
+        }, n)
+      }),
       Scenario("kneser_ney", sp => {
         // q151 at corpus volume: 1M × 120-token docs → 119M scored
         // pairs over a 2k vocab, so bigram TYPES (≤ 4M) ≪ pairs — the
