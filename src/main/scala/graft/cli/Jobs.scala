@@ -43,6 +43,17 @@ import graft.sinks.Sinks
   *       [--epochs N | --anneal-quality θ] [--boundaries-out idx/]]
   *     [--span-corrupt-out spans/ [--span-seed S] [--span-block 16]
   *       [--span-len 5] [--span-one-in 2]]
+  *     [--fim-pct P [--fim-seed S]]
+  *   graft.cli.Jobs train-classifier --input-path docs/ --label-col c
+  *     --output-path weights.txt [--dim 16] [--iters 8]
+  *   graft.cli.Jobs train-unigram --input-path docs/ --output-path p.tsv
+  *     [--max-piece-len 4] [--min-count 2] [--max-vocab 1000] [--iters 2]
+  *   graft.cli.Jobs dedup-admit --input-path batch/ --output-path out/
+  *     --state-path state/ [--near [--threshold 0.8]]
+  *   graft.cli.Jobs curate --input-path docs/ --output-path out/
+  *     [--blocklist f --url-col u] [--html] [--normalize] [--line-rules]
+  *     [--paragraph-dedup] [--classifier weights.txt [--min-score 0.5]]
+  *     [--keep-all true] [--signals-out sheet/]
   *
   * Deployment confs (100× clusters; see SCALE.md's deployment-conf
   * table): the tiled weight-join strategy — requested via
