@@ -1721,6 +1721,20 @@ object SparkEntry {
         ivfArtifact(s, dir), threshold = 0.35)
     }),
 
+    // ---- cluster-balanced (topic-balanced) selection: the q117
+    // power-law rebalance applied to EMBEDDING CLUSTERS instead of
+    // named sources — assign every vector to its frozen-IVF list,
+    // then temperature-sample per cluster (α=0.5, the mT5 default):
+    // over-represented topics are squashed, the long tail of small
+    // clusters survives — the DCLM/SSL topic-diversity pass ----
+    "q157_cluster_balanced_sample" -> ((s, dir) => {
+      val asg = Similarity.ivfAssign(embs(s, dir), ivfArtifact(s, dir))
+      graft.operators.Sampling.temperatureSample(
+          asg, "vec_id", "cid", alpha = 0.5, unitBudget = 2.0, seed = 11L)
+        .select(col("id").as("vec_id"), col("source").as("cid"),
+          col("pos"))
+    }),
+
     // ---- embedding-space decontamination: kill training vectors
     // within cosine 0.9 of ANY benchmark vector (the paraphrase-proof
     // sibling of q54's n-gram overlap); benchmark broadcast, corpus
@@ -4092,6 +4106,39 @@ object SparkEntry {
          |  (vc.id IS NULL AND vb.id IS NULL) AS admitted
          |FROM bat b LEFT JOIN vc ON vc.id = b.id
          |  LEFT JOIN vb ON vb.id = b.id""".stripMargin
+    },
+
+    // q157: the q135 assignment chain feeding the q117 quota
+    // construction — per-list counts, floor(2·√c) quotas, the seeded
+    // per-list hash rank, rank < quota.
+    "q157_cluster_balanced_sample" -> {
+      val h = hashSql("(repeat('11:' || CAST(vec_id AS VARCHAR) || ';', 3))")
+      s"""WITH ea AS MATERIALIZED (SELECT vec_id AS id,
+         |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |e AS MATERIALIZED (SELECT * FROM ea WHERE id % 2 = 0),
+         |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
+         |${ivfIterSql(1, "c0")},
+         |${ivfIterSql(2, "c1")},
+         |${ivfIterSql(3, "c2")},
+         |s AS (SELECT nv.id, c.cid,
+         |  ${dotSql("nv.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM ea nv CROSS JOIN c3 c),
+         |asg AS MATERIALIZED (SELECT id AS vec_id,
+         |    CAST(cid AS VARCHAR) AS cid
+         |  FROM (SELECT id, cid,
+         |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM s) WHERE rn = 1),
+         |cnt AS (SELECT cid, count(*) AS c FROM asg GROUP BY 1),
+         |qt AS (SELECT cid, CAST(floor(2.0 * sqrt(c)) AS BIGINT)
+         |         AS quota FROM cnt),
+         |hs AS MATERIALIZED (SELECT vec_id, cid, $h AS h FROM asg),
+         |rk AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY cid ORDER BY h, vec_id)
+         |      - 1 AS r
+         |  FROM hs)
+         |SELECT vec_id, cid, CAST(r AS BIGINT) AS pos
+         |FROM rk JOIN qt USING (cid) WHERE r < quota""".stripMargin
     },
 
     // q154: every (corpus, benchmark) cosine on the 6dp FLOOR grid
