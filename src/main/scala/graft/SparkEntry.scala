@@ -2744,6 +2744,16 @@ object SparkEntry {
           col("cut2"), col("out_len"), col("out_checksum"))
     }),
 
+    // ---- context-length calibration sweep: the q124 layout's cost
+    // curve per candidate context length, ALL from one length-
+    // histogram aggregate (bins/padding/truncation closed-form per
+    // length class) — the tuning read before committing a context ----
+    "q158_context_length_sweep" -> ((s, dir) =>
+      graft.operators.Packing.contextLengthSweep(
+        docs(s, dir).select(
+          size(filter(split(col("text"), " "), w => w =!= "")).as("n")),
+        col("n"), candidates = Seq(16, 32, 64, 128))),
+
     // ---- length-homogeneous bin packing — the padding-minimizing
     // whole-document layout SFT pipelines need (examples must not be
     // split across windows, unlike the q99 pretraining concat):
@@ -4616,6 +4626,32 @@ object SparkEntry {
          |         OVER (PARTITION BY sp.doc_id) AS BIGINT)
          |    AS kept_checksum
          |FROM sp JOIN tot USING (doc_id)""".stripMargin
+    },
+
+    // q158: the closed-form packing-cost arithmetic replayed over the
+    // length histogram — truncate, per-bin capacity L // len, ceil
+    // bin counts, padding/truncation sums, round6 utilization.
+    "q158_context_length_sweep" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      s"""WITH t AS (SELECT len(list_filter(string_split(text, ' '),
+         |    w -> w <> '')) AS n FROM documents),
+         |hist AS (SELECT n, count(*) AS cnt FROM t WHERE n >= 1
+         |  GROUP BY n),
+         |cand(context_len) AS (VALUES (16), (32), (64), (128)),
+         |per AS (SELECT context_len, cnt, n,
+         |    least(n, context_len) AS len,
+         |    CAST(ceil(CAST(cnt AS DOUBLE) /
+         |      CAST(context_len // least(n, context_len) AS DOUBLE))
+         |      AS BIGINT) AS bins
+         |  FROM hist CROSS JOIN cand)
+         |SELECT context_len, CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |  CAST(sum(bins) AS BIGINT) AS n_bins,
+         |  CAST(sum(cnt * len) AS BIGINT) AS kept_tokens,
+         |  CAST(sum(bins * context_len - cnt * len) AS BIGINT) AS pad_tokens,
+         |  CAST(sum(cnt * (n - len)) AS BIGINT) AS trunc_tokens,
+         |  ${r6("CAST(sum(cnt * len) AS DOUBLE) / " +
+              "CAST(sum(bins) * context_len AS DOUBLE)")} AS utilization
+         |FROM per GROUP BY context_len""".stripMargin
     },
 
     // q152: the FIM construction replayed — q123's token derivation,

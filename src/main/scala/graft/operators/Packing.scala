@@ -749,6 +749,59 @@ object Packing {
           .as("ids"))
   }
 
+  /** CONTEXT-LENGTH CALIBRATION SWEEP — the tuning curve a fine-tuning
+    * pipeline reads before committing to a context length (the
+    * [[Corpus.thresholdSweep]] shape, applied to [[binPackByLength]]'s
+    * layout): per candidate length L, the CLOSED-FORM cost of packing
+    * whole docs length-homogeneously — docs truncate to
+    * len = min(n, L), each bin holds k = ⌊L/len⌋ same-length docs, a
+    * length class of cnt docs fills ⌈cnt/k⌉ bins — so per candidate:
+    * total bins, padding tokens (bins·L − cnt·len summed over
+    * classes), truncated tokens (Σ n − len), and utilization =
+    * round6(kept tokens / (bins·L)).
+    *
+    * Scale shape: ONE map-side-combined aggregate to the LENGTH
+    * HISTOGRAM (≤ max-doc-length rows — thousands, not corpus-sized),
+    * then the whole sweep is arithmetic on that bounded table cross
+    * the candidate list. Never a per-candidate scan, never a doc-row
+    * shuffle; the actual pack (q124) runs once, after this curve
+    * picks L. @return (context_len, n_docs, n_bins, kept_tokens,
+    * pad_tokens, trunc_tokens, utilization) — one row per candidate. */
+  def contextLengthSweep(
+      docs: DataFrame, lenCol: Column,
+      candidates: Seq[Int]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate length")
+    require(candidates.forall(_ >= 1), "candidate lengths must be >= 1")
+    val hist = docs.select(lenCol.cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .groupBy(col("n")).agg(count(lit(1)).as("cnt"))
+    val cand = docs.sparkSession
+      .createDataFrame(candidates.distinct.sorted.map(Tuple1(_)))
+      .toDF("context_len")
+    val L = col("context_len").cast("long")
+    val len = least(col("n"), L)
+    val k = floor(L / len).cast("long") // ≥ 1 since len ≤ L
+    val bins = ceil(col("cnt").cast("double") / k.cast("double")).cast("long")
+    hist.crossJoin(broadcast(cand))
+      .select(col("context_len"), col("cnt"), col("n"),
+        bins.as("__bins"),
+        (col("cnt") * len).as("__kept"),
+        (bins * L - col("cnt") * len).as("__pad"),
+        (col("cnt") * (col("n") - len)).as("__trunc"))
+      .groupBy(col("context_len"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        sum(col("__bins")).as("n_bins"),
+        sum(col("__kept")).as("kept_tokens"),
+        sum(col("__pad")).as("pad_tokens"),
+        sum(col("__trunc")).as("trunc_tokens"))
+      .select(col("context_len"), col("n_docs"), col("n_bins"),
+        col("kept_tokens"), col("pad_tokens"), col("trunc_tokens"),
+        graft.functions.TextFunctions.round6(
+          col("kept_tokens").cast("double") /
+            (col("n_bins") * col("context_len")).cast("double"))
+          .as("utilization"))
+  }
+
   /** LENGTH-HOMOGENEOUS BIN PACKING (q124) — the padding-minimizing
     * layout FINE-TUNING pipelines feed on (no reference analog;
     * extension surface). Unlike [[concatChunks]], which splits

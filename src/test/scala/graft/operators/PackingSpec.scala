@@ -384,6 +384,19 @@ class PackingSpec extends SparkSpec {
       "expected at least one empty prefix or empty suffix")
   }
 
+  test("contextLengthSweep: hand-checked bins/padding/truncation per candidate") {
+    // five docs of 3 tokens + one of 10
+    val d = (Seq.fill(5)(3L) :+ 10L).toDF("n")
+    val got = Packing.contextLengthSweep(d, col("n"), Seq(8, 4))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // L=4: len-3 class k=1 -> 5 bins, pad 5; the 10-doc truncates to 4
+    assert(got(4) === ((6L, 6L, 19L, 5L, 6L,
+      math.floor(19.0 / 24.0 * 1e6 + 0.5) / 1e6)))
+    // L=8: len-3 class k=2 -> ceil(5/2)=3 bins, pad 9; 10-doc -> len 8
+    assert(got(8) === ((6L, 4L, 23L, 9L, 2L, 23.0 / 32.0)))
+  }
+
   test("fimApply: materialized arrays carry exactly fimTransform's length and checksum") {
     val docs = (0L until 200L)
       .map(i => (i, (0 until (i % 23).toInt).map(j =>
