@@ -40,6 +40,15 @@ import graft.functions.UnigramSegment.unigram_segment
 object UnigramLm {
 
   /** Candidate substring pieces of the distinct-word table.
+    *
+    * The top-maxVocab rank is a single global window — its input is
+    * NOT corpus-sized but substring-TYPE-sized after the minCount
+    * filter (≤ maxPieceLen · Σ|word| over DISTINCT words, further cut
+    * by minCount). On a 100 TB corpus with a 10⁷-word vocabulary that
+    * is tens of millions of narrow rows through one reducer — raise
+    * `minCount` (production trainers seed from high-frequency
+    * substrings anyway) to keep it small; the EM rounds themselves
+    * never touch this path again.
     * @param words (word, n) from [[BpeTrain.wordCounts]]
     * @return (piece, c) — kept per the rule above. */
   def candidatePieces(
