@@ -90,6 +90,23 @@ object SparkEntry {
       })
     }
 
+  private val unigramCache =
+    scala.collection.concurrent.TrieMap[String, Map[String, Double]]()
+
+  /** The corpus's trained UNIGRAM-LM piece table (q156's parameters) —
+    * the per-corpus artifact pattern: trained once, served to every
+    * consumer (q156 surfaces training; q159 segments through the same
+    * values). */
+  private def unigramArtifact(
+      s: SparkSession, dir: String): Map[String, Double] =
+    unigramCache.synchronized {
+      unigramCache.getOrElseUpdate(dir, {
+        graft.operators.UnigramLm.trainUnigram(docs(s, dir), "text",
+            maxPieceLen = 4, minCount = 2, maxVocab = 500, iters = 2)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      })
+    }
+
   /** The corpus's trained tokenizer (q130's 8 ranked merges) — like
     * the ANN quantizers, a per-corpus artifact trained once and served
     * to every consumer (q130 surfaces the training itself; q137
@@ -646,6 +663,87 @@ object SparkEntry {
   /** q75's oracle body — corpus-trained add-one bigram LM, per-doc avg
     * −ln p. A def so q146's bucketing can nest the SAME derivation as
     * a CTE subquery (the q85/q91 composition pattern). */
+
+  // ---- shared unigram-LM oracle machinery (q156 trains, q159 serves
+  // through the same trained map — the two nest identical SQL) ----
+  private val UnigramMaxLen = 4
+  private def unigramInnerBs: String =
+    s"""list_aggregate(list_transform(range(greatest(CAST(stx[1] AS INT) - $UnigramMaxLen, 0), CAST(stx[1] AS INT)),
+       |        j -> acc[CAST(2 * j + 1 AS INT)] + coalesce(sc[word[CAST(j + 1 AS INT):CAST(stx[1] AS INT)]][1], CAST(-1e9 AS DOUBLE))), 'max')""".stripMargin
+  private def unigramInnerBj: String =
+    s"""CAST(list_filter(range(greatest(CAST(stx[1] AS INT) - $UnigramMaxLen, 0), CAST(stx[1] AS INT)),
+       |        j -> acc[CAST(2 * j + 1 AS INT)] + coalesce(sc[word[CAST(j + 1 AS INT):CAST(stx[1] AS INT)]][1], CAST(-1e9 AS DOUBLE)) = ($unigramInnerBs))[1] AS DOUBLE)""".stripMargin
+
+  /** One oracle E-step under score-map CTE `m`: forward DP (fw) +
+    * recursive backtrack walk + per-piece usage — see the q156 oracle
+    * comment for the two DuckDB-1.0 lambda hazards this shape avoids. */
+  private def unigramEStepSql(m: String, fw: String, walk: String,
+      seg: String, u: String): String =
+    s"""$fw AS MATERIALIZED (SELECT word, n, length(word) AS L, sc,
+       |  list_reduce(
+       |    list_prepend([CAST(0.0 AS DOUBLE), CAST(0 AS DOUBLE)],
+       |      list_transform(range(1, length(word) + 1), i -> [CAST(i AS DOUBLE)])),
+       |    (acc, stx) -> list_append(list_append(acc, ($unigramInnerBs)), ($unigramInnerBj))) AS dp
+       |  FROM wc CROSS JOIN $m),
+       |$walk(word, n, pos, piece) AS (
+       |  SELECT word, n, CAST(L AS INT), CAST(NULL AS VARCHAR) FROM $fw
+       |  UNION ALL
+       |  SELECT f.word, f.n, CAST(f.dp[CAST(2 * w.pos + 2 AS INT)] AS INT),
+       |    f.word[CAST(f.dp[CAST(2 * w.pos + 2 AS INT)] AS INT) + 1:w.pos]
+       |  FROM $walk w JOIN $fw f ON f.word = w.word WHERE w.pos > 0),
+       |$seg AS (SELECT n, piece FROM $walk WHERE piece IS NOT NULL),
+       |$u AS (SELECT piece, sum(n) AS u FROM $seg GROUP BY piece)""".stripMargin
+
+  /** The full q156 training chain as CTE text (everything after `WITH
+    * RECURSIVE`), and the final pruned-piece SELECT. */
+  private def unigramOracleCtes: String = {
+    def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+    s"""wc AS MATERIALIZED (SELECT word, count(*) AS n FROM (
+       |    SELECT unnest(list_filter(
+       |      regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0B]+'),
+       |      x -> x <> '')) AS word
+       |    FROM documents) GROUP BY word),
+       |subs AS (SELECT piece, sum(n) AS c FROM (
+       |    SELECT n, unnest(flatten(list_transform(
+       |      range(1, length(word) + 1),
+       |      i -> list_transform(
+       |        range(1, least($UnigramMaxLen, length(word) - i + 1) + 1),
+       |        l -> word[CAST(i AS INT):CAST(i + l - 1 AS INT)])))) AS piece
+       |    FROM wc) GROUP BY piece),
+       |kept AS MATERIALIZED (
+       |  SELECT piece, c FROM subs WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c, row_number() OVER (
+       |        ORDER BY c DESC, piece ASC) AS rnk
+       |    FROM subs WHERE length(piece) > 1 AND c >= 2)
+       |  WHERE rnk <= 500),
+       |tv AS (SELECT sum(c) AS T, count(*) AS V FROM kept),
+       |m0 AS (SELECT map_from_entries(list(struct_pack(
+       |    k := piece,
+       |    v := ${r6("ln(CAST(c AS DOUBLE) / CAST(tv.T AS DOUBLE))")}))) AS sc
+       |  FROM kept CROSS JOIN tv),
+       |${unigramEStepSql("m0", "fw1", "walk1", "seg1", "u1")},
+       |ut1 AS (SELECT sum(u) AS U FROM u1),
+       |m1 AS (SELECT map_from_entries(list(struct_pack(
+       |    k := kept.piece,
+       |    v := ${r6("ln(CAST(coalesce(u1.u, 0) + 1 AS DOUBLE) / CAST(ut1.U + tv.V AS DOUBLE))")}))) AS sc
+       |  FROM kept LEFT JOIN u1 ON kept.piece = u1.piece
+       |  CROSS JOIN ut1 CROSS JOIN tv),
+       |${unigramEStepSql("m1", "fw2", "walk2", "seg2", "u2")},
+       |ut2 AS (SELECT sum(u) AS U FROM u2)""".stripMargin
+  }
+
+  private def unigramFinalSql: String = {
+    def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+    s"""SELECT kept.piece,
+       |  ${r6("ln(CAST(coalesce(u2.u, 0) + 1 AS DOUBLE) / CAST(ut2.U + tv.V AS DOUBLE))")} AS score,
+       |  CAST(coalesce(u2.u, 0) AS BIGINT) AS usage
+       |FROM kept LEFT JOIN u2 ON kept.piece = u2.piece
+       |CROSS JOIN ut2 CROSS JOIN tv
+       |WHERE coalesce(u2.u, 0) > 0 OR length(kept.piece) = 1""".stripMargin
+  }
+
   private def lmScoreSql: String = {
     val contrib = graft.functions.TextFunctions.round6Sql(
       "-ln(CAST(c_ab + 1 AS DOUBLE) / CAST(c_a + v.vocab AS DOUBLE))")
@@ -1461,6 +1559,17 @@ object SparkEntry {
       graft.operators.UnigramLm.trainUnigram(
         docs(s, dir), "text", maxPieceLen = 4, minCount = 2,
         maxVocab = 500, iters = 2)),
+
+    // ---- unigram-LM SERVING: segment every document under the
+    // TRAINED q156 artifact (same Viterbi kernel as the E-step —
+    // train and serve cannot diverge); the doc's piece stream is
+    // pinned by a position-weighted portable-hash checksum ----
+    "q159_unigram_segment" -> ((s, dir) =>
+      graft.operators.UnigramLm.segmentDocs(
+          docs(s, dir), "doc_id", "text",
+          unigramArtifact(s, dir), maxPieceLen = 4)
+        .select(col("id").as("doc_id"), col("n_pieces"),
+          col("piece_checksum"))),
 
     // ---- RedPajama-V2-style quality-signals sheet: every cheap
     // text-local signal (length/tokens, q20 quality, q19 lang-id,
@@ -5861,72 +5970,39 @@ object SparkEntry {
     // list_reduce (the backtrack) contaminates too — hence the
     // set-based recursive walk, no lambda at all. Missing pieces are
     // the engine's exact -1e9 penalty; add-one M-steps; final prune.
-    "q156_unigram_train" -> {
-      val maxLen = 4
-      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
-      val innerBs =
-        s"""list_aggregate(list_transform(range(greatest(CAST(stx[1] AS INT) - $maxLen, 0), CAST(stx[1] AS INT)),
-           |        j -> acc[CAST(2 * j + 1 AS INT)] + coalesce(sc[word[CAST(j + 1 AS INT):CAST(stx[1] AS INT)]][1], CAST(-1e9 AS DOUBLE))), 'max')""".stripMargin
-      val innerBj =
-        s"""CAST(list_filter(range(greatest(CAST(stx[1] AS INT) - $maxLen, 0), CAST(stx[1] AS INT)),
-           |        j -> acc[CAST(2 * j + 1 AS INT)] + coalesce(sc[word[CAST(j + 1 AS INT):CAST(stx[1] AS INT)]][1], CAST(-1e9 AS DOUBLE)) = ($innerBs))[1] AS DOUBLE)""".stripMargin
-      def eStep(m: String, fw: String, walk: String, seg: String,
-          u: String) =
-        s"""$fw AS MATERIALIZED (SELECT word, n, length(word) AS L, sc,
-           |  list_reduce(
-           |    list_prepend([CAST(0.0 AS DOUBLE), CAST(0 AS DOUBLE)],
-           |      list_transform(range(1, length(word) + 1), i -> [CAST(i AS DOUBLE)])),
-           |    (acc, stx) -> list_append(list_append(acc, ($innerBs)), ($innerBj))) AS dp
-           |  FROM wc CROSS JOIN $m),
-           |$walk(word, n, pos, piece) AS (
-           |  SELECT word, n, CAST(L AS INT), CAST(NULL AS VARCHAR) FROM $fw
-           |  UNION ALL
-           |  SELECT f.word, f.n, CAST(f.dp[CAST(2 * w.pos + 2 AS INT)] AS INT),
-           |    f.word[CAST(f.dp[CAST(2 * w.pos + 2 AS INT)] AS INT) + 1:w.pos]
-           |  FROM $walk w JOIN $fw f ON f.word = w.word WHERE w.pos > 0),
-           |$seg AS (SELECT n, piece FROM $walk WHERE piece IS NOT NULL),
-           |$u AS (SELECT piece, sum(n) AS u FROM $seg GROUP BY piece)""".stripMargin
-      s"""WITH RECURSIVE wc AS MATERIALIZED (SELECT word, count(*) AS n FROM (
-         |    SELECT unnest(list_filter(
+    "q156_unigram_train" ->
+      s"""WITH RECURSIVE $unigramOracleCtes
+         |$unigramFinalSql""".stripMargin,
+
+    // q159: the SERVING path through the SAME trained map — the q156
+    // chain nests whole, its pruned output becomes the score map, one
+    // more fw/walk pass segments every distinct word, and the doc
+    // piece stream (word order x in-word piece order, walk `pos` = the
+    // piece's start offset) is position-weight checksummed.
+    "q159_unigram_segment" ->
+      s"""WITH RECURSIVE $unigramOracleCtes,
+         |mF AS (SELECT map_from_entries(list(struct_pack(
+         |    k := piece, v := score))) AS sc
+         |  FROM ($unigramFinalSql) fin),
+         |${unigramEStepSql("mF", "fw3", "walk3", "seg3", "u3")},
+         |wordseg AS (SELECT word, list(piece ORDER BY pos) AS pieces
+         |  FROM walk3 WHERE piece IS NOT NULL GROUP BY word),
+         |docw AS (SELECT doc_id, g['wi'] AS wi, g['w'] AS word FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+         |      i -> struct_pack(wi := i, w := ws[CAST(i AS INT)]))) AS g
+         |  FROM (SELECT doc_id, list_filter(
          |      regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0B]+'),
-         |      x -> x <> '')) AS word
-         |    FROM documents) GROUP BY word),
-         |subs AS (SELECT piece, sum(n) AS c FROM (
-         |    SELECT n, unnest(flatten(list_transform(
-         |      range(1, length(word) + 1),
-         |      i -> list_transform(
-         |        range(1, least($maxLen, length(word) - i + 1) + 1),
-         |        l -> word[CAST(i AS INT):CAST(i + l - 1 AS INT)])))) AS piece
-         |    FROM wc) GROUP BY piece),
-         |kept AS MATERIALIZED (
-         |  SELECT piece, c FROM subs WHERE length(piece) = 1
-         |  UNION ALL
-         |  SELECT piece, c FROM (
-         |    SELECT piece, c, row_number() OVER (
-         |        ORDER BY c DESC, piece ASC) AS rnk
-         |    FROM subs WHERE length(piece) > 1 AND c >= 2)
-         |  WHERE rnk <= 500),
-         |tv AS (SELECT sum(c) AS T, count(*) AS V FROM kept),
-         |m0 AS (SELECT map_from_entries(list(struct_pack(
-         |    k := piece,
-         |    v := ${r6("ln(CAST(c AS DOUBLE) / CAST(tv.T AS DOUBLE))")}))) AS sc
-         |  FROM kept CROSS JOIN tv),
-         |${eStep("m0", "fw1", "walk1", "seg1", "u1")},
-         |ut1 AS (SELECT sum(u) AS U FROM u1),
-         |m1 AS (SELECT map_from_entries(list(struct_pack(
-         |    k := kept.piece,
-         |    v := ${r6("ln(CAST(coalesce(u1.u, 0) + 1 AS DOUBLE) / CAST(ut1.U + tv.V AS DOUBLE))")}))) AS sc
-         |  FROM kept LEFT JOIN u1 ON kept.piece = u1.piece
-         |  CROSS JOIN ut1 CROSS JOIN tv),
-         |${eStep("m1", "fw2", "walk2", "seg2", "u2")},
-         |ut2 AS (SELECT sum(u) AS U FROM u2)
-         |SELECT kept.piece,
-         |  ${r6("ln(CAST(coalesce(u2.u, 0) + 1 AS DOUBLE) / CAST(ut2.U + tv.V AS DOUBLE))")} AS score,
-         |  CAST(coalesce(u2.u, 0) AS BIGINT) AS usage
-         |FROM kept LEFT JOIN u2 ON kept.piece = u2.piece
-         |CROSS JOIN ut2 CROSS JOIN tv
-         |WHERE coalesce(u2.u, 0) > 0 OR length(kept.piece) = 1""".stripMargin
-    },
+         |      x -> x <> '') AS ws FROM documents))),
+         |str AS (SELECT doc_id, wi, g2['pi'] AS pi, g2['p'] AS piece FROM (
+         |  SELECT doc_id, wi, unnest(list_transform(range(1, len(pieces) + 1),
+         |      i -> struct_pack(pi := i, p := pieces[CAST(i AS INT)]))) AS g2
+         |  FROM docw JOIN wordseg USING (word))),
+         |pos AS (SELECT doc_id, piece,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY wi, pi) AS p
+         |  FROM str)
+         |SELECT doc_id, count(*) AS n_pieces,
+         |  CAST(sum((${hashSql("piece")}) * p) AS BIGINT) AS piece_checksum
+         |FROM pos GROUP BY doc_id""".stripMargin,
 
     // q153: definitional identity with the standalone queries — the
     // q19/q20/q56/q131 oracle bodies nest as CTEs and join on doc_id

@@ -75,6 +75,36 @@ object UnigramLm {
     singles.unionByName(multi)
   }
 
+  /** SERVING PATH — segment whole documents under a trained piece
+    * table (the q102 apply-side mirror of this trainer, as
+    * `Bpe.bpe_tokenize` is to [[BpeTrain]]): every word Viterbi-
+    * segments independently ([[graft.functions.UnigramSegment]], the
+    * same kernel the E-step uses — train and serve cannot diverge),
+    * and the document's piece STREAM (word order × in-word piece
+    * order) is pinned by a position-weighted portable-hash checksum —
+    * Σ hash(piece)·position, exact long arithmetic (≤ 10⁹·stream
+    * length, far inside Long). One narrow projection + one per-doc
+    * window; the trained map rides as a bounded literal.
+    * @return (id, n_pieces, piece_checksum). */
+  def segmentDocs(
+      docs: DataFrame, idCol: String, textCol: String,
+      scores: Map[String, Double], maxPieceLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol).cast("long").as("id"),
+        posexplode(filter(split(col(textCol), BpeTrain.WhitespaceClass),
+          w => w =!= "")).as(Seq("wi", "word")))
+    val pieces = words.select(col("id"), col("wi"),
+        posexplode(unigram_segment(col("word"), scores, maxPieceLen))
+          .as(Seq("pi", "piece")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("wi").asc, col("pi").asc)))
+    pieces.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pieces"),
+        sum(graft.functions.PortableHash.portable_hash(col("piece")) *
+          col("pos").cast("long")).as("piece_checksum"))
+  }
+
   /** Train for `iters` Viterbi-EM rounds; returns the final piece
     * table (piece, score, usage) as described above. */
   def trainUnigram(

@@ -74,6 +74,24 @@ class UnigramLmSpec extends SparkSpec {
     assert(out.forall(t => (t._2 * 1e6) == math.floor(t._2 * 1e6)))
   }
 
+  test("segmentDocs: checksum equals the hand-built doc piece stream") {
+    def phash(s: String): Long = {
+      var h = 0L
+      s.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+      h
+    }
+    val scores = Map("a" -> -3.0, "b" -> -3.0, "c" -> -3.0,
+      "ab" -> -2.0, "bc" -> -1.5)
+    val d = Seq((1L, "abc cab"), (2L, "b")).toDF("doc_id", "text")
+    val got = UnigramLm.segmentDocs(d, "doc_id", "text", scores, 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1 stream: abc -> [a, bc]; cab -> [c, ab] => a,bc,c,ab @ 1..4
+    val s1 = Seq("a", "bc", "c", "ab").zipWithIndex
+      .map { case (p, i) => phash(p) * (i + 1) }.sum
+    assert(got(1L) === ((4L, s1)))
+    assert(got(2L) === ((1L, phash("b"))))
+  }
+
   test("trainUnigram: deterministic across runs and partitionings") {
     val docs = (1 to 40).map(i => "alpha beta alphabeta ab al").toDF("text")
     val a = UnigramLm.trainUnigram(docs.repartition(1), "text",
