@@ -1619,8 +1619,23 @@ object SparkEntry {
         Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
     }),
 
+    // ---- int8 quantization: the verify surface scalarizes qvec to
+    // the q99 position-weighted checksum (Σ q_i·i, 1-based) — the
+    // driver's canonicalization sorts on raw column values and cannot
+    // order an array column (round-14 q140 err), so NO query may
+    // expose a top-level array/map/struct (VerifySurfaceSpec pins
+    // this). The checksum is order- and value-exact: any flipped
+    // element at any position changes it. ----
     "q140_int8_quantize" -> ((s, dir) =>
-      graft.operators.EmbedStats.int8Quantize(embs(s, dir))),
+      graft.operators.EmbedStats.int8Quantize(embs(s, dir))
+        .select(col("vec_id"),
+          size(col("qvec")).cast("long").as("qlen"),
+          aggregate(
+            zip_with(col("qvec"),
+              sequence(lit(1), size(col("qvec"))),
+              (q, i) => q.cast("long") * i.cast("long")),
+            lit(0L), (a, x) => a + x).as("qchecksum"),
+          col("mse"))),
 
     // ---- corpus snapshot diff: the v1→v2 churn report (drop one
     // residue class, edit another, add a third under new ids) via the
@@ -3818,7 +3833,9 @@ object SparkEntry {
         |  AND doc_id NOT IN (SELECT doc_id FROM rejected)""".stripMargin,
 
     // q140: scale from the same max-abs aggregate, half-up-toward-+∞
-    // rounding, clamp, and the ascending-index error fold replayed.
+    // rounding, clamp, the ascending-index error fold replayed, and
+    // qvec scalarized to the q99 position-weighted checksum (the
+    // verify surface bans array-typed output columns).
     "q140_int8_quantize" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, qx -> CAST(qx AS DOUBLE)) AS v
@@ -3829,7 +3846,11 @@ object SparkEntry {
         |    list_transform(v, qx -> CAST(greatest(-127.0, least(127.0,
         |      floor(qx / scale + 0.5))) AS INT)) AS qvec
         |  FROM e CROSS JOIN s)
-        |SELECT vec_id, qvec,
+        |SELECT vec_id,
+        |  CAST(len(qvec) AS BIGINT) AS qlen,
+        |  CAST(list_sum(list_transform(range(1, len(qvec) + 1),
+        |      qi -> CAST(qvec[qi] AS BIGINT) * qi)) AS BIGINT)
+        |    AS qchecksum,
         |  floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |      list_transform(range(1, len(v) + 1),
         |        qi -> (v[qi] - qvec[qi] * scale) * (v[qi] - qvec[qi] * scale))),

@@ -39,11 +39,13 @@ object EmbedStats {
     import graft.functions.TextFunctions.round6
     val base = embs.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), _.cast("double")).as("__v"))
-    val absmax = base
+    // Option-collect: max() over an empty input is NULL, and a raw
+    // getDouble would NPE before the intended diagnostic fires.
+    val absmax = Option(base
       .agg(max(array_max(transform(col("__v"), x => abs(x))))).head
-      .getDouble(0)
+      .getAs[java.lang.Double](0)).map(_.doubleValue).getOrElse(0.0)
     require(absmax > 0.0,
-      "int8Quantize: all-zero corpus has no quantization scale")
+      "int8Quantize: empty or all-zero corpus has no quantization scale")
     val scale = absmax / 127.0
     val q = base.withColumn("qvec",
       transform(col("__v"), x =>

@@ -57,4 +57,13 @@ class Int8QuantizeSpec extends SparkSpec {
     val embs = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] { EmbedStats.int8Quantize(embs) }
   }
+
+  test("empty corpus is rejected with the diagnostic, not an NPE") {
+    val embs = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
+      .filter(col("vec_id") < 0L)
+    val e = intercept[IllegalArgumentException] {
+      EmbedStats.int8Quantize(embs)
+    }
+    assert(e.getMessage.contains("no quantization scale"))
+  }
 }
