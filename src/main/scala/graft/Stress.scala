@@ -848,6 +848,39 @@ object Stress {
         (sink(graft.operators.Corpus.urlDupClusters(
           urls, col("id"), col("url"))), n)
       }),
+      Scenario("per_host_cap", sp => {
+        // q138 at crawl volume with the crawl's defining pathology:
+        // 10M docs where ONE host owns 30% of the corpus (3M pages)
+        // and the rest spread over 100k small hosts. The single-window
+        // form funnels the megahost through one reducer task; the
+        // two-level form (engaged here by the Catalyst size estimate)
+        // spreads it over `blocks` per-(host, id-hash-block) windows
+        // and ranks only the ≤ cap·blocks survivors. Pass = zero
+        // spill, byte skew near 1, results identical (UrlKernelsSpec
+        // pins parity).
+        val n = s(10000000L)
+        val urls = sp.range(n).select(col("id"),
+          concat(lit("HTTP://"),
+            when(pmod(col("id"), lit(10)) < 3, lit("Mega-Host"))
+              .otherwise(concat(lit("site"),
+                pmod(hash(col("id")), lit(100000)).cast("string"))),
+            lit(".COM:80/p/"), col("id").cast("string"),
+            lit("?utm_source=x")).as("url"))
+        // the form is FORCED here: an in-memory Range fixture's
+        // Catalyst size estimate (~8 B/row) undershoots the 256 MB
+        // threshold that the same 10M-row crawl read from parquet
+        // crosses — the scenario exists to measure the two-level
+        // form, not the estimator. (Byte columns can't see this
+        // megahost either way: 3M identical host strings compress
+        // ~50×, so watch spill + task durations.)
+        val act = restoringConfs(sp,
+          Seq("spark.graft.corpus.twoLevelHostCap")) { () =>
+          sp.conf.set("spark.graft.corpus.twoLevelHostCap", "true")
+          sink(graft.operators.Corpus.perHostCap(
+            urls, col("id"), col("url"), cap = 3))()
+        }
+        (act, n)
+      }),
       Scenario("classifier_train", sp => {
         // q147 training at corpus volume: 2M × 120-token docs through
         // the feature build (one explode + two narrow hash aggs,
@@ -994,6 +1027,24 @@ object Stress {
         val n = s(1000000L)
         (sink(graft.operators.Corpus.knScore(
           corpus(sp, n, len = 120, vocab = 2000), "id", "text")), n)
+      }),
+      Scenario("kneser_ney_zipf", sp => {
+        // the hot-bigram guard's target regime, which the uniform-
+        // vocab scenario above cannot produce: 20% of tokens are ONE
+        // head word, so the head bigram alone is ~4% of the 119M-pair
+        // probe stream — ≈5× a mean reducer's share at 128 partitions,
+        // the key-pinning shape of a real Zipf corpus ("of the").
+        // knScore must detect it on the 1-in-8 sample and salt it over
+        // 16 reducers; pass = max_byte_skew back near 1, zero spill,
+        // and rows bit-identical to the unsalted plan (CorpusSpec pins
+        // parity; this row measures the spread).
+        val n = s(1000000L)
+        val d = sp.range(n).withColumn("text",
+          array_join(transform(sequence(lit(0), lit(119)), i =>
+            when(pmod(hash(col("id"), i, lit(13)), lit(5)) === 0,
+              lit("the")).otherwise(tok(col("id"), i, 2000))), " "))
+          .select(col("id"), col("text"))
+        (sink(graft.operators.Corpus.knScore(d, "id", "text")), n)
       }))
   }
 
@@ -1103,6 +1154,13 @@ object Stress {
           s""""spill_bytes":${m.spillBytes},""" +
           s""""peak_task_exec_mem":${m.peakTaskExecMem},""" +
           s""""max_task_skew":${math.rint(m.maxTaskSkew * 100) / 100},""" +
+          // bytes-based companion: max_task_skew is task DURATIONS and
+          // inflates on a loaded box and on sub-second noise stages;
+          // the byte distribution is the load-invariant partitioning
+          // signal (StressMetrics.maxByteSkew doc) — read skew claims
+          // off THIS column, durations off a quiet-box capture.
+          s""""max_byte_skew":${
+            math.rint(listener.maxByteSkew() * 100) / 100},""" +
           s""""stages":${m.stageCount},"tasks":${m.taskCount}}"""
         println(line)
         System.out.flush()

@@ -331,10 +331,13 @@ object Corpus {
     * @return (doc_id, n_pairs, nll) over docs with ≥ 2 tokens. */
   def knScore(
       docs: DataFrame, idCol: String, textCol: String,
-      discount: Double = 0.75): DataFrame = {
+      discount: Double = 0.75,
+      hotDf: Int = 65536, salts: Int = 16): DataFrame = {
     import TextFunctions.bindOnce
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
+    require(hotDf >= 16 && salts >= 2,
+      s"hotDf >= 16 and salts >= 2 required, got hotDf=$hotDf salts=$salts")
     def pairs = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("t"))
       .select(col("doc_id"), explode(bindOnce(col("t")) { t =>
@@ -345,8 +348,19 @@ object Corpus {
       .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
     // checkpointed: bi derives ctx, rights, the |bigrams| scalar AND
     // the x-table — one evaluation serves all four, and it is the
-    // model-sized table (vocab-bounded on real corpora), not the pairs
-    val bi = pairs.groupBy(col("a"), col("b"))
+    // model-sized table (vocab-bounded on real corpora), not the pairs.
+    // REPARTITION-FIRST (the urlDupClusters lesson): bigram TYPES per
+    // scan task ≈ rows per scan task (the tail dominates types in any
+    // Zipfian corpus), so map-side combine holds a rows-sized hash map
+    // while shrinking the exchange only ~17% — measured at the 119M-
+    // pair stress point: 11.7 GB of deterministic partial-agg fallback
+    // spill and 22 s/task, ALL of the scenario's spill (per-stage
+    // attribution, round 15). Shuffling the raw narrow pairs first
+    // moves ~2× the bytes but aggregates colocated keys in
+    // |types|/partitions-sized maps — zero spill.
+    val bi = pairs.select(col("a"), col("b"))
+      .repartition(col("a"), col("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c_ab"))
       .localCheckpoint(eager = false)
     val ctx = bi.groupBy(col("a"))
@@ -363,12 +377,49 @@ object Corpus {
       .join(broadcast(ctx), Seq("a"))
       .join(broadcast(rights), Seq("b"))
       .select(col("a"), col("b"), TextFunctions.round6(-log(p)).as("x"))
+    // HOT-BIGRAM GUARD (the ngramJaccardPairs salting pattern): probe
+    // keys are Zipf-distributed — the head bigram alone is percents of
+    // ALL pairs and pins one reducer at corpus scale (kneser_ney_zipf
+    // stress, 4% head bigram at 119M pairs: probe-stage max/median
+    // task duration 3.5 unsalted → 1.66 salted; byte columns
+    // UNDERSTATE this skew because a constant hot key's rows compress
+    // ~10× better than the stream around them). Hot keys are
+    // detected on a deterministic 1-in-8 doc sample (threshold halved
+    // on top of the expected-value scaling so borderline keys salt
+    // rather than miss) and carried as an InSet of xxhash64(a,b) — a
+    // bounded plan parameter (≤ |pairs|/hotDf keys survive, always
+    // driver-collectable); a 64-bit collision merely salts a cold key,
+    // never drops a row. Hot probe rows spread over `salts` reducers
+    // by doc-id hash; their x-rows replicate once per salt, so every
+    // probe row still meets exactly ONE x-row and the per-doc sums
+    // are unchanged (order-free DECIMAL). Cold keys ride salt 0: with
+    // no hot keys the plan degenerates to the plain (a, b) join shape
+    // plus one constant column.
+    val sampleMod = 8
+    val hotSet = pairs
+      .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotDf / sampleMod / 2)
+      .select(xxhash64(col("a"), col("b")).as("hk"))
+      .collect().map(_.getLong(0)).toSeq
+    val isHot = xxhash64(col("a"), col("b")).isInCollection(hotSet)
+    val (probe, build) =
+      if (hotSet.isEmpty)
+        (pairs.withColumn("salt", lit(0)),
+          xtab.withColumn("salt", lit(0)))
+      else
+        (pairs.withColumn("salt",
+            when(isHot, pmod(xxhash64(col("doc_id")), lit(salts.toLong))
+              .cast("int")).otherwise(lit(0))),
+          xtab.withColumn("salt", explode(
+            when(isHot, sequence(lit(0), lit(salts - 1)))
+              .otherwise(sequence(lit(0), lit(0))))))
     // hash join, x-table as build side: an SMJ would SORT the corpus-
     // scale pair stream (measured 20 GB of sort spill at the 119M-pair
     // stress point); hashing the bigram-bounded side costs its
     // partition's types only and the pair stream just flows through
-    pairs
-      .join(xtab.hint("shuffle_hash"), Seq("a", "b"))
+    probe
+      .join(build.hint("shuffle_hash"), Seq("a", "b", "salt"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("x").cast("decimal(28,6)")).as("s"))
@@ -554,24 +605,55 @@ object Corpus {
     * kernel + one regexp), so `HTTP://X.COM:80/..` and `http://x.com`
     * count against the same budget.
     *
-    * Scale: the only exchange is narrow (id, host) rows into a
-    * per-host window; rows per reducer are bounded by the biggest
-    * host's page count — acceptable because the window input is ~16
-    * B/row (a 10⁸-page megahost is ~1.6 GB through one task before
-    * the cap cuts it; a deployment that must bound that too runs the
-    * cap in two stages, per-(host, id-block) then global, the q126
-    * two-level pattern — the semantic stays identical).
+    * Scale — the MEGAHOST guard: a crawl's top host is millions of
+    * pages, and a single per-host window funnels all of them through
+    * ONE reducer. Above a size threshold the cap runs TWO-LEVEL (the
+    * rankByHash discipline): a per-(host, id-hash-block) window keeps
+    * each block's `cap` lowest ids — the megahost spreads over
+    * `blocks` reducers — then the global window ranks only the
+    * survivors (≤ cap·blocks per host, a bounded table). Top-k of a
+    * union IS the top-k of per-block top-k's, so the forms are
+    * bit-identical on unique ids (the contract; row_number over tied
+    * ids is arbitrary in ANY form). The small-input form stays the
+    * single window: the second exchange + window are pure overhead
+    * when the biggest host fits a task. Explicit
+    * `spark.graft.corpus.twoLevelHostCap=true|false` forces a form;
+    * otherwise the Catalyst size estimate decides (threshold conf
+    * `spark.graft.corpus.twoLevelHostCapThresholdBytes`).
     * @return (id, host, host_rank) for KEPT docs, host_rank 1-based. */
   def perHostCap(
-      urls: DataFrame, idCol: Column, urlCol: Column, cap: Int): DataFrame = {
+      urls: DataFrame, idCol: Column, urlCol: Column, cap: Int,
+      blocks: Int = 64): DataFrame = {
     require(cap >= 1, "cap must be >= 1")
+    require(blocks >= 2, "blocks must be >= 2")
     import org.apache.spark.sql.expressions.Window
     val host = regexp_extract(
       graft.functions.UrlKernels.canonicalize_url(urlCol),
       "^[^:/?#]+://([^/?]*)", 1)
+    val narrow = urls.select(idCol.as("id"), host.as("host"))
+    val conf = urls.sparkSession.conf
+    val twoLevel =
+      conf.getOption("spark.graft.corpus.twoLevelHostCap") match {
+        case Some(s) => s.toBoolean
+        case None =>
+          val threshold = conf
+            .getOption("spark.graft.corpus.twoLevelHostCapThresholdBytes")
+            .map(_.toLong).getOrElse(256L * 1024 * 1024)
+          narrow.queryExecution.optimizedPlan.stats.sizeInBytes >= threshold
+      }
+    val staged =
+      if (!twoLevel) narrow
+      else {
+        val wb = Window.partitionBy(col("host"), col("__b"))
+          .orderBy(col("id"))
+        narrow
+          .withColumn("__b", pmod(xxhash64(col("id")), lit(blocks.toLong)))
+          .withColumn("__r", row_number().over(wb))
+          .filter(col("__r") <= cap)
+          .drop("__b", "__r")
+      }
     val w = Window.partitionBy(col("host")).orderBy(col("id"))
-    urls.select(idCol.as("id"), host.as("host"))
-      .withColumn("host_rank", row_number().over(w))
+    staged.withColumn("host_rank", row_number().over(w))
       .filter(col("host_rank") <= cap)
   }
 

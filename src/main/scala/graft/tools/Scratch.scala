@@ -3,63 +3,64 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc operator timing harness for development (not part of the
-  * driver contract; graft.Bench is the official benchmark). Runs the
-  * historically hot operators against SPARK_GRAFT_SF_DIR. */
+/** Ad-hoc operator diagnosis harness for development (not part of the
+  * driver contract; graft.Bench is the official benchmark,
+  * graft.Stress the scale harness). Current focus: per-stage
+  * attribution of the kneser_ney stress scenario's spill/skew. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.operators.{Dedup, Similarity}
 
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"SCRATCH $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    def tok(seed: org.apache.spark.sql.Column,
+        i: org.apache.spark.sql.Column, vocab: Int) =
+      concat(lit("t"), pmod(hash(seed, i), lit(vocab)))
+    val n = sys.env.getOrElse("SCRATCH_N", "1000000").toLong
+    val d = spark.range(n)
+      .withColumn("seed",
+        when(pmod(col("id"), lit(100)) === 1, col("id") - 1)
+          .otherwise(col("id")))
+      .withColumn("text",
+        array_join(transform(sequence(lit(0), lit(119)),
+          i => tok(col("seed"), i, 2000)), " "))
+      .select(col("id"), col("text"))
+
+    // Zipf-head fixture (the kneser_ney_zipf stress shape): 20% of
+    // tokens are one head word → the head bigram is ~4% of all pairs.
+    val z = spark.range(n).withColumn("text",
+      array_join(transform(sequence(lit(0), lit(119)), i =>
+        when(pmod(hash(col("id"), i, lit(13)), lit(5)) === 0, lit("the"))
+          .otherwise(tok(col("id"), i, 2000))), " "))
+      .select(col("id"), col("text"))
+
+    val hotDf = sys.env.getOrElse("SCRATCH_HOTDF", "65536").toInt
+    val m = new StressMetrics
+    spark.sparkContext.addSparkListener(m)
+    val t0 = System.nanoTime()
+    graft.operators.Corpus.knScore(z, "id", "text", hotDf = hotDf)
+      .write.mode("overwrite").format("noop").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(1000)
+    println(f"SCRATCH kneser_ney_zipf hotDf=$hotDf wall=$wall%.1f s " +
+      f"byteSkew=${m.maxByteSkew()}%.2f  per-stage:")
+    println(f"${"stage"}%6s ${"tasks"}%6s ${"writeMB"}%9s " +
+      f"${"readMB"}%9s ${"spillMB"}%9s ${"maxMs"}%8s ${"medMs"}%8s " +
+      f"${"mxRdMB"}%8s ${"mxWrMB"}%8s")
+    m.perStage.sortBy(_._1).foreach {
+      case (id, tasks, w, r, sp, mx, med, mxr, mxw) =>
+        println(f"$id%6d $tasks%6d ${w / 1e6}%9.0f ${r / 1e6}%9.0f " +
+          f"${sp / 1e6}%9.0f $mx%8d $med%8d ${mxr / 1e6}%8.0f " +
+          f"${mxw / 1e6}%8.0f")
     }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
-
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .repartition(32, col("doc_id"))
-    noop(docs) // warm the scan
-    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .repartition(32, col("vec_id"))
-    noop(embs)
-
-    time("ngram_jaccard_cold")(noop(
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 2, 0.4)))
-    time("ngram_jaccard_warm")(noop(
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 2, 0.4)))
-    time("ngram_jaccard_prefix")(noop(
-      Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", "lang", 2, 0.4)))
-    time("ngram_jaccard_bitmap_cold")(noop(
-      Dedup.ngramJaccardPairsBitmap(docs, "doc_id", "text", "lang", 2, 0.4)))
-    time("ngram_jaccard_bitmap_warm")(noop(
-      Dedup.ngramJaccardPairsBitmap(docs, "doc_id", "text", "lang", 2, 0.4)))
-    time("simhash_blocked_h3")(noop(
-      Dedup.simhashPairsBlocked(docs, "doc_id", "text", maxHamming = 3)))
-    time("minhash_lsh")(noop(
-      Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 64, bands = 16,
-        threshold = 0.8)))
-    time("ivf_centroids_3it")(
-      Similarity.ivfCentroids(embs, nLists = 16, iters = 3))
-    time("ivf_centroids_again")(
-      Similarity.ivfCentroids(embs, nLists = 16, iters = 3))
-    time("ivf_topk")(noop(
-      Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
-        nLists = 16, nProbe = 4)))
-    time("ivf_topk_warm")(noop(
-      Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
-        nLists = 16, nProbe = 4)))
-    spark.stop()
   }
 }

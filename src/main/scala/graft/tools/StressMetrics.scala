@@ -69,6 +69,24 @@ final class StressMetrics extends SparkListener {
       maxTaskSkew = if (skews.isEmpty) 1.0 else skews.max)
   }
 
+  /** Per-stage diagnostic rows (stageId, tasks, writeB, readB, spillB,
+    * maxTaskMs, medianTaskMs) — the drill-down the aggregate snapshot
+    * can't give when a scenario's spill or skew needs ATTRIBUTING to a
+    * stage before it can be fixed (round 15: kneser_ney's 11.7 GB
+    * "probe join spill" was actually partial-aggregate fallback). */
+  def perStage: Seq[(Int, Int, Long, Long, Long, Long, Long, Long, Long)] =
+    synchronized {
+      stages.toSeq.map { case (id, s) =>
+        val sorted = s.taskMs.sorted
+        val med = if (sorted.isEmpty) 0L else sorted(sorted.length / 2)
+        val mx = if (sorted.isEmpty) 0L else sorted.last
+        val mxr = if (s.taskReadB.isEmpty) 0L else s.taskReadB.max
+        val mxw = if (s.taskWriteB.isEmpty) 0L else s.taskWriteB.max
+        (id, s.tasks, s.shuffleWriteBytes, s.shuffleReadBytes,
+          s.spillBytes, mx, med, mxr, mxw)
+      }
+    }
+
   /** Bytes-based skew: max over qualifying exchange stages of
     * max-task-bytes / mean-task-bytes, taking the worse of the
     * shuffle-write and shuffle-read sides. Bytes, not durations —

@@ -68,6 +68,32 @@ class UrlKernelsSpec extends SparkSpec {
       (1L, "a.com", 1), (3L, "a.com", 2), (2L, "b.org", 1)))
   }
 
+  test("perHostCap: two-level megahost form is bit-identical to naive") {
+    import graft.operators.Corpus
+    // one megahost (600 docs), several small hosts, ids deliberately
+    // NOT in insertion order — the two-level election must keep the
+    // exact cap-lowest ids and ranks of the single-window form.
+    val urls = ((1L to 600L).map(i =>
+        (i * 7 % 601, s"http://mega.com/p$i")) ++
+      (700L to 720L).map(i => (i, s"http://s${i % 4}.org/x")))
+      .toDF("doc_id", "url")
+    def run(force: String): Seq[(Long, String, Int)] = {
+      spark.conf.set("spark.graft.corpus.twoLevelHostCap", force)
+      try Corpus.perHostCap(urls, col("doc_id"), col("url"),
+          cap = 3, blocks = 8)
+        .orderBy("host", "host_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      finally spark.conf.unset("spark.graft.corpus.twoLevelHostCap")
+    }
+    val two = run("true")
+    val naive = run("false")
+    assert(two === naive)
+    assert(two.count(_._2 == "mega.com") === 3)
+    // lowest three ids of the megahost really are the kept ones
+    assert(two.filter(_._2 == "mega.com").map(_._1).sorted ===
+      (1L to 600L).map(i => i * 7 % 601).sorted.take(3))
+  }
+
   test("null passes through") {
     val got = Seq(Option.empty[String]).toDF("u")
       .select(UrlKernels.canonicalize_url(col("u")).as("c")).collect()

@@ -154,6 +154,22 @@ class CorpusSpec extends SparkSpec {
     assert(out(30L) < out(31L))
   }
 
+  test("kneser-ney: hot-bigram salting is result-invariant") {
+    // 200 docs all repeating the same head bigram (every key crosses
+    // a hotDf=16 threshold at the 1-in-8 sample) + a long cold tail;
+    // the salted plan must produce bit-identical rows to the cold
+    // (empty-hotSet) plan — replication meets each probe row exactly
+    // once, and the per-doc sums are order-free decimals.
+    val d = ((1L to 200L).map(i => (i, s"of the of the tail$i")) ++
+      (201L to 260L).map(i => (i, s"cold$i pair$i"))).toDF("doc_id", "text")
+    val salted = rows(Corpus.knScore(d, "doc_id", "text",
+      hotDf = 16, salts = 4))
+    val cold = rows(Corpus.knScore(d, "doc_id", "text",
+      hotDf = 1000000, salts = 4))
+    assert(salted === cold)
+    assert(salted.size === 260)
+  }
+
   test("pmi: independent vs always-adjacent pairs rank as expected") {
     // "p q" always adjacent; fillers vary
     val d = (1L to 20L).map(i => (i, s"p q f$i p q")).toDF("doc_id", "text")
