@@ -899,6 +899,28 @@ object Stress {
           ()
         }, n)
       }),
+      Scenario("classifier_train_sparse", sp => {
+        // the fastText-realistic shape the dense scenario above cannot
+        // reach: dim 2^18 over 1M × 120-token docs. Dense rows would
+        // be 2 MB/doc (~2 TB checkpoint) and each GD step a
+        // 2^18+1-column scalar agg; the sparse path stores ≤120
+        // (j, x) pairs/doc (~1.5 GB) and each step is one explode into
+        // a groupBy(j) whose map state is dim-bounded. Weights stay a
+        // dim-double driver array riding the plan as a ~2 MB literal.
+        // Pass = bounded task memory, no dim-scaled spill; parity with
+        // dense is ClassifierSpec's bit-identity at small dims.
+        val n = s(1000000L)
+        val dim = 1 << 18
+        val d = corpus(sp, n, len = 120, vocab = 50000)
+          .withColumn("label", pmod(hash(col("id")), lit(2)) === 0)
+        (() => {
+          val feats = graft.operators.Classifier.hashedFeaturesSparse(
+            d, "id", "text", col("label"), dim).localCheckpoint()
+          graft.operators.Classifier.trainLogisticSparse(
+            feats, dim, iters = 8, lr = 0.5)
+          ()
+        }, n)
+      }),
       Scenario("paragraph_dedup", sp => {
         // q141 at corpus volume: 5M pages × 8 ~260 B paragraphs from a
         // pool 20× smaller (the scattered-boilerplate regime), staged

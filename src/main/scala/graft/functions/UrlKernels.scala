@@ -90,10 +90,34 @@ object UrlKernels {
         !(key.startsWith("utm_") || TrackingKeys.contains(key))
       }
     }
-    java.util.Arrays.sort(kept.asInstanceOf[Array[Object]])
+    // sort in CODE-POINT order (== UTF-8 byte order), not Java's
+    // UTF-16 code-unit order: the two disagree exactly where a BMP
+    // char in U+E000–U+FFFF meets a supplementary char (surrogates
+    // compare below 0xE000 code-unit-wise), and the documented
+    // contract — which external byte-comparing engines (DuckDB
+    // list_sort on UTF-8) replay — is binary order.
+    java.util.Arrays.sort(kept, codePointOrder)
     val qs = if (kept.isEmpty) "" else kept.mkString("?", "&", "")
     UTF8String.fromString(scheme + "://" + auth + path + qs)
   }
+
+  /** Code-point comparator (≡ comparing the strings' UTF-8 bytes
+    * unsigned, without allocating the byte arrays). */
+  private val codePointOrder: java.util.Comparator[String] =
+    new java.util.Comparator[String] {
+      override def compare(a: String, b: String): Int = {
+        var i = 0
+        var j = 0
+        while (i < a.length && j < b.length) {
+          val ca = a.codePointAt(i)
+          val cb = b.codePointAt(j)
+          if (ca != cb) return Integer.compare(ca, cb)
+          i += Character.charCount(ca)
+          j += Character.charCount(cb)
+        }
+        Integer.compare(a.length - i, b.length - j)
+      }
+    }
 
   def canonicalize_url(url: Column): Column =
     Bridge.column(CanonicalizeUrl(Bridge.expression(url)))

@@ -68,6 +68,83 @@ object Classifier {
     t0.select(col("id"), col("y")).join(counts, Seq("id"))
   }
 
+  /** SPARSE hashed bag-of-words features: (id, y, xs) where xs is the
+    * per-doc array of (j, x_j) over NONZERO buckets only, sorted by j.
+    * Row size follows the doc's token count, never `dim` — the shape
+    * that survives fastText-realistic dims (2^18–2^20), where the
+    * dense form's dim×8 B/doc row is a storage cliff (a 1M-doc corpus
+    * at 2^18 is ~2 TB dense vs ~1.5 GB sparse). */
+  def hashedFeaturesSparse(
+      docs: DataFrame, idCol: String, textCol: String, labelCol: Column,
+      dim: Int): DataFrame = {
+    require(dim >= 2, "dim must be >= 2")
+    // ONE scan-side kernel row ([[graft.functions.HashedBow]] — same
+    // tokens/hash/division as the dense pipeline, spec-pinned): the
+    // build has ZERO exchanges. The first cut (explode → groupBy(id,j)
+    // → collect_list) shuffled a row per TOKEN and spilled 17.9 GB at
+    // 1M docs × dim 2^18 even repartition-first — collect_list's
+    // object agg falls back to sorting at 128 keys; per-row the work
+    // is a few hundred hashes and one small sort, so an aggregation
+    // was never needed at all.
+    docs.select(col(idCol).cast("long").as("id"),
+        labelCol.cast("double").as("y"),
+        graft.functions.HashedBow.hashed_bow(col(textCol), dim).as("xs"))
+      .filter(size(col("xs")) > 0)
+  }
+
+  /** Train on SPARSE features — bit-identical weights to
+    * [[trainLogistic]] on the dense features of the same corpus
+    * (spec-pinned): the dense fold's zero terms are IEEE no-ops
+    * (acc + 0·w_j == acc exactly, and acc never becomes −0), so the
+    * ascending-j fold over nonzeros walks the identical partial-sum
+    * sequence; per-term round6(e·x_j) decimal sums are order-free and
+    * zero terms round to exact 0, so each gradient coordinate is the
+    * same decimal.
+    *
+    * Scale shape per iteration: e is a per-row projection (w rides
+    * along as a dim-double literal — at 2^18 a ~2 MB plan parameter,
+    * the IVF-centroid class), the gradient is ONE explode into a
+    * narrow groupBy(j) hash aggregate whose map-side state is bounded
+    * by dim — never a dim+1-column scalar agg row (the dense form's
+    * agg-state cliff) and never a dense per-doc array. The bias
+    * gradient rides the same pass as a sentinel j = −1 element
+    * (round6(e·1) = e exactly — e is already on the 6dp grid). */
+  def trainLogisticSparse(
+      feats: DataFrame, dim: Int, iters: Int, lr: Double): Array[Double] = {
+    require(iters >= 1, "iters must be >= 1")
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val nDocs = feats.count().toDouble
+    require(nDocs > 0, "trainLogisticSparse: no feature rows")
+    var w = Array.fill(dim + 1)(0.0)
+    for (_ <- 1 to iters) {
+      val g = feats
+        .select(errColSparse(w, dim).as("e"), col("xs"))
+        .select(col("e"), explode(concat(col("xs"), array(
+          struct(lit(-1).cast("int").as("j"), lit(1.0).as("x"))))).as("s"))
+        .groupBy(col("s.j").as("j"))
+        .agg(sum(round6(col("e") * col("s.x"))
+          .cast("decimal(28,6)")).as("g"))
+        .collect().map(r => r.getInt(0) ->
+          r.getDecimal(1).doubleValue()).toMap
+      w = Array.tabulate(dim + 1) { j =>
+        val raw = if (j == dim) g.getOrElse(-1, 0.0) else g.getOrElse(j, 0.0)
+        r6(w(j) - lr * r6(raw / nDocs))
+      }
+    }
+    w
+  }
+
+  private def errColSparse(w: Array[Double], dim: Int): Column =
+    round6(probColSparse(w, dim) - col("y"))
+
+  private def probColSparse(w: Array[Double], dim: Int): Column = {
+    val wv = typedLit(w.slice(0, dim).toSeq)
+    val z = round6(aggregate(col("xs"), lit(0.0), (acc, s) =>
+      acc + s.getField("x") * element_at(wv, s.getField("j") + 1)) +
+      lit(w(dim)))
+    round6(lit(1.0) / (lit(1.0) + exp(-z)))
+  }
+
   /** Train by `iters` full-batch GD steps; returns dim+1 weights,
     * bias LAST. `feats` is evaluated iters+1 times — callers pass a
     * checkpointed frame (as [[qualityClassifierScores]] does). */
@@ -116,17 +193,47 @@ object Classifier {
       .select(col("id"), probCol(w, dim).as("score"))
   }
 
+  /** Score unlabeled docs with trained weights over SPARSE features —
+    * same scores as [[scoreDocs]] (the z folds are bit-identical).
+    * The serving path at fastText-realistic dims. @return (id, score). */
+  def scoreDocsSparse(
+      docs: DataFrame, idCol: String, textCol: String,
+      w: Array[Double]): DataFrame = {
+    val dim = w.length - 1
+    hashedFeaturesSparse(docs, idCol, textCol, lit(0.0), dim)
+      .select(col("id"), probColSparse(w, dim).as("score"))
+  }
+
+  /** Dense rows stop paying above this dim: the per-doc array is
+    * dim×8 B regardless of content, and the dense trainer's
+    * dim+1-column scalar aggregate state grows with it. Both forms
+    * produce bit-identical weights/scores (ClassifierSpec), so the
+    * switch is a pure plan choice. */
+  private val SparseDimThreshold = 1024
+
   /** End-to-end: build features once (checkpointed), train, score
-    * every doc with the trained weights.
+    * every doc with the trained weights. Representation picks itself:
+    * dense rows + one scalar agg per iteration below
+    * [[SparseDimThreshold]], sparse triplets + a groupBy(j) gradient
+    * above it — results identical either way.
     * @return (id, y, score, pred) — pred = score ≥ 0.5. */
   def qualityClassifierScores(
       docs: DataFrame, idCol: String, textCol: String, labelCol: Column,
       dim: Int = 16, iters: Int = 8, lr: Double = 0.5): DataFrame = {
-    val feats = hashedFeatures(docs, idCol, textCol, labelCol, dim)
-      .localCheckpoint()
-    val w = trainLogistic(feats, dim, iters, lr)
-    feats.select(col("id"), col("y"),
-        probCol(w, dim).as("score"))
-      .withColumn("pred", col("score") >= 0.5)
+    if (dim <= SparseDimThreshold) {
+      val feats = hashedFeatures(docs, idCol, textCol, labelCol, dim)
+        .localCheckpoint()
+      val w = trainLogistic(feats, dim, iters, lr)
+      feats.select(col("id"), col("y"),
+          probCol(w, dim).as("score"))
+        .withColumn("pred", col("score") >= 0.5)
+    } else {
+      val feats = hashedFeaturesSparse(docs, idCol, textCol, labelCol, dim)
+        .localCheckpoint()
+      val w = trainLogisticSparse(feats, dim, iters, lr)
+      feats.select(col("id"), col("y"),
+          probColSparse(w, dim).as("score"))
+        .withColumn("pred", col("score") >= 0.5)
+    }
   }
 }

@@ -43,16 +43,27 @@ object Scratch {
           .otherwise(tok(col("id"), i, 2000))), " "))
       .select(col("id"), col("text"))
 
-    val hotDf = sys.env.getOrElse("SCRATCH_HOTDF", "65536").toInt
     val m = new StressMetrics
     spark.sparkContext.addSparkListener(m)
     val t0 = System.nanoTime()
-    graft.operators.Corpus.knScore(z, "id", "text", hotDf = hotDf)
-      .write.mode("overwrite").format("noop").save()
+    sys.env.getOrElse("SCRATCH_OP", "kn") match {
+      case "cls" =>
+        val dim = 1 << 18
+        val dl = d.withColumn("label", pmod(hash(col("id")), lit(2)) === 0)
+        val feats = graft.operators.Classifier.hashedFeaturesSparse(
+          dl, "id", "text", col("label"), dim).localCheckpoint()
+        println(s"SCRATCH feats built ${(System.nanoTime() - t0) / 1e9}")
+        graft.operators.Classifier.trainLogisticSparse(
+          feats, dim, iters = 2, lr = 0.5)
+      case _ =>
+        val hotDf = sys.env.getOrElse("SCRATCH_HOTDF", "65536").toInt
+        graft.operators.Corpus.knScore(z, "id", "text", hotDf = hotDf)
+          .write.mode("overwrite").format("noop").save()
+    }
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(1000)
-    println(f"SCRATCH kneser_ney_zipf hotDf=$hotDf wall=$wall%.1f s " +
-      f"byteSkew=${m.maxByteSkew()}%.2f  per-stage:")
+    println(f"SCRATCH op=${sys.env.getOrElse("SCRATCH_OP", "kn")} " +
+      f"wall=$wall%.1f s byteSkew=${m.maxByteSkew()}%.2f  per-stage:")
     println(f"${"stage"}%6s ${"tasks"}%6s ${"writeMB"}%9s " +
       f"${"readMB"}%9s ${"spillMB"}%9s ${"maxMs"}%8s ${"medMs"}%8s " +
       f"${"mxRdMB"}%8s ${"mxWrMB"}%8s")

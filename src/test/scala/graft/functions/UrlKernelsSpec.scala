@@ -94,6 +94,22 @@ class UrlKernelsSpec extends SparkSpec {
       (1L to 600L).map(i => i * 7 % 601).sorted.take(3))
   }
 
+  test("param sort is code-point (UTF-8 byte) order, not UTF-16") {
+    // U+E000 (one BMP char) vs U+10000 (surrogate pair 𐀀):
+    // Java String order puts the surrogate FIRST (0xD800 < 0xE000
+    // code-unit-wise); UTF-8 byte order — the documented contract and
+    // what a byte-comparing oracle engine replays — puts U+E000 first
+    // (0xE000 < 0x10000 as code points).
+    val supp = new String(Character.toChars(0x10000))
+    val url = s"http://x.com/p?$supp=1&=2"
+    val got = Seq(url).toDF("u")
+      .select(UrlKernels.canonicalize_url(col("u")).as("c"))
+      .collect().head.getString(0)
+    assert(got === s"http://x.com/p?=2&$supp=1")
+    assert(url.split('?')(1).split('&').sorted.head.startsWith(supp),
+      "fixture must actually disagree between the two orders")
+  }
+
   test("null passes through") {
     val got = Seq(Option.empty[String]).toDF("u")
       .select(UrlKernels.canonicalize_url(col("u")).as("c")).collect()

@@ -56,4 +56,37 @@ class ClassifierSpec extends SparkSpec {
       col("label"), dim = 16)
     assert(f.collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
+
+  test("sparse path: weights bit-identical to dense at dim 16") {
+    // the fastText-dim scale path must be a pure REPRESENTATION
+    // change: same partial-sum sequence in z (zero terms are IEEE
+    // no-ops), same decimal gradient coordinates — so the trained
+    // weight vectors match to the last bit, across several dims
+    // including one where many buckets stay empty.
+    val d = corpus(30)
+    for (dim <- Seq(4, 16, 64)) {
+      val dense = Classifier.hashedFeatures(
+        d, "doc_id", "text", col("label"), dim).localCheckpoint()
+      val sparse = Classifier.hashedFeaturesSparse(
+        d, "doc_id", "text", col("label"), dim).localCheckpoint()
+      val wd = Classifier.trainLogistic(dense, dim, iters = 8, lr = 0.5)
+      val ws = Classifier.trainLogisticSparse(sparse, dim, iters = 8,
+        lr = 0.5)
+      assert(wd.toSeq === ws.toSeq, s"dim=$dim")
+      // serving parity too: identical scores doc-by-doc
+      val sd = Classifier.scoreDocs(d, "doc_id", "text", wd)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val ss = Classifier.scoreDocsSparse(d, "doc_id", "text", ws)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(sd === ss, s"dim=$dim")
+    }
+  }
+
+  test("sparse end-to-end engages above the dim threshold and learns") {
+    val got = Classifier.qualityClassifierScores(
+        corpus(40), "doc_id", "text", col("label"), dim = 2048, iters = 8)
+      .collect().map(r => (r.getDouble(1) >= 0.5, r.getBoolean(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (y, pred) => assert(pred === y) }
+  }
 }
