@@ -127,6 +127,10 @@ object Dedup {
     val admitted = incrementalExactFp(seen, incoming, idCol, textCol)
       .localCheckpoint()
     persistAdmitted(admitted)
+    // (no post-append crash-rerun guard needed HERE, unlike
+    // admitIncrementNear: a re-run's batch fingerprints all match the
+    // already-appended state, so it admits nothing and appends
+    // nothing — exact admission is naturally idempotent)
     fingerprints(admitted, textCol)
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statePath)
     admitted
@@ -160,7 +164,15 @@ object Dedup {
         n, k, bands, threshold, maxBucketSize)
       .localCheckpoint()
     persistAdmitted(admitted)
+    // anti-join against the ids already in state: a re-run after a
+    // crash that happened post-append would otherwise append the same
+    // batch signatures AGAIN — results stay correct (the a<b guard),
+    // but state accumulates duplicate (id, h64, sig) rows that inflate
+    // candidate generation and the hot-bucket tripwire counts on every
+    // later cycle. `seen` is the pre-append read, exactly the id set
+    // to exclude.
     nearSignatures(admitted, idCol, textCol, n, k)
+      .join(seen.select(col("id")), Seq("id"), "left_anti")
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statePath)
     admitted
   }

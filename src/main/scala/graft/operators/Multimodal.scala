@@ -365,6 +365,11 @@ object Multimodal {
           if (audioFormat != 1) fail(s"not PCM (format $audioFormat)")
           if (channels != 1) fail(s"not mono ($channels channels)")
           if (bits != 16) fail(s"not 16-bit ($bits)")
+          // a zero/negative rate otherwise passes decode and only
+          // blows up later as a bare ArithmeticException in the ms
+          // arithmetic of vadSegments (and features would report
+          // duration_ms = 0) — corrupt media must fail HERE, loudly
+          if (rate <= 0) fail(s"bad sample rate $rate")
           fmt = Some((rate, channels, bits))
           buf.position(start + size + (size & 1)) // pad byte on odd size
         } else if (id == "data") {

@@ -157,6 +157,37 @@ class DedupSpec extends SparkSpec {
     assert(sinkRows === 0L) // the sink never sees the dropped batch
   }
 
+  test("admitIncrementNear crash AFTER state append: re-run never duplicates signature rows") {
+    // the near lifecycle's extra crash window vs exact: a post-append
+    // re-run RE-ADMITS the same ids (a batch doc never pairs with its
+    // own persisted signature — the a<b normal form excludes equal
+    // ids), so without the anti-join guard the state would gain a
+    // second (id, h64, sig) copy per crash, inflating candidate
+    // generation and hot-bucket counts on every later cycle.
+    val base = java.nio.file.Files.createTempDirectory("graft-near-crash")
+    val state = base.resolve("sig").toString
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    // run 1 completed fully (output durable, signatures appended) but
+    // the caller crashed before recording the batch as done
+    val a1 = Dedup.admitIncrementNear(state, batch, "doc_id", "text")
+    assert(a1.count() === 2L)
+    val afterRun1 = spark.read.parquet(state).count()
+    // recovery = re-run the whole batch
+    val a2 = Dedup.admitIncrementNear(state, batch, "doc_id", "text")
+    assert(a2.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L), "same-id docs re-admit (deterministic recovery)")
+    val st = spark.read.parquet(state)
+    assert(st.count() === afterRun1, "state must not grow on re-run")
+    assert(st.select("id").distinct().count() === st.count())
+    // and a later batch still dedups against the clean state
+    val b2 = Seq((10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "fresh words nothing shares these tokens")).toDF("doc_id", "text")
+    assert(Dedup.admitIncrementNear(state, b2, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq === Seq(11L))
+  }
+
   test("pairMetrics: counts, ratios, and NULL on empty sides") {
     val truth = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("a_id", "b_id")
     val pred = Seq((1L, 2L), (4L, 5L), (6L, 7L), (8L, 9L)).toDF("a_id", "b_id")

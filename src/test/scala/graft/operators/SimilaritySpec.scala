@@ -391,6 +391,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got(10L) === ((1.0, true)), "scale-invariant copy must die")
     assert(got(11L)._2 && got(11L)._1 > 0.9 && got(11L)._1 < 1.0)
     assert(got(12L) === ((0.0, false)), "orthogonal vector survives")
+    // EMPTY benchmark = nothing to be contaminated by: every corpus
+    // vector verdicts false at the −1 sentinel (the inner-join form
+    // returned zero rows and a !contaminated filter dropped everything)
+    val none = Similarity.embeddingDecontaminate(
+        corpus, bench.limit(0), 0.9)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(none.length === 5)
+    none.foreach { case (_, ms, c) => assert(ms === -1.0 && !c) }
   }
 
   test("semDedupAdmit: corpus near-dups and higher-id batch twins die, novel vectors admit") {

@@ -76,6 +76,14 @@ class WavCodecSpec extends SparkSpec {
     // data before fmt
     val noFmt = ok.slice(0, 12) ++ ok.slice(36, ok.length)
     intercept[IllegalArgumentException] { WavCodec.decode(noFmt) }
+    // zero sample rate: must fail with the documented diagnostic at
+    // decode, not as a later divide-by-zero in the ms arithmetic
+    val e = intercept[IllegalArgumentException] {
+      WavCodec.decode(mutate { b =>
+        java.util.Arrays.fill(b, 24, 28, 0.toByte); b
+      })
+    }
+    assert(e.getMessage.contains("bad sample rate"))
   }
 
   test("features: peak, RMS, zero crossings, floor duration") {
