@@ -1009,6 +1009,80 @@ object SparkEntry {
       s"list_transform(range(1, len($a)+1), zi -> $a[zi] * $b[zi])), " +
       s"(a0, x0) -> a0 + x0)"
 
+  /** q147's oracle chain parameterized by the labeled-token CTE body
+    * (columns id, y, t) — a def so the standalone query and the q160
+    * end-to-end composition train the IDENTICAL model (the
+    * bruteCosineTopKSql convention: engine and oracle compose the
+    * same derivation). Emits the WITH-fragment ending in CTE `sc`
+    * with (id, y, score); dim 16, 8 GD steps, lr 0.5. */
+  private def classifierChainSql(tkBody: String): String = {
+    val dim = 16
+    def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+    val hash = hashSql("tok")
+    val dot = dotSql("f.x", "wp.w")
+    val z = r6(s"$dot + wp.w[${dim + 1}]")
+    val prob = r6(s"1.0/(1.0 + exp(-($z)))")
+    def iter(k: Int): String = {
+      val gTerms = (0 until dim).map(j =>
+        r6(s"CAST(sum(CAST(${r6(s"e * x[${j + 1}]")} AS DECIMAL(28,6))) AS DOUBLE) / nt.n")) :+
+        r6("CAST(sum(CAST(e AS DECIMAL(28,6))) AS DOUBLE) / nt.n")
+      s"""ce$k AS (SELECT f.id, f.y, f.x, ${r6(s"$prob - f.y")} AS e
+         |  FROM f CROSS JOIN cw${k - 1} wp),
+         |cg$k AS (SELECT [${gTerms.mkString(",\n    ")}] AS g
+         |  FROM ce$k CROSS JOIN nt GROUP BY nt.n),
+         |cw$k AS (SELECT list_transform(range(1, ${dim + 2}),
+         |    wi -> ${r6("wp.w[wi] - 0.5 * g.g[wi]")}) AS w
+         |  FROM cw${k - 1} wp CROSS JOIN cg$k g)""".stripMargin
+    }
+    s"""ctk AS ($tkBody),
+       |f AS MATERIALIZED (SELECT id, y, list_transform(range(0, $dim),
+       |    fj -> CAST(len(list_filter(t, tok -> ($hash) % $dim = fj))
+       |          AS DOUBLE) / len(t)) AS x
+       |  FROM ctk WHERE len(t) >= 1),
+       |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+       |cw0 AS (SELECT [${Seq.fill(dim + 1)("0.0").mkString(", ")}] AS w),
+       |${(1 to 8).map(iter).mkString(",\n")},
+       |sc AS (SELECT f.id, f.y, $prob AS score
+       |  FROM f CROSS JOIN cw8 wp)""".stripMargin
+  }
+
+  /** q148's oracle chain parameterized by the target-flagged token CTE
+    * body (columns id, tgt, t) plus (dim, k) — shared verbatim with
+    * the q160 composition's selection stage. Emits the WITH-fragment
+    * ending in CTE `dsel` with (id, logw, key, rank), rank NULL
+    * outside the top k. */
+  private def dsirChainSql(tkBody: String, dim: Int, k: Int): String = {
+    def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+    val hash = hashSql("tok")
+    val u = s"CAST(${hashSql("CAST(id AS VARCHAR)")} + 1 AS DOUBLE)" +
+      " / 1000000009.0"
+    val gk = r6(s"-ln(greatest(${r6(s"-ln($u)")}, 0.000001))")
+    s"""dtk AS ($tkBody),
+       |dd AS MATERIALIZED (SELECT id, tgt, ($hash) % $dim AS j,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT id, tgt, unnest(t) AS tok FROM dtk)
+       |  GROUP BY id, tgt, j),
+       |db AS (SELECT j,
+       |    sum(CASE WHEN tgt THEN c ELSE 0 END) AS ct, sum(c) AS cr
+       |  FROM dd GROUP BY j),
+       |dtot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM db),
+       |dlam AS (SELECT j,
+       |    ${r6(s"ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + $dim AS DOUBLE))")}
+       |    - ${r6(s"ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + $dim AS DOUBLE))")}
+       |      AS lam
+       |  FROM db CROSS JOIN dtot),
+       |dw AS MATERIALIZED (SELECT id, CAST(sum(CAST(CAST(c AS DOUBLE) * lam
+       |      AS DECIMAL(28,6))) AS DOUBLE) AS logw
+       |  FROM dd JOIN dlam USING (j) GROUP BY id),
+       |dwin AS (SELECT id, p,
+       |    row_number() OVER (ORDER BY p DESC, id ASC) AS rn
+       |  FROM (SELECT id, logw + $gk AS p FROM dw)),
+       |dsel AS (SELECT dw.id, dw.logw,
+       |  CASE WHEN dwin.rn <= $k THEN dwin.p END AS key,
+       |  CASE WHEN dwin.rn <= $k THEN CAST(dwin.rn AS INTEGER) END AS rank
+       |FROM dw JOIN dwin ON dw.id = dwin.id)""".stripMargin
+  }
+
   /** One unrolled Lloyd iteration of the q36 IVF quantizer: assignment
     * under centroids `prev` (argmin of the −2·v·c+‖c‖² partial, ties →
     * lowest cid), then the per-(cid,dim) two-level deterministic fold
@@ -1570,6 +1644,65 @@ object SparkEntry {
           unigramArtifact(s, dir), maxPieceLen = 4)
         .select(col("id").as("doc_id"), col("n_pieces"),
           col("piece_checksum"))),
+
+    // ---- END-TO-END CURATION (the `curate` CLI's composition as ONE
+    // declarative plan, stage order pinned = the CLI's layering):
+    // URL-canonical dedup (q134, min-id per canon key) → C4 line
+    // rules (q136, doc kills + text rewrite) → global paragraph dedup
+    // (q141, text rewrite) → Gopher gate (q131) → classifier trained
+    // ON the survivors (q147, the DCLM layering: the filter model
+    // never sees what the rules killed) → DSIR top-50 selection
+    // toward lang=='en' (q148). Each doc carries a URL and a crafted
+    // multi-line page so every stage has real kills; the oracle
+    // replays the WHOLE chain (the q153 composition convention, one
+    // stage deeper). Output = the selected docs, scalar columns only
+    // (text pinned via its portable hash). ----
+    "q160_curate_e2e" -> ((s, dir) => {
+      import graft.functions.PortableHash.portable_hash
+      import graft.operators.{Classifier, Corpus, Dsir}
+      val d = docs(s, dir)
+      val art = (col("doc_id") % 250).cast("string")
+      val url = concat(lit("HTTP://WWW.Site"),
+        (col("doc_id") % 250 % 7).cast("string"),
+        lit(".COM:80/Articles/"), art, lit("?utm_source=feed&id="), art)
+      val page = concat_ws("\n",
+        concat(col("text"), lit(" and that is the end.")),
+        lit("Subscribe to our newsletter today."),
+        lit("Too short."),
+        when(col("doc_id") % 11 === 0, lit("code { block }"))
+          .otherwise(lit("Filler line number six right here.")))
+      val base = d.select(col("doc_id"), col("lang"),
+        url.as("url"), page.as("page"))
+      val kept1 = base.join(
+        Corpus.urlDupClusters(base, col("doc_id"), col("url"))
+          .select(col("min_doc").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val c4 = Corpus.c4LineFilter(kept1, col("doc_id"), col("page"))
+        .filter(col("keep_doc"))
+        .select(col("id").as("doc_id"), col("clean_text").as("t1"))
+      val kept2 = kept1.select(col("doc_id"), col("lang")).join(c4, "doc_id")
+      val para = Corpus.paragraphDedup(kept2, col("doc_id"), col("t1"))
+        .filter(col("n_kept") > 0)
+        .select(col("id").as("doc_id"), col("clean_text").as("t2"))
+      val kept3 = kept2.select(col("doc_id"), col("lang")).join(para, "doc_id")
+      val kept4 = kept3.join(
+        Corpus.gopherQualityGate(kept3, col("doc_id"), col("t2"))
+          .filter(col("pass")).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+        .localCheckpoint() // feeds training AND scoring AND selection
+      val scored = Classifier.qualityClassifierScores(
+          kept4, "doc_id", "t2", col("lang") === "en")
+        .select(col("id").as("doc_id"), col("score").as("clf_score"))
+      Dsir.resample(kept4, "doc_id", "t2", col("lang") === "en",
+          dim = 64, k = 50)
+        .filter(col("rank").isNotNull)
+        .select(col("id").as("doc_id"), col("logw"), col("rank"))
+        .join(scored, "doc_id")
+        .join(kept4.select(col("doc_id"), col("lang"),
+          portable_hash(col("t2")).as("text_hash")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("text_hash"),
+          col("clf_score"), col("logw"), col("rank"))
+    }),
 
     // ---- RedPajama-V2-style quality-signals sheet: every cheap
     // text-local signal (length/tokens, q20 quality, q19 lang-id,
@@ -3667,39 +3800,12 @@ object SparkEntry {
     // q147: the full 8-step GD training unrolled — hashed features,
     // round6'd sigmoid, per-term-rounded DECIMAL gradient sums, the
     // exact lr=0.5 update — then the final weights score every doc.
-    "q147_quality_classifier" -> {
-      val dim = 16
-      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
-      val hash = hashSql("tok")
-      val dot = dotSql("f.x", "wp.w")
-      val z = r6(s"$dot + wp.w[${dim + 1}]")
-      val prob = r6(s"1.0/(1.0 + exp(-($z)))")
-      def iter(k: Int): String = {
-        val gTerms = (0 until dim).map(j =>
-          r6(s"CAST(sum(CAST(${r6(s"e * x[${j + 1}]")} AS DECIMAL(28,6))) AS DOUBLE) / nt.n")) :+
-          r6("CAST(sum(CAST(e AS DECIMAL(28,6))) AS DOUBLE) / nt.n")
-        s"""e$k AS (SELECT f.id, f.y, f.x, ${r6(s"$prob - f.y")} AS e
-           |  FROM f CROSS JOIN w${k - 1} wp),
-           |g$k AS (SELECT [${gTerms.mkString(",\n    ")}] AS g
-           |  FROM e$k CROSS JOIN nt GROUP BY nt.n),
-           |w$k AS (SELECT list_transform(range(1, ${dim + 2}),
-           |    wi -> ${r6("wp.w[wi] - 0.5 * g.g[wi]")}) AS w
-           |  FROM w${k - 1} wp CROSS JOIN g$k g)""".stripMargin
-      }
-      s"""WITH tk AS (SELECT doc_id AS id,
-         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-         |    string_split(text, ' ') AS t FROM documents),
-         |f AS MATERIALIZED (SELECT id, y, list_transform(range(0, $dim),
-         |    fj -> CAST(len(list_filter(t, tok -> ($hash) % $dim = fj))
-         |          AS DOUBLE) / len(t)) AS x
-         |  FROM tk WHERE len(t) >= 1),
-         |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
-         |w0 AS (SELECT [${Seq.fill(dim + 1)("0.0").mkString(", ")}] AS w),
-         |${(1 to 8).map(iter).mkString(",\n")},
-         |sc AS (SELECT f.id, f.y, $prob AS score
-         |  FROM f CROSS JOIN w8 wp)
-         |SELECT id, y, score, score >= 0.5 AS pred FROM sc""".stripMargin
-    },
+    "q147_quality_classifier" ->
+      s"""WITH ${classifierChainSql(
+        """SELECT doc_id AS id,
+          |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+          |    string_split(text, ' ') AS t FROM documents""".stripMargin)}
+         |SELECT id, y, score, score >= 0.5 AS pred FROM sc""".stripMargin,
 
     // q148: the DSIR chain replayed — per-doc hashed bucket counts,
     // add-one-smoothed target/raw log-probs (each ln round6'd on an
@@ -3707,39 +3813,12 @@ object SparkEntry {
     // DECIMAL-summed per-doc log-weights, then the hash-seeded
     // Gumbel-max draw (u over Mod+2, the round6+clamp between the
     // nested lns) ranked (key desc, id asc).
-    "q148_dsir_resample" -> {
-      val dim = 64
-      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
-      val hash = hashSql("tok")
-      val u = s"CAST(${hashSql("CAST(id AS VARCHAR)")} + 1 AS DOUBLE)" +
-        " / 1000000009.0"
-      val gk = r6(s"-ln(greatest(${r6(s"-ln($u)")}, 0.000001))")
-      s"""WITH tk AS (SELECT doc_id AS id, lang = 'en' AS tgt,
-         |    string_split(text, ' ') AS t FROM documents),
-         |d AS MATERIALIZED (SELECT id, tgt, ($hash) % $dim AS j,
-         |    CAST(count(*) AS BIGINT) AS c
-         |  FROM (SELECT id, tgt, unnest(t) AS tok FROM tk)
-         |  GROUP BY id, tgt, j),
-         |b AS (SELECT j,
-         |    sum(CASE WHEN tgt THEN c ELSE 0 END) AS ct, sum(c) AS cr
-         |  FROM d GROUP BY j),
-         |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM b),
-         |lam AS (SELECT j,
-         |    ${r6(s"ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + $dim AS DOUBLE))")}
-         |    - ${r6(s"ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + $dim AS DOUBLE))")}
-         |      AS lam
-         |  FROM b CROSS JOIN tot),
-         |w AS (SELECT id, CAST(sum(CAST(CAST(c AS DOUBLE) * lam
-         |      AS DECIMAL(28,6))) AS DOUBLE) AS logw
-         |  FROM d JOIN lam USING (j) GROUP BY id),
-         |win AS (SELECT id, p,
-         |    row_number() OVER (ORDER BY p DESC, id ASC) AS rn
-         |  FROM (SELECT id, logw + $gk AS p FROM w))
-         |SELECT w.id, w.logw,
-         |  CASE WHEN win.rn <= 100 THEN win.p END AS key,
-         |  CASE WHEN win.rn <= 100 THEN CAST(win.rn AS INTEGER) END AS rank
-         |FROM w JOIN win ON w.id = win.id""".stripMargin
-    },
+    "q148_dsir_resample" ->
+      s"""WITH ${dsirChainSql(
+        """SELECT doc_id AS id, lang = 'en' AS tgt,
+          |    string_split(text, ' ') AS t FROM documents""".stripMargin,
+        dim = 64, k = 100)}
+         |SELECT id, logw, key, rank FROM dsel""".stripMargin,
 
     // q146: q75's whole LM derivation nested as a subquery, joined to
     // lang, quantile_cont bounds (≡ Spark percentile interpolation)
@@ -6024,6 +6103,146 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_pieces,
          |  CAST(sum((${hashSql("piece")}) * p) AS BIGINT) AS piece_checksum
          |FROM pos GROUP BY doc_id""".stripMargin,
+
+    // q160: the WHOLE curation chain replayed stage by stage — the
+    // q134 URL canonicalization, q136 C4 line pass, q141 paragraph
+    // election, q131 Gopher panel, then the q147 classifier chain and
+    // q148 DSIR chain (SHARED defs — classifierChainSql/dsirChainSql,
+    // so the composed model is definitionally the standalone one)
+    // trained/selected over the curated survivors k4.
+    "q160_curate_e2e" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b0 AS (SELECT doc_id, lang,
+         |    'HTTP://WWW.Site' || CAST(doc_id % 250 % 7 AS VARCHAR) ||
+         |      '.COM:80/Articles/' || CAST(doc_id % 250 AS VARCHAR) ||
+         |      '?utm_source=feed&id=' || CAST(doc_id % 250 AS VARCHAR) AS url,
+         |    concat_ws(chr(10), text || ' and that is the end.',
+         |      'Subscribe to our newsletter today.',
+         |      'Too short.',
+         |      CASE WHEN doc_id % 11 = 0 THEN 'code { block }'
+         |           ELSE 'Filler line number six right here.' END) AS page
+         |  FROM documents),
+         |u1 AS (SELECT doc_id, string_split(url, '#')[1] AS s0 FROM b0),
+         |u2 AS (SELECT doc_id,
+         |    lower(regexp_extract(s0, '^([^:/?#]+)://', 1)) AS scheme,
+         |    regexp_replace(s0, '^[^:/?#]+://', '') AS rest FROM u1),
+         |u3 AS (SELECT doc_id, scheme,
+         |    lower(regexp_extract(rest, '^([^/?]*)', 1)) AS auth0,
+         |    substring(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1)
+         |      AS tail FROM u2),
+         |u4 AS (SELECT doc_id, scheme,
+         |    CASE WHEN scheme = 'http' AND ends_with(auth0, ':80')
+         |           THEN left(auth0, length(auth0) - 3)
+         |         WHEN scheme = 'https' AND ends_with(auth0, ':443')
+         |           THEN left(auth0, length(auth0) - 4)
+         |         ELSE auth0 END AS auth,
+         |    CASE WHEN contains(tail, '?')
+         |         THEN left(tail, strpos(tail, '?') - 1) ELSE tail END AS path,
+         |    CASE WHEN contains(tail, '?')
+         |         THEN substring(tail, strpos(tail, '?') + 1) ELSE '' END AS qs
+         |  FROM u3),
+         |u5 AS (SELECT doc_id,
+         |    scheme || '://' || auth || path ||
+         |    CASE WHEN len(kept) = 0 THEN ''
+         |         ELSE '?' || array_to_string(kept, '&') END AS canon_url
+         |  FROM (SELECT *,
+         |      list_sort(list_filter(string_split(qs, '&'),
+         |        pp -> pp <> '' AND NOT (
+         |          starts_with(string_split(pp, '=')[1], 'utm_') OR
+         |          string_split(pp, '=')[1] IN ('gclid', 'fbclid', 'msclkid'))))
+         |        AS kept
+         |    FROM u4)),
+         |k1 AS MATERIALIZED (SELECT b0.* FROM b0
+         |  JOIN (SELECT min(doc_id) AS doc_id FROM u5 GROUP BY canon_url) mu
+         |  USING (doc_id)),
+         |c1 AS (SELECT doc_id, lang, page,
+         |    list_transform(string_split(page, chr(10)),
+         |      li -> trim(li, ' ' || chr(9) || chr(13) || chr(12) || chr(11)))
+         |      AS ls
+         |  FROM k1),
+         |c2 AS (SELECT doc_id, lang, page,
+         |    list_filter(ls, li -> li <> ''
+         |      AND (ends_with(li, '.') OR ends_with(li, '!') OR
+         |           ends_with(li, '?') OR ends_with(li, '"'))
+         |      AND len(list_filter(
+         |            regexp_split_to_array(li, '[ \\t\\n\\r\\f\\x0B]+'),
+         |            w -> w <> '')) >= 5
+         |      AND NOT contains(lower(li), 'javascript')) AS kept
+         |  FROM c1),
+         |k2 AS MATERIALIZED (SELECT doc_id, lang,
+         |    array_to_string(kept, chr(10)) AS t1
+         |  FROM c2
+         |  WHERE NOT contains(lower(page), 'lorem ipsum')
+         |    AND NOT contains(page, '{') AND len(kept) >= 3),
+         |p1 AS (SELECT doc_id, unnest(string_split(t1, chr(10))) AS p0,
+         |    unnest(range(0, len(string_split(t1, chr(10))))) AS pos
+         |  FROM k2),
+         |p2 AS (SELECT doc_id, pos, trim(p0) AS p FROM p1
+         |       WHERE length(trim(p0)) > 0),
+         |p3 AS (SELECT doc_id, pos, p FROM (
+         |    SELECT doc_id, pos, p, row_number() OVER
+         |      (PARTITION BY p ORDER BY doc_id, pos) AS rk FROM p2)
+         |  WHERE rk = 1),
+         |k3 AS MATERIALIZED (SELECT k2.doc_id, k2.lang,
+         |    agg.t2 AS t2
+         |  FROM k2 JOIN (SELECT doc_id,
+         |      string_agg(p, chr(10) ORDER BY pos) AS t2
+         |    FROM p3 GROUP BY doc_id) agg USING (doc_id)),
+         |go1 AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(t2, '[ \\t\\n\\r\\f\\x0B]+'),
+         |      x -> x <> '') AS ws,
+         |    list_filter(list_transform(string_split(t2, chr(10)),
+         |      l -> trim(l, ' ' || chr(9) || chr(13) || chr(12) || chr(11))),
+         |      x -> x <> '') AS ls
+         |  FROM k3),
+         |go2 AS (SELECT doc_id,
+         |    len(ws) AS n_words,
+         |    coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+         |      AS sum_chars,
+         |    len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))
+         |      AS n_sym,
+         |    len(ls) AS n_lines,
+         |    len(list_filter(ls, l -> l[1] = '-' OR l[1] = '*')) AS n_bullet,
+         |    len(list_filter(ls, l -> ends_with(l, '...'))) AS n_ell,
+         |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+         |      AS n_alpha,
+         |    ($stops) AS n_stop
+         |  FROM go1),
+         |go3 AS (SELECT doc_id FROM go2
+         |  WHERE n_words BETWEEN 50 AND 100000
+         |    AND (CASE WHEN n_words = 0 THEN 0.0
+         |         ELSE ${r6("CAST(sum_chars AS DOUBLE)/n_words")} END)
+         |      BETWEEN 3.0 AND 10.0
+         |    AND (CASE WHEN n_words = 0 THEN 0.0
+         |         ELSE ${r6("CAST(n_sym AS DOUBLE)/n_words")} END) <= 0.1
+         |    AND (CASE WHEN n_lines = 0 THEN 0.0
+         |         ELSE ${r6("CAST(n_bullet AS DOUBLE)/n_lines")} END) <= 0.9
+         |    AND (CASE WHEN n_lines = 0 THEN 0.0
+         |         ELSE ${r6("CAST(n_ell AS DOUBLE)/n_lines")} END) <= 0.3
+         |    AND (CASE WHEN n_words = 0 THEN 0.0
+         |         ELSE ${r6("CAST(n_alpha AS DOUBLE)/n_words")} END) >= 0.8
+         |    AND n_stop >= 2),
+         |k4 AS MATERIALIZED (SELECT k3.doc_id, k3.lang, k3.t2
+         |  FROM k3 JOIN go3 USING (doc_id)),
+         |${classifierChainSql(
+        """SELECT doc_id AS id,
+          |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+          |    string_split(t2, ' ') AS t FROM k4""".stripMargin)},
+         |${dsirChainSql(
+        """SELECT doc_id AS id, lang = 'en' AS tgt,
+          |    string_split(t2, ' ') AS t FROM k4""".stripMargin,
+        dim = 64, k = 50)}
+         |SELECT k4.doc_id, k4.lang,
+         |  ${hashSql("k4.t2")} AS text_hash,
+         |  sc.score AS clf_score, dsel.logw, dsel.rank
+         |FROM k4
+         |JOIN sc ON k4.doc_id = sc.id
+         |JOIN dsel ON k4.doc_id = dsel.id
+         |WHERE dsel.rank IS NOT NULL""".stripMargin
+    },
 
     // q153: definitional identity with the standalone queries — the
     // q19/q20/q56/q131 oracle bodies nest as CTEs and join on doc_id
