@@ -1719,6 +1719,13 @@ object SparkEntry {
     "q151_kneser_ney_score" -> ((s, dir) =>
       graft.operators.Corpus.knScore(docs(s, dir), "doc_id", "text")),
 
+    // ---- trigram INTERPOLATED Kneser–Ney (q151 one order up — the
+    // KenLM direction): lower-order continuation counts over trigram
+    // types, unigram level from bigram types, discount 0.75 at both
+    // orders; model tables finished at aggregate size, probe salted ----
+    "q161_kn_trigram_score" -> ((s, dir) =>
+      graft.operators.Corpus.knTrigramScore(docs(s, dir), "doc_id", "text")),
+
     // ---- prototype-distance data pruning (Sorscher et al. 2022):
     // keep the hardest half of each IVF cluster by distance to its
     // prototype — the embedding-space selection step, through the
@@ -6294,6 +6301,50 @@ object SparkEntry {
                " / CAST(count(*) AS DOUBLE)")} AS nll
          |FROM pairs p JOIN bi USING (a, b) JOIN ctx USING (a)
          |  JOIN rights USING (b) CROSS JOIN nb
+         |GROUP BY 1""".stripMargin
+    },
+
+    // q161: the two-level interpolated-KN operand tree replayed — raw
+    // trigram counts at the top order, continuation counts over
+    // trigram types one level down, bigram-type fan-in at the unigram
+    // level, discount 0.75 at both orders, the exact cast/assoc/
+    // division order of knTrigramScore's one transcendental.
+    "q161_kn_trigram_score" -> {
+      val p2 = "((greatest(CAST(cont AS DOUBLE) - 0.75, 0.0) + " +
+        "0.75 * CAST(nfw2 AS DOUBLE) * " +
+        "(CAST(n1 AS DOUBLE) / CAST(nbt.nb AS DOUBLE))) / " +
+        "CAST(nmid AS DOUBLE))"
+      val contrib = graft.functions.TextFunctions.round6Sql(
+        "-ln((greatest(CAST(c3 AS DOUBLE) - 0.75, 0.0) + " +
+          s"0.75 * CAST(n3fw AS DOUBLE) * $p2) / CAST(c2 AS DOUBLE))")
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |tr AS MATERIALIZED (SELECT doc_id,
+         |    g['a'] AS a, g['b'] AS b, g['c'] AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+         |      ti -> struct_pack(a := t[ti], b := t[ti+1], c := t[ti+2]))) AS g
+         |    FROM tk WHERE len(t) >= 3)),
+         |tri AS MATERIALIZED (SELECT a, b, c, count(*) AS c3
+         |  FROM tr GROUP BY 1, 2, 3),
+         |g1 AS (SELECT a, b, sum(c3) AS c2, count(*) AS n3fw
+         |  FROM tri GROUP BY 1, 2),
+         |g2 AS MATERIALIZED (SELECT b, c, count(*) AS cont
+         |  FROM tri GROUP BY 1, 2),
+         |g3 AS (SELECT b, sum(cont) AS nmid, count(*) AS nfw2
+         |  FROM g2 GROUP BY 1),
+         |prs AS (SELECT g['a'] AS a, g['b'] AS b FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)),
+         |      pi -> struct_pack(a := t[pi], b := t[pi+1]))) AS g
+         |    FROM tk WHERE len(t) >= 2)),
+         |bt AS MATERIALIZED (SELECT DISTINCT a, b FROM prs),
+         |nbt AS (SELECT count(*) AS nb FROM bt),
+         |n1c AS (SELECT b AS c, count(*) AS n1 FROM bt GROUP BY 1)
+         |SELECT tr.doc_id AS doc_id, count(*) AS n_tris,
+         |  ${graft.functions.TextFunctions.round6Sql(
+             "CAST(sum(CAST(" + contrib + " AS DECIMAL(28,6))) AS DOUBLE)" +
+               " / CAST(count(*) AS DOUBLE)")} AS nll
+         |FROM tr JOIN tri USING (a, b, c) JOIN g1 USING (a, b)
+         |  JOIN g2 USING (b, c) JOIN g3 USING (b) JOIN n1c USING (c)
+         |  CROSS JOIN nbt
          |GROUP BY 1""".stripMargin
     },
 

@@ -1050,6 +1050,26 @@ object Stress {
         (sink(graft.operators.Corpus.knScore(
           corpus(sp, n, len = 120, vocab = 2000), "id", "text")), n)
       }),
+      Scenario("kn_trigram", sp => {
+        // q161 at corpus volume: the bigram lessons one order up —
+        // 118M scored trigrams in the Zipfian-REUSE regime (types ≪
+        // occurrences). The vocab is 200, not the bigram scenario's
+        // 2000: the type space grows as vocab^ORDER, and a uniform 2k
+        // vocab at order 3 (8e9 possible types) makes ~every trigram
+        // occurrence a unique type — a corpus-sized "model" table
+        // that pins the checkpoint (measured: OOM at 8 GiB), which
+        // stresses only the pathological-uniform case no natural
+        // corpus has (KenLM-class deployments additionally PRUNE
+        // singleton n-grams for exactly this reason). At 200³ = 8M
+        // possible types the table is ~15×-reused — the regime the
+        // model-table premise is about. Repartition-first trigram
+        // aggregate, derived tables at aggregate size, vocab-bounded
+        // broadcasts, salted shuffle_hash probe. Pass = bounded
+        // spill, no corpus-scale sort.
+        val n = s(1000000L)
+        (sink(graft.operators.Corpus.knTrigramScore(
+          corpus(sp, n, len = 120, vocab = 200), "id", "text")), n)
+      }),
       Scenario("kneser_ney_zipf", sp => {
         // the hot-bigram guard's target regime, which the uniform-
         // vocab scenario above cannot produce: 20% of tokens are ONE

@@ -428,6 +428,147 @@ object Corpus {
           col("n_pairs").cast("double")).as("nll"))
   }
 
+  /** TRIGRAM INTERPOLATED Kneser–Ney scoring — [[knScore]] one order
+    * up (the direction real CCNet-class filters go: KenLM ships
+    * 5-gram interpolated KN; the trigram form exercises every
+    * structural discipline the jump needs). Chen & Goodman's
+    * interpolated formulation with absolute discount d at BOTH
+    * orders, lower-order counts as CONTINUATION counts over trigram
+    * TYPES, unigram level from bigram types:
+    *
+    *   Pcont(c)  = N₁₊(·c) / |bigram types|
+    *   P₂(c|b)   = (max(N₁₊(·bc)−d, 0) + d·N₁₊(b·*)·Pcont(c)) / N₁₊(·b·)
+    *   P₃(c|a,b) = (max(c(abc)−d, 0) + d·N₁₊(ab·)·P₂(c|b)) / c(ab)
+    *
+    * where N₁₊(·bc) = distinct a with trigram (a,b,c); N₁₊(·b·) =
+    * Σ_c N₁₊(·bc); N₁₊(b·*) = distinct c with any (·,b,c); N₁₊(ab·) =
+    * distinct c after (a,b); c(ab) = Σ_c c(abc) (pair-left counts —
+    * self-consistent at document edges); N₁₊(·c) = distinct b with
+    * bigram (b,c). Scoring covers the training corpus, so every
+    * denominator is positive and the max() never zeroes a term.
+    *
+    * Determinism: all model inputs are exact longs; each trigram's
+    * −ln P₃ is ONE transcendental whose operand tree (casts, the
+    * left-associated d·N·P products, the division order) the q161
+    * oracle replays operand-for-operand, round6'd and DECIMAL-summed.
+    *
+    * Scale shape — the bigram lessons, held one order up: the corpus
+    * tokenizes per pass and is never cached; the trigram-count
+    * aggregate is REPARTITION-FIRST (types per scan task ≈ rows per
+    * scan task — the round-15 spill attribution); every derived table
+    * is finished at aggregate size — g1/g2 are trigram-type-keyed
+    * model joins, g3/n1c are vocab-bounded broadcasts, |bigram types|
+    * is a driver scalar; and the corpus-scale probe pays ONE
+    * (a,b,c)-keyed shuffle_hash join against the finished x-table,
+    * with [[knScore]]'s sampled hot-key guard salting Zipf-head
+    * trigrams.
+    *
+    * "Model-sized" is a ZIPF-REUSE property that weakens one order up:
+    * trigram types grow as vocab³, and on a pathological uniform draw
+    * types ≈ occurrences — the checkpointed model table becomes
+    * corpus-sized (the kn_trigram stress note). Natural corpora reuse
+    * trigrams heavily, and KenLM-class deployments additionally prune
+    * singleton n-grams; a deployment scoring adversarially-unique
+    * text should prune upstream before this operator.
+    * @return (doc_id, n_tris, nll) over docs ≥ 3 tokens. */
+  def knTrigramScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75,
+      hotDf: Int = 65536, salts: Int = 16): DataFrame = {
+    import TextFunctions.bindOnce
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    require(hotDf >= 16 && salts >= 2,
+      s"hotDf >= 16 and salts >= 2 required, got hotDf=$hotDf salts=$salts")
+    def tris = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), explode(bindOnce(col("t")) { t =>
+        when(size(t) < 3,
+          array().cast("array<struct<a:string,b:string,c:string>>"))
+          .otherwise(transform(sequence(lit(1), size(t) - 2), i =>
+            struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"),
+              element_at(t, i + 2).as("c"))))
+      }).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"),
+        col("g.c").as("c"))
+    def pairs = docs.select(TextFunctions.tokens(col(textCol)).as("t"))
+      .select(explode(bindOnce(col("t")) { t =>
+        when(size(t) < 2, array().cast("array<struct<a:string,b:string>>"))
+          .otherwise(transform(sequence(lit(1), size(t) - 1), i =>
+            struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
+      }).as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+    // trigram model table: repartition-first (the knScore lesson),
+    // checkpointed — feeds g1, g2 and the x-table base
+    val tri = tris.select(col("a"), col("b"), col("c"))
+      .repartition(col("a"), col("b"), col("c"))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("c3"))
+      .localCheckpoint(eager = false)
+    val g1 = tri.groupBy(col("a"), col("b"))
+      .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n3fw"))
+    // g2 feeds g3 AND the x-table — checkpoint so the tri aggregate
+    // behind it runs once
+    val g2 = tri.groupBy(col("b"), col("c"))
+      .agg(count(lit(1)).as("cont"))
+      .localCheckpoint(eager = false)
+    val g3 = g2.groupBy(col("b"))
+      .agg(sum(col("cont")).as("nmid"), count(lit(1)).as("nfw2"))
+    // bigram TYPES (unigram continuation level): repartition-first
+    // distinct, then the vocab-bounded right-token fan-in
+    val bt = pairs.repartition(col("a"), col("b")).distinct()
+      .localCheckpoint(eager = false)
+    val n1c = bt.groupBy(col("b").as("c")).agg(count(lit(1)).as("n1"))
+    val nB = bt.count() // bounded driver plan parameter
+    val pcont = col("n1").cast("double") / lit(nB.toDouble)
+    val p2 = (greatest(col("cont").cast("double") - lit(discount),
+      lit(0.0)) +
+      lit(discount) * col("nfw2").cast("double") * pcont) /
+      col("nmid").cast("double")
+    val p3 = (greatest(col("c3").cast("double") - lit(discount),
+      lit(0.0)) +
+      lit(discount) * col("n3fw").cast("double") * p2) /
+      col("c2").cast("double")
+    // model-sized joins: g1/g2 ride the trigram-type keys, g3/n1c are
+    // vocab rows — broadcast
+    val xtab = tri
+      .join(g1, Seq("a", "b"))
+      .join(g2, Seq("b", "c"))
+      .join(broadcast(g3), Seq("b"))
+      .join(broadcast(n1c), Seq("c"))
+      .select(col("a"), col("b"), col("c"),
+        TextFunctions.round6(-log(p3)).as("x"))
+    // hot-trigram guard — knScore's sampled salting, keys one wider
+    val sampleMod = 8
+    val hotSet = tris
+      .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
+      .groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotDf / sampleMod / 2)
+      .select(xxhash64(col("a"), col("b"), col("c")).as("hk"))
+      .collect().map(_.getLong(0)).toSeq
+    val isHot = xxhash64(col("a"), col("b"), col("c"))
+      .isInCollection(hotSet)
+    val (probe, build) =
+      if (hotSet.isEmpty)
+        (tris.withColumn("salt", lit(0)),
+          xtab.withColumn("salt", lit(0)))
+      else
+        (tris.withColumn("salt",
+            when(isHot, pmod(xxhash64(col("doc_id")), lit(salts.toLong))
+              .cast("int")).otherwise(lit(0))),
+          xtab.withColumn("salt", explode(
+            when(isHot, sequence(lit(0), lit(salts - 1)))
+              .otherwise(sequence(lit(0), lit(0))))))
+    probe
+      .join(build.hint("shuffle_hash"), Seq("a", "b", "c", "salt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tris"),
+        sum(col("x").cast("decimal(28,6)")).as("s"))
+      .select(col("doc_id"), col("n_tris"),
+        TextFunctions.round6(col("s").cast("double") /
+          col("n_tris").cast("double")).as("nll"))
+  }
+
   /** PMI COLLOCATIONS: pointwise mutual information of adjacent token
     * pairs over the whole corpus — ln((c_ab/N) / ((c_a/M)(c_b/M))) for
     * pairs seen ≥ minCount times. The standard phrase-mining /

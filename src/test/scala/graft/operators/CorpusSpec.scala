@@ -154,6 +154,57 @@ class CorpusSpec extends SparkSpec {
     assert(out(30L) < out(31L))
   }
 
+  test("trigram interpolated KN: hand-checked two-level backoff") {
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    // T: (a,b,a)=2 (b,a,b)=1 (a,b,c)=1; g1: (a,b) c2=3 n3fw=2,
+    // (b,a) c2=1 n3fw=1; g2: cont(b,a)=1 cont(b,c)=1 cont(a,b)=1;
+    // g3: b nmid=2 nfw2=2, a nmid=1 nfw2=1; bigram types
+    // {ab, ba, bc, xy} → NB=4, N1c = 1 each.
+    val d = Seq((1L, "a b a b a"), (2L, "a b c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = Corpus.knTrigramScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L)) // 2-token doc has no trigrams
+    val dct = 0.75
+    def p2(cont: Double, nfw2: Double, n1: Double, nmid: Double) =
+      (math.max(cont - dct, 0.0) + dct * nfw2 * (n1 / 4.0)) / nmid
+    def p3(c3: Double, n3fw: Double, p2v: Double, c2: Double) =
+      (math.max(c3 - dct, 0.0) + dct * n3fw * p2v) / c2
+    val xAba = r6(-math.log(p3(2, 2, p2(1, 2, 1, 2), 3)))
+    val xBab = r6(-math.log(p3(1, 1, p2(1, 1, 1, 1), 1)))
+    val xAbc = r6(-math.log(p3(1, 2, p2(1, 2, 1, 2), 3)))
+    val exp1 = r6((BigDecimal(xAba) * 2 + BigDecimal(xBab))
+      .toDouble / 3.0)
+    assert(got(1L) === ((3L, exp1)))
+    assert(got(2L) === ((1L, xAbc)))
+  }
+
+  test("trigram KN: many-context continuation outranks one-context at equal counts") {
+    // both 'rare' and 'only1' close the trigram (san, francisco, ·)
+    // exactly once; 'rare' additionally appears after 10 different
+    // bigram contexts — the continuation term must prefer it.
+    val d = ((1L to 10L).map(i => (i, s"ctx$i mid$i rare")) ++
+      (11L to 20L).map(i => (i, "san francisco bay")) ++
+      Seq((30L, "san francisco rare"), (31L, "san francisco only1")))
+      .toDF("doc_id", "text")
+    val out = Corpus.knTrigramScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(30L) < out(31L))
+  }
+
+  test("trigram KN: hot-key salting is result-invariant") {
+    val d = ((1L to 150L).map(i => (i, s"of the day of the tail$i")) ++
+      (201L to 240L).map(i => (i, s"cold$i pair$i third$i")))
+      .toDF("doc_id", "text")
+    val salted = rows(Corpus.knTrigramScore(d, "doc_id", "text",
+      hotDf = 16, salts = 4))
+    val cold = rows(Corpus.knTrigramScore(d, "doc_id", "text",
+      hotDf = 1000000, salts = 4))
+    assert(salted === cold)
+    assert(salted.size === 190)
+  }
+
   test("kneser-ney: hot-bigram salting is result-invariant") {
     // 200 docs all repeating the same head bigram (every key crosses
     // a hotDf=16 threshold at the 1-in-8 sample) + a long cold tail;
