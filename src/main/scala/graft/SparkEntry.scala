@@ -744,6 +744,35 @@ object SparkEntry {
        |WHERE coalesce(u2.u, 0) > 0 OR length(kept.piece) = 1""".stripMargin
   }
 
+  /** q151's oracle body — the bigram Kneser–Ney derivation as a def
+    * (the lmScoreSql convention) so q162's bucket composition nests
+    * the SAME scoring chain as a CTE subquery. */
+  private def knScoreSql: String = {
+    val contrib = graft.functions.TextFunctions.round6Sql(
+      "-ln((greatest(CAST(c_ab AS DOUBLE) - 0.75, 0.0) + " +
+        "0.75 * CAST(n1a AS DOUBLE) * " +
+        "(CAST(n1b AS DOUBLE) / CAST(nb.n_bigrams AS DOUBLE))) / " +
+        "CAST(c_a AS DOUBLE))")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |pairs AS (SELECT doc_id, g['a'] AS a, g['b'] AS b FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |      pi -> struct_pack(a := t[pi], b := t[pi+1]))) AS g
+       |    FROM tk WHERE len(t) >= 2)),
+       |bi AS MATERIALIZED (SELECT a, b, count(*) AS c_ab
+       |  FROM pairs GROUP BY 1, 2),
+       |ctx AS (SELECT a, sum(c_ab) AS c_a, count(*) AS n1a
+       |  FROM bi GROUP BY 1),
+       |rights AS (SELECT b, count(*) AS n1b FROM bi GROUP BY 1),
+       |nb AS (SELECT count(*) AS n_bigrams FROM bi)
+       |SELECT p.doc_id AS doc_id, count(*) AS n_pairs,
+       |  ${graft.functions.TextFunctions.round6Sql(
+           "CAST(sum(CAST(" + contrib + " AS DECIMAL(28,6))) AS DOUBLE)" +
+             " / CAST(count(*) AS DOUBLE)")} AS nll
+       |FROM pairs p JOIN bi USING (a, b) JOIN ctx USING (a)
+       |  JOIN rights USING (b) CROSS JOIN nb
+       |GROUP BY 1""".stripMargin
+  }
+
   private def lmScoreSql: String = {
     val contrib = graft.functions.TextFunctions.round6Sql(
       "-ln(CAST(c_ab + 1 AS DOUBLE) / CAST(c_a + v.vocab AS DOUBLE))")
@@ -1725,6 +1754,20 @@ object SparkEntry {
     // orders; model tables finished at aggregate size, probe salted ----
     "q161_kn_trigram_score" -> ((s, dir) =>
       graft.operators.Corpus.knTrigramScore(docs(s, dir), "doc_id", "text")),
+
+    // ---- CCNet perplexity buckets over the KN-smoothed LM (q146's
+    // bucket pass with the LM upgraded from add-one to Kneser–Ney —
+    // the shape CCNet actually ships: KenLM-family perplexity into
+    // per-lang head/middle/tail terciles) ----
+    "q162_kn_perplexity_buckets" -> ((s, dir) => {
+      val scored = graft.operators.Corpus.knScore(
+          docs(s, dir), "doc_id", "text")
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      graft.operators.Corpus.perplexityBuckets(
+          scored, Seq("lang"), col("nll"))
+        .select(col("doc_id"), col("lang"), col("n_pairs"), col("nll"),
+          col("bucket"))
+    }),
 
     // ---- prototype-distance data pruning (Sorscher et al. 2022):
     // keep the hardest half of each IVF cluster by distance to its
@@ -6278,31 +6321,25 @@ object SparkEntry {
     // context/continuation tables DERIVED from the bigram counts, the
     // |bigrams| scalar, and the one-transcendental contribution whose
     // operand tree matches the engine expression operand-for-operand.
-    "q151_kneser_ney_score" -> {
-      val contrib = graft.functions.TextFunctions.round6Sql(
-        "-ln((greatest(CAST(c_ab AS DOUBLE) - 0.75, 0.0) + " +
-          "0.75 * CAST(n1a AS DOUBLE) * " +
-          "(CAST(n1b AS DOUBLE) / CAST(nb.n_bigrams AS DOUBLE))) / " +
-          "CAST(c_a AS DOUBLE))")
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |pairs AS (SELECT doc_id, g['a'] AS a, g['b'] AS b FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
-         |      pi -> struct_pack(a := t[pi], b := t[pi+1]))) AS g
-         |    FROM tk WHERE len(t) >= 2)),
-         |bi AS MATERIALIZED (SELECT a, b, count(*) AS c_ab
-         |  FROM pairs GROUP BY 1, 2),
-         |ctx AS (SELECT a, sum(c_ab) AS c_a, count(*) AS n1a
-         |  FROM bi GROUP BY 1),
-         |rights AS (SELECT b, count(*) AS n1b FROM bi GROUP BY 1),
-         |nb AS (SELECT count(*) AS n_bigrams FROM bi)
-         |SELECT p.doc_id AS doc_id, count(*) AS n_pairs,
-         |  ${graft.functions.TextFunctions.round6Sql(
-             "CAST(sum(CAST(" + contrib + " AS DECIMAL(28,6))) AS DOUBLE)" +
-               " / CAST(count(*) AS DOUBLE)")} AS nll
-         |FROM pairs p JOIN bi USING (a, b) JOIN ctx USING (a)
-         |  JOIN rights USING (b) CROSS JOIN nb
-         |GROUP BY 1""".stripMargin
-    },
+    "q151_kneser_ney_score" -> knScoreSql,
+
+    // q162: q151's whole KN derivation nested as a subquery (the q146
+    // convention, with the LM upgraded from add-one to Kneser–Ney —
+    // the ACTUAL CCNet shape: KenLM-family perplexity into per-lang
+    // tercile buckets), quantile_cont bounds, <=-chain labels.
+    "q162_kn_perplexity_buckets" ->
+      s"""WITH scored AS ($knScoreSql),
+         |sl AS (SELECT s.doc_id, d.lang, s.n_pairs, s.nll
+         |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+         |b AS (SELECT lang,
+         |    quantile_cont(nll, 1.0/3) AS lo,
+         |    quantile_cont(nll, 2.0/3) AS hi
+         |  FROM sl GROUP BY lang)
+         |SELECT sl.doc_id, sl.lang, sl.n_pairs, sl.nll,
+         |  CASE WHEN sl.nll <= b.lo THEN 'head'
+         |       WHEN sl.nll <= b.hi THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sl JOIN b ON sl.lang = b.lang""".stripMargin,
 
     // q161: the two-level interpolated-KN operand tree replayed — raw
     // trigram counts at the top order, continuation counts over

@@ -310,4 +310,21 @@ class PlanSpec extends SparkSpec {
         s"verify predicate re-applied as a post-join Filter:\n$p")
     }
   }
+
+  test("sparse classifier features: the build is one scan-side projection, zero Exchange") {
+    // the round-15 kernel (HashedBow) exists to DELETE the explode →
+    // groupBy(id, j) → collect_list build (37.8 GB of measured spill
+    // at 1M docs × dim 2^18); the 100 TB shape is "one read of the
+    // corpus". Pin: no Exchange, no Aggregate, the kernel in a Project.
+    // parquet-backed input: a local Seq relation constant-folds the
+    // whole projection away and pins nothing
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("label", col("lang") === "en")
+    val p = plan(graft.operators.Classifier.hashedFeaturesSparse(
+      docs, "doc_id", "text", col("label"), dim = 1 << 18))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Aggregate"), p)
+    assert(p.contains("hashed_bow"), p)
+  }
 }
