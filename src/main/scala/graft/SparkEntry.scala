@@ -1755,6 +1755,52 @@ object SparkEntry {
     "q161_kn_trigram_score" -> ((s, dir) =>
       graft.operators.Corpus.knTrigramScore(docs(s, dir), "doc_id", "text")),
 
+    // ---- SFT loss-masked packing: conversations (prompt = first 8
+    // tokens, response = the rest) packed into context windows with
+    // the loss mask riding each token — prompt positions mask 0,
+    // response 1 (the −100-label collator, made layout-exact);
+    // chunk contents and mask positions pinned by the q99
+    // position-weighted checksums ----
+    "q163_sft_masked_pack" -> ((s, dir) => {
+      import graft.functions.PortableHash.portable_hash
+      val toks = docs(s, dir).select(col("doc_id").as("id"),
+        transform(
+          filter(split(col("text"), " "), w => w =!= ""),
+          w => pmod(portable_hash(w), lit(65536L)).cast("int")).as("ids"))
+      val convs = toks.select(col("id"),
+        slice(col("ids"), 1, 8).as("p"),
+        slice(col("ids"), lit(9),
+          greatest(size(col("ids")) - 8, lit(0))).as("r"))
+      graft.operators.Packing.sftMaskedPack(convs, col("id"),
+          col("p"), col("r"), contextLen = 64, nShards = 4)
+        .select(col("shard"), col("chunk_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          aggregate(
+            zip_with(col("token_ids"),
+              sequence(lit(1), size(col("token_ids"))),
+              (t, i) => t.cast("long") * i.cast("long")),
+            lit(0L), (a, x) => a + x).as("ids_checksum"),
+          aggregate(
+            zip_with(col("loss_mask"),
+              sequence(lit(1), size(col("loss_mask"))),
+              (m, i) => m.cast("long") * i.cast("long")),
+            lit(0L), (a, x) => a + x).as("mask_checksum"),
+          aggregate(col("loss_mask"), lit(0L),
+            (a, m) => a + m.cast("long")).as("n_loss"))
+    }),
+
+    // ---- in-context-pretraining order (Shi et al. 2023): every
+    // vector assigned to its frozen-IVF list (the q135 artifact),
+    // then the cluster-grouped training layout — whole clusters per
+    // shard, peers pos-adjacent, seeded-hash order at both levels ----
+    "q164_incontext_order" -> ((s, dir) =>
+      graft.operators.Packing.inContextOrder(
+          Similarity.ivfAssign(embs(s, dir), ivfArtifact(s, dir))
+            .select(col("vec_id"), col("cid")),
+          col("vec_id"), col("cid"), seed = 20260815L, nShards = 4)
+        .select(col("shard"), col("pos"), col("id").as("vec_id"),
+          col("cluster"))),
+
     // ---- CCNet perplexity buckets over the KN-smoothed LM (q146's
     // bucket pass with the LM upgraded from add-one to Kneser–Ney —
     // the shape CCNet actually ships: KenLM-family perplexity into
@@ -6817,6 +6863,78 @@ object SparkEntry {
          |    AS checksum
          |FROM toks
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // q163: q99's stream arithmetic with the per-token mask derived
+    // from the doc-relative position (first min(8, n) tokens = prompt
+    // = mask 0), both checksums at chunk-relative 1-based positions.
+    "q163_sft_masked_pack" -> {
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id AS id,
+         |    list_transform(list_filter(string_split(text, ' '),
+         |                               w -> w <> ''),
+         |      w -> CAST(${hashSql("w")} % 65536 AS INT)) AS ids
+         |  FROM documents),
+         |off AS MATERIALIZED (SELECT id, ids, shard,
+         |    sum(len(ids)) OVER (PARTITION BY shard ORDER BY id)
+         |      - len(ids) AS start_off
+         |  FROM (SELECT id, ids,
+         |          ${hashSql("CAST(id AS VARCHAR)")} % 4 AS shard
+         |        FROM tok)),
+         |toks AS (SELECT shard,
+         |    unnest(list_transform(range(1, len(ids)+1),
+         |      qi -> struct_pack(pos := start_off + qi - 1,
+         |                        t := ids[qi],
+         |                        m := CASE WHEN qi <= least(8, len(ids))
+         |                             THEN 0 ELSE 1 END))) AS u
+         |  FROM off WHERE len(ids) > 0)
+         |SELECT shard, CAST(u.pos // 64 AS BIGINT) AS chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CAST(u.t AS BIGINT)
+         |           * (u.pos - (u.pos // 64) * 64 + 1)) AS BIGINT)
+         |    AS ids_checksum,
+         |  CAST(sum(CAST(u.m AS BIGINT)
+         |           * (u.pos - (u.pos // 64) * 64 + 1)) AS BIGINT)
+         |    AS mask_checksum,
+         |  CAST(sum(u.m) AS BIGINT) AS n_loss
+         |FROM toks
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    // q164: the q135/q149 frozen-IVF training+assignment chain over
+    // ALL vectors, then the two-level seeded order flattened to ONE
+    // window — ORDER BY (hc, cid, hd, id) is bit-identical to
+    // cluster-offsets + within-cluster ranks (hc is a function of
+    // cid, so clusters stay contiguous).
+    "q164_incontext_order" -> {
+      val seed = 20260815L
+      val hShard = hashSql(
+        s"(repeat('$seed~icps:' || CAST(cid AS VARCHAR) || ';', 3))")
+      val hc = hashSql(
+        s"(repeat('$seed~icpc:' || CAST(cid AS VARCHAR) || ';', 3))")
+      val hd = hashSql(
+        s"(repeat('$seed~icpd:' || CAST(id AS VARCHAR) || ';', 3))")
+      s"""WITH ea AS MATERIALIZED (SELECT vec_id AS id,
+         |  list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |e AS MATERIALIZED (SELECT * FROM ea WHERE id % 2 = 0),
+         |c0 AS (SELECT id AS cid, v AS c FROM e ORDER BY id LIMIT 16),
+         |${ivfIterSql(1, "c0")},
+         |${ivfIterSql(2, "c1")},
+         |${ivfIterSql(3, "c2")},
+         |sall AS (SELECT ea.id, c.cid,
+         |  ${dotSql("ea.v", "c.c")} * -2.0 + ${dotSql("c.c", "c.c")} AS d2
+         |  FROM ea CROSS JOIN c3 c),
+         |asg AS MATERIALIZED (SELECT id, cid FROM (SELECT id, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |  FROM sall) WHERE rn = 1),
+         |hs AS (SELECT id, cid,
+         |    ($hShard) % 4 AS shard, ($hc) AS hc, ($hd) AS hd
+         |  FROM asg)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |       ORDER BY hc, cid, hd, id) - 1 AS BIGINT) AS pos,
+         |  id AS vec_id, CAST(cid AS BIGINT) AS cluster
+         |FROM hs""".stripMargin
     }
   )
 }

@@ -514,6 +514,103 @@ object Packing {
     sliceAndReassemble(offs, contextLen)
   }
 
+  /** SFT LOSS-MASKED PACKING — the supervised-fine-tuning assembly
+    * step every instruction-tuning pipeline runs (public recipe:
+    * concatenate (prompt, response) conversations into fixed context
+    * windows and train with the loss masked to RESPONSE tokens only —
+    * prompt tokens get label −100 in the standard collators): each
+    * conversation contributes its prompt ids (mask 0) then response
+    * ids (mask 1); conversations pack id-major into `contextLen`
+    * windows per shard exactly like [[packTokenChunks]] (same shard
+    * hash, same cumulative-offset slicing — a masked stream and an
+    * unmasked stream of the same ids are POSITIONALLY IDENTICAL,
+    * spec-pinned), and the mask travels WITH each token through the
+    * one exchange as a (tok, m) struct — never a separate join, so
+    * ids and mask cannot drift.
+    *
+    * Scale shape: identical to [[packTokenChunks]] — document-bounded
+    * slice rows through one (shard, chunk) exchange, no per-token
+    * rows; the mask adds 4 B/token to the wire.
+    * @return (shard, chunk_id, token_ids, loss_mask). */
+  def sftMaskedPack(
+      convs: DataFrame, idCol: Column,
+      promptIdsCol: Column, responseIdsCol: Column,
+      contextLen: Int, nShards: Int): DataFrame = {
+    require(contextLen > 0 && nShards > 0,
+      "contextLen and nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = convs
+      .select(idCol.cast("long").as("id"),
+        concat(
+          transform(promptIdsCol.cast("array<int>"),
+            t => struct(t.as("tok"), lit(0).as("m"))),
+          transform(responseIdsCol.cast("array<int>"),
+            t => struct(t.as("tok"), lit(1).as("m")))).as("ids"))
+      .withColumn("shard",
+        pmod(portable_hash(col("id").cast("string")), lit(nShards.toLong)))
+      .withColumn("cum", sum(size(col("ids")).cast("long")).over(w))
+      .withColumn("start_off", col("cum") - size(col("ids")))
+      .filter(size(col("ids")) > 0)
+    sliceAndReassemble(offs, contextLen)
+      .select(col("shard"), col("chunk_id"),
+        transform(col("token_ids"), s => s.getField("tok")).as("token_ids"),
+        transform(col("token_ids"), s => s.getField("m")).as("loss_mask"))
+  }
+
+  /** IN-CONTEXT-PRETRAINING ORDER — the related-documents-adjacent
+    * training layout (public recipe: order the pretraining stream so
+    * semantically related documents share context windows instead of
+    * being i.i.d.-shuffled — Shi et al. 2023, "In-Context Pretraining:
+    * Language Modeling Beyond Document Boundaries"; clusters come from
+    * any assignment, e.g. the frozen-IVF lists of
+    * [[Similarity.ivfAssign]]): a cluster lands WHOLE in one shard
+    * (shard = hash of the cluster key), clusters within a shard appear
+    * in seeded-hash order, documents within a cluster in their own
+    * seeded-hash order — so every document keeps `pos`-adjacency to
+    * its cluster peers and the whole layout is one deterministic
+    * artifact of (seed, assignment).
+    *
+    * Scale shape — the natural-blocks form of [[rankByHash]]'s
+    * two-level rank, with CLUSTERS as the blocks: per-(shard, cluster)
+    * local ranks (parallelism = cluster count, the reducer-pinning
+    * per-shard window never exists), plus a cluster-sized offsets
+    * table (one aggregate + one tiny window) joined back broadcast-or-
+    * hash by AQE. Unlike rankByHash there is no adaptive naive form:
+    * the offsets side here is CLUSTER-count rows (not groups×blocks),
+    * so the two-level shape is strictly cheap. A megacluster bounds a
+    * reducer at its own size — the IVF balance tripwire upstream is
+    * the guard.
+    * @return (shard, pos, id, cluster) — pos dense 0.. per shard. */
+  def inContextOrder(
+      docs: DataFrame, idCol: Column, clusterCol: Column,
+      seed: Long, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val base = docs.select(idCol.cast("long").as("id"),
+        clusterCol.cast("long").as("cluster"))
+      .withColumn("shard",
+        pmod(portable_hash(repeat(concat(lit(s"$seed~icps:"),
+          col("cluster").cast("string"), lit(";")), 3)),
+          lit(nShards.toLong)))
+      .withColumn("__hc", portable_hash(repeat(concat(lit(s"$seed~icpc:"),
+        col("cluster").cast("string"), lit(";")), 3)))
+      .withColumn("__hd", portable_hash(repeat(concat(lit(s"$seed~icpd:"),
+        col("id").cast("string"), lit(";")), 3)))
+    val wOff = Window.partitionBy(col("shard"))
+      .orderBy(col("__hc"), col("cluster"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy(col("shard"), col("cluster"), col("__hc"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__coff", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("shard"), col("cluster"), col("__coff"))
+    val wLoc = Window.partitionBy(col("shard"), col("cluster"))
+      .orderBy(col("__hd"), col("id"))
+    base.join(offs, Seq("shard", "cluster"))
+      .withColumn("pos",
+        col("__coff") + row_number().over(wLoc).cast("long") - 1)
+      .select(col("shard"), col("pos"), col("id"), col("cluster"))
+  }
+
   /** SLIDING-WINDOW CHUNKING — the RAG/embedding-pipeline splitter
     * (overlapping windows WITHIN each document, vs [[concatChunks]]'s
     * cross-document stream): each doc yields windows of `chunkTokens`

@@ -535,4 +535,79 @@ class PackingSpec extends SparkSpec {
       "conf=false must force the naive window")
     finally spark.conf.unset("spark.graft.pack.twoLevelRank")
   }
+
+  test("sftMaskedPack: hand-checked masks, chunk splits, prompt-only tails") {
+    // shard-0 stream (nShards = 1, id order):
+    // conv 1 = prompt [10,11] + response [20]; conv 2 = prompt [30] +
+    // response [40,41,42]; conv 3 = prompt [50] + EMPTY response.
+    // L = 4 → chunk0 [10,11,20,30] mask [0,0,1,0];
+    //         chunk1 [40,41,42,50] mask [1,1,1,0]
+    val convs = Seq(
+      (1L, Seq(10, 11), Seq(20)),
+      (2L, Seq(30), Seq(40, 41, 42)),
+      (3L, Seq(50), Seq.empty[Int]))
+      .toDF("id", "p", "r")
+    val got = Packing.sftMaskedPack(convs, col("id"), col("p"), col("r"),
+        contextLen = 4, nShards = 1)
+      .orderBy("chunk_id").collect()
+      .map(row => (row.getLong(1), row.getSeq[Int](2), row.getSeq[Int](3)))
+    assert(got.toSeq === Seq(
+      (0L, Seq(10, 11, 20, 30), Seq(0, 0, 1, 0)),
+      (1L, Seq(40, 41, 42, 50), Seq(1, 1, 1, 0))))
+  }
+
+  test("sftMaskedPack: positionally identical to packTokenChunks; mask counts = response lengths") {
+    // the masked stream must be the SAME layout as the unmasked ids
+    // through the same chunker — mask is metadata, never a reorder
+    val convs = (1L to 40L).map { i =>
+      val p = (0 until (i % 5).toInt + 1).map(j => (i * 7 + j).toInt)
+      val r = (0 until (i % 3).toInt * 2).map(j => (i * 13 + j).toInt)
+      (i, p, r)
+    }.toDF("id", "p", "r")
+    val masked = Packing.sftMaskedPack(convs, col("id"), col("p"),
+      col("r"), contextLen = 16, nShards = 4)
+    val plain = Packing.packTokenChunks(
+      convs.select(col("id"), concat(col("p"), col("r")).as("ids")),
+      col("id"), col("ids"), contextLen = 16, nShards = 4)
+    assert(rows(masked.select(col("shard"), col("chunk_id"),
+        col("token_ids"))) ===
+      rows(plain))
+    val nLoss = masked
+      .select(aggregate(col("loss_mask"), lit(0L), (a, m) =>
+        a + m.cast("long")).as("n"))
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    val nResp = convs.select(sum(size(col("r")))).collect().head.getLong(0)
+    assert(nLoss === nResp)
+  }
+
+  test("inContextOrder: whole clusters per shard, peers adjacent, dense pos, deterministic") {
+    val docs = (1L to 200L).map(i => (i, i % 17)).toDF("doc_id", "cl")
+    val out = Packing.inContextOrder(docs, col("doc_id"), col("cl"),
+      seed = 42L, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 200)
+    // a cluster never splits across shards
+    val byCluster = out.groupBy(_._4)
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.map(_._1).distinct.length === 1, s"cluster $c split") }
+    // pos dense 0..n-1 per shard
+    out.groupBy(_._1).foreach { case (s, rs) =>
+      assert(rs.map(_._2).sorted === (0L until rs.length).toSeq,
+        s"shard $s pos not dense") }
+    // cluster peers occupy a CONTIGUOUS pos range (the whole point)
+    byCluster.foreach { case (c, rs) =>
+      val ps = rs.map(_._2).sorted
+      assert(ps.last - ps.head + 1 === ps.length,
+        s"cluster $c not contiguous in its shard") }
+    // deterministic artifact of (seed, assignment)
+    val again = Packing.inContextOrder(docs, col("doc_id"), col("cl"),
+      seed = 42L, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet === again.toSet)
+    // a different seed produces a different layout
+    val other = Packing.inContextOrder(docs, col("doc_id"), col("cl"),
+      seed = 43L, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet !== other.toSet)
+  }
 }
