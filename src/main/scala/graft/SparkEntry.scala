@@ -918,6 +918,30 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
       |  FROM s) WHERE rank <= 5""".stripMargin
 
+  /** [[bruteCosineTopKSql]] generalized to a PREFIX width: scores use
+    * only the first `dim` components of both vectors (full width when
+    * dim = 0) — q165's per-width truth/candidate chains share this one
+    * derivation. CTE names suffixed so widths coexist in one WITH. */
+  private def bruteCosinePrefixTopKSql(dim: Int, sfx: String): String = {
+    val lim = if (dim <= 0) "len(qv)" else dim.toString
+    val climT = if (dim <= 0) "len(cv)" else dim.toString
+    s"""q$sfx AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |c$sfx AS (SELECT vec_id AS n_id, embedding AS cv FROM embeddings),
+       |s$sfx AS (SELECT q_id, n_id,
+       |  round(
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $lim+1),
+       |      zi -> CAST(qv[zi] AS DOUBLE) * CAST(cv[zi] AS DOUBLE))), (a, x) -> a + x)
+       |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $lim+1),
+       |         zi -> CAST(qv[zi] AS DOUBLE) * CAST(qv[zi] AS DOUBLE))), (a, x) -> a + x))
+       |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, $climT+1),
+       |         zi -> CAST(cv[zi] AS DOUBLE) * CAST(cv[zi] AS DOUBLE))), (a, x) -> a + x))), 6) AS sim
+       |  FROM q$sfx CROSS JOIN c$sfx WHERE q_id <> n_id),
+       |t$sfx AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+       |  FROM s$sfx) WHERE rank <= 5)""".stripMargin
+  }
+
   /** q36's oracle body — IVF-probed cosine top-5 (same query set,
     * same 6dp cosine as [[bruteCosineTopKSql]]); shared with q85. */
   private def ivfCosineTopKSql: String = ivfCosineTopKSql(5)
@@ -1448,6 +1472,15 @@ object SparkEntry {
     "q21_ann_cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    // ---- Matryoshka prefix-dim recall: exact top-5 under truncated
+    // vectors (d ∈ {8, 16, 32}) scored against the full-width exact
+    // top-5 — the truncatable-embeddings tuning curve ----
+    "q165_matryoshka_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.matryoshkaRecall(e, e.filter(col("vec_id") < 8),
+        k = 5, dims = Seq(8, 16, 32))
     }),
 
     // ---- ANN: LSH-bucketed variant (scale path; rows-only check) ----
@@ -6898,6 +6931,26 @@ object SparkEntry {
          |  CAST(sum(u.m) AS BIGINT) AS n_loss
          |FROM toks
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // q165: the q21 brute derivation at full width (truth) and each
+    // prefix width (one shared parameterized chain), then the q85
+    // recall compare per width — recall = hits/5, round6.
+    "q165_matryoshka_recall" -> {
+      val dims = Seq(8, 16, 32)
+      val chains = (bruteCosinePrefixTopKSql(0, "F") +:
+        dims.map(d => bruteCosinePrefixTopKSql(d, d.toString)))
+        .mkString(",\n")
+      val legs = dims.map { d =>
+        s"""SELECT $d AS dim, f.q_id,
+           |  CAST(count(t$d.n_id) AS BIGINT) AS hits,
+           |  floor(CAST(count(t$d.n_id) AS DOUBLE) / 5.0
+           |    * 1000000.0 + 0.5) / 1000000.0 AS recall
+           |FROM tF f LEFT JOIN t$d
+           |  ON f.q_id = t$d.q_id AND f.n_id = t$d.n_id
+           |GROUP BY f.q_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $chains\n$legs"
     },
 
     // q164: the q135/q149 frozen-IVF training+assignment chain over

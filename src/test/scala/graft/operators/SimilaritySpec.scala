@@ -401,6 +401,29 @@ class SimilaritySpec extends SparkSpec {
     none.foreach { case (_, ms, c) => assert(ms === -1.0 && !c) }
   }
 
+  test("matryoshkaRecall: prefix-loaded signal keeps recall 1, tail-loaded loses it") {
+    def clusterVec(i: Int, lead: Boolean): Seq[Float] = {
+      val th = (i % 4) * 0.7
+      val (a, b) = (math.cos(th).toFloat, math.sin(th).toFloat)
+      if (lead) Seq(a, b) ++ Seq.fill(6)(0f)
+      else Seq(1f, 0f) ++ Seq.fill(4)(0f) ++ Seq(a, b)
+    }
+    def run(lead: Boolean) = {
+      val e = (0 until 20).map(i => (i.toLong, clusterVec(i, lead)))
+        .toDF("vec_id", "embedding")
+      Similarity.matryoshkaRecall(e, e.filter(col("vec_id") < 8),
+          k = 5, dims = Seq(2))
+        .collect().map(r => r.getDouble(3))
+    }
+    // signal entirely in the first two dims: truncation changes no
+    // cosine (zeros contribute nothing), ranking identical, recall 1
+    run(lead = true).foreach(r => assert(r === 1.0))
+    // signal entirely in the tail: every 2-prefix is the same vector,
+    // ranking degenerates to id order — recall must drop
+    val tail = run(lead = false)
+    assert(tail.sum / tail.length < 0.9)
+  }
+
   test("semDedupAdmit: corpus near-dups and higher-id batch twins die, novel vectors admit") {
     val corpus = (0 until 10).flatMap { m =>
       Seq((m.toLong * 2, Seq(10f + m * 0.01f, 0f, 0f, 0f)),
