@@ -44,6 +44,9 @@ import graft.sinks.Sinks
   *     [--span-corrupt-out spans/ [--span-seed S] [--span-block 16]
   *       [--span-len 5] [--span-one-in 2]]
   *     [--fim-pct P [--fim-seed S]]
+  *   graft.cli.Jobs pack-sft --input-path convs/ --output-path out/
+  *     [--id-col id] [--prompt-col prompt] [--response-col response]
+  *     [--context-len 512] [--n-shards 8]
   *   graft.cli.Jobs train-classifier --input-path docs/ --label-col c
   *     --output-path weights.txt [--dim 16] [--iters 8]
   *   graft.cli.Jobs train-unigram --input-path docs/ --output-path p.tsv
@@ -539,6 +542,43 @@ object Jobs {
     wLine.drop(2).trim.split("\\s+").map(_.toDouble)
   }
 
+  /** SFT PACKING job — (prompt, response) conversations to MASKED
+    * pretraining shards: tokens under the q99 hash scheme, packed by
+    * [[graft.operators.Packing.sftMaskedPack]], then TWO parallel
+    * GTOK planes under `output-path` — `tokens/` (the ids) and
+    * `masks/` (the loss mask, 0 = prompt, 1 = response, one "token"
+    * per id) — written by the SAME sink with identical (shard, chunk)
+    * geometry, so a loader zips the streams positionally. No new
+    * binary format: a mask IS a token stream of the same shape
+    * (PackingSpec pins the positional identity), and the existing
+    * `.idx` sidecars of both planes are byte-identical apart from the
+    * payload. */
+  def runPackSft(spark: SparkSession, a: Args): String = {
+    val convs = spark.read.parquet(a("input-path"))
+    val idCol = a.get("id-col").getOrElse("id")
+    val pCol = a.get("prompt-col").getOrElse("prompt")
+    val rCol = a.get("response-col").getOrElse("response")
+    val contextLen = a.get("context-len").getOrElse("512").toInt
+    val nShards = a.get("n-shards").getOrElse("8").toInt
+    def toks(c: String) =
+      expr(s"transform(filter(split($c, ' '), w -> w <> ''), " +
+        "w -> CAST(pmod(xxhash64(w), 65536L) AS INT))")
+    val packed = graft.operators.Packing.sftMaskedPack(
+        convs.select(col(idCol).as("id"),
+          toks(pCol).as("p"), toks(rCol).as("r")),
+        col("id"), col("p"), col("r"), contextLen, nShards)
+      .localCheckpoint() // one packing evaluation feeds both planes
+    val out = a("output-path")
+    graft.sinks.TokenSink.writePackedTokens(
+      packed.select(col("shard"), col("chunk_id"), col("token_ids")),
+      s"$out/tokens")
+    graft.sinks.TokenSink.writePackedTokens(
+      packed.select(col("shard"), col("chunk_id"),
+        col("loss_mask").as("token_ids")),
+      s"$out/masks")
+    out
+  }
+
   def runPackTokens(spark: SparkSession, a: Args): String = {
     val docs = spark.read.parquet(a("input-path"))
     val idCol = a.get("id-col").getOrElse("doc_id")
@@ -793,7 +833,7 @@ object Jobs {
     require(argv.nonEmpty,
       "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf | " +
         "daily-etl | dedup-admit | select-corpus | curate | train-bpe | " +
-        "train-classifier | train-unigram | pack-tokens")
+        "train-classifier | train-unigram | pack-tokens | pack-sft")
     val a = parseArgs(argv.tail.toSeq)
     val spark = session()
     try {
@@ -809,6 +849,7 @@ object Jobs {
         case "train-classifier" => runTrainClassifier(spark, a)
         case "train-unigram" => runTrainUnigram(spark, a)
         case "pack-tokens" => runPackTokens(spark, a)
+        case "pack-sft" => runPackSft(spark, a)
         case other => sys.error(s"unknown subcommand: $other")
       }
       println(s"WROTE $path")

@@ -153,6 +153,39 @@ class JobsSpec extends SparkSpec {
     }
   }
 
+  test("pack-sft job: conversations -> twin token/mask GTOK planes with identical geometry") {
+    val dir = Files.createTempDirectory("graft-pack-sft").toString
+    val convs = Seq(
+      (1L, "user asks one thing", "assistant answers with several words"),
+      (2L, "short prompt", "a reply"),
+      (3L, "another question here", "and its complete answer follows now"))
+      .toDF("id", "prompt", "response")
+    convs.write.parquet(s"$dir/convs")
+    val out = Jobs.runPackSft(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/convs", "--output-path", s"$dir/sft",
+      "--context-len", "8", "--n-shards", "2")))
+    val toks = graft.sinks.TokenSink.readPackedTokens(spark, s"$out/tokens")
+      .as[(Int, Long, Seq[Int])].collect().map(c => (c._1, c._2) -> c._3).toMap
+    val masks = graft.sinks.TokenSink.readPackedTokens(spark, s"$out/masks")
+      .as[(Int, Long, Seq[Int])].collect().map(c => (c._1, c._2) -> c._3).toMap
+    // identical chunk geometry across the two planes
+    assert(toks.keySet === masks.keySet)
+    toks.foreach { case (k, ids) =>
+      assert(masks(k).length === ids.length, s"chunk $k length drift") }
+    // the mask plane is 0/1 and counts exactly the response tokens
+    val allMask = masks.values.flatten.toSeq
+    assert(allMask.forall(m => m == 0 || m == 1))
+    val nResp = convs
+      .selectExpr("sum(size(filter(split(response, ' '), w -> w <> '')))")
+      .as[Long].head()
+    assert(allMask.map(_.toLong).sum === nResp)
+    // and total stream length = every prompt + response token
+    val nAll = convs.selectExpr(
+      "sum(size(filter(split(prompt, ' '), w -> w <> '')) + " +
+        "size(filter(split(response, ' '), w -> w <> '')))").as[Long].head()
+    assert(allMask.length.toLong === nAll)
+  }
+
   test("pack-tokens --fim-pct: PSM rearrangement feeds the shards (sentinels counted)") {
     val dir = Files.createTempDirectory("graft-pack-fim").toString
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta"),
