@@ -881,6 +881,22 @@ object Stress {
         }
         (act, n)
       }),
+      Scenario("in_context_order", sp => {
+        // q164's layout at corpus volume: 10M docs over 100k clusters
+        // with the honest pathology included — ONE megacluster owning
+        // 30% of the corpus (a giant topic). The natural-blocks rank
+        // spreads everything else across cluster-count parallelism;
+        // the megacluster bounds one reducer at its own size (narrow
+        // 32 B rows — documented bound, the IVF balance tripwire is
+        // the upstream guard). Pass = zero spill, wall flat.
+        val n = s(10000000L)
+        val docs = sp.range(n).select(col("id"),
+          when(pmod(col("id"), lit(10)) < 3, lit(0L))
+            .otherwise(pmod(hash(col("id")), lit(100000)).cast("long") + 1L)
+            .as("cl"))
+        (sink(graft.operators.Packing.inContextOrder(
+          docs, col("id"), col("cl"), seed = 7L, nShards = 8)), n)
+      }),
       Scenario("classifier_train", sp => {
         // q147 training at corpus volume: 2M × 120-token docs through
         // the feature build (one explode + two narrow hash aggs,
