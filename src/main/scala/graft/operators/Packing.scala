@@ -531,6 +531,12 @@ object Packing {
     * Scale shape: identical to [[packTokenChunks]] — document-bounded
     * slice rows through one (shard, chunk) exchange, no per-token
     * rows; the mask adds 4 B/token to the wire.
+    *
+    * Null contract (the [[packTokenChunks]] convention): a NULL
+    * prompt or response array null-propagates through the concat and
+    * the conversation is dropped with the empty ones — a caller whose
+    * schema means "absent side = no tokens" passes empty arrays, not
+    * nulls.
     * @return (shard, chunk_id, token_ids, loss_mask). */
   def sftMaskedPack(
       convs: DataFrame, idCol: Column,
