@@ -384,4 +384,49 @@ class PropertySpec extends SparkSpec {
         out.sortBy(r => (r._1, r._2)).toSeq)
     }
   }
+
+  test("HashedBow kernel == composed split/hash/count pipeline on messy unicode") {
+    // the kernel's byte-level tokenizer must match split(text, ' ') +
+    // portable_hash + count/n EXACTLY — including multibyte UTF-8
+    // (no 0x20 inside a multibyte sequence, but the hash must fold
+    // the same bytes), EMPTY tokens from leading/trailing/double
+    // spaces, and the empty string (one empty token).
+    import graft.functions.PortableHash.portable_hash
+    import org.apache.spark.sql.functions._
+    val alphabet = Vector("a", "b", "é", "語", "𐀀", "zz", "", "日本")
+    val texts = (1 to 60).map { i =>
+      (0 until rnd.nextInt(12)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString(" ")
+    } ++ Seq("", " ", "  ", "a  b", " lead", "trail ", "é 𐀀 é")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val dim = 32
+    val kernel = graft.operators.Classifier.hashedFeaturesSparse(
+        df, "id", "text", lit(0.0), dim)
+      .select(col("id"),
+        transform(col("xs"), s => s.getField("j")).as("js"),
+        transform(col("xs"), s => s.getField("x")).as("vals"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getSeq[Double](2))))
+      .toMap
+    val composed = df
+      .select(col("id"), split(col("text"), " ").as("t"))
+      .select(col("id"), size(col("t")).cast("double").as("n"),
+        explode(col("t")).as("tok"))
+      .groupBy(col("id"), col("n"),
+        pmod(portable_hash(col("tok")), lit(dim)).cast("int").as("j"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3) / r.getDouble(1)))
+      .groupBy(_._1)
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq }
+    assert(kernel.keySet === composed.keySet)
+    kernel.foreach { case (id, (js, vals)) =>
+      val exp = composed(id)
+      assert(js === exp.map(_._1), s"id=$id bucket drift")
+      // x values must be BIT-identical (same count/n division)
+      assert(vals === exp.map(_._2), s"id=$id value drift")
+    }
+  }
 }
