@@ -1822,6 +1822,45 @@ object SparkEntry {
             (a, m) => a + m.cast("long")).as("n_loss"))
     }),
 
+    // ---- DPO preference-pair packing (Rafailov et al. 2023): each
+    // doc becomes a pair — prompt = first 6 tokens, the rest split
+    // into chosen/rejected halves — through the twin-plane collator
+    // (HF DPOTrainer truncation contract: prompt LEFT-truncates, then
+    // each plane RIGHT-truncates to L=24). Plane ids pinned by the
+    // q99 position-weighted checksum; mask layout by the same
+    // checksum over the mask array ----
+    "q166_dpo_pair_pack" -> ((s, dir) => {
+      import graft.functions.PortableHash.portable_hash
+      val cks: Column => Column = a => aggregate(
+        zip_with(a, sequence(lit(1), size(a)),
+          (t, i) => t.cast("long") * i.cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val toks = docs(s, dir).select(col("doc_id").as("id"),
+        transform(
+          filter(split(col("text"), " "), w => w =!= ""),
+          w => pmod(portable_hash(w), lit(65536L)).cast("int")).as("ids"))
+      val pairs = toks
+        .withColumn("__n", size(col("ids")))
+        .withColumn("__np", least(lit(6), col("__n")))
+        .withColumn("__half", expr("CAST((__n - __np) DIV 2 AS INT)"))
+        .select(col("id"),
+          slice(col("ids"), lit(1), col("__np")).as("p"),
+          slice(col("ids"), col("__np") + 1, col("__half")).as("c"),
+          slice(col("ids"), col("__np") + col("__half") + 1,
+            col("__n") - col("__np") - col("__half")).as("r"))
+      graft.operators.Packing.dpoPairPack(pairs, col("id"),
+          col("p"), col("c"), col("r"), contextLen = 24, nShards = 4)
+        .select(col("pair_id"), col("shard"),
+          size(col("chosen_ids")).cast("long").as("c_len"),
+          size(col("rejected_ids")).cast("long").as("r_len"),
+          cks(col("chosen_ids")).as("c_ids_checksum"),
+          cks(col("chosen_mask").cast("array<int>"))
+            .as("c_mask_checksum"),
+          cks(col("rejected_ids")).as("r_ids_checksum"),
+          cks(col("rejected_mask").cast("array<int>"))
+            .as("r_mask_checksum"))
+    }),
+
     // ---- in-context-pretraining order (Shi et al. 2023): every
     // vector assigned to its frozen-IVF list (the q135 artifact),
     // then the cluster-grouped training layout — whole clusters per
@@ -6931,6 +6970,56 @@ object SparkEntry {
          |  CAST(sum(u.m) AS BIGINT) AS n_loss
          |FROM toks
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // q166: the twin-plane collator replayed in list arithmetic —
+    // keep_p = min(|p|, max(0, L−|r|)) prompt tokens from the LEFT
+    // end's survivors (last keep_p), response right-truncated; ids
+    // checksum positionally, mask checksum in closed form
+    // Σ_{i=keep_p+1}^{len} i (the mask is 0^keep_p 1^(len−keep_p) by
+    // construction, so the closed form cross-checks the engine's
+    // actual array sum).
+    "q166_dpo_pair_pack" -> {
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id AS id,
+         |    list_transform(list_filter(string_split(text, ' '),
+         |                               w -> w <> ''),
+         |      w -> CAST(${hashSql("w")} % 65536 AS INT)) AS ids
+         |  FROM documents),
+         |pr AS (SELECT id, ids, len(ids) AS n, least(6, len(ids)) AS np,
+         |    (len(ids) - least(6, len(ids))) // 2 AS half
+         |  FROM tok),
+         |sides AS (SELECT id,
+         |    list_transform(range(1, np+1), si -> ids[si]) AS p,
+         |    list_transform(range(np+1, np+half+1), si -> ids[si]) AS c,
+         |    list_transform(range(np+half+1, n+1), si -> ids[si]) AS r
+         |  FROM pr),
+         |planes AS (SELECT id, p, c, r,
+         |    least(len(p), greatest(0, 24 - len(c))) AS kpc,
+         |    least(len(p), greatest(0, 24 - len(r))) AS kpr
+         |  FROM sides WHERE len(c) > 0 AND len(r) > 0),
+         |built AS (SELECT id, kpc, kpr,
+         |    list_transform(range(len(p)-kpc+1, len(p)+1), bi -> p[bi])
+         |      || list_transform(range(1, least(len(c), 24-kpc)+1),
+         |           bi -> c[bi]) AS cp,
+         |    list_transform(range(len(p)-kpr+1, len(p)+1), bi -> p[bi])
+         |      || list_transform(range(1, least(len(r), 24-kpr)+1),
+         |           bi -> r[bi]) AS rp
+         |  FROM planes)
+         |SELECT id AS pair_id,
+         |  CAST(${hashSql("CAST(id AS VARCHAR)")} % 4 AS BIGINT) AS shard,
+         |  CAST(len(cp) AS BIGINT) AS c_len,
+         |  CAST(len(rp) AS BIGINT) AS r_len,
+         |  CAST(list_sum(list_transform(range(1, len(cp)+1),
+         |    ci -> CAST(cp[ci] AS BIGINT) * ci)) AS BIGINT)
+         |    AS c_ids_checksum,
+         |  CAST((len(cp)*(len(cp)+1) - kpc*(kpc+1)) // 2 AS BIGINT)
+         |    AS c_mask_checksum,
+         |  CAST(list_sum(list_transform(range(1, len(rp)+1),
+         |    ri -> CAST(rp[ri] AS BIGINT) * ri)) AS BIGINT)
+         |    AS r_ids_checksum,
+         |  CAST((len(rp)*(len(rp)+1) - kpr*(kpr+1)) // 2 AS BIGINT)
+         |    AS r_mask_checksum
+         |FROM built""".stripMargin
     },
 
     // q165: the q21 brute derivation at full width (truth) and each

@@ -992,4 +992,81 @@ object Packing {
       .select(col("id"), col("shard"), col("len"), col("truncated"),
         col("bin"), col("slot"), (col("slot") * col("len")).as("bin_off"))
   }
+
+  /** DPO PREFERENCE-PAIR PACKING — the twin-plane assembly step of
+    * direct-preference-optimization training (public recipe: each
+    * example is (prompt, chosen, rejected); the collator builds TWO
+    * sequences sharing the prompt — prompt+chosen and prompt+rejected
+    * — with the loss masked to response tokens, and both sequences of
+    * a pair MUST travel together because the DPO loss is computed on
+    * their log-prob difference — Rafailov et al. 2023; the HF
+    * `DPOTrainer` truncation contract: the prompt truncates from the
+    * LEFT (keep the end nearest the response), then each sequence
+    * truncates from the RIGHT to the context length):
+    *
+    *  - per plane, `keep_p = min(|p|, max(0, L − |r|))` prompt tokens
+    *    survive (the LAST keep_p), then `keep_r = min(|r|, L − keep_p)`
+    *    response tokens (the FIRST keep_r) — so a long response evicts
+    *    prompt before it loses its own tokens, and a response longer
+    *    than L right-truncates with no prompt at all;
+    *  - the loss mask is 0 on surviving prompt positions, 1 on
+    *    surviving response positions — per plane, because the two
+    *    planes keep DIFFERENT prompt lengths when |chosen| ≠ |rejected|;
+    *  - pair atomicity is by CONSTRUCTION: both planes live in one
+    *    output row, so no layout step can ever separate them (the
+    *    failure mode a naive "pack both sequences into the stream"
+    *    design has).
+    *
+    * Scale shape: a pure per-row narrow map — array slices and
+    * higher-order functions, ZERO shuffle (the shard column is a hash
+    * label for downstream writers, not an exchange); 100 TB of pairs
+    * pack embarrassingly parallel.
+    *
+    * Null/empty contract (the [[sftMaskedPack]] convention): a NULL
+    * prompt or response null-propagates and drops the pair; a pair
+    * whose chosen OR rejected response is EMPTY is dropped too — the
+    * DPO loss is undefined with a zero-token plane ("no response" is
+    * not a preference). Pass empty prompts freely; they are legal.
+    *
+    * @return (pair_id, shard, chosen_ids, chosen_mask, rejected_ids,
+    *         rejected_mask) — masks positionally aligned with their
+    *         ids arrays. */
+  def dpoPairPack(
+      pairs: DataFrame, idCol: Column, promptIdsCol: Column,
+      chosenIdsCol: Column, rejectedIdsCol: Column,
+      contextLen: Int, nShards: Int): DataFrame = {
+    require(contextLen > 0 && nShards > 0,
+      "contextLen and nShards must be positive")
+    val ctx = lit(contextLen)
+    // one plane: left-truncated prompt ++ right-truncated response,
+    // mask aligned by the same keep counts
+    def plane(p: Column, r: Column): (Column, Column) = {
+      val keepP = least(size(p), greatest(lit(0), ctx - size(r)))
+      val keepR = least(size(r), ctx - keepP)
+      val ids = concat(
+        slice(p, size(p) - keepP + 1, keepP),
+        slice(r, lit(1), keepR))
+      val mask = concat(
+        transform(slice(p, size(p) - keepP + 1, keepP), _ => lit(0)),
+        transform(slice(r, lit(1), keepR), _ => lit(1)))
+      (ids, mask)
+    }
+    val base = pairs.select(idCol.cast("long").as("pair_id"),
+      promptIdsCol.cast("array<int>").as("__p"),
+      chosenIdsCol.cast("array<int>").as("__c"),
+      rejectedIdsCol.cast("array<int>").as("__r"))
+    val (cIds, cMask) = plane(col("__p"), col("__c"))
+    val (rIds, rMask) = plane(col("__p"), col("__r"))
+    base
+      .withColumn("shard",
+        pmod(portable_hash(col("pair_id").cast("string")),
+          lit(nShards.toLong)))
+      .select(col("pair_id"), col("shard"),
+        cIds.as("chosen_ids"), cMask.as("chosen_mask"),
+        rIds.as("rejected_ids"), rMask.as("rejected_mask"))
+      // null planes null-propagate the aggregate → filter drops them;
+      // a zero mask sum means the response lost every token
+      .filter(aggregate(col("chosen_mask"), lit(0), (a, m) => a + m) > 0 &&
+        aggregate(col("rejected_mask"), lit(0), (a, m) => a + m) > 0)
+  }
 }

@@ -580,6 +580,70 @@ class PackingSpec extends SparkSpec {
     assert(nLoss === nResp)
   }
 
+  test("dpoPairPack: hand-checked truncation — prompt evicts left, response survives, masks align") {
+    // L = 6:
+    // pair 1: p=[1,2,3], c=[10,11], r=[20] → fits: chosen [1,2,3,10,11]
+    //   mask [0,0,0,1,1]; rejected [1,2,3,20] mask [0,0,0,1]
+    // pair 2: p=[1,2,3,4,5,6,7], c=[10,11,12] → keep_p = 6-3 = 3 →
+    //   LAST 3 prompt toks [5,6,7] then [10,11,12]
+    // pair 3: c longer than L=[10..17] → keep_p 0, FIRST 6 of c
+    // pair 4: empty rejected → dropped
+    val pairs = Seq(
+      (1L, Seq(1, 2, 3), Seq(10, 11), Seq(20)),
+      (2L, Seq(1, 2, 3, 4, 5, 6, 7), Seq(10, 11, 12), Seq(20)),
+      (3L, Seq(1, 2), (10 to 17).toSeq, Seq(20)),
+      (4L, Seq(1, 2), Seq(10), Seq.empty[Int]))
+      .toDF("id", "p", "c", "r")
+    val got = Packing.dpoPairPack(pairs, col("id"), col("p"), col("c"),
+        col("r"), contextLen = 6, nShards = 1)
+      .orderBy("pair_id").collect()
+      .map(row => (row.getLong(0), row.getSeq[Int](2), row.getSeq[Int](3),
+        row.getSeq[Int](4), row.getSeq[Int](5)))
+    assert(got.toSeq === Seq(
+      (1L, Seq(1, 2, 3, 10, 11), Seq(0, 0, 0, 1, 1),
+        Seq(1, 2, 3, 20), Seq(0, 0, 0, 1)),
+      (2L, Seq(5, 6, 7, 10, 11, 12), Seq(0, 0, 0, 1, 1, 1),
+        Seq(3, 4, 5, 6, 7, 20), Seq(0, 0, 0, 0, 0, 1)),
+      (3L, Seq(10, 11, 12, 13, 14, 15), Seq(1, 1, 1, 1, 1, 1),
+        Seq(1, 2, 20), Seq(0, 0, 1))))
+  }
+
+  test("dpoPairPack: pair atomicity, mask/ids alignment, null and empty contracts") {
+    val pairs = (1L to 60L).map { i =>
+      val p = (0 until (i % 7).toInt).map(j => (i * 3 + j).toInt)
+      val c = (0 until (i % 4).toInt).map(j => (i * 11 + j).toInt)
+      val r = (0 until ((i + 1) % 4).toInt).map(j => (i * 17 + j).toInt)
+      (i, p, c, r)
+    }.toDF("id", "p", "c", "r")
+    val out = Packing.dpoPairPack(pairs, col("id"), col("p"), col("c"),
+      col("r"), contextLen = 8, nShards = 4)
+    val rows0 = out.collect()
+    // kept exactly the pairs with BOTH responses non-empty
+    assert(rows0.map(_.getLong(0)).sorted ===
+      (1L to 60L).filter(i => i % 4 != 0 && (i + 1) % 4 != 0).toArray)
+    rows0.foreach { r =>
+      // every plane fits L and masks align positionally
+      assert(r.getSeq[Int](2).length <= 8 && r.getSeq[Int](4).length <= 8)
+      assert(r.getSeq[Int](2).length === r.getSeq[Int](3).length)
+      assert(r.getSeq[Int](4).length === r.getSeq[Int](5).length)
+      // mask is 0* then 1* (prompt prefix, response suffix)
+      Seq(r.getSeq[Int](3), r.getSeq[Int](5)).foreach { m =>
+        assert(m === m.sorted, s"mask not prefix-0 suffix-1: $m") }
+    }
+    // deterministic
+    assert(rows(out) === rows(Packing.dpoPairPack(pairs, col("id"),
+      col("p"), col("c"), col("r"), contextLen = 8, nShards = 4)))
+    // null prompt or response drops the pair (null-propagation contract)
+    val withNulls = spark.sql(
+      """SELECT 1L AS id, NULL AS p, array(1) AS c, array(2) AS r
+        |UNION ALL SELECT 2L, array(1), NULL, array(2)
+        |UNION ALL SELECT 3L, array(), array(1), array(2)""".stripMargin)
+    val kept = Packing.dpoPairPack(withNulls, col("id"), col("p"),
+      col("c"), col("r"), contextLen = 4, nShards = 1)
+      .select("pair_id").as[Long].collect()
+    assert(kept.toSeq === Seq(3L), "empty prompt legal; nulls dropped")
+  }
+
   test("inContextOrder: whole clusters per shard, peers adjacent, dense pos, deterministic") {
     val docs = (1L to 200L).map(i => (i, i % 17)).toDF("doc_id", "cl")
     val out = Packing.inContextOrder(docs, col("doc_id"), col("cl"),
