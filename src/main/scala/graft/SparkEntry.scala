@@ -1861,6 +1861,21 @@ object SparkEntry {
             .as("r_mask_checksum"))
     }),
 
+    // ---- DoReMi-shape domain reweighting (Xie et al. 2023): per-doc
+    // losses from the q75 unigram LM roll up to per-source means, then
+    // 8 Group-DRO exponentiated-gradient rounds against the α-weighted
+    // mixture loss, uniform-smoothed — every scalar step round6 so the
+    // oracle unrolls the identical trajectory ----
+    "q167_doremi_reweight" -> ((s, dir) => {
+      val scored = graft.operators.Corpus.lmScore(docs(s, dir),
+          "doc_id", "text")
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      graft.operators.Sampling.doremiWeights(scored,
+          col("source"), col("nll"))
+        .select(col("domain").as("source"), col("n_docs"),
+          col("loss"), col("weight"))
+    }),
+
     // ---- in-context-pretraining order (Shi et al. 2023): every
     // vector assigned to its frozen-IVF list (the q135 artifact),
     // then the cluster-grouped training layout — whole clusters per
@@ -6970,6 +6985,47 @@ object SparkEntry {
          |  CAST(sum(u.m) AS BIGINT) AS n_loss
          |FROM toks
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // q167: the EG trajectory unrolled — per-source mean nll over the
+    // q75 LM (lmScoreSql shared def), then 8 rounds of
+    // mix → excess → exp-update → renormalize, each scalar round6,
+    // decimal-exact tiny sums (the engine's dsum), uniform smoothing.
+    "q167_doremi_reweight" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      def iter(k: Int): String = {
+        val mixSum = r6("CAST(sum(CAST(" + r6("alpha*loss") +
+          " AS DECIMAL(28,6))) AS DOUBLE)")
+        val w = r6("alpha * exp(0.5 * " +
+          r6("greatest(0.0, " + r6("loss - mix") + ")") + ")")
+        // MATERIALIZED per round (mirrors the engine's per-round
+        // checkpoint): each round references the last three times, so
+        // DuckDB's CTE inlining would otherwise build a 3^8-node plan
+        s"""mx$k AS (SELECT $mixSum AS mix FROM a${k - 1}),
+           |u$k AS MATERIALIZED (SELECT domain, n_docs, loss, $w AS w
+           |  FROM a${k - 1} CROSS JOIN mx$k),
+           |z$k AS (SELECT ${r6(
+               "CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE)")} AS z
+           |  FROM u$k),
+           |a$k AS MATERIALIZED (SELECT domain, n_docs, loss,
+           |    ${r6("w / z")} AS alpha
+           |  FROM u$k CROSS JOIN z$k)""".stripMargin
+      }
+      s"""WITH scored AS ($lmScoreSql),
+         |sj AS (SELECT s.nll, d.source
+         |  FROM scored s JOIN documents d USING (doc_id)),
+         |dm AS MATERIALIZED (SELECT source AS domain,
+         |    count(*) AS n_docs,
+         |    ${r6("CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE)" +
+               " / CAST(count(*) AS DOUBLE)")} AS loss
+         |  FROM sj GROUP BY 1),
+         |dc AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM dm),
+         |a0 AS (SELECT domain, n_docs, loss, ${r6("1.0 / d")} AS alpha
+         |  FROM dm CROSS JOIN dc),
+         |${(1 to 8).map(iter).mkString(",\n")}
+         |SELECT domain AS source, n_docs, loss,
+         |  ${r6("0.9 * alpha + 0.1 / d")} AS weight
+         |FROM a8 CROSS JOIN dc""".stripMargin
     },
 
     // q166: the twin-plane collator replayed in list arithmetic —

@@ -232,6 +232,80 @@ object Sampling {
       .select(col("id"), col("source"), col("pos"))
   }
 
+  /** DoReMi-SHAPE DOMAIN REWEIGHTING — the mixture-weight tuning step
+    * of multi-source pretraining (public recipe: Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining" — Group-DRO exponentiated-gradient updates over
+    * per-domain EXCESS loss, then smoothing toward uniform; the
+    * excess-loss reference here is the α-weighted mixture loss itself,
+    * re-centered each round, with the per-domain losses held static —
+    * the proxy/reference model pair of the paper is out of scope for a
+    * data engine, the update DYNAMICS are the published ones):
+    *
+    *  - per-domain loss `L_d` = mean of `lossCol` over the domain's
+    *    docs (DECIMAL(28,6) exact sum — order-free, the q24 money-sum
+    *    pattern);
+    *  - α₀ uniform; each round t: mix = Σ_d α·L_d, excess_d =
+    *    max(0, L_d − mix), α ∝ α·exp(η·excess_d), renormalized —
+    *    every scalar step rounded to 6 decimals (the q147 classifier
+    *    convention) so the whole trajectory replays bit-exactly in an
+    *    unrolled SQL oracle;
+    *  - final weight = (1−c)·α_T + c/|D| (the paper's uniform
+    *    smoothing).
+    *
+    * Scale shape: ONE corpus-scale aggregate (the per-domain loss
+    * groupBy — map-side combined, |D| output rows), then `rounds`
+    * iterations of |D|-row arithmetic: tiny aggregates crossJoined
+    * back (the q147 in-plan iteration pattern — weights never leave
+    * the plan, nothing corpus-scale ever re-shuffles). |D| is a driver
+    * scalar (bounded plan parameter — domains are a curated handful).
+    * @return (domain, n_docs, loss, weight) — weight the smoothed
+    *         round-`rounds` mixture weight, round6. */
+  def doremiWeights(
+      perDoc: DataFrame, domainCol: Column, lossCol: Column,
+      rounds: Int = 8, eta: Double = 0.5,
+      smoothing: Double = 0.1): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    require(eta > 0, "eta must be positive")
+    require(smoothing >= 0 && smoothing <= 1, "smoothing must be in [0,1]")
+    import graft.functions.TextFunctions.round6
+    // one decimal-exact tiny-sum helper: Σ over |D| rows, order-free
+    def dsum(c: Column): Column =
+      round6(sum(c.cast("decimal(28,6)")).cast("double"))
+    val dom = perDoc
+      .select(domainCol.cast("string").as("domain"),
+        lossCol.cast("double").as("__l"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__l").cast("decimal(28,6)")).as("__s"))
+      .select(col("domain"), col("n_docs"),
+        round6(col("__s").cast("double") / col("n_docs").cast("double"))
+          .as("loss"))
+      .localCheckpoint(eager = false) // |D| rows; feeds every round
+    val d = dom.count() // |D|: bounded driver scalar
+    require(d >= 1, "doremiWeights: no domains")
+    var alpha = dom.select(col("domain"), col("n_docs"), col("loss"),
+      round6(lit(1.0) / lit(d.toDouble)).as("alpha"))
+    for (_ <- 1 to rounds) {
+      val mix = alpha.agg(
+        dsum(round6(col("alpha") * col("loss"))).as("__mix"))
+      val upd = alpha.crossJoin(mix)
+        .withColumn("__w", round6(col("alpha") * exp(lit(eta) *
+          round6(greatest(lit(0.0), round6(col("loss") - col("__mix")))))))
+        // each round references the last THREE times (mix, base, z) —
+        // checkpoint the |D|-row frame so the plan stays round-sized
+        // instead of 3^rounds (planning-time OOM otherwise)
+        .localCheckpoint(eager = false)
+      val z = upd.agg(dsum(col("__w")).as("__z"))
+      alpha = upd.crossJoin(z)
+        .select(col("domain"), col("n_docs"), col("loss"),
+          round6(col("__w") / col("__z")).as("alpha"))
+    }
+    alpha.select(col("domain"), col("n_docs"), col("loss"),
+      round6(lit(1.0 - smoothing) * col("alpha") +
+        lit(smoothing / d.toDouble)).as("weight"))
+  }
+
   /** Deterministic TRAIN/VAL/TEST split — every training pipeline's
     * first partitioning step, as a pure hash predicate: the id's
     * portable-hash bucket (mod 100) is cut by cumulative percentage

@@ -580,6 +580,42 @@ class PackingSpec extends SparkSpec {
     assert(nLoss === nResp)
   }
 
+  test("doremiWeights: lossy domains gain weight, equal losses stay uniform, weights sum to 1") {
+    // two domains, loss 1.0 vs 3.0 — round 1 by hand: mix = 2.0,
+    // excess = (0, 1), w = (.5, .5·e^0.5), so the lossy domain's
+    // weight must strictly exceed the other's and keep growing
+    val perDoc = (Seq.fill(10)(("a", 1.0)) ++ Seq.fill(10)(("b", 3.0)))
+      .zipWithIndex.map { case ((s0, l), i) => (i.toLong, s0, l) }
+      .toDF("id", "src", "nll")
+    val out = Sampling.doremiWeights(perDoc, col("src"), col("nll"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("a")._1 === 10L && out("b")._1 === 10L)
+    assert(out("a")._2 === 1.0 && out("b")._2 === 3.0)
+    assert(out("b")._3 > out("a")._3, "lossy domain must gain weight")
+    assert(math.abs(out("a")._3 + out("b")._3 - 1.0) < 2e-6,
+      "weights must sum to 1 (round6 tolerance)")
+    // more rounds → more concentration on the lossy domain
+    val more = Sampling.doremiWeights(perDoc, col("src"), col("nll"),
+        rounds = 16)
+      .filter(col("domain") === "b").select("weight")
+      .as[Double].collect().head
+    assert(more > out("b")._3)
+    // equal losses: uniform stays uniform (excess 0 everywhere)
+    val eq = Sampling.doremiWeights(
+      perDoc.withColumn("nll", lit(2.0)), col("src"), col("nll"))
+      .select("weight").as[Double].collect()
+    assert(eq.toSeq === Seq(0.5, 0.5))
+    // single domain degenerates to weight 1
+    val one = Sampling.doremiWeights(perDoc.filter(col("src") === "a"),
+      col("src"), col("nll")).select("weight").as[Double].collect()
+    assert(one.toSeq === Seq(1.0))
+    // deterministic under repartitioning (decimal-exact tiny sums)
+    assert(rows(Sampling.doremiWeights(perDoc.repartition(7),
+        col("src"), col("nll"))) ===
+      rows(Sampling.doremiWeights(perDoc, col("src"), col("nll"))))
+  }
+
   test("dpoPairPack: hand-checked truncation — prompt evicts left, response survives, masks align") {
     // L = 6:
     // pair 1: p=[1,2,3], c=[10,11], r=[20] → fits: chosen [1,2,3,10,11]
