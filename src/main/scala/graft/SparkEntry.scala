@@ -1861,6 +1861,14 @@ object SparkEntry {
             .as("r_mask_checksum"))
     }),
 
+    // ---- word-entropy / lexical-diversity signals: per-doc Shannon
+    // entropy over word counts + type-token ratio, computed doc-local
+    // (sorted-run HOF fold, zero shuffle) while the oracle takes the
+    // textbook explode + GROUP BY road to the same bits ----
+    "q168_entropy_signal" -> ((s, dir) =>
+      graft.operators.Corpus.entropySignals(docs(s, dir),
+        "doc_id", "text")),
+
     // ---- DoReMi-shape domain reweighting (Xie et al. 2023): per-doc
     // losses from the q75 unigram LM roll up to per-source means, then
     // 8 Group-DRO exponentiated-gradient rounds against the α-weighted
@@ -6985,6 +6993,30 @@ object SparkEntry {
          |  CAST(sum(u.m) AS BIGINT) AS n_loss
          |FROM toks
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // q168: the textbook form — explode words, per-(doc,word) counts,
+    // per-doc aggregate with the same round6-term decimal sum the
+    // engine's fold accumulates (order-free, so the two shapes match
+    // bit-for-bit).
+    "q168_entropy_signal" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      s"""WITH tk AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS t
+         |  FROM documents),
+         |wc AS (SELECT doc_id, word, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(t) AS word FROM tk) GROUP BY 1, 2),
+         |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CAST(${r6("c * ln(c)")} AS DECIMAL(28,6)))
+         |      AS DOUBLE) AS sclc
+         |  FROM wc GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types,
+         |  ${r6("CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)")}
+         |    AS ttr,
+         |  ${r6("ln(CAST(n_tokens AS DOUBLE))" +
+             " - sclc / CAST(n_tokens AS DOUBLE)")} AS entropy
+         |FROM ag""".stripMargin
     },
 
     // q167: the EG trajectory unrolled — per-source mean nll over the

@@ -303,6 +303,69 @@ object Corpus {
       .withColumn("gopher_pass", col("n_rules_failed") === 0)
   }
 
+  /** WORD-ENTROPY / LEXICAL-DIVERSITY SIGNALS — the per-document
+    * unigram-distribution statistics quality filters read next to the
+    * [[qualitySignals]] ratios (public recipe: low word entropy and
+    * low type-token ratio flag template/spam/keyword-stuffed pages —
+    * the "diversity" panel of RedPajama-V2-class signal sheets):
+    * Shannon entropy H = ln n − (Σ_w c_w·ln c_w)/n over the doc's
+    * word counts (nats), type count, and type-token ratio.
+    *
+    * Scale shape: ZERO SHUFFLE — the textbook form (explode words →
+    * per-(doc,word) counts → per-doc aggregate) pays two corpus-scale
+    * exchanges for a computation that is doc-local; here each row
+    * sorts its own token array (equal words become adjacent — ANY
+    * total order works, so engine/oracle collation differences are
+    * irrelevant) and ONE `aggregate` fold counts runs in place:
+    * state = (prev, run, Σ, types), a run's term round6(c·ln c) is
+    * added when the run closes, the finish lambda closes the last
+    * run. The Σ accumulates as DECIMAL(28,6) over round6'd terms (the
+    * q75 discipline), so the value is fold-order-exact and the oracle
+    * — which uses the textbook GROUP BY form — lands on identical
+    * bits.
+    *
+    * Empty docs (no non-empty whitespace tokens) emit no row.
+    * @return (doc_id, n_tokens, n_types, ttr, entropy) — ttr and
+    *         entropy round6, entropy in nats. */
+  def entropySignals(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import TextFunctions.round6
+    val dec = "decimal(28,6)"
+    def term(run: Column): Column =
+      round6(run.cast("double") * log(run.cast("double"))).cast(dec)
+    val init = struct(lit(null).cast("string").as("p"), lit(0L).as("r"),
+      lit(0).cast(dec).as("s"), lit(0L).as("k"))
+    val folded = aggregate(col("__t"), init,
+      (st, t) => when(st.getField("p").isNull,
+          struct(t.as("p"), lit(1L).as("r"),
+            st.getField("s").as("s"), lit(1L).as("k")))
+        .when(t === st.getField("p"),
+          struct(t.as("p"), (st.getField("r") + lit(1L)).as("r"),
+            st.getField("s").as("s"), st.getField("k").as("k")))
+        .otherwise(struct(t.as("p"), lit(1L).as("r"),
+          (st.getField("s") + term(st.getField("r"))).cast(dec).as("s"),
+          (st.getField("k") + lit(1L)).as("k"))),
+      st => when(st.getField("p").isNull, st)
+        .otherwise(struct(st.getField("p").as("p"),
+          st.getField("r").as("r"),
+          (st.getField("s") + term(st.getField("r"))).cast(dec).as("s"),
+          st.getField("k").as("k"))))
+    docs
+      .select(col(idCol).as("doc_id"),
+        array_sort(filter(TextFunctions.tokens(col(textCol)),
+          w => w =!= "")).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"),
+        folded.as("__f"))
+      .filter(col("n_tokens") >= 1)
+      .select(col("doc_id"), col("n_tokens"),
+        col("__f.k").as("n_types"),
+        round6(col("__f.k").cast("double") /
+          col("n_tokens").cast("double")).as("ttr"),
+        round6(log(col("n_tokens").cast("double")) -
+          col("__f.s").cast("double") / col("n_tokens").cast("double"))
+          .as("entropy"))
+  }
+
   /** KNESER–NEY SMOOTHED bigram LM scoring — the smoothing family the
     * CCNet/KenLM perplexity filter actually ships (absolute
     * discounting + continuation-probability backoff), upgrading

@@ -122,6 +122,49 @@ class CorpusSpec extends SparkSpec {
     }.isEmpty, plan.toString)
   }
 
+  test("entropySignals: hand-checked entropy/ttr, fold ≡ textbook explode form, edge docs") {
+    val d = Seq(
+      (1L, "a b a c"),       // counts a:2,b:1,c:1 → H = ln4 − r6(2ln2)/4
+      (2L, "a a a a"),       // uniform single type → H = 0
+      (3L, "z"),             // one token → H = 0, ttr = 1
+      (4L, ""),              // empty → no row
+      (5L, "  "),            // whitespace-only → no row
+      (6L, "q w e r t y"))   // all distinct → H = ln 6
+      .toDF("doc_id", "text")
+    val out = Corpus.entropySignals(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 6L))
+    assert(out(1L)._1 === 4L && out(1L)._2 === 3L && out(1L)._3 === 0.75)
+    assert(math.abs(out(1L)._4 -
+      (math.log(4) - math.floor(2 * math.log(2) * 1e6 + 0.5) / 1e6 / 4))
+      < 2e-6)
+    assert(out(2L) === ((4L, 1L, 0.25, 0.0)))
+    assert(out(3L) === ((1L, 1L, 1.0, 0.0)))
+    assert(math.abs(out(6L)._4 - math.log(6)) < 2e-6)
+    // bit parity with the textbook explode + GROUP BY derivation
+    val textbook = d
+      .select(col("doc_id"), explode(filter(split(col("text"), " "),
+        w => w =!= "")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(graft.functions.TextFunctions.round6(
+          col("c").cast("double") * log(col("c").cast("double")))
+          .cast("decimal(28,6)")).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        graft.functions.TextFunctions.round6(
+          col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        graft.functions.TextFunctions.round6(
+          log(col("n_tokens").cast("double")) -
+            col("s").cast("double") / col("n_tokens").cast("double"))
+          .as("entropy"))
+    assert(rows(Corpus.entropySignals(d, "doc_id", "text")) ===
+      rows(textbook))
+  }
+
   test("kneser-ney: hand-checked probabilities, discounted + backoff mass") {
     def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
     // bi: (a,b)=2 (b,a)=1 (a,c)=1 → D=3; ctx a: c=3 n1=2; b: c=1 n1=1
