@@ -3175,6 +3175,24 @@ object SparkEntry {
           col("start_pos"), col("span_checksum"), col("kept_checksum"))
     }),
 
+    // ---- UL2 mixture-of-denoisers (Tay et al. 2022): seeded mode
+    // draw (R-heavy: 2/4 R, 1/4 X, 1/4 S), R/X through the q123
+    // closed-form block corruption at their own operating points
+    // (10/3/2 = 15%, 12/12/2 = 50%), S the prefix-LM suffix cut —
+    // every span pinned by the q99 checksums, zero shuffle ----
+    "q169_ul2_mix" -> ((s, dir) => {
+      import graft.functions.PortableHash.portable_hash
+      val tok = docs(s, dir).select(col("doc_id"),
+        transform(
+          filter(split(col("text"), " "), w => w =!= ""),
+          w => pmod(portable_hash(w), lit(65536L)).cast("int")).as("ids"))
+      graft.operators.Packing.ul2Mix(tok, col("doc_id"), col("ids"),
+          seed = 20260816L)
+        .select(col("id").as("doc_id"), col("mode"), col("span_idx"),
+          col("start_pos"), col("span_len"), col("span_checksum"),
+          col("kept_checksum"))
+    }),
+
     // ---- fill-in-the-middle transform (Bavarian et al. 2022): a
     // seeded half of the docs rearranged PSM ([PRE]prefix[SUF]suffix
     // [MID]middle) with hash-drawn cut points; the reordered stream
@@ -5052,6 +5070,87 @@ object SparkEntry {
          |  ${r6("CAST(sum(cnt * len) AS DOUBLE) / " +
               "CAST(sum(bins) * context_len AS DOUBLE)")} AS utilization
          |FROM per GROUP BY context_len""".stripMargin
+    },
+
+    // q169: q123's block-corruption SQL parameterized per denoiser
+    // (R 10/3, X 12/12) over the seeded mode split, plus the S leg's
+    // suffix cut — three legs UNION ALL, each replaying its hash
+    // gates and checksums exactly.
+    "q169_ul2_mix" -> {
+      val seed = 20260816L
+      val hUl2 = hashSql(
+        s"(repeat('$seed~ul2:' || CAST(id AS VARCHAR) || ';', 3))")
+      val hUl2s = hashSql(
+        s"(repeat('$seed~ul2s:' || CAST(id AS VARCHAR) || ';', 3))")
+      val hb = hashSql(
+        s"(repeat('$seed~sc:' || CAST(id AS VARCHAR) || ':' " +
+          "|| CAST(b AS VARCHAR) || ';', 3))")
+      def leg(t: String, cond: String, bl: Int, sl: Int): String = {
+        val offs = bl - sl + 1
+        s"""base$t AS MATERIALIZED (SELECT id, ids,
+           |    len(ids) // $bl AS nb
+           |  FROM md WHERE $cond AND len(ids) // $bl > 0),
+           |blocks$t AS MATERIALIZED (SELECT id, ids, b, $hb AS h
+           |  FROM base$t, unnest(range(0, nb)) AS tt(b)),
+           |spans$t AS MATERIALIZED (SELECT id, ids, b,
+           |    b * $bl + ((h // 2) % $offs) AS start
+           |  FROM blocks$t WHERE h % 2 = 0),
+           |tot$t AS MATERIALIZED (SELECT id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(1, len(ids) + 1),
+           |        ti -> ids[ti] * ti)), (a, z) -> a + z) AS total
+           |  FROM base$t),
+           |sp$t AS MATERIALIZED (SELECT id, b, start,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(1, ${sl + 1}),
+           |        sj -> ids[start + sj] * sj)), (a, z) -> a + z)
+           |      AS span_checksum,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(1, ${sl + 1}),
+           |        sj -> ids[start + sj] * (start + sj))), (a, z) -> a + z)
+           |      AS abs_ck
+           |  FROM spans$t),
+           |leg$t AS (SELECT sp.id, '$t' AS mode,
+           |    row_number() OVER (PARTITION BY sp.id ORDER BY sp.b)
+           |      - 1 AS span_idx,
+           |    CAST(sp.start AS BIGINT) AS start_pos,
+           |    CAST($sl AS BIGINT) AS span_len,
+           |    CAST(sp.span_checksum AS BIGINT) AS span_checksum,
+           |    CAST(tot.total - sum(sp.abs_ck)
+           |           OVER (PARTITION BY sp.id) AS BIGINT)
+           |      AS kept_checksum
+           |  FROM sp$t sp JOIN tot$t tot USING (id))""".stripMargin
+      }
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id AS id,
+         |    list_transform(list_filter(string_split(text, ' '),
+         |                               w -> w <> ''),
+         |      w -> ${hashSql("w")} % 65536) AS ids
+         |  FROM documents),
+         |md AS MATERIALIZED (SELECT id, ids, ($hUl2) % 4 AS mode
+         |  FROM tok),
+         |${leg("R", "mode <= 1", 10, 3)},
+         |${leg("X", "mode = 2", 12, 12)},
+         |sS AS (SELECT id, ids, len(ids) AS n,
+         |    ($hUl2s) % (len(ids) - 1) + 1 AS split
+         |  FROM md WHERE mode = 3 AND len(ids) >= 2),
+         |legS AS (SELECT id, 'S' AS mode, CAST(0 AS BIGINT) AS span_idx,
+         |    CAST(split AS BIGINT) AS start_pos,
+         |    CAST(n - split AS BIGINT) AS span_len,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, n - split + 1),
+         |        sj -> ids[split + sj] * sj)), (a, z) -> a + z)
+         |      AS BIGINT) AS span_checksum,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, split + 1),
+         |        ki -> ids[ki] * ki)), (a, z) -> a + z)
+         |      AS BIGINT) AS kept_checksum
+         |  FROM sS)
+         |SELECT id AS doc_id, mode, span_idx, start_pos, span_len,
+         |  span_checksum, kept_checksum FROM legR
+         |UNION ALL SELECT id, mode, span_idx, start_pos, span_len,
+         |  span_checksum, kept_checksum FROM legX
+         |UNION ALL SELECT id, mode, span_idx, start_pos, span_len,
+         |  span_checksum, kept_checksum FROM legS""".stripMargin
     },
 
     // q152: the FIM construction replayed — q123's token derivation,

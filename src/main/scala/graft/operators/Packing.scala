@@ -748,6 +748,76 @@ object Packing {
         col("kept_checksum"))
   }
 
+  /** UL2 MIXTURE-OF-DENOISERS — the multi-objective corruption mix of
+    * UL2 pretraining (public recipe: Tay et al. 2022, "UL2: Unifying
+    * Language Learning Paradigms" — each example trains under one of
+    * three denoiser families, R-heavy: R = regular T5-style short
+    * spans at ~15% noise, X = extreme long-span/high-rate corruption,
+    * S = sequential prefix-LM where the target is the document
+    * suffix), made replayable the [[spanCorruption]] way — the mode
+    * draw and every span position are pure functions of (seed, id):
+    *
+    *  - mode = `portable_hash(repeat("<seed>~ul2:<id>;", 3)) mod 4`:
+    *    0,1 → R (half the corpus — the paper's R-heavy weighting),
+    *    2 → X, 3 → S;
+    *  - R runs [[spanCorruption]] at (blockLen 10, spanLen 3,
+    *    corruptOneIn 2) = 15% expected noise, T5's operating point;
+    *  - X runs it at (12, 12, 2) = 50% noise in 12-token spans (the
+    *    extreme-rate corner of the paper's X family);
+    *  - S draws ONE split uniformly in [1, n−1] from the `~ul2s` key
+    *    (both sides non-empty; docs of <2 tokens emit nothing, like
+    *    R/X docs with no selected block) — the span is the whole
+    *    suffix, `kept_checksum` covers the prefix at absolute
+    *    positions, exactly the prefix-LM objective's input/target cut.
+    *
+    * Output pins both sides of every objective without materializing
+    * per-token rows (the q99 position-weighted convention):
+    * span checksums are span-relative, kept checksums absolute.
+    *
+    * Scale shape: three disjoint narrow branches over one base scan —
+    * the mode filter is a pure predicate, R/X reuse the closed-form
+    * block construction, S is array arithmetic; ZERO shuffle at any
+    * corpus size (the union is a no-exchange operator).
+    * @return (id, mode, span_idx, start_pos, span_len, span_checksum,
+    *         kept_checksum). */
+  def ul2Mix(
+      docs: DataFrame, idCol: Column, tokenIdsCol: Column,
+      seed: Long): DataFrame = {
+    val base = docs.select(idCol.cast("long").as("id"),
+        tokenIdsCol.cast("array<int>").as("ids"))
+      .withColumn("__mode",
+        pmod(portable_hash(repeat(concat(lit(s"$seed~ul2:"),
+          col("id").cast("string"), lit(";")), 3)), lit(4L)))
+    def corrupted(modeFilter: Column, tag: String,
+        blockLen: Int, spanLen: Int): DataFrame =
+      spanCorruption(base.filter(modeFilter), col("id"), col("ids"),
+          seed, blockLen = blockLen, spanLen = spanLen, corruptOneIn = 2)
+        .select(col("id"), lit(tag).as("mode"), col("span_idx"),
+          col("start_pos"), lit(spanLen.toLong).as("span_len"),
+          col("span_checksum"), col("kept_checksum"))
+    val r = corrupted(col("__mode") <= 1, "R", blockLen = 10, spanLen = 3)
+    val x = corrupted(col("__mode") === 2, "X", blockLen = 12, spanLen = 12)
+    def posW(from1: Column, len: Column, weightFrom: Column): Column =
+      aggregate(
+        zip_with(slice(col("ids"), from1.cast("int"), len.cast("int")),
+          sequence(weightFrom, weightFrom + len - 1),
+          (t, w) => t.cast("long") * w.cast("long")),
+        lit(0L), (a, z) => a + z)
+    val sOut = base.filter(col("__mode") === 3)
+      .withColumn("__n", size(col("ids")).cast("long"))
+      .filter(col("__n") >= 2)
+      .withColumn("__split",
+        pmod(portable_hash(repeat(concat(lit(s"$seed~ul2s:"),
+          col("id").cast("string"), lit(";")), 3)), col("__n") - 1) + 1)
+      .select(col("id"), lit("S").as("mode"), lit(0L).as("span_idx"),
+        col("__split").as("start_pos"),
+        (col("__n") - col("__split")).as("span_len"),
+        posW(col("__split") + 1, col("__n") - col("__split"), lit(1L))
+          .as("span_checksum"),
+        posW(lit(1L), col("__split"), lit(1L)).as("kept_checksum"))
+    r.unionByName(x).unionByName(sOut)
+  }
+
   /** FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022 — the
     * infilling objective code models train on): a seeded fraction of
     * documents is rearranged into the PSM layout

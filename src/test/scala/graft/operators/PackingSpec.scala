@@ -580,6 +580,59 @@ class PackingSpec extends SparkSpec {
     assert(nLoss === nResp)
   }
 
+  test("ul2Mix: disjoint seeded modes, per-mode operating points, prefix-LM S leg, R ≡ spanCorruption") {
+    val docs = (1L to 120L).map { i =>
+      (i, (0 until (i % 40).toInt + 2).map(j => (i + j).toInt))
+    }.toDF("id", "ids")
+    val out = Packing.ul2Mix(docs, col("id"), col("ids"), seed = 7L)
+    val rows0 = out.collect()
+    // one mode per doc, matching the independent hash draw
+    val modes = docs.select(col("id"),
+      pmod(graft.functions.PortableHash.portable_hash(
+        repeat(concat(lit("7~ul2:"), col("id").cast("string"),
+          lit(";")), 3)), lit(4L)).as("m"))
+      .as[(Long, Long)].collect().toMap
+    rows0.foreach { r =>
+      val expect = modes(r.getLong(0)) match {
+        case 0 | 1 => "R"; case 2 => "X"; case _ => "S" }
+      assert(r.getString(1) === expect)
+    }
+    assert(Set("R", "X", "S").subsetOf(
+      rows0.map(_.getString(1)).toSet), "all three denoisers exercised")
+    // X spans sit on block boundaries (offs = 1) at full length 12
+    rows0.filter(_.getString(1) == "X").foreach { r =>
+      assert(r.getLong(3) % 12 === 0 && r.getLong(4) === 12L) }
+    rows0.filter(_.getString(1) == "R").foreach { r =>
+      assert(r.getLong(4) === 3L) }
+    // S: exactly one row per sampled doc; both checksums recompute
+    val idsMap = docs.as[(Long, Seq[Int])].collect().toMap
+    val sRows = rows0.filter(_.getString(1) == "S")
+    assert(sRows.nonEmpty)
+    sRows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length === 1) }
+    sRows.foreach { r =>
+      val ids = idsMap(r.getLong(0)); val split = r.getLong(3).toInt
+      assert(split >= 1 && split < ids.length, "both sides non-empty")
+      val span = ids.drop(split)
+      assert(r.getLong(4) === span.length.toLong)
+      assert(r.getLong(5) === span.zipWithIndex.map {
+        case (t, j) => t.toLong * (j + 1) }.sum)
+      assert(r.getLong(6) === ids.take(split).zipWithIndex.map {
+        case (t, i) => t.toLong * (i + 1) }.sum)
+    }
+    // the R leg is definitionally spanCorruption at (10, 3, 2)
+    val rIds = modes.filter(_._2 <= 1).keys.toSeq
+    val rDirect = Packing.spanCorruption(
+        docs.filter(col("id").isin(rIds: _*)), col("id"), col("ids"),
+        seed = 7L, blockLen = 10, spanLen = 3, corruptOneIn = 2)
+      .select(col("id"), col("span_idx"), col("start_pos"),
+        col("span_checksum"), col("kept_checksum"))
+    assert(rows(out.filter(col("mode") === "R")
+        .select(col("id"), col("span_idx"), col("start_pos"),
+          col("span_checksum"), col("kept_checksum"))) ===
+      rows(rDirect))
+  }
+
   test("doremiWeights: lossy domains gain weight, equal losses stay uniform, weights sum to 1") {
     // two domains, loss 1.0 vs 3.0 — round 1 by hand: mix = 2.0,
     // excess = (0, 1), w = (.5, .5·e^0.5), so the lossy domain's
