@@ -1513,6 +1513,15 @@ object SparkEntry {
         media(s, dir).filter(length(col("bytes")) > lit(16) + col("n_frames")),
         stride = 2)),
 
+    // ---- shot-boundary detection: adjacent-frame intensity deltas
+    // under a per-video keyed window, running boundary count = dense
+    // shot ids; signature extraction scan-local (payload never
+    // shuffles), stub luma at the q26 decode seam ----
+    "q170_shot_boundaries" -> ((s, dir) =>
+      graft.operators.Multimodal.shotBoundaries(
+        media(s, dir).filter(col("modality") === "video" &&
+          length(col("bytes")) > lit(16) + col("n_frames")))),
+
     // ---- BPE tokenizer TRAINING (the learning side of the q102
     // seam): 8 ranked merges from the corpus — one corpus pass for
     // word counts, then vocabulary-sized rounds (weighted adjacency
@@ -4319,6 +4328,37 @@ object SparkEntry {
          |  16 + frame_idx * frame_len AS frame_offset, frame_len,
          |  ${hashSql("substring(text, 16 + frame_idx * frame_len + 1, frame_len)")} AS frame_checksum
          |FROM f""".stripMargin,
+
+    // q170: the q26 frame-checksum replay folded to intensity, then
+    // plain SQL windows — lag delta, threshold, running boundary sum.
+    "q170_shot_boundaries" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, text, doc_id % 7 + 1 AS n_frames,
+         |    CAST(floor((length(text) - 16) / (doc_id % 7 + 1)) AS INT)
+         |      AS frame_len
+         |  FROM documents
+         |  WHERE doc_id % 3 = 2
+         |    AND length(text) > 16 + (doc_id % 7 + 1)),
+         |f AS (SELECT media_id, text, frame_len,
+         |    CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx
+         |  FROM m),
+         |sig AS (SELECT media_id, frame_idx,
+         |    (${hashSql("substring(text, 16 + frame_idx * frame_len" +
+               " + 1, frame_len)")}) % 256 AS intensity
+         |  FROM f),
+         |d AS (SELECT media_id, frame_idx,
+         |    CAST(intensity AS BIGINT) AS intensity,
+         |    abs(intensity - lag(intensity) OVER
+         |      (PARTITION BY media_id ORDER BY frame_idx)) AS delta
+         |  FROM sig)
+         |SELECT media_id, frame_idx, intensity,
+         |  CAST(delta AS BIGINT) AS delta,
+         |  coalesce(delta > 128, false) AS is_boundary,
+         |  CAST(sum(CASE WHEN coalesce(delta > 128, false)
+         |             THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY media_id ORDER BY frame_idx)
+         |    AS BIGINT) AS shot_id
+         |FROM d""".stripMargin,
 
     // q27: LSH-bucketed near-dup — same deterministic 6-plane sign-bit
     // bucket as q22, so the bucketed result (recall loss included) has
