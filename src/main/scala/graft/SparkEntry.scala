@@ -1513,6 +1513,20 @@ object SparkEntry {
         media(s, dir).filter(length(col("bytes")) > lit(16) + col("n_frames")),
         stride = 2)),
 
+    // ---- CLIP-score image-text alignment gate (LAION shape): cosine
+    // between the byte-histogram image embedding (batched encoder
+    // seam) and the hashed-BoW caption embedding (scan-side kernel) in
+    // the shared dim-16 stub space, keep flagged at 0.5 ----
+    "q171_clip_align_filter" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val imgs = media(s, dir).filter(col("modality") === "image")
+        .as[Multimodal.Media](
+          org.apache.spark.sql.Encoders.product[Multimodal.Media])
+      Multimodal.clipAlignFilter(imgs,
+        docs(s, dir).filter(col("doc_id") % 3 === 0),
+        col("doc_id"), col("text"))
+    }),
+
     // ---- shot-boundary detection: adjacent-frame intensity deltas
     // under a per-video keyed window, running boundary count = dense
     // shot ids; signature extraction scan-local (payload never
@@ -4328,6 +4342,40 @@ object SparkEntry {
          |  16 + frame_idx * frame_len AS frame_offset, frame_len,
          |  ${hashSql("substring(text, 16 + frame_idx * frame_len + 1, frame_len)")} AS frame_checksum
          |FROM f""".stripMargin,
+
+    // q171: both stub towers replayed dense — the q41 byte histogram
+    // and the q147 hashed-BoW ratios — cosine round6 in ascending-j
+    // fold order (the engine's sparse fold skips exact zeros, which
+    // is IEEE-identical), keep at 0.5, zero-image pairs dropped.
+    "q171_clip_align_filter" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      val hash = hashSql("tok")
+      s"""WITH m AS (SELECT doc_id AS media_id, text FROM documents
+         |  WHERE doc_id % 3 = 0 AND length(text) >= 1),
+         |iv AS (SELECT media_id, list_transform(range(0, 16), j ->
+         |    CAST(list_sum(list_transform(range(1, length(text)+1),
+         |      ci -> CASE WHEN ascii(text[ci]) % 16 = j
+         |            THEN ascii(text[ci]) + 1 ELSE 0 END)) AS DOUBLE))
+         |    AS v
+         |  FROM m),
+         |tv AS (SELECT media_id, list_transform(range(0, 16), fj ->
+         |    CAST(len(list_filter(t, tok -> ($hash) % 16 = fj))
+         |      AS DOUBLE) / len(t)) AS f
+         |  FROM (SELECT media_id, string_split(text, ' ') AS t FROM m)),
+         |s AS (SELECT media_id,
+         |  ${r6(
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE)," +
+              " list_transform(range(1, 17), zi -> f[zi] * v[zi]))," +
+              " (a, x) -> a + x)" +
+            " / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE)," +
+              " list_transform(range(1, 17), zi -> v[zi] * v[zi]))," +
+              " (a, x) -> a + x))" +
+            " * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE)," +
+              " list_transform(range(1, 17), zi -> f[zi] * f[zi]))," +
+              " (a, x) -> a + x)))")} AS sim
+         |  FROM iv JOIN tv USING (media_id))
+         |SELECT media_id, sim, sim >= 0.5 AS keep FROM s""".stripMargin
+    },
 
     // q170: the q26 frame-checksum replay folded to intensity, then
     // plain SQL windows — lag delta, threshold, running boundary sum.

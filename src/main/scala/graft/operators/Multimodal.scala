@@ -267,6 +267,61 @@ object Multimodal {
             col("frame_len"))).as("frame_checksum"))
   }
 
+  /** IMAGE–TEXT ALIGNMENT FILTER — the CLIP-score curation gate of
+    * image-text corpus building (public recipe: LAION-400M/5B keep a
+    * pair iff cosine(image_emb, caption_emb) clears a threshold —
+    * Schuhmann et al. 2021; the single most important filter of
+    * multimodal pretraining): each pair scores the cosine between its
+    * image embedding and its caption embedding in a shared
+    * `dim`-space, and `keep` flags survivors — emitted as a FLAG, not
+    * a filter, so the audit trail (what was dropped and how close it
+    * was) is part of the output.
+    *
+    * Encoders at the established stub seams: image = the
+    * [[EmbedStub]] byte histogram through the batched
+    * [[mapEmbedBatches]] contract (the GPU-encoder shape); caption =
+    * the [[graft.functions.HashedBow]] scan-side kernel (same
+    * featurization the quality classifier trains on). Both are
+    * deterministic, so every cosine replays bit-for-bit in the
+    * oracle; a deployment swaps real CLIP towers at the same two
+    * seams without touching the plan.
+    *
+    * Float discipline: the text side folds its ASCENDING-j sparse
+    * pairs; skipping exact-zero terms is IEEE-identical to the dense
+    * ascending sum, so the engine's sparse fold and the oracle's
+    * dense fold agree bit-for-bit. round6 on the final cosine.
+    *
+    * Scale shape: both encoders are SCAN-LOCAL projections (payload
+    * and text never shuffle for scoring); the one exchange is the
+    * 1:1 id-keyed join of two narrow embedding tables — AQE broadcasts
+    * whichever side is small, co-partitioning covers the rest. Pairs
+    * with an all-zero image embedding (empty payload) are dropped:
+    * alignment against no signal is undefined.
+    * @return (media_id, sim, keep). */
+  def clipAlignFilter(
+      media: Dataset[Media], captions: DataFrame,
+      idCol: Column, textCol: Column,
+      dim: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(dim >= 2, "dim must be >= 2")
+    import graft.functions.TextFunctions.round6
+    val img = mapEmbedBatches(media, dim).toDF()
+      .select(col("media_id"), col("embedding").as("__iv"))
+    val txt = captions.select(idCol.cast("long").as("media_id"),
+      graft.functions.HashedBow.hashed_bow(textCol, dim).as("__tv"))
+    val dot = aggregate(col("__tv"), lit(0.0),
+      (a, p) => a + p.getField("x") *
+        element_at(col("__iv"), p.getField("j") + 1).cast("double"))
+    val nT = sqrt(aggregate(col("__tv"), lit(0.0),
+      (a, p) => a + p.getField("x") * p.getField("x")))
+    val nI = sqrt(aggregate(col("__iv"), lit(0.0),
+      (a, v) => a + v.cast("double") * v.cast("double")))
+    img.join(txt, "media_id")
+      .withColumn("__ni", nI)
+      .filter(col("__ni") > 0.0)
+      .select(col("media_id"), round6(dot / (col("__ni") * nT)).as("sim"))
+      .withColumn("keep", col("sim") >= threshold)
+  }
+
   /** SHOT-BOUNDARY DETECTION — the classic video curation segmenter
     * (public recipe: adjacent-frame histogram/intensity distance
     * thresholding — the first stage of every shot-level video
