@@ -148,6 +148,26 @@ object Stress {
     (sp.read.parquet(dir), n)
   }
 
+  /** Shared parquet-staged corpus for the entropy_fold/entropy_flat
+    * head-to-head. Staging matters for the FOIL's honesty: a raw
+    * `spark.range` source reports id-based output partitioning, so
+    * Catalyst elides BOTH of the flat form's exchanges (grouping keys
+    * include `id`) — a gifted co-location no real corpus scan has.
+    * Parquet reads report UnknownPartitioning, the 100 TB shape. */
+  @volatile private var entropyStaged: Option[(String, Long)] = None
+  private def stagedEntropyCorpus(
+      sp: SparkSession, n: Long): (DataFrame, Long) = {
+    val (dir, rows) = entropyStaged.getOrElse {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_stress_entropy_").toString
+      corpus(sp, n, 200, 2000).write.mode("overwrite").parquet(path)
+      val v = (path, n)
+      entropyStaged = Some(v)
+      v
+    }
+    (sp.read.parquet(dir), rows)
+  }
+
   /** Event-time base and span shared by [[events]] and
     * [[stageTimeSlicedEvents]] — the slicer's filter bounds MUST be the
     * generator's, or slice 0's lower bound silently drops rows from the
@@ -1103,6 +1123,66 @@ object Stress {
               lit("the")).otherwise(tok(col("id"), i, 2000))), " "))
           .select(col("id"), col("text"))
         (sink(graft.operators.Corpus.knScore(d, "id", "text")), n)
+      }),
+      Scenario("dpo_pack", sp => {
+        // 2M preference pairs × (32 prompt + 48 + 48) = 256M tokens
+        // through the twin-plane collator: a pure narrow map — pass =
+        // ZERO shuffle bytes at any size (pair atomicity costs nothing
+        // because both planes live in one row by construction)
+        val n = s(2000000L)
+        val ids = (salt: Int, len: Int) => expr(
+          s"transform(sequence(0, ${len - 1}), " +
+            s"i -> cast(pmod(hash(id, i, $salt), 50000) as int))")
+        val pairs = sp.range(n).select(col("id"),
+          ids(1, 32).as("p"), ids(2, 48).as("c"), ids(3, 48).as("r"))
+        (sink(graft.operators.Packing.dpoPairPack(pairs, col("id"),
+          col("p"), col("c"), col("r"), contextLen = 96, nShards = 64)),
+          n)
+      }),
+      Scenario("ul2_mix", sp => {
+        // 1M docs × 240 tokens through the three-denoiser mix: mode
+        // split + R/X closed-form block corruption + S suffix cut are
+        // all per-row array arithmetic — pass = zero shuffle
+        val n = s(1000000L)
+        val d = sp.range(n).select(col("id"),
+          expr("transform(sequence(0, 239), " +
+            "i -> cast(pmod(hash(id, i), 50000) as int))").as("ids"))
+        (sink(graft.operators.Packing.ul2Mix(d, col("id"), col("ids"),
+          seed = 7L)), n)
+      }),
+      Scenario("entropy_fold", sp => {
+        // 1M docs × 200 tokens, vocab 2000, parquet-staged (see
+        // stagedEntropyCorpus): the sorted-run fold keeps the per-doc
+        // entropy computation doc-local — pass = zero shuffle;
+        // entropy_flat below is the textbook two-exchange head-to-head
+        // over the SAME staged files
+        val (d, n) = stagedEntropyCorpus(sp, s(1000000L))
+        (sink(graft.operators.Corpus.entropySignals(d, "id", "text")), n)
+      }),
+      Scenario("entropy_flat", sp => {
+        // the explode → (doc,word) count → per-doc aggregate shape the
+        // fold replaces: 200M word rows through TWO corpus-scale
+        // exchanges for doc-local math (the measured foil, same
+        // convention as training_order_flat / paragraph_dedup_flat)
+        val (d, n) = stagedEntropyCorpus(sp, s(1000000L))
+        val r6 = (c: org.apache.spark.sql.Column) =>
+          graft.functions.TextFunctions.round6(c)
+        val flat = d
+          .select(col("id"), explode(filter(split(col("text"), " "),
+            w => w =!= "")).as("w"))
+          .groupBy("id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("id")
+          .agg(sum("c").cast("long").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(r6(col("c").cast("double") * log(col("c").cast("double")))
+              .cast("decimal(28,6)")).as("s"))
+          .select(col("id"), col("n_tokens"), col("n_types"),
+            r6(col("n_types").cast("double") /
+              col("n_tokens").cast("double")).as("ttr"),
+            r6(log(col("n_tokens").cast("double")) -
+              col("s").cast("double") / col("n_tokens").cast("double"))
+              .as("entropy"))
+        (sink(flat), n)
       }))
   }
 
