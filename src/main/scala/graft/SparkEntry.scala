@@ -1099,6 +1099,45 @@ object SparkEntry {
        |  FROM f CROSS JOIN cw8 wp)""".stripMargin
   }
 
+  /** q167's oracle chain — per-source mean nll over [[lmScoreSql]],
+    * then 8 DoReMi EG rounds — as a def (the classifierChainSql
+    * convention) so q172's mixture application composes the IDENTICAL
+    * trajectory. Emits the WITH-fragment ending in CTEs `a8`
+    * (domain, n_docs, loss, alpha) and `dc` (d = |domains|). Per-round
+    * CTEs are MATERIALIZED, mirroring the engine's per-round
+    * checkpoint — each round references the last three times, so
+    * DuckDB's CTE inlining would otherwise build a 3⁸-node plan. */
+  private def doremiChainSql: String = {
+    def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+    def iter(k: Int): String = {
+      val mixSum = r6("CAST(sum(CAST(" + r6("alpha*loss") +
+        " AS DECIMAL(28,6))) AS DOUBLE)")
+      val w = r6("alpha * exp(0.5 * " +
+        r6("greatest(0.0, " + r6("loss - mix") + ")") + ")")
+      s"""mx$k AS (SELECT $mixSum AS mix FROM a${k - 1}),
+         |u$k AS MATERIALIZED (SELECT domain, n_docs, loss, $w AS w
+         |  FROM a${k - 1} CROSS JOIN mx$k),
+         |z$k AS (SELECT ${r6(
+             "CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE)")} AS z
+         |  FROM u$k),
+         |a$k AS MATERIALIZED (SELECT domain, n_docs, loss,
+         |    ${r6("w / z")} AS alpha
+         |  FROM u$k CROSS JOIN z$k)""".stripMargin
+    }
+    s"""scored AS ($lmScoreSql),
+       |sj AS (SELECT s.nll, d.source
+       |  FROM scored s JOIN documents d USING (doc_id)),
+       |dm AS MATERIALIZED (SELECT source AS domain,
+       |    count(*) AS n_docs,
+       |    ${r6("CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE)" +
+             " / CAST(count(*) AS DOUBLE)")} AS loss
+       |  FROM sj GROUP BY 1),
+       |dc AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM dm),
+       |a0 AS (SELECT domain, n_docs, loss, ${r6("1.0 / d")} AS alpha
+       |  FROM dm CROSS JOIN dc),
+       |${(1 to 8).map(iter).mkString(",\n")}""".stripMargin
+  }
+
   /** q148's oracle chain parameterized by the target-flagged token CTE
     * body (columns id, tgt, t) plus (dim, k) — shared verbatim with
     * the q160 composition's selection stage. Emits the WITH-fragment
@@ -1905,6 +1944,32 @@ object SparkEntry {
           col("source"), col("nll"))
         .select(col("domain").as("source"), col("n_docs"),
           col("loss"), col("weight"))
+    }),
+
+    // ---- DoReMi weights APPLIED (the q160 composition convention at
+    // mixture scope): the q167 EG trajectory's smoothed weights,
+    // decimal-exact renormalized (round6 weights need not sum to 1),
+    // feed mixSample's largest-achievable-at-exact-proportions
+    // selection — weights learned in-engine, selection in-engine, the
+    // |D|-row weight table the only driver crossing (bounded plan
+    // parameter, the q167 convention) ----
+    "q172_doremi_mix_apply" -> ((s, dir) => {
+      val scored = graft.operators.Corpus.lmScore(docs(s, dir),
+          "doc_id", "text")
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      val w = graft.operators.Sampling.doremiWeights(scored,
+          col("source"), col("nll"))
+        .select(col("domain"), col("weight")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1))
+      // round6 weights sum EXACTLY in decimal (BigDecimal.valueOf via
+      // Double.toString recovers the 6-dp value — same as the oracle's
+      // DECIMAL(28,6) sum), then one correctly-rounded double division
+      // per share mirrors the SQL exactly
+      val sum = w.map { case (_, x) => BigDecimal(x) }.sum.toDouble
+      val shares = w.map { case (g, x) => g -> x / sum }.toMap
+      graft.operators.Sampling.mixSample(docs(s, dir), col("doc_id"),
+          col("source"), shares)
+        .select(col("doc_id"), col("source"))
     }),
 
     // ---- in-context-pretraining order (Shi et al. 2023): every
@@ -7210,41 +7275,38 @@ object SparkEntry {
     // q75 LM (lmScoreSql shared def), then 8 rounds of
     // mix → excess → exp-update → renormalize, each scalar round6,
     // decimal-exact tiny sums (the engine's dsum), uniform smoothing.
+    // The chain itself is the shared doremiChainSql def so q172's
+    // composition applies the IDENTICAL trajectory.
     "q167_doremi_reweight" -> {
       def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
-      def iter(k: Int): String = {
-        val mixSum = r6("CAST(sum(CAST(" + r6("alpha*loss") +
-          " AS DECIMAL(28,6))) AS DOUBLE)")
-        val w = r6("alpha * exp(0.5 * " +
-          r6("greatest(0.0, " + r6("loss - mix") + ")") + ")")
-        // MATERIALIZED per round (mirrors the engine's per-round
-        // checkpoint): each round references the last three times, so
-        // DuckDB's CTE inlining would otherwise build a 3^8-node plan
-        s"""mx$k AS (SELECT $mixSum AS mix FROM a${k - 1}),
-           |u$k AS MATERIALIZED (SELECT domain, n_docs, loss, $w AS w
-           |  FROM a${k - 1} CROSS JOIN mx$k),
-           |z$k AS (SELECT ${r6(
-               "CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE)")} AS z
-           |  FROM u$k),
-           |a$k AS MATERIALIZED (SELECT domain, n_docs, loss,
-           |    ${r6("w / z")} AS alpha
-           |  FROM u$k CROSS JOIN z$k)""".stripMargin
-      }
-      s"""WITH scored AS ($lmScoreSql),
-         |sj AS (SELECT s.nll, d.source
-         |  FROM scored s JOIN documents d USING (doc_id)),
-         |dm AS MATERIALIZED (SELECT source AS domain,
-         |    count(*) AS n_docs,
-         |    ${r6("CAST(sum(CAST(nll AS DECIMAL(28,6))) AS DOUBLE)" +
-               " / CAST(count(*) AS DOUBLE)")} AS loss
-         |  FROM sj GROUP BY 1),
-         |dc AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM dm),
-         |a0 AS (SELECT domain, n_docs, loss, ${r6("1.0 / d")} AS alpha
-         |  FROM dm CROSS JOIN dc),
-         |${(1 to 8).map(iter).mkString(",\n")}
+      s"""WITH $doremiChainSql
          |SELECT domain AS source, n_docs, loss,
          |  ${r6("0.9 * alpha + 0.1 / d")} AS weight
          |FROM a8 CROSS JOIN dc""".stripMargin
+    },
+
+    // q172: the q167 chain (shared def) renormalized decimal-exact
+    // into shares, then the q84 mixSample arithmetic — min(n/s)
+    // feasibility, per-group floor thresholds, KMV-scrambled buckets.
+    "q172_doremi_mix_apply" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      s"""WITH $doremiChainSql,
+         |w AS (SELECT domain AS g,
+         |    ${r6("0.9 * alpha + 0.1 / d")} AS wgt
+         |  FROM a8 CROSS JOIN dc),
+         |sw AS (SELECT CAST(sum(CAST(wgt AS DECIMAL(28,6)))
+         |    AS DOUBLE) AS sws FROM w),
+         |shr AS (SELECT g, wgt / sws AS s FROM w CROSS JOIN sw),
+         |cnt AS (SELECT source AS g, CAST(count(*) AS DOUBLE) AS n
+         |  FROM documents JOIN shr ON source = g GROUP BY source),
+         |nout AS (SELECT min(n / s) AS nout
+         |  FROM cnt JOIN shr USING (g)),
+         |thr AS (SELECT g,
+         |    CAST(floor(((1000000.0 * s) * nout) / n) AS BIGINT) AS thr
+         |  FROM cnt JOIN shr USING (g) CROSS JOIN nout)
+         |SELECT doc_id, source FROM documents JOIN thr ON source = g
+         |WHERE 1566083941 * ((${hashSql("CAST(doc_id AS VARCHAR)")}) + 1)
+         |      % 1000000007 % 1000000 < thr""".stripMargin
     },
 
     // q166: the twin-plane collator replayed in list arithmetic —
