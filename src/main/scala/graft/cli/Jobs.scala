@@ -47,6 +47,9 @@ import graft.sinks.Sinks
   *   graft.cli.Jobs pack-sft --input-path convs/ --output-path out/
   *     [--id-col id] [--prompt-col prompt] [--response-col response]
   *     [--context-len 512] [--n-shards 8]
+  *   graft.cli.Jobs pack-dpo --input-path pairs/ --output-path out/
+  *     [--id-col id] [--prompt-col prompt] [--chosen-col chosen]
+  *     [--rejected-col rejected] [--context-len 512] [--n-shards 8]
   *   graft.cli.Jobs train-classifier --input-path docs/ --label-col c
   *     --output-path weights.txt [--dim 16] [--iters 8]
   *   graft.cli.Jobs train-unigram --input-path docs/ --output-path p.tsv
@@ -579,6 +582,41 @@ object Jobs {
     out
   }
 
+  /** `pack-dpo`: preference pairs → FOUR aligned GTOK planes
+    * (chosen/rejected tokens + loss masks), one record per pair keyed
+    * by pair_id — the artifact a DPO trainer loads by zipping the four
+    * sidecar indexes (identical (shard, pair_id) geometry across
+    * planes, spec-pinned). Truncation is [[graft.operators.Packing
+    * .dpoPairPack]]'s HF contract: prompt left-truncates, planes
+    * right-truncate to --context-len. */
+  def runPackDpo(spark: SparkSession, a: Args): String = {
+    val pairs = spark.read.parquet(a("input-path"))
+    val idCol = a.get("id-col").getOrElse("id")
+    val pCol = a.get("prompt-col").getOrElse("prompt")
+    val cCol = a.get("chosen-col").getOrElse("chosen")
+    val rCol = a.get("rejected-col").getOrElse("rejected")
+    val contextLen = a.get("context-len").getOrElse("512").toInt
+    val nShards = a.get("n-shards").getOrElse("8").toInt
+    def toks(c: String) =
+      expr(s"transform(filter(split($c, ' '), w -> w <> ''), " +
+        "w -> CAST(pmod(xxhash64(w), 65536L) AS INT))")
+    val packed = graft.operators.Packing.dpoPairPack(
+        pairs.select(col(idCol).as("id"), toks(pCol).as("p"),
+          toks(cCol).as("c"), toks(rCol).as("r")),
+        col("id"), col("p"), col("c"), col("r"), contextLen, nShards)
+      .localCheckpoint() // one packing evaluation feeds all four planes
+    val out = a("output-path")
+    def plane(c: org.apache.spark.sql.Column, sub: String): Unit =
+      graft.sinks.TokenSink.writePackedTokens(
+        packed.select(col("shard"), col("pair_id").as("chunk_id"),
+          c.as("token_ids")), s"$out/$sub")
+    plane(col("chosen_ids"), "chosen_tokens")
+    plane(col("chosen_mask"), "chosen_masks")
+    plane(col("rejected_ids"), "rejected_tokens")
+    plane(col("rejected_mask"), "rejected_masks")
+    out
+  }
+
   def runPackTokens(spark: SparkSession, a: Args): String = {
     val docs = spark.read.parquet(a("input-path"))
     val idCol = a.get("id-col").getOrElse("doc_id")
@@ -833,7 +871,8 @@ object Jobs {
     require(argv.nonEmpty,
       "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf | " +
         "daily-etl | dedup-admit | select-corpus | curate | train-bpe | " +
-        "train-classifier | train-unigram | pack-tokens | pack-sft")
+        "train-classifier | train-unigram | pack-tokens | pack-sft | " +
+        "pack-dpo")
     val a = parseArgs(argv.tail.toSeq)
     val spark = session()
     try {
@@ -850,6 +889,7 @@ object Jobs {
         case "train-unigram" => runTrainUnigram(spark, a)
         case "pack-tokens" => runPackTokens(spark, a)
         case "pack-sft" => runPackSft(spark, a)
+        case "pack-dpo" => runPackDpo(spark, a)
         case other => sys.error(s"unknown subcommand: $other")
       }
       println(s"WROTE $path")

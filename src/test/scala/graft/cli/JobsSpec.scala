@@ -186,6 +186,42 @@ class JobsSpec extends SparkSpec {
     assert(allMask.length.toLong === nAll)
   }
 
+  test("pack-dpo job: preference pairs -> four aligned GTOK planes keyed by pair_id") {
+    val dir = Files.createTempDirectory("graft-pack-dpo").toString
+    val pairs = Seq(
+      (1L, "please summarize this text", "a good concise summary",
+        "a bad long rambling answer"),
+      (2L, "what is two plus two", "four", "five maybe"),
+      (3L, "translate hello friend", "bonjour mon ami", "je ne sais pas"))
+      .toDF("id", "prompt", "chosen", "rejected")
+    pairs.write.parquet(s"$dir/pairs")
+    val out = Jobs.runPackDpo(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/pairs", "--output-path", s"$dir/dpo",
+      "--context-len", "6", "--n-shards", "2")))
+    def read(sub: String) =
+      graft.sinks.TokenSink.readPackedTokens(spark, s"$out/$sub")
+        .as[(Int, Long, Seq[Int])].collect()
+        .map(c => (c._1, c._2) -> c._3).toMap
+    val ct = read("chosen_tokens"); val cm = read("chosen_masks")
+    val rt = read("rejected_tokens"); val rm = read("rejected_masks")
+    // identical (shard, pair_id) geometry across all four planes —
+    // the invariant a trainer zipping the sidecar indexes relies on
+    assert(ct.keySet === cm.keySet && ct.keySet === rt.keySet &&
+      ct.keySet === rm.keySet)
+    assert(ct.keySet.map(_._2) === Set(1L, 2L, 3L))
+    ct.foreach { case (k, ids) =>
+      assert(ids.length === cm(k).length && ids.length <= 6) }
+    rt.foreach { case (k, ids) =>
+      assert(ids.length === rm(k).length && ids.length <= 6) }
+    // masks are 0/1 with ≥1 response token per plane (the dpoPairPack
+    // drop contract guarantees it), prompt prefix then response suffix
+    (cm.values ++ rm.values).foreach { m =>
+      assert(m.forall(x => x == 0 || x == 1))
+      assert(m.sum >= 1)
+      assert(m === m.sorted)
+    }
+  }
+
   test("pack-tokens --fim-pct: PSM rearrangement feeds the shards (sentinels counted)") {
     val dir = Files.createTempDirectory("graft-pack-fim").toString
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta"),
