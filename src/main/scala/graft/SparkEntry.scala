@@ -1923,6 +1923,13 @@ object SparkEntry {
             .as("r_mask_checksum"))
     }),
 
+    // ---- vocabulary-size coverage sweep (the q158 calibration
+    // convention applied to vocab): one count pass, ranked table,
+    // every candidate V reads the OOV/coverage point off it ----
+    "q173_vocab_coverage_sweep" -> ((s, dir) =>
+      graft.operators.Corpus.vocabCoverageSweep(docs(s, dir),
+        "doc_id", "text")),
+
     // ---- word-entropy / lexical-diversity signals: per-doc Shannon
     // entropy over word counts + type-token ratio, computed doc-local
     // (sorted-run HOF fold, zero shuffle) while the oracle takes the
@@ -7245,6 +7252,31 @@ object SparkEntry {
          |  CAST(sum(u.m) AS BIGINT) AS n_loss
          |FROM toks
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // q173: rank words (count DESC, word ASC), cumulative coverage
+    // read per candidate V — plain SQL over the vocab-sized table.
+    "q173_vocab_coverage_sweep" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      s"""WITH wc AS (SELECT w, count(*) AS c FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '),
+         |      x -> x <> '')) AS w FROM documents) GROUP BY 1),
+         |rk AS (SELECT c,
+         |    row_number() OVER (ORDER BY c DESC, w ASC) AS rank
+         |  FROM wc),
+         |tot AS (SELECT count(*) AS n_types,
+         |    CAST(sum(c) AS BIGINT) AS total FROM rk),
+         |cand(v) AS (VALUES (1000), (2000), (4000), (8000)),
+         |per AS (SELECT v,
+         |    CAST(sum(CASE WHEN rank <= v THEN c ELSE 0 END) AS BIGINT)
+         |      AS kept
+         |  FROM rk CROSS JOIN cand GROUP BY v)
+         |SELECT CAST(v AS BIGINT) AS vocab_size,
+         |  CAST(n_types AS BIGINT) AS n_types,
+         |  total AS total_tokens, kept AS kept_tokens,
+         |  ${r6("1.0 - CAST(kept AS DOUBLE) / CAST(total AS DOUBLE)")}
+         |    AS oov_rate
+         |FROM per CROSS JOIN tot""".stripMargin
     },
 
     // q168: the textbook form — explode words, per-(doc,word) counts,

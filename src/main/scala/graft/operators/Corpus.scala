@@ -366,6 +366,53 @@ object Corpus {
           .as("entropy"))
   }
 
+  /** VOCABULARY-SIZE COVERAGE SWEEP — the vocab-size calibration
+    * every tokenizer design starts from (public recipe: pick V by
+    * reading the OOV/coverage curve of the top-V frequency-ranked
+    * vocabulary — the Zipf-tail question "how much of the corpus do
+    * the top V word types cover?"), the [[Packing.contextLengthSweep
+    * q158]] convention applied to vocabulary: ONE corpus count pass,
+    * then every candidate V reads off the same ranked table —
+    * closed-form, no per-candidate scan.
+    *
+    * Ranking ties break (count DESC, word ASC) so the curve is
+    * deterministic and oracle-replayable.
+    *
+    * Scale shape: one map-side-combined word-count aggregate (vocab-
+    * sized output), one window over the VOCAB-sized table (bounded —
+    * the corpus never sorts), then a single one-row aggregate emitting
+    * all candidates. 100 TB cost = the one count pass.
+    * @return (vocab_size, n_types, total_tokens, kept_tokens,
+    *         oov_rate) — oov_rate round6. */
+  def vocabCoverageSweep(
+      docs: DataFrame, idCol: String, textCol: String,
+      sizes: Seq[Int] = Seq(1000, 2000, 4000, 8000)): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      "sizes must be non-empty positive")
+    import TextFunctions.round6
+    val wc = docs
+      .select(explode(filter(TextFunctions.tokens(col(textCol)),
+        w => w =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val ranked = wc.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w"))))
+    val aggs = sizes.map(v =>
+      sum(when(col("rank") <= v, col("c")).otherwise(lit(0L)))
+        .cast("long").as(s"__k$v"))
+    val one = ranked.agg(count(lit(1)).as("__types"),
+      (sum(col("c")).cast("long").as("__total") +: aggs): _*)
+    one.select(explode(array(sizes.map(v => struct(
+        lit(v).cast("long").as("vocab_size"),
+        col("__types").as("n_types"),
+        col("__total").as("total_tokens"),
+        col(s"__k$v").as("kept_tokens"))): _*)).as("s"))
+      .select(col("s.vocab_size"), col("s.n_types"),
+        col("s.total_tokens"), col("s.kept_tokens"),
+        round6(lit(1.0) - col("s.kept_tokens").cast("double") /
+          col("s.total_tokens").cast("double")).as("oov_rate"))
+  }
+
   /** KNESER–NEY SMOOTHED bigram LM scoring — the smoothing family the
     * CCNet/KenLM perplexity filter actually ships (absolute
     * discounting + continuation-probability backoff), upgrading

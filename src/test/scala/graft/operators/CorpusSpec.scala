@@ -122,6 +122,23 @@ class CorpusSpec extends SparkSpec {
     }.isEmpty, plan.toString)
   }
 
+  test("vocabCoverageSweep: hand-checked coverage curve, deterministic tie-break") {
+    // counts: a×5, b×3, c×1, d×1 (ties c/d break by word asc)
+    val d = Seq((1L, "a a a b b"), (2L, "a a b c"), (3L, "d"))
+      .toDF("doc_id", "text")
+    val out = Corpus.vocabCoverageSweep(d, "doc_id", "text",
+        sizes = Seq(1, 2, 3))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) === ((4L, 10L, 5L, 0.5)))
+    assert(out(2L) === ((4L, 10L, 8L, 0.2)))
+    assert(out(3L) === ((4L, 10L, 9L, 0.1))) // c (word asc) wins rank 3
+    // a V beyond the vocab covers everything
+    val full = Corpus.vocabCoverageSweep(d, "doc_id", "text",
+        sizes = Seq(100)).collect().head
+    assert(full.getLong(3) === 10L && full.getDouble(4) === 0.0)
+  }
+
   test("entropySignals: hand-checked entropy/ttr, fold ≡ textbook explode form, edge docs") {
     val d = Seq(
       (1L, "a b a c"),       // counts a:2,b:1,c:1 → H = ln4 − r6(2ln2)/4
