@@ -3270,6 +3270,22 @@ object SparkEntry {
           col("start_pos"), col("span_checksum"), col("kept_checksum"))
     }),
 
+    // ---- needle-in-a-haystack eval builder (the NIAH grid): the
+    // needle inserts at each depth-percent cell, the rearranged
+    // stream pinned by the closed-form position checksum ----
+    "q174_needle_insert" -> ((s, dir) => {
+      import graft.functions.PortableHash.portable_hash
+      val tok = docs(s, dir).select(col("doc_id"),
+        transform(
+          filter(split(col("text"), " "), w => w =!= ""),
+          w => pmod(portable_hash(w), lit(65536L)).cast("int")).as("ids"))
+      graft.operators.Packing.needleInsert(tok, col("doc_id"),
+          col("ids"), needleIds = Seq(65001, 65002, 65003),
+          depths = Seq(0, 25, 50, 75, 100))
+        .select(col("id").as("doc_id"), col("depth_pct"),
+          col("insert_pos"), col("out_len"), col("out_checksum"))
+    }),
+
     // ---- UL2 mixture-of-denoisers (Tay et al. 2022): seeded mode
     // draw (R-heavy: 2/4 R, 1/4 X, 1/4 S), R/X through the q123
     // closed-form block corruption at their own operating points
@@ -5231,6 +5247,34 @@ object SparkEntry {
               "CAST(sum(bins) * context_len AS DOUBLE)")} AS utilization
          |FROM per GROUP BY context_len""".stripMargin
     },
+
+    // q174: the closed-form checksum replayed — total + |needle|·
+    // (suffix sum) + needle constants (Σnⱼ·j = 390014, Σnⱼ = 195006
+    // for needle [65001, 65002, 65003]) + pos·Σnⱼ.
+    "q174_needle_insert" ->
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id,
+         |    list_transform(list_filter(string_split(text, ' '),
+         |                               w -> w <> ''),
+         |      w -> ${hashSql("w")} % 65536) AS ids
+         |  FROM documents),
+         |base AS (SELECT doc_id, ids, len(ids) AS n,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len(ids) + 1),
+         |        ti -> ids[ti] * ti)), (a, x) -> a + x) AS total
+         |  FROM tok WHERE len(ids) >= 1),
+         |d AS (SELECT doc_id, ids, n, total,
+         |    unnest([0, 25, 50, 75, 100]) AS depth_pct FROM base),
+         |p AS (SELECT doc_id, ids, n, total, depth_pct,
+         |    (n * depth_pct) // 100 AS pos FROM d)
+         |SELECT doc_id, CAST(depth_pct AS BIGINT) AS depth_pct,
+         |  CAST(pos AS BIGINT) AS insert_pos,
+         |  CAST(n + 3 AS BIGINT) AS out_len,
+         |  CAST(total
+         |    + 3 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(pos + 1, n + 1), si -> ids[si])),
+         |        (a, x) -> a + x)
+         |    + 390014 + pos * 195006 AS BIGINT) AS out_checksum
+         |FROM p""".stripMargin,
 
     // q169: q123's block-corruption SQL parameterized per denoiser
     // (R 10/3, X 12/12) over the seeded mode split, plus the S leg's

@@ -748,6 +748,59 @@ object Packing {
         col("kept_checksum"))
   }
 
+  /** NEEDLE-IN-A-HAYSTACK EVAL BUILDER — the long-context retrieval
+    * eval's data-construction step (public recipe: insert a known
+    * "needle" span into each haystack document at a grid of depth
+    * percentages, one eval example per (document, depth) cell —
+    * Kamradt's NIAH grid, the standard long-context probe): needle
+    * tokens insert BEFORE the original token at index
+    * ⌊n·depth/100⌋ (depth 0 = prepend, 100 = append).
+    *
+    * The rearranged stream is pinned WITHOUT materializing it (the
+    * q152 FIM convention) by the position-weighted checksum over NEW
+    * positions, in closed form: prefix keeps its positions, the
+    * needle contributes Σ needle_j·(pos+j), the suffix shifts by
+    * |needle| — so checksum = Σ idᵢ·i + |needle|·(suffix sum) +
+    * needle constants + pos·Σ needle_j, two integer folds per row.
+    *
+    * Scale shape: a pure narrow map × |depths| rows per doc — zero
+    * shuffle; the needle constants are plan-time literals.
+    * @return (id, depth_pct, insert_pos, out_len, out_checksum). */
+  def needleInsert(
+      docs: DataFrame, idCol: Column, tokenIdsCol: Column,
+      needleIds: Seq[Int], depths: Seq[Int]): DataFrame = {
+    require(needleIds.nonEmpty, "needleIds must be non-empty")
+    require(depths.nonEmpty && depths.forall(d => d >= 0 && d <= 100),
+      "depths must be percentages in [0, 100]")
+    val L = needleIds.length.toLong
+    val needleS = needleIds.map(_.toLong).sum
+    val needleW = needleIds.zipWithIndex
+      .map { case (t, j) => t.toLong * (j + 1) }.sum
+    docs
+      .select(idCol.cast("long").as("id"),
+        tokenIdsCol.cast("array<int>").as("ids"))
+      .withColumn("__n", size(col("ids")).cast("long"))
+      .filter(col("__n") >= 1)
+      .withColumn("__total",
+        aggregate(
+          zip_with(col("ids"), sequence(lit(1), size(col("ids"))),
+            (t, i) => t.cast("long") * i.cast("long")),
+          lit(0L), (a, x) => a + x))
+      .select(col("id"), col("ids"), col("__n"), col("__total"),
+        explode(array(depths.map(d => lit(d).cast("long")): _*))
+          .as("depth_pct"))
+      .withColumn("insert_pos", expr("(__n * depth_pct) DIV 100L"))
+      .withColumn("__suf",
+        aggregate(
+          slice(col("ids"), (col("insert_pos") + 1).cast("int"),
+            (col("__n") - col("insert_pos")).cast("int")),
+          lit(0L), (a, t) => a + t.cast("long")))
+      .select(col("id"), col("depth_pct"), col("insert_pos"),
+        (col("__n") + lit(L)).as("out_len"),
+        (col("__total") + lit(L) * col("__suf") + lit(needleW) +
+          col("insert_pos") * lit(needleS)).as("out_checksum"))
+  }
+
   /** UL2 MIXTURE-OF-DENOISERS — the multi-objective corruption mix of
     * UL2 pretraining (public recipe: Tay et al. 2022, "UL2: Unifying
     * Language Learning Paradigms" — each example trains under one of

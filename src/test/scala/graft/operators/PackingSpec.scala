@@ -580,6 +580,35 @@ class PackingSpec extends SparkSpec {
     assert(nLoss === nResp)
   }
 
+  test("needleInsert: closed-form checksum equals the brute-force rearranged stream") {
+    val docs = Seq((1L, Seq(10, 20, 30)), (2L, Seq(7)),
+      (3L, (1 to 17).toSeq), (4L, Seq.empty[Int]))
+      .toDF("id", "ids")
+    val needle = Seq(1, 2)
+    val depths = Seq(0, 50, 100)
+    val out = Packing.needleInsert(docs, col("id"), col("ids"),
+        needle, depths)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // empty doc emits nothing
+    assert(out.keySet.map(_._1) === Set(1L, 2L, 3L))
+    val idsMap = Map(1L -> Seq(10, 20, 30), 2L -> Seq(7),
+      3L -> (1 to 17).toSeq)
+    out.foreach { case ((id, d), (pos, len, cks)) =>
+      val ids = idsMap(id)
+      val expectPos = ids.length * d / 100
+      assert(pos === expectPos.toLong)
+      val stream = ids.take(expectPos.toInt) ++ needle ++
+        ids.drop(expectPos.toInt)
+      assert(len === stream.length.toLong)
+      assert(cks === stream.zipWithIndex.map {
+        case (t, i) => t.toLong * (i + 1) }.sum,
+        s"doc $id depth $d checksum")
+    }
+    // hand value: doc 1 depth 50 → [10,1,2,20,30] → 248
+    assert(out((1L, 50L))._3 === 248L)
+  }
+
   test("ul2Mix: disjoint seeded modes, per-mode operating points, prefix-LM S leg, R ≡ spanCorruption") {
     val docs = (1L to 120L).map { i =>
       (i, (0 until (i % 40).toInt + 2).map(j => (i + j).toInt))
