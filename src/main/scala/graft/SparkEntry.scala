@@ -1953,6 +1953,34 @@ object SparkEntry {
           col("loss"), col("weight"))
     }),
 
+    // ---- Bradley–Terry strength fitting (Hunter 2004 MM — the
+    // arena-leaderboard aggregate): synthetic model comparisons
+    // (winner = doc_id%5, loser = (doc_id DIV 3)%5, ties skipped),
+    // 8 fixed-point rounds, strengths normalized to mean 1 ----
+    "q176_bradley_terry" -> ((s, dir) =>
+      graft.operators.Classifier.bradleyTerry(
+          docs(s, dir)
+            .filter(expr("doc_id % 5 <> (doc_id DIV 3) % 5"))
+            .select(expr("doc_id % 5").as("w"),
+              expr("(doc_id DIV 3) % 5").as("l")),
+          col("w"), col("l"))
+        .select(col("item").as("model_id"), col("wins"), col("games"),
+          col("strength"))),
+
+    // ---- GRPO group-relative advantage (Shao et al. 2024): docs in
+    // prompt-groups of 4, the q20 quality kernel as the stub reward,
+    // within-group standardized reward as the advantage ----
+    "q175_grpo_advantage" -> ((s, dir) => {
+      val rewards = docs(s, dir).select(col("doc_id"),
+        graft.functions.TextKernels.text_stats(col("text"),
+          TextFunctions.LangProfiles("en")).getField("quality")
+          .as("reward"))
+      graft.operators.Sampling.groupRelativeAdvantage(rewards,
+          col("doc_id"), expr("doc_id DIV 4"), col("reward"))
+        .select(col("id").as("doc_id"), col("group_id"), col("reward"),
+          col("n"), col("advantage"))
+    }),
+
     // ---- DoReMi weights APPLIED (the q160 composition convention at
     // mixture scope): the q167 EG trajectory's smoothed weights,
     // decimal-exact renormalized (round6 weights need not sum to 1),
@@ -7359,6 +7387,78 @@ object SparkEntry {
          |SELECT domain AS source, n_docs, loss,
          |  ${r6("0.9 * alpha + 0.1 / d")} AS weight
          |FROM a8 CROSS JOIN dc""".stripMargin
+    },
+
+    // q176: the MM trajectory unrolled — per-round denominator sums
+    // over both orientations, raw update, mean-1 renormalize, each
+    // scalar round6 and each tiny sum decimal-exact; per-round CTEs
+    // MATERIALIZED (the doremiChainSql inlining discipline).
+    "q176_bradley_terry" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      def iter(k: Int): String = {
+        val term = r6("CAST(o.n AS DOUBLE) / (si.s + sj.s)")
+        s"""dn$k AS (SELECT o.i AS item,
+           |    ${r6("CAST(sum(CAST(" + term +
+               " AS DECIMAL(28,6))) AS DOUBLE)")} AS den
+           |  FROM orient o
+           |  JOIN s${k - 1} si ON o.i = si.item
+           |  JOIN s${k - 1} sj ON o.j = sj.item GROUP BY 1),
+           |rw$k AS MATERIALIZED (SELECT it.item, it.wins,
+           |    CASE WHEN dn.den > 0.0
+           |         THEN ${r6("CAST(it.wins AS DOUBLE) / dn.den")}
+           |         ELSE 0.0 END AS raw
+           |  FROM it LEFT JOIN dn$k dn USING (item)),
+           |tt$k AS (SELECT ${r6(
+               "CAST(sum(CAST(raw AS DECIMAL(28,6))) AS DOUBLE)")} AS tot
+           |  FROM rw$k),
+           |s$k AS MATERIALIZED (SELECT item, ${r6("(raw * d) / tot")} AS s
+           |  FROM rw$k CROSS JOIN tt$k CROSS JOIN ic)""".stripMargin
+      }
+      s"""WITH g AS (SELECT doc_id % 5 AS w, (doc_id // 3) % 5 AS l
+         |  FROM documents WHERE doc_id % 5 <> (doc_id // 3) % 5),
+         |wn AS (SELECT w AS item, count(*) AS wins FROM g GROUP BY 1),
+         |pr AS MATERIALIZED (SELECT least(w, l) AS a,
+         |    greatest(w, l) AS b, count(*) AS n FROM g GROUP BY 1, 2),
+         |orient AS MATERIALIZED (SELECT a AS i, b AS j, n FROM pr
+         |  UNION ALL SELECT b, a, n FROM pr),
+         |it AS MATERIALIZED (SELECT di.i AS item,
+         |    coalesce(wn.wins, 0) AS wins
+         |  FROM (SELECT DISTINCT i FROM orient) di
+         |  LEFT JOIN wn ON di.i = wn.item),
+         |gp AS (SELECT i AS item, CAST(sum(n) AS BIGINT) AS games
+         |  FROM orient GROUP BY 1),
+         |ic AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM it),
+         |s0 AS (SELECT item, ${r6("1.0")} AS s FROM it),
+         |${(1 to 8).map(iter).mkString(",\n")}
+         |SELECT it.item AS model_id, CAST(it.wins AS BIGINT) AS wins,
+         |  gp.games, s8.s AS strength
+         |FROM it JOIN gp USING (item) JOIN s8 USING (item)""".stripMargin
+    },
+
+    // q175: the q20 quality reward (textQualitySql shared def) into
+    // decimal-exact group stats, mean/std/advantage mirrored op-for-op
+    // (mean computed ONCE and reused, as the engine does).
+    "q175_grpo_advantage" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      s"""WITH q AS ($textQualitySql),
+         |r AS (SELECT doc_id, doc_id // 4 AS grp, quality AS reward
+         |  FROM q),
+         |st AS (SELECT grp, count(*) AS n,
+         |    CAST(sum(CAST(reward AS DECIMAL(18,6))) AS DOUBLE) AS sr,
+         |    CAST(sum(CAST(reward AS DECIMAL(18,6))
+         |             * CAST(reward AS DECIMAL(18,6))) AS DOUBLE) AS sr2
+         |  FROM r GROUP BY 1),
+         |sj AS (SELECT r.doc_id, r.grp, r.reward, st.n,
+         |    st.sr / st.n AS mean, st.sr2
+         |  FROM r JOIN st USING (grp)),
+         |sd AS (SELECT doc_id, grp, reward, n, mean,
+         |    sqrt(greatest(0.0, sr2 / n - mean * mean)) AS std
+         |  FROM sj)
+         |SELECT doc_id, CAST(grp AS BIGINT) AS group_id, reward,
+         |  CAST(n AS BIGINT) AS n,
+         |  CASE WHEN std > 0.0 THEN ${r6("(reward - mean) / std")}
+         |       ELSE 0.0 END AS advantage
+         |FROM sd""".stripMargin
     },
 
     // q172: the q167 chain (shared def) renormalized decimal-exact

@@ -236,4 +236,84 @@ object Classifier {
         .withColumn("pred", col("score") >= 0.5)
     }
   }
+
+  /** BRADLEY–TERRY STRENGTH FITTING — the pairwise-preference
+    * aggregation every RLHF/arena pipeline runs over human or
+    * LM-judge comparisons (public recipe: Bradley & Terry 1952 via
+    * Hunter 2004's MM algorithm — the fixed-point Chatbot-Arena-class
+    * leaderboards iterate): given directed (winner, loser) rows, fit
+    * strengths s with P(i beats j) = sᵢ/(sᵢ+sⱼ):
+    *
+    *  - MM update sᵢ′ = Wᵢ / Σ_{j≠i} n_ij/(sᵢ+sⱼ), then normalized to
+    *    Σ s = |items| — a FIXED `rounds` count (the q147/q167
+    *    fixed-iteration discipline), every scalar step round6 and
+    *    every tiny sum DECIMAL(28,6)-exact, so the whole trajectory
+    *    replays in an unrolled SQL oracle;
+    *  - items with ZERO wins are kept and converge toward 0 strength
+    *    (the MM fixed point for them) — by contract, not an error;
+    *    standard caveats (comparison-graph connectivity) are the
+    *    caller's, as in every arena pipeline.
+    *
+    * Scale shape: TWO corpus-scale map-side-combined aggregates (win
+    * counts, undirected pair counts — both |items|²-bounded outputs),
+    * then `rounds` iterations of pair-table-sized joins and
+    * aggregates, per-round checkpointed (the doremiWeights plan-size
+    * discipline). The comparison stream itself crosses the wire once
+    * per aggregate as narrow (w, l) rows.
+    * @return (item, wins, games, strength) — strength round6,
+    *         normalized to mean 1. */
+  def bradleyTerry(
+      games: DataFrame, winnerCol: Column, loserCol: Column,
+      rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val dec = "decimal(28,6)"
+    def dsum(c: Column): Column =
+      round6(sum(c.cast(dec)).cast("double"))
+    val d = games.select(winnerCol.cast("long").as("w"),
+      loserCol.cast("long").as("l"))
+    val wins = d.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins"))
+    val pairs = d
+      .select(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // |items|²-bounded; feeds rounds
+    // both orientations: (i, j, n) — i's denominator sees each
+    // opponent j with the full undirected game count n_ij
+    val orient = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
+      .unionByName(
+        pairs.select(col("b").as("i"), col("a").as("j"), col("n")))
+      .localCheckpoint(eager = false)
+    val items = orient.select(col("i").as("item")).distinct()
+      .join(wins, Seq("item"), "left")
+      .na.fill(0L, Seq("wins"))
+      .localCheckpoint(eager = false)
+    val nItems = items.count() // bounded driver scalar
+    require(nItems >= 2, "bradleyTerry needs at least two items")
+    val gamesPer = orient.groupBy(col("i").as("item"))
+      .agg(sum(col("n")).as("games"))
+    var s = items.select(col("item"), round6(lit(1.0)).as("s"))
+    for (_ <- 1 to rounds) {
+      val den = orient
+        .join(s.select(col("item").as("i"), col("s").as("__si")), "i")
+        .join(s.select(col("item").as("j"), col("s").as("__sj")), "j")
+        .groupBy(col("i").as("item"))
+        .agg(dsum(round6(col("n").cast("double") /
+          (col("__si") + col("__sj")))).as("__den"))
+      val raw = items.join(den, Seq("item"), "left")
+        .select(col("item"), col("wins"),
+          when(col("__den") > 0.0,
+            round6(col("wins").cast("double") / col("__den")))
+            .otherwise(lit(0.0)).as("__raw"))
+        .localCheckpoint(eager = false)
+      val tot = raw.agg(dsum(col("__raw")).as("__tot"))
+      s = raw.crossJoin(tot)
+        .select(col("item"),
+          round6(col("__raw") * lit(nItems.toDouble) / col("__tot"))
+            .as("s"))
+        .localCheckpoint(eager = false)
+    }
+    items.join(gamesPer, "item").join(s, "item")
+      .select(col("item"), col("wins"), col("games"),
+        col("s").as("strength"))
+  }
 }

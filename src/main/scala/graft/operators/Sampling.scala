@@ -232,6 +232,49 @@ object Sampling {
       .select(col("id"), col("source"), col("pos"))
   }
 
+  /** GROUP-RELATIVE ADVANTAGE — the reward-normalization step of
+    * GRPO-style RLHF training data (public recipe: sample a GROUP of
+    * responses per prompt, score each with the reward model, and use
+    * the within-group standardized reward as the advantage —
+    * Shao et al. 2024, DeepSeekMath; no value model, the group IS the
+    * baseline): advantage = (r − mean_group) / std_group, population
+    * std; a zero-variance group (all rewards equal — nothing to
+    * prefer) gets advantage 0 by contract.
+    *
+    * Float discipline: group Σr and Σr² accumulate as exact decimals
+    * (rewards are round6 values, so DECIMAL(18,6) casts are lossless
+    * and the (36,12) products exact — the q24 money-sum pattern), so
+    * mean/std are order-free; the final advantage is round6.
+    *
+    * Scale shape: ONE map-side-combined groupBy to |groups| stat rows
+    * joined back group-keyed (AQE broadcasts when groups are few;
+    * co-partitioned hash otherwise) — rewards never sort, nothing
+    * corpus-scale beyond the one aggregate + join.
+    * @return (id, group_id, reward, n, advantage). */
+  def groupRelativeAdvantage(
+      df: DataFrame, idCol: Column, groupCol: Column,
+      rewardCol: Column): DataFrame = {
+    import graft.functions.TextFunctions.round6
+    val dec = "decimal(18,6)"
+    val base = df.select(idCol.cast("long").as("id"),
+      groupCol.cast("long").as("grp"),
+      rewardCol.cast("double").as("reward"))
+    val stats = base.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(col("reward").cast(dec)).cast("double").as("__sr"),
+      sum(col("reward").cast(dec) * col("reward").cast(dec))
+        .cast("double").as("__sr2"))
+    base.join(stats, "grp")
+      .withColumn("__mean", col("__sr") / col("n"))
+      .withColumn("__std", sqrt(greatest(lit(0.0),
+        col("__sr2") / col("n") - col("__mean") * col("__mean"))))
+      .select(col("id"), col("grp").as("group_id"), col("reward"),
+        col("n"),
+        when(col("__std") > 0.0,
+          round6((col("reward") - col("__mean")) / col("__std")))
+          .otherwise(lit(0.0)).as("advantage"))
+  }
+
   /** DoReMi-SHAPE DOMAIN REWEIGHTING — the mixture-weight tuning step
     * of multi-source pretraining (public recipe: Xie et al. 2023,
     * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model

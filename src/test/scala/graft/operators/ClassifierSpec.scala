@@ -89,4 +89,34 @@ class ClassifierSpec extends SparkSpec {
     assert(got.nonEmpty)
     got.foreach { case (y, pred) => assert(pred === y) }
   }
+
+  test("bradleyTerry: two-item fixed point = empirical win rate; zero-win decay; deterministic") {
+    // A beats B 3×, B beats A 1× — the MM fixed point is s = (1.5,
+    // 0.5) (reached in ONE round from uniform: s_A + s_B stays 2, so
+    // den = 4/2 = 2 and raw = wins/2 is already normalized), giving
+    // P(A beats B) = 1.5/2 = 0.75 = the empirical 3/4
+    val g = (Seq.fill(3)((0L, 1L)) :+ ((1L, 0L))).toDF("w", "l")
+    val out = Classifier.bradleyTerry(g, col("w"), col("l"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) === ((3L, 4L, 1.5)))
+    assert(out(1L) === ((1L, 4L, 0.5)))
+    // zero-win item: kept, strength decays toward the 0 fixed point;
+    // strengths order by dominance
+    val g2 = (Seq.fill(3)((0L, 1L)) ++ Seq((1L, 0L)) ++
+      Seq.fill(2)((0L, 2L)) ++ Seq.fill(2)((1L, 2L))).toDF("w", "l")
+    val s2 = Classifier.bradleyTerry(g2, col("w"), col("l"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    assert(s2(2L)._1 === 0L, "C never wins")
+    assert(s2(0L)._2 > s2(1L)._2 && s2(1L)._2 > s2(2L)._2)
+    assert(s2(2L)._2 < 0.2, s"zero-win strength should decay: ${s2(2L)}")
+    // deterministic under repartitioning (decimal-exact tiny sums)
+    assert(rows(Classifier.bradleyTerry(g2.repartition(5), col("w"),
+        col("l"))) ===
+      rows(Classifier.bradleyTerry(g2, col("w"), col("l"))))
+    intercept[IllegalArgumentException](
+      Classifier.bradleyTerry(Seq((0L, 0L)).toDF("w", "l")
+        .filter(col("w") =!= col("l")), col("w"), col("l")))
+  }
 }

@@ -662,6 +662,33 @@ class PackingSpec extends SparkSpec {
       rows(rDirect))
   }
 
+  test("groupRelativeAdvantage: hand-checked standardization, zero-variance and singleton contracts") {
+    val rows0 = Seq(
+      (1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0), (4L, 10L, 2.0),
+      (5L, 20L, 5.0), (6L, 20L, 5.0), // zero variance
+      (7L, 30L, 9.0)) // singleton
+      .toDF("id", "grp", "r")
+    val out = Sampling.groupRelativeAdvantage(rows0, col("id"),
+        col("grp"), col("r"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getLong(3), x.getDouble(4)))
+      .toMap
+    // group 10: mean 2, population std sqrt(0.5)
+    val std = math.sqrt(0.5)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(1L) === ((10L, 1.0, 4L, r6(-1.0 / std))))
+    assert(out(2L) === ((10L, 2.0, 4L, 0.0)))
+    assert(out(3L) === ((10L, 3.0, 4L, r6(1.0 / std))))
+    // zero-variance and singleton groups: advantage 0 by contract
+    assert(out(5L)._4 === 0.0 && out(6L)._4 === 0.0)
+    assert(out(7L) === ((30L, 9.0, 1L, 0.0)))
+    // deterministic under repartitioning (decimal-exact group sums)
+    assert(rows(Sampling.groupRelativeAdvantage(rows0.repartition(5),
+        col("id"), col("grp"), col("r"))) ===
+      rows(Sampling.groupRelativeAdvantage(rows0, col("id"),
+        col("grp"), col("r"))))
+  }
+
   test("doremiWeights: lossy domains gain weight, equal losses stay uniform, weights sum to 1") {
     // two domains, loss 1.0 vs 3.0 — round 1 by hand: mix = 2.0,
     // excess = (0, 1), w = (.5, .5·e^0.5), so the lossy domain's
