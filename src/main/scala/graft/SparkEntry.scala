@@ -1138,6 +1138,51 @@ object SparkEntry {
        |${(1 to 8).map(iter).mkString(",\n")}""".stripMargin
   }
 
+  /** q176's oracle chain — the synthetic comparison stream and the
+    * 8-round MM fit — as a def so q177's calibration eval reads the
+    * IDENTICAL strengths. Emits the WITH-fragment ending in CTEs `g`
+    * (w, l), `orient` (i, j, n), `it` (item, wins), `gp`
+    * (item, games), `s8` (item, s). Per-round CTEs MATERIALIZED (the
+    * doremiChainSql inlining discipline). */
+  private def btChainSql: String = {
+    def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+    def iter(k: Int): String = {
+      val term = r6("CAST(o.n AS DOUBLE) / (si.s + sj.s)")
+      s"""dn$k AS (SELECT o.i AS item,
+         |    ${r6("CAST(sum(CAST(" + term +
+             " AS DECIMAL(28,6))) AS DOUBLE)")} AS den
+         |  FROM orient o
+         |  JOIN s${k - 1} si ON o.i = si.item
+         |  JOIN s${k - 1} sj ON o.j = sj.item GROUP BY 1),
+         |rw$k AS MATERIALIZED (SELECT it.item, it.wins,
+         |    CASE WHEN dn.den > 0.0
+         |         THEN ${r6("CAST(it.wins AS DOUBLE) / dn.den")}
+         |         ELSE 0.0 END AS raw
+         |  FROM it LEFT JOIN dn$k dn USING (item)),
+         |tt$k AS (SELECT ${r6(
+             "CAST(sum(CAST(raw AS DECIMAL(28,6))) AS DOUBLE)")} AS tot
+         |  FROM rw$k),
+         |s$k AS MATERIALIZED (SELECT item, ${r6("(raw * d) / tot")} AS s
+         |  FROM rw$k CROSS JOIN tt$k CROSS JOIN ic)""".stripMargin
+    }
+    s"""g AS (SELECT doc_id % 5 AS w, (doc_id // 3) % 5 AS l
+       |  FROM documents WHERE doc_id % 5 <> (doc_id // 3) % 5),
+       |wn AS (SELECT w AS item, count(*) AS wins FROM g GROUP BY 1),
+       |pr AS MATERIALIZED (SELECT least(w, l) AS a,
+       |    greatest(w, l) AS b, count(*) AS n FROM g GROUP BY 1, 2),
+       |orient AS MATERIALIZED (SELECT a AS i, b AS j, n FROM pr
+       |  UNION ALL SELECT b, a, n FROM pr),
+       |it AS MATERIALIZED (SELECT di.i AS item,
+       |    coalesce(wn.wins, 0) AS wins
+       |  FROM (SELECT DISTINCT i FROM orient) di
+       |  LEFT JOIN wn ON di.i = wn.item),
+       |gp AS (SELECT i AS item, CAST(sum(n) AS BIGINT) AS games
+       |  FROM orient GROUP BY 1),
+       |ic AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM it),
+       |s0 AS (SELECT item, ${r6("1.0")} AS s FROM it),
+       |${(1 to 8).map(iter).mkString(",\n")}""".stripMargin
+  }
+
   /** q148's oracle chain parameterized by the target-flagged token CTE
     * body (columns id, tgt, t) plus (dim, k) — shared verbatim with
     * the q160 composition's selection stage. Emits the WITH-fragment
@@ -1966,6 +2011,16 @@ object SparkEntry {
           col("w"), col("l"))
         .select(col("item").as("model_id"), col("wins"), col("games"),
           col("strength"))),
+
+    // ---- BT calibration eval: the q176 strengths scored back per
+    // directed pair — predicted s_w/(s_w+s_l) vs empirical win rate ----
+    "q177_bt_calibration" -> ((s, dir) =>
+      graft.operators.Classifier.btCalibration(
+        docs(s, dir)
+          .filter(expr("doc_id % 5 <> (doc_id DIV 3) % 5"))
+          .select(expr("doc_id % 5").as("w"),
+            expr("(doc_id DIV 3) % 5").as("l")),
+        col("w"), col("l"))),
 
     // ---- GRPO group-relative advantage (Shao et al. 2024): docs in
     // prompt-groups of 4, the q20 quality kernel as the stub reward,
@@ -7392,47 +7447,35 @@ object SparkEntry {
     // q176: the MM trajectory unrolled — per-round denominator sums
     // over both orientations, raw update, mean-1 renormalize, each
     // scalar round6 and each tiny sum decimal-exact; per-round CTEs
-    // MATERIALIZED (the doremiChainSql inlining discipline).
-    "q176_bradley_terry" -> {
-      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
-      def iter(k: Int): String = {
-        val term = r6("CAST(o.n AS DOUBLE) / (si.s + sj.s)")
-        s"""dn$k AS (SELECT o.i AS item,
-           |    ${r6("CAST(sum(CAST(" + term +
-               " AS DECIMAL(28,6))) AS DOUBLE)")} AS den
-           |  FROM orient o
-           |  JOIN s${k - 1} si ON o.i = si.item
-           |  JOIN s${k - 1} sj ON o.j = sj.item GROUP BY 1),
-           |rw$k AS MATERIALIZED (SELECT it.item, it.wins,
-           |    CASE WHEN dn.den > 0.0
-           |         THEN ${r6("CAST(it.wins AS DOUBLE) / dn.den")}
-           |         ELSE 0.0 END AS raw
-           |  FROM it LEFT JOIN dn$k dn USING (item)),
-           |tt$k AS (SELECT ${r6(
-               "CAST(sum(CAST(raw AS DECIMAL(28,6))) AS DOUBLE)")} AS tot
-           |  FROM rw$k),
-           |s$k AS MATERIALIZED (SELECT item, ${r6("(raw * d) / tot")} AS s
-           |  FROM rw$k CROSS JOIN tt$k CROSS JOIN ic)""".stripMargin
-      }
-      s"""WITH g AS (SELECT doc_id % 5 AS w, (doc_id // 3) % 5 AS l
-         |  FROM documents WHERE doc_id % 5 <> (doc_id // 3) % 5),
-         |wn AS (SELECT w AS item, count(*) AS wins FROM g GROUP BY 1),
-         |pr AS MATERIALIZED (SELECT least(w, l) AS a,
-         |    greatest(w, l) AS b, count(*) AS n FROM g GROUP BY 1, 2),
-         |orient AS MATERIALIZED (SELECT a AS i, b AS j, n FROM pr
-         |  UNION ALL SELECT b, a, n FROM pr),
-         |it AS MATERIALIZED (SELECT di.i AS item,
-         |    coalesce(wn.wins, 0) AS wins
-         |  FROM (SELECT DISTINCT i FROM orient) di
-         |  LEFT JOIN wn ON di.i = wn.item),
-         |gp AS (SELECT i AS item, CAST(sum(n) AS BIGINT) AS games
-         |  FROM orient GROUP BY 1),
-         |ic AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM it),
-         |s0 AS (SELECT item, ${r6("1.0")} AS s FROM it),
-         |${(1 to 8).map(iter).mkString(",\n")}
+    // MATERIALIZED (the doremiChainSql inlining discipline). The
+    // chain is the shared btChainSql def so q177's calibration eval
+    // reads the IDENTICAL fitted strengths.
+    "q176_bradley_terry" ->
+      s"""WITH $btChainSql
          |SELECT it.item AS model_id, CAST(it.wins AS BIGINT) AS wins,
          |  gp.games, s8.s AS strength
-         |FROM it JOIN gp USING (item) JOIN s8 USING (item)""".stripMargin
+         |FROM it JOIN gp USING (item) JOIN s8 USING (item)""".stripMargin,
+
+    // q177: the fitted strengths (shared btChainSql) scored back
+    // against the data — per directed pair, predicted s_w/(s_w+s_l)
+    // vs empirical wins/games, absolute error round6.
+    "q177_bt_calibration" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      s"""WITH $btChainSql,
+         |dwins AS (SELECT w, l, count(*) AS n_wl FROM g GROUP BY 1, 2),
+         |cal AS (SELECT dw.w AS winner, dw.l AS loser, dw.n_wl,
+         |    o.n AS n_games,
+         |    ${r6("CAST(dw.n_wl AS DOUBLE) / CAST(o.n AS DOUBLE)")}
+         |      AS empirical,
+         |    ${r6("sw.s / (sw.s + sl.s)")} AS predicted
+         |  FROM dwins dw
+         |  JOIN orient o ON dw.w = o.i AND dw.l = o.j
+         |  JOIN s8 sw ON dw.w = sw.item
+         |  JOIN s8 sl ON dw.l = sl.item)
+         |SELECT winner, loser, CAST(n_wl AS BIGINT) AS n_wins,
+         |  CAST(n_games AS BIGINT) AS n_games, empirical, predicted,
+         |  ${r6("abs(empirical - predicted)")} AS abs_err
+         |FROM cal""".stripMargin
     },
 
     // q175: the q20 quality reward (textQualitySql shared def) into

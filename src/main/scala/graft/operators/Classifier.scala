@@ -316,4 +316,49 @@ object Classifier {
       .select(col("item"), col("wins"), col("games"),
         col("s").as("strength"))
   }
+
+  /** BRADLEY–TERRY CALIBRATION EVAL — score the fitted strengths back
+    * against the comparison data (the reliability check every arena
+    * leaderboard publishes next to its ratings): per DIRECTED pair,
+    * predicted P(w beats l) = s_w/(s_w+s_l) vs the empirical
+    * wins/games, absolute error round6. A well-fit connected graph
+    * shows small errors; systematic gaps flag intransitivity the BT
+    * model cannot express — the signal that decides whether the
+    * single-scalar leaderboard is an honest summary.
+    *
+    * Scale shape: the same two |items|²-bounded aggregates as
+    * [[bradleyTerry]] (directed counts + undirected counts), joined
+    * with the fitted |items|-row strengths — everything after the two
+    * corpus passes is pair-table-sized.
+    * @return (winner, loser, n_wins, n_games, empirical, predicted,
+    *         abs_err). */
+  def btCalibration(
+      games: DataFrame, winnerCol: Column, loserCol: Column,
+      rounds: Int = 8): DataFrame = {
+    val d = games.select(winnerCol.cast("long").as("w"),
+      loserCol.cast("long").as("l"))
+    val fit = bradleyTerry(d, col("w"), col("l"), rounds)
+      .select(col("item"), col("strength"))
+    val dwins = d.groupBy(col("w"), col("l")).agg(count(lit(1)).as("n_wl"))
+    val pairGames = d
+      .select(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val nGames = pairGames
+      .select(col("a").as("w"), col("b").as("l"), col("n"))
+      .unionByName(pairGames.select(col("b").as("w"), col("a").as("l"),
+        col("n")))
+    dwins.join(nGames, Seq("w", "l"))
+      .join(fit.select(col("item").as("w"), col("strength").as("__sw")),
+        "w")
+      .join(fit.select(col("item").as("l"), col("strength").as("__sl")),
+        "l")
+      .select(col("w").as("winner"), col("l").as("loser"),
+        col("n_wl").as("n_wins"), col("n").as("n_games"),
+        round6(col("n_wl").cast("double") / col("n").cast("double"))
+          .as("empirical"),
+        round6(col("__sw") / (col("__sw") + col("__sl"))).as("predicted"))
+      .withColumn("abs_err",
+        round6(abs(col("empirical") - col("predicted"))))
+  }
 }

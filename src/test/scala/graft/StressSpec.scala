@@ -36,7 +36,11 @@ class StressSpec extends SparkSpec {
         // there is a plan regression. proximity_join's tiny form
         // legitimately broadcasts one side (neither claim holds).
         val zeroShuffleByDesign =
-          Set("curate_kernels", "wav_codec", "ivf_assign")
+          Set("curate_kernels", "wav_codec", "ivf_assign",
+            // round-15 narrow-map scenarios: packing/corruption/
+            // entropy are per-row array arithmetic — a shuffle
+            // appearing is a plan regression
+            "dpo_pack", "ul2_mix", "entropy_fold")
         if (zeroShuffleByDesign(sc.name))
           assert(m.shuffleWriteBytes == 0,
             s"${sc.name}: unexpected shuffle in a scan-side scenario")

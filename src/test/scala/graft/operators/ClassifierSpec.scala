@@ -119,4 +119,17 @@ class ClassifierSpec extends SparkSpec {
       Classifier.bradleyTerry(Seq((0L, 0L)).toDF("w", "l")
         .filter(col("w") =!= col("l")), col("w"), col("l")))
   }
+
+  test("btCalibration: two-item fixed point calibrates exactly; directed pairs covered") {
+    // at the (1.5, 0.5) fixed point, predicted P(A beats B) = 0.75 =
+    // the empirical 3/4 — abs_err 0 on both directions
+    val g = (Seq.fill(3)((0L, 1L)) :+ ((1L, 0L))).toDF("w", "l")
+    val out = Classifier.btCalibration(g, col("w"), col("l"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(out.keySet === Set((0L, 1L), (1L, 0L)))
+    assert(out((0L, 1L)) === ((3L, 4L, 0.75, 0.75, 0.0)))
+    assert(out((1L, 0L)) === ((1L, 4L, 0.25, 0.25, 0.0)))
+  }
 }
