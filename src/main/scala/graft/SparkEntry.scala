@@ -2012,6 +2012,21 @@ object SparkEntry {
         .select(col("item").as("model_id"), col("wins"), col("games"),
           col("strength"))),
 
+    // ---- calibration bins (Guo et al. 2017 ECE shape): the q20
+    // quality score audited as a probability against the q131 Gopher
+    // gate — per-decile mean score vs positive rate ----
+    "q178_quality_calibration" -> ((s, dir) => {
+      val score = docs(s, dir).select(col("doc_id"),
+        graft.functions.TextKernels.text_stats(col("text"),
+          TextFunctions.LangProfiles("en")).getField("quality")
+          .as("score"))
+      val label = graft.operators.Corpus.gopherQualityGate(
+          docs(s, dir), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("pass"))
+      graft.operators.Classifier.calibrationBins(
+        score.join(label, "doc_id"), col("score"), col("pass"))
+    }),
+
     // ---- BT calibration eval: the q176 strengths scored back per
     // directed pair — predicted s_w/(s_w+s_l) vs empirical win rate ----
     "q177_bt_calibration" -> ((s, dir) =>
@@ -7476,6 +7491,28 @@ object SparkEntry {
          |  CAST(n_games AS BIGINT) AS n_games, empirical, predicted,
          |  ${r6("abs(empirical - predicted)")} AS abs_err
          |FROM cal""".stripMargin
+    },
+
+    // q178: quality (textQualitySql) joined to the Gopher pass
+    // (gopherGateSql), decile bins with decimal-exact sums.
+    "q178_quality_calibration" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      s"""WITH q AS ($textQualitySql),
+         |gg AS ($gopherGateSql),
+         |j AS (SELECT q.quality AS s,
+         |    CASE WHEN gg.pass THEN 1.0 ELSE 0.0 END AS y
+         |  FROM q JOIN gg ON q.doc_id = gg.id),
+         |b AS (SELECT greatest(0, least(CAST(floor(s * 10) AS BIGINT),
+         |    9)) AS bin, s, y FROM j),
+         |ag AS (SELECT bin, count(*) AS n,
+         |    CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS ss,
+         |    CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy
+         |  FROM b GROUP BY 1),
+         |fin AS (SELECT bin, n, ${r6("ss / n")} AS avg_score,
+         |    ${r6("sy / n")} AS pos_rate FROM ag)
+         |SELECT bin, CAST(n AS BIGINT) AS n, avg_score, pos_rate,
+         |  ${r6("abs(avg_score - pos_rate)")} AS gap
+         |FROM fin""".stripMargin
     },
 
     // q175: the q20 quality reward (textQualitySql shared def) into

@@ -361,4 +361,39 @@ object Classifier {
       .withColumn("abs_err",
         round6(abs(col("empirical") - col("predicted"))))
   }
+
+  /** CALIBRATION BINS — the reliability-diagram aggregate behind
+    * expected calibration error (public recipe: bucket [0,1] scores
+    * into equal-width bins, compare each bin's mean score to its
+    * positive rate — Guo et al. 2017's ECE binning; a quality filter
+    * whose score pretends to be a probability gets audited exactly
+    * this way before its threshold is trusted): per bin — count,
+    * mean score, positive rate, |gap|. ECE = Σ (n_b/N)·gap_b is one
+    * more aggregate over the `nBins` output rows.
+    *
+    * Bin = clamp(⌊score·nBins⌋, 0, nBins−1), so score 1.0 lands in
+    * the top bin and out-of-range scores clamp instead of erroring.
+    * Bin sums accumulate as exact decimals (round6 scores make the
+    * casts lossless), means round6 — order-free, oracle-exact.
+    *
+    * Scale shape: ONE map-side-combined groupBy to ≤ nBins rows.
+    * @return (bin, n, avg_score, pos_rate, gap). */
+  def calibrationBins(
+      df: DataFrame, scoreCol: Column, labelCol: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val dec = "decimal(28,6)"
+    df.select(scoreCol.cast("double").as("__s"),
+        labelCol.cast("int").cast("double").as("__y"))
+      .withColumn("bin", greatest(lit(0L),
+        least(floor(col("__s") * nBins).cast("long"), lit(nBins - 1L))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s").cast(dec)).cast("double").as("__ss"),
+        sum(col("__y").cast(dec)).cast("double").as("__sy"))
+      .select(col("bin"), col("n"),
+        round6(col("__ss") / col("n")).as("avg_score"),
+        round6(col("__sy") / col("n")).as("pos_rate"))
+      .withColumn("gap", round6(abs(col("avg_score") - col("pos_rate"))))
+  }
 }

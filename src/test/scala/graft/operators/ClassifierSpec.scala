@@ -120,6 +120,26 @@ class ClassifierSpec extends SparkSpec {
         .filter(col("w") =!= col("l")), col("w"), col("l")))
   }
 
+  test("calibrationBins: hand-checked deciles, clamping, decimal-exact means") {
+    val d = Seq((0.05, 0), (0.15, 0), (0.18, 1), (0.95, 1), (1.0, 1),
+      (-0.2, 0), (1.3, 1)).toDF("score", "y")
+    val out = Classifier.calibrationBins(d, col("score"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet === Set(0L, 1L, 9L))
+    // bin 0 holds 0.05 and the clamped -0.2
+    assert(out(0L) === ((2L, -0.075, 0.0, 0.075)))
+    assert(out(1L) === ((2L, 0.165, 0.5, 0.335)))
+    // bin 9 holds 0.95, the exact 1.0, and the clamped 1.3
+    assert(out(9L)._1 === 3L && out(9L)._3 === 1.0)
+    assert(out(9L)._2 === math.floor(3.25 / 3 * 1e6 + 0.5) / 1e6)
+    // deterministic under repartitioning
+    assert(rows(Classifier.calibrationBins(d.repartition(4),
+        col("score"), col("y"))) ===
+      rows(Classifier.calibrationBins(d, col("score"), col("y"))))
+  }
+
   test("btCalibration: two-item fixed point calibrates exactly; directed pairs covered") {
     // at the (1.5, 0.5) fixed point, predicted P(A beats B) = 0.75 =
     // the empirical 3/4 — abs_err 0 on both directions
