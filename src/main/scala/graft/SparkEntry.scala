@@ -1814,6 +1814,25 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_pieces"),
           col("piece_checksum"))),
 
+    // ---- unigram vocab pruning + refit fertility (the SentencePiece
+    // shrink step): drop the 16 lowest-scoring multi-char pieces
+    // (single chars = coverage floor), re-segment through the SAME
+    // Viterbi kernel, per-doc fertility delta + pruned-plane checksum ----
+    "q179_unigram_prune_refit" -> ((s, dir) => {
+      val full = unigramArtifact(s, dir)
+      val pruned = graft.operators.UnigramLm.pruneScores(full,
+        dropMulti = 16)
+      val before = graft.operators.UnigramLm.segmentDocs(
+          docs(s, dir), "doc_id", "text", full, maxPieceLen = 4)
+        .select(col("id").as("doc_id"), col("n_pieces").as("n_before"))
+      val after = graft.operators.UnigramLm.segmentDocs(
+          docs(s, dir), "doc_id", "text", pruned, maxPieceLen = 4)
+        .select(col("id").as("doc_id"), col("n_pieces").as("n_after"),
+          col("piece_checksum").as("pruned_checksum"))
+      before.join(after, "doc_id")
+        .withColumn("fertility_delta", col("n_after") - col("n_before"))
+    }),
+
     // ---- END-TO-END CURATION (the `curate` CLI's composition as ONE
     // declarative plan, stage order pinned = the CLI's layering):
     // URL-canonical dedup (q134, min-id per canon key) → C4 line
@@ -6695,6 +6714,55 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_pieces,
          |  CAST(sum((${hashSql("piece")}) * p) AS BIGINT) AS piece_checksum
          |FROM pos GROUP BY doc_id""".stripMargin,
+
+    // q179: the q156 chain nests whole, the pruned map drops the
+    // bottom-16 multi-char pieces (score ASC, piece ASC — the engine's
+    // pruneScores rule), TWO serving E-steps (full fwB / pruned fwA)
+    // segment every distinct word, per-doc counts join.
+    "q179_unigram_prune_refit" ->
+      s"""WITH RECURSIVE $unigramOracleCtes,
+         |finT AS MATERIALIZED (SELECT piece, score
+         |  FROM ($unigramFinalSql)),
+         |dropk AS (SELECT piece FROM (
+         |    SELECT piece,
+         |      row_number() OVER (ORDER BY score ASC, piece ASC) AS rk
+         |    FROM finT WHERE length(piece) > 1) WHERE rk <= 16),
+         |mF AS (SELECT map_from_entries(list(struct_pack(
+         |    k := piece, v := score))) AS sc FROM finT),
+         |mP AS (SELECT map_from_entries(list(struct_pack(
+         |    k := piece, v := score))) AS sc
+         |  FROM finT WHERE piece NOT IN (SELECT piece FROM dropk)),
+         |${unigramEStepSql("mF", "fwB", "walkB", "segB", "uB")},
+         |${unigramEStepSql("mP", "fwA", "walkA", "segA", "uA")},
+         |wordsegB AS (SELECT word, count(*) AS np
+         |  FROM walkB WHERE piece IS NOT NULL GROUP BY word),
+         |wordsegA AS (SELECT word, list(piece ORDER BY pos) AS pieces
+         |  FROM walkA WHERE piece IS NOT NULL GROUP BY word),
+         |docw AS (SELECT doc_id, g['wi'] AS wi, g['w'] AS word FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+         |      i -> struct_pack(wi := i, w := ws[CAST(i AS INT)]))) AS g
+         |  FROM (SELECT doc_id, list_filter(
+         |      regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0B]+'),
+         |      x -> x <> '') AS ws FROM documents))),
+         |nb AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_before
+         |  FROM docw JOIN wordsegB USING (word) GROUP BY 1),
+         |strA AS (SELECT doc_id, wi, g2['pi'] AS pi, g2['p'] AS piece
+         |  FROM (
+         |  SELECT doc_id, wi, unnest(list_transform(
+         |      range(1, len(pieces) + 1),
+         |      i -> struct_pack(pi := i, p := pieces[CAST(i AS INT)]))) AS g2
+         |  FROM docw JOIN wordsegA USING (word))),
+         |posA AS (SELECT doc_id, piece,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY wi, pi) AS p
+         |  FROM strA),
+         |na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
+         |    CAST(sum((${hashSql("piece")}) * p) AS BIGINT)
+         |      AS pruned_checksum
+         |  FROM posA GROUP BY doc_id)
+         |SELECT nb.doc_id, nb.n_before, na.n_after,
+         |  na.n_after - nb.n_before AS fertility_delta,
+         |  na.pruned_checksum
+         |FROM nb JOIN na USING (doc_id)""".stripMargin,
 
     // q160: the WHOLE curation chain replayed stage by stage — the
     // q134 URL canonicalization, q136 C4 line pass, q141 paragraph

@@ -105,6 +105,28 @@ object UnigramLm {
           col("pos").cast("long")).as("piece_checksum"))
   }
 
+  /** VOCABULARY PRUNING — the shrink step of the SentencePiece
+    * lifecycle (public recipe: train large, then drop the
+    * lowest-value pieces and re-segment — the serving-cost dial;
+    * SentencePiece proper ranks by likelihood loss, this engine form
+    * ranks by the trained log-score, documented simplification):
+    * drops the `dropMulti` LOWEST-scoring multi-character pieces
+    * (ties by piece ascending — deterministic, oracle-replayable);
+    * single-CHARACTER pieces are never dropped — they are the
+    * coverage floor that keeps every word segmentable. Character =
+    * Unicode code point (mirrors SQL `length()`), not UTF-16 units.
+    * Scores are NOT renormalized: Viterbi only reads relative
+    * log-scores, so the pruned map serves directly. */
+  def pruneScores(
+      scores: Map[String, Double], dropMulti: Int): Map[String, Double] = {
+    require(dropMulti >= 0, "dropMulti must be >= 0")
+    val dropped = scores.toSeq
+      .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+      .sortBy { case (p, sc) => (sc, p) }
+      .take(dropMulti).map(_._1).toSet
+    scores -- dropped
+  }
+
   /** Train for `iters` Viterbi-EM rounds; returns the final piece
     * table (piece, score, usage) as described above. */
   def trainUnigram(

@@ -92,6 +92,29 @@ class UnigramLmSpec extends SparkSpec {
     assert(got(2L) === ((1L, phash("b"))))
   }
 
+  test("pruneScores: drops lowest multi-char pieces, keeps the single-char coverage floor, code-point lengths") {
+    val m = Map("a" -> -9.0, "b" -> -8.0, "ab" -> -2.0, "ba" -> -2.0,
+      "abc" -> -1.0, "bc" -> -3.0)
+    // bottom-2 multi-char by (score asc, piece asc): bc(-3), then the
+    // -2 tie breaks to ab before ba
+    assert(UnigramLm.pruneScores(m, 2).keySet ===
+      Set("a", "b", "ba", "abc"))
+    assert(UnigramLm.pruneScores(m, 0) === m)
+    // single chars survive any k — the coverage floor
+    assert(UnigramLm.pruneScores(m, 100).keySet === Set("a", "b"))
+    // character = code point: a surrogate-pair emoji is ONE char and
+    // is never dropped, while the two-letter piece is
+    val m2 = Map("😀" -> -20.0, "x" -> -1.0, "xy" -> -0.5)
+    assert(UnigramLm.pruneScores(m2, 1).keySet ===
+      Set("😀", "x"))
+    // pruning an UNUSED piece leaves every segmentation unchanged
+    val docs0 = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val full = Map("a" -> -3.0, "b" -> -3.0, "ab" -> -1.0, "zz" -> -9.0)
+    assert(rows(UnigramLm.segmentDocs(docs0, "doc_id", "text",
+        UnigramLm.pruneScores(full, 1), 4)) ===
+      rows(UnigramLm.segmentDocs(docs0, "doc_id", "text", full, 4)))
+  }
+
   test("trainUnigram: deterministic across runs and partitionings") {
     val docs = (1 to 40).map(i => "alpha beta alphabeta ab al").toDF("text")
     val a = UnigramLm.trainUnigram(docs.repartition(1), "text",
