@@ -327,4 +327,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Aggregate"), p)
     assert(p.contains("hashed_bow"), p)
   }
+
+  test("round-15 narrow maps: dpoPairPack / ul2Mix / entropySignals / needleInsert are zero-Exchange") {
+    // each of these is per-row array arithmetic whose 100 TB shape is
+    // "one read of the input"; an Exchange appearing is a regression.
+    // parquet-backed input (a local Seq constant-folds to nothing).
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ids = org.apache.spark.sql.functions.transform(
+      org.apache.spark.sql.functions.filter(
+        split(col("text"), " "), w => w =!= ""),
+      w => graft.functions.PortableHash.portable_hash(w).cast("int"))
+    val tok = docs.select(col("doc_id"), ids.as("ids"))
+    val pairs = tok.select(col("doc_id").as("id"),
+      col("ids").as("p"), col("ids").as("c"), col("ids").as("r"))
+    Seq(
+      "dpoPairPack" -> plan(graft.operators.Packing.dpoPairPack(pairs,
+        col("id"), col("p"), col("c"), col("r"), 64, 4)),
+      "ul2Mix" -> plan(graft.operators.Packing.ul2Mix(tok,
+        col("doc_id"), col("ids"), seed = 7L)),
+      "entropySignals" -> plan(graft.operators.Corpus.entropySignals(
+        docs, "doc_id", "text")),
+      "needleInsert" -> plan(graft.operators.Packing.needleInsert(tok,
+        col("doc_id"), col("ids"), Seq(1, 2, 3), Seq(0, 50, 100)))
+    ).foreach { case (name, p) =>
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+    }
+  }
 }
