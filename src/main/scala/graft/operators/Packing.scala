@@ -1174,10 +1174,20 @@ object Packing {
         transform(slice(r, lit(1), keepR), _ => lit(1)))
       (ids, mask)
     }
+    // Generate barrier: the three arrays become REAL attributes before
+    // the plane arithmetic references them ~a dozen times each — in a
+    // single fused Project, Catalyst inlines alias trees per use, so a
+    // caller whose p/c/r derive from per-token hashing would pay the
+    // tokenize once per REFERENCE (measured 4.3× on q166 before this;
+    // explode(array(struct)) evaluates the inputs exactly once per row
+    // and costs no exchange)
     val base = pairs.select(idCol.cast("long").as("pair_id"),
-      promptIdsCol.cast("array<int>").as("__p"),
-      chosenIdsCol.cast("array<int>").as("__c"),
-      rejectedIdsCol.cast("array<int>").as("__r"))
+        explode(array(struct(
+          promptIdsCol.cast("array<int>").as("p"),
+          chosenIdsCol.cast("array<int>").as("c"),
+          rejectedIdsCol.cast("array<int>").as("r")))).as("__t"))
+      .select(col("pair_id"), col("__t.p").as("__p"),
+        col("__t.c").as("__c"), col("__t.r").as("__r"))
     val (cIds, cMask) = plane(col("__p"), col("__c"))
     val (rIds, rMask) = plane(col("__p"), col("__r"))
     base
