@@ -2046,6 +2046,18 @@ object SparkEntry {
         score.join(label, "doc_id"), col("score"), col("pass"))
     }),
 
+    // ---- rejection-sampling best-of-n (the RFT/Llama-2 recipe):
+    // per prompt-group of 4, keep the reward-argmax above 0.3 with
+    // its winner-margin; the q20 quality kernel as stub reward ----
+    "q180_best_of_n" -> ((s, dir) => {
+      val rewards = docs(s, dir).select(col("doc_id"),
+        graft.functions.TextKernels.text_stats(col("text"),
+          TextFunctions.LangProfiles("en")).getField("quality")
+          .as("reward"))
+      graft.operators.Sampling.bestOfN(rewards, col("doc_id"),
+        expr("doc_id DIV 4"), col("reward"), minReward = 0.3)
+    }),
+
     // ---- BT calibration eval: the q176 strengths scored back per
     // directed pair — predicted s_w/(s_w+s_l) vs empirical win rate ----
     "q177_bt_calibration" -> ((s, dir) =>
@@ -7559,6 +7571,26 @@ object SparkEntry {
          |  CAST(n_games AS BIGINT) AS n_games, empirical, predicted,
          |  ${r6("abs(empirical - predicted)")} AS abs_err
          |FROM cal""".stripMargin
+    },
+
+    // q180: the argmax replayed as a window — (reward DESC, id ASC)
+    // rank 1 = winner, rank 2 = runner-up for the margin, floor 0.3.
+    "q180_best_of_n" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      s"""WITH q AS ($textQualitySql),
+         |r AS (SELECT doc_id AS id, doc_id // 4 AS grp,
+         |    quality AS reward FROM q),
+         |rk AS (SELECT id, grp, reward, row_number() OVER (
+         |    PARTITION BY grp ORDER BY reward DESC, id ASC) AS rn
+         |  FROM r),
+         |cnt AS (SELECT grp, count(*) AS n_candidates FROM r GROUP BY 1)
+         |SELECT w1.id, w1.grp AS group_id, w1.reward,
+         |  ${r6("w1.reward - coalesce(w2.reward, w1.reward)")} AS margin,
+         |  CAST(cnt.n_candidates AS BIGINT) AS n_candidates
+         |FROM rk w1
+         |LEFT JOIN rk w2 ON w1.grp = w2.grp AND w2.rn = 2
+         |JOIN cnt ON w1.grp = cnt.grp
+         |WHERE w1.rn = 1 AND w1.reward >= 0.3""".stripMargin
     },
 
     // q178: quality (textQualitySql) joined to the Gopher pass

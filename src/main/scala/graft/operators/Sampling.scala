@@ -275,6 +275,45 @@ object Sampling {
           .otherwise(lit(0.0)).as("advantage"))
   }
 
+  /** REJECTION-SAMPLING (BEST-OF-N) DATASET BUILDER — the
+    * RFT/Llama-2 data recipe (public: sample N responses per prompt,
+    * score with the reward model, keep the reward-argmax — optionally
+    * only when it clears a floor — and fine-tune on the winners;
+    * Yuan et al. 2023 RFT, Touvron et al. 2023 §3.2.2): per group the
+    * winner is the (reward DESC, id ASC) argmax — deterministic ties —
+    * with `margin` = winner − runner-up (0 for singleton groups and
+    * exact ties: the "how confidently best" audit column), emitted
+    * only when the winner's reward ≥ `minReward`.
+    *
+    * Scale shape: ONE map-side-combined aggregate using the
+    * [[graft.functions.TopKBy]] bounded-heap (O(2) state per group —
+    * no per-group sort, no window over the corpus); everything after
+    * is |groups|-sized.
+    * @return (id, group_id, reward, margin, n_candidates). */
+  def bestOfN(
+      df: DataFrame, idCol: Column, groupCol: Column, rewardCol: Column,
+      minReward: Double = Double.NegativeInfinity): DataFrame = {
+    import graft.functions.TopKBy.top_k_by
+    import graft.functions.TextFunctions.round6
+    df.select(idCol.cast("long").as("id"),
+        groupCol.cast("long").as("group_id"),
+        rewardCol.cast("double").as("reward"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        top_k_by(col("reward"), col("id"), 2).as("__tk"))
+      .select(col("group_id"), col("n_candidates"),
+        // get() (0-based, null on missing index): a singleton group
+        // has no runner-up — ANSI array apply would throw
+        get(col("__tk"), lit(0)).getField("id").as("id"),
+        get(col("__tk"), lit(0)).getField("v").as("reward"),
+        round6(get(col("__tk"), lit(0)).getField("v") -
+          coalesce(get(col("__tk"), lit(1)).getField("v"),
+            get(col("__tk"), lit(0)).getField("v"))).as("margin"))
+      .filter(col("reward") >= minReward)
+      .select(col("id"), col("group_id"), col("reward"), col("margin"),
+        col("n_candidates"))
+  }
+
   /** DoReMi-SHAPE DOMAIN REWEIGHTING — the mixture-weight tuning step
     * of multi-source pretraining (public recipe: Xie et al. 2023,
     * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model

@@ -662,6 +662,30 @@ class PackingSpec extends SparkSpec {
       rows(rDirect))
   }
 
+  test("bestOfN: argmax with deterministic ties, margin, floor, singleton groups") {
+    val d = Seq(
+      (1L, 10L, 0.9), (2L, 10L, 0.7), (3L, 10L, 0.9),  // tie → id 1
+      (4L, 20L, 0.2), (5L, 20L, 0.1),                   // winner under floor
+      (6L, 30L, 0.5))                                   // singleton
+      .toDF("id", "grp", "r")
+    val out = Sampling.bestOfN(d, col("id"), col("grp"), col("r"),
+        minReward = 0.3)
+      .collect().map(x => x.getLong(1) ->
+        (x.getLong(0), x.getDouble(2), x.getDouble(3), x.getLong(4)))
+      .toMap
+    // group 20's winner (0.2) is below the floor → whole group dropped
+    assert(out.keySet === Set(10L, 30L))
+    // tie at 0.9 breaks to the smaller id; margin vs the runner-up tie = 0
+    assert(out(10L) === ((1L, 0.9, 0.0, 3L)))
+    // singleton: margin 0 by contract
+    assert(out(30L) === ((6L, 0.5, 0.0, 1L)))
+    // margin against a strict runner-up
+    val d2 = Seq((1L, 1L, 0.9), (2L, 1L, 0.6)).toDF("id", "grp", "r")
+    val m = Sampling.bestOfN(d2, col("id"), col("grp"), col("r"))
+      .select("margin").as[Double].collect().head
+    assert(math.abs(m - 0.3) < 2e-6)
+  }
+
   test("groupRelativeAdvantage: hand-checked standardization, zero-variance and singleton contracts") {
     val rows0 = Seq(
       (1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0), (4L, 10L, 2.0),
