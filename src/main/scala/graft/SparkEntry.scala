@@ -2046,6 +2046,13 @@ object SparkEntry {
         score.join(label, "doc_id"), col("score"), col("pass"))
     }),
 
+    // ---- inter-source duplication matrix: the q14 near-dup pairs
+    // rolled up to undirected source pairs with size-normalized
+    // rates — the provenance view a corpus report publishes ----
+    "q181_source_dup_matrix" -> ((s, dir) =>
+      Dedup.sourceDupMatrix(dupPairs(s, dir), docs(s, dir),
+        col("doc_id"), col("source"))),
+
     // ---- rejection-sampling best-of-n (the RFT/Llama-2 recipe):
     // per prompt-group of 4, keep the reward-argmax above 0.3 with
     // its winner-margin; the q20 quality kernel as stub reward ----
@@ -7571,6 +7578,32 @@ object SparkEntry {
          |  CAST(n_games AS BIGINT) AS n_games, empirical, predicted,
          |  ${r6("abs(empirical - predicted)")} AS abs_err
          |FROM cal""".stripMargin
+    },
+
+    // q181: the q14 pair CTEs roll up by source pair, normalized by
+    // n_a·n_b (cross) or n(n−1)/2 (diagonal).
+    "q181_source_dup_matrix" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      s"""WITH $dupPairsSqlCtes,
+         |srcs AS (SELECT doc_id, source FROM documents),
+         |sp AS (SELECT least(sa.source, sb.source) AS source_a,
+         |    greatest(sa.source, sb.source) AS source_b
+         |  FROM pairs p
+         |  JOIN srcs sa ON p.a_id = sa.doc_id
+         |  JOIN srcs sb ON p.b_id = sb.doc_id),
+         |m AS (SELECT source_a, source_b, count(*) AS n_pairs
+         |  FROM sp GROUP BY 1, 2),
+         |c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1)
+         |SELECT m.source_a, m.source_b,
+         |  CAST(m.n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(ca.n AS BIGINT) AS n_docs_a,
+         |  CAST(cb.n AS BIGINT) AS n_docs_b,
+         |  ${r6("CAST(m.n_pairs AS DOUBLE) / CAST(" +
+             "CASE WHEN m.source_a = m.source_b" +
+             " THEN ca.n * (ca.n - 1) // 2" +
+             " ELSE ca.n * cb.n END AS DOUBLE)")} AS dup_rate
+         |FROM m JOIN c ca ON m.source_a = ca.source
+         |JOIN c cb ON m.source_b = cb.source""".stripMargin
     },
 
     // q180: the argmax replayed as a window — (reward DESC, id ASC)

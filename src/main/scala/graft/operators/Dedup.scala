@@ -1094,4 +1094,49 @@ object Dedup {
         coalesce(col("text_cut"), lit("")).as("text_cut"),
         (col("__n") - coalesce(col("__nk"), lit(0L))).as("removed_tokens"))
   }
+
+  /** INTER-SOURCE DUPLICATION MATRIX — the provenance view of a
+    * near-dup pass (public practice: corpus reports break duplication
+    * down BY SOURCE PAIR — which crawls/snapshots/feeds copy each
+    * other — before deciding what to drop; cross-source rates flag
+    * mirror sites and snapshot overlap, the within-source diagonal
+    * flags template farms): near-dup pairs (any detector's (a_id,
+    * b_id) output, e.g. [[minhashLsh]]) roll up to UNDIRECTED source
+    * pairs with a normalized rate — n_pairs / (n_a·n_b) across
+    * sources, n_pairs / (n·(n−1)/2) on the diagonal — so rates
+    * compare across differently-sized sources. Only observed source
+    * pairs emit (sparse matrix).
+    *
+    * Scale shape: two id-keyed joins attach sources to the pair list
+    * (pair-list-sized, both sides narrow), ONE aggregate to the
+    * ≤|sources|² matrix; the per-source counts join back broadcast.
+    * @return (source_a, source_b, n_pairs, n_docs_a, n_docs_b,
+    *         dup_rate) — source_a ≤ source_b, dup_rate round6. */
+  def sourceDupMatrix(
+      pairs: DataFrame, docs: DataFrame, idCol: Column,
+      sourceCol: Column): DataFrame = {
+    val src = docs.select(idCol.cast("long").as("__id"),
+      sourceCol.cast("string").as("__src"))
+    val m = pairs
+      .join(src.select(col("__id").as("a_id"), col("__src").as("__sa")),
+        "a_id")
+      .join(src.select(col("__id").as("b_id"), col("__src").as("__sb")),
+        "b_id")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val counts = src.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    m.join(broadcast(counts.select(col("__src").as("source_a"),
+        col("__n").as("n_docs_a"))), "source_a")
+      .join(broadcast(counts.select(col("__src").as("source_b"),
+        col("__n").as("n_docs_b"))), "source_b")
+      .withColumn("__max", when(col("source_a") === col("source_b"),
+          expr("n_docs_a * (n_docs_a - 1) DIV 2"))
+        .otherwise(col("n_docs_a") * col("n_docs_b")))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("n_docs_a"), col("n_docs_b"),
+        round6(col("n_pairs").cast("double") /
+          col("__max").cast("double")).as("dup_rate"))
+  }
 }

@@ -433,4 +433,21 @@ class DedupSpec extends SparkSpec {
     assert(fast == brute)
     assert(fast.exists { case (x, y, j) => x == 1L && y == 3L && j == 1.0 })
   }
+
+  test("sourceDupMatrix: undirected rollup, diagonal vs cross normalization, sparse output") {
+    val docs0 = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"),
+      (5L, "b"), (6L, "c")).toDF("doc_id", "source")
+    // pairs: within-a (1,2); cross a-b in BOTH orientations;
+    // c appears in no pair → absent from the matrix (sparse)
+    val pairs0 = Seq((1L, 2L), (1L, 4L), (5L, 3L)).toDF("a_id", "b_id")
+    val out = Dedup.sourceDupMatrix(pairs0, docs0, col("doc_id"),
+        col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.keySet === Set(("a", "a"), ("a", "b")))
+    // diagonal: 1 pair over C(3,2) = 3
+    assert(out(("a", "a")) === ((1L, 3L, 3L, 0.333333)))
+    // cross: 2 pairs over 3·2 = 6, direction-insensitive
+    assert(out(("a", "b")) === ((2L, 3L, 2L, 0.333333)))
+  }
 }
