@@ -2046,6 +2046,12 @@ object SparkEntry {
         score.join(label, "doc_id"), col("score"), col("pass"))
     }),
 
+    // ---- distinct-n diversity per source (Li et al. 2016): the
+    // degeneracy panel — distinct/total n-grams for n = 1..3 ----
+    "q182_distinct_n_diversity" -> ((s, dir) =>
+      graft.operators.Corpus.distinctNgramRatios(docs(s, dir),
+        "doc_id", "text", "source")),
+
     // ---- inter-source duplication matrix: the q14 near-dup pairs
     // rolled up to undirected source pairs with size-normalized
     // rates — the provenance view a corpus report publishes ----
@@ -7578,6 +7584,31 @@ object SparkEntry {
          |  CAST(n_games AS BIGINT) AS n_games, empirical, predicted,
          |  ${r6("abs(empirical - predicted)")} AS abs_err
          |FROM cal""".stripMargin
+    },
+
+    // q182: per n — explode '_'-joined n-gram hashes, (source, gram)
+    // counts, source rollup; three legs UNION ALL.
+    "q182_distinct_n_diversity" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      def leg(n: Int): String = {
+        val gram = (0 until n).map(o => s"t[gi + $o]")
+          .mkString(" || '_' || ")
+        s"""SELECT source, CAST($n AS BIGINT) AS n,
+           |  CAST(sum(c) AS BIGINT) AS total_ngrams,
+           |  CAST(count(*) AS BIGINT) AS distinct_ngrams,
+           |  ${r6("CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)")}
+           |    AS distinct_ratio
+           |FROM (SELECT source, g, count(*) AS c FROM (
+           |    SELECT source, unnest(list_transform(
+           |        range(1, len(t) - ${n - 1} + 1),
+           |        gi -> ${hashSql(s"($gram)")})) AS g
+           |    FROM tk WHERE len(t) >= $n) GROUP BY 1, 2)
+           |GROUP BY source""".stripMargin
+      }
+      s"""WITH tk AS MATERIALIZED (SELECT source,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS t
+         |  FROM documents)
+         |${Seq(1, 2, 3).map(leg).mkString("\nUNION ALL\n")}""".stripMargin
     },
 
     // q181: the q14 pair CTEs roll up by source pair, normalized by

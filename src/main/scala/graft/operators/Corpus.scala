@@ -413,6 +413,52 @@ object Corpus {
           col("s.total_tokens").cast("double")).as("oov_rate"))
   }
 
+  /** DISTINCT-N DIVERSITY — the corpus-diversity panel (public
+    * recipe: distinct-n = distinct n-grams / total n-grams, Li et al.
+    * 2016 — the standard degeneracy check on generated/synthetic
+    * corpora, read per source so a collapsing generator or a template
+    * farm stands out against organic sources): for each n, per-source
+    * total and distinct n-gram counts and their ratio.
+    *
+    * Scale shape: one explode + two-level aggregate per n — the
+    * (source, gram) partial counts combine map-side, the second level
+    * is source-sized; grams travel as their portable hashes (text
+    * never shuffles), so "distinct" means distinct HASHES — mod-1e9+7
+    * collisions bias the ratio down ~\|grams\|²/2e9 (negligible below
+    * ~10⁶ grams/source; swap the hash for the joined gram string when
+    * the bias matters, or the q38 KMV sketch when exact counting
+    * outgrows memory).
+    * @return (source, n, total_ngrams, distinct_ngrams,
+    *         distinct_ratio) — ratio round6; sources with no n-gram
+    *         of a given n (all docs shorter than n) emit no row. */
+  def distinctNgramRatios(
+      docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    import TextFunctions.round6
+    val legs = ns.map { n =>
+      val toks = filter(TextFunctions.tokens(col(textCol)), w => w =!= "")
+      val grams = TextFunctions.bindOnce(toks) { t =>
+        when(size(t) < n, array().cast("array<long>")).otherwise(
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => graft.functions.PortableHash.portable_hash(
+              concat_ws("", (0 until n).map(o =>
+                element_at(t, i + o)): _*))))
+      }
+      docs.select(col(sourceCol).as("source"), explode(grams).as("g"))
+        .groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("source"))
+        .agg(sum(col("__c")).cast("long").as("total_ngrams"),
+          count(lit(1)).as("distinct_ngrams"))
+        .select(col("source"), lit(n).cast("long").as("n"),
+          col("total_ngrams"), col("distinct_ngrams"),
+          round6(col("distinct_ngrams").cast("double") /
+            col("total_ngrams").cast("double")).as("distinct_ratio"))
+    }
+    legs.reduce(_ unionByName _)
+  }
+
   /** KNESER–NEY SMOOTHED bigram LM scoring — the smoothing family the
     * CCNet/KenLM perplexity filter actually ships (absolute
     * discounting + continuation-probability backoff), upgrading

@@ -122,6 +122,21 @@ class CorpusSpec extends SparkSpec {
     }.isEmpty, plan.toString)
   }
 
+  test("distinctNgramRatios: hand-checked distinct-1/2/3 per source, short docs excluded per n") {
+    val d = Seq((1L, "x x y", "a"), (2L, "x", "a"), (3L, "z z z z", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.distinctNgramRatios(d, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("a", 1L)) === ((4L, 2L, 0.5)))
+    assert(out(("a", 2L)) === ((2L, 2L, 1.0)))   // doc 2 too short for n=2
+    assert(out(("a", 3L)) === ((1L, 1L, 1.0)))
+    assert(out(("b", 1L)) === ((4L, 1L, 0.25)))
+    assert(out(("b", 2L)) === ((3L, 1L, 0.333333)))
+    assert(out(("b", 3L)) === ((2L, 1L, 0.5)))
+    assert(out.size === 6)
+  }
+
   test("vocabCoverageSweep: hand-checked coverage curve, deterministic tie-break") {
     // counts: a×5, b×3, c×1, d×1 (ties c/d break by word asc)
     val d = Seq((1L, "a a a b b"), (2L, "a a b c"), (3L, "d"))
