@@ -1150,6 +1150,21 @@ object Stress {
         (sink(graft.operators.Packing.ul2Mix(d, col("id"), col("ids"),
           seed = 7L)), n)
       }),
+      Scenario("distinct_n", sp => {
+        // 1M docs × 200 tokens (the entropy corpus): distinct-n's
+        // (source, gram) aggregate is the one INHERENT corpus-scale
+        // exchange of the round-15 additions — global distinctness
+        // cannot stay doc-local. The wire carries 12 B/gram narrow
+        // hash rows; map-side combine absorbs the Zipf head, the
+        // mostly-distinct trigram tail shuffles once. Pass = bounded
+        // spill and skew ~1 (hash keys); the KMV sketch is the
+        // documented escape when exact counting outgrows memory.
+        val (d, n) = stagedEntropyCorpus(sp, s(1000000L))
+        (sink(graft.operators.Corpus.distinctNgramRatios(
+          d.withColumn("source",
+            concat(lit("s"), pmod(col("id"), lit(20)).cast("string"))),
+          "id", "text", "source")), n)
+      }),
       Scenario("entropy_fold", sp => {
         // 1M docs × 200 tokens, vocab 2000, parquet-staged (see
         // stagedEntropyCorpus): the sorted-run fold keeps the per-doc

@@ -446,6 +446,13 @@ object Corpus {
                 element_at(t, i + o)): _*))))
       }
       docs.select(col(sourceCol).as("source"), explode(grams).as("g"))
+        // repartition-first (the round-14 Kneser–Ney lesson, measured
+        // again here: 59.9 GB of partial-aggregate fallback spill at
+        // 1M docs × 3 n-legs without it): n-gram keys are mostly
+        // DISTINCT, so map-side combine builds corpus-sized hash
+        // tables that spill without combining — shuffle the raw
+        // 12 B/gram rows once and aggregate clustered instead
+        .repartition(col("source"), col("g"))
         .groupBy(col("source"), col("g"))
         .agg(count(lit(1)).as("__c"))
         .groupBy(col("source"))
