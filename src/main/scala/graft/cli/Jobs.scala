@@ -50,6 +50,9 @@ import graft.sinks.Sinks
   *   graft.cli.Jobs pack-dpo --input-path pairs/ --output-path out/
   *     [--id-col id] [--prompt-col prompt] [--chosen-col chosen]
   *     [--rejected-col rejected] [--context-len 512] [--n-shards 8]
+  *   graft.cli.Jobs mix-weights --input-path docs/ --output-path w.tsv
+  *     [--id-col doc_id] [--text-col text] [--source-col source]
+  *     [--rounds 8] [--eta 0.5] [--smoothing 0.1]
   *   graft.cli.Jobs train-classifier --input-path docs/ --label-col c
   *     --output-path weights.txt [--dim 16] [--iters 8]
   *   graft.cli.Jobs train-unigram --input-path docs/ --output-path p.tsv
@@ -505,6 +508,37 @@ object Jobs {
     a("output-path")
   }
 
+  /** `mix-weights`: fit DoReMi-shape domain weights (q167's operator
+    * — per-source mean loss from the in-engine unigram LM, then the
+    * Group-DRO EG rounds) and persist the mixture artifact as a TSV
+    * (domain, n_docs, loss, weight) through the output path's Hadoop
+    * filesystem — the weight table a `pack-tokens --mix` or
+    * select-corpus run consumes (weights round-trip exactly:
+    * shortest-repr toString ↔ parseDouble, all values round6). */
+  def runMixWeights(spark: SparkSession, a: Args): String = {
+    val docs = spark.read.parquet(a("input-path"))
+    val idCol = a.get("id-col").getOrElse("doc_id")
+    val textCol = a.get("text-col").getOrElse("text")
+    val sourceCol = a.get("source-col").getOrElse("source")
+    val rounds = a.get("rounds").getOrElse("8").toInt
+    val eta = a.get("eta").getOrElse("0.5").toDouble
+    val smoothing = a.get("smoothing").getOrElse("0.1").toDouble
+    val scored = graft.operators.Corpus.lmScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(sourceCol)),
+        "doc_id")
+    val w = graft.operators.Sampling.doremiWeights(scored,
+        col(sourceCol), col("nll"), rounds, eta, smoothing)
+      .orderBy(col("domain"))
+      .collect() // |domains| rows — bounded artifact
+    val outPath = new org.apache.hadoop.fs.Path(a("output-path"))
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = w.map(r => s"${r.getString(0)}\t${r.getLong(1)}\t" +
+      s"${r.getDouble(2)}\t${r.getDouble(3)}").mkString("", "\n", "\n")
+    val out = fs.create(outPath, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    a("output-path")
+  }
+
   /** Train the unigram-LM tokenizer (q156's operator, the
     * SentencePiece family next to train-bpe's BPE) and persist the
     * piece table as a TSV artifact (piece, score, usage) — scores
@@ -872,7 +906,7 @@ object Jobs {
       "subcommand required: gridmet-etl | cfsv2-etl | stage-netcdf | " +
         "daily-etl | dedup-admit | select-corpus | curate | train-bpe | " +
         "train-classifier | train-unigram | pack-tokens | pack-sft | " +
-        "pack-dpo")
+        "pack-dpo | mix-weights")
     val a = parseArgs(argv.tail.toSeq)
     val spark = session()
     try {
@@ -890,6 +924,7 @@ object Jobs {
         case "pack-tokens" => runPackTokens(spark, a)
         case "pack-sft" => runPackSft(spark, a)
         case "pack-dpo" => runPackDpo(spark, a)
+        case "mix-weights" => runMixWeights(spark, a)
         case other => sys.error(s"unknown subcommand: $other")
       }
       println(s"WROTE $path")

@@ -186,6 +186,36 @@ class JobsSpec extends SparkSpec {
     assert(allMask.length.toLong === nAll)
   }
 
+  test("mix-weights job: DoReMi weight artifact round-trips and matches the operator") {
+    val dir = Files.createTempDirectory("graft-mixw").toString
+    val docs = (1L to 40L).map { i =>
+      val src = if (i % 2 == 0) "web" else "books"
+      // give the two sources different bigram surprisal profiles
+      val text = if (i % 2 == 0) s"common words common words unique$i token"
+        else "common words common words common words"
+      (i, text, src)
+    }.toDF("doc_id", "text", "source")
+    docs.write.parquet(s"$dir/docs")
+    val out = Jobs.runMixWeights(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/w.tsv")))
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out)), "UTF-8").trim.split("\n")
+    assert(lines.length === 2)
+    val parsed = lines.map(_.split("\t")).map(a =>
+      a(0) -> (a(1).toLong, a(2).toDouble, a(3).toDouble)).toMap
+    assert(parsed.keySet === Set("books", "web"))
+    // round-trips bit-exactly against the operator
+    val expect = graft.operators.Sampling.doremiWeights(
+        graft.operators.Corpus.lmScore(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("source")), "doc_id"),
+        col("source"), col("nll"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(parsed === expect)
+    // weights sum to 1 within round6 tolerance
+    assert(math.abs(parsed.values.map(_._3).sum - 1.0) < 3e-6)
+  }
+
   test("pack-dpo job: preference pairs -> four aligned GTOK planes keyed by pair_id") {
     val dir = Files.createTempDirectory("graft-pack-dpo").toString
     val pairs = Seq(
