@@ -2052,6 +2052,14 @@ object SparkEntry {
       graft.operators.Corpus.distinctNgramRatios(docs(s, dir),
         "doc_id", "text", "source")),
 
+    // ---- distinct-n panel, KMV-sketched (the 100× escape for q182:
+    // O(k) aggregate state instead of a corpus-scale (source, gram)
+    // exchange; the deterministic estimator itself is oracle-checked,
+    // the q38 discipline) ----
+    "q183_distinct_n_sketch" -> ((s, dir) =>
+      graft.operators.Corpus.distinctNgramRatiosSketch(docs(s, dir),
+        "doc_id", "text", "source")),
+
     // ---- inter-source duplication matrix: the q14 near-dup pairs
     // rolled up to undirected source pairs with size-normalized
     // rates — the provenance view a corpus report publishes ----
@@ -7586,13 +7594,15 @@ object SparkEntry {
          |FROM cal""".stripMargin
     },
 
-    // q182: per n — explode '_'-joined n-gram hashes, (source, gram)
+    // q182: per n — explode SPACE-joined n-gram hashes (tokens split
+    // on space, so the space joiner is collision-free and byte-
+    // identical to the engine's concat_ws(" ", ...)), (source, gram)
     // counts, source rollup; three legs UNION ALL.
     "q182_distinct_n_diversity" -> {
       def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
       def leg(n: Int): String = {
         val gram = (0 until n).map(o => s"t[gi + $o]")
-          .mkString(" || '_' || ")
+          .mkString(" || ' ' || ")
         s"""SELECT source, CAST($n AS BIGINT) AS n,
            |  CAST(sum(c) AS BIGINT) AS total_ngrams,
            |  CAST(count(*) AS BIGINT) AS distinct_ngrams,
@@ -7604,6 +7614,40 @@ object SparkEntry {
            |        gi -> ${hashSql(s"($gram)")})) AS g
            |    FROM tk WHERE len(t) >= $n) GROUP BY 1, 2)
            |GROUP BY source""".stripMargin
+      }
+      s"""WITH tk AS MATERIALIZED (SELECT source,
+         |    list_filter(string_split(text, ' '), w -> w <> '') AS t
+         |  FROM documents)
+         |${Seq(1, 2, 3).map(leg).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // q183: the KMV estimator replayed in full per (source, n) —
+    // scramble g' = (A·(g+1)) mod M over DISTINCT gram hashes, sort,
+    // k-th order statistic, n̂ = (k−1)·M/h_k − 1 (4-dp), exact count
+    // below k — the q38 formula, one leg per n.
+    "q183_distinct_n_sketch" -> {
+      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+      val k = 1024
+      def leg(n: Int): String = {
+        val gram = (0 until n).map(o => s"t[gi + $o]")
+          .mkString(" || ' ' || ")
+        s"""SELECT source, CAST($n AS BIGINT) AS n,
+           |  CAST(total_ngrams AS BIGINT) AS total_ngrams, distinct_est,
+           |  ${r6("distinct_est / CAST(total_ngrams AS DOUBLE)")}
+           |    AS distinct_ratio_est
+           |FROM (SELECT source, total_ngrams,
+           |    CASE WHEN len(hs) < $k THEN CAST(len(hs) AS DOUBLE)
+           |         ELSE floor((${k - 1}.0 * 1000000007.0 / hs[$k] - 1.0)
+           |                    * 10000 + 0.5) / 10000
+           |    END AS distinct_est
+           |  FROM (SELECT source, count(*) AS total_ngrams,
+           |      list_sort(list_distinct(list(
+           |        (1566083941 * (g + 1)) % 1000000007))) AS hs
+           |    FROM (SELECT source, unnest(list_transform(
+           |          range(1, len(t) - ${n - 1} + 1),
+           |          gi -> ${hashSql(s"($gram)")})) AS g
+           |      FROM tk WHERE len(t) >= $n)
+           |    GROUP BY source))""".stripMargin
       }
       s"""WITH tk AS MATERIALIZED (SELECT source,
          |    list_filter(string_split(text, ' '), w -> w <> '') AS t

@@ -154,19 +154,35 @@ object Stress {
     * Catalyst elides BOTH of the flat form's exchanges (grouping keys
     * include `id`) — a gifted co-location no real corpus scan has.
     * Parquet reads report UnknownPartitioning, the 100 TB shape. */
-  @volatile private var entropyStaged: Option[(String, Long)] = None
+  // keyed by n — a single cached path would silently serve the FIRST
+  // staged size to any later scenario asking for a different one — and
+  // built under the object lock (check-then-set on a bare @volatile
+  // raced); staged dirs are removed recursively at JVM exit
+  private var entropyStaged: Map[Long, String] = Map.empty
   private def stagedEntropyCorpus(
       sp: SparkSession, n: Long): (DataFrame, Long) = {
-    val (dir, rows) = entropyStaged.getOrElse {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_stress_entropy_").toString
-      corpus(sp, n, 200, 2000).write.mode("overwrite").parquet(path)
-      val v = (path, n)
-      entropyStaged = Some(v)
-      v
+    val dir = synchronized {
+      entropyStaged.getOrElse(n, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_stress_entropy_")
+        registerTempDirCleanup(path)
+        corpus(sp, n, 200, 2000).write.mode("overwrite")
+          .parquet(path.toString)
+        entropyStaged += (n -> path.toString)
+        path.toString
+      })
     }
-    (sp.read.parquet(dir), rows)
+    (sp.read.parquet(dir), n)
   }
+
+  private def registerTempDirCleanup(p: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
 
   /** Event-time base and span shared by [[events]] and
     * [[stageTimeSlicedEvents]] — the slicer's filter bounds MUST be the
@@ -1161,6 +1177,20 @@ object Stress {
         // documented escape when exact counting outgrows memory.
         val (d, n) = stagedEntropyCorpus(sp, s(1000000L))
         (sink(graft.operators.Corpus.distinctNgramRatios(
+          d.withColumn("source",
+            concat(lit("s"), pmod(col("id"), lit(20)).cast("string"))),
+          "id", "text", "source")), n)
+      }),
+      Scenario("distinct_n_sketch", sp => {
+        // the SAME 1M-doc panel through the q183 KMV sketch: distinct
+        // counting collapses to O(k) state per (source) group, so the
+        // corpus-scale (source, gram) exchange — and its measured
+        // 43.3 GB sort-agg spill — disappears entirely; the only wire
+        // traffic is |tasks|·|sources|·k longs of partial sketches.
+        // Pass = ~zero shuffle and ZERO spill at the exact panel's
+        // own measurement point.
+        val (d, n) = stagedEntropyCorpus(sp, s(1000000L))
+        (sink(graft.operators.Corpus.distinctNgramRatiosSketch(
           d.withColumn("source",
             concat(lit("s"), pmod(col("id"), lit(20)).cast("string"))),
           "id", "text", "source")), n)

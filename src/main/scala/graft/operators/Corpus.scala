@@ -441,8 +441,13 @@ object Corpus {
       val grams = TextFunctions.bindOnce(toks) { t =>
         when(size(t) < n, array().cast("array<long>")).otherwise(
           transform(sequence(lit(1), size(t) - (n - 1)),
+            // space-joined before hashing: tokens are split on space,
+            // so a space separator is collision-free; any other joiner
+            // (incl. the former 0x01 byte) can appear INSIDE a token and
+            // alias boundary-ambiguous grams, undercounting distincts
+            // — and the oracle must join with the same byte
             i => graft.functions.PortableHash.portable_hash(
-              concat_ws("", (0 until n).map(o =>
+              concat_ws(" ", (0 until n).map(o =>
                 element_at(t, i + o)): _*))))
       }
       docs.select(col(sourceCol).as("source"), explode(grams).as("g"))
@@ -462,6 +467,65 @@ object Corpus {
           col("total_ngrams"), col("distinct_ngrams"),
           round6(col("distinct_ngrams").cast("double") /
             col("total_ngrams").cast("double")).as("distinct_ratio"))
+    }
+    legs.reduce(_ unionByName _)
+  }
+
+  /** DISTINCT-N DIVERSITY, SKETCHED — [[distinctNgramRatios]] with the
+    * distinct count estimated by the q38 KMV min-k sketch
+    * ([[graft.functions.KmvDistinct]]) instead of counted exactly.
+    * This is the 100× escape the exact panel documents: at corpus
+    * scale the (source, gram) aggregate is a sort-agg over ~corpus-
+    * many mostly-unique keys per box (measured 43.3 GB of spill at
+    * 1M docs — stress `distinct_n`), because global distinctness
+    * can't stay doc-local. The sketch CAN: KMV keeps only the k
+    * smallest distinct scrambled hashes per (source, n) group —
+    * O(k) state regardless of gram cardinality — so the whole panel
+    * collapses to ONE map-side-combined aggregate per n-leg finishing
+    * at |sources| rows, with no corpus-scale exchange at all (the
+    * wire carries |tasks|·|sources|·k longs of partial sketches).
+    *
+    * Determinism: min-k over distinct scrambled hashes is order- and
+    * partitioning-independent, so the ESTIMATE itself is exact-
+    * reproducible and the q183 oracle replays the full estimator
+    * (scramble, k-th order statistic, the n̂ = (k−1)·M/h_k − 1
+    * formula, 4-dp round) in SQL — the q38 discipline. Relative
+    * error ~1/√(k−2) (≈3 % at k=1024); below k distinct grams the
+    * sketch IS the exact count.
+    * @return (source, n, total_ngrams, distinct_est,
+    *         distinct_ratio_est) — est 4-dp, ratio round6; sources
+    *         with no n-gram of a given n emit no row. */
+  def distinctNgramRatiosSketch(
+      docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, ns: Seq[Int] = Seq(1, 2, 3),
+      k: Int = 1024): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    require(k >= 2, "k must be >= 2")
+    import TextFunctions.round6
+    import graft.functions.KmvDistinct.kmv_distinct
+    val legs = ns.map { n =>
+      val toks = filter(TextFunctions.tokens(col(textCol)), w => w =!= "")
+      val grams = TextFunctions.bindOnce(toks) { t =>
+        when(size(t) < n, array().cast("array<long>")).otherwise(
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            // space joiner: byte-identical to the exact panel (and
+            // collision-free — tokens are split on space)
+            i => graft.functions.PortableHash.portable_hash(
+              concat_ws(" ", (0 until n).map(o =>
+                element_at(t, i + o)): _*))))
+      }
+      docs.select(col(sourceCol).as("source"), explode(grams).as("g"))
+        // NO repartition here — the exact panel needs it because its
+        // partial (source, gram) maps are corpus-sized; the sketch's
+        // partial state is |sources|·k longs per task, the case
+        // map-side combine exists for
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          kmv_distinct(col("g"), k).as("distinct_est"))
+        .select(col("source"), lit(n).cast("long").as("n"),
+          col("total_ngrams"), col("distinct_est"),
+          round6(col("distinct_est") /
+            col("total_ngrams").cast("double")).as("distinct_ratio_est"))
     }
     legs.reduce(_ unionByName _)
   }

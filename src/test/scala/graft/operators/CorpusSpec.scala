@@ -137,6 +137,45 @@ class CorpusSpec extends SparkSpec {
     assert(out.size === 6)
   }
 
+  test("distinctNgramRatios: space joiner keeps boundary-ambiguous grams distinct") {
+    // ["ab","c"] vs ["a","bc"]: a separator-free (or in-token-byte)
+    // join would alias the two 2-grams into one hash
+    val d = Seq((1L, "ab c", "s"), (2L, "a bc", "s")).toDF("doc_id", "text", "source")
+    val out = Corpus.distinctNgramRatios(d, "doc_id", "text", "source",
+        ns = Seq(2))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(out === ((2L, 2L)))
+  }
+
+  test("distinctNgramRatiosSketch: exact below k, estimate near truth and partition-invariant") {
+    val d = Seq((1L, "x x y", "a"), (2L, "x", "a"), (3L, "z z z z", "b"))
+      .toDF("doc_id", "text", "source")
+    // k far above the gram cardinality → the sketch IS the exact count
+    val small = Corpus.distinctNgramRatiosSketch(d, "doc_id", "text",
+        "source", k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(small(("a", 1L)) === ((4L, 2.0, 0.5)))
+    assert(small(("a", 2L)) === ((2L, 2.0, 1.0)))
+    assert(small(("b", 3L)) === ((2L, 1.0, 0.5)))
+    assert(small.size === 6)
+    // above k: 1000 distinct unigrams through a k=128 sketch — the
+    // order-statistic estimate lands within ~5·(1/√(k−2)) of truth,
+    // and the k smallest distinct hashes are partitioning-invariant
+    val big = spark.range(2000)
+      .selectExpr("id AS doc_id", "concat('w', id % 1000) AS text",
+        "'s' AS source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.distinctNgramRatiosSketch(df, "doc_id", "text", "source",
+        ns = Seq(1), k = 128).collect().map(r =>
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).head
+    val (tot, est, ratio) = run(big)
+    assert(tot === 2000L)
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.45) // 5σ at k=128
+    assert(est != 1000.0) // genuinely the estimator branch, not exact
+    assert(run(big.repartition(13)) === ((tot, est, ratio)))
+  }
+
   test("vocabCoverageSweep: hand-checked coverage curve, deterministic tie-break") {
     // counts: a×5, b×3, c×1, d×1 (ties c/d break by word asc)
     val d = Seq((1L, "a a a b b"), (2L, "a a b c"), (3L, "d"))
