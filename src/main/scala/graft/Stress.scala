@@ -1122,6 +1122,54 @@ object Stress {
         (sink(graft.operators.Corpus.knTrigramScore(
           corpus(sp, n, len = 120, vocab = 200), "id", "text")), n)
       }),
+      Scenario("kn_trigram_pruned", sp => {
+        // the kn_trigram point under KenLM-parity singleton pruning
+        // (minCount=2): the x-table drops all singleton trigram types
+        // — the boundedness dial for low-reuse corpora — and pruned
+        // occurrences pay the two bigram-type-keyed backoff joins.
+        // Model-table sizes are printed from build (untimed) so the
+        // row records how much the HAVING removed at this point.
+        val n = s(1000000L)
+        val d = corpus(sp, n, len = 120, vocab = 200)
+        if (n >= 100000L) { // skip the side-count at spec scale
+          val tri = d.selectExpr("split(text, ' ') AS t")
+            .selectExpr("explode(transform(sequence(1, size(t) - 2), " +
+              "i -> named_struct('a', element_at(t, i), 'b', " +
+              "element_at(t, i + 1), 'c', element_at(t, i + 2)))) AS g")
+            .repartition(col("g"))
+            .groupBy("g").count()
+          val total = tri.count()
+          val kept = tri.filter(col("count") >= 2).count()
+          println(s"[kn_trigram_pruned] trigram model rows: " +
+            s"unpruned=$total pruned=$kept " +
+            s"(${math.rint(10000.0 * kept / total) / 100}% kept)")
+        }
+        (sink(graft.operators.Corpus.knTrigramScore(
+          d, "id", "text", minCount = 2)), n)
+      }),
+      Scenario("kn_trigram_pruned_lowreuse", sp => {
+        // THE regime the pruning dial exists for: vocab 2000 at order
+        // 3 (8e9 possible types) makes ~every trigram occurrence a
+        // unique type — the corpus-sized model table that OOM'd the
+        // unpruned form at 8 GiB (round-15 note). Under minCount=2
+        // nothing corpus-sized materializes: the pruned x-table is
+        // the ~1M repeated types, lower orders are bigram-type-
+        // bounded (4M), and ~all occurrences take the backoff path's
+        // two bigram-keyed joins. Pass = COMPLETES in the same
+        // envelope, zero spill. Shuffle width follows the sizing rule
+        // the 100 TB notes prescribe (per-partition aggregate state
+        // must fit task memory): 118M unique trigram types over the
+        // suite's default 128 partitions is ~140 MB of clustered agg
+        // state per task — at 32 concurrent tasks that's the 8 GiB
+        // heap's edge, and whether SIBLING stages (bt, g2) overlap the
+        // aggregate decides spill run-to-run (measured: 0-20 GB on
+        // identical code); 512 partitions puts the state at ~35 MB/
+        // task, off the edge deterministically.
+        val n = s(1000000L)
+        (sink(graft.operators.Corpus.knTrigramScore(
+          corpus(sp, n, len = 120, vocab = 2000), "id", "text",
+          minCount = 2)), n)
+      }),
       Scenario("kneser_ney_zipf", sp => {
         // the hot-bigram guard's target regime, which the uniform-
         // vocab scenario above cannot produce: 20% of tokens are ONE
@@ -1174,7 +1222,8 @@ object Stress {
         // hash rows; map-side combine absorbs the Zipf head, the
         // mostly-distinct trigram tail shuffles once. Pass = bounded
         // spill and skew ~1 (hash keys); the KMV sketch is the
-        // documented escape when exact counting outgrows memory.
+        // measured escape (distinct_n_sketch, the next row) when exact
+        // counting outgrows memory.
         val (d, n) = stagedEntropyCorpus(sp, s(1000000L))
         (sink(graft.operators.Corpus.distinctNgramRatios(
           d.withColumn("source",
@@ -1300,6 +1349,16 @@ object Stress {
     val results = scenarios(scale)
       .filter(sc => only.forall(_.contains(sc.name)))
       .map { sc =>
+        // drop the PREVIOUS scenario's pinned state before measuring:
+        // localCheckpoint blocks stay cached for the life of the JVM,
+        // so a checkpoint-heavy scenario silently shrinks every LATER
+        // scenario's execution memory (measured: kn_trigram_pruned's
+        // ~8M-row checkpoints ahead of kn_trigram_pruned_lowreuse
+        // turned the latter's zero-spill plan into 20 GB of spill;
+        // isolated, the same code spills nothing)
+        spark.sqlContext.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(
+          _.unpersist(blocking = true))
         System.gc()
         // build BEFORE the listener reset: streaming scenarios stage
         // their source files in build, and those untimed staging jobs
@@ -1337,6 +1396,12 @@ object Stress {
           s""""spill_bytes":${m.spillBytes},""" +
           s""""peak_task_exec_mem":${m.peakTaskExecMem},""" +
           s""""max_task_skew":${math.rint(m.maxTaskSkew * 100) / 100},""" +
+          // duration skew over stages whose MEDIAN task >= 1 s only:
+          // the round-16 attribution showed the unfiltered column is
+          // dominated by 150-700 ms-median stages where max/median is
+          // scheduling granularity, not partitioning
+          s""""max_task_skew_1s":${
+            math.rint(m.maxTaskSkew1s * 100) / 100},""" +
           // bytes-based companion: max_task_skew is task DURATIONS and
           // inflates on a loaded box and on sub-second noise stages;
           // the byte distribution is the load-invariant partitioning
@@ -1346,6 +1411,19 @@ object Stress {
             math.rint(listener.maxByteSkew() * 100) / 100},""" +
           s""""stages":${m.stageCount},"tasks":${m.taskCount}}"""
         println(line)
+        // SPARK_GRAFT_STRESS_STAGES=1: per-stage drill-down (the
+        // Scratch table) straight from the harness, so a spilling
+        // scenario can be attributed without reproducing its exact
+        // session/sequence in a separate tool
+        if (sys.env.get("SPARK_GRAFT_STRESS_STAGES").contains("1")) {
+          println(f"${"stage"}%6s ${"tasks"}%6s ${"writeMB"}%9s " +
+            f"${"readMB"}%9s ${"spillMB"}%9s ${"maxMs"}%8s ${"medMs"}%8s")
+          listener.perStage.sortBy(_._1).foreach {
+            case (id, tasks, w, r, sp2, mx, med, _, _) =>
+              println(f"$id%6d $tasks%6d ${w / 1e6}%9.0f ${r / 1e6}%9.0f " +
+                f"${sp2 / 1e6}%9.0f $mx%8d $med%8d")
+          }
+        }
         System.out.flush()
         line
       }

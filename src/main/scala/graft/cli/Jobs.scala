@@ -35,6 +35,7 @@ import graft.sinks.Sinks
   *   graft.cli.Jobs select-corpus --input-path docs/ --output-path out/
   *     [--budget N] [--splits train=80,val=10,test=10]
   *     [--clusters labels/] [--id-col doc_id --text-col text]
+  *     [--weights-file w.tsv [--source-col source]]  (mix-weights TSV)
   *   graft.cli.Jobs train-bpe --input-path docs/ --output-path model/
   *     [--n-merges 256] [--text-col text]
   *   graft.cli.Jobs pack-tokens --input-path docs/ --output-path out/
@@ -410,6 +411,19 @@ object Jobs {
             col(idCol).cast("long") === col("__sel_id"), "left_semi")
       case None => pooled
     }
+    // `--weights-file <mix-weights TSV>`: apply a PERSISTED DoReMi
+    // mixture (the runMixWeights artifact) as the final selection
+    // stage — the deployment seam that separates fitting from
+    // applying: the expensive EG fit runs once, every later
+    // select-corpus consumes the artifact without refitting.
+    // Identical to the in-plan apply by construction (mixShares).
+    val mixed = a.get("weights-file") match {
+      case Some(wf) =>
+        val sourceCol = a.get("source-col").getOrElse("source")
+        graft.operators.Sampling.mixSample(kept, col(idCol),
+          col(sourceCol), mixShares(loadMixWeights(spark, wf)))
+      case None => kept
+    }
     val splits = a.get("splits")
       .getOrElse("train=80,val=10,test=10").split(",").toSeq
       .map(_.split("=") match {
@@ -420,9 +434,9 @@ object Jobs {
     val out = a("output-path")
     val labeled = a.get("clusters") match {
       case Some(cp) => graft.operators.Sampling.leakageSafeSplit(
-        kept, col(idCol), spark.read.parquet(cp), splits)
+        mixed, col(idCol), spark.read.parquet(cp), splits)
       case None => graft.operators.Sampling.hashSplit(
-        kept, col(idCol), splits)
+        mixed, col(idCol), splits)
     }
     labeled.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     out
@@ -563,6 +577,36 @@ object Jobs {
     val out = fs.create(outPath, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     a("output-path")
+  }
+
+  /** Parse the [[runMixWeights]] TSV artifact back to (domain,
+    * weight) pairs — the consumer seam: a select-corpus run passes
+    * the fitted mixture via `--weights-file` so the learned weights
+    * drive selection WITHOUT refitting (weights round-trip exactly:
+    * shortest-repr toString ↔ parseDouble). */
+  def loadMixWeights(
+      spark: SparkSession, path: String): Seq[(String, Double)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    body.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val f = line.split("\t")
+      require(f.length == 4, s"bad mix-weights line: $line")
+      (f(0), f(3).toDouble)
+    }
+  }
+
+  /** The fitted weights → target shares, EXACTLY as q172's in-plan
+    * apply derives them: round6 weights sum in decimal (BigDecimal
+    * via Double.toString), then one correctly-rounded double division
+    * per share — so TSV-loaded and in-plan mixtures select the
+    * identical documents. */
+  def mixShares(w: Seq[(String, Double)]): Map[String, Double] = {
+    val sum = w.map { case (_, x) => BigDecimal(x) }.sum.toDouble
+    w.map { case (g, x) => g -> x / sum }.toMap
   }
 
   /** Parse the [[runTrainClassifier]] artifact back to weights. */

@@ -385,6 +385,11 @@ object Classifier {
     val dec = "decimal(28,6)"
     df.select(scoreCol.cast("double").as("__s"),
         labelCol.cast("int").cast("double").as("__y"))
+      // a NULL score would bin as nBins-1 (floor(null)=null and
+      // least/greatest SKIP nulls), inflating the top bin's n while
+      // the sum ignores it — unscorable rows are not calibration
+      // evidence, drop them (likewise unlabeled rows)
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
       .withColumn("bin", greatest(lit(0L),
         least(floor(col("__s") * nBins).cast("long"), lit(nBins - 1L))))
       .groupBy(col("bin"))

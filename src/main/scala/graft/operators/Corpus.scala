@@ -426,8 +426,9 @@ object Corpus {
     * never shuffles), so "distinct" means distinct HASHES — mod-1e9+7
     * collisions bias the ratio down ~\|grams\|²/2e9 (negligible below
     * ~10⁶ grams/source; swap the hash for the joined gram string when
-    * the bias matters, or the q38 KMV sketch when exact counting
-    * outgrows memory).
+    * the bias matters, or [[distinctNgramRatiosSketch]] when exact
+    * counting outgrows memory — measured head-to-head in the
+    * distinct_n[_sketch] stress pair).
     * @return (source, n, total_ngrams, distinct_ngrams,
     *         distinct_ratio) — ratio round6; sources with no n-gram
     *         of a given n (all docs shorter than n) emit no row. */
@@ -694,19 +695,35 @@ object Corpus {
     * trigram types grow as vocab³, and on a pathological uniform draw
     * types ≈ occurrences — the checkpointed model table becomes
     * corpus-sized (the kn_trigram stress note). Natural corpora reuse
-    * trigrams heavily, and KenLM-class deployments additionally prune
-    * singleton n-grams; a deployment scoring adversarially-unique
-    * text should prune upstream before this operator.
+    * trigrams heavily; `minCount` is the KenLM-parity escape for the
+    * rest:
+    *
+    * PRUNING (`minCount` > 1, KenLM's `--prune` on the top order,
+    * default-shaped: KenLM prunes singleton trigrams): trigram types
+    * with c(abc) < minCount are DROPPED from the x-table, so the one
+    * trigram-type-sized model table is bounded by construction — on a
+    * low-reuse corpus the singletons ARE the bulk of the types. Lower
+    * orders keep their full unpruned counts (the KenLM convention:
+    * adjusted counts are computed before pruning), so every
+    * denominator stays exact. A scored trigram missing from the
+    * pruned x-table — every corpus trigram exists pre-pruning, so a
+    * miss means PRUNED, never unseen — backs off to the same
+    * interpolation with its c3 term zeroed: P = d·N₁₊(ab·)·P₂(c|b) /
+    * c(ab), paid as two bigram-type-keyed joins over only the pruned
+    * OCCURRENCES (≈ the singleton types, a small share of corpus
+    * occurrences by construction).
     * @return (doc_id, n_tris, nll) over docs ≥ 3 tokens. */
   def knTrigramScore(
       docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75,
-      hotDf: Int = 65536, salts: Int = 16): DataFrame = {
+      hotDf: Int = 65536, salts: Int = 16,
+      minCount: Int = 1): DataFrame = {
     import TextFunctions.bindOnce
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
     require(hotDf >= 16 && salts >= 2,
       s"hotDf >= 16 and salts >= 2 required, got hotDf=$hotDf salts=$salts")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     def tris = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("t"))
       .select(col("doc_id"), explode(bindOnce(col("t")) { t =>
@@ -727,18 +744,43 @@ object Corpus {
       .select(col("g.a").as("a"), col("g.b").as("b"))
     // trigram model table: repartition-first (the knScore lesson),
     // checkpointed — feeds g1, g2 and the x-table base
-    val tri = tris.select(col("a"), col("b"), col("c"))
+    val triAgg = tris.select(col("a"), col("b"), col("c"))
       .repartition(col("a"), col("b"), col("c"))
       .groupBy(col("a"), col("b"), col("c"))
       .agg(count(lit(1)).as("c3"))
-      .localCheckpoint(eager = false)
-    val g1 = tri.groupBy(col("a"), col("b"))
+    // minCount == 1: the aggregate IS the model table — checkpoint it
+    // once and serve every derived table from the materialization.
+    // minCount > 1: NEVER materialize the unpruned aggregate — on the
+    // low-reuse corpora the pruning dial exists for, it approaches
+    // corpus size (the measured 8 GiB OOM at the vocab-2000 stress
+    // point); instead the PRUNED x-table base and the bigram-type-
+    // BOUNDED derived tables each checkpoint, paying extra passes over
+    // the trigram exchange so that nothing corpus-sized ever pins.
+    // Pruned-mode checkpoints are EAGER: each derived table re-runs
+    // the trigram aggregate, whose per-task state on a low-reuse
+    // corpus is ~|types|/partitions keys — alone, that fits task
+    // memory cleanly (measured 0 spill); overlapped with a SIBLING
+    // checkpoint's copy of the same aggregate, the shared execution
+    // pool tips and the same plan spills 0-20 GB run-to-run. Eager
+    // materialization serializes them deterministically (the
+    // IVF-Lloyd convention: jobs during construction are the
+    // operator's cost).
+    val tri =
+      if (minCount == 1) triAgg.localCheckpoint(eager = false) else triAgg
+    val triP =
+      if (minCount == 1) tri
+      else triAgg.filter(col("c3") >= minCount).localCheckpoint(eager = true)
+    val g1base = tri.groupBy(col("a"), col("b"))
       .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n3fw"))
+    // under pruning g1 feeds the x-table AND the backoff re-score —
+    // bigram-type-bounded, safe to pin
+    val g1 =
+      if (minCount == 1) g1base else g1base.localCheckpoint(eager = true)
     // g2 feeds g3 AND the x-table — checkpoint so the tri aggregate
-    // behind it runs once
+    // behind it runs once (bigram-type-bounded)
     val g2 = tri.groupBy(col("b"), col("c"))
       .agg(count(lit(1)).as("cont"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = minCount > 1)
     val g3 = g2.groupBy(col("b"))
       .agg(sum(col("cont")).as("nmid"), count(lit(1)).as("nfw2"))
     // bigram TYPES (unigram continuation level): repartition-first
@@ -758,7 +800,10 @@ object Corpus {
       col("c2").cast("double")
     // model-sized joins: g1/g2 ride the trigram-type keys, g3/n1c are
     // vocab rows — broadcast
-    val xtab = tri
+    // the HAVING lives in triP above: only the top order prunes;
+    // g1/g2/g3/n1c all derive from the UNPRUNED counts, so every
+    // denominator stays exact (the KenLM convention)
+    val xtab = triP
       .join(g1, Seq("a", "b"))
       .join(g2, Seq("b", "c"))
       .join(broadcast(g3), Seq("b"))
@@ -786,8 +831,47 @@ object Corpus {
           xtab.withColumn("salt", explode(
             when(isHot, sequence(lit(0), lit(salts - 1)))
               .otherwise(sequence(lit(0), lit(0))))))
-    probe
-      .join(build.hint("shuffle_hash"), Seq("a", "b", "c", "salt"))
+    val scored =
+      if (minCount == 1)
+        probe
+          .join(build.hint("shuffle_hash"), Seq("a", "b", "c", "salt"))
+          .select(col("doc_id"), col("x"))
+      else {
+        // pruned model: a probe miss can only mean PRUNED (the corpus
+        // trained the model, so every scored trigram was seen pre-
+        // pruning); misses re-score through the backoff term alone,
+        // paid as two bigram-type-keyed hash joins over just the
+        // pruned occurrences. Hot trigrams are never pruned (hot ⇒
+        // frequent), so the salt guard lives entirely on the hit
+        // path. The probe side evaluates twice (inner + anti) — the
+        // operator's standing convention; caching corpus-scale pair
+        // rows to save a scan-side map is the measured anti-pattern
+        // (the knScore DSIR lesson).
+        val hits = probe
+          .join(build.hint("shuffle_hash"), Seq("a", "b", "c", "salt"))
+          .select(col("doc_id"), col("x"))
+        val misses = probe
+          .join(build.hint("shuffle_hash"), Seq("a", "b", "c", "salt"),
+            "left_anti")
+          .select(col("doc_id"), col("a"), col("b"), col("c"))
+        val backoff = misses
+          .join(g1.hint("shuffle_hash"), Seq("a", "b"))
+          .join(g2.hint("shuffle_hash"), Seq("b", "c"))
+          .join(broadcast(g3), Seq("b"))
+          .join(broadcast(n1c), Seq("c"))
+          .select(col("doc_id"), TextFunctions.round6(-log(
+            lit(discount) * col("n3fw").cast("double") /
+              col("c2").cast("double") * p2)).as("x"))
+        // repartition-first for the per-doc rollup: the two-leg union
+        // breaks the single-join plan's pipelined partial agg, and
+        // doc_ids arrive scattered in (a,b,c) order — measured at the
+        // low-reuse 1M-doc point, the planner's partial aggregates
+        // held ~rows-sized maps and spilled 13.2 GB merging them;
+        // shuffling the narrow (doc_id, x) rows once aggregates
+        // clustered keys instead
+        hits.unionByName(backoff).repartition(col("doc_id"))
+      }
+    scored
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tris"),
         sum(col("x").cast("decimal(28,6)")).as("s"))

@@ -319,6 +319,10 @@ object Multimodal {
       .withColumn("__ni", nI)
       .filter(col("__ni") > 0.0)
       .select(col("media_id"), round6(dot / (col("__ni") * nT)).as("sim"))
+      // symmetric with the zero-image filter above: a NULL caption
+      // gives sim=NULL and keep=NULL — the gate's audit trail must
+      // never carry undefined keep flags, so unscorable pairs drop
+      .filter(col("sim").isNotNull)
       .withColumn("keep", col("sim") >= threshold)
   }
 

@@ -190,8 +190,15 @@ object Packing {
     }
 
   private[operators] def rankByHash(df: DataFrame, groupCol: String,
-      rankName: String, blocksHint: Option[Long] = None): DataFrame = {
-    val twoLevel = useTwoLevel(df)
+      rankName: String, blocksHint: Option[Long] = None,
+      forceTwoLevel: Boolean = false): DataFrame = {
+    // forceTwoLevel: for callers whose GROUP distribution, not input
+    // size, is the risk — inContextOrder's megacluster pins a naive
+    // per-group window regardless of how small the size estimate says
+    // the input is (the round-16 stress re-run: the 10M-row synthetic
+    // sat under the byte threshold, took the naive branch, and kept
+    // the 4× skew the blocked form exists to remove)
+    val twoLevel = forceTwoLevel || useTwoLevel(df)
     if (!twoLevel) {
       val w = Window.partitionBy(col(groupCol))
         .orderBy(col("__h"), col("id"))
@@ -577,16 +584,18 @@ object Packing {
     * its cluster peers and the whole layout is one deterministic
     * artifact of (seed, assignment).
     *
-    * Scale shape — the natural-blocks form of [[rankByHash]]'s
-    * two-level rank, with CLUSTERS as the blocks: per-(shard, cluster)
-    * local ranks (parallelism = cluster count, the reducer-pinning
-    * per-shard window never exists), plus a cluster-sized offsets
-    * table (one aggregate + one tiny window) joined back broadcast-or-
-    * hash by AQE. Unlike rankByHash there is no adaptive naive form:
-    * the offsets side here is CLUSTER-count rows (not groups×blocks),
-    * so the two-level shape is strictly cheap. A megacluster bounds a
-    * reducer at its own size — the IVF balance tripwire upstream is
-    * the guard.
+    * Scale shape — two nested two-level ranks: clusters are the
+    * natural blocks of the per-shard order (per-cluster counts + one
+    * cluster-sized prefix window give each cluster its shard offset),
+    * and WITHIN a cluster the doc rank goes through [[rankByHash]]'s
+    * hash-blocked form — so a MEGACLUSTER no longer pins one reducer
+    * at its own size (the round-15 stress finding: one 2M-doc cluster
+    * held task skew at 4.69/byte skew 4.03; blocked, its sort spreads
+    * over RankBlocks ranges like any other skewed group). The offsets
+    * tables are cluster-sized and (cluster × present-blocks)-sized
+    * respectively; both join back broadcast-or-hash under AQE.
+    * `cluster` determines `shard`, so the within-cluster rank can
+    * group by cluster alone and ride the shared helper unchanged.
     * @return (shard, pos, id, cluster) — pos dense 0.. per shard. */
   def inContextOrder(
       docs: DataFrame, idCol: Column, clusterCol: Column,
@@ -600,7 +609,8 @@ object Packing {
           lit(nShards.toLong)))
       .withColumn("__hc", portable_hash(repeat(concat(lit(s"$seed~icpc:"),
         col("cluster").cast("string"), lit(";")), 3)))
-      .withColumn("__hd", portable_hash(repeat(concat(lit(s"$seed~icpd:"),
+      // "__h": rankByHash's input contract (the within-cluster sort key)
+      .withColumn("__h", portable_hash(repeat(concat(lit(s"$seed~icpd:"),
         col("id").cast("string"), lit(";")), 3)))
     val wOff = Window.partitionBy(col("shard"))
       .orderBy(col("__hc"), col("cluster"))
@@ -609,11 +619,9 @@ object Packing {
       .agg(count(lit(1)).as("__n"))
       .withColumn("__coff", coalesce(sum(col("__n")).over(wOff), lit(0L)))
       .select(col("shard"), col("cluster"), col("__coff"))
-    val wLoc = Window.partitionBy(col("shard"), col("cluster"))
-      .orderBy(col("__hd"), col("id"))
-    base.join(offs, Seq("shard", "cluster"))
-      .withColumn("pos",
-        col("__coff") + row_number().over(wLoc).cast("long") - 1)
+    rankByHash(base, "cluster", "__lr", forceTwoLevel = true)
+      .join(offs, Seq("shard", "cluster"))
+      .withColumn("pos", col("__coff") + col("__lr"))
       .select(col("shard"), col("pos"), col("id"), col("cluster"))
   }
 

@@ -26,14 +26,19 @@ object Scratch {
         i: org.apache.spark.sql.Column, vocab: Int) =
       concat(lit("t"), pmod(hash(seed, i), lit(vocab)))
     val n = sys.env.getOrElse("SCRATCH_N", "1000000").toLong
-    val d = spark.range(n)
+    // the Stress.corpus shape (clone every 100th doc), vocab-dialed:
+    // kneser_ney uses vocab 2000, kn_trigram vocab 200
+    def corpus(vocab: Int) = spark.range(n)
       .withColumn("seed",
         when(pmod(col("id"), lit(100)) === 1, col("id") - 1)
           .otherwise(col("id")))
-      .withColumn("text",
+      .withColumn("text", concat(
         array_join(transform(sequence(lit(0), lit(119)),
-          i => tok(col("seed"), i, 2000)), " "))
+          i => tok(col("seed"), i, vocab)), " "),
+        when(pmod(col("id"), lit(100)) === 1, lit(" cloneextra"))
+          .otherwise(lit(""))))
       .select(col("id"), col("text"))
+    val d = corpus(2000)
 
     // Zipf-head fixture (the kneser_ney_zipf stress shape): 20% of
     // tokens are one head word → the head bigram is ~4% of all pairs.
@@ -55,7 +60,30 @@ object Scratch {
         println(s"SCRATCH feats built ${(System.nanoTime() - t0) / 1e9}")
         graft.operators.Classifier.trainLogisticSparse(
           feats, dim, iters = 2, lr = 0.5)
-      case _ =>
+      case "url" =>      // the url_dedup stress fixture (50M messy URLs)
+        val urls = spark.range(50000000L).select(col("id"),
+          concat(lit("HTTP://Site"),
+            pmod(col("id"), lit(1000)).cast("string"),
+            lit(".COM:80/p/"),
+            pmod(col("id"), lit(100000)).cast("string"),
+            lit("?utm_source=x&b="), pmod(col("id"), lit(7)).cast("string"),
+            lit("&a="), pmod(col("id"), lit(3)).cast("string"),
+            lit("#f")).as("url"))
+        graft.operators.Corpus.urlDupClusters(urls, col("id"), col("url"))
+          .write.mode("overwrite").format("noop").save()
+      case "kn_plain" => // the kneser_ney stress fixture
+        graft.operators.Corpus.knScore(d, "id", "text")
+          .write.mode("overwrite").format("noop").save()
+      case "kn3" =>      // the kn_trigram stress fixture (SCRATCH_VOCAB dials reuse)
+        val v3 = sys.env.getOrElse("SCRATCH_VOCAB", "200").toInt
+        graft.operators.Corpus.knTrigramScore(corpus(v3), "id", "text")
+          .write.mode("overwrite").format("noop").save()
+      case "kn3_pruned" =>
+        val v3 = sys.env.getOrElse("SCRATCH_VOCAB", "200").toInt
+        graft.operators.Corpus.knTrigramScore(corpus(v3), "id", "text",
+          minCount = 2)
+          .write.mode("overwrite").format("noop").save()
+      case _ =>          // the kneser_ney_zipf stress fixture
         val hotDf = sys.env.getOrElse("SCRATCH_HOTDF", "65536").toInt
         graft.operators.Corpus.knScore(z, "id", "text", hotDf = hotDf)
           .write.mode("overwrite").format("noop").save()

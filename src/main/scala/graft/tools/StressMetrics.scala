@@ -48,15 +48,29 @@ final class StressMetrics extends SparkListener {
       peakTaskExecMem: Long,
       /** max over stages (with >= minTasksForSkew tasks) of
         * max-task-ms / median-task-ms — the skew measurement. */
-      maxTaskSkew: Double)
+      maxTaskSkew: Double,
+      /** [[maxTaskSkew]] restricted to stages whose MEDIAN task runs
+        * >= 1 s. Round-16 per-stage attribution (SCALE.md): every
+        * KN-family scenario's headline skew came from stages with
+        * 150–700 ms medians, where max/median is scheduling
+        * granularity + JIT/GC variance, not partitioning — a 500 ms
+        * straggler on a 150 ms median reads as "3.3×" while the
+        * corpus-scale stages sit under 2. Substantial stages can't
+        * hide there; read THIS column (with max_byte_skew) for
+        * partitioning claims, the unfiltered one for completeness. */
+      maxTaskSkew1s: Double)
 
   def snapshot(minTasksForSkew: Int = 8): Snapshot = synchronized {
     val ss = stages.values.toSeq
-    val skews = ss.filter(_.taskMs.length >= minTasksForSkew).map { s =>
-      val sorted = s.taskMs.sorted
-      val med = math.max(1L, sorted(sorted.length / 2))
-      sorted.last.toDouble / med
-    }
+    def stageSkews(minMedianMs: Long) = ss
+      .filter(_.taskMs.length >= minTasksForSkew)
+      .flatMap { s =>
+        val sorted = s.taskMs.sorted
+        val med = math.max(1L, sorted(sorted.length / 2))
+        if (med >= minMedianMs) Some(sorted.last.toDouble / med) else None
+      }
+    val skews = stageSkews(0L)
+    val skews1s = stageSkews(1000L)
     Snapshot(
       stageCount = ss.length,
       taskCount = ss.map(_.tasks).sum,
@@ -66,7 +80,8 @@ final class StressMetrics extends SparkListener {
         if (ss.isEmpty) 0L else ss.map(_.shuffleWriteBytes).max,
       spillBytes = ss.map(_.spillBytes).sum,
       peakTaskExecMem = if (ss.isEmpty) 0L else ss.map(_.peakExecMem).max,
-      maxTaskSkew = if (skews.isEmpty) 1.0 else skews.max)
+      maxTaskSkew = if (skews.isEmpty) 1.0 else skews.max,
+      maxTaskSkew1s = if (skews1s.isEmpty) 1.0 else skews1s.max)
   }
 
   /** Per-stage diagnostic rows (stageId, tasks, writeB, readB, spillB,

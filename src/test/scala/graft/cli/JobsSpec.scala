@@ -216,6 +216,38 @@ class JobsSpec extends SparkSpec {
     assert(math.abs(parsed.values.map(_._3).sum - 1.0) < 3e-6)
   }
 
+  test("select-corpus --weights-file: TSV-applied mixture equals the in-plan apply") {
+    val dir = Files.createTempDirectory("graft-mixapply").toString
+    val docs = (1L to 60L).map { i =>
+      val src = if (i % 2 == 0) "web" else "books"
+      val text = if (i % 2 == 0) s"common words common words unique$i token"
+        else "common words common words common words"
+      (i, text, src)
+    }.toDF("doc_id", "text", "source")
+    docs.write.parquet(s"$dir/docs")
+    // fit once, persist the artifact
+    val wf = Jobs.runMixWeights(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/w.tsv")))
+    // apply via the CLI seam (no budget/dsir stages, no split noise)
+    Jobs.runSelectCorpus(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/sel",
+      "--weights-file", wf, "--splits", "train=100")))
+    val viaTsv = spark.read.parquet(s"$dir/sel")
+      .select("doc_id").as[Long].collect().sorted
+    // the q172 in-plan apply over the same docs: weights from the
+    // operator, shares via the identical decimal-sum derivation
+    val w = graft.operators.Sampling.doremiWeights(
+        graft.operators.Corpus.lmScore(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("source")), "doc_id"),
+        col("source"), col("nll"))
+      .select(col("domain"), col("weight")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    val inPlan = graft.operators.Sampling.mixSample(docs, col("doc_id"),
+        col("source"), Jobs.mixShares(w))
+      .select("doc_id").as[Long].collect().sorted
+    assert(viaTsv.nonEmpty && (viaTsv sameElements inPlan))
+  }
+
   test("pack-dpo job: preference pairs -> four aligned GTOK planes keyed by pair_id") {
     val dir = Files.createTempDirectory("graft-pack-dpo").toString
     val pairs = Seq(

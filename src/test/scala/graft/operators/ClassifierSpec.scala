@@ -138,6 +138,13 @@ class ClassifierSpec extends SparkSpec {
     assert(rows(Classifier.calibrationBins(d.repartition(4),
         col("score"), col("y"))) ===
       rows(Classifier.calibrationBins(d, col("score"), col("y"))))
+    // NULL score/label rows drop instead of inflating the top bin
+    // (floor(null) is null; least/greatest skip nulls → bin nBins-1)
+    val withNulls = Seq((Some(0.05), Some(0)), (None, Some(1)),
+      (Some(0.95), None)).toDF("score", "y")
+    val nOut = Classifier.calibrationBins(withNulls, col("score"), col("y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nOut === Map(0L -> 1L))
   }
 
   test("btCalibration: two-item fixed point calibrates exactly; directed pairs covered") {

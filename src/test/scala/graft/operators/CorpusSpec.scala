@@ -294,6 +294,28 @@ class CorpusSpec extends SparkSpec {
     assert(got(2L) === ((1L, xAbc)))
   }
 
+  test("trigram KN pruning: hand-checked backoff, minCount=1 identity, no-singleton identity") {
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    // counts: (a,b,c)=2 hit; (b,c,a)=1, (c,a,b)=1, (x,y,z)=1 pruned.
+    // doc2's (x,y,z): p2(z|y) = (1−.75 + .75·1·(1/5))/1 = 0.4;
+    // backoff P = .75·n3fw(x,y)/c2(x,y)·p2 = .75·1/1·0.4 = 0.3.
+    val d = Seq((1L, "a b c a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val pruned = Corpus.knTrigramScore(d, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(pruned(2L) === ((1L, r6(-math.log(0.3)))))
+    assert(pruned(1L)._1 === 4L) // every occurrence still scored
+    // minCount=1 is bit-identical to the unpruned plan
+    assert(rows(Corpus.knTrigramScore(d, "doc_id", "text", minCount = 1))
+      === rows(Corpus.knTrigramScore(d, "doc_id", "text")))
+    // a corpus with no singleton trigrams is untouched by pruning
+    // doc1: pqr×3 qrp×2 rpq×2; doc2: pqr×3 qrs×3 rsp×2 spq×2
+    val rep = Seq((1L, "p q r p q r p q r"),
+      (2L, "p q r s p q r s p q r s")).toDF("doc_id", "text")
+    assert(rows(Corpus.knTrigramScore(rep, "doc_id", "text", minCount = 2))
+      === rows(Corpus.knTrigramScore(rep, "doc_id", "text")))
+  }
+
   test("trigram KN: many-context continuation outranks one-context at equal counts") {
     // both 'rare' and 'only1' close the trigram (san, francisco, ·)
     // exactly once; 'rare' additionally appears after 10 different
