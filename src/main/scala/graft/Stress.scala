@@ -1359,7 +1359,17 @@ object Stress {
         spark.sqlContext.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(
           _.unpersist(blocking = true))
+        // two GC cycles + a settle: shuffle FILES are freed by the
+        // async ContextCleaner only after the ShuffleDependency weak
+        // refs clear (often the second cycle) — round 16 added ~43 GB
+        // of per-round shuffle writes and the accumulated /tmp
+        // blockmgr dirs outran the cleaner, failing spill-file
+        // creation mid-suite (FileNotFoundException on a blockmgr
+        // temp file = ENOSPC here, not a missing dir)
         System.gc()
+        Thread.sleep(1500)
+        System.gc()
+        Thread.sleep(1500)
         // build BEFORE the listener reset: streaming scenarios stage
         // their source files in build, and those untimed staging jobs
         // must not pollute the scenario's task metrics
