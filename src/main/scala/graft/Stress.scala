@@ -1144,8 +1144,16 @@ object Stress {
             s"unpruned=$total pruned=$kept " +
             s"(${math.rint(10000.0 * kept / total) / 100}% kept)")
         }
-        (sink(graft.operators.Corpus.knTrigramScore(
-          d, "id", "text", minCount = 2)), n)
+        // pin the BOUNDED build (restored after): the synthetic range
+        // corpus's Catalyst string estimates run far below its true
+        // volume, so the adaptive default would pick the materialized
+        // build; a 100 TB parquet scan's stats pick bounded on their own
+        (restoringConfs(sp, Seq("spark.graft.kn.boundedBuild"))(() => {
+          sp.conf.set("spark.graft.kn.boundedBuild", "true")
+          graft.operators.Corpus.knTrigramScore(
+              d, "id", "text", minCount = 2)
+            .write.mode("overwrite").format("noop").save()
+        }), n)
       }),
       Scenario("kn_trigram_pruned_lowreuse", sp => {
         // THE regime the pruning dial exists for: vocab 2000 at order
@@ -1156,19 +1164,19 @@ object Stress {
         // the ~1M repeated types, lower orders are bigram-type-
         // bounded (4M), and ~all occurrences take the backoff path's
         // two bigram-keyed joins. Pass = COMPLETES in the same
-        // envelope, zero spill. Shuffle width follows the sizing rule
-        // the 100 TB notes prescribe (per-partition aggregate state
-        // must fit task memory): 118M unique trigram types over the
-        // suite's default 128 partitions is ~140 MB of clustered agg
-        // state per task — at 32 concurrent tasks that's the 8 GiB
-        // heap's edge, and whether SIBLING stages (bt, g2) overlap the
-        // aggregate decides spill run-to-run (measured: 0-20 GB on
-        // identical code); 512 partitions puts the state at ~35 MB/
-        // task, off the edge deterministically.
+        // envelope, zero spill (the eager serialized checkpoints —
+        // see the operator's build-structure note; 118M unique keys
+        // over 128 partitions is ~140 MB of clustered agg state per
+        // task, which fits ALONE but tipped 0-20 GB run-to-run when
+        // sibling aggregate copies overlapped).
         val n = s(1000000L)
-        (sink(graft.operators.Corpus.knTrigramScore(
-          corpus(sp, n, len = 120, vocab = 2000), "id", "text",
-          minCount = 2)), n)
+        (restoringConfs(sp, Seq("spark.graft.kn.boundedBuild"))(() => {
+          sp.conf.set("spark.graft.kn.boundedBuild", "true")
+          graft.operators.Corpus.knTrigramScore(
+              corpus(sp, n, len = 120, vocab = 2000), "id", "text",
+              minCount = 2)
+            .write.mode("overwrite").format("noop").save()
+        }), n)
       }),
       Scenario("kneser_ney_zipf", sp => {
         // the hot-bigram guard's target regime, which the uniform-

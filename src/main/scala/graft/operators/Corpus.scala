@@ -748,39 +748,58 @@ object Corpus {
       .repartition(col("a"), col("b"), col("c"))
       .groupBy(col("a"), col("b"), col("c"))
       .agg(count(lit(1)).as("c3"))
-    // minCount == 1: the aggregate IS the model table — checkpoint it
-    // once and serve every derived table from the materialization.
-    // minCount > 1: NEVER materialize the unpruned aggregate — on the
-    // low-reuse corpora the pruning dial exists for, it approaches
-    // corpus size (the measured 8 GiB OOM at the vocab-2000 stress
-    // point); instead the PRUNED x-table base and the bigram-type-
-    // BOUNDED derived tables each checkpoint, paying extra passes over
-    // the trigram exchange so that nothing corpus-sized ever pins.
-    // Pruned-mode checkpoints are EAGER: each derived table re-runs
-    // the trigram aggregate, whose per-task state on a low-reuse
-    // corpus is ~|types|/partitions keys — alone, that fits task
-    // memory cleanly (measured 0 spill); overlapped with a SIBLING
-    // checkpoint's copy of the same aggregate, the shared execution
-    // pool tips and the same plan spills 0-20 GB run-to-run. Eager
-    // materialization serializes them deterministically (the
-    // IVF-Lloyd convention: jobs during construction are the
-    // operator's cost).
+    // Build-structure decision (PLAN only — values identical):
+    //  - materialized build (minCount == 1 always, and pruning on a
+    //    SMALL input): the aggregate IS the model table — checkpoint
+    //    it once and serve every derived table from the
+    //    materialization (one pass over the corpus).
+    //  - bounded build (pruning on a large input): NEVER materialize
+    //    the unpruned aggregate — on the low-reuse corpora the
+    //    pruning dial exists for, it approaches corpus size (the
+    //    measured 8 GiB OOM at the vocab-2000 stress point); instead
+    //    the PRUNED x-table base and the bigram-type-BOUNDED derived
+    //    tables each checkpoint, paying extra passes over the trigram
+    //    exchange so that nothing corpus-sized ever pins. These
+    //    checkpoints are EAGER: each re-runs the trigram aggregate,
+    //    whose per-task state fits task memory ALONE (measured 0
+    //    spill) but tips the shared pool when SIBLING copies overlap
+    //    (the same plan spilled 0-20 GB run-to-run on scheduling
+    //    luck); eager materialization serializes them (the IVF-Lloyd
+    //    convention: jobs during construction are the operator's
+    //    cost).
+    // The switch follows the rankByHash adaptive convention: explicit
+    // spark.graft.kn.boundedBuild=true|false wins; otherwise bounded
+    // engages when the INPUT's Catalyst size estimate reaches the
+    // threshold (the pruned model's size is what's unknown — the
+    // trigram-type count approaches the input size exactly in the
+    // regime the bounded build exists for).
+    val bounded = minCount > 1 && {
+      docs.sparkSession.conf.getOption("spark.graft.kn.boundedBuild") match {
+        case Some(s) => s.toBoolean
+        case None =>
+          val threshold = docs.sparkSession.conf
+            .getOption("spark.graft.kn.boundedBuildThresholdBytes")
+            .map(_.toLong).getOrElse(256L * 1024 * 1024)
+          docs.queryExecution.optimizedPlan.stats.sizeInBytes >= threshold
+      }
+    }
     val tri =
-      if (minCount == 1) triAgg.localCheckpoint(eager = false) else triAgg
+      if (bounded) triAgg else triAgg.localCheckpoint(eager = false)
     val triP =
       if (minCount == 1) tri
-      else triAgg.filter(col("c3") >= minCount).localCheckpoint(eager = true)
+      else if (bounded)
+        triAgg.filter(col("c3") >= minCount).localCheckpoint(eager = true)
+      else tri.filter(col("c3") >= minCount)
     val g1base = tri.groupBy(col("a"), col("b"))
       .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n3fw"))
     // under pruning g1 feeds the x-table AND the backoff re-score —
     // bigram-type-bounded, safe to pin
-    val g1 =
-      if (minCount == 1) g1base else g1base.localCheckpoint(eager = true)
+    val g1 = if (bounded) g1base.localCheckpoint(eager = true) else g1base
     // g2 feeds g3 AND the x-table — checkpoint so the tri aggregate
     // behind it runs once (bigram-type-bounded)
     val g2 = tri.groupBy(col("b"), col("c"))
       .agg(count(lit(1)).as("cont"))
-      .localCheckpoint(eager = minCount > 1)
+      .localCheckpoint(eager = bounded)
     val g3 = g2.groupBy(col("b"))
       .agg(sum(col("cont")).as("nmid"), count(lit(1)).as("nfw2"))
     // bigram TYPES (unigram continuation level): repartition-first

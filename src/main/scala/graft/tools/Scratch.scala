@@ -80,6 +80,7 @@ object Scratch {
           .write.mode("overwrite").format("noop").save()
       case "kn3_pruned" =>
         val v3 = sys.env.getOrElse("SCRATCH_VOCAB", "200").toInt
+        spark.conf.set("spark.graft.kn.boundedBuild", "true")
         graft.operators.Corpus.knTrigramScore(corpus(v3), "id", "text",
           minCount = 2)
           .write.mode("overwrite").format("noop").save()

@@ -314,6 +314,20 @@ class CorpusSpec extends SparkSpec {
       (2L, "p q r s p q r s p q r s")).toDF("doc_id", "text")
     assert(rows(Corpus.knTrigramScore(rep, "doc_id", "text", minCount = 2))
       === rows(Corpus.knTrigramScore(rep, "doc_id", "text")))
+    // the bounded build (never materialize the unpruned aggregate) is
+    // a PLAN choice only — bit-identical rows to the materialized form
+    val prevConf = spark.conf.getOption("spark.graft.kn.boundedBuild")
+    try {
+      spark.conf.set("spark.graft.kn.boundedBuild", "true")
+      val boundedRows =
+        rows(Corpus.knTrigramScore(d, "doc_id", "text", minCount = 2))
+      spark.conf.set("spark.graft.kn.boundedBuild", "false")
+      assert(boundedRows ===
+        rows(Corpus.knTrigramScore(d, "doc_id", "text", minCount = 2)))
+    } finally prevConf match {
+      case Some(v) => spark.conf.set("spark.graft.kn.boundedBuild", v)
+      case None => spark.conf.unset("spark.graft.kn.boundedBuild")
+    }
   }
 
   test("trigram KN: many-context continuation outranks one-context at equal counts") {
