@@ -354,4 +354,48 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
     }
   }
+
+  test("distinct-n sketch: ONE aggregate pair per n-leg, no per-gram exchange") {
+    // the sketch's whole point: distinct counting via O(k) KMV buffers
+    // means NO (source, gram) shuffle — each n-leg is partial agg →
+    // one source-keyed exchange → final agg. A Sort or an extra
+    // repartition appearing is the 42 GB regression coming back.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.operators.Corpus.distinctNgramRatiosSketch(
+      docs, "doc_id", "text", "source", ns = Seq(1, 2)))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"want 1 source-keyed exchange per leg:\n$p")
+    assert(!p.contains("Sort "), s"sketch panel must not sort:\n$p")
+    assert(p.contains("kmv_distinct"), p)
+  }
+
+  test("pruned trigram KN: left_anti miss split + shuffle_hash probe, no sort-merge on corpus keys") {
+    // the backoff split's contract: hits via an inner shuffle_hash
+    // join, misses via left_anti on the same keys, backoff re-score
+    // through two more hash joins — an SMJ appearing on the
+    // corpus-scale probe stream means the pair stream is being
+    // SORTED (the measured 20 GB regression class).
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.operators.Corpus.knTrigramScore(
+      docs, "doc_id", "text", minCount = 2))
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.toLowerCase.contains("leftanti"), s"miss split missing:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus stream sorted:\n$p")
+  }
+
+  test("inContextOrder: blocked rank — no single window partitioned by cluster alone") {
+    // the megacluster guard: the within-cluster rank must ride the
+    // two-level form, so every window partitions by (cluster, block)
+    // — a window spec on the bare cluster key is the reducer pin.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        (col("doc_id") % 7).cast("long").as("cl"))
+    val p = plan(graft.operators.Packing.inContextOrder(
+      docs, col("doc_id"), col("cl"), seed = 7L, nShards = 4))
+    // rankByHash's local window keys: cluster AND __rb
+    assert(p.contains("__rb"), s"two-level rank not engaged:\n$p")
+  }
 }
