@@ -1923,6 +1923,25 @@ object SparkEntry {
       graft.operators.Corpus.knTrigramScore(docs(s, dir), "doc_id",
         "text", minCount = 2)),
 
+    // ---- q184 through the FORCED bounded build branch: the adaptive
+    // switch picks the materialized build at verify scale (small
+    // inputs), so without this pin the oracle never exercises the
+    // bounded plan — the branch the operator exists for at 100×.
+    // The conf is read at plan-construction time (the eager pruned-
+    // base checkpoints run inside knTrigramScore), so restoring it
+    // immediately after construction binds the branch cleanly ----
+    "q185_kn_trigram_pruned_bounded" -> ((s, dir) => {
+      val key = "spark.graft.kn.boundedBuild"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try graft.operators.Corpus.knTrigramScore(docs(s, dir), "doc_id",
+        "text", minCount = 2)
+      finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // ---- SFT loss-masked packing: conversations (prompt = first 8
     // tokens, response = the rest) packed into context windows with
     // the loss mask riding each token — prompt positions mask 0,
@@ -3785,6 +3804,57 @@ object SparkEntry {
   }
 
   // ======================================================================
+
+  /** The pruned trigram-KN oracle, shared VERBATIM by q184 (adaptive
+    * build — materialized branch at verify scale) and q185 (conf-
+    * forced bounded branch): the bounded build is a plan decision
+    * only — same model tables, same per-pair operand trees — so one
+    * oracle checking both queries IS the branch-identity proof the
+    * verify surface needs (Corpus.knTrigramScore's switch at
+    * Corpus.scala, `spark.graft.kn.boundedBuild`). */
+  private lazy val KnTrigramPrunedOracle: String = {
+    val p2 = "((greatest(CAST(cont AS DOUBLE) - 0.75, 0.0) + " +
+      "0.75 * CAST(nfw2 AS DOUBLE) * " +
+      "(CAST(n1 AS DOUBLE) / CAST(nbt.nb AS DOUBLE))) / " +
+      "CAST(nmid AS DOUBLE))"
+    def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
+    val hit = r6(
+      "-ln((greatest(CAST(c3 AS DOUBLE) - 0.75, 0.0) + " +
+        s"0.75 * CAST(n3fw AS DOUBLE) * $p2) / CAST(c2 AS DOUBLE))")
+    val miss = r6(
+      "-ln(0.75 * CAST(n3fw AS DOUBLE) / CAST(c2 AS DOUBLE) * " +
+        s"$p2)")
+    val contrib = s"CASE WHEN c3 IS NOT NULL THEN $hit ELSE $miss END"
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |tr AS MATERIALIZED (SELECT doc_id,
+       |    g['a'] AS a, g['b'] AS b, g['c'] AS c FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+       |      ti -> struct_pack(a := t[ti], b := t[ti+1], c := t[ti+2]))) AS g
+       |    FROM tk WHERE len(t) >= 3)),
+       |tri AS MATERIALIZED (SELECT a, b, c, count(*) AS c3
+       |  FROM tr GROUP BY 1, 2, 3),
+       |trip AS MATERIALIZED (SELECT * FROM tri WHERE c3 >= 2),
+       |g1 AS (SELECT a, b, sum(c3) AS c2, count(*) AS n3fw
+       |  FROM tri GROUP BY 1, 2),
+       |g2 AS MATERIALIZED (SELECT b, c, count(*) AS cont
+       |  FROM tri GROUP BY 1, 2),
+       |g3 AS (SELECT b, sum(cont) AS nmid, count(*) AS nfw2
+       |  FROM g2 GROUP BY 1),
+       |prs AS (SELECT g['a'] AS a, g['b'] AS b FROM (
+       |    SELECT unnest(list_transform(range(1, len(t)),
+       |      pi -> struct_pack(a := t[pi], b := t[pi+1]))) AS g
+       |    FROM tk WHERE len(t) >= 2)),
+       |bt AS MATERIALIZED (SELECT DISTINCT a, b FROM prs),
+       |nbt AS (SELECT count(*) AS nb FROM bt),
+       |n1c AS (SELECT b AS c, count(*) AS n1 FROM bt GROUP BY 1)
+       |SELECT tr.doc_id AS doc_id, count(*) AS n_tris,
+       |  ${r6("CAST(sum(CAST(" + contrib + " AS DECIMAL(28,6))) AS DOUBLE)" +
+             " / CAST(count(*) AS DOUBLE)")} AS nll
+       |FROM tr LEFT JOIN trip USING (a, b, c) JOIN g1 USING (a, b)
+       |  JOIN g2 USING (b, c) JOIN g3 USING (b) JOIN n1c USING (c)
+       |  CROSS JOIN nbt
+       |GROUP BY 1""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_weighted_mean" ->
@@ -7042,49 +7112,13 @@ object SparkEntry {
     // lower orders stay UNPRUNED. A LEFT join against trip decides
     // hit vs pruned per occurrence; pruned rows take the backoff
     // operand tree (c3 term zeroed: d·n3fw/c2 · P2, left-assoc).
-    "q184_kn_trigram_pruned" -> {
-      val p2 = "((greatest(CAST(cont AS DOUBLE) - 0.75, 0.0) + " +
-        "0.75 * CAST(nfw2 AS DOUBLE) * " +
-        "(CAST(n1 AS DOUBLE) / CAST(nbt.nb AS DOUBLE))) / " +
-        "CAST(nmid AS DOUBLE))"
-      def r6(e: String) = graft.functions.TextFunctions.round6Sql(e)
-      val hit = r6(
-        "-ln((greatest(CAST(c3 AS DOUBLE) - 0.75, 0.0) + " +
-          s"0.75 * CAST(n3fw AS DOUBLE) * $p2) / CAST(c2 AS DOUBLE))")
-      val miss = r6(
-        "-ln(0.75 * CAST(n3fw AS DOUBLE) / CAST(c2 AS DOUBLE) * " +
-          s"$p2)")
-      val contrib = s"CASE WHEN c3 IS NOT NULL THEN $hit ELSE $miss END"
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |tr AS MATERIALIZED (SELECT doc_id,
-         |    g['a'] AS a, g['b'] AS b, g['c'] AS c FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-         |      ti -> struct_pack(a := t[ti], b := t[ti+1], c := t[ti+2]))) AS g
-         |    FROM tk WHERE len(t) >= 3)),
-         |tri AS MATERIALIZED (SELECT a, b, c, count(*) AS c3
-         |  FROM tr GROUP BY 1, 2, 3),
-         |trip AS MATERIALIZED (SELECT * FROM tri WHERE c3 >= 2),
-         |g1 AS (SELECT a, b, sum(c3) AS c2, count(*) AS n3fw
-         |  FROM tri GROUP BY 1, 2),
-         |g2 AS MATERIALIZED (SELECT b, c, count(*) AS cont
-         |  FROM tri GROUP BY 1, 2),
-         |g3 AS (SELECT b, sum(cont) AS nmid, count(*) AS nfw2
-         |  FROM g2 GROUP BY 1),
-         |prs AS (SELECT g['a'] AS a, g['b'] AS b FROM (
-         |    SELECT unnest(list_transform(range(1, len(t)),
-         |      pi -> struct_pack(a := t[pi], b := t[pi+1]))) AS g
-         |    FROM tk WHERE len(t) >= 2)),
-         |bt AS MATERIALIZED (SELECT DISTINCT a, b FROM prs),
-         |nbt AS (SELECT count(*) AS nb FROM bt),
-         |n1c AS (SELECT b AS c, count(*) AS n1 FROM bt GROUP BY 1)
-         |SELECT tr.doc_id AS doc_id, count(*) AS n_tris,
-         |  ${r6("CAST(sum(CAST(" + contrib + " AS DECIMAL(28,6))) AS DOUBLE)" +
-               " / CAST(count(*) AS DOUBLE)")} AS nll
-         |FROM tr LEFT JOIN trip USING (a, b, c) JOIN g1 USING (a, b)
-         |  JOIN g2 USING (b, c) JOIN g3 USING (b) JOIN n1c USING (c)
-         |  CROSS JOIN nbt
-         |GROUP BY 1""".stripMargin
-    },
+    "q184_kn_trigram_pruned" -> KnTrigramPrunedOracle,
+
+    // q185 replays q184's oracle verbatim: the bounded build is a
+    // PLAN branch (eager checkpoints, pruned-base derivations) — same
+    // model, same scores; the oracle proving that identity is the
+    // point of the query.
+    "q185_kn_trigram_pruned_bounded" -> KnTrigramPrunedOracle,
 
     // q79: each column's profile block mirrors the Spark aggregates —
     // non-null counts, the q38 KMV estimate formula over the same

@@ -1228,25 +1228,35 @@ object Stress {
         // exchange of the round-15 additions — global distinctness
         // cannot stay doc-local. The wire carries 12 B/gram narrow
         // hash rows; map-side combine absorbs the Zipf head, the
-        // mostly-distinct trigram tail shuffles once. Shuffle width
-        // follows the sizing rule (per-partition sort-agg state must
-        // fit task memory) — the round-16 three-point sweep at this
-        // exact input: 128 partitions = 41.9 GB spill / 64.7 s; 192 =
-        // ZERO spill / 45.8 s; 512 = 23.1 GB / 58.7 s (past the
-        // 200-partition bypass threshold the SORT shuffle writer's
-        // map-side buffering re-appears as spill). 192 is the rule
-        // applied while keeping the bypass writer; the KMV sketch
-        // (distinct_n_sketch, next row) is the 100× escape that needs
-        // no dial at all. Pass = zero spill, skew ~1 (hash keys).
+        // mostly-distinct trigram tail shuffles once. Shuffle width is
+        // now SELF-SIZED inside the operator (3 MiB of input stats per
+        // partition — the round-16 three-point sweep at this exact
+        // input: 128 partitions = 41.9 GB spill / 64.7 s; 192 = ZERO
+        // spill / 45.8 s; 512 = 23.1 GB / 58.7 s past the bypass
+        // ceiling), so NO scenario-level conf pin remains; the KMV
+        // sketch (distinct_n_sketch, next row) is the 100× escape that
+        // needs no dial at all. Pass = zero spill, skew ~1 (hash keys).
         val (d, n) = stagedEntropyCorpus(sp, s(1000000L))
-        (restoringConfs(sp, Seq("spark.sql.shuffle.partitions"))(() => {
-          sp.conf.set("spark.sql.shuffle.partitions", "192")
-          graft.operators.Corpus.distinctNgramRatios(
-              d.withColumn("source",
-                concat(lit("s"), pmod(col("id"), lit(20)).cast("string"))),
-              "id", "text", "source")
-            .write.mode("overwrite").format("noop").save()
-        }), n)
+        (sink(graft.operators.Corpus.distinctNgramRatios(
+          d.withColumn("source",
+            concat(lit("s"), pmod(col("id"), lit(20)).cast("string"))),
+          "id", "text", "source")), n)
+      }),
+      Scenario("distinct_n_2m", sp => {
+        // the SECOND scale point the self-sizing rule exists for:
+        // 2.5M docs → ~1.57 GB of input stats → total width ~500 >
+        // the 200 bypass-writer ceiling, so the operator SPLITS the
+        // exchange into 3 disjoint gram-hash bucket passes of ≤200
+        // partitions each (distinct counts add exactly across
+        // disjoint buckets; each pass materializes eagerly at
+        // |sources| rows so siblings never share the pool). Pass =
+        // zero spill with NO conf pin anywhere — per-task state is
+        // bounded by the rule at any corpus size.
+        val (d, n) = stagedEntropyCorpus(sp, s(2500000L))
+        (sink(graft.operators.Corpus.distinctNgramRatios(
+          d.withColumn("source",
+            concat(lit("s"), pmod(col("id"), lit(20)).cast("string"))),
+          "id", "text", "source")), n)
       }),
       Scenario("distinct_n_sketch", sp => {
         // the SAME 1M-doc panel through the q183 KMV sketch: distinct

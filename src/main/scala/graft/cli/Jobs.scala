@@ -592,11 +592,26 @@ object Jobs {
     val body =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    body.split("\n").toSeq.filter(_.nonEmpty).map { line =>
-      val f = line.split("\t")
-      require(f.length == 4, s"bad mix-weights line: $line")
-      (f(0), f(3).toDouble)
+    val rows = body.split("\n").toSeq.filter(_.nonEmpty).zipWithIndex.map {
+      case (line, i) =>
+        val f = line.split("\t")
+        require(f.length == 4,
+          s"bad mix-weights line ${i + 1} of $path: $line")
+        val w = f(3).toDouble
+        // validate AT THE PARSE SITE so a corrupted artifact fails with
+        // a message naming the file and line — not hundreds of stages
+        // later in mixSample's opaque shares-sum require
+        require(w > 0.0 && !w.isNaN && !w.isInfinite,
+          s"non-positive weight $w for domain '${f(0)}' " +
+            s"(line ${i + 1} of $path)")
+        (f(0), w)
     }
+    val dups = rows.groupBy(_._1).collect { case (g, v) if v.size > 1 => g }
+    // a duplicated domain line would inflate the BigDecimal sum while
+    // toMap silently drops one entry — shares then sum to < 1
+    require(dups.isEmpty,
+      s"duplicate domain line(s) in $path: ${dups.mkString(", ")}")
+    rows
   }
 
   /** The fitted weights → target shares, EXACTLY as q172's in-plan
@@ -934,14 +949,27 @@ object Jobs {
           col(idCol).cast("long") === col("__cid"), "left_semi")
       case None => result
     }
+    // `--weights-file <mix-weights TSV>` (+ optional `--source-col`,
+    // default "source"): apply a PERSISTED DoReMi mixture as the final
+    // selection stage — the same deployment seam select-corpus has, so
+    // the full chain (mix-weights fit once → curate many) runs without
+    // refitting. Identical to the in-plan apply by construction
+    // (mixShares over loadMixWeights).
+    val mixed = a.get("weights-file") match {
+      case Some(wf) =>
+        val sourceCol = a.get("source-col").getOrElse("source")
+        graft.operators.Sampling.mixSample(classed, col(idCol),
+          col(sourceCol), mixShares(loadMixWeights(spark, wf)))
+      case None => classed
+    }
     // --signals-out PATH: additionally write the q153 quality-signals
     // sheet over the SURVIVING docs — the per-run audit artifact
     // (RedPajama-V2's signals parquet); one extra scan-side pass.
     a.get("signals-out").foreach { sp =>
-      graft.operators.Corpus.qualitySignals(classed, idCol, textCol)
+      graft.operators.Corpus.qualitySignals(mixed, idCol, textCol)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sp)
     }
-    classed.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    mixed.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     out
   }
 

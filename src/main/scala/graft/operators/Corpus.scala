@@ -437,6 +437,27 @@ object Corpus {
       sourceCol: String, ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
     import TextFunctions.round6
+    // SELF-SIZING (the rankByHash / kn.boundedBuild convention, applied
+    // here after round 16 proved the dial by sweep): the n-leg exchange
+    // width derives from the input's Catalyst size estimate at the
+    // measured zero-spill density — the 1M-doc sweep read 627.8 MB of
+    // input stats with 128 partitions = 41.9 GB spill, 192 = ZERO,
+    // 512 = 23.1 GB (past the bypass-writer ceiling the sort writer's
+    // map-side buffering re-appears as spill) — i.e. ~3.3 MB of input
+    // bytes per partition, floored at the session width so small
+    // inputs keep their plan. A width past the ≤200 bypass ceiling
+    // cannot just clamp (per-task hash-agg state would grow unbounded
+    // with the corpus): it SPLITS into ceil(W/200) disjoint gram-hash
+    // bucket passes — distinct counts ADD exactly across disjoint
+    // buckets — each pass finishing eagerly at |sources| rows so
+    // sibling passes never share the memory pool (the IVF-Lloyd /
+    // kn-checkpoint convention: jobs during construction are the
+    // operator's cost; the extra explode scans are the price of a
+    // bounded per-task state at ANY corpus size under a fixed writer
+    // ceiling — on a real cluster raise
+    // spark.shuffle.sort.bypassMergeThreshold at submit time and the
+    // same rule takes one wider pass instead).
+    val (width, passes) = distinctNWidthPlan(docs)
     val legs = ns.map { n =>
       val toks = filter(TextFunctions.tokens(col(textCol)), w => w =!= "")
       val grams = TextFunctions.bindOnce(toks) { t =>
@@ -451,25 +472,67 @@ object Corpus {
               concat_ws(" ", (0 until n).map(o =>
                 element_at(t, i + o)): _*))))
       }
-      docs.select(col(sourceCol).as("source"), explode(grams).as("g"))
-        // repartition-first (the round-14 Kneser–Ney lesson, measured
-        // again here: 59.9 GB of partial-aggregate fallback spill at
-        // 1M docs × 3 n-legs without it): n-gram keys are mostly
-        // DISTINCT, so map-side combine builds corpus-sized hash
-        // tables that spill without combining — shuffle the raw
-        // 12 B/gram rows once and aggregate clustered instead
-        .repartition(col("source"), col("g"))
-        .groupBy(col("source"), col("g"))
-        .agg(count(lit(1)).as("__c"))
+      val gramRows =
+        docs.select(col(sourceCol).as("source"), explode(grams).as("g"))
+      val partials = (0 until passes).map { b =>
+        val slice = if (passes == 1) gramRows
+          else gramRows.filter(pmod(col("g"), lit(passes)) === b)
+        val agg = slice
+          // repartition-first (the round-14 Kneser–Ney lesson, measured
+          // again here: 59.9 GB of partial-aggregate fallback spill at
+          // 1M docs × 3 n-legs without it): n-gram keys are mostly
+          // DISTINCT, so map-side combine builds corpus-sized hash
+          // tables that spill without combining — shuffle the raw
+          // 12 B/gram rows once and aggregate clustered instead
+          .repartition(width, col("source"), col("g"))
+          .groupBy(col("source"), col("g"))
+          .agg(count(lit(1)).as("__c"))
+          .groupBy(col("source"))
+          .agg(sum(col("__c")).cast("long").as("__total"),
+            count(lit(1)).as("__distinct"))
+        if (passes == 1) agg else agg.localCheckpoint(eager = true)
+      }
+      partials.reduce(_ unionByName _)
         .groupBy(col("source"))
-        .agg(sum(col("__c")).cast("long").as("total_ngrams"),
-          count(lit(1)).as("distinct_ngrams"))
+        .agg(sum(col("__total")).cast("long").as("total_ngrams"),
+          sum(col("__distinct")).cast("long").as("distinct_ngrams"))
         .select(col("source"), lit(n).cast("long").as("n"),
           col("total_ngrams"), col("distinct_ngrams"),
           round6(col("distinct_ngrams").cast("double") /
             col("total_ngrams").cast("double")).as("distinct_ratio"))
     }
     legs.reduce(_ unionByName _)
+  }
+
+  /** Measured zero-spill density for [[distinctNgramRatios]]'s gram
+    * exchange: the round-16 three-point sweep at the 1M-doc staged
+    * corpus (627.8 MB of Catalyst input stats) read 0 spill at 192
+    * partitions and spilled at 128 — ~3.3 MB of INPUT bytes per
+    * partition; 3 MiB is that rule with margin on the safe side.
+    * Conf `spark.graft.distinctN.bytesPerPartition` overrides. */
+  private val DistinctNBytesPerPartition: Long = 3L << 20
+
+  /** The self-sizing decision for [[distinctNgramRatios]]: (per-pass
+    * exchange width, number of disjoint gram-hash bucket passes).
+    * Width = input stats / [[DistinctNBytesPerPartition]], floored at
+    * the session shuffle width, capped at the bypass-writer ceiling
+    * (conf `spark.graft.distinctN.widthCeiling`, default 200); demand
+    * past the ceiling becomes extra passes instead of wider (and
+    * therefore state-heavier) partitions. */
+  private[operators] def distinctNWidthPlan(docs: DataFrame): (Int, Int) = {
+    val sp = docs.sparkSession
+    val perPart = sp.conf
+      .getOption("spark.graft.distinctN.bytesPerPartition")
+      .map(_.toLong).getOrElse(DistinctNBytesPerPartition)
+    val ceiling = sp.conf
+      .getOption("spark.graft.distinctN.widthCeiling")
+      .map(_.toInt).getOrElse(200)
+    val session = sp.sessionState.conf.numShufflePartitions.toLong
+    val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val wTotal = ((est + perPart - 1) / perPart).max(BigInt(session))
+    val passes = ((wTotal + ceiling - 1) / ceiling).max(BigInt(1)).toInt
+    val width = wTotal.min(BigInt(ceiling)).toInt
+    (width, passes)
   }
 
   /** DISTINCT-N DIVERSITY, SKETCHED — [[distinctNgramRatios]] with the
@@ -713,6 +776,27 @@ object Corpus {
     * OCCURRENCES (≈ the singleton types, a small share of corpus
     * occurrences by construction).
     * @return (doc_id, n_tris, nll) over docs ≥ 3 tokens. */
+  /** The bounded-build decision for [[knTrigramScore]], factored out
+    * so the verify/test surface can pin WHEN the branch engages (the
+    * rankByHash adaptive convention): explicit
+    * `spark.graft.kn.boundedBuild=true|false` wins; otherwise bounded
+    * engages when the INPUT's Catalyst size estimate reaches
+    * `spark.graft.kn.boundedBuildThresholdBytes` (default 256 MiB).
+    * Unpruned models (minCount == 1) never take it — without pruning
+    * there is no bounded model table to buy with the extra passes. */
+  private[graft] def knBoundedSwitch(
+      docs: DataFrame, minCount: Int): Boolean =
+    minCount > 1 && {
+      docs.sparkSession.conf.getOption("spark.graft.kn.boundedBuild") match {
+        case Some(s) => s.toBoolean
+        case None =>
+          val threshold = docs.sparkSession.conf
+            .getOption("spark.graft.kn.boundedBuildThresholdBytes")
+            .map(_.toLong).getOrElse(256L * 1024 * 1024)
+          docs.queryExecution.optimizedPlan.stats.sizeInBytes >= threshold
+      }
+    }
+
   def knTrigramScore(
       docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75,
@@ -767,22 +851,11 @@ object Corpus {
     //    luck); eager materialization serializes them (the IVF-Lloyd
     //    convention: jobs during construction are the operator's
     //    cost).
-    // The switch follows the rankByHash adaptive convention: explicit
-    // spark.graft.kn.boundedBuild=true|false wins; otherwise bounded
-    // engages when the INPUT's Catalyst size estimate reaches the
-    // threshold (the pruned model's size is what's unknown — the
+    // The switch ([[knBoundedSwitch]]) follows the rankByHash adaptive
+    // convention; the pruned model's size is what's unknown — the
     // trigram-type count approaches the input size exactly in the
-    // regime the bounded build exists for).
-    val bounded = minCount > 1 && {
-      docs.sparkSession.conf.getOption("spark.graft.kn.boundedBuild") match {
-        case Some(s) => s.toBoolean
-        case None =>
-          val threshold = docs.sparkSession.conf
-            .getOption("spark.graft.kn.boundedBuildThresholdBytes")
-            .map(_.toLong).getOrElse(256L * 1024 * 1024)
-          docs.queryExecution.optimizedPlan.stats.sizeInBytes >= threshold
-      }
-    }
+    // regime the bounded build exists for.
+    val bounded = knBoundedSwitch(docs, minCount)
     val tri =
       if (bounded) triAgg else triAgg.localCheckpoint(eager = false)
     val triP =

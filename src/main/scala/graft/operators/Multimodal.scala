@@ -317,11 +317,16 @@ object Multimodal {
       (a, v) => a + v.cast("double") * v.cast("double")))
     img.join(txt, "media_id")
       .withColumn("__ni", nI)
-      .filter(col("__ni") > 0.0)
-      .select(col("media_id"), round6(dot / (col("__ni") * nT)).as("sim"))
-      // symmetric with the zero-image filter above: a NULL caption
-      // gives sim=NULL and keep=NULL — the gate's audit trail must
-      // never carry undefined keep flags, so unscorable pairs drop
+      .withColumn("__nt", nT)
+      // both norms must be strictly positive, SYMMETRICALLY: a zero
+      // vector on either side gives 0/0 = NaN, which passes isNotNull
+      // and compares TRUE under Spark's NaN-greatest ordering — the
+      // audit trail must never carry undefined keep flags. (hashed_bow
+      // happens to emit ≥1 bucket even for an empty caption, so today
+      // only the image side can be zero — the guard makes the contract
+      // hold for ANY text-vector source, not that accident.)
+      .filter(col("__ni") > 0.0 && col("__nt") > 0.0)
+      .select(col("media_id"), round6(dot / (col("__ni") * col("__nt"))).as("sim"))
       .filter(col("sim").isNotNull)
       .withColumn("keep", col("sim") >= threshold)
   }

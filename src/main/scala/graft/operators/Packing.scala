@@ -179,9 +179,13 @@ object Packing {
     * `spark.graft.pack.twoLevelRank=true|false` wins; otherwise the
     * blocked form engages when the input's Catalyst size estimate
     * reaches the threshold. Plan choice only — results identical. */
-  private def useTwoLevel(df: DataFrame): Boolean =
+  private def useTwoLevel(df: DataFrame, callerDefault: Boolean = false): Boolean =
     df.sparkSession.conf.getOption("spark.graft.pack.twoLevelRank") match {
+      // an EXPLICIT conf always wins — including over a caller's
+      // forceTwoLevel default — so the documented "forces either form"
+      // contract holds for every rank site
       case Some(s) => s.toBoolean
+      case None if callerDefault => true
       case None =>
         val threshold = df.sparkSession.conf
           .getOption("spark.graft.pack.twoLevelRankThresholdBytes")
@@ -197,8 +201,9 @@ object Packing {
     // per-group window regardless of how small the size estimate says
     // the input is (the round-16 stress re-run: the 10M-row synthetic
     // sat under the byte threshold, took the naive branch, and kept
-    // the 4× skew the blocked form exists to remove)
-    val twoLevel = forceTwoLevel || useTwoLevel(df)
+    // the 4× skew the blocked form exists to remove). It is a caller
+    // DEFAULT, not an override: explicit twoLevelRank conf still wins.
+    val twoLevel = useTwoLevel(df, callerDefault = forceTwoLevel)
     if (!twoLevel) {
       val w = Window.partitionBy(col(groupCol))
         .orderBy(col("__h"), col("id"))

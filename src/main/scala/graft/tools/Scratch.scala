@@ -71,6 +71,30 @@ object Scratch {
             lit("#f")).as("url"))
         graft.operators.Corpus.urlDupClusters(urls, col("id"), col("url"))
           .write.mode("overwrite").format("noop").save()
+      case "est" =>      // size-estimate calibration for self-sizing widths
+        // the stagedEntropyCorpus shape (len 200, vocab 2000) at n docs
+        val ec = spark.range(n)
+          .withColumn("seed",
+            when(pmod(col("id"), lit(100)) === 1, col("id") - 1)
+              .otherwise(col("id")))
+          .withColumn("blk", pmod(hash(col("seed")), lit(16)))
+          .withColumn("text", concat(
+            array_join(transform(sequence(lit(0), lit(199)),
+              i => tok(col("seed"), i, 2000)), " "),
+            when(pmod(col("id"), lit(100)) === 1, lit(" cloneextra"))
+              .otherwise(lit(""))))
+          .select(col("id"), col("blk"), col("text"))
+        val p = s"/tmp/graft_est_corpus_$n"
+        ec.write.mode("overwrite").parquet(p)
+        val r = spark.read.parquet(p)
+        println(s"SCRATCH est n=$n sizeInBytes=" +
+          r.queryExecution.optimizedPlan.stats.sizeInBytes)
+        Seq("sf0.01", "sf0.1").foreach { sf =>
+          val dpath = s"/root/testdata/$sf/documents.parquet"
+          val dd = spark.read.parquet(dpath)
+          println(s"SCRATCH est $sf documents sizeInBytes=" +
+            dd.queryExecution.optimizedPlan.stats.sizeInBytes)
+        }
       case "kn_plain" => // the kneser_ney stress fixture
         graft.operators.Corpus.knScore(d, "id", "text")
           .write.mode("overwrite").format("noop").save()

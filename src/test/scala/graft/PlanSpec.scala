@@ -385,6 +385,52 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus stream sorted:\n$p")
   }
 
+  test("pruned trigram KN: bounded branch engages at the size threshold, explicit conf wins") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val conf = spark.conf
+    // default threshold (256 MiB): verify-scale input stays materialized
+    assert(!graft.operators.Corpus.knBoundedSwitch(docs, minCount = 2))
+    try {
+      // at the threshold: bounded engages
+      conf.set("spark.graft.kn.boundedBuildThresholdBytes", "1")
+      assert(graft.operators.Corpus.knBoundedSwitch(docs, minCount = 2))
+      // unpruned models never take it — no bounded table to buy
+      assert(!graft.operators.Corpus.knBoundedSwitch(docs, minCount = 1))
+      // explicit conf wins over the threshold, both directions
+      conf.set("spark.graft.kn.boundedBuild", "false")
+      assert(!graft.operators.Corpus.knBoundedSwitch(docs, minCount = 2))
+      conf.set("spark.graft.kn.boundedBuild", "true")
+      conf.set("spark.graft.kn.boundedBuildThresholdBytes",
+        Long.MaxValue.toString)
+      assert(graft.operators.Corpus.knBoundedSwitch(docs, minCount = 2))
+    } finally {
+      conf.unset("spark.graft.kn.boundedBuild")
+      conf.unset("spark.graft.kn.boundedBuildThresholdBytes")
+    }
+  }
+
+  test("pruned trigram KN bounded branch: model tables pre-materialized, probe plan free of model re-aggregation") {
+    // the bounded build's contract: the pruned x-table base and the
+    // bigram-type-bounded derived tables are EAGER checkpoints, so the
+    // probe-side plan scans finished RDDs — a HashAggregate re-deriving
+    // trigram counts INSIDE the probe plan means the checkpoints
+    // stopped engaging and corpus-sized state pins again.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val conf = spark.conf
+    conf.set("spark.graft.kn.boundedBuild", "true")
+    try {
+      val p = plan(graft.operators.Corpus.knTrigramScore(
+        docs, "doc_id", "text", minCount = 2))
+      assert(p.contains("ExistingRDD"),
+        s"bounded build must leave checkpointed model leaves:\n$p")
+      // the probe keeps its hit/miss split shape under the branch
+      assert(p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), s"corpus stream sorted:\n$p")
+    } finally conf.unset("spark.graft.kn.boundedBuild")
+  }
+
   test("inContextOrder: blocked rank — no single window partitioned by cluster alone") {
     // the megacluster guard: the within-cluster rank must ride the
     // two-level form, so every window partitions by (cluster, block)

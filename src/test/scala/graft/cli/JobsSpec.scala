@@ -671,6 +671,68 @@ class JobsSpec extends SparkSpec {
     assert(sig.filter(col("gopher_pass")).count() === sig.count())
   }
 
+  test("curate --weights-file: persisted DoReMi mixture gates curate without refitting") {
+    val dir = Files.createTempDirectory("graft-curate-mix").toString
+    val body = (("the quick brown fox jumps over the lazy dog to be " +
+      "sure of that and it will have done so with ease ") * 3).trim
+    val docs = (1L to 60L).map { i =>
+      val src = if (i % 2 == 0) "web" else "books"
+      (i, s"$body marker$i", src)
+    }.toDF("doc_id", "text", "source")
+    docs.write.parquet(s"$dir/docs")
+    // fit once, persist the artifact (the mix-weights job)
+    val wf = Jobs.runMixWeights(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/w.tsv")))
+    // deploy: curate consumes the artifact as its final stage
+    Jobs.runCurate(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/mixed",
+      "--weights-file", wf)))
+    val viaJob = spark.read.parquet(s"$dir/mixed")
+      .select("doc_id").as[Long].collect().sorted
+    // reference: the same curate WITHOUT the mixture, then the q172
+    // in-plan apply over its survivors — fit-once/apply-later must be
+    // indistinguishable from fitting inline
+    Jobs.runCurate(spark, Jobs.parseArgs(Seq(
+      "--input-path", s"$dir/docs", "--output-path", s"$dir/plain")))
+    val survivors = spark.read.parquet(s"$dir/plain")
+    val inPlan = graft.operators.Sampling.mixSample(survivors,
+        col("doc_id"), col("source"),
+        Jobs.mixShares(Jobs.loadMixWeights(spark, wf)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(viaJob.nonEmpty && (viaJob sameElements inPlan))
+    // the mixture is a SELECTION stage: output ⊆ gate survivors
+    val plainIds = survivors.select("doc_id").as[Long].collect().toSet
+    assert(viaJob.forall(plainIds.contains))
+  }
+
+  test("loadMixWeights validates the artifact at the parse site") {
+    val dir = Files.createTempDirectory("graft-mixval").toString
+    def write(name: String, content: String): String = {
+      val p = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+      p.toString
+    }
+    // duplicated domain line: would inflate the share sum while toMap
+    // silently drops one entry — must fail naming the file
+    val dup = write("dup.tsv",
+      "web\t1\t0.5\t0.6\nweb\t1\t0.5\t0.4\n")
+    val e1 = intercept[IllegalArgumentException](
+      Jobs.loadMixWeights(spark, dup))
+    assert(e1.getMessage.contains("duplicate domain") &&
+      e1.getMessage.contains("dup.tsv"))
+    // non-positive weight: fail at parse, naming file and line
+    val neg = write("neg.tsv", "web\t1\t0.5\t0.6\nbooks\t1\t0.5\t-0.1\n")
+    val e2 = intercept[IllegalArgumentException](
+      Jobs.loadMixWeights(spark, neg))
+    assert(e2.getMessage.contains("non-positive weight") &&
+      e2.getMessage.contains("line 2"))
+    // malformed field count still names the line
+    val bad = write("bad.tsv", "web\t0.6\n")
+    val e3 = intercept[IllegalArgumentException](
+      Jobs.loadMixWeights(spark, bad))
+    assert(e3.getMessage.contains("line 1"))
+  }
+
   test("train-unigram: piece-table artifact matches the operator, scores round-trip") {
     val dir = Files.createTempDirectory("graft-unigram").toString
     (1 to 20).map(_ => "shop shut shed").toDF("text")

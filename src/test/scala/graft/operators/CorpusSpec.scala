@@ -137,6 +137,36 @@ class CorpusSpec extends SparkSpec {
     assert(out.size === 6)
   }
 
+  test("distinctNgramRatios: bucket-split passes are bit-identical to the single pass") {
+    // enough docs that every pass sees grams; force the self-sizing
+    // rule past its ceiling (1 byte/partition, ceiling 2) so the
+    // exchange splits into multiple disjoint gram-hash bucket passes
+    val d = (1L to 40L).map(i =>
+        (i, s"t${i % 7} t${(i * 3) % 11} t${(i * 5) % 13} t${i % 4}",
+          s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val single = Corpus.distinctNgramRatios(d, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val conf = spark.conf
+    conf.set("spark.graft.distinctN.bytesPerPartition", "512")
+    conf.set("spark.graft.distinctN.widthCeiling", "2")
+    try {
+      // the forced sizing must actually engage the split path
+      val (w, p) = Corpus.distinctNWidthPlan(d)
+      assert(w === 2 && p > 1, s"width=$w passes=$p")
+      val split = Corpus.distinctNgramRatios(d, "doc_id", "text", "source")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      // distinct counts ADD exactly across disjoint hash buckets —
+      // the multi-pass result is the single-pass result, bit for bit
+      assert(split === single)
+    } finally {
+      conf.unset("spark.graft.distinctN.bytesPerPartition")
+      conf.unset("spark.graft.distinctN.widthCeiling")
+    }
+  }
+
   test("distinctNgramRatios: space joiner keeps boundary-ambiguous grams distinct") {
     // ["ab","c"] vs ["a","bc"]: a separator-free (or in-token-byte)
     // join would alias the two 2-grams into one hash

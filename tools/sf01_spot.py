@@ -27,7 +27,14 @@ medians = bench["queries"]
 streaming = sorted(n for n in medians if n.endswith("_stream"))
 heavy = [n for n, _ in sorted(medians.items(), key=lambda kv: -kv[1])
          if n not in streaming][:topn]
-names = sorted(set(heavy) | set(streaming))
+# Always-run volume points regardless of bench rank (round-16 verdict
+# ask #6): the KMV panel's estimate-vs-exact divergence is scale-
+# dependent and its oracle replays the estimator, so a cheap sf0.1 row
+# is insurance the top-N ranking won't buy (q183 is fast); q185 keeps
+# the conf-forced bounded KN branch checked above the sf0.01 gate too.
+forced = [n for n in ("q183_distinct_n_sketch",
+                      "q185_kn_trigram_pruned_bounded") if n in medians]
+names = sorted(set(heavy) | set(streaming) | set(forced))
 lst = ",".join(names)
 print(f"[sf01-spot] {len(names)} queries: {lst}")
 
