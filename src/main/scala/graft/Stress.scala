@@ -159,6 +159,29 @@ object Stress {
   // built under the object lock (check-then-set on a bare @volatile
   // raced); staged dirs are removed recursively at JVM exit
   private var entropyStaged: Map[Long, String] = Map.empty
+  private var knStaged: Map[Long, String] = Map.empty
+
+  /** Parquet-staged low-reuse KN corpus (len 120, vocab 2000 — the
+    * kn_trigram_pruned_lowreuse shape) for scale points where the
+    * adaptive machinery must see REAL input stats: staged files give
+    * Catalyst the true volume, so both the bounded-build switch and
+    * the model-exchange width derive from measurements instead of the
+    * in-memory range plan's far-undersized string estimates. */
+  private def stagedKnCorpus(
+      sp: SparkSession, n: Long): (DataFrame, Long) = {
+    val dir = synchronized {
+      knStaged.getOrElse(n, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_stress_kn_")
+        registerTempDirCleanup(path)
+        corpus(sp, n, 120, 2000).select("id", "text")
+          .write.mode("overwrite").parquet(path.toString)
+        knStaged += (n -> path.toString)
+        path.toString
+      })
+    }
+    (sp.read.parquet(dir), n)
+  }
   private def stagedEntropyCorpus(
       sp: SparkSession, n: Long): (DataFrame, Long) = {
     val dir = synchronized {
@@ -1177,6 +1200,54 @@ object Stress {
               minCount = 2)
             .write.mode("overwrite").format("noop").save()
         }), n)
+      }),
+      Scenario("kn_trigram_pruned_5m", sp => {
+        // the lowreuse point at 5× — the scale proof the 1M row only
+        // gestures at: 5M docs × 120 tokens, vocab 2000 (order-3 type
+        // space 8e9 → ~96% of the 590M trigram occurrences are unique
+        // types; pruning keeps the ~21M repeated ones). STAGED to
+        // parquet so Catalyst sees the true ~1.9 GB: the bounded
+        // switch engages ON ITS OWN (≥256 MiB threshold — no conf
+        // pin), and the model-exchange sizing rule demands ~600-wide
+        // aggregation, paid as 4 disjoint hash(a,b)-bucket passes
+        // under the 200 bypass ceiling. The side-count records how
+        // much the HAVING removed (the verdict ask: model table still
+        // ~singleton-bounded at the second scale point). Pass = zero
+        // spill, completes in the same 8 GiB envelope, wall ~linear
+        // vs the 1M row.
+        val (d, n) = stagedKnCorpus(sp, s(5000000L))
+        if (n >= 100000L) {
+          // side-count under the SAME bucket discipline the operator
+          // uses — a single 128-wide count over 568M unique keys would
+          // spill and pollute the row it exists to annotate
+          val (w, p) = graft.operators.Corpus.exchangeWidthPlan(d, "kn")
+          val tris = d.selectExpr("split(text, ' ') AS t")
+            .selectExpr("explode(transform(sequence(1, size(t) - 2), " +
+              "i -> named_struct('a', element_at(t, i), 'b', " +
+              "element_at(t, i + 1), 'c', element_at(t, i + 2)))) AS g")
+            .select(col("g.a").as("a"), col("g.b").as("b"),
+              col("g.c").as("c"))
+          var total = 0L
+          var kept = 0L
+          (0 until p).foreach { b =>
+            val slice = if (p == 1) tris
+              else tris.filter(pmod(xxhash64(col("a"), col("b")),
+                lit(p.toLong)) === b)
+            val row = slice
+              .repartition(w, col("a"), col("b"), col("c"))
+              .groupBy("a", "b", "c").count()
+              .agg(count(lit(1)).as("t"),
+                sum(when(col("count") >= 2, 1L).otherwise(0L)).as("k"))
+              .head()
+            total += row.getLong(0)
+            kept += row.getLong(1)
+          }
+          println(s"[kn_trigram_pruned_5m] trigram model rows: " +
+            s"unpruned=$total pruned=$kept " +
+            s"(${math.rint(10000.0 * kept / total) / 100}% kept)")
+        }
+        (sink(graft.operators.Corpus.knTrigramScore(
+          d, "id", "text", minCount = 2)), n)
       }),
       Scenario("kneser_ney_zipf", sp => {
         // the hot-bigram guard's target regime, which the uniform-

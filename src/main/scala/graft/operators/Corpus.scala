@@ -512,21 +512,30 @@ object Corpus {
     * Conf `spark.graft.distinctN.bytesPerPartition` overrides. */
   private val DistinctNBytesPerPartition: Long = 3L << 20
 
-  /** The self-sizing decision for [[distinctNgramRatios]]: (per-pass
-    * exchange width, number of disjoint gram-hash bucket passes).
-    * Width = input stats / [[DistinctNBytesPerPartition]], floored at
-    * the session shuffle width, capped at the bypass-writer ceiling
-    * (conf `spark.graft.distinctN.widthCeiling`, default 200); demand
-    * past the ceiling becomes extra passes instead of wider (and
-    * therefore state-heavier) partitions. */
-  private[operators] def distinctNWidthPlan(docs: DataFrame): (Int, Int) = {
+  /** The shared self-sizing rule for corpus-scale clustered-aggregate
+    * exchanges: (per-pass exchange width, number of disjoint hash-
+    * bucket passes). Total width = input stats / bytesPerPartition
+    * (the measured zero-spill density — ~3.3 MB of INPUT bytes per
+    * partition holds for both the distinct-n gram aggregate and the
+    * KN trigram-model aggregate at their 1M-doc sweep points),
+    * floored at the session shuffle width; demand past the bypass-
+    * writer ceiling becomes extra passes instead of wider (and
+    * therefore state-heavier) partitions. The ceiling defaults to the
+    * DEPLOYMENT's `spark.shuffle.sort.bypassMergeThreshold` (200
+    * unless the cluster raised it at submit time — in which case the
+    * same rule takes fewer, wider passes on its own), overridable per
+    * scope via `spark.graft.<scope>.widthCeiling`. */
+  private[graft] def exchangeWidthPlan(
+      docs: DataFrame, scope: String,
+      defaultBytesPerPartition: Long = 3L << 20): (Int, Int) = {
     val sp = docs.sparkSession
     val perPart = sp.conf
-      .getOption("spark.graft.distinctN.bytesPerPartition")
-      .map(_.toLong).getOrElse(DistinctNBytesPerPartition)
+      .getOption(s"spark.graft.$scope.bytesPerPartition")
+      .map(_.toLong).getOrElse(defaultBytesPerPartition)
     val ceiling = sp.conf
-      .getOption("spark.graft.distinctN.widthCeiling")
-      .map(_.toInt).getOrElse(200)
+      .getOption(s"spark.graft.$scope.widthCeiling")
+      .map(_.toInt).getOrElse(sp.sparkContext.getConf
+        .getInt("spark.shuffle.sort.bypassMergeThreshold", 200))
     val session = sp.sessionState.conf.numShufflePartitions.toLong
     val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val wTotal = ((est + perPart - 1) / perPart).max(BigInt(session))
@@ -534,6 +543,11 @@ object Corpus {
     val width = wTotal.min(BigInt(ceiling)).toInt
     (width, passes)
   }
+
+  /** [[exchangeWidthPlan]] under the `distinctN` conf scope — see
+    * [[DistinctNBytesPerPartition]] for the measured density. */
+  private[operators] def distinctNWidthPlan(docs: DataFrame): (Int, Int) =
+    exchangeWidthPlan(docs, "distinctN", DistinctNBytesPerPartition)
 
   /** DISTINCT-N DIVERSITY, SKETCHED — [[distinctNgramRatios]] with the
     * distinct count estimated by the q38 KMV min-k sketch
@@ -827,11 +841,24 @@ object Corpus {
       }).as("g"))
       .select(col("g.a").as("a"), col("g.b").as("b"))
     // trigram model table: repartition-first (the knScore lesson),
-    // checkpointed — feeds g1, g2 and the x-table base
-    val triAgg = tris.select(col("a"), col("b"), col("c"))
-      .repartition(col("a"), col("b"), col("c"))
-      .groupBy(col("a"), col("b"), col("c"))
-      .agg(count(lit(1)).as("c3"))
+    // width self-sized from the input's Catalyst estimate
+    // ([[exchangeWidthPlan]], `kn` scope) — on the low-reuse corpora
+    // the aggregate's per-task state grows with the corpus, so the
+    // exchange must widen with it; demand past the bypass-writer
+    // ceiling is paid as disjoint hash(a,b)-bucket passes in the
+    // bounded branch below
+    val (modelWidth, modelPasses) = exchangeWidthPlan(docs, "kn")
+    val triBase = tris.select(col("a"), col("b"), col("c"))
+    def triAggSlice(p: Int, passes: Int): DataFrame = {
+      val sliced = if (passes == 1) triBase
+        else triBase.filter(
+          pmod(xxhash64(col("a"), col("b")), lit(passes.toLong)) === p)
+      sliced
+        .repartition(modelWidth, col("a"), col("b"), col("c"))
+        .groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("c3"))
+    }
+    val triAgg = triAggSlice(0, 1)
     // Build-structure decision (PLAN only — values identical):
     //  - materialized build (minCount == 1 always, and pruning on a
     //    SMALL input): the aggregate IS the model table — checkpoint
@@ -856,23 +883,54 @@ object Corpus {
     // trigram-type count approaches the input size exactly in the
     // regime the bounded build exists for.
     val bounded = knBoundedSwitch(docs, minCount)
-    val tri =
-      if (bounded) triAgg else triAgg.localCheckpoint(eager = false)
-    val triP =
-      if (minCount == 1) tri
-      else if (bounded)
-        triAgg.filter(col("c3") >= minCount).localCheckpoint(eager = true)
-      else tri.filter(col("c3") >= minCount)
-    val g1base = tri.groupBy(col("a"), col("b"))
-      .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n3fw"))
-    // under pruning g1 feeds the x-table AND the backoff re-score —
-    // bigram-type-bounded, safe to pin
-    val g1 = if (bounded) g1base.localCheckpoint(eager = true) else g1base
-    // g2 feeds g3 AND the x-table — checkpoint so the tri aggregate
-    // behind it runs once (bigram-type-bounded)
-    val g2 = tri.groupBy(col("b"), col("c"))
-      .agg(count(lit(1)).as("cont"))
-      .localCheckpoint(eager = bounded)
+    val (triP, g1, g2) =
+      if (!bounded) {
+        val tri = triAgg.localCheckpoint(eager = false)
+        val triP =
+          if (minCount == 1) tri else tri.filter(col("c3") >= minCount)
+        val g1 = tri.groupBy(col("a"), col("b"))
+          .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n3fw"))
+        val g2 = tri.groupBy(col("b"), col("c"))
+          .agg(count(lit(1)).as("cont"))
+          .localCheckpoint(eager = false)
+        (triP, g1, g2)
+      } else {
+        // bounded build, BUCKETED when the sizing rule demands more
+        // width than the bypass ceiling allows: buckets key on
+        // hash(a, b), so (a,b,c) types, the pruned x-table base and
+        // the g1 (a,b) groups each complete WITHIN a bucket; g2's
+        // (b,c) type counts span buckets but count DISJOINT type sets
+        // (a trigram type lives in exactly one bucket), so per-bucket
+        // partials SUM exactly. Every per-bucket table is bounded
+        // (pruned rows / bigram types), checkpointed EAGER so sibling
+        // aggregate copies never overlap the memory pool (the
+        // IVF-Lloyd convention; measured 0-20 GB scheduling-luck
+        // spill without it). Cost: 3 passes over each bucket's slice
+        // of the trigram exchange = the same 3 corpus-equivalents the
+        // single-bucket bounded build already paid, at per-task state
+        // the sizing rule bounds REGARDLESS of corpus size.
+        val parts = (0 until modelPasses).map { p =>
+          val tp = triAggSlice(p, modelPasses)
+          val triPp = tp.filter(col("c3") >= minCount)
+            .localCheckpoint(eager = true)
+          val g1p = tp.groupBy(col("a"), col("b"))
+            .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n3fw"))
+            .localCheckpoint(eager = true)
+          val g2p = tp.groupBy(col("b"), col("c"))
+            .agg(count(lit(1)).as("cont"))
+            .localCheckpoint(eager = true)
+          (triPp, g1p, g2p)
+        }
+        val triP = parts.map(_._1).reduce(_ unionByName _)
+        val g1 = parts.map(_._2).reduce(_ unionByName _)
+        val g2 =
+          if (modelPasses == 1) parts.head._3
+          else parts.map(_._3).reduce(_ unionByName _)
+            .groupBy(col("b"), col("c"))
+            .agg(sum(col("cont")).as("cont"))
+            .localCheckpoint(eager = true)
+        (triP, g1, g2)
+      }
     val g3 = g2.groupBy(col("b"))
       .agg(sum(col("cont")).as("nmid"), count(lit(1)).as("nfw2"))
     // bigram TYPES (unigram continuation level): repartition-first

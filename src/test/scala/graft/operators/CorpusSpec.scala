@@ -360,6 +360,36 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("trigram KN bounded build: bucketed multi-pass model is bit-identical to the single pass") {
+    // enough docs that g2's (b,c) types genuinely span hash(a,b)
+    // buckets (the cross-bucket SUM combine is what's under test)
+    val d = (1L to 60L).map(i =>
+        (i, s"w${i % 5} w${(i * 3) % 7} w${(i * 5) % 11} w${i % 3} " +
+          s"w${(i * 7) % 5} w${i % 7}"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val conf = spark.conf
+    conf.set("spark.graft.kn.boundedBuild", "true")
+    try {
+      val single = rows(Corpus.knTrigramScore(d, "doc_id", "text",
+        minCount = 2))
+      // force the sizing rule past its ceiling → multiple buckets
+      conf.set("spark.graft.kn.bytesPerPartition", "512")
+      conf.set("spark.graft.kn.widthCeiling", "2")
+      val (w, p) = Corpus.exchangeWidthPlan(d, "kn")
+      assert(w === 2 && p > 1, s"width=$w passes=$p")
+      val multi = rows(Corpus.knTrigramScore(d, "doc_id", "text",
+        minCount = 2))
+      assert(multi === single)
+    } finally {
+      conf.unset("spark.graft.kn.boundedBuild")
+      conf.unset("spark.graft.kn.bytesPerPartition")
+      conf.unset("spark.graft.kn.widthCeiling")
+    }
+  }
+
   test("trigram KN: many-context continuation outranks one-context at equal counts") {
     // both 'rare' and 'only1' close the trigram (san, francisco, ·)
     // exactly once; 'rare' additionally appears after 10 different
