@@ -960,10 +960,16 @@ object Corpus {
       .join(broadcast(n1c), Seq("c"))
       .select(col("a"), col("b"), col("c"),
         TextFunctions.round6(-log(p3)).as("x"))
-    // hot-trigram guard — knScore's sampled salting, keys one wider
+    // hot-trigram guard — knScore's sampled salting, keys one wider.
+    // Repartition-first here too: in the low-reuse regime the sampled
+    // keys are still ~corpus/8 mostly-unique, so a partial-agg-first
+    // plan builds map-side tables that spill without combining (the
+    // round-14 lesson); the sample is 1/8 of the narrow gram rows, so
+    // one model-width exchange of it is cheap insurance at any reuse
     val sampleMod = 8
     val hotSet = tris
       .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
+      .repartition(modelWidth, col("a"), col("b"), col("c"))
       .groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("df"))
       .filter(col("df") > hotDf / sampleMod / 2)
       .select(xxhash64(col("a"), col("b"), col("c")).as("hk"))
