@@ -909,16 +909,27 @@ object Corpus {
         // of the trigram exchange = the same 3 corpus-equivalents the
         // single-bucket bounded build already paid, at per-task state
         // the sizing rule bounds REGARDLESS of corpus size.
+        // DISK_ONLY checkpoints, deliberately: the unified memory
+        // manager PROTECTS cached blocks below storageFraction from
+        // execution eviction, so MEMORY_AND_DISK model tables (the
+        // pruned base alone is ~2 GB at the 5M-doc stress point)
+        // would permanently shrink every later corpus-scale
+        // aggregate's execution share — measured as a 346 GB sort-agg
+        // spill cascade at 5M docs before this level was set. The
+        // tables are model-sized and re-read a handful of times;
+        // streaming them from local disk costs ms, the stolen
+        // execution memory cost hundreds of GB of spill.
+        val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
         val parts = (0 until modelPasses).map { p =>
           val tp = triAggSlice(p, modelPasses)
           val triPp = tp.filter(col("c3") >= minCount)
-            .localCheckpoint(eager = true)
+            .localCheckpoint(eager = true, disk)
           val g1p = tp.groupBy(col("a"), col("b"))
             .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n3fw"))
-            .localCheckpoint(eager = true)
+            .localCheckpoint(eager = true, disk)
           val g2p = tp.groupBy(col("b"), col("c"))
             .agg(count(lit(1)).as("cont"))
-            .localCheckpoint(eager = true)
+            .localCheckpoint(eager = true, disk)
           (triPp, g1p, g2p)
         }
         val triP = parts.map(_._1).reduce(_ unionByName _)
@@ -928,7 +939,7 @@ object Corpus {
           else parts.map(_._3).reduce(_ unionByName _)
             .groupBy(col("b"), col("c"))
             .agg(sum(col("cont")).as("cont"))
-            .localCheckpoint(eager = true)
+            .localCheckpoint(eager = true, disk)
         (triP, g1, g2)
       }
     val g3 = g2.groupBy(col("b"))
