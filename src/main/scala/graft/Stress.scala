@@ -1473,6 +1473,23 @@ object Stress {
         // their source files in build, and those untimed staging jobs
         // must not pollute the scenario's task metrics
         val (action, inputRows) = sc.build(spark)
+        // SPARK_GRAFT_STRESS_WARMUP=N (default 0): N UNTIMED
+        // invocations of the action before the measured one — the
+        // steady-state measurement mode for the skew-attribution file.
+        // A single local JVM pays C2 compilation of every generated
+        // WholeStageCodegen class on the FIRST wave of each stage;
+        // those cold tasks read as 2-3× CPU "skew" that no second
+        // invocation reproduces (a cluster job past its first few
+        // waves — or any long-running deployment — is always warm).
+        // BATCH scenarios only: a bounded stream's checkpoint would
+        // make repeat runs no-ops, so don't warm streaming rows.
+        val warmups = sys.env.getOrElse("SPARK_GRAFT_STRESS_WARMUP", "0")
+          .toInt
+        (0 until warmups).foreach { _ =>
+          action()
+          spark.sqlContext.clearCache()
+          System.gc(); Thread.sleep(1000)
+        }
         listener.reset()
         val t0 = System.nanoTime()
         action()
@@ -1495,7 +1512,7 @@ object Stress {
         val load = loadavg1()
         val line =
           s"""{"scenario":"${sc.name}","input_rows":$inputRows,""" +
-          s""""state_store":"$stateStore",""" +
+          s""""state_store":"$stateStore","warmups":$warmups,""" +
           s""""loadavg":$load,"run_loadavg_start":$runStartLoad,""" +
           s""""wall_sec":${math.rint(wall * 100) / 100},""" +
           s""""rows_per_sec":${(inputRows / wall).toLong},""" +
@@ -1511,6 +1528,11 @@ object Stress {
           // scheduling granularity, not partitioning
           s""""max_task_skew_1s":${
             math.rint(m.maxTaskSkew1s * 100) / 100},""" +
+          // CPU-time twin of the filtered skew: excludes GC pauses and
+          // I/O/scheduler stalls, so wall≫cpu on byte-uniform stages
+          // is stall variance, high cpu skew is real work imbalance
+          s""""max_task_skew_1s_cpu":${
+            math.rint(m.maxTaskSkew1sCpu * 100) / 100},""" +
           // bytes-based companion: max_task_skew is task DURATIONS and
           // inflates on a loaded box and on sub-second noise stages;
           // the byte distribution is the load-invariant partitioning
@@ -1525,12 +1547,17 @@ object Stress {
         // scenario can be attributed without reproducing its exact
         // session/sequence in a separate tool
         if (sys.env.get("SPARK_GRAFT_STRESS_STAGES").contains("1")) {
+          val cpu = listener.perStageCpu.map(t => t._1 -> t).toMap
           println(f"${"stage"}%6s ${"tasks"}%6s ${"writeMB"}%9s " +
-            f"${"readMB"}%9s ${"spillMB"}%9s ${"maxMs"}%8s ${"medMs"}%8s")
+            f"${"readMB"}%9s ${"spillMB"}%9s ${"maxMs"}%8s ${"medMs"}%8s " +
+            f"${"maxCpu"}%8s ${"medCpu"}%8s ${"gcOfMax"}%8s")
           listener.perStage.sortBy(_._1).foreach {
             case (id, tasks, w, r, sp2, mx, med, _, _) =>
+              val (_, _, _, medC, maxC, gcMx) =
+                cpu.getOrElse(id, (id, 0L, 0L, 0L, 0L, 0L))
               println(f"$id%6d $tasks%6d ${w / 1e6}%9.0f ${r / 1e6}%9.0f " +
-                f"${sp2 / 1e6}%9.0f $mx%8d $med%8d")
+                f"${sp2 / 1e6}%9.0f $mx%8d $med%8d $maxC%8d $medC%8d " +
+                f"$gcMx%8d")
           }
         }
         System.out.flush()

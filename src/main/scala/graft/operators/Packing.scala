@@ -114,7 +114,7 @@ object Packing {
         .select(col(idCol).cast("long").as("id"), col(sourceCol).as("source"))
         .filter(col("source").isin(mix.keys.toSeq: _*))
         .withColumn("__h", h),
-      "source", "__r")
+      "source", "__r", blocksHint = Some(FewGroupBlocks))
     rankByHash(
       ranked
         .filter(col("__r") < element_at(typedLit(quotas), col("source")))
@@ -133,6 +133,29 @@ object Packing {
     * results, only parallelism. */
   private val RankBlocks = 1024L
   private val HashMod = 1000000007L
+
+  /** Block count for rank sites whose groups are FEW and UNEVEN (the
+    * source-keyed ranks: shuffleShards' 5:2:1-style mixes): with the
+    * default 1024 blocks, a heavy group's cells are proportionally
+    * heavy and a reducer that draws several of them reads 1.8× mean
+    * bytes (measured isolated+warm on the 50M-doc training_order row,
+    * with CPU skew 2.1 following the bytes). Spending the binpack
+    * convention's ~2M-row offsets budget on MORE, SMALLER cells
+    * (budget / |groups| blocks per group) concentrates per-reducer
+    * sums by the law of large numbers at zero extra passes; block
+    * count never affects rank values. TWO measured ceilings bound the
+    * budget from above (both found by sweep on the 50M-doc
+    * training_order row): (1) the offsets side must stay BROADCAST —
+    * at 2M rows AQE tipped the offsets join to sort-merge and the
+    * corpus-side sort spilled 1.8 GB; (2) the offsets prefix-sum
+    * window must stay under WindowExec's in-memory buffer bound
+    * (spark.sql.windowExec.buffer.spill.threshold, 4096 rows per
+    * partition = per GROUP here) — at 43k blocks/group the ~18 MB
+    * offsets stage spilled 575 MB through the external row buffer.
+    * 4000 blocks/group is the largest window-safe budget: cells are
+    * 7.5× smaller than the 1024 default while every side structure
+    * stays in memory. */
+  private[operators] val FewGroupBlocks: Long = 4000L
 
   /** Adaptive cut-over for [[rankByHash]]: inputs whose Catalyst
     * size estimate is below this run the naive single window (the
@@ -292,7 +315,11 @@ object Packing {
         concat(lit(s"$seed~epoch$e:"), col("id").cast("string"), lit(";")),
         3))
       rankByHash(
-        rankByHash(sel.withColumn("__h", he), "source", "__r")
+        // source groups are UNEVEN (the mix) → small cells; shard
+        // groups are uniform by construction (__r % nShards) and
+        // stay on the default block count
+        rankByHash(sel.withColumn("__h", he), "source", "__r",
+          blocksHint = Some(FewGroupBlocks))
           .withColumn("shard", col("__r") % nShards),
         "shard", "__p")
         .join(broadcast(n0), Seq("shard"))

@@ -18,6 +18,8 @@ final class StressMetrics extends SparkListener {
       var spillBytes: Long = 0L,
       var peakExecMem: Long = 0L,
       val taskMs: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty,
+      val taskCpuMs: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty,
+      val taskGcMs: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty,
       val taskWriteB: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty,
       val taskReadB: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty)
 
@@ -33,6 +35,8 @@ final class StressMetrics extends SparkListener {
       s.spillBytes += m.memoryBytesSpilled + m.diskBytesSpilled
       s.peakExecMem = math.max(s.peakExecMem, m.peakExecutionMemory)
       s.taskMs += m.executorRunTime
+      s.taskCpuMs += m.executorCpuTime / 1000000L // ns → ms
+      s.taskGcMs += m.jvmGCTime
       s.taskWriteB += m.shuffleWriteMetrics.bytesWritten
       s.taskReadB += m.shuffleReadMetrics.totalBytesRead
     }
@@ -58,19 +62,31 @@ final class StressMetrics extends SparkListener {
         * corpus-scale stages sit under 2. Substantial stages can't
         * hide there; read THIS column (with max_byte_skew) for
         * partitioning claims, the unfiltered one for completeness. */
-      maxTaskSkew1s: Double)
+      maxTaskSkew1s: Double,
+      /** The WORK-skew companion (round 17): [[maxTaskSkew1s]]
+        * recomputed over task CPU time instead of wall time, on the
+        * same ≥1s-median stages. CPU time excludes GC pauses, I/O
+        * waits and scheduler stalls — so wall skew ≫ CPU skew on a
+        * byte-uniform stage is PROVEN stall variance (shared-heap GC /
+        * one-disk I/O in local mode), while high CPU skew would mean
+        * the partitioning really handed one task more work. This is
+        * the column that settles the round-16 "2.2–2.9 filtered skew,
+        * byte skew ~1" attribution file. */
+      maxTaskSkew1sCpu: Double)
 
   def snapshot(minTasksForSkew: Int = 8): Snapshot = synchronized {
     val ss = stages.values.toSeq
-    def stageSkews(minMedianMs: Long) = ss
-      .filter(_.taskMs.length >= minTasksForSkew)
+    def stageSkews(minMedianMs: Long,
+        sel: StageAgg => mutable.ArrayBuffer[Long]) = ss
+      .filter(s => sel(s).length >= minTasksForSkew)
       .flatMap { s =>
-        val sorted = s.taskMs.sorted
+        val sorted = sel(s).sorted
         val med = math.max(1L, sorted(sorted.length / 2))
         if (med >= minMedianMs) Some(sorted.last.toDouble / med) else None
       }
-    val skews = stageSkews(0L)
-    val skews1s = stageSkews(1000L)
+    val skews = stageSkews(0L, _.taskMs)
+    val skews1s = stageSkews(1000L, _.taskMs)
+    val skews1sCpu = stageSkews(1000L, _.taskCpuMs)
     Snapshot(
       stageCount = ss.length,
       taskCount = ss.map(_.tasks).sum,
@@ -81,7 +97,9 @@ final class StressMetrics extends SparkListener {
       spillBytes = ss.map(_.spillBytes).sum,
       peakTaskExecMem = if (ss.isEmpty) 0L else ss.map(_.peakExecMem).max,
       maxTaskSkew = if (skews.isEmpty) 1.0 else skews.max,
-      maxTaskSkew1s = if (skews1s.isEmpty) 1.0 else skews1s.max)
+      maxTaskSkew1s = if (skews1s.isEmpty) 1.0 else skews1s.max,
+      maxTaskSkew1sCpu =
+        if (skews1sCpu.isEmpty) 1.0 else skews1sCpu.max)
   }
 
   /** Per-stage diagnostic rows (stageId, tasks, writeB, readB, spillB,
@@ -99,6 +117,26 @@ final class StressMetrics extends SparkListener {
         val mxw = if (s.taskWriteB.isEmpty) 0L else s.taskWriteB.max
         (id, s.tasks, s.shuffleWriteBytes, s.shuffleReadBytes,
           s.spillBytes, mx, med, mxr, mxw)
+      }
+    }
+
+  /** CPU/GC drill-down companion to [[perStage]]: (stageId, medWallMs,
+    * maxWallMs, medCpuMs, maxCpuMs, gcMsOfMaxWallTask) — the row that
+    * attributes a wall straggler: max CPU ≈ median CPU with max wall ≫
+    * median wall is a stall (GC/I/O), not uneven work. */
+  def perStageCpu: Seq[(Int, Long, Long, Long, Long, Long)] =
+    synchronized {
+      stages.toSeq.map { case (id, s) =>
+        val w = s.taskMs.sorted
+        val c = s.taskCpuMs.sorted
+        val medW = if (w.isEmpty) 0L else w(w.length / 2)
+        val maxW = if (w.isEmpty) 0L else w.last
+        val medC = if (c.isEmpty) 0L else c(c.length / 2)
+        val maxC = if (c.isEmpty) 0L else c.last
+        // GC of the max-WALL task (not the max GC overall)
+        val gcOfMax = if (s.taskMs.isEmpty) 0L else
+          s.taskGcMs(s.taskMs.indexOf(s.taskMs.max))
+        (id, medW, maxW, medC, maxC, gcOfMax)
       }
     }
 

@@ -46,7 +46,10 @@ for name in names:
         print("\n".join(r.stdout.decode(errors="replace")
                         .splitlines()[-30:]))
         sys.exit(1)
-    # surface scenario side-prints (model-row counts etc.) for the log
+    # full stdout (incl. any STRESS_STAGES drill-down tables) kept per
+    # scenario; side-prints surfaced inline
+    with open(f"/tmp/iso_{name}.log", "wb") as lf:
+        lf.write(r.stdout)
     for ln in r.stdout.decode(errors="replace").splitlines():
         if ln.startswith(f"[{name}]"):
             print("[iso] " + ln, flush=True)
