@@ -58,7 +58,8 @@ object Stress {
     * the listener resets after build returns) and the action runs the
     * bounded query to completion. */
   final case class Scenario(
-      name: String, build: SparkSession => (() => Unit, Long))
+      name: String, build: SparkSession => (() => Unit, Long),
+      streaming: Boolean = false, big: Boolean = false)
 
   /** The standard batch action: execute `plan` against the no-op sink.
     * `plan` is BY-NAME on purpose: operators with driver-side
@@ -507,7 +508,7 @@ object Stress {
             .option("checkpointLocation", ckpt.toString)
             .start().awaitTermination()
         }, cells * days)
-      }),
+      }, streaming = true),
       Scenario("minhash_band_shuffle", sp => {
         val n = s(250000)
         (sink(graft.operators.Dedup.minhashLsh(
@@ -654,7 +655,7 @@ object Stress {
         (() => withStatePartitions(sp) { val q = writer.start()
           require(graft.streaming.EventPipeline.drainAndStop(q, 600000L),
             "stream did not drain") }, n)
-      }),
+      }, streaming = true),
       Scenario("sessionize_eventtime_stream", sp => {
         // the q114 operator (EventTimeTimeout + gap-merge late-data
         // handling) at sessionize_stateful_stream's 5M-event shape
@@ -675,7 +676,7 @@ object Stress {
           .format("noop")
         (() => withStatePartitions(sp) {
           writer.start().awaitTermination() }, n)
-      }),
+      }, streaming = true),
       Scenario("windowed_agg_stream", sp => {
         // APPEND-mode KEYED tumbling windows — the q110/q111 deployment
         // shape at state volume: 5M events / 100k users over 30 days,
@@ -703,7 +704,7 @@ object Stress {
           .format("noop")
         (() => withStatePartitions(sp) {
           writer.start().awaitTermination() }, n)
-      }),
+      }, streaming = true),
       Scenario("proximity_join_stream", sp => {
         // The STREAM-STREAM unkeyed interval join under a REAL bounded
         // stream: 5M events as 20 time-ordered files, several per
@@ -723,7 +724,7 @@ object Stress {
           .format("noop")
         (() => withStatePartitions(sp) {
           writer.start().awaitTermination() }, n)
-      }),
+      }, streaming = true),
       Scenario("dedup_admit_stream", sp => {
         // STREAMING incremental-dedup admission at state volume — the
         // nightly-ingest deployment shape of the q86/q97/q107 family:
@@ -784,7 +785,7 @@ object Stress {
           .option("checkpointLocation", ckpt.toString)
         (() => withStatePartitions(sp) {
           writer.start().awaitTermination() }, inc)
-      }),
+      }, streaming = true),
       Scenario("training_order", sp => {
         // the q115/q122 seeded-permutation machinery at corpus-count
         // volume: 50M docs (uneven 5:2:1 source skew), quota-selected
@@ -1219,7 +1220,11 @@ object Stress {
         if (n >= 100000L) {
           // side-count under the SAME bucket discipline the operator
           // uses — a single 128-wide count over 568M unique keys would
-          // spill and pollute the row it exists to annotate
+          // spill and pollute the row it exists to annotate. It runs
+          // here in BUILD, so it is outside the timed window AND the
+          // listener's metrics; its own wall is printed below so the
+          // row's wall_sec is attributable to the operator alone.
+          val sideT0 = System.nanoTime()
           val (w, p) = graft.operators.Corpus.exchangeWidthPlan(d, "kn")
           val tris = d.selectExpr("split(text, ' ') AS t")
             .selectExpr("explode(transform(sequence(1, size(t) - 2), " +
@@ -1244,11 +1249,13 @@ object Stress {
           }
           println(s"[kn_trigram_pruned_5m] trigram model rows: " +
             s"unpruned=$total pruned=$kept " +
-            s"(${math.rint(10000.0 * kept / total) / 100}% kept)")
+            s"(${math.rint(10000.0 * kept / total) / 100}% kept) " +
+            s"side_count_wall_sec=${
+              math.rint((System.nanoTime() - sideT0) / 1e7) / 100}")
         }
         (sink(graft.operators.Corpus.knTrigramScore(
           d, "id", "text", minCount = 2)), n)
-      }),
+      }, big = true),
       Scenario("kneser_ney_zipf", sp => {
         // the hot-bigram guard's target regime, which the uniform-
         // vocab scenario above cannot produce: 20% of tokens are ONE
@@ -1445,8 +1452,14 @@ object Stress {
     val runStartLoad = loadavg1()
     val listener = new StressMetrics
     spark.sparkContext.addSparkListener(listener)
+    // big scenarios (the ~19-min kn_trigram_pruned_5m scale point) are
+    // STANDING rows of the suite, but a routine full run skips them
+    // unless SPARK_GRAFT_STRESS_BIG=1 — naming one in STRESS_ONLY
+    // always runs it (the isolated-capture path).
+    val bigOn = sys.env.get("SPARK_GRAFT_STRESS_BIG").contains("1")
     val results = scenarios(scale)
-      .filter(sc => only.forall(_.contains(sc.name)))
+      .filter(sc => only.map(_.contains(sc.name))
+        .getOrElse(!sc.big || bigOn))
       .map { sc =>
         // drop the PREVIOUS scenario's pinned state before measuring:
         // localCheckpoint blocks stay cached for the life of the JVM,
@@ -1481,10 +1494,12 @@ object Stress {
         // those cold tasks read as 2-3× CPU "skew" that no second
         // invocation reproduces (a cluster job past its first few
         // waves — or any long-running deployment — is always warm).
-        // BATCH scenarios only: a bounded stream's checkpoint would
-        // make repeat runs no-ops, so don't warm streaming rows.
-        val warmups = sys.env.getOrElse("SPARK_GRAFT_STRESS_WARMUP", "0")
-          .toInt
+        // BATCH scenarios only — ENFORCED via Scenario.streaming: a
+        // bounded stream's checkpoint would make repeat runs no-ops,
+        // so a warmed streaming row would record a no-op wall time as
+        // a real measurement.
+        val warmups = if (sc.streaming) 0
+          else sys.env.getOrElse("SPARK_GRAFT_STRESS_WARMUP", "0").toInt
         (0 until warmups).foreach { _ =>
           action()
           spark.sqlContext.clearCache()

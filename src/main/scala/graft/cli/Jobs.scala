@@ -597,7 +597,13 @@ object Jobs {
         val f = line.split("\t")
         require(f.length == 4,
           s"bad mix-weights line ${i + 1} of $path: $line")
-        val w = f(3).toDouble
+        // same parse-site discipline as the range checks below: a
+        // malformed numeric field must fail naming the file and line,
+        // not as a bare NumberFormatException from toDouble
+        val w = f(3).toDoubleOption.getOrElse(throw new
+          IllegalArgumentException(
+            s"malformed weight '${f(3)}' for domain '${f(0)}' " +
+              s"(line ${i + 1} of $path)"))
         // validate AT THE PARSE SITE so a corrupted artifact fails with
         // a message naming the file and line — not hundreds of stages
         // later in mixSample's opaque shares-sum require

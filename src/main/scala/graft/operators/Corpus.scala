@@ -538,9 +538,19 @@ object Corpus {
         .getInt("spark.shuffle.sort.bypassMergeThreshold", 200))
     val session = sp.sessionState.conf.numShufflePartitions.toLong
     val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    val wTotal = ((est + perPart - 1) / perPart).max(BigInt(session))
-    val passes = ((wTotal + ceiling - 1) / ceiling).max(BigInt(1)).toInt
-    val width = wTotal.min(BigInt(ceiling)).toInt
+    // Pass count derives from the ESTIMATE width alone: the session
+    // floor is a parallelism default, not aggregate-state demand, so
+    // flooring the total width at the session count before splitting
+    // by the ceiling would force ceil(session/ceiling) redundant
+    // full-input passes — each an extra explode+aggregate scan — for
+    // EVERY input on any deployment whose shuffle width exceeds the
+    // bypass ceiling (e.g. 2000-partition submit confs). When the
+    // estimate fits one pass, the per-pass width still floors at the
+    // session count (capped by the ceiling) so small inputs keep the
+    // deployment's parallelism.
+    val estWidth = ((est + perPart - 1) / perPart).max(BigInt(1))
+    val passes = ((estWidth + ceiling - 1) / ceiling).max(BigInt(1)).toInt
+    val width = estWidth.max(BigInt(session)).min(BigInt(ceiling)).toInt
     (width, passes)
   }
 
@@ -663,11 +673,33 @@ object Corpus {
     // attribution, round 15). Shuffling the raw narrow pairs first
     // moves ~2× the bytes but aggregates colocated keys in
     // |types|/partitions-sized maps — zero spill.
-    val bi = pairs.select(col("a"), col("b"))
-      .repartition(col("a"), col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint(eager = false)
+    // Width self-sized from the input's Catalyst estimate (the
+    // [[exchangeWidthPlan]] convention, `kn` scope): bigram TYPES per
+    // task grow with the corpus (the Zipf tail dominates types), so a
+    // fixed session-width exchange re-creates the oversized-reducer
+    // state this plan shape exists to avoid; demand past the bypass-
+    // writer ceiling is paid as disjoint hash(a,b)-bucket passes —
+    // a bigram type lives in exactly one bucket, so per-bucket counts
+    // are COMPLETE and the union IS the single-pass table. Multi-pass
+    // partials checkpoint eager DISK_ONLY (the bounded-KN convention:
+    // serialize sibling aggregates; never pin model tables into the
+    // storage-protected pool).
+    val (biWidth, biPasses) = exchangeWidthPlan(docs, "kn")
+    val biParts = (0 until biPasses).map { b =>
+      val sliced = if (biPasses == 1) pairs.select(col("a"), col("b"))
+        else pairs.select(col("a"), col("b")).filter(
+          pmod(xxhash64(col("a"), col("b")), lit(biPasses.toLong)) === b)
+      val agg = sliced
+        .repartition(biWidth, col("a"), col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("c_ab"))
+      if (biPasses == 1) agg
+      else agg.localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+    val bi =
+      if (biPasses == 1) biParts.head.localCheckpoint(eager = false)
+      else biParts.reduce(_ unionByName _)
     val ctx = bi.groupBy(col("a"))
       .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1a"))
     val rights = bi.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
@@ -945,9 +977,23 @@ object Corpus {
     val g3 = g2.groupBy(col("b"))
       .agg(sum(col("cont")).as("nmid"), count(lit(1)).as("nfw2"))
     // bigram TYPES (unigram continuation level): repartition-first
-    // distinct, then the vocab-bounded right-token fan-in
-    val bt = pairs.repartition(col("a"), col("b")).distinct()
-      .localCheckpoint(eager = false)
+    // distinct under the SAME width plan as the trigram model — type
+    // state per task grows with the corpus, and a bigram type lives
+    // in exactly one hash(a,b) bucket, so multi-pass distincts union
+    // exactly (round-17 verdict #6: no fixed-width corpus-scale
+    // exchanges left outside the sizing rule)
+    val btParts = (0 until modelPasses).map { p =>
+      val sliced = if (modelPasses == 1) pairs
+        else pairs.filter(
+          pmod(xxhash64(col("a"), col("b")), lit(modelPasses.toLong)) === p)
+      val d = sliced.repartition(modelWidth, col("a"), col("b")).distinct()
+      if (modelPasses == 1) d
+      else d.localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+    val bt =
+      if (modelPasses == 1) btParts.head.localCheckpoint(eager = false)
+      else btParts.reduce(_ unionByName _)
     val n1c = bt.groupBy(col("b").as("c")).agg(count(lit(1)).as("n1"))
     val nB = bt.count() // bounded driver plan parameter
     val pcont = col("n1").cast("double") / lit(nB.toDouble)

@@ -23,11 +23,21 @@ wait_max = int(os.environ.get("ISO_WAIT_SEC", "600"))
 
 rows = []
 for name in names:
+    # BINDING quiet gate (round-17 verdict #3): a row captured at load
+    # 2.5-3.4 is not quiet-box evidence, so on timeout we FAIL instead
+    # of falling through and launching anyway. ISO_GATE=wait keeps
+    # waiting forever instead (for unattended overnight captures).
     t0 = time.time()
-    while time.time() - t0 < wait_max:
+    while True:
         load1 = float(open("/proc/loadavg").read().split()[0])
         if load1 < load_max:
             break
+        if (time.time() - t0 >= wait_max
+                and os.environ.get("ISO_GATE", "fail") != "wait"):
+            print(f"[iso] {name}: box never quieted (load {load1:.2f} "
+                  f">= {load_max} after {wait_max}s) — refusing to "
+                  f"launch; rows so far kept in {out_path}", flush=True)
+            sys.exit(2)
         print(f"[iso] {name}: waiting for quiet (load {load1:.2f} "
               f">= {load_max})", flush=True)
         time.sleep(15)
