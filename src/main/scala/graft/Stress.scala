@@ -1217,7 +1217,12 @@ object Stress {
         // spill, completes in the same 8 GiB envelope, wall ~linear
         // vs the 1M row.
         val (d, n) = stagedKnCorpus(sp, s(5000000L))
-        if (n >= 100000L) {
+        // the side-count annotates MODEL SIZE — an input property, not
+        // a run property — so warm-mode captures (which exist to
+        // attribute skew) skip it rather than pay its scans twice
+        val sideCount = n >= 100000L &&
+          sys.env.getOrElse("SPARK_GRAFT_STRESS_WARMUP", "0") == "0"
+        if (sideCount) {
           // side-count under the SAME bucket discipline the operator
           // uses — a single 128-wide count over 568M unique keys would
           // spill and pollute the row it exists to annotate. It runs
@@ -1504,6 +1509,28 @@ object Stress {
           action()
           spark.sqlContext.clearCache()
           System.gc(); Thread.sleep(1000)
+        }
+        if (warmups > 0) {
+          // The warmup's shuffle files (tens of GB for the big
+          // scenarios) are deleted ASYNCHRONOUSLY by the
+          // ContextCleaner after the GC above; measuring while that
+          // deletion I/O is in flight stalls the first measured
+          // stages (observed on kn_trigram_pruned_5m: 84 s vs 27 s
+          // steady-state on the first aggregate pass, wall >> CPU —
+          // the warm row read WORSE than cold purely from its own
+          // warmup's cleanup). Wait until free space under the
+          // shuffle dir stops growing before the timed run.
+          val dir = new java.io.File(spark.sparkContext.getConf
+            .get("spark.local.dir", "/tmp"))
+          var last = dir.getUsableSpace
+          var stable = 0
+          var waited = 0
+          while (stable < 3 && waited < 180) {
+            Thread.sleep(2000); waited += 2
+            val free = dir.getUsableSpace
+            if (free > last + (64L << 20)) { stable = 0; last = free }
+            else stable += 1
+          }
         }
         listener.reset()
         val t0 = System.nanoTime()

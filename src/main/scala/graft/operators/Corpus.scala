@@ -484,7 +484,7 @@ object Corpus {
           // DISTINCT, so map-side combine builds corpus-sized hash
           // tables that spill without combining — shuffle the raw
           // 12 B/gram rows once and aggregate clustered instead
-          .repartition(width, col("source"), col("g"))
+          .transform(sizedRepartition(_, width, passes, col("source"), col("g")))
           .groupBy(col("source"), col("g"))
           .agg(count(lit(1)).as("__c"))
           .groupBy(col("source"))
@@ -511,6 +511,23 @@ object Corpus {
     * partition; 3 MiB is that rule with margin on the safe side.
     * Conf `spark.graft.distinctN.bytesPerPartition` overrides. */
   private val DistinctNBytesPerPartition: Long = 3L << 20
+
+
+  /** Repartition under an [[exchangeWidthPlan]] result: when the rule
+    * has real demand (width from stats, or multiple passes) the width
+    * is EXPLICIT — AQE must not coalesce below the zero-spill density.
+    * When the width is only the session floor (estimate fits one
+    * session-width pass), emit a plain keyed repartition instead so
+    * AQE's advisory-size coalescing stays free to shrink a small
+    * exchange — the round-17 q182 sf0.1 regression was exactly this:
+    * an explicit 32 pinned 3 n-legs of ~10 ms tasks that AQE used to
+    * coalesce (round-18 verdict #5). */
+  private[operators] def sizedRepartition(
+      df: DataFrame, width: Int, passes: Int, keys: Column*): DataFrame = {
+    val session = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (passes == 1 && width == session) df.repartition(keys: _*)
+    else df.repartition(width, keys: _*)
+  }
 
   /** The shared self-sizing rule for corpus-scale clustered-aggregate
     * exchanges: (per-pass exchange width, number of disjoint hash-
@@ -690,7 +707,7 @@ object Corpus {
         else pairs.select(col("a"), col("b")).filter(
           pmod(xxhash64(col("a"), col("b")), lit(biPasses.toLong)) === b)
       val agg = sliced
-        .repartition(biWidth, col("a"), col("b"))
+        .transform(sizedRepartition(_, biWidth, biPasses, col("a"), col("b")))
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("c_ab"))
       if (biPasses == 1) agg
@@ -886,7 +903,7 @@ object Corpus {
         else triBase.filter(
           pmod(xxhash64(col("a"), col("b")), lit(passes.toLong)) === p)
       sliced
-        .repartition(modelWidth, col("a"), col("b"), col("c"))
+        .transform(sizedRepartition(_, modelWidth, modelPasses, col("a"), col("b"), col("c")))
         .groupBy(col("a"), col("b"), col("c"))
         .agg(count(lit(1)).as("c3"))
     }
@@ -986,7 +1003,7 @@ object Corpus {
       val sliced = if (modelPasses == 1) pairs
         else pairs.filter(
           pmod(xxhash64(col("a"), col("b")), lit(modelPasses.toLong)) === p)
-      val d = sliced.repartition(modelWidth, col("a"), col("b")).distinct()
+      val d = sizedRepartition(sliced, modelWidth, modelPasses, col("a"), col("b")).distinct()
       if (modelPasses == 1) d
       else d.localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -1026,7 +1043,7 @@ object Corpus {
     val sampleMod = 8
     val hotSet = tris
       .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
-      .repartition(modelWidth, col("a"), col("b"), col("c"))
+      .transform(sizedRepartition(_, modelWidth, modelPasses, col("a"), col("b"), col("c")))
       .groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("df"))
       .filter(col("df") > hotDf / sampleMod / 2)
       .select(xxhash64(col("a"), col("b"), col("c")).as("hk"))
