@@ -498,12 +498,28 @@ object SparkEntry {
     * re-emitted whole each batch and is the aggregate, not the stream;
     * the file sink cannot take Complete mode. Append-mode streams with
     * row-proportional output go through [[runStreamToParquet]]. */
+  /** SPARK_GRAFT_STREAM_PROGRESS=1: after a bounded stream terminates,
+    * print each micro-batch's durationMs map (addBatch / getBatch /
+    * walCommit / stateStore commit / queryPlanning ...) — the only
+    * attribution surface for the streaming family's fixed costs, which
+    * task metrics cannot see (they are driver-side). Dev aid; off in
+    * bench/verify runs. */
+  private def dumpStreamProgress(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (sys.env.get("SPARK_GRAFT_STREAM_PROGRESS").contains("1"))
+      q.recentProgress.foreach { p =>
+        System.err.println(s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs}")
+      }
+
   private def runStreamToTable(
       s: SparkSession,
       w: org.apache.spark.sql.streaming.DataStreamWriter[_]): DataFrame = {
     val name = s"graft_stream_out_${streamSeq.incrementAndGet()}"
     withStreamShufflePartitions(s) {
-      w.format("memory").queryName(name).start().awaitTermination()
+      val q = w.format("memory").queryName(name).start()
+      q.awaitTermination()
+      dumpStreamProgress(q)
     }
     // detach the result from the sink before returning: the memory
     // sink's temp view pins the full result buffer in the session
@@ -529,9 +545,11 @@ object SparkEntry {
     d.toFile.deleteOnExit()
     val (out, ckpt) = (d.resolve("out"), d.resolve("ckpt"))
     withStreamShufflePartitions(s) {
-      w.format("parquet").option("path", out.toString)
+      val q = w.format("parquet").option("path", out.toString)
         .option("checkpointLocation", ckpt.toString)
-        .start().awaitTermination()
+        .start()
+      q.awaitTermination()
+      dumpStreamProgress(q)
     }
     s.read.parquet(out.toString)
   }
