@@ -34,6 +34,11 @@ object SparkEntry {
     * the shuffle is tiny relative to the per-row compute it unlocks, and
     * it is exactly what a 100 TB pipeline does between a coalesced scan
     * and a compute-bound stage. */
+  // keyed-only, deliberately AQE-elastic: an explicit session width
+  // here was A/B-measured 0.7-0.9 s WORSE per KN/tokenizer query at
+  // sf0.1 (32-way task+checkpoint overhead on ~1 MB exchanges); the
+  // explicit-width spread (operators.Par.spreadBy) is reserved for the
+  // pair-verify machinery whose per-candidate CPU dominates
   private def spread(df: DataFrame, key: String): DataFrame =
     df.repartition(col(key))
 
@@ -477,6 +482,20 @@ object SparkEntry {
     if (sys.env.get("SPARK_GRAFT_STREAM_STATESTORE").contains("rocksdb"))
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         RocksDbProviderClass)
+    // Spark 4.1 wraps every checkpoint write (state-store deltas, offset
+    // and commit logs) in ChecksumCheckpointFileManager: each file close
+    // BLOCKS the task thread on an async checksum-companion write —
+    // thread-dump sampling attributed ~half the stream-stream join
+    // stages' non-CPU wall to exactly this awaitResult (round-18
+    // measurement, OPTIMIZATION_r18.md). On a local/HDFS filesystem the
+    // FS layer already CRCs every block, so the extra checksum file is
+    // redundant integrity; deployments on object stores without
+    // native checksums can turn it back on (deployment parameter, like
+    // the state-store backend above).
+    val cksumConf = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prevCk = s.conf.getOption(cksumConf)
+    s.conf.set(cksumConf,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_CKSUM", "false"))
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       prevProv match {
@@ -484,6 +503,10 @@ object SparkEntry {
           s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None =>
           s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevCk match {
+        case Some(p) => s.conf.set(cksumConf, p)
+        case None => s.conf.unset(cksumConf)
       }
     }
   }

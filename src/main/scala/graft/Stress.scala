@@ -1443,6 +1443,10 @@ object Stress {
         sys.env.getOrElse("SPARK_GRAFT_STRESS_ADVISORY", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // redundant on CRC filesystems; blocks task threads on async
+      // checksum writes (see SparkEntry.withStreamShufflePartitions)
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_CKSUM", "false"))
     if (stateStore == "rocksdb")
       builder.config("spark.sql.streaming.stateStore.providerClass",
         SparkEntry.RocksDbProviderClass)

@@ -256,19 +256,16 @@ object Classifier {
     *
     * Scale shape: TWO corpus-scale map-side-combined aggregates (win
     * counts, undirected pair counts — both |items|²-bounded outputs),
-    * then `rounds` iterations of pair-table-sized joins and
-    * aggregates, per-round checkpointed (the doremiWeights plan-size
-    * discipline). The comparison stream itself crosses the wire once
-    * per aggregate as narrow (w, l) rows.
+    * then `rounds` MM iterations folded onto one array-holding row
+    * (|items|²-bounded artifact — the same boundedness the old
+    * per-round join form relied on). The comparison stream itself
+    * crosses the wire once per aggregate as narrow (w, l) rows.
     * @return (item, wins, games, strength) — strength round6,
     *         normalized to mean 1. */
   def bradleyTerry(
       games: DataFrame, winnerCol: Column, loserCol: Column,
       rounds: Int = 8): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val dec = "decimal(28,6)"
-    def dsum(c: Column): Column =
-      round6(sum(c.cast(dec)).cast("double"))
     val d = games.select(winnerCol.cast("long").as("w"),
       loserCol.cast("long").as("l"))
     val wins = d.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins"))
@@ -289,32 +286,71 @@ object Classifier {
       .localCheckpoint(eager = false)
     val nItems = items.count() // bounded driver scalar
     require(nItems >= 2, "bradleyTerry needs at least two items")
-    val gamesPer = orient.groupBy(col("i").as("item"))
-      .agg(sum(col("n")).as("games"))
-    var s = items.select(col("item"), round6(lit(1.0)).as("s"))
+    // The MM rounds are pure arithmetic over the STATIC (i, j, n) pair
+    // table and per-item win counts, both |items|²-bounded — so the
+    // whole fixed-point iteration folds onto ONE ROW holding the item
+    // and pair tables as sorted arrays, each round a projection of
+    // array HOFs (per-item denominator = decimal-exact fold over the
+    // index-encoded pairs; same round6 steps and exact decimal sums as
+    // the per-round join form, which are order-free, so the fold is
+    // bit-identical). The old form paid 2 joins + 2 aggregates + 2
+    // checkpoint jobs PER ROUND — ~8 single-task stages of pure driver
+    // round-trip latency each (guide §1.2: fix the algorithm shape
+    // first). Each round's columns reference the previous round's by
+    // NAME (HOFs are non-cheap, so CollapseProject keeps them
+    // materialized once — plan stays linear in rounds).
+    val dec38 = "decimal(38,6)"
+    val itsRow = items
+      .agg(sort_array(collect_list(struct(col("item"), col("wins"))))
+        .as("its"))
+    val psRow = orient
+      .agg(sort_array(collect_list(struct(col("i"), col("j"), col("n"))))
+        .as("ps"))
+    val ids = transform(col("its"), x => x.getField("item"))
+    val seqIdx = sequence(lit(0), lit(nItems.toInt - 1))
+    var cur = itsRow.crossJoin(psRow)
+      // index-encode the pair endpoints once: 0-based positions into
+      // the sorted item array, so each round's fold is O(|I|·|P|)
+      // integer compares with no per-element array_position scans
+      .withColumn("psx", transform(col("ps"), p => struct(
+        (array_position(ids, p.getField("i")) - 1).cast("int").as("ii"),
+        (array_position(ids, p.getField("j")) - 1).cast("int").as("jj"),
+        p.getField("n").as("n"))))
+      .withColumn("s", transform(col("its"), _ => round6(lit(1.0))))
     for (_ <- 1 to rounds) {
-      val den = orient
-        .join(s.select(col("item").as("i"), col("s").as("__si")), "i")
-        .join(s.select(col("item").as("j"), col("s").as("__sj")), "j")
-        .groupBy(col("i").as("item"))
-        .agg(dsum(round6(col("n").cast("double") /
-          (col("__si") + col("__sj")))).as("__den"))
-      val raw = items.join(den, Seq("item"), "left")
-        .select(col("item"), col("wins"),
-          when(col("__den") > 0.0,
-            round6(col("wins").cast("double") / col("__den")))
-            .otherwise(lit(0.0)).as("__raw"))
-        .localCheckpoint(eager = false)
-      val tot = raw.agg(dsum(col("__raw")).as("__tot"))
-      s = raw.crossJoin(tot)
-        .select(col("item"),
-          round6(col("__raw") * lit(nItems.toDouble) / col("__tot"))
-            .as("s"))
-        .localCheckpoint(eager = false)
+      cur = cur
+        .withColumn("den", transform(seqIdx, idx =>
+          round6(aggregate(col("psx"), lit(0).cast(dec38), (acc, p) =>
+            acc + when(p.getField("ii") === idx,
+              round6(p.getField("n").cast("double") /
+                (element_at(col("s"), p.getField("ii") + 1) +
+                 element_at(col("s"), p.getField("jj") + 1))))
+              .otherwise(lit(0.0)).cast("decimal(28,6)"))
+            .cast("double"))))
+        .withColumn("raw", transform(seqIdx, idx =>
+          when(element_at(col("den"), idx + 1) > 0.0,
+            round6(element_at(col("its"), idx + 1).getField("wins")
+              .cast("double") / element_at(col("den"), idx + 1)))
+            .otherwise(lit(0.0))))
+        .withColumn("tot", round6(aggregate(col("raw"),
+          lit(0).cast(dec38), (acc, r) => acc + r.cast("decimal(28,6)"))
+          .cast("double")))
+        .withColumn("s", transform(col("raw"), r =>
+          round6(r * lit(nItems.toDouble) / col("tot"))))
+        .select(col("its"), col("psx"), col("s"))
     }
-    items.join(gamesPer, "item").join(s, "item")
-      .select(col("item"), col("wins"), col("games"),
-        col("s").as("strength"))
+    cur
+      .withColumn("games", transform(seqIdx, idx =>
+        aggregate(col("psx"), lit(0L), (acc, p) =>
+          acc + when(p.getField("ii") === idx, p.getField("n"))
+            .otherwise(lit(0L)))))
+      .select(explode(transform(seqIdx, idx => struct(
+        element_at(col("its"), idx + 1).getField("item").as("item"),
+        element_at(col("its"), idx + 1).getField("wins").as("wins"),
+        element_at(col("games"), idx + 1).as("games"),
+        element_at(col("s"), idx + 1).as("strength")))).as("__r"))
+      .select(col("__r.item").as("item"), col("__r.wins").as("wins"),
+        col("__r.games").as("games"), col("__r.strength").as("strength"))
   }
 
   /** BRADLEY–TERRY CALIBRATION EVAL — score the fitted strengths back

@@ -226,10 +226,9 @@ object Multimodal {
       // join condition — re-hashing payloads per candidate pair; the
       // exchange materializes the narrow (id, simhash) rows once and
       // drops the payload bytes from everything above
-      media.filter(length(col(bytesCol)) >= 1)
+      Par.spreadBy(media.filter(length(col(bytesCol)) >= 1)
         .select(col(idCol).as("id"),
-          perceptualHash(col(bytesCol)).as("simhash"))
-        .repartition(col("id")),
+          perceptualHash(col(bytesCol)).as("simhash")), col("id")),
       maxHamming, bits = PHashBits)
 
   /** Per-batch decode over a typed Dataset — the Scala analog of

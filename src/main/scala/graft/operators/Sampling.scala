@@ -351,9 +351,6 @@ object Sampling {
     require(eta > 0, "eta must be positive")
     require(smoothing >= 0 && smoothing <= 1, "smoothing must be in [0,1]")
     import graft.functions.TextFunctions.round6
-    // one decimal-exact tiny-sum helper: Σ over |D| rows, order-free
-    def dsum(c: Column): Column =
-      round6(sum(c.cast("decimal(28,6)")).cast("double"))
     val dom = perDoc
       .select(domainCol.cast("string").as("domain"),
         lossCol.cast("double").as("__l"))
@@ -366,20 +363,30 @@ object Sampling {
       .localCheckpoint(eager = false) // |D| rows; feeds every round
     val d = dom.count() // |D|: bounded driver scalar
     require(d >= 1, "doremiWeights: no domains")
+    // The EG rounds are pure |D|-row arithmetic over STATIC per-domain
+    // losses, so the whole trajectory folds into one single-partition
+    // WINDOW CHAIN: each round's two global sums (mix, z) are frame-wide
+    // window aggregates over the same SinglePartition exchange, and the
+    // per-domain update is row-local arithmetic between them. Same
+    // expressions (round6 steps, decimal-exact sums — order-free, so
+    // window vs agg is bit-identical), but ONE exchange + one stage for
+    // all rounds instead of per-round agg + crossJoin + localCheckpoint
+    // jobs (the old form paid ~4 scheduled jobs per round; at |D| rows
+    // the round-trip latency was the entire cost — guide §2.4, shared
+    // exchange). Plan grows linearly in rounds: each select references
+    // the previous round's columns by NAME, so Catalyst keeps the
+    // window operators stacked on the one exchange.
+    val win = Window.partitionBy()
+    def wsum(c: Column): Column =
+      round6(sum(c.cast("decimal(28,6)")).over(win).cast("double"))
     var alpha = dom.select(col("domain"), col("n_docs"), col("loss"),
       round6(lit(1.0) / lit(d.toDouble)).as("alpha"))
     for (_ <- 1 to rounds) {
-      val mix = alpha.agg(
-        dsum(round6(col("alpha") * col("loss"))).as("__mix"))
-      val upd = alpha.crossJoin(mix)
+      alpha = alpha
+        .withColumn("__mix", wsum(round6(col("alpha") * col("loss"))))
         .withColumn("__w", round6(col("alpha") * exp(lit(eta) *
           round6(greatest(lit(0.0), round6(col("loss") - col("__mix")))))))
-        // each round references the last THREE times (mix, base, z) —
-        // checkpoint the |D|-row frame so the plan stays round-sized
-        // instead of 3^rounds (planning-time OOM otherwise)
-        .localCheckpoint(eager = false)
-      val z = upd.agg(dsum(col("__w")).as("__z"))
-      alpha = upd.crossJoin(z)
+        .withColumn("__z", wsum(col("__w")))
         .select(col("domain"), col("n_docs"), col("loss"),
           round6(col("__w") / col("__z")).as("alpha"))
     }
