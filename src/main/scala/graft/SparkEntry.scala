@@ -35,10 +35,15 @@ object SparkEntry {
     * it is exactly what a 100 TB pipeline does between a coalesced scan
     * and a compute-bound stage. */
   // keyed-only, deliberately AQE-elastic: an explicit session width
-  // here was A/B-measured 0.7-0.9 s WORSE per KN/tokenizer query at
-  // sf0.1 (32-way task+checkpoint overhead on ~1 MB exchanges); the
-  // explicit-width spread (operators.Par.spreadBy) is reserved for the
-  // pair-verify machinery whose per-candidate CPU dominates
+  // here was A/B-measured WORSE for the broad text family and re-
+  // confirmed by an interleaved quiet-box A/B this round (steady
+  // trials, 2 JVMs per mode): q75 1.22→1.59, q130 1.59→1.82, q156
+  // 0.83→0.99, q182 1.04→1.39 (32-way task overhead on ~1 MB
+  // exchanges), with q184/q161/q146 flat — the pair-verify machinery,
+  // the one family whose per-candidate CPU dominates (q129 2.8→1.0),
+  // gets its explicit-width spread at ITS OWN exchange
+  // (operators.Par.spreadBy at the hammingPairsBlocked probe leg), not
+  // here. OPTIMIZATION_r18.md §3 has the full table.
   private def spread(df: DataFrame, key: String): DataFrame =
     df.repartition(col(key))
 

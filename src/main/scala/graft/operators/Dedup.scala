@@ -500,8 +500,21 @@ object Dedup {
         }: _*)).as("bk"))
       .select(col("id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"),
-      col("id").as("a_id"), col("simhash").as("sh_a"))
+    // Probe leg spread by the JOIN key at explicit session width (the
+    // Par.spreadBy contract): the Hamming verify — the operator's CPU —
+    // rides IN the join condition, so it executes in the stage that
+    // reads this exchange. Keyed-only, AQE's bytes-only coalescing
+    // folded that stage to ONE task at small inputs (q129: 1.9 s of
+    // verify CPU single-task over a 286 KB exchange; interleaved A/B
+    // this round: q129 2.5-3.1 s → 1.0 s steady). At scale this is the
+    // (band, key) posting shuffle the operator's plan already assumes —
+    // the one exchange of the whole join — at the deployment's own
+    // shuffle width; a doc-id-keyed spread cannot replace it because an
+    // upstream same-key exchange satisfies it away (EnsureRequirements
+    // elides the narrow exchange; measured plans/r18).
+    val a = Par.spreadBy(banded.select(col("band"), col("key"),
+      col("id").as("a_id"), col("simhash").as("sh_a")),
+      col("band"), col("key"))
     val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),
       col("id").as("b_id"), col("simhash").as("sh_b"))
     // multi-band dedup WITHOUT a distinct shuffle: both signatures ride
