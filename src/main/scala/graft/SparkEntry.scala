@@ -501,6 +501,23 @@ object SparkEntry {
     val prevCk = s.conf.getOption(cksumConf)
     s.conf.set(cksumConf,
       sys.env.getOrElse("SPARK_GRAFT_STREAM_CKSUM", "false"))
+    // Checkpoint FILE MANAGER is the third deployment parameter
+    // (round-18 in-process stack sampling, OPTIMIZATION_r18.md §4):
+    // on a POSIX local filesystem the default FileContext-based
+    // manager routes every temp-file create/rename through Hadoop
+    // RawLocalFs permission/stat calls that FORK A SUBPROCESS (no
+    // native hadoop lib here) — the dominant busy-thread frame of
+    // every stream-stream join batch was ProcessImpl.forkAndExec
+    // under renameTempFile. The FileSystem-based manager is Spark's
+    // own sanctioned fallback (it is what you get on s3a); its
+    // rename-based atomicity is exactly as good on a local/POSIX fs.
+    // HDFS deployments, where FileContext rename-with-overwrite is
+    // the stronger primitive, restore it via env.
+    val fmConf = "spark.sql.streaming.checkpointFileManagerClass"
+    val prevFm = s.conf.getOption(fmConf)
+    s.conf.set(fmConf, sys.env.getOrElse("SPARK_GRAFT_STREAM_CKPT_FM",
+      "org.apache.spark.sql.execution.streaming.checkpointing." +
+        "FileSystemBasedCheckpointFileManager"))
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       prevProv match {
@@ -512,6 +529,10 @@ object SparkEntry {
       prevCk match {
         case Some(p) => s.conf.set(cksumConf, p)
         case None => s.conf.unset(cksumConf)
+      }
+      prevFm match {
+        case Some(p) => s.conf.set(fmConf, p)
+        case None => s.conf.unset(fmConf)
       }
     }
   }

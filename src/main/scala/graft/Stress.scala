@@ -1447,6 +1447,13 @@ object Stress {
       // checksum writes (see SparkEntry.withStreamShufflePartitions)
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_STREAM_CKSUM", "false"))
+      // local-fs checkpoint manager: the FileContext default forks a
+      // subprocess per temp-file create/rename here (see
+      // SparkEntry.withStreamShufflePartitions)
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_CKPT_FM",
+          "org.apache.spark.sql.execution.streaming.checkpointing." +
+            "FileSystemBasedCheckpointFileManager"))
     if (stateStore == "rocksdb")
       builder.config("spark.sql.streaming.stateStore.providerClass",
         SparkEntry.RocksDbProviderClass)

@@ -37,6 +37,42 @@ object QueryProf {
         catch { case _: Throwable => () })
     val m = new StressMetrics
     spark.sparkContext.addSparkListener(m)
+    // SPARK_GRAFT_PROF_SAMPLE_MS=N: in-process stack sampler over the
+    // executor task threads (jstack/jcmd cannot attach in this
+    // sandbox); prints a frame histogram per query so non-CPU task
+    // wall can be attributed (blocked-on-what, not just how-long).
+    val sampleMs = sys.env.get("SPARK_GRAFT_PROF_SAMPLE_MS").map(_.toInt)
+    val sampleHist = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = true
+    val sampler = sampleMs.map { ms =>
+      val t = new Thread(() => {
+        while (sampling) {
+          val it = Thread.getAllStackTraces.entrySet.iterator
+          while (it.hasNext) {
+            val e = it.next()
+            val name = e.getKey.getName
+            if (name.startsWith("Executor task launch")) {
+              val st = e.getValue
+              if (st.nonEmpty) {
+                val state = e.getKey.getState.toString
+                // first meaningful frame + the first spark/graft frame
+                val top = st.head.toString
+                val own = st.find(f => {
+                  val c = f.getClassName
+                  (c.startsWith("org.apache.spark") || c.startsWith("graft")) &&
+                    !c.contains("Unsafe")
+                }).map(_.toString).getOrElse("")
+                val key = s"$state | $top | $own"
+                sampleHist.merge(key, Integer.valueOf(1),
+                  (a, b) => Integer.valueOf(a.intValue + b.intValue))
+              }
+            }
+          }
+          Thread.sleep(ms.toLong)
+        }
+      }, "graft-prof-sampler")
+      t.setDaemon(true); t.start(); t
+    }
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       for (t <- 1 to trials) {
@@ -64,7 +100,17 @@ object QueryProf {
           }
         }
       }
+      if (sampleMs.isDefined) {
+        println(s"[prof] $name task-thread sample histogram (top 15):")
+        import scala.jdk.CollectionConverters._
+        sampleHist.asScala.toSeq.sortBy(-_._2.intValue).take(15).foreach {
+          case (k, v) => println(s"[prof]   $v  $k")
+        }
+        sampleHist.clear()
+      }
     }
+    sampling = false
+    sampler.foreach(_.join(1000))
     spark.stop()
   }
 }
