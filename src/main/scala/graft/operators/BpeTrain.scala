@@ -128,6 +128,12 @@ object BpeTrain {
       .empty[(Long, String, String, Long)]
     var r = 0
     var exhausted = false
+    // AQE off for the merge loop (operators.Par.withoutAqe rationale):
+    // every round is one tiny deterministic-result job (global top-1
+    // pair + a checkpoint rewrite) over a bounded word table; AQE's
+    // per-stage re-optimization is pure per-round latency here
+    // (round-18 A/B: q130 steady 1.7 -> 1.2 s, q102 unchanged shape).
+    Par.withoutAqe(docs.sparkSession) {
     while (r < nMerges && !exhausted) {
       val syms = filter(split(col("w"), Sep), s => s =!= "")
       val best = words
@@ -151,6 +157,7 @@ object BpeTrain {
           .localCheckpoint()
       }
       r += 1
+    }
     }
     import spark.implicits._
     learned.toSeq.toDF("rank", "lhs", "rhs", "pair_count")

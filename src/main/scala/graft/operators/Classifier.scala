@@ -116,19 +116,24 @@ object Classifier {
     val nDocs = feats.count().toDouble
     require(nDocs > 0, "trainLogisticSparse: no feature rows")
     var w = Array.fill(dim + 1)(0.0)
-    for (_ <- 1 to iters) {
-      val g = feats
-        .select(errColSparse(w, dim).as("e"), col("xs"))
-        .select(col("e"), explode(concat(col("xs"), array(
-          struct(lit(-1).cast("int").as("j"), lit(1.0).as("x"))))).as("s"))
-        .groupBy(col("s.j").as("j"))
-        .agg(sum(round6(col("e") * col("s.x"))
-          .cast("decimal(28,6)")).as("g"))
-        .collect().map(r => r.getInt(0) ->
-          r.getDecimal(1).doubleValue()).toMap
-      w = Array.tabulate(dim + 1) { j =>
-        val raw = if (j == dim) g.getOrElse(-1, 0.0) else g.getOrElse(j, 0.0)
-        r6(w(j) - lr * r6(raw / nDocs))
+    // AQE off for the fixed-round loop — same rationale and A/B as
+    // [[trainLogistic]]; the groupBy(j) gradient is decimal-exact per
+    // coordinate, so its result is partitioning-independent.
+    Par.withoutAqe(feats.sparkSession) {
+      for (_ <- 1 to iters) {
+        val g = feats
+          .select(errColSparse(w, dim).as("e"), col("xs"))
+          .select(col("e"), explode(concat(col("xs"), array(
+            struct(lit(-1).cast("int").as("j"), lit(1.0).as("x"))))).as("s"))
+          .groupBy(col("s.j").as("j"))
+          .agg(sum(round6(col("e") * col("s.x"))
+            .cast("decimal(28,6)")).as("g"))
+          .collect().map(r => r.getInt(0) ->
+            r.getDecimal(1).doubleValue()).toMap
+        w = Array.tabulate(dim + 1) { j =>
+          val raw = if (j == dim) g.getOrElse(-1, 0.0) else g.getOrElse(j, 0.0)
+          r6(w(j) - lr * r6(raw / nDocs))
+        }
       }
     }
     w
@@ -155,16 +160,23 @@ object Classifier {
     val nDocs = feats.count().toDouble
     require(nDocs > 0, "trainLogistic: no feature rows")
     var w = Array.fill(dim + 1)(0.0)
-    for (_ <- 1 to iters) {
-      val e = errCol(w, dim)
-      val aggs = (0 until dim).map(j =>
-        sum(round6(e * element_at(col("x"), j + 1))
-          .cast("decimal(28,6)")).as(s"g$j")) :+
-        sum(e.cast("decimal(28,6)")).as("gb")
-      val row = feats.agg(aggs.head, aggs.tail: _*).collect().head
-      w = Array.tabulate(dim + 1) { j =>
-        val g = r6(row.getDecimal(j).doubleValue() / nDocs)
-        r6(w(j) - lr * g)
+    // AQE off for the fixed-round loop (Par.withoutAqe rationale):
+    // each round is one decimal-exact aggregate over the checkpointed
+    // frame — partitioning-independent result, so AQE's per-stage
+    // re-optimization buys nothing and costs ~2 driver round-trips
+    // per round (q147 steady 4.1 -> 2.0 s).
+    Par.withoutAqe(feats.sparkSession) {
+      for (_ <- 1 to iters) {
+        val e = errCol(w, dim)
+        val aggs = (0 until dim).map(j =>
+          sum(round6(e * element_at(col("x"), j + 1))
+            .cast("decimal(28,6)")).as(s"g$j")) :+
+          sum(e.cast("decimal(28,6)")).as("gb")
+        val row = feats.agg(aggs.head, aggs.tail: _*).collect().head
+        w = Array.tabulate(dim + 1) { j =>
+          val g = r6(row.getDecimal(j).doubleValue() / nDocs)
+          r6(w(j) - lr * g)
+        }
       }
     }
     w

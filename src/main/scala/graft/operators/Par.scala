@@ -27,4 +27,31 @@ object Par {
       df.repartition(keys: _*)
     else df.repartition(
       df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
+
+  /** Run a DRIVER-SIDE TRAINING LOOP with AQE disabled, restoring the
+    * previous setting after. Fixed-round trainers (logistic gradient
+    * descent, BPE merge selection, Lloyd iterations) launch one tiny
+    * deterministic-result action per round over a checkpointed frame;
+    * AQE re-optimizes and re-materializes per query-stage, which costs
+    * 2+ driver round-trips per round and dominates the loop (round-18
+    * interleaved A/B: q147 steady 4.1 s AQE-on vs 2.0 s AQE-off at
+    * identical results — the per-round aggregates are decimal-exact
+    * and partitioning-independent by construction, so the plan freedom
+    * AQE buys is worth nothing inside the loop). Scoped to the loop
+    * only: the surrounding query keeps AQE (q160, which embeds a
+    * trainer in a composed plan, measures flat-to-better with ONLY the
+    * loop opted out). Queries in this engine execute sequentially per
+    * session (bench/verify/jobs contract), so a scoped session-conf
+    * flip cannot race a concurrent query. */
+  def withoutAqe[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val k = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try body finally {
+      prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
 }

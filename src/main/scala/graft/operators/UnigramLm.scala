@@ -147,19 +147,24 @@ object UnigramLm {
       kept.map { case (p, c) => p -> r6(math.log(c.toDouble / t0)) }.toMap
     var usage: DataFrame = null
     var uTotal = 0L
-    for (_ <- 1 to iters) {
-      usage = words.select(col("n"),
-          explode(unigram_segment(col("word"), scores, maxPieceLen))
-            .as("piece"))
-        .groupBy(col("piece")).agg(sum(col("n")).as("u"))
-        .localCheckpoint(eager = false) // last round's table feeds output
-      val uMap = usage.collect()
-        .map(r => (r.getString(0), r.getLong(1))).toMap
-      uTotal = uMap.valuesIterator.sum
-      scores = kept.map { case (p, _) =>
-        p -> r6(math.log((uMap.getOrElse(p, 0L) + 1).toDouble /
-          (uTotal + vSize).toDouble))
-      }.toMap
+    // AQE off for the EM loop (operators.Par.withoutAqe rationale):
+    // one deterministic usage-count collect per round over bounded
+    // tables — AQE re-optimization is pure per-round latency.
+    Par.withoutAqe(words.sparkSession) {
+      for (_ <- 1 to iters) {
+        usage = words.select(col("n"),
+            explode(unigram_segment(col("word"), scores, maxPieceLen))
+              .as("piece"))
+          .groupBy(col("piece")).agg(sum(col("n")).as("u"))
+          .localCheckpoint(eager = false) // last round's table feeds output
+        val uMap = usage.collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap
+        uTotal = uMap.valuesIterator.sum
+        scores = kept.map { case (p, _) =>
+          p -> r6(math.log((uMap.getOrElse(p, 0L) + 1).toDouble /
+            (uTotal + vSize).toDouble))
+        }.toMap
+      }
     }
     cand.select(col("piece"))
       .join(usage, Seq("piece"), "left")
