@@ -226,7 +226,9 @@ object Corpus {
       .groupBy(col("a")).agg(count(lit(1)).as("c_a"))
       .localCheckpoint(eager = false)
     val bi = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-    val vocab = uni.count() // |V|: driver scalar, bounded plan parameter
+    // side-action jobs run AQE-off (Par.withoutAqe): one-shot
+    // deterministic scalars; AQE re-planning is pure latency here
+    val vocab = Par.withoutAqe(docs.sparkSession)(uni.count()) // |V|: driver scalar, bounded plan parameter
     val contrib = TextFunctions.round6(-log(
       (col("c_ab") + lit(1L)).cast("double") /
         (col("c_a") + lit(vocab)).cast("double")))
@@ -720,7 +722,7 @@ object Corpus {
     val ctx = bi.groupBy(col("a"))
       .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1a"))
     val rights = bi.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
-    val nBigrams = bi.count() // bounded driver plan parameter (q75's vocab)
+    val nBigrams = Par.withoutAqe(docs.sparkSession)(bi.count()) // bounded driver plan parameter (q75's vocab)
     val p = (greatest(col("c_ab").cast("double") - lit(discount), lit(0.0)) +
       lit(discount) * col("n1a").cast("double") *
         (col("n1b").cast("double") / lit(nBigrams.toDouble))) /
@@ -750,12 +752,12 @@ object Corpus {
     // no hot keys the plan degenerates to the plain (a, b) join shape
     // plus one constant column.
     val sampleMod = 8
-    val hotSet = pairs
+    val hotSet = Par.withoutAqe(docs.sparkSession)(pairs
       .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("df"))
       .filter(col("df") > hotDf / sampleMod / 2)
       .select(xxhash64(col("a"), col("b")).as("hk"))
-      .collect().map(_.getLong(0)).toSeq
+      .collect()).map(_.getLong(0)).toSeq
     val isHot = xxhash64(col("a"), col("b")).isInCollection(hotSet)
     val (probe, build) =
       if (hotSet.isEmpty)
@@ -1012,7 +1014,7 @@ object Corpus {
       if (modelPasses == 1) btParts.head.localCheckpoint(eager = false)
       else btParts.reduce(_ unionByName _)
     val n1c = bt.groupBy(col("b").as("c")).agg(count(lit(1)).as("n1"))
-    val nB = bt.count() // bounded driver plan parameter
+    val nB = Par.withoutAqe(docs.sparkSession)(bt.count()) // bounded driver plan parameter
     val pcont = col("n1").cast("double") / lit(nB.toDouble)
     val p2 = (greatest(col("cont").cast("double") - lit(discount),
       lit(0.0)) +
@@ -1041,13 +1043,13 @@ object Corpus {
     // round-14 lesson); the sample is 1/8 of the narrow gram rows, so
     // one model-width exchange of it is cheap insurance at any reuse
     val sampleMod = 8
-    val hotSet = tris
+    val hotSet = Par.withoutAqe(docs.sparkSession)(tris
       .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
       .transform(sizedRepartition(_, modelWidth, modelPasses, col("a"), col("b"), col("c")))
       .groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("df"))
       .filter(col("df") > hotDf / sampleMod / 2)
       .select(xxhash64(col("a"), col("b"), col("c")).as("hk"))
-      .collect().map(_.getLong(0)).toSeq
+      .collect()).map(_.getLong(0)).toSeq
     val isHot = xxhash64(col("a"), col("b"), col("c"))
       .isInCollection(hotSet)
     val (probe, build) =
