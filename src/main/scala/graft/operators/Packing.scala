@@ -98,8 +98,10 @@ object Packing {
     require(nShards > 0, "nShards must be positive")
     require(mix.nonEmpty && mix.values.forall(_ > 0),
       "mix needs at least one source with a positive proportion")
-    val counts = docs.filter(col(sourceCol).isin(mix.keys.toSeq: _*))
-      .groupBy(col(sourceCol)).count().collect()
+    // one-shot deterministic side action: AQE-off (Par.withoutAqe)
+    val counts = Par.withoutAqe(docs.sparkSession)(
+        docs.filter(col(sourceCol).isin(mix.keys.toSeq: _*))
+        .groupBy(col(sourceCol)).count().collect())
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     mix.keys.foreach(s =>
       require(counts.contains(s), s"no documents of source '$s'"))

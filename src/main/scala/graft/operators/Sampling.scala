@@ -208,7 +208,9 @@ object Sampling {
       alpha: Double, unitBudget: Double, seed: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(unitBudget > 0, "unitBudget must be positive")
-    val counts = docs.groupBy(col(sourceCol)).count().collect()
+    // one-shot deterministic side action: AQE-off (Par.withoutAqe)
+    val counts = Par.withoutAqe(docs.sparkSession)(
+        docs.groupBy(col(sourceCol)).count().collect())
       .map(r => r.get(0).toString -> r.getLong(1)).toMap
     val quotas = counts.map { case (s, c) =>
       val powered =
